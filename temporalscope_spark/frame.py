@@ -1,0 +1,161 @@
+"""TemporalFrame — the validated temporal table abstraction.
+
+Spark-native analogue of the reference's ``TimeFrame``
+(/root/reference/src/temporalscope/core/temporal_data_loader.py:88-861): one
+DataFrame + (time_col, target_col, optional id_col, mode, sort order,
+metadata bag). Construction validates schema statically, optionally converts
+the time column, optionally asserts strict temporal ordering, and records the
+canonical sort — but stays LAZY: unlike the reference's ~6 eager passes per
+construction, at most one Spark job runs (the optional ordering gate), and
+the sort itself is a plan node, not a materialization.
+
+Scale policy: ``ensure_layout()`` applies the physical layout the north rule
+mandates — ``repartitionByRange(id_col, time_col)`` + ``sortWithinPartitions``
+— so every downstream per-entity window op runs without re-shuffling.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from temporalscope_spark.core import convert, validation
+from temporalscope_spark.exceptions import ModeValidationError
+
+MODE_SINGLE_TARGET = "single_target"
+MODE_MULTI_TARGET = "multi_target"
+VALID_MODES = (MODE_SINGLE_TARGET, MODE_MULTI_TARGET)
+
+
+class TemporalFrame:
+    """A validated (df, time_col, target_col[, id_col]) bundle.
+
+    Parameters mirror the reference TimeFrame (temporal_data_loader.py:125-261):
+    ``ascending`` controls the canonical time sort; ``sort`` applies it;
+    ``time_col_conversion`` ∈ {None, 'numeric', 'datetime'};
+    ``enforce_temporal_uniqueness`` runs the strict-ordering gate (V5);
+    ``verbose`` prints progress.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        time_col: str,
+        target_col: str,
+        id_col: str | None = None,
+        mode: str = MODE_SINGLE_TARGET,
+        ascending: bool = True,
+        sort: bool = True,
+        time_col_conversion: str | None = None,
+        enforce_temporal_uniqueness: bool = False,
+        exempt_cols: tuple[str, ...] = (),
+        metadata: dict[str, Any] | None = None,
+    ):
+        if not isinstance(time_col, str) or not time_col:
+            raise TypeError("`time_col` must be a non-empty string")
+        if not isinstance(target_col, str) or not target_col:
+            raise TypeError("`target_col` must be a non-empty string")
+        if id_col is not None and not isinstance(id_col, str):
+            raise TypeError("`id_col` must be a string or None")
+        if mode not in VALID_MODES:
+            raise ModeValidationError(mode)
+        if time_col_conversion not in (None, "numeric", "datetime"):
+            raise ValueError(
+                "`time_col_conversion` must be one of None, 'numeric', 'datetime'"
+            )
+
+        if validation.is_dataframe_empty(df):
+            raise ValueError("DataFrame cannot be empty")
+
+        exempt = tuple(exempt_cols) + ((id_col,) if id_col else ())
+        validation.validate_dataframe_schema(df, time_col, target_col, exempt_cols=exempt)
+        df = convert.convert_time_column(df, time_col, time_col_conversion)
+
+        if enforce_temporal_uniqueness:
+            validation.check_temporal_ordering(df, time_col, id_col=id_col)
+
+        self._time_col = time_col
+        self._target_col = target_col
+        self._id_col = id_col
+        self._mode = mode
+        self._ascending = ascending
+        self._metadata: dict[str, Any] = dict(metadata or {})
+
+        if sort:
+            df = self.sort_time(df, ascending)
+        self._df = df
+
+    # -- accessors (reference API: tf.df / tf.time_col / ...) ---------------
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def time_col(self) -> str:
+        return self._time_col
+
+    @property
+    def target_col(self) -> str:
+        return self._target_col
+
+    @property
+    def id_col(self) -> str | None:
+        return self._id_col
+
+    @property
+    def mode(self) -> str:
+        return self._mode
+
+    @property
+    def ascending(self) -> bool:
+        return self._ascending
+
+    @property
+    def metadata(self) -> dict[str, Any]:
+        """Free-form metadata bag (temporal_data_loader.py:821-861)."""
+        return self._metadata
+
+    # -- operations ----------------------------------------------------------
+    def sort_time(self, df: DataFrame | None = None, ascending: bool | None = None) -> DataFrame:
+        """Canonical sort by ([id_col,] time_col) (core_utils.py:1210-1265).
+
+        Lazy plan node. For per-entity downstream windows prefer
+        :meth:`ensure_layout`, which avoids a global sort entirely.
+        """
+        df = df if df is not None else self._df
+        ascending = self._ascending if ascending is None else ascending
+        keys = [self._id_col, self._time_col] if self._id_col else [self._time_col]
+        cols = [F.col(k).asc() if ascending else F.col(k).desc() for k in keys]
+        return df.orderBy(*cols)
+
+    def ensure_layout(self, num_partitions: int | None = None) -> "TemporalFrame":
+        """Apply the scale-out physical layout: range-partition by entity,
+        sort within partitions by (id, time).
+
+        All per-entity window ops (shift, sessionize, as-of) then execute
+        without an extra shuffle: the required clustering+ordering already
+        holds. Returns a new TemporalFrame sharing config.
+        """
+        keys = [self._id_col, self._time_col] if self._id_col else [self._time_col]
+        df = self._df
+        if num_partitions:
+            df = df.repartitionByRange(num_partitions, *keys)
+        else:
+            df = df.repartitionByRange(*keys)
+        df = df.sortWithinPartitions(*keys)
+        return self._with_df(df)
+
+    def update_dataframe(self, df: DataFrame) -> None:
+        """Replace the underlying df, revalidating schema only (cheap/static)."""
+        exempt = tuple((self._id_col,) if self._id_col else ())
+        validation.validate_dataframe_schema(
+            df, self._time_col, self._target_col, exempt_cols=exempt
+        )
+        self._df = df
+
+    def _with_df(self, df: DataFrame) -> "TemporalFrame":
+        new = object.__new__(TemporalFrame)
+        new.__dict__ = {**self.__dict__, "_df": df}
+        return new

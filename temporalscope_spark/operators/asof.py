@@ -1,0 +1,172 @@
+"""Point-in-time (as-of) joins and backfill — the north rule's J1 operators.
+
+The reference has ZERO joins (SURVEY.md §2.6) — it avoids them by keeping one
+table and shifting. At corpus scale the same point-in-time semantics must be
+expressed across tables, so the engine provides:
+
+  * :func:`asof_join` — for each left row, the single most recent right row
+    with ``right.time <= left.time`` (optionally within a tolerance window),
+    per join key. Implemented as union + window (the sort-merge-style
+    single-shuffle plan), not as an inequality theta-join which Spark would
+    execute as BroadcastNestedLoop.
+  * :func:`backfill` / :func:`forward_fill` — self-table as-of:
+    ``F.last(value, ignorenulls=True)`` over an entity window
+    (the north star's stated implementation for the self-table case).
+  * :func:`range_join` — interval containment with a range-join-friendly
+    equi-bucket prefilter.
+
+Plan shape of asof_join: both sides shuffle ONCE on the key, the union sorts
+within (key, time, side-tag), and ``last(right_value, ignorenulls=True)``
+propagates the latest right values onto left rows — O(n log n) per key group,
+no nested loop, skew handled by AQE since it's a plain window shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str] | None = None,
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Pandas-``merge_asof``-style backward join, distributed.
+
+    For every left row: attach ``value_cols`` from the latest right row with
+    ``right_time <= left_time`` (strict ``<`` if ``allow_exact_matches`` is
+    False) sharing the join key(s). ``tolerance`` (seconds for timestamps,
+    raw units for numerics) drops matches older than the window.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in keys and c != right_time
+        ]
+
+    from temporalscope_spark.core.convert import epoch_seconds
+
+    t_type = dict((f.name, f.dataType) for f in right.schema.fields)[right_time]
+
+    def _num(c):
+        return epoch_seconds(c, t_type)
+
+    # tag: right rows sort BEFORE left rows at equal time when exact matches
+    # are allowed (so last() sees them), AFTER when not.
+    right_tag = 0 if allow_exact_matches else 1
+    left_tag = 1 - right_tag
+
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("_t"),
+        F.lit(right_tag).alias("_side"),
+        F.lit(None).cast("long").alias("_left_rowid"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    lrowid = F.monotonically_increasing_id()
+    l = left.withColumn("_left_rowid", lrowid)
+    l_tagged = l.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).alias("_t"),
+        F.lit(left_tag).alias("_side"),
+        F.col("_left_rowid"),
+        *[F.lit(None).cast(dict((f.name, f.dataType) for f in right.schema.fields)[c]).alias(f"_v_{c}") for c in value_cols],
+    )
+
+    unioned = r.unionByName(l_tagged)
+    w = Window.partitionBy(*keys).orderBy("_t", "_side").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = unioned.select(
+        "*",
+        *[F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
+        F.last(F.when(F.col("_side") == right_tag, F.col("_t")), ignorenulls=True)
+        .over(w)
+        .alias("_match_t"),
+    )
+    matched = filled.filter(F.col("_left_rowid").isNotNull())
+
+    if tolerance is not None:
+        in_window = (_num(F.col("_t")) - _num(F.col("_match_t"))) <= tolerance
+        matched = matched.select(
+            "*",
+            *[
+                F.when(in_window, F.col(f"_f_{c}")).otherwise(F.lit(None)).alias(f"_fv_{c}")
+                for c in value_cols
+            ],
+        )
+        fcol = "_fv_"
+    else:
+        fcol = "_f_"
+
+    out_vals = matched.select(
+        "_left_rowid",
+        *[
+            F.col(f"{fcol}{c}").alias(c if c not in left.columns else f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return l.join(out_vals, "_left_rowid", "left").drop("_left_rowid")
+
+
+def forward_fill(
+    df: DataFrame,
+    time_col: str,
+    value_cols: list[str],
+    id_col: str | None = None,
+) -> DataFrame:
+    """LOCF backfill of nulls from the most recent prior non-null value —
+    ``F.last(c, ignorenulls=True)`` over an entity window."""
+    base = Window.partitionBy(id_col) if id_col else Window.partitionBy(F.lit(1))
+    w = base.orderBy(time_col).rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def backward_fill(
+    df: DataFrame,
+    time_col: str,
+    value_cols: list[str],
+    id_col: str | None = None,
+) -> DataFrame:
+    """NOCB fill from the next non-null value (reverse-direction window)."""
+    base = Window.partitionBy(id_col) if id_col else Window.partitionBy(F.lit(1))
+    w = base.orderBy(time_col).rowsBetween(0, Window.unboundedFollowing)
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join: left.point ∈ [right.lo, right.hi).
+
+    The equality keys make this a hash/sort-merge join with a post-filter
+    (NOT a nested loop); a RANGE_JOIN hint is attached for engines that
+    support range-join optimization.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    cond = None
+    for k in keys:
+        c = left[k] == right[k]
+        cond = c if cond is None else (cond & c)
+    cond = cond & (left[point_col] >= right[lo_col]) & (left[point_col] < right[hi_col])
+    return left.hint("RANGE_JOIN", point_col, 1).join(right, cond, how)

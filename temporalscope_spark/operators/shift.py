@@ -1,0 +1,178 @@
+"""Leakage-safe target shifting (lag/lead) — operator W1.
+
+Reference: SingleStepTargetShifter
+(/root/reference/src/temporalscope/target_shifters/single_step.py:88-544).
+Semantics reproduced:
+  * adds ``{target}_shift_{n}`` = value ``n_lags`` rows AHEAD in the frame's
+    sort order (the reference's ``shift(-n)`` = lead), then drops rows whose
+    shifted value is null (exactly the ``n_lags`` trailing rows per entity),
+    optionally drops the original target (single_step.py:265-301);
+  * ``n_lags <= 0`` → ValueError "`n_lags` must be greater than 0" (:183-184);
+  * empty input → "Cannot transform empty DataFrame" (:261);
+  * everything dropped → "All rows were dropped during transformation" (:468).
+
+Spark shape: one ``F.lead`` over ``Window.partitionBy(id).orderBy(time)`` —
+a single narrow window stage after the entity shuffle; no Python UDF. The
+reference's TWO count actions + full re-validate/re-sort on re-wrap
+(single_step.py:458-487) collapse to one optional count.
+
+Global-order mode (no ``id_col``) matches the shipped reference exactly but
+runs the window on ONE partition — acceptable only at parity-fixture scale,
+flagged via warning. Production always passes ``id_col`` (north star:
+``Window.partitionBy(doc_id).orderBy(event_time)``).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from temporalscope_spark.frame import TemporalFrame
+
+
+def shift_target(
+    df: DataFrame,
+    time_col: str,
+    target_col: str,
+    n_lags: int = 1,
+    id_col: str | None = None,
+    drop_target: bool = False,
+    direction: str = "lead",
+    check_empty: bool = True,
+) -> DataFrame:
+    """Add ``{target}_shift_{n_lags}`` and drop rows made null by the shift.
+
+    ``direction='lead'`` (reference default): the shifted column holds the
+    target ``n_lags`` steps in the FUTURE — the label for forecasting at time
+    t, leakage-free because features at t never see it as input.
+    ``direction='lag'``: value from the past (feature engineering).
+    """
+    if n_lags <= 0:
+        raise ValueError("`n_lags` must be greater than 0")
+    if target_col not in df.columns:
+        raise ValueError(f"target_col '{target_col}' not found in DataFrame")
+
+    if check_empty and df.isEmpty():
+        raise ValueError("Cannot transform empty DataFrame")
+
+    if id_col:
+        w = Window.partitionBy(id_col).orderBy(time_col)
+    else:
+        warnings.warn(
+            "shift_target without id_col runs a single-partition global window; "
+            "use id_col for distributed execution",
+            stacklevel=2,
+        )
+        w = Window.orderBy(time_col)
+
+    shifted_name = f"{target_col}_shift_{n_lags}"
+    fn = F.lead if direction == "lead" else F.lag
+    out = df.withColumn(shifted_name, fn(F.col(target_col), n_lags).over(w))
+    out = out.filter(F.col(shifted_name).isNotNull())
+    if drop_target:
+        out = out.drop(target_col)
+
+    if check_empty and out.isEmpty():
+        raise ValueError("All rows were dropped during transformation")
+    return out
+
+
+class TargetShifter:
+    """sklearn-style fit/transform wrapper mirroring SingleStepTargetShifter.
+
+    ``fit`` adopts the target column (from a TemporalFrame or explicit);
+    ``transform`` runs :func:`shift_target`; ``fit_transform`` is the eager
+    combo. Law preserved from the reference tests:
+    ``fit_transform(X) == fit(X).transform(X)``.
+    """
+
+    def __init__(
+        self,
+        target_col: str | None = None,
+        n_lags: int = 1,
+        drop_target: bool = True,
+        verbose: bool = False,
+    ):
+        if n_lags <= 0:
+            raise ValueError("`n_lags` must be greater than 0")
+        self.target_col = target_col
+        self.n_lags = n_lags
+        self.drop_target = drop_target
+        self.verbose = verbose
+
+    def fit(self, X: TemporalFrame | DataFrame, y=None) -> "TargetShifter":
+        if isinstance(X, TemporalFrame):
+            self.target_col = self.target_col or X.target_col
+        if self.target_col is None:
+            raise ValueError("`target_col` must be set before fit on a plain DataFrame")
+        if isinstance(X, DataFrame) and self.target_col not in X.columns:
+            raise ValueError(f"Column '{self.target_col}' not found in DataFrame")
+        return self
+
+    def transform(self, X: TemporalFrame | DataFrame, y=None) -> TemporalFrame | DataFrame:
+        if self.target_col is None:
+            raise ValueError("target_col must be set before transform (call fit first)")
+        if isinstance(X, TemporalFrame):
+            out = shift_target(
+                X.df,
+                time_col=X.time_col,
+                target_col=self.target_col,
+                n_lags=self.n_lags,
+                id_col=X.id_col,
+                drop_target=self.drop_target,
+            )
+            # Re-wrap WITHOUT re-validating/re-sorting (the reference redoes
+            # both — single_step.py:474-481 — an O(data) anti-pattern; our
+            # sort order is preserved by the window op).
+            new = X._with_df(out)
+            new._target_col = f"{self.target_col}_shift_{self.n_lags}"
+            if self.verbose:
+                print(f"Shifted target by {self.n_lags}; new target {new._target_col}")
+            return new
+        return shift_target(
+            X,
+            time_col=X.columns[0],
+            target_col=self.target_col,
+            n_lags=self.n_lags,
+            id_col=None,
+            drop_target=self.drop_target,
+        )
+
+    def fit_transform(self, X, y=None):
+        return self.fit(X).transform(X)
+
+
+def lag_features(
+    df: DataFrame,
+    time_col: str,
+    value_cols: list[str],
+    lags: list[int],
+    id_col: str | None = None,
+    drop_incomplete: bool = False,
+) -> DataFrame:
+    """Multi-column multi-lag feature builder — one window, k×m expressions.
+
+    All lags share a single Window spec, so Spark computes them in ONE
+    window physical operator (single sort, single pass) — the fused
+    generalization of repeated reference shifts.
+    """
+    if id_col:
+        w = Window.partitionBy(id_col).orderBy(time_col)
+    else:
+        w = Window.orderBy(time_col)
+    out = df
+    for c in value_cols:
+        for n in lags:
+            out = out.withColumn(f"{c}_lag_{n}", F.lag(F.col(c), n).over(w))
+    if drop_incomplete:
+        conds = None
+        for c in value_cols:
+            for n in lags:
+                cond = F.col(f"{c}_lag_{n}").isNotNull()
+                conds = cond if conds is None else (conds & cond)
+        if conds is not None:
+            out = out.filter(conds)
+    return out

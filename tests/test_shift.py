@@ -1,0 +1,112 @@
+"""Target-shifter parity suite.
+
+Ports the contract of /root/reference/test/unit/target_shifters/
+test_single_step.py (315 lines, 13 tests): shift column naming
+``{target}_shift_{n}``, row reduction == n_lags, drop_target both ways,
+multi-lag, empty/all-dropped error messages, fit_transform law.
+Global-order parity uses single-entity fixtures (SURVEY.md §7 risk note).
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from temporalscope_spark.frame import TemporalFrame
+from temporalscope_spark.operators.shift import TargetShifter, lag_features, shift_target
+from tests.conftest import make_ts_df
+
+
+@pytest.fixture
+def ts10(spark):
+    return make_ts_df(spark, n=10, k=2, time_numeric=True)
+
+
+def _pdf(df, sort_cols=("time",)):
+    return df.toPandas().sort_values(list(sort_cols)).reset_index(drop=True)
+
+
+def test_shift_column_name_and_row_reduction(spark, ts10):
+    out = shift_target(ts10, "time", "target", n_lags=1)
+    assert "target_shift_1" in out.columns
+    assert out.count() == 10 - 1
+
+
+@pytest.mark.parametrize("n_lags", [1, 2, 3])
+def test_multi_lag_row_reduction(spark, ts10, n_lags):
+    out = shift_target(ts10, "time", "target", n_lags=n_lags)
+    assert out.count() == 10 - n_lags
+
+
+def test_shift_values_are_lead(spark, ts10):
+    out = _pdf(shift_target(ts10, "time", "target", n_lags=2))
+    orig = _pdf(ts10)
+    # value at row i equals original target at row i+2
+    for i in range(len(out)):
+        assert out.loc[i, "target_shift_2"] == pytest.approx(orig.loc[i + 2, "target"])
+
+
+def test_drop_target_true_false(spark, ts10):
+    kept = shift_target(ts10, "time", "target", n_lags=1, drop_target=False)
+    dropped = shift_target(ts10, "time", "target", n_lags=1, drop_target=True)
+    assert "target" in kept.columns
+    assert "target" not in dropped.columns
+
+
+def test_invalid_n_lags(spark, ts10):
+    with pytest.raises(ValueError, match="`n_lags` must be greater than 0"):
+        shift_target(ts10, "time", "target", n_lags=0)
+    with pytest.raises(ValueError, match="`n_lags` must be greater than 0"):
+        TargetShifter(target_col="target", n_lags=-1)
+
+
+def test_empty_dataframe_error(spark, ts10):
+    empty = ts10.filter(F.lit(False))
+    with pytest.raises(ValueError, match="Cannot transform empty DataFrame"):
+        shift_target(empty, "time", "target", n_lags=1)
+
+
+def test_all_rows_dropped_error(spark, ts10):
+    single = ts10.limit(1)
+    with pytest.raises(ValueError, match="All rows were dropped during transformation"):
+        shift_target(single, "time", "target", n_lags=1)
+
+
+def test_fit_transform_equals_fit_then_transform(spark, ts10):
+    tf = TemporalFrame(ts10, time_col="time", target_col="target")
+    a = TargetShifter(n_lags=1).fit_transform(tf)
+    b = TargetShifter(n_lags=1).fit(tf).transform(tf)
+    assert _pdf(a.df).equals(_pdf(b.df))
+    assert a.target_col == "target_shift_1"
+
+
+def test_per_entity_shift(spark):
+    df = make_ts_df(spark, n=20, k=1, time_numeric=True, id_col=True, n_ids=4)
+    # per-entity time must be unique: re-time within id
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("time")
+    df = df.withColumn("time", F.row_number().over(w).cast("double"))
+    out = shift_target(df, "time", "target", n_lags=1, id_col="id")
+    # each of the 4 entities (5 rows each) loses exactly 1 row
+    assert out.count() == 20 - 4
+    pdf = out.toPandas().sort_values(["id", "time"]).reset_index(drop=True)
+    orig = df.toPandas().sort_values(["id", "time"]).reset_index(drop=True)
+    for ident in orig["id"].unique():
+        o = orig[orig["id"] == ident].reset_index(drop=True)
+        s = pdf[pdf["id"] == ident].reset_index(drop=True)
+        for i in range(len(s)):
+            assert s.loc[i, "target_shift_1"] == pytest.approx(o.loc[i + 1, "target"])
+
+
+def test_lag_features_fused_window(spark):
+    df = make_ts_df(spark, n=12, k=1, time_numeric=True, id_col=True, n_ids=2)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("time")
+    df = df.withColumn("time", F.row_number().over(w).cast("double"))
+    out = lag_features(df, "time", ["target"], [1, 2], id_col="id", drop_incomplete=True)
+    assert {"target_lag_1", "target_lag_2"}.issubset(set(out.columns))
+    assert out.count() == 12 - 2 * 2  # 2 incomplete rows per entity
+    # single Window physical operator: both lags share one sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") <= 2
