@@ -1,105 +1,98 @@
 """Distributed global row numbering / order statistics.
 
 ``Window.orderBy(t)`` with no partition key collapses to ONE task (Spark
-warns ``WindowExec: No Partition Defined``) — unusable at 100 TB. This module
-computes exact global row numbers with the classic two-pass range-partition
-technique, all DataFrame-side:
+warns ``WindowExec: No Partition Defined``) — unusable at 100 TB. Exact
+global row numbers are computed with a quantile-bucket two-phase plan, all
+DataFrame-side and with NO persisted intermediate:
 
-  1. range-partition + locally sort by the order keys (``repartitionByRange``
-     gives non-overlapping sorted ranges across partitions);
-  2. count rows per physical partition (tiny aggregate, one row per
-     partition) and prefix-sum the counts on the driver;
-  3. broadcast-join the offsets back and add the intra-partition
-     ``row_number`` (now partitioned by ``spark_partition_id`` — parallel).
+  1. approximate quantiles of the primary order column define ``B`` bucket
+     boundary VALUES (tiny driver array). Bucket assignment is then a pure
+     deterministic comparison against literals — identical on every
+     recomputation, unlike ``repartitionByRange``'s sampled partitioner;
+  2. one hash-aggregate counts rows per bucket; the driver prefix-sums the
+     ``B`` counts into offsets (broadcast back as a literal map);
+  3. ``row_number() over (partition by bucket order by ...)`` + offset gives
+     the exact global rank — a single parallel window per bucket.
 
-Cost: one extra shuffle + a ~P-row driver collect, versus the reference's
-full ``collect().to_numpy()`` of the entire time column
+Rows sharing the primary order value always land in one bucket (comparison
+is on the value), so cross-bucket ordering is total. Cost: two lightweight
+aggregate passes + one window shuffle. The reference instead materializes the
+whole sorted time column on the driver
 (/root/reference/src/temporalscope/partition/single_target/static/
-sliding_window.py:378 — the anti-pattern this replaces).
+sliding_window.py:378) — the anti-pattern this replaces.
 """
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-from typing import Iterator
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from temporalscope_spark.core.convert import epoch_seconds
 
-@contextmanager
-def _numbered(
-    df: DataFrame,
-    order_cols: list[str],
-    rn_col: str,
-    num_range_partitions: int | None,
-) -> Iterator[DataFrame]:
-    """Yield a row-numbered DataFrame; unpersist the pinned intermediate on exit.
+_BUCKET = "_rn_bucket"
 
-    The range-partitioned sorted intermediate must be persisted so the
-    per-partition counts (pass 2) and the numbering join (pass 3) observe the
-    exact same partitioning — range partitioner boundaries come from sampling
-    and are not guaranteed stable across recomputations.
-    """
-    if num_range_partitions:
-        part = df.repartitionByRange(num_range_partitions, *order_cols)
-    else:
-        part = df.repartitionByRange(*order_cols)
-    part = part.sortWithinPartitions(*order_cols).withColumn("_pid", F.spark_partition_id())
-    part = part.persist()
-    try:
-        counts = {
-            r["_pid"]: r["cnt"]
-            for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-        }
-        offsets, acc = [], 0
-        for pid in sorted(counts):
-            offsets.append((pid, acc))
-            acc += counts[pid]
-        offsets_df = df.sparkSession.createDataFrame(offsets or [(0, 0)], ["_pid", "_offset"])
-        w = Window.partitionBy("_pid").orderBy(*order_cols)
-        yield (
-            part.join(F.broadcast(offsets_df), "_pid")
-            .withColumn(rn_col, F.row_number().over(w) + F.col("_offset"))
-            .drop("_pid", "_offset")
-        )
-    finally:
-        part.unpersist()
+
+def _numeric_order_expr(df: DataFrame, col: str) -> F.Column:
+    dt = dict((f.name, f.dataType) for f in df.schema.fields)[col]
+    return epoch_seconds(F.col(col), dt)
 
 
 def with_global_row_number(
     df: DataFrame,
     order_cols: list[str],
     rn_col: str = "_rn",
-    num_range_partitions: int | None = None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
-    """Add 1-based exact global row number ``rn_col`` ordered by ``order_cols``.
+    """Add a 1-based exact global row number ordered by ``order_cols``.
 
-    The returned plan references a persisted intermediate that stays cached
-    for the session (Spark evicts LRU); callers doing one-shot extraction
-    should prefer :func:`order_statistics`. Ties break deterministically only
-    if ``order_cols`` is a unique key.
+    The primary order column must be numeric/timestamp (bucket boundaries
+    come from quantiles). Ties across ALL ``order_cols`` break arbitrarily
+    but within one bucket; pass a unique key suffix for full determinism.
     """
-    if num_range_partitions:
-        part = df.repartitionByRange(num_range_partitions, *order_cols)
+    if num_buckets is None:
+        num_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    primary = order_cols[0]
+    tnum = _numeric_order_expr(df, primary)
+    probed = df.withColumn("_rn_t", tnum)
+
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    boundaries = (
+        probed.stat.approxQuantile("_rn_t", probs, 0.001) if probs else []
+    )
+    # strictly increasing unique boundaries (quantiles may repeat on skew)
+    bnds = sorted(set(boundaries))
+
+    if bnds:
+        barr = F.array(*[F.lit(float(b)) for b in bnds])
+        bucket = F.aggregate(
+            barr, F.lit(0), lambda acc, b: acc + (F.col("_rn_t") > b).cast("int")
+        )
     else:
-        part = df.repartitionByRange(*order_cols)
-    part = part.sortWithinPartitions(*order_cols).withColumn("_pid", F.spark_partition_id())
-    part = part.persist()
+        bucket = F.lit(0)
+    bucketed = probed.withColumn(_BUCKET, bucket)
+
     counts = {
-        r["_pid"]: r["cnt"] for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        r[_BUCKET]: r["cnt"]
+        for r in bucketed.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    offsets_df = df.sparkSession.createDataFrame(offsets or [(0, 0)], ["_pid", "_offset"])
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    if offsets:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        off = F.coalesce(F.element_at(mapping, F.col(_BUCKET)), F.lit(0))
+    else:
+        off = F.lit(0)
+
+    w = Window.partitionBy(_BUCKET).orderBy(*order_cols)
     return (
-        part.join(F.broadcast(offsets_df), "_pid")
-        .withColumn(rn_col, F.row_number().over(w) + F.col("_offset"))
-        .drop("_pid", "_offset")
+        bucketed.withColumn(rn_col, (F.row_number().over(w) + off).cast("long"))
+        .drop("_rn_t", _BUCKET)
     )
 
 
@@ -107,7 +100,7 @@ def order_statistics(
     df: DataFrame,
     order_cols: list[str],
     positions: list[int],
-    num_range_partitions: int | None = None,
+    num_buckets: int | None = None,
 ) -> dict[int, tuple]:
     """Exact values of ``order_cols`` at the given 1-based global positions.
 
@@ -115,6 +108,6 @@ def order_statistics(
     replacement for materializing a whole sorted column.
     """
     wanted = sorted(set(positions))
-    with _numbered(df, order_cols, "_rn", num_range_partitions) as numbered:
-        rows = numbered.filter(F.col("_rn").isin(wanted)).select("_rn", *order_cols).collect()
+    numbered = with_global_row_number(df, order_cols, "_rn", num_buckets)
+    rows = numbered.filter(F.col("_rn").isin(wanted)).select("_rn", *order_cols).collect()
     return {r["_rn"]: tuple(r[c] for c in order_cols) for r in rows}

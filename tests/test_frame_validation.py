@@ -1,0 +1,180 @@
+"""TemporalFrame + validation parity suite.
+
+Ports the contract of /root/reference/test/unit/core/test_core_utils.py
+(temporal-ordering suites :438-686) and test_temporal_data_loader.py:
+init/param errors, sort, conversion, per-group uniqueness, metadata.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from temporalscope_spark.core import convert, validation
+from temporalscope_spark.exceptions import (
+    DataFrameValidationError,
+    ModeValidationError,
+    TimeColumnError,
+)
+from temporalscope_spark.frame import TemporalFrame
+from tests.conftest import make_ts_df
+
+
+class TestTemporalFrameInit:
+    def test_basic(self, spark):
+        df = make_ts_df(spark, n=10, k=2, time_numeric=True)
+        tf = TemporalFrame(df, time_col="time", target_col="target")
+        assert tf.time_col == "time" and tf.target_col == "target"
+        assert tf.df.count() == 10
+
+    def test_bad_time_col_type_param(self, spark):
+        df = make_ts_df(spark, n=5, k=1, time_numeric=True)
+        with pytest.raises(TypeError, match="`time_col` must be a non-empty string"):
+            TemporalFrame(df, time_col="", target_col="target")
+        with pytest.raises(TypeError, match="`target_col` must be a non-empty string"):
+            TemporalFrame(df, time_col="time", target_col=None)
+
+    def test_invalid_mode(self, spark):
+        df = make_ts_df(spark, n=5, k=1, time_numeric=True)
+        with pytest.raises(ModeValidationError):
+            TemporalFrame(df, time_col="time", target_col="target", mode="triple")
+
+    def test_missing_column(self, spark):
+        df = make_ts_df(spark, n=5, k=1, time_numeric=True)
+        with pytest.raises(DataFrameValidationError, match="does not exist"):
+            TemporalFrame(df, time_col="nope", target_col="target")
+
+    def test_empty_df(self, spark):
+        df = make_ts_df(spark, n=5, k=1, time_numeric=True).filter(F.lit(False))
+        with pytest.raises(ValueError, match="DataFrame cannot be empty"):
+            TemporalFrame(df, time_col="time", target_col="target")
+
+    def test_non_numeric_feature_rejected(self, spark):
+        df = make_ts_df(spark, n=5, k=1, time_numeric=True).withColumn("bad", F.lit("s"))
+        with pytest.raises(DataFrameValidationError, match="must be numeric"):
+            TemporalFrame(df, time_col="time", target_col="target")
+
+    def test_exempt_cols_allowed(self, spark):
+        df = make_ts_df(spark, n=5, k=1, time_numeric=True).withColumn("tag", F.lit("s"))
+        tf = TemporalFrame(df, time_col="time", target_col="target", exempt_cols=("tag",))
+        assert "tag" in tf.df.columns
+
+    def test_boolean_time_rejected(self, spark):
+        df = make_ts_df(spark, n=5, k=1, time_numeric=True).withColumn("bt", F.lit(True))
+        with pytest.raises(TimeColumnError, match="must be numeric or datetime"):
+            TemporalFrame(df, time_col="bt", target_col="target")
+
+    def test_metadata_bag(self, spark):
+        df = make_ts_df(spark, n=5, k=1, time_numeric=True)
+        tf = TemporalFrame(df, time_col="time", target_col="target", metadata={"v": 1})
+        tf.metadata["w"] = 2
+        assert tf.metadata == {"v": 1, "w": 2}
+
+    def test_sort_descending(self, spark):
+        df = make_ts_df(spark, n=10, k=1, time_numeric=True)
+        tf = TemporalFrame(df, time_col="time", target_col="target", ascending=False)
+        times = [r["time"] for r in tf.df.select("time").collect()]
+        assert times == sorted(times, reverse=True)
+
+
+class TestTimeConversion:
+    def test_numeric_conversion_us(self, spark):
+        df = make_ts_df(spark, n=5, k=1, time_numeric=False)
+        out = convert.time_to_numeric(df, "time", "us")
+        assert dict(out.dtypes)["time"] == "double"
+        vals = sorted(r["time"] for r in out.collect())
+        assert vals[1] - vals[0] == pytest.approx(86400 * 1e6)
+
+    def test_numeric_conversion_ns_is_long(self, spark):
+        df = make_ts_df(spark, n=3, k=1, time_numeric=False)
+        out = convert.time_to_numeric(df, "time", "ns")
+        assert dict(out.dtypes)["time"] == "bigint"
+
+    def test_numeric_passthrough(self, spark):
+        df = make_ts_df(spark, n=3, k=1, time_numeric=True)
+        out = convert.time_to_numeric(df, "time")
+        assert dict(out.dtypes)["time"] == "double"
+
+    def test_datetime_conversion_roundtrip(self, spark):
+        df = make_ts_df(spark, n=3, k=1, time_numeric=False)
+        num = convert.time_to_numeric(df, "time", "us")
+        back = convert.time_to_datetime(num, "time", "us")
+        assert dict(back.dtypes)["time"] == "timestamp"
+        orig = sorted(r["time"] for r in df.collect())
+        got = sorted(r["time"] for r in back.collect())
+        assert orig == got
+
+    def test_string_parse(self, spark):
+        df = spark.createDataFrame([("2023-01-01 00:00:00",)], ["time"])
+        out = convert.time_to_datetime(df, "time")
+        assert dict(out.dtypes)["time"] == "timestamp"
+
+    def test_invalid_unit(self, spark):
+        df = make_ts_df(spark, n=3, k=1, time_numeric=False)
+        with pytest.raises(ValueError, match="Invalid time_unit"):
+            convert.time_to_numeric(df, "time", "weeks")
+
+    def test_frame_conversion_hook(self, spark):
+        df = make_ts_df(spark, n=3, k=1, time_numeric=False)
+        tf = TemporalFrame(df, time_col="time", target_col="target", time_col_conversion="numeric")
+        assert dict(tf.df.dtypes)["time"] == "double"
+
+
+class TestTemporalOrdering:
+    def test_unique_ok(self, spark):
+        df = make_ts_df(spark, n=10, k=1, time_numeric=True)
+        validation.check_temporal_ordering(df, "time")
+
+    def test_global_duplicates_fail(self, spark):
+        df = make_ts_df(spark, n=10, k=1, time_numeric=True).withColumn(
+            "time", F.floor(F.col("time") / 2).cast("double")
+        )
+        with pytest.raises(TimeColumnError, match="Duplicate timestamps detected globally"):
+            validation.check_temporal_ordering(df, "time")
+
+    def test_per_group_duplicates(self, spark):
+        data = [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)]
+        df = spark.createDataFrame(data, ["id", "time"])
+        # shared timestamps across groups are fine
+        validation.check_temporal_ordering(df, "time", id_col="id")
+        dup = spark.createDataFrame(data + [("a", 2.0)], ["id", "time"])
+        with pytest.raises(TimeColumnError, match="Duplicate timestamps detected within 'id'"):
+            validation.check_temporal_ordering(dup, "time", id_col="id")
+
+    def test_equidistant_ok_and_fail(self, spark):
+        ok = spark.createDataFrame([("a", float(i)) for i in range(5)], ["id", "time"])
+        validation.check_temporal_ordering(ok, "time", id_col="id", enforce_equidistant_sampling=True)
+        bad = spark.createDataFrame(
+            [("a", 0.0), ("a", 1.0), ("a", 3.0)], ["id", "time"]
+        )
+        with pytest.raises(TimeColumnError, match="Non-equidistant sampling"):
+            validation.check_temporal_ordering(
+                bad, "time", id_col="id", enforce_equidistant_sampling=True
+            )
+
+    def test_mixed_frequency_across_groups_ok(self, spark):
+        # different per-entity deltas are valid (reference test_core_utils.py:651)
+        df = spark.createDataFrame(
+            [("a", 0.0), ("a", 1.0), ("b", 0.0), ("b", 10.0), ("b", 20.0)], ["id", "time"]
+        )
+        validation.check_temporal_ordering(df, "time", id_col="id", enforce_equidistant_sampling=True)
+
+    def test_frame_uniqueness_hook(self, spark):
+        df = make_ts_df(spark, n=10, k=1, time_numeric=True).withColumn("time", F.lit(1.0))
+        with pytest.raises(TimeColumnError, match="Duplicate timestamps"):
+            TemporalFrame(
+                df, time_col="time", target_col="target", enforce_temporal_uniqueness=True
+            )
+
+
+class TestNullCounts:
+    def test_fused_null_counts(self, spark):
+        df = make_ts_df(spark, n=50, k=2, time_numeric=True, seed=7)
+        df = df.withColumn(
+            "feature_1", F.when(F.col("time") < 5, F.lit(None).cast("double")).otherwise(F.col("feature_1"))
+        ).withColumn(
+            "feature_2", F.when(F.col("time") < 3, F.lit(float("nan"))).otherwise(F.col("feature_2"))
+        )
+        counts = validation.null_counts(df)
+        assert counts["feature_1"] == 5
+        assert counts["feature_2"] == 3  # NaN counted as null (reference parity)
+        assert counts["target"] == 0
