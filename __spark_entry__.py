@@ -160,6 +160,149 @@ def q_dup_timestamp_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------
+# training-data pipeline operators (text / dedup / similarity / media)
+# ------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temporalscope_spark.operators.text import with_fingerprint, with_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_fingerprint(with_token_count(docs, "text"), "text")
+    return out.select("doc_id", "n_tokens", "fingerprint")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temporalscope_spark.operators.text import with_quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_quality_features(docs, "text")
+    return out.select("doc_id", "n_chars_calc", "n_tokens", "digit_ratio", "punct_ratio", "stopword_hits")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temporalscope_spark.operators.text import with_lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_lang_id(docs, "text").select("doc_id", "lang_pred")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temporalscope_spark.operators.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id").select("fingerprint", "doc_id")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temporalscope_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=4, shingle_n=12, hash_fn="md5")
+    return sig.select(F.col("_id").alias("doc_id"), "mh_0", "mh_1", "mh_2", "mh_3")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temporalscope_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=12, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (banding not SQL-replicated); verified jaccard is exact
+    from temporalscope_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (bit-level hashing not SQL-replicated)
+    from temporalscope_spark.operators.dedup import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=8).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temporalscope_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    top = cosine_topk(emb, qvec, k=10)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temporalscope_spark.operators.similarity import cosine_self_join_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_self_join_pairs(emb, threshold=0.9)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (LSH probing); recall vs exact asserted in unit tests
+    from temporalscope_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ann_topk(emb, qvec, k=10, probe_hamming=2).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temporalscope_spark.operators.multimodal import attach_media, extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_media(docs, "text", modality="image")
+    feats = extract_media_features(media, id_cols=("doc_id",), n_features=4)
+    return feats.select("doc_id", "n_bytes")
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    terms = [
+        f"CAST((length({padded}) - length(replace({padded}, '{m}', ''))) / {len(m)} AS BIGINT)"
+        for m in markers
+    ]
+    return " + ".join(terms)
+
+
+def _lang_id_oracle() -> str:
+    from temporalscope_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(f"{_lang_score_sql(LANG_MARKERS[l])} AS s_{l}" for l in langs)
+    # replicate the argmax-with-alphabetical-tie-break fold
+    best = "'und'"
+    best_score = "CAST(0 AS BIGINT)"
+    for l in langs:
+        best = f"CASE WHEN s_{l} > {best_score} THEN '{l}' ELSE {best} END"
+        best_score = f"CASE WHEN s_{l} > {best_score} THEN s_{l} ELSE {best_score} END"
+    return f"SELECT doc_id, {best} AS lang_pred FROM (SELECT doc_id, text, {scores} FROM documents)"
+
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _shingle_cte(n: int) -> str:
+    return f"""
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   substr(norm, CAST(i AS INT), {n}) AS sh
+            FROM (SELECT doc_id, {_NORM} AS norm FROM documents),
+                 UNNEST(generate_series(1, greatest(length(norm) - {n - 1}, 1))) AS t(i)
+        )
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "target_shift": q_target_shift,
@@ -171,6 +314,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill": q_forward_fill,
         "validation_stats": q_validation_stats,
         "dup_timestamp_check": q_dup_timestamp_check,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "ann_topk": q_ann_topk,
+        "media_bytes": q_media_bytes,
     }
 
 
@@ -248,5 +403,82 @@ def oracle_sql() -> dict[str, str]:
         "dup_timestamp_check": """
             SELECT user_id, ts, CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY user_id, ts HAVING COUNT(*) > 1
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                   md5({_NORM}) AS fingerprint
+            FROM documents
+        """,
+        "quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS digit_ratio,
+                   CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                   CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+                      + (length(text) - length(replace(text, ' and ', ''))) / 5
+                      + (length(text) - length(replace(text, ' of ', ''))) / 4
+                      + (length(text) - length(replace(text, ' to ', ''))) / 4
+                      + (length(text) - length(replace(text, ' is ', ''))) / 4 AS BIGINT) AS stopword_hits
+            FROM documents
+        """,
+        "lang_id": _lang_id_oracle(),
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS fingerprint, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY 1
+        """,
+        "minhash_signatures": f"""
+            WITH {_shingle_cte(12)}
+            SELECT doc_id,
+                   MIN(md5(sh || '#0')) AS mh_0,
+                   MIN(md5(sh || '#1')) AS mh_1,
+                   MIN(md5(sh || '#2')) AS mh_2,
+                   MIN(md5(sh || '#3')) AS mh_3
+            FROM shingles GROUP BY doc_id
+        """,
+        "ngram_jaccard": f"""
+            WITH {_shingle_cte(12)},
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2
+        """,
+        "cosine_topk": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+                   ), 4) AS cosine
+            FROM embeddings e
+            ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+                     ) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "embedding_near_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.9
+        """,
+        "media_bytes": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
         """,
     }

@@ -1,0 +1,266 @@
+"""Deduplication operators — exact and near-dup — for corpus pipelines.
+
+Scale notes (the whole point):
+  * exact dedup = hash-groupBy on a normalized fingerprint — one shuffle on
+    the 32-char key, map-side combine, no text comparison;
+  * n-gram Jaccard = shingle-explode + equi-join on shingle — the join key is
+    rare by construction (long char shingles), so the pair blow-up is bounded;
+    a ``max_shingle_df`` guard drops ubiquitous shingles (the classic
+    stop-shingle fix for skew);
+  * MinHash+LSH = signatures via ONE groupBy (k min-aggregates in a single
+    pass), banding via a second small shuffle on (band_id, band_hash);
+    candidate verification only touches candidate pairs, never n²;
+  * SimHash = 64 bit-sum aggregates in one pass; near-dup = hamming ≤ r via
+    band-exact match on 4×16-bit chunks (r<4 ⇒ at least one chunk equal);
+  * embedding near-dup delegates to similarity.cosine_self_join.
+
+Hash choice: ``hash_fn='xxhash64'`` (JVM, fast) for production;
+``'md5'`` uses lexicographic MIN over md5 hex strings — bit-identical in any
+SQL engine, which is what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from temporalscope_spark.operators.text import with_fingerprint
+
+
+# ------------------------------------------------------------------ exact
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Exact dedup on the normalized fingerprint; keeps min/max id per group.
+
+    Returns (fingerprint, doc_id) — the survivor set. Join back to ``df`` on
+    id to materialize surviving rows.
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    fp = with_fingerprint(df, text_col)
+    return fp.groupBy("fingerprint").agg(agg.alias(id_col))
+
+
+# ------------------------------------------------------------ shingling
+def char_shingles(text: Column, n: int) -> Column:
+    """Distinct character n-grams of the normalized text, as an array.
+
+    ``transform(sequence(...))`` keeps it expression-only; callers explode.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    count = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count), lambda i: F.substring(norm, i, n)
+    )
+    return F.array_distinct(
+        F.when(count <= 0, F.array(norm)).otherwise(grams)
+    )
+
+
+def _shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_df: int | None
+) -> DataFrame:
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("_sh"),
+    )
+    if max_shingle_df:
+        freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+        keep = freq.filter(F.col("_df") <= max_shingle_df).select("_sh")
+        sh = sh.join(keep, "_sh")  # AQE broadcasts when the kept set is small
+    return sh
+
+
+# ------------------------------------------------------ n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 12,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
+
+    |A∩B| from the shingle equi-join, |A|+|B| from per-doc shingle counts;
+    J = inter / (na + nb - inter). Columns: id_a, id_b, jaccard.
+    """
+    sh = _shingle_table(df, id_col, text_col, n, max_shingle_df)
+    counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+
+    a = sh.select(F.col("_id").alias("id_a"), "_sh")
+    b = sh.select(F.col("_id").alias("id_b"), "_sh")
+    inter = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        inter.join(counts.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(counts.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------- MinHash LSH
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 12,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc MinHash signature — k min-aggregates in ONE pass over the
+    exploded shingle table. Columns: _id, mh_0..mh_{k-1}."""
+    sh = _shingle_table(df, id_col, text_col, shingle_n, None)
+    aggs = []
+    for s in range(num_hashes):
+        if hash_fn == "md5":
+            h = F.md5(F.concat(F.col("_sh"), F.lit(f"#{s}")))
+        else:
+            h = F.xxhash64(F.col("_sh"), F.lit(s)).cast("string")
+        aggs.append(F.min(h).alias(f"mh_{s}"))
+    return sh.groupBy("_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 12,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """LSH near-dup pipeline: signature → band buckets → candidate pairs →
+    exact Jaccard verification on candidates only.
+
+    Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold. With k=16,
+    b=4 (r=4 rows/band) the S-curve crosses ~0.5 — tune k/b per corpus.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
+
+    band_cols = []
+    for b in range(bands):
+        chunk = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *chunk)).alias("bh"))
+        )
+    buckets = sig.select(
+        "_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
+
+    l = buckets.select(F.col("_id").alias("id_a"), "_band", "_bh")
+    r = buckets.select(F.col("_id").alias("id_b"), "_band", "_bh")
+    cand = (
+        l.join(r, ["_band", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # verify candidates with exact Jaccard (join back to shingle sets)
+    sh = _shingle_table(df, id_col, text_col, shingle_n, None)
+    counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col("_id").alias("id_a"), "_sh")
+    b2 = sh.select(F.col("_id").alias("id_b"), "_sh")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b2, ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(counts.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(counts.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- SimHash
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per doc: explode shingles, xxhash64 each, then for every
+    bit position sum ±1 and take the sign — ``bits`` sum-aggregates fused into
+    one groupBy pass. Returns (_id, simhash:long)."""
+    sh = _shingle_table(df, id_col, text_col, shingle_n, None)
+    h = F.xxhash64(F.col("_sh"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = sh.groupBy("_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)  # top bit = long sign bit
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0))
+    return sums.select("_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming (< 4): by the
+    pigeonhole principle at least one of the four 16-bit chunks is EQUAL, so
+    candidates come from 4 equi-joins (no n² compare)."""
+    sig = simhash(df, id_col, text_col, shingle_n)
+    chunks = sig.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "simhash", F.col("ch.chunk").alias("_c"), F.col("ch.cv").alias("_cv"))
+    l = chunks.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "_c", "_cv")
+    r = chunks.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "_c", "_cv")
+    cand = (
+        l.join(r, ["_c", "_cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

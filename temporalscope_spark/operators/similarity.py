@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
+bucketing as the scale path (candidates from bucket equi-joins, then exact
+re-rank). Dot products run as ``F.aggregate(F.zip_with(...))`` — JVM
+higher-order functions, no Python. The hyperplanes are hash-derived
+(deterministic, seeded), so signatures are reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    One narrow map + a k-row total order: Spark's sort+limit executes as
+    per-partition top-k then a driver merge (TakeOrderedAndProject) — no full
+    global sort.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_self_join_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — embedding near-dup.
+
+    Brute n²/2 within blocks: pass ``block_col`` (e.g. an LSH bucket or a
+    label) to bound the quadratic term; None = full cross (small sets only).
+    """
+    cols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")] + (
+        [F.col(block_col).alias("_blk")] if block_col else []
+    )
+    cols_b = [F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")] + (
+        [F.col(block_col).alias("_blk")] if block_col else []
+    )
+    a, b = df.select(*cols), df.select(*cols_b)
+    joined = a.join(b, ["_blk"] if block_col else None) if block_col else a.crossJoin(b)
+    out = (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return out
+
+
+def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane from integer hashing
+    (splitmix64-style scramble) — no RNG state, reproducible everywhere."""
+    vals = []
+    for j in range(dim):
+        x = (plane_idx * 1_000_003 + j * 97 + seed) & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        vals.append((x / 2**64) * 2.0 - 1.0)
+    return vals
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane (SRP) LSH bucket id: sign bit per plane → int.
+
+    Cosine-similar vectors collide with prob 1 - θ/π per bit. 8 planes → 256
+    buckets; at corpus scale repartition by bucket and search within.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])
+        bit = (_dot(F.col(vec_col), plane) > 0).cast("int")
+        bucket = bucket + bit * F.lit(1 << p)
+    return df.withColumn(out_col, bucket)
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the query's SRP bucket ± buckets within
+    ``probe_hamming`` bit flips, exact re-rank inside the probed set.
+
+    At 1e12 scale the bucketed table is pre-materialized (partitioned by
+    bucket → partition pruning turns this into a handful-of-buckets scan).
+    """
+    dim = len(query_vec)
+    sig = 0
+    for p in range(num_planes):
+        plane = _hyperplane(dim, p, seed)
+        if sum(q * v for q, v in zip(query_vec, plane)) > 0:
+            sig |= 1 << p
+    probes = {sig}
+    if probe_hamming >= 1:
+        probes |= {sig ^ (1 << i) for i in range(num_planes)}
+    if probe_hamming >= 2:
+        for i in range(num_planes):
+            for j in range(i + 1, num_planes):
+                probes.add(sig ^ (1 << i) ^ (1 << j))
+
+    bucketed = with_lsh_bucket(df, vec_col, num_planes, seed, dim)
+    cand = bucketed.filter(F.col("lsh_bucket").isin(sorted(probes)))
+    return cosine_topk(cand, query_vec, vec_col, id_col, k)

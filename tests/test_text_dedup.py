@@ -1,0 +1,186 @@
+"""Text analysis, dedup, similarity, multimodal operator tests."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from temporalscope_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from temporalscope_spark.operators.multimodal import (
+    attach_media,
+    extract_media_features,
+    sample_frames,
+)
+from temporalscope_spark.operators.similarity import (
+    ann_topk,
+    cosine_self_join_pairs,
+    cosine_topk,
+    with_lsh_bucket,
+)
+from temporalscope_spark.operators.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and runs to the river"),
+        (2, "The quick brown fox jumps over the lazy dog and runs to the river"),  # exact dup of 1
+        (3, "The quick brown fox jumps over the lazy dog and walks to the river"),  # near dup of 1
+        (4, "el gato y el perro de la casa que duerme y come en la cocina"),
+        (5, "Etwas ist der die und das ist der die und wo ist das denn"),
+        (6, "completely different content about spark distributed computing engines"),
+        (7, "  The   QUICK brown fox jumps over the lazy dog and runs to the river "),  # normalized dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestText:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([(1, "a b  c"), (2, ""), (3, "   "), (4, "one")], ["id", "t"])
+        out = {r["id"]: r["n_tokens"] for r in with_token_count(df, "t").collect()}
+        assert out == {1: 3, 2: 0, 3: 0, 4: 1}
+
+    def test_lang_id(self, docs):
+        out = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(docs, "text").collect()}
+        assert out[1] == "en" and out[4] == "es" and out[5] == "de"
+        assert out[6] == "und"  # no markers present
+
+    def test_quality_score_range(self, docs):
+        out = with_quality_score(docs, "text").toPandas()
+        assert ((out["quality_score"] >= 0) & (out["quality_score"] <= 1)).all()
+        # doc 1 is clean English prose: high score
+        assert out.set_index("doc_id").loc[1, "quality_score"] >= 0.8
+
+    def test_fingerprint_normalization(self, docs):
+        out = with_fingerprint(docs, "text").toPandas().set_index("doc_id")
+        assert out.loc[1, "fingerprint"] == out.loc[2, "fingerprint"]
+        assert out.loc[1, "fingerprint"] == out.loc[7, "fingerprint"]  # ws/case collapsed
+        assert out.loc[1, "fingerprint"] != out.loc[3, "fingerprint"]
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        surv = dedup_exact(docs, "text", "doc_id").toPandas()
+        ids = set(surv["doc_id"])
+        assert 1 in ids and 2 not in ids and 7 not in ids  # min-id survives
+        assert len(surv) == 5  # 7 docs - 2 dups
+
+    def test_ngram_jaccard_finds_near_dup(self, docs):
+        pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=8, threshold=0.5).toPandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        assert (1, 2) in got and (1, 7) in got and (1, 3) in got
+        assert not any(6 in p for p in got)
+
+    def test_minhash_signature_shape_and_dup_equality(self, docs):
+        sig = minhash_signatures(docs, "doc_id", "text", num_hashes=8).toPandas().set_index("_id")
+        assert sig.shape == (7, 8)
+        # exact dups share the full signature
+        assert (sig.loc[1] == sig.loc[2]).all()
+
+    def test_minhash_lsh_pairs(self, docs):
+        pairs = minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5
+        ).toPandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        assert (1, 2) in got and (1, 7) in got
+        assert not any(6 in p for p in got)
+        # verified jaccard for exact dups is 1.0
+        j = pairs.set_index(["id_a", "id_b"])["jaccard"]
+        assert j.loc[(1, 2)] == 1.0
+
+    def test_minhash_md5_matches_xxhash_pairs(self, docs):
+        a = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, hash_fn="xxhash64").toPandas()
+        b = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8, hash_fn="md5").toPandas()
+        pa = {tuple(sorted((x, y))) for x, y in zip(a["id_a"], a["id_b"])}
+        pb = {tuple(sorted((x, y))) for x, y in zip(b["id_a"], b["id_b"])}
+        # high-threshold verified pairs are hash-choice independent
+        assert pa == pb
+
+    def test_simhash_near_pairs(self, docs):
+        sig = simhash(docs, "doc_id", "text").toPandas().set_index("_id")
+        assert sig.loc[1, "simhash"] == sig.loc[2, "simhash"]
+        pairs = simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).toPandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        assert (1, 2) in got
+        assert not any(6 in p for p in got)
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(8)
+        rows = []
+        for i in range(50):
+            if i < 3:
+                v = base + rng.randn(8) * 0.01  # tight cluster around base
+            else:
+                v = rng.randn(8)
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"]), [float(x) for x in base]
+
+    def test_cosine_topk_exact(self, vecs):
+        df, q = vecs
+        top = cosine_topk(df, q, k=5).toPandas()
+        assert set(top["vec_id"][:3]) == {0, 1, 2}
+        assert (top["cosine"].values[:-1] >= top["cosine"].values[1:]).all()
+
+    def test_self_join_pairs(self, vecs):
+        df, _ = vecs
+        pairs = cosine_self_join_pairs(df, threshold=0.99).toPandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        assert {(0, 1), (0, 2), (1, 2)} <= got
+
+    def test_lsh_bucket_deterministic(self, vecs):
+        df, _ = vecs
+        b1 = with_lsh_bucket(df).toPandas().set_index("vec_id")["lsh_bucket"]
+        b2 = with_lsh_bucket(df).toPandas().set_index("vec_id")["lsh_bucket"]
+        assert (b1 == b2).all()
+        assert b1.loc[0] == b1.loc[1] == b1.loc[2]  # cluster colocated
+
+    def test_ann_topk_recall(self, vecs):
+        df, q = vecs
+        exact = set(cosine_topk(df, q, k=3).toPandas()["vec_id"])
+        approx = set(ann_topk(df, q, k=3, probe_hamming=2).toPandas()["vec_id"])
+        assert exact == approx  # tight cluster must be found
+
+
+class TestMultimodal:
+    def test_attach_and_extract(self, docs):
+        media = attach_media(docs, "text", modality="image")
+        assert dict(media.dtypes)["media"] == "binary"
+        feats = extract_media_features(media, id_cols=("doc_id",), n_features=8).toPandas()
+        assert len(feats) == 7
+        assert feats["features"].map(len).eq(8).all()
+        # deterministic: same payload → same features
+        f = feats.set_index("doc_id")
+        assert list(f.loc[1, "features"]) == list(f.loc[2, "features"])
+        assert f.loc[1, "n_bytes"] > 0
+
+    def test_decode_stub_raises(self):
+        from temporalscope_spark.operators.multimodal import _decode_image_bytes
+
+        with pytest.raises(NotImplementedError):
+            _decode_image_bytes(b"xx")
+
+    def test_sample_frames(self, docs):
+        media = attach_media(docs, "text")
+        frames = sample_frames(media, every_n_bytes=16, frame_size=8).toPandas()
+        assert (frames.groupby("doc_id")["frame_idx"].min() == 0).all()
+        one = frames[frames["doc_id"] == 1].sort_values("frame_idx")
+        assert len(one) >= 4  # 66-char doc → ≥4 16-byte frames
