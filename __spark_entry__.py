@@ -206,7 +206,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporalscope_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=12, threshold=0.2)
+    # stop-shingle guard (doc-freq ≤ 100) bounds the pair blow-up from the
+    # shared-vocabulary corpus — same guard replicated in the oracle
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=12, threshold=0.2, max_shingle_df=100)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -443,10 +445,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": f"""
             WITH {_shingle_cte(12)},
-            counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+            kept AS (
+                SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= 100
+            ),
+            fsh AS (SELECT s.doc_id, s.sh FROM shingles s JOIN kept k ON s.sh = k.sh),
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-                FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             )
             SELECT id_a, id_b,

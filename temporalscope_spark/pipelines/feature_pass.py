@@ -1,0 +1,156 @@
+"""The flagship pipeline: sliding-window partition + leakage-safe target
+shift over a tokenized-sequence table, resumable, spark-submit-ready.
+
+North star (BASELINE.json): partition the Iceberg-style table of
+(doc_id, event_time, tokens, n_tok, source) into explicit buckets, compute
+per-entity lead targets and lag features inside
+``Window.partitionBy(doc_id).orderBy(event_time)``, pad token arrays, write
+per-bucket outputs with lineage manifests so a killed run resumes.
+
+Plan shape (one heavy shuffle total):
+  scan → [bucket label: time-range broadcast join, narrow] →
+  shuffle on doc_id → ALL window exprs (lead target, k lag features,
+  per-doc min/max for split labels) share ONE WindowExec sort →
+  pad (narrow expressions) → per-bucket parquet writes.
+
+Run: ``spark-submit --py-files temporalscope_spark.zip -m ...`` or
+``python -m temporalscope_spark.pipelines.feature_pass --input ... --output ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from temporalscope_spark.checkpoint import CheckpointStore, snapshot_fingerprint
+from temporalscope_spark.operators.padding import pad_token_arrays
+
+
+def build_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    time_col: str = "event_time",
+    target_col: str = "n_tok",
+    n_lags: int = 2,
+    pad_to: int = 64,
+    train_pct: float = 0.7,
+) -> DataFrame:
+    """Leakage-safe feature frame: lead-1 target, lag features, split label.
+
+    Every expression below shares the SAME window spec → Catalyst plans ONE
+    sort+window operator; the only shuffle is the hash exchange on id_col.
+    Features at time t read strictly t-or-earlier rows (lags); the label is
+    strictly-future (lead) and is never also a feature — zero leakage.
+    """
+    w = Window.partitionBy(id_col).orderBy(time_col)
+    wd = Window.partitionBy(id_col)
+
+    out = df.withColumn("target", F.lead(F.col(target_col), 1).over(w))
+    for n in range(1, n_lags + 1):
+        out = out.withColumn(f"{target_col}_lag_{n}", F.lag(F.col(target_col), n).over(w))
+    out = out.filter(F.col("target").isNotNull())
+
+    tcur = F.unix_micros(F.col(time_col).cast("timestamp"))
+    tmin = F.min(tcur).over(wd)
+    tmax = F.max(tcur).over(wd)
+    out = out.withColumn(
+        "split",
+        F.when(
+            (tcur - tmin) <= (tmax - tmin) * train_pct, F.lit("train")
+        ).otherwise(F.lit("test")),
+    )
+    if "tokens" in df.columns:
+        out = pad_token_arrays(out, target_len=pad_to)
+    return out
+
+
+def time_buckets(df: DataFrame, time_col: str, num_buckets: int) -> list[tuple]:
+    """Equi-probable time-range bucket bounds via ONE approx-quantile pass.
+
+    Returns [(bucket_id, lo, hi)] half-open ranges covering the table; each
+    bucket is processed/committed independently (resume granularity) and the
+    range predicate prunes partitions on a time-partitioned store.
+    """
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    tnum = df.select(F.unix_micros(F.col(time_col).cast("timestamp")).alias("_t"))
+    qs = tnum.stat.approxQuantile("_t", probs, 0.001) if probs else []
+    edges = sorted(set(qs))
+    lows = [None] + edges
+    highs = edges + [None]
+    return [(i, lo, hi) for i, (lo, hi) in enumerate(zip(lows, highs))]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    num_buckets: int = 8,
+    n_lags: int = 2,
+    pad_to: int = 64,
+) -> dict:
+    """Resumable bucket-by-bucket execution with lineage manifests."""
+    df = spark.read.parquet(input_path)
+    snap = snapshot_fingerprint(input_path, str(df.schema))
+    store = CheckpointStore(checkpoint_path, snapshot_id=snap)
+    buckets = time_buckets(df, "event_time", num_buckets)
+    done = store.completed_buckets()
+    stats = {"processed": 0, "skipped": 0}
+    tcol = F.unix_micros(F.col("event_time").cast("timestamp"))
+    for bucket_id, lo, hi in buckets:
+        if bucket_id in done:
+            stats["skipped"] += 1
+            continue
+        t0 = time.monotonic()
+        part = df
+        if lo is not None:
+            part = part.filter(tcol >= F.lit(lo))
+        if hi is not None:
+            part = part.filter(tcol < F.lit(hi))
+        feats = build_features(part, n_lags=n_lags, pad_to=pad_to)
+        out_dir = os.path.join(output_path, f"bucket={bucket_id}")
+        feats.write.mode("overwrite").parquet(out_dir)
+        n = spark.read.parquet(out_dir).count()
+        store.record_bucket(
+            bucket_id,
+            bounds=(lo, hi),
+            row_count=n,
+            metrics={"duration_sec": round(time.monotonic() - t0, 3)},
+        )
+        stats["processed"] += 1
+    return stats
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="sliding-window + target-shift feature pass")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--num-buckets", type=int, default=8)
+    p.add_argument("--n-lags", type=int, default=2)
+    p.add_argument("--pad-to", type=int, default=64)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from temporalscope_spark.session import get_spark
+
+    spark = get_spark("feature-pass", master=args.master)
+    stats = run_pipeline(
+        spark,
+        args.input,
+        args.output,
+        args.checkpoint,
+        num_buckets=args.num_buckets,
+        n_lags=args.n_lags,
+        pad_to=args.pad_to,
+    )
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Streaming batch/stream parity + demo loader tests."""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from temporalscope_spark.datasets.loader import DatasetLoader, load_macrodata
+from temporalscope_spark.operators.sessionize import sessionize_builtin
+from temporalscope_spark.streaming.sessions import (
+    replay_static_as_stream,
+    stream_session_bounds,
+    stream_windowed_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(3):
+        t = base
+        for i in range(20):
+            gap = dt.timedelta(minutes=90 if i % 7 == 6 else 5)
+            t = t + gap
+            rows.append((f"u{u}", t, float(i)))
+    df = spark.createDataFrame(rows, ["uid", "ts", "v"])
+    d = str(tmp_path_factory.mktemp("stream") / "events")
+    df.write.parquet(d)
+    return d, df
+
+
+def test_stream_session_bounds_matches_batch(spark, event_dir):
+    d, df = event_dir
+    schema = df.schema
+    streamed = replay_static_as_stream(
+        spark, d, schema,
+        lambda s: stream_session_bounds(s, "ts", "uid", 3600.0, watermark="0 seconds"),
+        "sess_out",
+    ).toPandas()
+    batch = sessionize_builtin(
+        df.withColumn("ts", F.col("ts").cast("timestamp")), "ts", "uid", 3600.0
+    ).toPandas()
+    a = streamed.sort_values(["uid", "session_start"]).reset_index(drop=True)
+    b = batch.sort_values(["uid", "session_start"]).reset_index(drop=True)
+    assert a[["uid", "n_events"]].equals(b[["uid", "n_events"]])
+    assert len(a) == len(b)
+
+
+def test_stream_windowed_stats(spark, event_dir):
+    d, df = event_dir
+    streamed = replay_static_as_stream(
+        spark, d, df.schema,
+        lambda s: stream_windowed_stats(s, "ts", "uid", "v", window="1 hour", watermark="0 seconds"),
+        "win_out",
+    ).toPandas()
+    assert (streamed["n_events"] > 0).all()
+    # batch equivalent via F.window
+    batch = (
+        df.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("uid", F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    assert streamed["n_events"].sum() == batch["n_events"].sum() == 60
+
+
+class TestLoader:
+    def test_macrodata_shape(self, spark):
+        df = load_macrodata(spark)
+        assert df.count() == 203
+        assert df.columns[0] == "ds" and "realgdp" in df.columns
+        assert len(df.columns) == 13
+        # quarterly timestamps
+        first_two = [r["ds"] for r in df.orderBy("ds").limit(2).collect()]
+        assert (first_two[1].month - first_two[0].month) % 12 == 3
+
+    def test_loader_api(self, spark):
+        df = DatasetLoader("macrodata").load_data(spark)
+        assert df.count() == 203
+
+    def test_invalid_dataset(self):
+        with pytest.raises(ValueError, match="not supported"):
+            DatasetLoader("nope")
+
+    def test_deterministic(self, spark):
+        a = load_macrodata(spark).toPandas()
+        b = load_macrodata(spark).toPandas()
+        assert a.equals(b)
