@@ -63,6 +63,18 @@ def q_target_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value", F.col("value_shift_1").alias("value_shift_1"))
 
 
+def q_target_shift_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof chunked shift must equal the plain per-entity LEAD — the
+    oracle is intentionally the same SQL as target_shift."""
+    from temporalscope_spark.operators.shift import shift_target_chunked
+
+    events = _t(spark, sf_dir, "events")
+    out = shift_target_chunked(
+        events, "ts", "value", n_lags=1, id_col="user_id", chunk_seconds=6 * 3600
+    )
+    return out.select("event_id", "user_id", "value", "value_shift_1")
+
+
 def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporalscope_spark.operators.shift import lag_features
 
@@ -136,6 +148,208 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = forward_fill(events, "ts", ["value_ff"], id_col="user_id")
     return out.select("event_id", "user_id", "value_ff")
+
+
+def q_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temporalscope_spark.operators.asof import backward_fill
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "value_bf",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    out = backward_fill(events, "ts", ["value_bf"], id_col="user_id")
+    return out.select("event_id", "user_id", "value_bf")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 range/interval join: per event, count of the user's orders placed in
+    the trailing 30-day window [ts - 30d, ts) — equality key (user) makes it a
+    hash join + residual range filter, never a nested loop."""
+    from temporalscope_spark.operators.asof import range_join
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("ts_hi"),
+        (F.col("ts") - F.expr("INTERVAL 30 DAYS")).alias("ts_lo"),
+    )
+    pts = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = range_join(pts, events, on="user_id", point_col="o_orderdate",
+                        lo_col="ts_lo", hi_col="ts_hi")
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recent_orders")
+    )
+
+
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-check: F.session_window (Spark's native session aggregation)
+    against the gap-based SQL formulation."""
+    from temporalscope_spark.operators.sessionize import sessionize_builtin
+
+    events = _t(spark, sf_dir, "events")
+    out = sessionize_builtin(events, "ts", "user_id", gap_seconds=3600.0)
+    return out.select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def q_equidistant_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-entity distinct count of adjacent time deltas (µs) — the
+    reference's equidistant-sampling gate (core_utils.py:1174-1207).
+    Exact countDistinct here; at 10^12 rows use approx_count_distinct first
+    and confirm exactly only on violators."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    deltas = events.withColumn("_delta", F.lead(t_us).over(w) - t_us)
+    return deltas.groupBy("user_id").agg(
+        F.count_distinct("_delta").cast("long").alias("n_deltas")
+    )
+
+
+def q_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9 conversion lanes: datetime → epoch µs/ms (double) and ns (long,
+    overflow-safe LongType lane), plus the µs → timestamp round-trip."""
+    from temporalscope_spark.core.convert import time_to_datetime, time_to_numeric
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("ts_us"),
+        F.col("ts").alias("ts_ms"),
+        F.col("ts").alias("ts_ns"),
+        F.col("ts").alias("ts_rt"),
+    )
+    out = time_to_numeric(events, "ts_us", "us")
+    out = time_to_numeric(out, "ts_ms", "ms")
+    out = time_to_numeric(out, "ts_ns", "ns")
+    out = time_to_numeric(out, "ts_rt", "us")
+    out = time_to_datetime(out, "ts_rt", "us")
+    return out.select("event_id", "ts_us", "ts_ms", "ts_ns", "ts_rt")
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3+A6 fused: null count, mean, and distinct count for every feature
+    column in ONE aggregation job (the reference loops one pass per column —
+    functional.py:147-158, dataset_validator.py:378-394)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum((F.col(c).isNull() | F.isnan(c)).cast("long")).alias(f"nulls_{c}")
+        )
+        aggs.append(F.avg(c).alias(f"mean_{c}"))
+        aggs.append(F.count_distinct(c).cast("long").alias(f"nd_{c}"))
+    return li.agg(*aggs)
+
+
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def q_pad_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 token-array padding (input_hint per-row token-array equality):
+    derive a deterministic tokens array from the text, pad/truncate to 32
+    with pad id 0 — pure JVM expressions, no shuffle, no Python."""
+    from temporalscope_spark.operators.padding import pad_token_arrays
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(trim(text), '\\\\s+'), x -> cast(length(x) as int))"
+        ).alias("tokens"),
+    )
+    out = pad_token_arrays(toks, target_len=32, n_tok_col=None)
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform(F.col("tokens"), lambda x: x.cast("string")), ",").alias(
+            "tokens_str"
+        ),
+        F.size("tokens").cast("long").alias("n_tok"),
+    )
+
+
+def q_multi_lead_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_target mode (list-valued target, core_utils.py:61-72): lead of an
+    array column per source — the seq2seq next-sequence label."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr("transform(split(trim(text), '\\\\s+'), x -> cast(length(x) as int))")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    out = docs.select("doc_id", "source", F.lead(toks).over(w).alias("next_tokens"))
+    return out.filter(F.col("next_tokens").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.transform(F.col("next_tokens"), lambda x: x.cast("string")), ","
+        ).alias("next_tokens_str"),
+    )
+
+
+def q_mean_fill_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 global parity op: pad a small aggregate frame to 8 rows with
+    per-column means (reference functional.py:90-198 contract)."""
+    from temporalscope_spark.operators.padding import mean_fill_pad
+
+    agg = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("avg_v"),
+        )
+        .select("n", "avg_v")
+    )
+    out = mean_fill_pad(agg, target_len=8, padding="post")
+    return out.select("n", F.round("avg_v", 6).alias("avg_v"))
+
+
+def q_pad_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 per-entity mean-fill: bring every user up to 70 rows with mean rows
+    (expression-only distributed plan — no applyInPandas, no driver loop).
+    Mean preservation is the reference's |t| < 1e-6 invariant."""
+    from temporalscope_spark.operators.padding import pad_groups_mean_fill
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = pad_groups_mean_fill(ev, "user_id", target_len=70, numeric_cols=["value"])
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+def q_partitioner_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 end-to-end: sliding-window partitioner (num_partitions=4,
+    train_pct=0.7) over events; per (bucket, split) row counts + time bounds.
+    Replicates the commented reference spec's linear time-range split
+    (sliding_window.py:384-395)."""
+    from temporalscope_spark.frame import TemporalFrame
+    from temporalscope_spark.operators.partitioner import SlidingWindowPartitioner
+
+    events = _t(spark, sf_dir, "events")
+    tf = TemporalFrame(
+        events, time_col="ts", target_col="value", id_col="user_id",
+        exempt_cols=("event_type", "props", "event_id"), sort=False,
+    )
+    part = SlidingWindowPartitioner(tf, num_partitions=4, train_pct=0.7)
+    part.setup()
+    part.fit()
+    labeled = part.with_bucket_labels()
+    return labeled.groupBy("bucket", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    ).withColumn("bucket", F.col("bucket").cast("long"))
 
 
 def q_validation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,12 +522,25 @@ def _shingle_cte(n: int) -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "target_shift": q_target_shift,
+        "target_shift_chunked": q_target_shift_chunked,
         "lag_features": q_lag_features,
         "sessionize": q_sessionize,
         "session_bounds": q_session_bounds,
         "window_buckets": q_window_buckets,
         "asof_join": q_asof_join,
         "forward_fill": q_forward_fill,
+        "backward_fill": q_backward_fill,
+        "range_join": q_range_join,
+        "session_window_builtin": q_session_window_builtin,
+        "equidistant_check": q_equidistant_check,
+        "epoch_roundtrip": q_epoch_roundtrip,
+        "column_profile": q_column_profile,
+        "class_balance": q_class_balance,
+        "pad_tokens": q_pad_tokens,
+        "multi_lead_tokens": q_multi_lead_tokens,
+        "mean_fill_pad": q_mean_fill_pad,
+        "pad_groups": q_pad_groups,
+        "partitioner_splits": q_partitioner_splits,
         "validation_stats": q_validation_stats,
         "dup_timestamp_check": q_dup_timestamp_check,
         "token_stats": q_token_stats,
@@ -345,6 +572,13 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "target_shift": """
+            SELECT event_id, user_id, value, value_shift_1 FROM (
+                SELECT event_id, user_id, value,
+                       LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS value_shift_1
+                FROM events
+            ) WHERE value_shift_1 IS NOT NULL
+        """,
+        "target_shift_chunked": """
             SELECT event_id, user_id, value, value_shift_1 FROM (
                 SELECT event_id, user_id, value,
                        LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS value_shift_1
@@ -393,6 +627,141 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts,
                          CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_n
                   FROM events)
+        """,
+        "backward_fill": """
+            SELECT event_id, user_id,
+                   FIRST_VALUE(value_n IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS value_bf
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_n
+                  FROM events)
+        """,
+        "range_join": """
+            SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_recent_orders
+            FROM events e JOIN orders o ON o.o_custkey = e.user_id
+             AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+             AND o.o_orderdate < e.ts
+            GROUP BY 1
+        """,
+        "session_window_builtin": f"""
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 1 HOUR AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM ({sessionized})
+            GROUP BY user_id, session_id
+        """,
+        "equidistant_check": """
+            SELECT user_id, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_deltas
+            FROM (SELECT user_id,
+                         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                           - epoch_us(ts) AS d
+                  FROM events)
+            GROUP BY user_id
+        """,
+        "epoch_roundtrip": """
+            SELECT event_id,
+                   CAST(epoch_us(ts) AS DOUBLE) AS ts_us,
+                   CAST(epoch_ms(ts) AS DOUBLE) AS ts_ms,
+                   CAST(epoch_us(ts) * 1000 AS BIGINT) AS ts_ns,
+                   make_timestamp(epoch_us(ts)) AS ts_rt
+            FROM events
+        """,
+        "column_profile": """
+            SELECT
+              CAST(SUM(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_quantity,
+              AVG(l_quantity) AS mean_l_quantity,
+              CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS nd_l_quantity,
+              CAST(SUM(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_extendedprice,
+              AVG(l_extendedprice) AS mean_l_extendedprice,
+              CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS nd_l_extendedprice,
+              CAST(SUM(CASE WHEN l_discount IS NULL OR isnan(l_discount) THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_discount,
+              AVG(l_discount) AS mean_l_discount,
+              CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS nd_l_discount,
+              CAST(SUM(CASE WHEN l_tax IS NULL OR isnan(l_tax) THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_tax,
+              AVG(l_tax) AS mean_l_tax,
+              CAST(COUNT(DISTINCT l_tax) AS BIGINT) AS nd_l_tax
+            FROM lineitem
+        """,
+        "class_balance": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+        """,
+        "pad_tokens": r"""
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(
+                           (list_transform(string_split_regex(trim(text), '\s+'),
+                                           x -> CAST(length(x) AS INT))
+                            || [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0]
+                           )[1:32],
+                           x -> CAST(x AS VARCHAR)),
+                       ',') AS tokens_str,
+                   CAST(32 AS BIGINT) AS n_tok
+            FROM documents
+        """,
+        "multi_lead_tokens": r"""
+            SELECT doc_id, source,
+                   array_to_string(list_transform(next_tokens, x -> CAST(x AS VARCHAR)), ',')
+                       AS next_tokens_str
+            FROM (
+                SELECT doc_id, source,
+                       LEAD(list_transform(string_split_regex(trim(text), '\s+'),
+                                           x -> CAST(length(x) AS INT)))
+                           OVER (PARTITION BY source ORDER BY doc_id) AS next_tokens
+                FROM documents
+            )
+            WHERE next_tokens IS NOT NULL
+        """,
+        "mean_fill_pad": """
+            WITH a AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(value) AS avg_v
+                FROM events GROUP BY event_type
+            ),
+            m AS (SELECT AVG(n) AS n, AVG(avg_v) AS avg_v FROM a)
+            SELECT n, round(avg_v, 6) AS avg_v FROM a
+            UNION ALL
+            SELECT m.n, round(m.avg_v, 6)
+            FROM m, UNNEST(generate_series(1, 8 - (SELECT CAST(COUNT(*) AS INT) FROM a))) t(i)
+        """,
+        "pad_groups": """
+            SELECT user_id,
+                   CAST(greatest(cnt, 70) AS BIGINT) AS n_rows,
+                   round(avg_v, 6) AS avg_value
+            FROM (SELECT user_id, COUNT(*) AS cnt, AVG(value) AS avg_v
+                  FROM events GROUP BY user_id)
+        """,
+        "partitioner_splits": """
+            WITH nm AS (
+                SELECT ts, ROW_NUMBER() OVER (ORDER BY ts) AS rn,
+                       COUNT(*) OVER () AS total
+                FROM events
+            ),
+            lab AS (
+                SELECT ts, CAST((rn - 1) // (total // 4) AS INT) AS bucket
+                FROM nm WHERE (rn - 1) // (total // 4) < 4
+            ),
+            bounds AS (
+                SELECT bucket,
+                       MIN(epoch(ts)) AS s, MAX(epoch(ts)) AS e
+                FROM lab GROUP BY bucket
+            ),
+            labeled AS (
+                SELECT l.ts, l.bucket,
+                       CASE WHEN epoch(l.ts) >= b.s
+                             AND epoch(l.ts) < b.s + (b.e - b.s) * 0.7 THEN 'train'
+                            WHEN epoch(l.ts) >= b.s + (b.e - b.s) * 0.7
+                             AND epoch(l.ts) < b.e THEN 'test'
+                            ELSE NULL END AS split
+                FROM lab l JOIN bounds b ON l.bucket = b.bucket
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket, split,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(ts) AS min_ts, MAX(ts) AS max_ts
+            FROM labeled WHERE split IS NOT NULL
+            GROUP BY bucket, split
         """,
         "validation_stats": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -72,7 +72,9 @@ def time_to_numeric(df: DataFrame, time_col: str, time_unit: str = "us") -> Data
             f"Column '{time_col}' must be numeric or datetime, got {f.dataType.simpleString()}"
         )
     c = F.col(time_col)
-    if isinstance(f.dataType, T.DateType):
+    if isinstance(f.dataType, (T.DateType, T.TimestampNTZType)):
+        # NTZ (plain-parquet timestamps) → session-TZ timestamp; session TZ is
+        # pinned to UTC in session.py so the wall-clock value is unchanged
         c = c.cast("timestamp")
     if time_unit == "us":
         expr: Column = F.unix_micros(c).cast("double")

@@ -176,3 +176,133 @@ def lag_features(
         if conds is not None:
             out = out.filter(conds)
     return out
+
+
+def with_time_chunk(
+    df: DataFrame,
+    time_col: str,
+    chunk_seconds: int,
+    chunk_col: str = "time_chunk",
+) -> DataFrame:
+    """Add the deterministic time-chunk id ``floor(epoch_us(t) / chunk_us)``.
+
+    The chunk is the engine's explicit salt for skewed entities: clustering a
+    table by ``(id, time_chunk)`` spreads a monster entity's rows across all
+    buckets/partitions while keeping each chunk's rows co-located and
+    time-contiguous — the precondition for :func:`shift_target_chunked`.
+    """
+    from temporalscope_spark.core.convert import epoch_seconds
+
+    dt = dict((f.name, f.dataType) for f in df.schema.fields)[time_col]
+    epoch = epoch_seconds(F.col(time_col), dt)
+    return df.withColumn(chunk_col, F.floor(epoch / F.lit(float(chunk_seconds))).cast("long"))
+
+
+def shift_target_chunked(
+    df: DataFrame,
+    time_col: str,
+    target_col: str,
+    n_lags: int = 1,
+    id_col: str = "doc_id",
+    chunk_col: str | None = None,
+    chunk_seconds: int | None = None,
+    drop_incomplete: bool = True,
+    direction: str = "lead",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Skew-proof shift: identical result to :func:`shift_target` but with
+    per-task state bounded by the time chunk, not by the entity.
+    ``direction='lead'`` (label) repairs chunk tails from the NEXT chunk's
+    first values; ``direction='lag'`` (feature) repairs chunk heads from the
+    PREVIOUS chunk's last values.
+
+    A plain ``Window.partitionBy(id)`` serializes a hot entity into ONE task
+    and buffers ALL its rows (the straggler + spill that kills N→4N scaling
+    at 10^12 rows). Here:
+
+    1. rows are windowed by ``(id_col, chunk_col)`` — if the table is stored
+       clustered by these keys (``bucketBy(n, id, chunk)``), the window needs
+       NO exchange and buffers at most one chunk;
+    2. the ``n_lags`` trailing rows of each chunk take their lead values from
+       the next chunk's first rows via a BROADCAST join against a tiny
+       per-chunk boundary table (one aggregate row per (id, chunk) —
+       map-side-combinable, skew-free).
+
+    Correctness requires every chunk to hold ≥ ``n_lags`` rows of its entity
+    (chunk_seconds ≫ n_lags × max event spacing); rows whose lead lies beyond
+    the immediately-next chunk come out null and are dropped with the other
+    trailing rows when ``drop_incomplete``.
+    """
+    if n_lags <= 0:
+        raise ValueError("`n_lags` must be greater than 0")
+    if chunk_col is None:
+        if chunk_seconds is None:
+            raise ValueError("pass chunk_col or chunk_seconds")
+        chunk_col = "time_chunk"
+        df = with_time_chunk(df, time_col, chunk_seconds, chunk_col)
+
+    if direction not in {"lead", "lag"}:
+        raise ValueError("direction must be 'lead' or 'lag'")
+    lead_mode = direction == "lead"
+
+    w = Window.partitionBy(id_col, chunk_col).orderBy(time_col)
+    shifted_name = out_col or f"{target_col}_shift_{n_lags}"
+
+    # boundary rows of every (id, chunk), time-ordered: the first n_lags
+    # targets (lead repair) or the last n_lags targets (lag repair). One
+    # aggregate row per chunk — map-side-combinable, skew-free, broadcastable.
+    if n_lags == 1:
+        agg_fn = F.min_by if lead_mode else F.max_by
+        edge = df.groupBy(id_col, chunk_col).agg(
+            agg_fn(target_col, time_col).alias("_edge_targets")
+        )
+        edge = edge.withColumn("_edge_targets", F.array("_edge_targets"))
+    else:
+        sorted_pairs = F.array_sort(F.collect_list(F.struct(time_col, target_col)))
+        head = (
+            F.slice(sorted_pairs, 1, n_lags)
+            if lead_mode
+            # negative start must not exceed the array length (short chunks)
+            else F.slice(
+                sorted_pairs,
+                -F.least(F.lit(n_lags), F.size(sorted_pairs)),
+                F.lit(n_lags),
+            )
+        )
+        edge = df.groupBy(id_col, chunk_col).agg(head.alias("_head")).select(
+            id_col,
+            chunk_col,
+            F.transform(F.col("_head"), lambda s: s[target_col]).alias("_edge_targets"),
+        )
+    wb = Window.partitionBy(id_col).orderBy(chunk_col)
+    neighbor = F.lead("_edge_targets", 1) if lead_mode else F.lag("_edge_targets", 1)
+    boundary = edge.select(
+        id_col, chunk_col, neighbor.over(wb).alias("_nbr_targets")
+    )
+
+    out = df.join(F.broadcast(boundary), [id_col, chunk_col], "left")
+    shift_fn = F.lead if lead_mode else F.lag
+    in_chunk = shift_fn(F.col(target_col), n_lags).over(w)
+    # row position within the (bounded) chunk group
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(id_col, chunk_col))
+    rn = F.row_number().over(w)
+    if lead_mode:
+        # pos 1 = last row of chunk; lead crosses n_lags - pos rows into the
+        # next chunk's first-targets array
+        pos = cnt - rn + 1
+        idx = F.lit(n_lags) - pos  # 0-based into _nbr_targets (length n_lags)
+    else:
+        # pos 1 = first row of chunk; lag reaches rn-th-from-end of the
+        # previous chunk's last-targets array (length L <= n_lags)
+        pos = rn
+        idx = F.size("_nbr_targets") - (F.lit(n_lags) - pos) - 1
+    # 0-based null-safe indexing (F.get): out-of-range → null, never an
+    # ANSI error
+    cross = F.get(F.col("_nbr_targets"), idx.cast("int"))
+    out = out.withColumn(
+        shifted_name,
+        F.coalesce(in_chunk, F.when(pos <= n_lags, cross)),
+    ).drop("_nbr_targets")
+    if drop_incomplete:
+        out = out.filter(F.col(shifted_name).isNotNull())
+    return out

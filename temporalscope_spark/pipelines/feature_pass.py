@@ -53,8 +53,9 @@ def build_features(
     out = df.withColumn("target", F.lead(F.col(target_col), 1).over(w))
     for n in range(1, n_lags + 1):
         out = out.withColumn(f"{target_col}_lag_{n}", F.lag(F.col(target_col), n).over(w))
-    out = out.filter(F.col("target").isNotNull())
 
+    # split labels from the FULL entity span (before the trailing-row drop),
+    # same window partitioning → no extra shuffle
     tcur = F.unix_micros(F.col(time_col).cast("timestamp"))
     tmin = F.min(tcur).over(wd)
     tmax = F.max(tcur).over(wd)
@@ -64,6 +65,82 @@ def build_features(
             (tcur - tmin) <= (tmax - tmin) * train_pct, F.lit("train")
         ).otherwise(F.lit("test")),
     )
+    out = out.filter(F.col("target").isNotNull())
+    if "tokens" in df.columns:
+        out = pad_token_arrays(out, target_len=pad_to)
+    return out
+
+
+def build_features_clustered(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    time_col: str = "event_time",
+    target_col: str = "n_tok",
+    chunk_col: str = "time_chunk",
+    pad_to: int = 64,
+    train_pct: float = 0.7,
+) -> DataFrame:
+    """Skew-proof flagship pass over a table stored clustered by
+    ``(id_col, chunk_col)`` (``bucketBy(n, id, chunk).sortBy(id, chunk, t)``).
+
+    Equal output to :func:`build_features` (n_lags=1), but every stage is
+    bounded and balanced at 10^12 rows:
+
+    * lead target + lag feature via ONE window over ``(id, chunk)`` — no
+      exchange on the clustered layout, per-task state = one chunk, hot
+      entities spread across all buckets by the chunk salt;
+    * chunk-boundary repair from ONE tiny per-chunk aggregate (first/last
+      target per (id, chunk)) broadcast-joined back;
+    * train/test split labels from a per-entity min/max aggregate
+      (map-side-combinable, skew-free) broadcast-joined back — never an
+      unbounded window;
+    * fixed-length token padding LAST (a narrow projection).
+    """
+    t = F.col(time_col)
+    tgt = F.col(target_col)
+    t_us = F.unix_micros(t.cast("timestamp"))
+
+    # ONE narrow aggregate (tokens pruned from its scan) serves both shift
+    # directions AND the per-entity span: per (id, chunk) first/last target
+    # + chunk time bounds; spans fold from this tiny table, not the big one
+    edges = df.groupBy(id_col, chunk_col).agg(
+        F.min_by(target_col, time_col).alias("_first"),
+        F.max_by(target_col, time_col).alias("_last"),
+        F.min(t_us).alias("_c_tmin"),
+        F.max(t_us).alias("_c_tmax"),
+    )
+    wb = Window.partitionBy(id_col).orderBy(chunk_col)
+    wspan = Window.partitionBy(id_col)
+    # boundary-repair values + entity span in ONE broadcastable table
+    repair = edges.select(
+        id_col,
+        chunk_col,
+        F.lead("_first", 1).over(wb).alias("_next_first"),
+        F.lag("_last", 1).over(wb).alias("_prev_last"),
+        F.min("_c_tmin").over(wspan).alias("_tmin"),
+        F.max("_c_tmax").over(wspan).alias("_tmax"),
+    )
+
+    out = df.join(repair.hint("merge"), [id_col, chunk_col], "left")
+
+    # n_lags=1 and a non-null target contract: lead/lag null ⟺ chunk edge,
+    # so coalesce IS the boundary repair — no row_number/count frames needed
+    w = Window.partitionBy(id_col, chunk_col).orderBy(time_col)
+    out = (
+        out.withColumn("target", F.coalesce(F.lead(tgt, 1).over(w), F.col("_next_first")))
+        .withColumn(
+            f"{target_col}_lag_1",
+            F.coalesce(F.lag(tgt, 1).over(w), F.col("_prev_last")),
+        )
+        .filter(F.col("target").isNotNull())
+    )
+    out = out.withColumn(
+        "split",
+        F.when(
+            (t_us - F.col("_tmin")) <= (F.col("_tmax") - F.col("_tmin")) * train_pct,
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    ).drop("_next_first", "_prev_last", "_tmin", "_tmax")
     if "tokens" in df.columns:
         out = pad_token_arrays(out, target_len=pad_to)
     return out
@@ -139,7 +216,12 @@ def main(argv: list[str] | None = None) -> None:
 
     from temporalscope_spark.session import get_spark
 
-    spark = get_spark("feature-pass", master=args.master)
+    # under spark-submit the CLI --master must rule; "inherit" skips
+    # builder.master so the submitted conf is used. spark-submit's python
+    # runner always exports PYSPARK_GATEWAY_PORT (the JVM is pre-launched).
+    in_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    master = args.master or ("inherit" if in_submit else None)
+    spark = get_spark("feature-pass", master=master)
     stats = run_pipeline(
         spark,
         args.input,
