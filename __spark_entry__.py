@@ -394,6 +394,30 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_chars_calc", "n_tokens", "digit_ratio", "punct_ratio", "stopword_hits")
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from temporalscope_spark.operators.text import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_quality_score(docs, "text").select("doc_id", "quality_score")
+
+
+def q_dataset_validator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 DatasetValidator end-to-end: per-check pass/fail over lineitem's
+    numeric features (one fused stats job; reference dataset_validator.py)."""
+    from temporalscope_spark.datasets.validator import DatasetValidator
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_linenumber", "l_partkey", "l_suppkey",
+    )
+    v = DatasetValidator(
+        time_col="l_shipdate", target_col="l_quantity", enable_warnings=False
+    )
+    res = v.fit_transform(li, target_col="l_quantity")
+    rows = [(k, bool(r.passed)) for k, r in sorted(res.items())]
+    return spark.createDataFrame(rows, "check string, passed boolean")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporalscope_spark.operators.text import with_lang_id
 
@@ -545,6 +569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_timestamp_check": q_dup_timestamp_check,
         "token_stats": q_token_stats,
         "quality": q_quality,
+        "quality_score": q_quality_score,
+        "dataset_validator": q_dataset_validator,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -797,6 +823,64 @@ def oracle_sql() -> dict[str, str]:
                       + (length(text) - length(replace(text, ' to ', ''))) / 4
                       + (length(text) - length(replace(text, ' is ', ''))) / 4 AS BIGINT) AS stopword_hits
             FROM documents
+        """,
+        "quality_score": """
+            WITH q AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
+                       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                       CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS n_punct,
+                       CAST((length(text) - length(replace(text, ' the ', ''))) / 5
+                          + (length(text) - length(replace(text, ' and ', ''))) / 5
+                          + (length(text) - length(replace(text, ' of ', ''))) / 4
+                          + (length(text) - length(replace(text, ' to ', ''))) / 4
+                          + (length(text) - length(replace(text, ' is ', ''))) / 4 AS BIGINT) AS n_stop
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens, n_digit, n_punct, n_stop,
+                       greatest(n_chars, 1) AS nz,
+                       CASE WHEN n_tokens = 0 THEN 0.0
+                            ELSE CAST(n_chars - n_space AS DOUBLE) / n_tokens END AS mtl
+                FROM q
+            )
+            SELECT doc_id, CAST(
+                  (CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END)
+                + (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1 ELSE 0 END)
+                + (CASE WHEN CAST(n_digit AS DOUBLE) / nz < 0.2 THEN 1 ELSE 0 END)
+                + (CASE WHEN CAST(n_punct AS DOUBLE) / nz < 0.2 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_stop > 0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / 5.0 AS quality_score
+            FROM c
+        """,
+        "dataset_validator": """
+            WITH s AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       COUNT(DISTINCT l_extendedprice) AS u_ep,
+                       COUNT(DISTINCT l_discount) AS u_d,
+                       COUNT(DISTINCT l_tax) AS u_t,
+                       COUNT(DISTINCT l_linenumber) AS u_ln,
+                       COUNT(DISTINCT l_partkey) AS u_pk,
+                       COUNT(DISTINCT l_suppkey) AS u_sk,
+                       SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nn_ep,
+                       SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS nn_d,
+                       SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS nn_t,
+                       SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS nn_ln,
+                       SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS nn_pk,
+                       SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS nn_sk
+                FROM lineitem
+            )
+            SELECT 'class_balance' AS check, TRUE AS passed FROM s
+            UNION ALL SELECT 'feature_count', (6 >= 4 AND 6 <= 500) FROM s
+            UNION ALL SELECT 'feature_ratio', (CAST(6 AS DOUBLE) / n <= 0.1) FROM s
+            UNION ALL SELECT 'feature_variability',
+                (u_ep >= 10 AND nn_ep = 0 AND u_d >= 10 AND nn_d = 0
+                 AND u_t >= 10 AND nn_t = 0 AND u_ln >= 10 AND nn_ln = 0
+                 AND u_pk >= 10 AND nn_pk = 0 AND u_sk >= 10 AND nn_sk = 0) FROM s
+            UNION ALL SELECT 'sample_size', (n >= 3000 AND n <= 50000) FROM s
         """,
         "lang_id": _lang_id_oracle(),
         "dedup_exact": f"""
