@@ -1,0 +1,128 @@
+"""Invariance + property tests (SURVEY.md §5: the reference parametrizes every
+test over backends; the Spark analogue is input partitioning — results must be
+identical however the data is physically split — plus hypothesis-generated
+inputs for the core operator contracts).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from temporalscope_spark.datasets.synthetic import generate_tokenized_sequences
+
+
+@pytest.fixture(scope="module")
+def tok(spark):
+    return generate_tokenized_sequences(spark, num_rows=2000, num_docs=10).cache()
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 16])
+def test_shift_partition_invariant(tok, nparts):
+    from temporalscope_spark.operators.shift import shift_target
+
+    out = shift_target(
+        tok.repartition(nparts), "event_time", "n_tok", n_lags=1,
+        id_col="doc_id", check_empty=False,
+    )
+    rows = sorted(
+        (r["doc_id"], r["event_time"], r["n_tok_shift_1"])
+        for r in out.select("doc_id", "event_time", "n_tok_shift_1").collect()
+    )
+    base = getattr(test_shift_partition_invariant, "_base", None)
+    if base is None:
+        test_shift_partition_invariant._base = rows
+    else:
+        assert rows == base
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 16])
+def test_sessionize_partition_invariant(spark, sf_dir, nparts):
+    from temporalscope_spark.operators.sessionize import session_bounds
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(nparts)
+    out = session_bounds(events, "ts", "user_id", gap=3600.0)
+    rows = sorted(tuple(r) for r in out.collect())
+    base = getattr(test_sessionize_partition_invariant, "_base", None)
+    if base is None:
+        test_sessionize_partition_invariant._base = rows
+    else:
+        assert rows == base
+
+
+# ---------------------------------------------------------------- hypothesis
+
+hsettings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ts_lists = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=2, max_size=40, unique=True
+)
+
+
+@hsettings
+@given(times=ts_lists, gap=st.integers(min_value=1, max_value=2_000))
+def test_sessionize_gap_property(spark, times, gap):
+    """session id increments exactly at deltas > gap; session count ==
+    1 + #(delta > gap) for a single entity."""
+    from temporalscope_spark.operators.sessionize import sessionize
+
+    rows = [(1, float(t)) for t in sorted(times)]
+    df = spark.createDataFrame(rows, "uid int, t double")
+    out = sessionize(df, "t", "uid", gap=float(gap))
+    got = {r["t"]: r["session_id"] for r in out.collect()}
+
+    ordered = sorted(times)
+    expected, sid = {}, 1
+    prev = None
+    for t in ordered:
+        if prev is not None and t - prev > gap:
+            sid += 1
+        expected[float(t)] = sid
+        prev = t
+    assert got == expected
+
+
+@hsettings
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=20),
+    target=st.integers(min_value=1, max_value=32),
+)
+def test_pad_token_arrays_property(spark, lens, target):
+    """After padding: every array has exactly target_len entries; original
+    prefix survives; pad id fills the tail."""
+    from temporalscope_spark.operators.padding import pad_token_arrays
+
+    rows = [(i, list(range(1, n + 1))) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "i int, tokens array<int>")
+    out = pad_token_arrays(df, target_len=target, n_tok_col=None, pad_id=0)
+    for r in out.collect():
+        orig = list(range(1, lens[r["i"]] + 1))
+        expect = (orig + [0] * target)[:target]
+        assert r["tokens"] == expect
+
+
+@hsettings
+@given(
+    n=st.integers(min_value=2, max_value=25),
+    n_lags=st.integers(min_value=1, max_value=5),
+)
+def test_shift_drops_exactly_n_lags_rows_per_entity(spark, n, n_lags):
+    from temporalscope_spark.operators.shift import shift_target
+
+    rows = [(e, float(t), float(10 * e + t)) for e in (1, 2) for t in range(n)]
+    df = spark.createDataFrame(rows, "uid int, t double, target double")
+    out = shift_target(df, "t", "target", n_lags=n_lags, id_col="uid", check_empty=False)
+    expected = max(0, n - n_lags) * 2
+    assert out.count() == expected
+    # leakage-free: shifted value == target at t + n_lags
+    bad = out.filter(
+        F.col("target_shift_" + str(n_lags))
+        != F.col("uid") * 10 + F.col("t") + F.lit(n_lags)
+    )
+    assert bad.isEmpty()
