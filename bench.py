@@ -216,7 +216,7 @@ def main():
                 F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("s")
             ).collect()[0]["n"]
 
-        def best_of(cores, reps=3):
+        def best_of(cores, reps=2):
             s = _new_spark(cores, f"scale{cores}")
             bucketed_pass(s)  # warm codegen + page cache
             # min-of-N: the right estimator under the sandbox's noisy-neighbor
