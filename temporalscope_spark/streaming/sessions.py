@@ -81,19 +81,94 @@ def stream_windowed_stats(
 
 
 def replay_static_as_stream(
-    spark, parquet_dir: str, schema, query_builder, out_table: str
+    spark, parquet_dir: str, schema, query_builder, out_table: str,
+    output_mode: str = "complete",
 ):
     """Test/backfill helper: replay a static parquet dir through the
     streaming pipeline with an availableNow trigger into a memory sink;
-    returns the materialized result DataFrame (batch/stream parity check)."""
+    returns the materialized result DataFrame (batch/stream parity check).
+    Stateful operators (applyInPandasWithState) need ``output_mode='append'``.
+    """
     stream = spark.readStream.schema(schema).parquet(parquet_dir)
     out = query_builder(stream)
     q = (
         out.writeStream.format("memory")
         .queryName(out_table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
     return spark.table(out_table)
+
+
+def stream_stateful_lag(
+    stream: DataFrame,
+    time_col: str,
+    id_col: str,
+    value_col: str,
+):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-entity lag-1 feature + running event count maintained in group state
+    across micro-batches — the streaming analogue of the batch lag feature.
+
+    State per entity = (last value, running count); each micro-batch's rows
+    are processed in event-time order. Contract: rows must arrive in
+    non-decreasing event-time order ACROSS batches per entity (no watermark
+    reordering is applied to the lag itself — late rows would see the
+    processing-time predecessor). Arrow-batched pandas, no per-row Python.
+
+    Output columns: id, time, value, value_lag_1, cum_count.
+    """
+    import pandas as pd  # noqa: F401 (imported for executors)
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    t_field = next(f for f in stream.schema.fields if f.name == time_col)
+    if isinstance(t_field.dataType, T.TimestampNTZType):
+        stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+        t_type = T.TimestampType()
+    else:
+        t_type = t_field.dataType
+    v_type = next(f for f in stream.schema.fields if f.name == value_col).dataType
+    id_type = next(f for f in stream.schema.fields if f.name == id_col).dataType
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField(time_col, t_type),
+            T.StructField(value_col, v_type),
+            T.StructField(f"{value_col}_lag_1", T.DoubleType()),
+            T.StructField("cum_count", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("last", T.DoubleType()), T.StructField("cum", T.LongType())]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last, cum = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            lags = []
+            for v in pdf[value_col]:
+                lags.append(last)
+                last = float(v)
+                cum += 1
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    time_col: pdf[time_col].values,
+                    value_col: pdf[value_col].values,
+                    f"{value_col}_lag_1": pd.array(lags, dtype="float64"),
+                    "cum_count": range(cum - len(pdf) + 1, cum + 1),
+                }
+            )
+            yield out
+        state.update((last, cum))
+
+    return stream.groupBy(id_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -88,3 +88,31 @@ class TestLoader:
         a = load_macrodata(spark).toPandas()
         b = load_macrodata(spark).toPandas()
         assert a.equals(b)
+
+
+def test_stream_stateful_lag_matches_batch(spark, event_dir):
+    """applyInPandasWithState lag == batch Window lag after full replay."""
+    from temporalscope_spark.streaming.sessions import stream_stateful_lag
+
+    d, df = event_dir
+    streamed = replay_static_as_stream(
+        spark, d, df.schema,
+        lambda s: stream_stateful_lag(s, "ts", "uid", "v"),
+        "lag_out", output_mode="append",
+    ).toPandas()
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("uid").orderBy("ts")
+    batch = (
+        df.withColumn("v_lag_1", F.lag("v", 1).over(w).cast("double"))
+        .withColumn("cum_count", F.row_number().over(w).cast("long"))
+        .select("uid", "ts", "v", "v_lag_1", "cum_count")
+        .toPandas()
+    )
+    a = streamed.sort_values(["uid", "ts"]).reset_index(drop=True)
+    b = batch.sort_values(["uid", "ts"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a["cum_count"].tolist() == b["cum_count"].tolist()
+    pa, pb = a["v_lag_1"].fillna(-1).tolist(), b["v_lag_1"].fillna(-1).tolist()
+    assert pa == pb
