@@ -137,6 +137,23 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "last_price")
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each event, the user's EARLIEST order on/after it."""
+    from temporalscope_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_totalprice").alias("next_price"))
+    )
+    out = asof_join(
+        events, orders, on="user_id", left_time="ts", right_time="o_orderdate",
+        value_cols=["next_price"], direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_price")
+
+
 def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporalscope_spark.operators.asof import forward_fill
 
@@ -552,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_bounds": q_session_bounds,
         "window_buckets": q_window_buckets,
         "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
         "forward_fill": q_forward_fill,
         "backward_fill": q_backward_fill,
         "range_join": q_range_join,
@@ -643,6 +661,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, r.last_price
             FROM events e ASOF LEFT JOIN r
               ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        """,
+        "asof_join_forward": """
+            WITH r AS (
+                SELECT o_custkey AS user_id, o_orderdate,
+                       MAX(o_totalprice) AS next_price
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, r.next_price
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.user_id AND e.ts <= r.o_orderdate
         """,
         "forward_fill": """
             SELECT event_id, user_id,

@@ -216,12 +216,18 @@ def main():
                 F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("s")
             ).collect()[0]["n"]
 
-        def best_of(cores, reps=2):
+        def best_of(cores, max_reps=5):
             s = _new_spark(cores, f"scale{cores}")
             bucketed_pass(s)  # warm codegen + page cache
-            # min-of-N: the right estimator under the sandbox's noisy-neighbor
-            # CPU steal (observed spurious 2-6x outliers)
-            return min(timed(bucketed_pass, s)[0] for _ in range(reps))
+            # noisy-neighbor CPU steal produces bursty 1.3-6x outliers; keep
+            # sampling until the two fastest agree within 12%, then trust min
+            ts: list[float] = []
+            for _ in range(max_reps):
+                ts.append(timed(bucketed_pass, s)[0])
+                best2 = sorted(ts)[:2]
+                if len(best2) == 2 and best2[1] <= best2[0] * 1.12:
+                    break
+            return min(ts)
 
         times = {c: best_of(c) for c in (2, 8, 32)}
         def eff(n, n4):

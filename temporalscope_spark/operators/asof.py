@@ -38,14 +38,19 @@ def asof_join(
     tolerance: float | None = None,
     allow_exact_matches: bool = True,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Pandas-``merge_asof``-style backward join, distributed.
+    """Pandas-``merge_asof``-style join, distributed.
 
-    For every left row: attach ``value_cols`` from the latest right row with
-    ``right_time <= left_time`` (strict ``<`` if ``allow_exact_matches`` is
-    False) sharing the join key(s). ``tolerance`` (seconds for timestamps,
-    raw units for numerics) drops matches older than the window.
+    ``direction='backward'`` (default): for every left row attach
+    ``value_cols`` from the LATEST right row with ``right_time <= left_time``
+    (strict ``<`` if ``allow_exact_matches`` is False) sharing the join
+    key(s). ``direction='forward'``: from the EARLIEST right row with
+    ``right_time >= left_time``. ``tolerance`` (seconds for timestamps, raw
+    units for numerics) drops matches farther than the window.
     """
+    if direction not in {"backward", "forward"}:
+        raise ValueError("direction must be 'backward' or 'forward'")
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [
@@ -59,9 +64,14 @@ def asof_join(
     def _num(c):
         return epoch_seconds(c, t_type)
 
-    # tag: right rows sort BEFORE left rows at equal time when exact matches
-    # are allowed (so last() sees them), AFTER when not.
-    right_tag = 0 if allow_exact_matches else 1
+    # tag: backward — right rows sort BEFORE left rows at equal time when
+    # exact matches are allowed (so last() over the preceding frame sees
+    # them), AFTER when not. forward — mirrored (first() over the following
+    # frame must include/exclude the equal-time right row).
+    if direction == "backward":
+        right_tag = 0 if allow_exact_matches else 1
+    else:
+        right_tag = 1 if allow_exact_matches else 0
     left_tag = 1 - right_tag
 
     r = right.select(
@@ -82,20 +92,32 @@ def asof_join(
     )
 
     unioned = r.unionByName(l_tagged)
-    w = Window.partitionBy(*keys).orderBy("_t", "_side").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    if direction == "backward":
+        w = Window.partitionBy(*keys).orderBy("_t", "_side").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        pick = F.last
+    else:
+        w = Window.partitionBy(*keys).orderBy("_t", "_side").rowsBetween(
+            0, Window.unboundedFollowing
+        )
+        pick = F.first
     filled = unioned.select(
         "*",
-        *[F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
-        F.last(F.when(F.col("_side") == right_tag, F.col("_t")), ignorenulls=True)
+        *[pick(F.col(f"_v_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
+        pick(F.when(F.col("_side") == right_tag, F.col("_t")), ignorenulls=True)
         .over(w)
         .alias("_match_t"),
     )
     matched = filled.filter(F.col("_left_rowid").isNotNull())
 
     if tolerance is not None:
-        in_window = (_num(F.col("_t")) - _num(F.col("_match_t"))) <= tolerance
+        gap = (
+            _num(F.col("_t")) - _num(F.col("_match_t"))
+            if direction == "backward"
+            else _num(F.col("_match_t")) - _num(F.col("_t"))
+        )
+        in_window = gap <= tolerance
         matched = matched.select(
             "*",
             *[

@@ -129,3 +129,41 @@ def test_range_join(spark):
     out = range_join(points, ivals, on="id", point_col="p", lo_col="lo", hi_col="hi").toPandas()
     got = dict(zip(out["p"], out["label"]))
     assert got == {5.0: "low", 15.0: "high"}
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: earliest right value at-or-after each left time;
+    exact-match and tolerance semantics mirrored from backward."""
+    import datetime as dt
+
+    from temporalscope_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=h)) for h in (0, 2, 5, 9)], "uid int, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(hours=2), 20.0),
+            (1, base + dt.timedelta(hours=4), 40.0),
+            (1, base + dt.timedelta(hours=8), 80.0),
+        ],
+        "uid int, rt timestamp, price double",
+    )
+
+    fwd = asof_join(left, right, on="uid", left_time="t", right_time="rt",
+                    value_cols=["price"], direction="forward")
+    got = {r["t"].hour: r["price"] for r in fwd.collect()}
+    assert got == {0: 20.0, 2: 20.0, 5: 80.0, 9: None}
+
+    strict = asof_join(left, right, on="uid", left_time="t", right_time="rt",
+                       value_cols=["price"], direction="forward",
+                       allow_exact_matches=False)
+    got2 = {r["t"].hour: r["price"] for r in strict.collect()}
+    assert got2 == {0: 20.0, 2: 40.0, 5: 80.0, 9: None}
+
+    tol = asof_join(left, right, on="uid", left_time="t", right_time="rt",
+                    value_cols=["price"], direction="forward",
+                    tolerance=2 * 3600.0)
+    got3 = {r["t"].hour: r["price"] for r in tol.collect()}
+    assert got3 == {0: 20.0, 2: 20.0, 5: None, 9: None}
