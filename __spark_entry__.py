@@ -83,6 +83,25 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value_lag_1", "value_lag_2")
 
 
+def q_multi_step_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seq2seq horizon: array of the next 3 target values per user-event."""
+    from temporalscope_spark.operators.shift import multi_step_targets
+
+    events = _t(spark, sf_dir, "events")
+    out = multi_step_targets(events, "ts", "value", horizon=3, id_col="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.array_join(
+            F.transform(
+                F.col("value_next_3"),
+                lambda x: F.floor(x * 1_000_000).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("next_vals"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporalscope_spark.operators.sessionize import sessionize
 
@@ -565,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_shift": q_target_shift,
         "target_shift_chunked": q_target_shift_chunked,
         "lag_features": q_lag_features,
+        "multi_step_targets": q_multi_step_targets,
         "sessionize": q_sessionize,
         "session_bounds": q_session_bounds,
         "window_buckets": q_window_buckets,
@@ -636,6 +656,19 @@ def oracle_sql() -> dict[str, str]:
                        LAG(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS value_lag_2
                 FROM events
             ) WHERE value_lag_1 IS NOT NULL AND value_lag_2 IS NOT NULL
+        """,
+        "multi_step_targets": """
+            SELECT event_id, user_id,
+                   array_to_string(
+                       list_transform(nv, x -> CAST(CAST(floor(x * 1000000) AS BIGINT) AS VARCHAR)),
+                       ',') AS next_vals
+            FROM (
+                SELECT event_id, user_id,
+                       [LEAD(value, 1) OVER w, LEAD(value, 2) OVER w,
+                        LEAD(value, 3) OVER w] AS nv
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            WHERE nv[1] IS NOT NULL AND nv[2] IS NOT NULL AND nv[3] IS NOT NULL
         """,
         "sessionize": f"SELECT event_id, user_id, session_id FROM ({sessionized})",
         "session_bounds": f"""

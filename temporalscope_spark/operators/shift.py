@@ -306,3 +306,40 @@ def shift_target_chunked(
     if drop_incomplete:
         out = out.filter(F.col(shifted_name).isNotNull())
     return out
+
+
+def multi_step_targets(
+    df: DataFrame,
+    time_col: str,
+    target_col: str,
+    horizon: int,
+    id_col: str | None = None,
+    out_col: str | None = None,
+    drop_incomplete: bool = True,
+) -> DataFrame:
+    """multi_target / seq2seq mode (reference core_utils.py:61-72, reserved):
+    attach the array of the next ``horizon`` target values —
+    ``[target(t+1), ..., target(t+horizon)]`` — as one array column.
+
+    One window, ``horizon`` lead expressions fused into a single WindowExec;
+    ``drop_incomplete`` removes trailing rows whose full horizon is not
+    observable (the multi-step analogue of the shifter's row drop).
+    """
+    if horizon <= 0:
+        raise ValueError("`horizon` must be greater than 0")
+    if id_col:
+        w = Window.partitionBy(id_col).orderBy(time_col)
+    else:
+        warnings.warn(
+            "multi_step_targets without id_col runs a single-partition global "
+            "window; use id_col for distributed execution",
+            stacklevel=2,
+        )
+        w = Window.orderBy(time_col)
+    name = out_col or f"{target_col}_next_{horizon}"
+    arr = F.array(*[F.lead(F.col(target_col), i).over(w) for i in range(1, horizon + 1)])
+    out = df.withColumn(name, arr)
+    if drop_incomplete:
+        # complete horizons only: no null slot in the array
+        out = out.filter(~F.array_contains(F.transform(F.col(name), F.isnull), True))
+    return out

@@ -110,3 +110,27 @@ def test_lag_features_fused_window(spark):
     # single Window physical operator: both lags share one sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") <= 2
+
+
+def test_multi_step_targets(spark):
+    """Horizon array == [lead1..leadk]; incomplete trailing rows dropped."""
+    from temporalscope_spark.operators.shift import multi_step_targets
+
+    rows = [(1, float(t), float(t * 10)) for t in range(6)]
+    df = spark.createDataFrame(rows, "uid int, t double, target double")
+    out = multi_step_targets(df, "t", "target", horizon=3, id_col="uid")
+    got = {r["t"]: r["target_next_3"] for r in out.collect()}
+    assert got == {
+        0.0: [10.0, 20.0, 30.0],
+        1.0: [20.0, 30.0, 40.0],
+        2.0: [30.0, 40.0, 50.0],
+    }
+    # keep incomplete horizons when requested: arrays carry null slots
+    kept = multi_step_targets(df, "t", "target", horizon=3, id_col="uid",
+                              drop_incomplete=False)
+    assert kept.count() == 6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="horizon"):
+        multi_step_targets(df, "t", "target", horizon=0, id_col="uid")
