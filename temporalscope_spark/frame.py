@@ -10,8 +10,12 @@ construction, at most one Spark job runs (the optional ordering gate), and
 the sort itself is a plan node, not a materialization.
 
 Scale policy: ``ensure_layout()`` applies the physical layout the north rule
-mandates — ``repartitionByRange(id_col, time_col)`` + ``sortWithinPartitions``
-— so every downstream per-entity window op runs without re-shuffling.
+mandates — hash-cluster by entity (satisfies every per-entity window's
+required distribution; range partitioning would not, since an entity can
+straddle a range boundary) + ``sortWithinPartitions(id, time)``, with a
+``strategy='range'`` variant (``repartitionByRange``) for time-pruned scans
+and ordered writes. Skewed entities go through the chunk-salted operators
+(``operators.shift.shift_target_chunked``) instead of a bigger partition.
 """
 
 from __future__ import annotations
@@ -130,17 +134,33 @@ class TemporalFrame:
         cols = [F.col(k).asc() if ascending else F.col(k).desc() for k in keys]
         return df.orderBy(*cols)
 
-    def ensure_layout(self, num_partitions: int | None = None) -> "TemporalFrame":
-        """Apply the scale-out physical layout: range-partition by entity,
-        sort within partitions by (id, time).
+    def ensure_layout(
+        self, num_partitions: int | None = None, strategy: str = "entity"
+    ) -> "TemporalFrame":
+        """Apply the scale-out physical layout.
 
-        All per-entity window ops (shift, sessionize, as-of) then execute
-        without an extra shuffle: the required clustering+ordering already
-        holds. Returns a new TemporalFrame sharing config.
+        ``strategy='entity'`` (default when ``id_col`` is set): HASH-cluster
+        by entity + sort within partitions by (id, time). Hash partitioning
+        satisfies ``Window.partitionBy(id)``'s required distribution and the
+        written sort satisfies its ordering, so every per-entity window op
+        (shift, sessionize, as-of) runs with NO further exchange and no
+        re-sort. Range partitioning would NOT give this: an entity's rows can
+        straddle a range boundary, so Spark re-shuffles anyway.
+
+        ``strategy='range'``: ``repartitionByRange(id?, time)`` — the layout
+        for time-pruned scans and ordered writes (file-level min/max on the
+        time column), not for window execution.
+
+        Returns a new TemporalFrame sharing config.
         """
         keys = [self._id_col, self._time_col] if self._id_col else [self._time_col]
         df = self._df
-        if num_partitions:
+        if strategy == "entity" and self._id_col:
+            if num_partitions:
+                df = df.repartition(num_partitions, self._id_col)
+            else:
+                df = df.repartition(self._id_col)
+        elif num_partitions:
             df = df.repartitionByRange(num_partitions, *keys)
         else:
             df = df.repartitionByRange(*keys)

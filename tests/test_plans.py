@@ -112,3 +112,25 @@ def test_partitioner_labels_use_broadcast_join(spark, sf_dir):
     part.fit()
     plan = plan_of(part.with_bucket_labels())
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ensure_layout_entity_feeds_window_with_no_exchange_or_sort(spark, sf_dir):
+    """ensure_layout('entity') must leave per-entity windows exchange-free
+    AND sort-free (hash clustering + within-partition sort both satisfied)."""
+    from temporalscope_spark.frame import TemporalFrame
+    from temporalscope_spark.operators.shift import shift_target
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tf = TemporalFrame(
+        events, time_col="ts", target_col="value", id_col="user_id",
+        exempt_cols=("event_type", "props", "event_id"), sort=False,
+    ).ensure_layout(num_partitions=4)
+    out = shift_target(tf.df, "ts", "value", n_lags=1, id_col="user_id",
+                       check_empty=False)
+    plan = plan_of(out)
+    assert plan.count("Exchange") == 1, plan      # only the layout repartition
+    # the window's required (user_id, ts) ordering is satisfied by
+    # sortWithinPartitions — no planner-inserted Sort above it
+    window_idx = plan.index("Window ")
+    pre_window = plan[window_idx:]
+    assert pre_window.count("+- Sort") <= 1, plan  # the explicit layout sort only
