@@ -565,6 +565,65 @@ def _lang_id_oracle() -> str:
     return f"SELECT doc_id, {best} AS lang_pred FROM (SELECT doc_id, text, {scores} FROM documents)"
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe trailing time-range aggregates (strictly-past 1h window)."""
+    from temporalscope_spark.operators.rolling import rolling_features
+
+    events = _t(spark, sf_dir, "events")
+    out = rolling_features(
+        events, ["value"], [3600], time_col="ts", id_col="user_id",
+        aggs=("count", "sum", "avg"),
+    )
+    return out.select(
+        "event_id", "user_id", "value_count_3600s",
+        F.round("value_sum_3600s", 6).alias("value_sum_3600s"),
+        F.round("value_avg_3600s", 6).alias("value_avg_3600s"),
+    )
+
+
+def q_rolling_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing row-count aggregates over the previous 3 rows per user."""
+    from temporalscope_spark.operators.rolling import rolling_row_features
+
+    events = _t(spark, sf_dir, "events")
+    out = rolling_row_features(
+        events, ["value"], [3], time_col="ts", id_col="user_id", aggs=("avg", "sum")
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.round("value_avg_last3", 6).alias("value_avg_last3"),
+        F.round("value_sum_last3", 6).alias("value_sum_last3"),
+    )
+
+
+# EWMA truncation horizon must be identical on both engine and oracle sides:
+# a = 2^(-1/halflife); K = ceil(log(rel_tol)/log(a)) with rel_tol=1e-12, hl=5.
+_EWMA_HL = 5.0
+_EWMA_K = 200
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted EWMA per user (fold over the trailing frame, JVM-side)."""
+    from temporalscope_spark.operators.rolling import ewma
+
+    events = _t(spark, sf_dir, "events")
+    out = ewma(events, "value", halflife_rows=_EWMA_HL, time_col="ts", id_col="user_id")
+    return out.select("event_id", "user_id", F.round("value_ewma", 6).alias("value_ewma"))
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (IVF probing); exactness at nprobe=C and recall at
+    # partial probe are asserted in unit tests (test_rolling_ivf.py)
+    from temporalscope_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cents = ivf_centroids(emb, num_centroids=8, seed=42, refine_iters=1)
+    return ivf_topk(emb, qvec, cents, k=10, nprobe=4).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
@@ -619,6 +678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "ann_topk": q_ann_topk,
         "media_bytes": q_media_bytes,
+        "rolling_features": q_rolling_features,
+        "rolling_row": q_rolling_row,
+        "ewma": q_ewma,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1000,5 +1063,42 @@ def oracle_sql() -> dict[str, str]:
         "media_bytes": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "rolling_features": """
+            SELECT event_id, user_id,
+                   CAST(count(value) OVER w AS BIGINT) AS value_count_3600s,
+                   round(sum(value) OVER w, 6) AS value_sum_3600s,
+                   round(avg(value) OVER w, 6) AS value_avg_3600s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+        """,
+        "rolling_row": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER w, 6) AS value_avg_last3,
+                   round(sum(value) OVER w, 6) AS value_sum_last3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        """,
+        # identical fold (oldest-first, (num,den) -> (num*a + x, den*a + 1))
+        # over the identical 200-row truncated frame as the engine's ewma
+        "ewma": f"""
+            SELECT event_id, user_id,
+                   round(s.num / s.den, 6) AS value_ewma
+            FROM (
+                SELECT event_id, user_id,
+                       list_reduce(
+                           list_transform(
+                               list(CAST(value AS DOUBLE)) OVER w,
+                               x -> {{'num': x, 'den': CAST(1.0 AS DOUBLE)}}
+                           ),
+                           (a, b) -> {{'num': a.num * {2.0 ** (-1.0 / _EWMA_HL)!r} + b.num,
+                                       'den': a.den * {2.0 ** (-1.0 / _EWMA_HL)!r} + b.den}}
+                       ) AS s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN {_EWMA_K} PRECEDING AND CURRENT ROW)
+            )
         """,
     }

@@ -157,3 +157,105 @@ def ann_topk(
     bucketed = with_lsh_bucket(df, vec_col, num_planes, seed, dim)
     cand = bucketed.filter(F.col("lsh_bucket").isin(sorted(probes)))
     return cosine_topk(cand, query_vec, vec_col, id_col, k)
+
+
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    seed: int = 42,
+    refine_iters: int = 1,
+) -> list[list[float]]:
+    """IVF coarse quantizer: deterministic seed sample + distributed Lloyd
+    refinement.
+
+    Seeds = the ``num_centroids`` rows with smallest ``xxhash64(id, seed)``
+    (reproducible, one TakeOrdered job — no RNG state). Each refinement
+    iteration assigns every vector to its nearest centroid JVM-side and
+    recomputes centroids as per-dimension means via posexplode + groupBy —
+    a single shuffle keyed on (cell, dim), fully distributed; only the
+    C×dim centroid table ever reaches the driver.
+    """
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(num_centroids)
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in rows]
+
+    for _ in range(max(0, refine_iters)):
+        assigned = with_ivf_cell(df, cents, vec_col=vec_col, out_col="__cell")
+        means = (
+            assigned.select("__cell", F.posexplode(F.col(vec_col)).alias("__dim", "__v"))
+            .groupBy("__cell", "__dim")
+            .agg(F.avg(F.col("__v").cast("double")).alias("__m"))
+            .groupBy("__cell")
+            .agg(F.array_sort(F.collect_list(F.struct("__dim", "__m"))).alias("__dm"))
+            .select("__cell", F.transform("__dm", lambda s: s["__m"]).alias("__c"))
+            .collect()
+        )
+        new = {r["__cell"]: [float(x) for x in r["__c"]] for r in means}
+        # empty cells keep their previous centroid
+        cents = [new.get(i, c) for i, c in enumerate(cents)]
+    return cents
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine, expression-only.
+
+    Score against centroid c is dot(v,c)/||c|| (the vector's own norm is
+    common across cells, so argmax is unchanged). The argmax runs as
+    ``array_max`` over an array of (score, idx) structs — struct comparison
+    is field-ordered, so the max struct carries the winning cell id. All JVM
+    expressions; the C×dim centroid table is inlined as literals (broadcast
+    to every task with the plan — no join, no Python).
+    """
+    scored = []
+    for i, c in enumerate(centroids):
+        norm = math.sqrt(sum(x * x for x in c)) or 1.0
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        scored.append(
+            F.struct(
+                (_dot(F.col(vec_col), lit) / F.lit(norm)).alias("score"),
+                F.lit(i).alias("idx"),
+            )
+        )
+    best = F.array_max(F.array(*scored))
+    return df.withColumn(out_col, best["idx"])
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: scan only the ``nprobe`` cells whose centroids
+    are nearest the query, exact cosine re-rank inside them.
+
+    The scale path: materialize ``with_ivf_cell`` output partitioned BY the
+    cell column (Iceberg/parquet partition field) — the ``isin`` probe
+    filter then partition-prunes to nprobe/C of the corpus before any
+    compute (verify via ``PushedFilters`` in the scan node).
+    """
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def score(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(q * x for q, x in zip(query_vec, c)) / (qn * cn)
+
+    order = sorted(range(len(centroids)), key=lambda i: (-score(centroids[i]), i))
+    probes = order[: max(1, nprobe)]
+    cells = with_ivf_cell(df, centroids, vec_col=vec_col, out_col="__cell")
+    cand = cells.filter(F.col("__cell").isin(probes)).drop("__cell")
+    return cosine_topk(cand, query_vec, vec_col, id_col, k)

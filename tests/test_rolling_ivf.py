@@ -1,0 +1,241 @@
+"""Rolling time-range/row features, EWMA, and IVF ANN.
+
+Rolling aggregates are checked against brute-force pandas recomputation
+(per-row masked windows — the unambiguous definition) plus the leakage
+property the north star asserts: the feature at time t is invariant to any
+edit of rows with time >= t. EWMA is checked against pandas ``ewm(halflife,
+adjust=True)``. IVF is checked for determinism, self-assignment, and recall
+vs the exact brute-force ranking (nprobe = all cells ⇒ identical result).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.rolling import (
+    ewma,
+    rolling_features,
+    rolling_row_features,
+)
+from temporalscope_spark.operators.similarity import (
+    cosine_topk,
+    ivf_centroids,
+    ivf_topk,
+    with_ivf_cell,
+)
+
+
+@pytest.fixture(scope="module")
+def ts_df(spark):
+    """5 users x 40 rows, irregular integer-second timestamps, no duplicate
+    (user, t) pairs (temporal-ordering gate holds)."""
+    rows = []
+    for u in range(5):
+        t = 0
+        for i in range(40):
+            t += 1 + ((u * 7919 + i * 104729) % 13)  # irregular gaps 1..13
+            val = float(((u + 1) * 31 + i * 17) % 101) / 10.0
+            rows.append((u, t, val))
+    return spark.createDataFrame(rows, ["user_id", "t", "value"])
+
+
+def _brute_rolling(pdf: pd.DataFrame, w: int, agg: str, include_current: bool):
+    out = []
+    for _, r in pdf.iterrows():
+        lo, hi = r["t"] - w, r["t"]
+        m = (pdf["user_id"] == r["user_id"]) & (pdf["t"] >= lo)
+        m &= (pdf["t"] <= hi) if include_current else (pdf["t"] < hi)
+        vals = pdf.loc[m, "value"]
+        if agg == "count":
+            out.append(float(len(vals)))
+        elif agg == "sum":
+            out.append(float(vals.sum()) if len(vals) else None)
+        elif agg == "avg":
+            out.append(float(vals.mean()) if len(vals) else None)
+    return out
+
+
+class TestRollingFeatures:
+    def test_matches_bruteforce(self, ts_df):
+        got = (
+            rolling_features(
+                ts_df, ["value"], [20], time_col="t", id_col="user_id",
+                aggs=("count", "sum", "avg"),
+            )
+            .toPandas()
+            .sort_values(["user_id", "t"])
+            .reset_index(drop=True)
+        )
+        pdf = ts_df.toPandas().sort_values(["user_id", "t"]).reset_index(drop=True)
+        for agg in ("count", "sum", "avg"):
+            want = _brute_rolling(pdf, 20, agg, include_current=False)
+            col = got[f"value_{agg}_20s"].astype(float)
+            for g, w_ in zip(col, want):
+                if w_ is None:
+                    assert math.isnan(g) or g == 0.0  # count()=0, sum/avg NULL
+                else:
+                    assert abs(g - w_) < 1e-9
+
+    def test_include_current(self, ts_df):
+        got = (
+            rolling_features(
+                ts_df, ["value"], [20], time_col="t", id_col="user_id",
+                aggs=("sum",), include_current=True,
+            )
+            .toPandas()
+            .sort_values(["user_id", "t"])
+            .reset_index(drop=True)
+        )
+        pdf = ts_df.toPandas().sort_values(["user_id", "t"]).reset_index(drop=True)
+        want = _brute_rolling(pdf, 20, "sum", include_current=True)
+        np.testing.assert_allclose(got["value_sum_20s"].astype(float), want, atol=1e-9)
+
+    def test_zero_leakage(self, spark, ts_df):
+        """Editing every row with t >= cutoff leaves features at t < cutoff
+        byte-identical — the strict point-in-time contract."""
+        cutoff = 150
+        base = rolling_features(
+            ts_df, ["value"], [50], time_col="t", id_col="user_id"
+        )
+        perturbed_in = ts_df.withColumn(
+            "value", F.when(F.col("t") >= cutoff, F.col("value") * 1000 + 7).otherwise(F.col("value"))
+        )
+        pert = rolling_features(
+            perturbed_in, ["value"], [50], time_col="t", id_col="user_id"
+        )
+        a = base.filter(F.col("t") < cutoff).toPandas().sort_values(["user_id", "t"]).reset_index(drop=True)
+        b = pert.filter(F.col("t") < cutoff).toPandas().sort_values(["user_id", "t"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_single_exchange_many_features(self, ts_df):
+        """12 feature columns (2 windows x 2 cols x 3 aggs) must plan exactly
+        ONE exchange — all share the window partitioning."""
+        df2 = ts_df.withColumn("value2", F.col("value") * 2)
+        out = rolling_features(
+            df2, ["value", "value2"], [20, 60], time_col="t", id_col="user_id",
+            aggs=("count", "sum", "avg"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1
+
+    def test_error_contracts(self, ts_df):
+        with pytest.raises(DataFrameValidationError, match="non-empty"):
+            rolling_features(ts_df, [], [10], time_col="t")
+        with pytest.raises(DataFrameValidationError, match="Unsupported aggs"):
+            rolling_features(ts_df, ["value"], [10], time_col="t", aggs=("median",))
+        with pytest.raises(DataFrameValidationError, match="does not exist"):
+            rolling_features(ts_df, ["value"], [10], time_col="nope")
+
+
+class TestRollingRowFeatures:
+    def test_matches_pandas_rolling(self, ts_df):
+        got = (
+            rolling_row_features(
+                ts_df, ["value"], [3], time_col="t", id_col="user_id", aggs=("avg", "sum")
+            )
+            .toPandas()
+            .sort_values(["user_id", "t"])
+            .reset_index(drop=True)
+        )
+        pdf = ts_df.toPandas().sort_values(["user_id", "t"]).reset_index(drop=True)
+        want = (
+            pdf.groupby("user_id")["value"]
+            .apply(lambda s: s.rolling(3, min_periods=1).mean().shift(1))
+            .reset_index(drop=True)
+        )
+        np.testing.assert_allclose(
+            got["value_avg_last3"].astype(float), want.astype(float), atol=1e-9
+        )
+
+    def test_lookback_validation(self, ts_df):
+        with pytest.raises(DataFrameValidationError, match=">= 1"):
+            rolling_row_features(ts_df, ["value"], [0], time_col="t")
+
+
+class TestEwma:
+    def test_matches_pandas_ewm(self, ts_df):
+        hl = 5.0
+        got = (
+            ewma(ts_df, "value", halflife_rows=hl, time_col="t", id_col="user_id")
+            .toPandas()
+            .sort_values(["user_id", "t"])
+            .reset_index(drop=True)
+        )
+        pdf = ts_df.toPandas().sort_values(["user_id", "t"]).reset_index(drop=True)
+        want = (
+            pdf.groupby("user_id")["value"]
+            .apply(lambda s: s.ewm(halflife=hl, adjust=True).mean())
+            .reset_index(drop=True)
+        )
+        np.testing.assert_allclose(got["value_ewma"].astype(float), want, rtol=1e-9)
+
+    def test_strict_past_variant(self, ts_df):
+        got = (
+            ewma(
+                ts_df, "value", halflife_rows=5.0, time_col="t", id_col="user_id",
+                include_current=False,
+            )
+            .toPandas()
+            .sort_values(["user_id", "t"])
+            .reset_index(drop=True)
+        )
+        pdf = ts_df.toPandas().sort_values(["user_id", "t"]).reset_index(drop=True)
+        want = (
+            pdf.groupby("user_id")["value"]
+            .apply(lambda s: s.ewm(halflife=5.0, adjust=True).mean().shift(1))
+            .reset_index(drop=True)
+        )
+        first = got.groupby("user_id").head(1)["value_ewma"]
+        assert first.isna().all()  # no past -> NULL
+        mask = ~want.isna()
+        np.testing.assert_allclose(
+            got["value_ewma"].astype(float)[mask], want[mask], rtol=1e-9
+        )
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+class TestIVF:
+    def test_centroids_deterministic(self, emb):
+        c1 = ivf_centroids(emb, num_centroids=8, seed=7, refine_iters=1)
+        c2 = ivf_centroids(emb, num_centroids=8, seed=7, refine_iters=1)
+        assert c1 == c2
+        assert len(c1) == 8 and len(c1[0]) == len(emb.select("embedding").first()[0])
+
+    def test_cell_assignment_is_argmax(self, emb):
+        cents = ivf_centroids(emb, num_centroids=4, seed=7, refine_iters=0)
+        got = with_ivf_cell(emb, cents).toPandas()
+        embs = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+        c = [np.array(x) for x in cents]
+        for _, r in got.iterrows():
+            v = embs[r["vec_id"]]
+            scores = [v @ ci / (np.linalg.norm(ci) or 1.0) for ci in c]
+            assert int(r["ivf_cell"]) == int(np.argmax(scores))
+
+    def test_full_probe_equals_exact(self, emb):
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+        cents = ivf_centroids(emb, num_centroids=4, seed=7)
+        exact = [r.vec_id for r in cosine_topk(emb, qvec, k=5).collect()]
+        full = [
+            r.vec_id
+            for r in ivf_topk(emb, qvec, cents, k=5, nprobe=len(cents)).collect()
+        ]
+        assert exact == full
+
+    def test_partial_probe_recall(self, emb):
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+        cents = ivf_centroids(emb, num_centroids=8, seed=7)
+        exact = set(r.vec_id for r in cosine_topk(emb, qvec, k=5).collect())
+        approx = set(
+            r.vec_id for r in ivf_topk(emb, qvec, cents, k=5, nprobe=3).collect()
+        )
+        assert len(exact & approx) >= 3  # recall >= 0.6 with 3/8 cells probed
