@@ -200,24 +200,25 @@ def q_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 range/interval join: per event, count of the user's orders placed in
-    the trailing 30-day window [ts - 30d, ts) — equality key (user) makes it a
-    hash join + residual range filter, never a nested loop."""
+    """J1 range/interval join: per order, count of its lineitems shipped in
+    the 60-day window [o_orderdate, o_orderdate + 60d) — equality key
+    (orderkey) makes it a hash join + residual range filter, never a nested
+    loop. (TPC-H ships items 1-121 days after the order date, so this is
+    match-dense at every sf — a 0-row result would hide oracle mismatches.)"""
     from temporalscope_spark.operators.asof import range_join
 
-    events = _t(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.col("ts").alias("ts_hi"),
-        (F.col("ts") - F.expr("INTERVAL 30 DAYS")).alias("ts_lo"),
+    intervals = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("d_lo"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("d_hi"),
     )
-    pts = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    pts = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
     )
-    joined = range_join(pts, events, on="user_id", point_col="o_orderdate",
-                        lo_col="ts_lo", hi_col="ts_hi")
-    return joined.groupBy("event_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_recent_orders")
+    joined = range_join(pts, intervals, on="o_orderkey", point_col="l_shipdate",
+                        lo_col="d_lo", hi_col="d_hi")
+    return joined.groupBy(intervals["o_orderkey"].alias("o_orderkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shipped_60d")
     )
 
 
@@ -789,10 +790,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
         """,
         "range_join": """
-            SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_recent_orders
-            FROM events e JOIN orders o ON o.o_custkey = e.user_id
-             AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
-             AND o.o_orderdate < e.ts
+            SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_shipped_60d
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
             GROUP BY 1
         """,
         "session_window_builtin": f"""
