@@ -85,6 +85,7 @@ class TemporalFrame:
         self._id_col = id_col
         self._mode = mode
         self._ascending = ascending
+        self._exempt_cols = exempt
         self._metadata: dict[str, Any] = dict(metadata or {})
 
         if sort:
@@ -168,10 +169,18 @@ class TemporalFrame:
         return self._with_df(df)
 
     def update_dataframe(self, df: DataFrame) -> None:
-        """Replace the underlying df, revalidating schema only (cheap/static)."""
-        exempt = tuple((self._id_col,) if self._id_col else ())
+        """Replace the underlying df, revalidating schema only (cheap/static).
+
+        Reference parity: temporal_data_loader.py update_dataframe re-runs
+        validation; ours re-checks the schema with the SAME exemptions the
+        frame was constructed with (id_col + exempt_cols), so an update with
+        the same shape as the original always passes. Empty frames are
+        rejected like at construction.
+        """
+        if validation.is_dataframe_empty(df):
+            raise ValueError("DataFrame cannot be empty")
         validation.validate_dataframe_schema(
-            df, self._time_col, self._target_col, exempt_cols=exempt
+            df, self._time_col, self._target_col, exempt_cols=self._exempt_cols
         )
         self._df = df
 

@@ -75,6 +75,60 @@ class TestTemporalFrameInit:
         times = [r["time"] for r in tf.df.select("time").collect()]
         assert times == sorted(times, reverse=True)
 
+    def test_id_col_type_param(self, spark):
+        df = make_ts_df(spark, n=5, k=1, time_numeric=True)
+        with pytest.raises(TypeError, match="`id_col` must be a string or None"):
+            TemporalFrame(df, time_col="time", target_col="target", id_col=3)
+
+    def test_multi_target_mode_accepts_array_target(self, spark):
+        """Reference TimeFrame accepts mode='multi_target'
+        (test_temporal_data_loader.py:76-80); in our engine the list-valued
+        target is the native tokens payload."""
+        df = make_ts_df(spark, n=5, k=1, time_numeric=True).withColumn(
+            "tokens", F.array(F.lit(1), F.lit(2))
+        )
+        tf = TemporalFrame(df, time_col="time", target_col="tokens", mode="multi_target")
+        assert tf.mode == "multi_target" and tf.target_col == "tokens"
+
+    def test_no_sort_keeps_plan_sortfree(self, spark):
+        """sort=False must not inject a global Sort node
+        (test_temporal_data_loader.py:88-96)."""
+        df = make_ts_df(spark, n=10, k=1, time_numeric=True)
+        tf = TemporalFrame(df, time_col="time", target_col="target", sort=False)
+        plan = tf.df._jdf.queryExecution().executedPlan().toString()
+        assert "Sort" not in plan
+
+
+class TestUpdateDataframe:
+    """Parity: test_temporal_data_loader.py:248-280 (update valid / invalid /
+    empty), plus exemption persistence across updates."""
+
+    def test_update_valid(self, spark):
+        df = make_ts_df(spark, n=10, k=1, time_numeric=True)
+        tf = TemporalFrame(df, time_col="time", target_col="target")
+        tf.update_dataframe(df.withColumn("feature_2", F.col("target") * 2))
+        assert "feature_2" in tf.df.columns
+
+    def test_update_invalid_schema(self, spark):
+        df = make_ts_df(spark, n=10, k=1, time_numeric=True)
+        tf = TemporalFrame(df, time_col="time", target_col="target")
+        with pytest.raises(DataFrameValidationError, match="does not exist"):
+            tf.update_dataframe(df.drop("target"))
+
+    def test_update_empty_rejected(self, spark):
+        df = make_ts_df(spark, n=10, k=1, time_numeric=True)
+        tf = TemporalFrame(df, time_col="time", target_col="target")
+        with pytest.raises(ValueError, match="DataFrame cannot be empty"):
+            tf.update_dataframe(df.filter(F.lit(False)))
+
+    def test_update_keeps_exemptions(self, spark):
+        """exempt_cols given at construction must survive update_dataframe —
+        an update with the original's shape always passes."""
+        df = make_ts_df(spark, n=5, k=1, time_numeric=True).withColumn("tag", F.lit("s"))
+        tf = TemporalFrame(df, time_col="time", target_col="target", exempt_cols=("tag",))
+        tf.update_dataframe(df.withColumn("target", F.col("target") + 1))
+        assert "tag" in tf.df.columns
+
 
 class TestTimeConversion:
     def test_numeric_conversion_us(self, spark):
