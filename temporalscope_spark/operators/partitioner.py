@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from temporalscope_spark.frame import TemporalFrame
 from temporalscope_spark.operators import partition_utils as pu
-from temporalscope_spark.plans.rownum import order_statistics, with_global_row_number
+from temporalscope_spark.plans.rownum import order_statistics
 
 _EPOCH = _dt.datetime(1970, 1, 1)
 
@@ -237,11 +237,25 @@ class SlidingWindowPartitioner:
             raise ValueError("with_bucket_labels requires stride == window_size")
         df = df if df is not None else self.tf.df
         time_col = self.tf.time_col
-        numbered = with_global_row_number(df, [time_col], "_rn")
-        window_size = self.metadata["window_size"]
         n_buckets = len(self.metadata["partitions"])
-        bucket = F.floor((F.col("_rn") - 1) / F.lit(window_size)).cast("int")
-        out = numbered.withColumn("bucket", bucket).filter(F.col("bucket") < n_buckets)
+
+        # Bucket membership from the FITTED window-end time values — fit
+        # already paid for the boundary order statistics, so labeling needs
+        # no second global row numbering (no quantile probe, no count pass,
+        # no window shuffle): bucket = #window-ends strictly below t, a
+        # narrow map against a tiny literal array. Identical to positional
+        # bucketing whenever boundary time values are unique (the V5
+        # temporal-uniqueness gate guarantees it), and consistent with
+        # ``transform``'s value-range semantics by construction.
+        from temporalscope_spark.plans.rownum import _numeric_order_expr
+
+        ends = [ _to_num(part["test"][1]) for part in self.metadata["partitions"] ]
+        t_num = _numeric_order_expr(df, time_col)
+        ends_arr = F.array(*[F.lit(float(x)) for x in ends])
+        bucket = F.aggregate(
+            ends_arr, F.lit(0), lambda acc, e: acc + (t_num > e).cast("int")
+        )
+        out = df.withColumn("bucket", bucket).filter(F.col("bucket") < n_buckets)
 
         # split label from the fitted time ranges, via a broadcast bounds table
         rows = []
@@ -282,5 +296,5 @@ class SlidingWindowPartitioner:
         return (
             out.withColumn("split", split)
             .filter(F.col("split").isNotNull())
-            .drop("_rn", "_lo", "_train_hi", "_test_hi", "_val_hi")
+            .drop("_lo", "_train_hi", "_test_hi", "_val_hi")
         )
