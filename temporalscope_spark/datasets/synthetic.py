@@ -47,6 +47,15 @@ def generate_synthetic_time_series(
     num_ids: int = 0,
 ) -> DataFrame:
     """S2 on Spark. ``num_ids > 0`` adds an ``id`` entity column (F2 shape)."""
+    # parameter contract (reference synthetic_data_generator.py:219-233,
+    # message-identical so the ported error tests match on regex)
+    if num_samples < 0 or num_features < 0:
+        raise ValueError("`num_samples` and `num_features` must be non-negative")
+    if not 0.0 <= null_percentage <= 1.0:
+        raise ValueError("null_percentage must be between 0.0 and 1.0")
+    if not 0.0 <= nan_percentage <= 1.0:
+        raise ValueError("nan_percentage must be between 0.0 and 1.0")
+
     df = spark.range(num_samples).withColumnRenamed("id", "_idx")
 
     cols = []
