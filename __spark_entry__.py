@@ -612,6 +612,20 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.round("value_ewma", 6).alias("value_ewma"))
 
 
+def q_purged_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged time-series CV: 5 equal-count folds over events, 30-min embargo
+    after each test range; per-fold train/test row counts + test bounds."""
+    from temporalscope_spark.operators.cv import purged_fold_summary
+
+    events = _t(spark, sf_dir, "events")
+    out = purged_fold_summary(events, "ts", n_folds=5, embargo_seconds=1800.0)
+    return out.select(
+        "fold", "train_rows", "test_rows",
+        F.round("test_lo", 6).alias("test_lo"),
+        F.round("test_hi", 6).alias("test_hi"),
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check (IVF probing); exactness at nprobe=C and recall at
     # partial probe are asserted in unit tests (test_rolling_ivf.py)
@@ -683,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_row": q_rolling_row,
         "ewma": q_ewma,
         "ivf_topk": q_ivf_topk,
+        "purged_cv": q_purged_cv,
     }
 
 
@@ -1101,5 +1116,29 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts
                              ROWS BETWEEN {_EWMA_K} PRECEDING AND CURRENT ROW)
             )
+        """,
+        # fold = ceil(rn*K/n)-1 is exactly the engine's NTILE-style edge
+        # formula edges[f] = floor(f*n/K): rn in (f*n/K, (f+1)*n/K]
+        "purged_cv": """
+            WITH r AS (
+                SELECT ts, ROW_NUMBER() OVER (ORDER BY ts) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM events
+            ),
+            fb AS (
+                SELECT CAST(ceil(rn * 5.0 / n) AS INT) - 1 AS fold,
+                       min(ts) AS lo, max(ts) AS hi
+                FROM r GROUP BY 1
+            )
+            SELECT fb.fold,
+                   CAST(sum(CASE WHEN e.ts < fb.lo
+                                   OR e.ts > fb.hi + INTERVAL 1800 SECOND
+                            THEN 1 ELSE 0 END) AS BIGINT) AS train_rows,
+                   CAST(sum(CASE WHEN e.ts >= fb.lo AND e.ts <= fb.hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS test_rows,
+                   round(epoch(min(fb.lo)), 6) AS test_lo,
+                   round(epoch(min(fb.hi)), 6) AS test_hi
+            FROM events e CROSS JOIN fb
+            GROUP BY fb.fold
         """,
     }
