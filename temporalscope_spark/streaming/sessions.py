@@ -172,3 +172,88 @@ def stream_stateful_lag(
     return stream.groupBy(id_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_stateful_ewma(
+    stream: DataFrame,
+    time_col: str,
+    id_col: str,
+    value_col: str,
+    halflife_rows: float,
+    out_col: str | None = None,
+):
+    """Custom stateful streaming operator: per-entity adjusted EWMA carried
+    across micro-batches in group state — the streaming analogue of
+    ``operators.rolling.ewma(include_current=True)``.
+
+    State per entity = the running (num, den) of the fold
+    ``(num, den) -> (num·a + x, den·a + 1)``; ewma = num/den. Inside a
+    micro-batch the recurrence is VECTORIZED (numpy prefix sums with the
+    ``a^j · cumsum(a^(-i) x_i)`` rebasing, chunked so ``a^(-i)`` can never
+    overflow), so Python iterates only over chunks, never rows. Ordering
+    contract matches ``stream_stateful_lag``: per-entity event-time order
+    across batches.
+
+    Output columns: id, time, value, ``out_col`` (default ``{value}_ewma``).
+    """
+    import numpy as np  # noqa: F401 (executors)
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a = 2.0 ** (-1.0 / float(halflife_rows))
+    # a^(-i) = 2^(i/halflife) must stay < ~1e300: chunk m so m/halflife < 996
+    chunk = max(1, min(512, int(float(halflife_rows) * 900)))
+    out_col = out_col or f"{value_col}_ewma"
+
+    t_field = next(f for f in stream.schema.fields if f.name == time_col)
+    if isinstance(t_field.dataType, T.TimestampNTZType):
+        stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+        t_type = T.TimestampType()
+    else:
+        t_type = t_field.dataType
+    v_type = next(f for f in stream.schema.fields if f.name == value_col).dataType
+    id_type = next(f for f in stream.schema.fields if f.name == id_col).dataType
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField(time_col, t_type),
+            T.StructField(value_col, v_type),
+            T.StructField(out_col, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("num", T.DoubleType()), T.StructField("den", T.DoubleType())]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        num, den = state.get if state.exists else (0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            x = pdf[value_col].to_numpy(dtype="float64")
+            out = np.empty_like(x)
+            for s in range(0, len(x), chunk):
+                xs = x[s : s + chunk]
+                j = np.arange(len(xs), dtype="float64")
+                inv = np.power(a, -j)          # bounded by chunking
+                fwd = np.power(a, j)
+                nums = fwd * np.cumsum(inv * xs) + num * np.power(a, j + 1)
+                dens = fwd * np.cumsum(inv) + den * np.power(a, j + 1)
+                out[s : s + len(xs)] = nums / dens
+                num, den = float(nums[-1]), float(dens[-1])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    time_col: pdf[time_col].values,
+                    value_col: pdf[value_col].values,
+                    out_col: out,
+                }
+            )
+        state.update((num, den))
+
+    return stream.groupBy(id_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -116,3 +116,28 @@ def test_stream_stateful_lag_matches_batch(spark, event_dir):
     assert a["cum_count"].tolist() == b["cum_count"].tolist()
     pa, pb = a["v_lag_1"].fillna(-1).tolist(), b["v_lag_1"].fillna(-1).tolist()
     assert pa == pb
+
+
+def test_stream_stateful_ewma_matches_batch(spark, event_dir):
+    """Batch/stream parity: the stateful streaming EWMA must equal the batch
+    fold (operators.rolling.ewma, include_current=True) to float precision."""
+    from temporalscope_spark.operators.rolling import ewma
+    from temporalscope_spark.streaming.sessions import stream_stateful_ewma
+
+    d, df = event_dir
+    streamed = replay_static_as_stream(
+        spark, d, df.schema,
+        lambda s: stream_stateful_ewma(s, "ts", "uid", "v", halflife_rows=3.0),
+        "ewma_out", output_mode="append",
+    ).toPandas().sort_values(["uid", "ts"]).reset_index(drop=True)
+
+    batch = (
+        ewma(df, "v", halflife_rows=3.0, time_col="ts", id_col="uid",
+             include_current=True)
+        .toPandas().sort_values(["uid", "ts"]).reset_index(drop=True)
+    )
+    import numpy as np
+
+    np.testing.assert_allclose(
+        streamed["v_ewma"].to_numpy(), batch["v_ewma"].to_numpy(), rtol=1e-9
+    )
