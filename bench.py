@@ -216,16 +216,18 @@ def main():
                 F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("s")
             ).collect()[0]["n"]
 
-        def best_of(cores, max_reps=5):
+        def best_of(cores, max_reps=7, min_reps=3):
             s = _new_spark(cores, f"scale{cores}")
             bucketed_pass(s)  # warm codegen + page cache
-            # noisy-neighbor CPU steal produces bursty 1.3-6x outliers; keep
-            # sampling until the two fastest agree within 12%, then trust min
+            # noisy-neighbor CPU steal produces bursty 1.3-6x outliers — and
+            # they can come in RUNS, so two agreeing samples are not enough
+            # (two slow ones agree too). Take at least min_reps, then stop
+            # only once the two fastest agree within 8%; trust the min.
             ts: list[float] = []
             for _ in range(max_reps):
                 ts.append(timed(bucketed_pass, s)[0])
                 best2 = sorted(ts)[:2]
-                if len(best2) == 2 and best2[1] <= best2[0] * 1.12:
+                if len(ts) >= min_reps and best2[1] <= best2[0] * 1.08:
                     break
             return min(ts)
 

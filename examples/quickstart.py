@@ -67,6 +67,23 @@ def main() -> None:
     padded = pad_token_arrays(tf.df, target_len=64)
     assert padded.select(F.min(F.size("tokens"))).first()[0] == 64
 
+    # 5b. rolling point-in-time features + EWMA (strictly-past, one exchange)
+    from temporalscope_spark.operators.rolling import ewma, rolling_features
+
+    feats = rolling_features(
+        tf.df, ["n_tok"], [3600, 86400], time_col="event_time", id_col="doc_id",
+        aggs=("count", "avg"),
+    )
+    feats = ewma(feats, "n_tok", halflife_rows=8.0, time_col="event_time",
+                 id_col="doc_id")
+    print("rolling feature columns:", [c for c in feats.columns if "_" in c][-5:])
+
+    # 5c. purged time-series CV with embargo (leakage-safe folds)
+    from temporalscope_spark.operators.cv import purged_fold_summary
+
+    purged_fold_summary(tf.df, "event_time", n_folds=4,
+                        embargo_seconds=3600.0).show()
+
     # 6. dataset-quality validation (one fused stats job)
     from temporalscope_spark.datasets.validator import DatasetValidator
 

@@ -114,10 +114,10 @@ def rolling_row_features(
     """Trailing row-count aggregates: a(c) over the previous ``n`` rows of the
     same entity (current row excluded — frame ``[-n, -1]``), time-ordered.
 
-    Column naming: ``{c}_{a}_last{n}``. Ties on the timestamp are broken by a
-    deterministic secondary order on the entity's columns only when the
-    temporal-ordering gate (duplicate timestamps rejected) is bypassed; with
-    the gate on, ordering is total per entity.
+    Column naming: ``{c}_{a}_last{n}``. ROWS frames are deterministic only
+    under a total per-entity order — run the V5 temporal-uniqueness gate
+    (``check_temporal_ordering``) first; duplicate timestamps would make the
+    frame contents partition-order-dependent.
     """
     if not value_cols or not lookback_rows:
         raise DataFrameValidationError("value_cols and lookback_rows must be non-empty")
