@@ -626,6 +626,46 @@ def q_purged_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid downsampling: per user, 6h buckets of value stats."""
+    from temporalscope_spark.operators.resample import resample
+
+    events = _t(spark, sf_dir, "events")
+    out = resample(
+        events, "ts", step_seconds=21600,
+        value_aggs={"value": ("count", "avg", "min", "max", "first", "last")},
+        id_col="user_id",
+    )
+    return out.select(
+        "user_id", "bucket_start", "n_rows", "value_count",
+        F.round("value_avg", 6).alias("value_avg"),
+        "value_min", "value_max", "value_first", "value_last",
+    )
+
+
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation over a deterministically nulled value col."""
+    from temporalscope_spark.operators.resample import interpolate_linear
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_id") % 7 == 3, F.lit(None)).otherwise(F.col("value"))
+    )
+    out = interpolate_linear(events, "ts", "v", id_col="user_id")
+    return out.select("event_id", "user_id", F.round("v_interp", 6).alias("v_interp"))
+
+
+def q_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc-level train/test assignment (md5-based, engine-
+    portable); per (user, split) row counts."""
+    from temporalscope_spark.operators.cv import entity_split
+
+    events = _t(spark, sf_dir, "events")
+    out = entity_split(events, "user_id", test_frac=0.3, seed=42)
+    return out.groupBy("user_id", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check (IVF probing); exactness at nprobe=C and recall at
     # partial probe are asserted in unit tests (test_rolling_ivf.py)
@@ -698,6 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "ivf_topk": q_ivf_topk,
         "purged_cv": q_purged_cv,
+        "resample": q_resample,
+        "interpolate": q_interpolate,
+        "entity_split": q_entity_split,
     }
 
 
@@ -1140,5 +1183,52 @@ def oracle_sql() -> dict[str, str]:
                    round(epoch(min(fb.hi)), 6) AS test_hi
             FROM events e CROSS JOIN fb
             GROUP BY fb.fold
+        """,
+        "resample": """
+            SELECT user_id,
+                   floor(epoch(ts) / 21600) * 21600.0 AS bucket_start,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(value) AS BIGINT) AS value_count,
+                   round(avg(value), 6) AS value_avg,
+                   min(value) AS value_min,
+                   max(value) AS value_max,
+                   arg_min(value, ts) AS value_first,
+                   arg_max(value, ts) AS value_last
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "interpolate": """
+            WITH base AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN event_id % 7 = 3 THEN NULL ELSE value END AS v
+                FROM events
+            ),
+            w AS (
+                SELECT event_id, user_id, epoch(ts) AS t, v,
+                       last_value(CASE WHEN v IS NOT NULL
+                                       THEN {'t': epoch(ts), 'v': v} END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+                       first_value(CASE WHEN v IS NOT NULL
+                                        THEN {'t': epoch(ts), 'v': v} END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n
+                FROM base
+            )
+            SELECT event_id, user_id,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN p IS NOT NULL AND n IS NOT NULL
+                              THEN p.v + (n.v - p.v) * (t - p.t) / (n.t - p.t)
+                         END, 6) AS v_interp
+            FROM w
+        """,
+        "entity_split": """
+            SELECT user_id,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#42'), 1, 8))
+                             AS BIGINT) / 4294967296.0 < 0.3
+                        THEN 'test' ELSE 'train' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM events
+            GROUP BY 1, 2
         """,
     }

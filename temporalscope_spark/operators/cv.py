@@ -158,3 +158,28 @@ def purged_time_series_splits(
                 | (t > _lit(df, time_col, _plus_seconds(hi, embargo_seconds)))
             ),
         }
+
+
+def entity_split(
+    df: DataFrame,
+    id_col: str,
+    test_frac: float,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic entity-level train/test assignment.
+
+    Every row of an entity lands on the SAME side (no temporal leakage
+    through shared entities across splits — the document-level split a
+    training corpus needs). Assignment = first 8 hex chars of
+    ``md5(id || '#' || seed)`` as a uniform 32-bit integer; test iff
+    ``u / 2^32 < test_frac``. md5 (not xxhash64) so the mapping is
+    bit-reproducible in ANY engine — the DuckDB oracle replays it exactly.
+    Pure map — no shuffle, no state, stable under repartitioning.
+    """
+    if not 0.0 <= test_frac <= 1.0:
+        raise DataFrameValidationError("test_frac must be between 0.0 and 1.0")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    is_test = (u.cast("double") / F.lit(float(2**32))) < F.lit(float(test_frac))
+    return df.withColumn(out_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
