@@ -666,6 +666,50 @@ def q_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_token_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + a deterministic cross-engine token array per row:
+    sequence(e%100, e%100 + e%5) — lengths 1..5, exact integer content, so
+    token-array EQUALITY is oracle-checkable without a tokens table."""
+    events = _t(spark, sf_dir, "events")
+    lo = F.col("event_id") % 100
+    return events.select(
+        "event_id", "user_id", "ts",
+        F.sequence(lo, lo + F.col("event_id") % 5).alias("tokens"),
+    )
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing per user (block = 32 tokens)."""
+    from temporalscope_spark.operators.packing import pack_concat_chunks
+
+    seqs = _synthetic_token_events(spark, sf_dir)
+    out = pack_concat_chunks(
+        seqs, block_tokens=32, id_col="user_id", order_col="ts"
+    )
+    return out.select(
+        "user_id", "block_id",
+        F.array_join("tokens", ",").alias("tokens"),
+        F.col("n_filled").cast("long").alias("n_filled"),
+    )
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: the greedy capacity-reset recurrence is not SQL-
+    # expressible; exact semantics asserted against a reference implementation
+    # in tests/test_packing.py
+    from temporalscope_spark.operators.packing import pack_greedy
+
+    seqs = _synthetic_token_events(spark, sf_dir).withColumn(
+        "tokens", F.transform("tokens", lambda x: x.cast("int"))
+    )
+    out = pack_greedy(seqs, bin_tokens=32, id_col="user_id", order_col="ts")
+    return out.select(
+        "user_id", "bin_id",
+        F.array_join("tokens", ",").alias("tokens"),
+        "n_seqs", "n_tok",
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check (IVF probing); exactness at nprobe=C and recall at
     # partial probe are asserted in unit tests (test_rolling_ivf.py)
@@ -741,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": q_resample,
         "interpolate": q_interpolate,
         "entity_split": q_entity_split,
+        "pack_chunks": q_pack_chunks,
+        "pack_greedy": q_pack_greedy,
     }
 
 
@@ -1230,5 +1276,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM events
             GROUP BY 1, 2
+        """,
+        "pack_chunks": """
+            WITH seqs AS (
+                SELECT user_id, ts,
+                       generate_series(event_id % 100,
+                                       event_id % 100 + event_id % 5) AS toks
+                FROM events
+            ),
+            off AS (
+                SELECT user_id, ts, toks,
+                       COALESCE(SUM(len(toks)) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS off0
+                FROM seqs
+            ),
+            tok AS (
+                SELECT user_id,
+                       unnest(toks) AS tk,
+                       off0 + unnest(generate_series(1, len(toks))) - 1 AS gpos
+                FROM off
+            )
+            SELECT user_id,
+                   CAST(floor(gpos / 32) AS BIGINT) AS block_id,
+                   array_to_string(list(tk ORDER BY gpos), ',') AS tokens,
+                   CAST(count(*) AS BIGINT) AS n_filled
+            FROM tok
+            GROUP BY 1, 2
+            HAVING count(*) = 32
         """,
     }

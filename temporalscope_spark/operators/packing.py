@@ -1,0 +1,152 @@
+"""Sequence packing over the canonical tokenized table
+(doc_id, event_time/seq_idx, tokens array<int32>, n_tok).
+
+The standard LLM training-data transformations the engine's payload exists
+for (BASELINE.json input_hint):
+
+  * ``pack_concat_chunks`` — GPT-style packing: concatenate each entity's
+    token arrays in sequence order and re-chunk into fixed-length blocks of
+    exactly ``block_tokens``; the trailing remainder is dropped (or padded).
+    Expression-only: per-row running token offsets from one window cumsum,
+    then ``posexplode`` + re-group by block id. Deterministic, so per-row
+    token-array EQUALITY is oracle-checkable.
+  * ``pack_greedy`` — whole-sequence packing: fill each bin with consecutive
+    sequences while the total stays ≤ ``bin_tokens`` (sequences never split;
+    over-long sequences get their own bin). The capacity-reset recurrence is
+    not expressible as a prefix sum, so this is the legitimate
+    ``applyInPandas`` case (SURVEY.md custom-operator ladder (b)) — one
+    Arrow-batched kernel per entity, numpy inside, no per-row Python at the
+    JVM boundary.
+
+Scale notes: concat-chunk explodes to one row per TOKEN between the cumsum
+and the re-group — exact but heavy (64x row inflation at n_tok=64); at
+10^12 tokens run it per pre-clustered partition via ``pack_greedy``-style
+kernels instead. The greedy packer shuffles each entity once (same hash
+partitioning every other per-entity operator uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    block_tokens: int,
+    id_col: str = "doc_id",
+    order_col: str = "seq_idx",
+    tokens_col: str = "tokens",
+    drop_remainder: bool = True,
+    pad_id: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk packing per entity.
+
+    Output: (id, block_id, tokens array<int> of length ``block_tokens``,
+    n_filled) — ``n_filled < block_tokens`` only on a kept remainder block
+    (``drop_remainder=False``, padded with ``pad_id``).
+    """
+    if block_tokens <= 0:
+        raise DataFrameValidationError("block_tokens must be > 0")
+
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    # running offset of this row's first token within the entity's stream
+    base = df.withColumn(
+        "_off0",
+        F.coalesce(
+            F.sum(F.size(F.col(tokens_col))).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    tok = base.select(
+        F.col(id_col),
+        F.col("_off0"),
+        F.posexplode(F.col(tokens_col)).alias("_pos", "_tok"),
+    ).select(
+        id_col,
+        ((F.col("_off0") + F.col("_pos")) / block_tokens).cast("long").alias("block_id"),
+        (F.col("_off0") + F.col("_pos")).alias("_gpos"),
+        "_tok",
+    )
+    packed = (
+        tok.groupBy(id_col, "block_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct(F.col("_gpos"), F.col("_tok")))).alias("_st"),
+        )
+        .select(
+            id_col,
+            "block_id",
+            F.transform("_st", lambda s: s["_tok"]).alias("tokens"),
+            F.size("_st").alias("n_filled"),
+        )
+    )
+    if drop_remainder:
+        return packed.filter(F.col("n_filled") == block_tokens)
+    pad = F.array_repeat(F.lit(pad_id).cast("int"), block_tokens - F.col("n_filled"))
+    return packed.withColumn(
+        "tokens",
+        F.when(F.col("n_filled") < block_tokens, F.concat(F.col("tokens"), pad)).otherwise(
+            F.col("tokens")
+        ),
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    bin_tokens: int,
+    id_col: str = "doc_id",
+    order_col: str = "seq_idx",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Greedy whole-sequence packing per entity (sequences never split).
+
+    Walk the entity's sequences in ``order_col`` order; start a new bin
+    whenever adding the next sequence would exceed ``bin_tokens`` (a sequence
+    longer than ``bin_tokens`` occupies a bin alone). Output one row per bin:
+    (id, bin_id, tokens concatenated, n_seqs, n_tok).
+
+    Implemented with ``applyInPandas`` — the capacity-reset recurrence is not
+    a prefix sum, so no pure-expression form exists; the kernel is a numpy
+    loop over SEQUENCES (not tokens) per entity.
+    """
+    if bin_tokens <= 0:
+        raise DataFrameValidationError("bin_tokens must be > 0")
+
+    out_schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_seqs", T.IntegerType()),
+            T.StructField("n_tok", T.IntegerType()),
+        ]
+    )
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col)
+        lens = pdf[tokens_col].map(len).to_numpy()
+        bins = np.empty(len(lens), dtype="int64")
+        b, fill = 0, 0
+        for i, ln in enumerate(lens):
+            if fill > 0 and fill + ln > bin_tokens:
+                b, fill = b + 1, 0
+            bins[i] = b
+            fill += ln
+        pdf = pdf.assign(_bin=bins)
+        rows = []
+        ident = pdf[id_col].iloc[0]
+        for bin_id, grp in pdf.groupby("_bin", sort=True):
+            toks = [int(t) for arr in grp[tokens_col] for t in arr]
+            rows.append((ident, int(bin_id), toks, len(grp), len(toks)))
+        return pd.DataFrame(rows, columns=[id_col, "bin_id", "tokens", "n_seqs", "n_tok"])
+
+    return df.select(id_col, order_col, tokens_col).groupBy(id_col).applyInPandas(
+        kernel, out_schema
+    )
