@@ -710,6 +710,18 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop training rows sharing any token
+    3-gram with the eval slice (users with user_id % 7 == 0)."""
+    from temporalscope_spark.operators.contamination import decontaminate
+
+    seqs = _synthetic_token_events(spark, sf_dir)
+    train = seqs.filter(F.col("user_id") % 7 != 0)
+    ev = seqs.filter(F.col("user_id") % 7 == 0)
+    clean = decontaminate(train, ev, n=3, id_col="event_id", key="string")
+    return clean.select("event_id", "user_id")
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check (IVF probing); exactness at nprobe=C and recall at
     # partial probe are asserted in unit tests (test_rolling_ivf.py)
@@ -787,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_split": q_entity_split,
         "pack_chunks": q_pack_chunks,
         "pack_greedy": q_pack_greedy,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1305,5 +1318,27 @@ def oracle_sql() -> dict[str, str]:
             FROM tok
             GROUP BY 1, 2
             HAVING count(*) = 32
+        """,
+        "decontaminate": """
+            WITH seqs AS (
+                SELECT event_id, user_id,
+                       generate_series(event_id % 100,
+                                       event_id % 100 + event_id % 5) AS toks
+                FROM events
+            ),
+            tr AS (SELECT * FROM seqs WHERE user_id % 7 <> 0),
+            ev AS (SELECT * FROM seqs WHERE user_id % 7 = 0),
+            tg AS (
+                SELECT DISTINCT event_id,
+                       array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2), ',') AS g
+                FROM tr, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+            ),
+            eg AS (
+                SELECT DISTINCT
+                       array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2), ',') AS g
+                FROM ev, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+            )
+            SELECT event_id, user_id FROM tr
+            WHERE event_id NOT IN (SELECT DISTINCT event_id FROM tg JOIN eg USING (g))
         """,
     }
