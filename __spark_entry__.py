@@ -722,6 +722,28 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("event_id", "user_id")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing primitive: keep 100% of purchases, 20% of clicks, drop
+    the rest — deterministic md5 membership, partition-invariant."""
+    from temporalscope_spark.operators.sampling import stratified_sample
+
+    events = _t(spark, sf_dir, "events")
+    out = stratified_sample(
+        events, "event_type", {"purchase": 1.0, "click": 0.2},
+        key_col="event_id", seed=3, portable=True,
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event type (deterministic tie-break)."""
+    from temporalscope_spark.operators.sampling import top_k_per_group
+
+    events = _t(spark, sf_dir, "events")
+    out = top_k_per_group(events, ["event_type"], "value", k=3, tie_break="event_id")
+    return out.select("event_type", "rank", "event_id", "value")
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check (IVF probing); exactness at nprobe=C and recall at
     # partial probe are asserted in unit tests (test_rolling_ivf.py)
@@ -800,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "pack_greedy": q_pack_greedy,
         "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "topk_per_group": q_topk_per_group,
     }
 
 
@@ -1340,5 +1364,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, user_id FROM tr
             WHERE event_id NOT IN (SELECT DISTINCT event_id FROM tg JOIN eg USING (g))
+        """,
+        "stratified_sample": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#3'), 1, 8))
+                       AS BIGINT) / 4294967296.0 <
+                  CASE event_type WHEN 'purchase' THEN 1.0
+                                  WHEN 'click' THEN 0.2 ELSE 0.0 END
+        """,
+        "topk_per_group": """
+            SELECT event_type, rank, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                               ORDER BY value DESC, event_id) AS INT) AS rank
+                FROM events
+            ) WHERE rank <= 3
         """,
     }

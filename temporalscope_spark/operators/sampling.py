@@ -1,0 +1,94 @@
+"""Deterministic sampling and per-group top-k for corpus curation.
+
+Spark's ``df.sample``/``sampleBy`` draw from a partition-dependent RNG
+stream — rerunning on a repartitioned table samples DIFFERENT rows, which
+breaks resumable pipelines and cross-engine verification. These operators
+derive membership from a content hash instead: pure map, partition-
+invariant, replayable in any engine (md5 variant).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+
+
+def _uniform01(key_col: str, seed: int, portable: bool):
+    """Deterministic U[0,1) from a row key. ``portable=True`` = md5 (bit-
+    reproducible in any SQL engine); else xxhash64 (faster, JVM)."""
+    if portable:
+        h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long").cast("double") / F.lit(
+            float(2**32)
+        )
+    h = F.xxhash64(F.col(key_col), F.lit(seed))
+    return F.pmod(h, F.lit(2**52)).cast("double") / F.lit(float(2**52))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Keep rows whose hash-uniform < fraction. Same input row → same
+    decision, regardless of partitioning, session, or engine."""
+    if not 0.0 <= fraction <= 1.0:
+        raise DataFrameValidationError("fraction must be between 0.0 and 1.0")
+    return df.filter(_uniform01(key_col, seed, portable) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the corpus-mixing primitive:
+    'keep 100% of books, 10% of web'). Unlisted strata get
+    ``default_fraction``. One narrow map — no shuffle, no RNG state."""
+    for k, v in fractions.items():
+        if not 0.0 <= float(v) <= 1.0:
+            raise DataFrameValidationError(f"fraction for stratum '{k}' must be in [0, 1]")
+    frac = F.lit(float(default_fraction))
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(frac)
+    return df.filter(_uniform01(key_col, seed, portable) < frac)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_break: str | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """k best rows per group by ``order_col`` (e.g. top-k docs by quality per
+    source) — ``row_number`` over a per-group window + filter.
+
+    Deterministic when ``tie_break`` (a unique column) is given. Spark plans
+    this as a partial top-k inside each shuffle partition when k is small
+    (WindowGroupLimit pushes the limit below the exchange) — no full
+    per-group sort materialization.
+    """
+    if k < 1:
+        raise DataFrameValidationError("k must be >= 1")
+    order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
