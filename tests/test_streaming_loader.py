@@ -141,3 +141,53 @@ def test_stream_stateful_ewma_matches_batch(spark, event_dir):
     np.testing.assert_allclose(
         streamed["v_ewma"].to_numpy(), batch["v_ewma"].to_numpy(), rtol=1e-9
     )
+
+
+def test_stream_ewma_state_survives_restart(spark, tmp_path):
+    """State recovery: run the stateful EWMA over batch 1 with a checkpoint
+    dir, stop, append batch 2, restart with the SAME checkpoint — the carry
+    (num, den) must resume, producing exactly the single-run EWMA."""
+    import datetime as dt
+
+    from temporalscope_spark.operators.rolling import ewma
+    from temporalscope_spark.streaming.sessions import stream_stateful_ewma
+
+    base = dt.datetime(2024, 1, 1)
+    rows1 = [("u0", base + dt.timedelta(minutes=i), float(i)) for i in range(10)]
+    rows2 = [("u0", base + dt.timedelta(minutes=10 + i), float(10 + i)) for i in range(10)]
+    schema = "uid string, ts timestamp, v double"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        # file sink (memory sink does not support checkpoint recovery)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        out = stream_stateful_ewma(stream, "ts", "uid", "v", halflife_rows=3.0)
+        q = (
+            out.writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).toPandas()
+
+    first = run_once()
+    assert len(first) == 10
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    both = run_once()  # same checkpoint: only NEW rows processed, resumed state
+    assert len(both) == 20
+
+    import numpy as np
+
+    got = both.sort_values("ts").reset_index(drop=True)["v_ewma"].to_numpy()
+    batch = (
+        ewma(
+            spark.createDataFrame(rows1 + rows2, schema), "v",
+            halflife_rows=3.0, time_col="ts", id_col="uid",
+        ).toPandas().sort_values("ts").reset_index(drop=True)["v_ewma"].to_numpy()
+    )
+    np.testing.assert_allclose(got, batch, rtol=1e-9)
