@@ -744,6 +744,33 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "rank", "event_id", "value")
 
 
+def q_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding (cumulative strictly-past) aggregates per user."""
+    from temporalscope_spark.operators.rolling import expanding_features
+
+    events = _t(spark, sf_dir, "events")
+    out = expanding_features(
+        events, ["value"], time_col="ts", id_col="user_id", aggs=("count", "avg")
+    )
+    return out.select(
+        "event_id", "user_id", "value_count_expanding",
+        F.round("value_avg_expanding", 6).alias("value_avg_expanding"),
+    )
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal target encoding: event_type encoded as the mean
+    of strictly-earlier values of the same type."""
+    from temporalscope_spark.operators.rolling import target_encode_expanding
+
+    events = _t(spark, sf_dir, "events")
+    out = target_encode_expanding(events, "event_type", "value", time_col="ts")
+    return out.select(
+        "event_id", "event_type",
+        F.round("event_type_te", 6).alias("event_type_te"),
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check (IVF probing); exactness at nprobe=C and recall at
     # partial probe are asserted in unit tests (test_rolling_ivf.py)
@@ -824,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "topk_per_group": q_topk_per_group,
+        "expanding": q_expanding,
+        "target_encode": q_target_encode,
     }
 
 
@@ -1379,5 +1408,20 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY value DESC, event_id) AS INT) AS rank
                 FROM events
             ) WHERE rank <= 3
+        """,
+        "expanding": """
+            SELECT event_id, user_id,
+                   CAST(count(value) OVER w AS BIGINT) AS value_count_expanding,
+                   round(avg(value) OVER w, 6) AS value_avg_expanding
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        "target_encode": """
+            SELECT event_id, event_type,
+                   round(avg(value) OVER w, 6) AS event_type_te
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         """,
     }

@@ -194,3 +194,84 @@ def ewma(
     )
     val = F.when(folded["den"] > 0, folded["num"] / folded["den"])
     return out.withColumn(out_col, val).drop("__t")
+
+
+def expanding_features(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    time_col: str = "event_time",
+    id_col: str | None = "doc_id",
+    aggs: Sequence[str] = ("count", "avg"),
+    include_current: bool = False,
+) -> DataFrame:
+    """Expanding (cumulative since entity start) aggregates, strictly past.
+
+    ``{c}_{a}_expanding`` = a(c) over ALL prior rows of the entity
+    (``[-inf, -1]``; ``include_current=True`` closes to the current row).
+    Same one-exchange plan shape as :func:`rolling_features` — expanding
+    frames are the w→∞ special case and share the window partitioning.
+    """
+    if not value_cols:
+        raise DataFrameValidationError("value_cols must be non-empty")
+    bad = [a for a in aggs if a not in _AGG_FNS]
+    if bad:
+        raise DataFrameValidationError(
+            f"Unsupported aggs {bad}; supported: {sorted(_AGG_FNS)}"
+        )
+    t = _time_micros(df, time_col)
+    out = df.withColumn("__t", t)
+    base = Window.orderBy("__t")
+    if id_col is not None:
+        base = base.partitionBy(id_col)
+    frame = base.rowsBetween(Window.unboundedPreceding, 0 if include_current else -1)
+    cols = [
+        _AGG_FNS[a](F.col(c)).over(frame).alias(f"{c}_{a}_expanding")
+        for c in value_cols
+        for a in aggs
+    ]
+    return out.select("*", *cols).drop("__t")
+
+
+def target_encode_expanding(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    time_col: str = "event_time",
+    out_col: str | None = None,
+    prior: float | None = None,
+    smoothing: float = 0.0,
+) -> DataFrame:
+    """Leakage-safe temporal target encoding: each row's category is encoded
+    as the mean of STRICTLY EARLIER targets of the same category.
+
+    The classic target-encoding leak (a row's own target influencing its
+    encoding) is structurally impossible here: the frame is
+    ``[-inf, -1]`` over time order within the category. With ``smoothing``
+    m > 0 the encoding shrinks toward ``prior`` (default: global mean of
+    strictly-nothing — pass an explicit prior at scale; computing the global
+    mean here would add a job): ``(sum + m·prior) / (count + m)``. Rows with
+    no history encode as ``prior`` (or NULL without one).
+
+    One exchange on the category key — the same shape as any per-entity
+    window; skewed categories behave like skewed entities (salt upstream or
+    pre-cluster by category).
+    """
+    out_col = out_col or f"{category_col}_te"
+    t = _time_micros(df, time_col)
+    out = df.withColumn("__t", t)
+    w = Window.partitionBy(category_col).orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    s = F.sum(F.col(target_col).cast("double")).over(w)
+    n = F.count(F.col(target_col)).over(w)
+    if smoothing > 0:
+        if prior is None:
+            raise DataFrameValidationError("smoothing > 0 requires an explicit prior")
+        enc = (F.coalesce(s, F.lit(0.0)) + F.lit(smoothing * prior)) / (
+            n + F.lit(float(smoothing))
+        )
+    else:
+        enc = s / n  # NULL when no history
+        if prior is not None:
+            enc = F.coalesce(enc, F.lit(float(prior)))
+    return out.withColumn(out_col, enc).drop("__t")

@@ -239,3 +239,76 @@ class TestIVF:
             r.vec_id for r in ivf_topk(emb, qvec, cents, k=5, nprobe=3).collect()
         )
         assert len(exact & approx) >= 3  # recall >= 0.6 with 3/8 cells probed
+
+
+class TestExpandingFeatures:
+    def test_matches_bruteforce(self, ts_df):
+        from temporalscope_spark.operators.rolling import expanding_features
+
+        got = (
+            expanding_features(ts_df, ["value"], time_col="t", id_col="user_id",
+                               aggs=("count", "avg"))
+            .toPandas().sort_values(["user_id", "t"]).reset_index(drop=True)
+        )
+        pdf = ts_df.toPandas().sort_values(["user_id", "t"]).reset_index(drop=True)
+        want_cnt = pdf.groupby("user_id").cumcount()  # strictly-past count
+        want_avg = (
+            pdf.groupby("user_id")["value"]
+            .apply(lambda s: s.expanding().mean().shift(1))
+            .reset_index(drop=True)
+        )
+        np.testing.assert_allclose(got["value_count_expanding"], want_cnt)
+        mask = ~want_avg.isna()
+        np.testing.assert_allclose(
+            got["value_avg_expanding"].astype(float)[mask], want_avg[mask], atol=1e-9
+        )
+
+
+class TestTargetEncoding:
+    def test_strictly_past_mean_per_category(self, spark):
+        from temporalscope_spark.operators.rolling import target_encode_expanding
+
+        rows = [
+            ("a", 1, 10.0), ("b", 2, 100.0), ("a", 3, 20.0),
+            ("a", 4, 30.0), ("b", 5, 200.0),
+        ]
+        df = spark.createDataFrame(rows, "cat string, t long, y double")
+        got = {r["t"]: r["cat_te"] for r in
+               target_encode_expanding(df, "cat", "y", time_col="t").collect()}
+        assert got[1] is None and got[2] is None          # no history
+        assert got[3] == 10.0                              # mean of past a
+        assert abs(got[4] - 15.0) < 1e-9                   # (10+20)/2
+        assert got[5] == 100.0
+
+    def test_smoothing_shrinks_to_prior(self, spark):
+        from temporalscope_spark.operators.rolling import target_encode_expanding
+
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 10.0)], "cat string, t long, y double"
+        )
+        got = {r["t"]: r["cat_te"] for r in
+               target_encode_expanding(df, "cat", "y", time_col="t",
+                                       prior=0.0, smoothing=1.0).collect()}
+        assert got[1] == 0.0                     # pure prior, no history
+        assert abs(got[2] - 5.0) < 1e-9          # (10 + 1*0)/(1+1)
+
+    def test_own_target_never_leaks(self, spark):
+        """Perturbing a row's own target must not change its encoding."""
+        from temporalscope_spark.operators.rolling import target_encode_expanding
+
+        base = spark.createDataFrame(
+            [("a", i, float(i)) for i in range(20)], "cat string, t long, y double"
+        )
+        pert = base.withColumn(
+            "y", F.when(F.col("t") == 10, F.lit(1e9)).otherwise(F.col("y"))
+        )
+        a = target_encode_expanding(base, "cat", "y", time_col="t").filter("t = 10").first()["cat_te"]
+        b = target_encode_expanding(pert, "cat", "y", time_col="t").filter("t = 10").first()["cat_te"]
+        assert a == b
+
+    def test_smoothing_requires_prior(self, spark):
+        from temporalscope_spark.operators.rolling import target_encode_expanding
+
+        df = spark.createDataFrame([("a", 1, 1.0)], "cat string, t long, y double")
+        with pytest.raises(DataFrameValidationError, match="requires an explicit prior"):
+            target_encode_expanding(df, "cat", "y", time_col="t", smoothing=1.0)
