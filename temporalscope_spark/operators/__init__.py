@@ -1,0 +1,94 @@
+"""Operator surface — flat re-exports for ergonomic imports.
+
+``from temporalscope_spark.operators import shift_target, asof_join, ...``
+Every name is also importable from its home module; this is convenience
+only, no logic.
+"""
+
+from temporalscope_spark.operators.asof import (
+    asof_join,
+    backward_fill,
+    forward_fill,
+    range_join,
+)
+from temporalscope_spark.operators.contamination import (
+    contaminated_ids,
+    decontaminate,
+    token_ngrams,
+)
+from temporalscope_spark.operators.cv import (
+    entity_split,
+    fit_fold_bounds,
+    purged_fold_summary,
+    purged_time_series_splits,
+)
+from temporalscope_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from temporalscope_spark.operators.packing import pack_concat_chunks, pack_greedy
+from temporalscope_spark.operators.padding import (
+    mean_fill_pad,
+    pad_groups_mean_fill,
+    pad_token_arrays,
+)
+from temporalscope_spark.operators.partitioner import SlidingWindowPartitioner
+from temporalscope_spark.operators.resample import interpolate_linear, resample
+from temporalscope_spark.operators.rolling import (
+    ewma,
+    expanding_features,
+    rolling_features,
+    rolling_row_features,
+    target_encode_expanding,
+)
+from temporalscope_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+    top_k_per_group,
+)
+from temporalscope_spark.operators.sessionize import (
+    session_bounds,
+    sessionize,
+    sessionize_builtin,
+)
+from temporalscope_spark.operators.shift import (
+    TargetShifter,
+    lag_features,
+    multi_step_targets,
+    shift_target,
+    shift_target_chunked,
+)
+from temporalscope_spark.operators.similarity import (
+    ann_topk,
+    cosine_self_join_pairs,
+    cosine_topk,
+    ivf_centroids,
+    ivf_topk,
+    with_ivf_cell,
+    with_lsh_bucket,
+)
+
+__all__ = [
+    "asof_join", "backward_fill", "forward_fill", "range_join",
+    "contaminated_ids", "decontaminate", "token_ngrams",
+    "entity_split", "fit_fold_bounds", "purged_fold_summary",
+    "purged_time_series_splits",
+    "dedup_exact", "minhash_lsh_pairs", "minhash_signatures",
+    "ngram_jaccard_pairs", "simhash", "simhash_near_pairs",
+    "pack_concat_chunks", "pack_greedy",
+    "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",
+    "SlidingWindowPartitioner",
+    "interpolate_linear", "resample",
+    "ewma", "expanding_features", "rolling_features", "rolling_row_features",
+    "target_encode_expanding",
+    "deterministic_sample", "stratified_sample", "top_k_per_group",
+    "session_bounds", "sessionize", "sessionize_builtin",
+    "TargetShifter", "lag_features", "multi_step_targets", "shift_target",
+    "shift_target_chunked",
+    "ann_topk", "cosine_self_join_pairs", "cosine_topk", "ivf_centroids",
+    "ivf_topk", "with_ivf_cell", "with_lsh_bucket",
+]
