@@ -126,3 +126,49 @@ def test_shift_drops_exactly_n_lags_rows_per_entity(spark, n, n_lags):
         != F.col("uid") * 10 + F.col("t") + F.lit(n_lags)
     )
     assert bad.isEmpty()
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 16])
+def test_rolling_features_partition_invariant(tok, nparts):
+    from temporalscope_spark.operators.rolling import rolling_features
+
+    out = rolling_features(
+        tok.repartition(nparts), ["n_tok"], [3600], time_col="event_time",
+        id_col="doc_id", aggs=("count", "sum"),
+    )
+    rows = sorted(
+        (r["doc_id"], r["event_time"], r["n_tok_count_3600s"], r["n_tok_sum_3600s"])
+        for r in out.select(
+            "doc_id", "event_time", "n_tok_count_3600s", "n_tok_sum_3600s"
+        ).collect()
+    )
+    base = getattr(test_rolling_features_partition_invariant, "_base", None)
+    if base is None:
+        test_rolling_features_partition_invariant._base = rows
+    else:
+        assert rows == base
+
+
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=20),
+    block=st.integers(min_value=2, max_value=16),
+)
+@hsettings
+def test_pack_chunks_preserves_stream(spark, lens, block):
+    """Property: concat-and-chunk output, re-concatenated in block order, is
+    exactly the input token stream truncated to a block multiple."""
+    from temporalscope_spark.operators.packing import pack_concat_chunks
+
+    rows = []
+    tok_stream = []
+    pos = 0
+    for i, ln in enumerate(lens):
+        toks = [pos + j for j in range(ln)]
+        pos += ln
+        tok_stream.extend(toks)
+        rows.append(("d", i, toks))
+    df = spark.createDataFrame(rows, "doc_id string, seq_idx int, tokens array<int>")
+    out = pack_concat_chunks(df, block_tokens=block).toPandas().sort_values("block_id")
+    got = [t for arr in out["tokens"] for t in arr]
+    keep = (len(tok_stream) // block) * block
+    assert got == tok_stream[:keep]
