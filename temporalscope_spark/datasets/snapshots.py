@@ -1,0 +1,144 @@
+"""SnapshotTable — Iceberg-style versioned table over plain parquet.
+
+The north rule operates "over Iceberg snapshots" (BASELINE.json); no Iceberg
+runtime jar ships in this sandbox, so this provides the same snapshot
+CONTRACT with parquet + JSON manifests (the fallback SURVEY.md §7 step 1
+records):
+
+  * every commit (append / overwrite) writes its data files into a fresh
+    immutable directory and then publishes a manifest ``v{n}.json`` listing
+    the snapshot's COMPLETE file set — readers never list the data directory;
+  * manifest publication is atomic (tmp + rename); a torn write can lose a
+    commit but never corrupt one — exactly Iceberg's visibility rule;
+  * ``read(spark, snapshot_id=k)`` is time travel: it plans a scan over
+    exactly v_k's files, immune to later commits;
+  * ``rollback(k)`` publishes a new manifest with v_k's file set (history is
+    never rewritten — rollback is itself a commit, like Iceberg);
+  * each manifest carries lineage: parent id, operation, row/file counts,
+    and a content fingerprint — the "snapshot id" the engine's checkpoint
+    store (checkpoint.py) and bucket manifests reference.
+
+At 100 TB the only state on the hot path is the manifest JSON (KBs); data
+file listings never hit the object store's slow LIST operation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    """Versioned parquet table rooted at ``path`` (created lazily)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._manifest_dir = os.path.join(path, "manifests")
+        self._data_dir = os.path.join(path, "data")
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        os.makedirs(self._data_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- manifests
+    def _versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self._manifest_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    out.append(int(f[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _load(self, version: int) -> dict:
+        with open(os.path.join(self._manifest_dir, f"v{version}.json")) as fh:
+            return json.load(fh)
+
+    def _publish(self, manifest: dict) -> int:
+        version = (self._versions()[-1] + 1) if self._versions() else 1
+        manifest["version"] = version
+        name = f"v{version}.json"
+        tmp = os.path.join(self._manifest_dir, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self._manifest_dir, name))
+        return version
+
+    def snapshots(self) -> list[dict]:
+        """Full lineage log, oldest first."""
+        return [self._load(v) for v in self._versions()]
+
+    def current_version(self) -> Optional[int]:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    # ----------------------------------------------------------------- write
+    def write(self, df: DataFrame, mode: str = "append") -> int:
+        """Commit ``df`` as a new snapshot; returns the new version number.
+
+        ``mode='append'``: new snapshot = parent's files + this commit's
+        files. ``mode='overwrite'``: new snapshot = this commit's files only
+        (old data files stay on disk — old snapshots remain readable).
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError("mode must be 'append' or 'overwrite'")
+        parent = self.current_version()
+        commit_dir = os.path.join(
+            self._data_dir, f"commit-{parent or 0}-{int(time.time() * 1e6)}"
+        )
+        df.write.mode("error").parquet(commit_dir)
+        new_files = sorted(
+            os.path.join(commit_dir, f)
+            for f in os.listdir(commit_dir)
+            if f.endswith(".parquet")
+        )
+        files = list(new_files)
+        if mode == "append" and parent is not None:
+            files = self._load(parent)["files"] + files
+        fingerprint = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()[:16]
+        return self._publish(
+            {
+                "parent": parent,
+                "operation": mode,
+                "files": files,
+                "n_files": len(files),
+                "snapshot_id": f"snap-{fingerprint}",
+                "committed_at": time.time(),
+            }
+        )
+
+    def rollback(self, version: int) -> int:
+        """Publish a NEW snapshot with an old version's exact file set
+        (history preserved; Iceberg rollback semantics)."""
+        old = self._load(version)
+        return self._publish(
+            {
+                "parent": self.current_version(),
+                "operation": f"rollback-to-v{version}",
+                "files": old["files"],
+                "n_files": old["n_files"],
+                "snapshot_id": old["snapshot_id"],
+                "committed_at": time.time(),
+            }
+        )
+
+    # ------------------------------------------------------------------ read
+    def read(self, spark: SparkSession, version: Optional[int] = None) -> DataFrame:
+        """Scan exactly one snapshot's file set (latest if unspecified)."""
+        version = version if version is not None else self.current_version()
+        if version is None:
+            raise ValueError("table has no snapshots yet")
+        files = self._load(version)["files"]
+        if not files:
+            raise ValueError(f"snapshot v{version} is empty")
+        return spark.read.parquet(*files)
+
+    def snapshot_id(self, version: Optional[int] = None) -> str:
+        version = version if version is not None else self.current_version()
+        return self._load(version)["snapshot_id"]

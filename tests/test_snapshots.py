@@ -1,0 +1,80 @@
+"""SnapshotTable: commit isolation, time travel, rollback, lineage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporalscope_spark.datasets.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return SnapshotTable(str(tmp_path / "tbl"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("x"))
+
+
+class TestSnapshots:
+    def test_append_and_time_travel(self, spark, table):
+        v1 = table.write(_df(spark, 0, 10))
+        v2 = table.write(_df(spark, 10, 25))
+        assert (v1, v2) == (1, 2)
+        assert table.read(spark, 1).count() == 10
+        assert table.read(spark, 2).count() == 25
+        assert table.read(spark).count() == 25  # latest
+
+    def test_old_snapshot_immune_to_later_commits(self, spark, table):
+        table.write(_df(spark, 0, 10))
+        before = sorted(r["id"] for r in table.read(spark, 1).collect())
+        table.write(_df(spark, 100, 200))
+        table.write(_df(spark, 0, 1), mode="overwrite")
+        after = sorted(r["id"] for r in table.read(spark, 1).collect())
+        assert before == after == list(range(10))
+
+    def test_overwrite_replaces_visible_set_keeps_history(self, spark, table):
+        table.write(_df(spark, 0, 10))
+        v2 = table.write(_df(spark, 50, 55), mode="overwrite")
+        assert table.read(spark, v2).count() == 5
+        assert table.read(spark, 1).count() == 10  # history intact
+
+    def test_rollback_is_a_new_commit(self, spark, table):
+        table.write(_df(spark, 0, 10))
+        table.write(_df(spark, 10, 30))
+        v3 = table.rollback(1)
+        assert v3 == 3
+        assert table.read(spark).count() == 10           # current = v1 contents
+        assert table.read(spark, 2).count() == 30        # history preserved
+        assert table.snapshot_id(3) == table.snapshot_id(1)  # same content id
+
+    def test_lineage_log(self, spark, table):
+        table.write(_df(spark, 0, 10))
+        table.write(_df(spark, 10, 20))
+        snaps = table.snapshots()
+        assert [s["version"] for s in snaps] == [1, 2]
+        assert snaps[1]["parent"] == 1 and snaps[0]["parent"] is None
+        assert snaps[0]["operation"] == "append"
+        assert snaps[0]["snapshot_id"].startswith("snap-")
+
+    def test_read_empty_table_raises(self, spark, table):
+        with pytest.raises(ValueError, match="no snapshots"):
+            table.read(spark)
+
+    def test_bad_mode(self, spark, table):
+        with pytest.raises(ValueError, match="mode must be"):
+            table.write(_df(spark, 0, 1), mode="merge")
+
+    def test_snapshot_id_feeds_checkpoint_guard(self, spark, table, tmp_path):
+        """Integration: the table's snapshot id keys the checkpoint store —
+        a new snapshot invalidates old bucket manifests."""
+        from temporalscope_spark.checkpoint import CheckpointStore
+
+        table.write(_df(spark, 0, 10))
+        ck = CheckpointStore(str(tmp_path / "ck"), snapshot_id=table.snapshot_id())
+        ck.record_bucket(0, row_count=10)
+        assert ck.completed_buckets() == {0}
+        table.write(_df(spark, 10, 20))  # new snapshot
+        ck2 = CheckpointStore(str(tmp_path / "ck"), snapshot_id=table.snapshot_id())
+        assert ck2.completed_buckets() == set()  # invalidated
