@@ -236,3 +236,54 @@ def main(argv: list[str] | None = None) -> None:
 
 if __name__ == "__main__":
     main()
+
+def run_pipeline_on_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    version: int | None = None,
+    num_buckets: int = 8,
+    n_lags: int = 2,
+    pad_to: int = 64,
+) -> dict:
+    """Resumable feature pass over a :class:`SnapshotTable` snapshot.
+
+    The snapshot's content id keys the checkpoint store, which gives the
+    exact Iceberg-consistency story the north rule describes: resuming
+    against the SAME snapshot skips completed buckets; a NEW snapshot
+    (append/overwrite since the last run) invalidates stale manifests and
+    reprocesses — never a silent mix of two table versions.
+    """
+    from temporalscope_spark.datasets.snapshots import SnapshotTable
+
+    table = SnapshotTable(table_path)
+    version = version if version is not None else table.current_version()
+    df = table.read(spark, version)
+    store = CheckpointStore(checkpoint_path, snapshot_id=table.snapshot_id(version))
+    buckets = time_buckets(df, "event_time", num_buckets)
+    done = store.completed_buckets()
+    stats = {"processed": 0, "skipped": 0, "snapshot_version": version}
+    tcol = F.unix_micros(F.col("event_time").cast("timestamp"))
+    for bucket_id, lo, hi in buckets:
+        if bucket_id in done:
+            stats["skipped"] += 1
+            continue
+        t0 = time.monotonic()
+        part = df
+        if lo is not None:
+            part = part.filter(tcol >= F.lit(lo))
+        if hi is not None:
+            part = part.filter(tcol < F.lit(hi))
+        feats = build_features(part, n_lags=n_lags, pad_to=pad_to)
+        out_dir = os.path.join(output_path, f"bucket={bucket_id}")
+        feats.write.mode("overwrite").parquet(out_dir)
+        n = spark.read.parquet(out_dir).count()
+        store.record_bucket(
+            bucket_id,
+            bounds=(lo, hi),
+            row_count=n,
+            metrics={"duration_sec": round(time.monotonic() - t0, 3)},
+        )
+        stats["processed"] += 1
+    return stats

@@ -78,3 +78,31 @@ class TestSnapshots:
         table.write(_df(spark, 10, 20))  # new snapshot
         ck2 = CheckpointStore(str(tmp_path / "ck"), snapshot_id=table.snapshot_id())
         assert ck2.completed_buckets() == set()  # invalidated
+
+
+class TestSnapshotPipeline:
+    def test_resume_same_snapshot_reprocess_new_snapshot(self, spark, tmp_path):
+        from temporalscope_spark.datasets.synthetic import generate_tokenized_sequences
+        from temporalscope_spark.pipelines.feature_pass import run_pipeline_on_snapshot
+
+        table = SnapshotTable(str(tmp_path / "tbl"))
+        tok = generate_tokenized_sequences(spark, num_rows=2000, num_docs=20)
+        table.write(tok)
+
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        s1 = run_pipeline_on_snapshot(spark, str(tmp_path / "tbl"), out, ck, num_buckets=4)
+        assert s1["processed"] == 4 and s1["snapshot_version"] == 1
+        # same snapshot -> pure resume
+        s2 = run_pipeline_on_snapshot(spark, str(tmp_path / "tbl"), out, ck, num_buckets=4)
+        assert s2 == {"processed": 0, "skipped": 4, "snapshot_version": 1}
+        # append -> new snapshot -> checkpoint invalidated, full reprocess
+        table.write(generate_tokenized_sequences(spark, num_rows=500, num_docs=20,
+                                                 random_seed=7))
+        s3 = run_pipeline_on_snapshot(spark, str(tmp_path / "tbl"), out, ck, num_buckets=4)
+        assert s3["processed"] == 4 and s3["snapshot_version"] == 2
+        # but time travel back to v1 with a fresh checkpoint dir reproduces v1
+        s4 = run_pipeline_on_snapshot(
+            spark, str(tmp_path / "tbl"), str(tmp_path / "out1"),
+            str(tmp_path / "ck1"), version=1, num_buckets=4,
+        )
+        assert s4["snapshot_version"] == 1 and s4["processed"] == 4
