@@ -59,16 +59,26 @@ class SnapshotTable:
             return json.load(fh)
 
     def _publish(self, manifest: dict) -> int:
-        version = (self._versions()[-1] + 1) if self._versions() else 1
-        manifest["version"] = version
-        name = f"v{version}.json"
-        tmp = os.path.join(self._manifest_dir, f".{name}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=1)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, os.path.join(self._manifest_dir, name))
-        return version
+        """Atomic exclusive commit. ``os.link`` (unlike ``os.replace``)
+        FAILS if the target manifest already exists, so two concurrent
+        committers cannot both claim the same version — the loser recomputes
+        the next version and retries, which is Iceberg's atomic-swap rule
+        (on an object store this maps to a conditional/if-none-match put)."""
+        while True:
+            version = (self._versions()[-1] + 1) if self._versions() else 1
+            manifest["version"] = version
+            name = f"v{version}.json"
+            tmp = os.path.join(self._manifest_dir, f".{name}.{os.getpid()}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=1)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, os.path.join(self._manifest_dir, name))
+                os.remove(tmp)
+                return version
+            except FileExistsError:
+                os.remove(tmp)  # lost the race — retry at the next version
 
     def snapshots(self) -> list[dict]:
         """Full lineage log, oldest first."""

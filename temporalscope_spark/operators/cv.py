@@ -94,6 +94,32 @@ def fit_fold_bounds(
     ]
 
 
+def _fold_test_pred(df: DataFrame, time_col: str, bounds: list, f: int) -> Column:
+    """Fold membership by EXCLUSIVE cut points: test_f = (hi_{f-1}, hi_f]
+    (fold 0 lower-unbounded). With inclusive [lo_f, hi_f] ranges, a
+    timestamp value spanning a positional fold edge (duplicate timestamps)
+    would satisfy BOTH adjacent folds' filters and be double-counted; cut
+    points put every row in exactly one fold. On unique timestamps the two
+    formulations are identical (lo_f is the first value after hi_{f-1})."""
+    t = F.col(time_col)
+    pred = t <= _lit(df, time_col, bounds[f][1])
+    if f > 0:
+        pred = pred & (t > _lit(df, time_col, bounds[f - 1][1]))
+    return pred
+
+
+def _fold_train_pred(
+    df: DataFrame, time_col: str, bounds: list, f: int, embargo_seconds: float
+) -> Column:
+    """train_f = before the fold's cut-in (t <= hi_{f-1}) OR after the
+    embargo (t > hi_f + embargo); rows in (hi_f, hi_f+embargo] are purged."""
+    t = F.col(time_col)
+    after = t > _lit(df, time_col, _plus_seconds(bounds[f][1], embargo_seconds))
+    if f == 0:
+        return after
+    return (t <= _lit(df, time_col, bounds[f - 1][1])) | after
+
+
 def purged_fold_summary(
     df: DataFrame,
     time_col: str,
@@ -115,10 +141,8 @@ def purged_fold_summary(
 
     aggs = []
     for f, (lo, hi) in enumerate(bounds):
-        is_test = (t >= _lit(df, time_col, lo)) & (t <= _lit(df, time_col, hi))
-        is_train = (t < _lit(df, time_col, lo)) | (
-            t > _lit(df, time_col, _plus_seconds(hi, embargo_seconds))
-        )
+        is_test = _fold_test_pred(df, time_col, bounds, f)
+        is_train = _fold_train_pred(df, time_col, bounds, f, embargo_seconds)
         aggs.append(F.sum(is_test.cast("long")).alias(f"_test_{f}"))
         aggs.append(F.sum(is_train.cast("long")).alias(f"_train_{f}"))
     row = df.agg(*aggs).first()
@@ -147,15 +171,11 @@ def purged_time_series_splits(
     """
     if bounds is None:
         bounds = fit_fold_bounds(df, time_col, n_folds)
-    t = F.col(time_col)
-    for lo, hi in bounds:
+    for f in range(len(bounds)):
         yield {
-            "test": df.filter(
-                (t >= _lit(df, time_col, lo)) & (t <= _lit(df, time_col, hi))
-            ),
+            "test": df.filter(_fold_test_pred(df, time_col, bounds, f)),
             "train": df.filter(
-                (t < _lit(df, time_col, lo))
-                | (t > _lit(df, time_col, _plus_seconds(hi, embargo_seconds)))
+                _fold_train_pred(df, time_col, bounds, f, embargo_seconds)
             ),
         }
 
@@ -177,9 +197,9 @@ def entity_split(
     bit-reproducible in ANY engine — the DuckDB oracle replays it exactly.
     Pure map — no shuffle, no state, stable under repartitioning.
     """
+    from temporalscope_spark.operators.sampling import _uniform01
+
     if not 0.0 <= test_frac <= 1.0:
         raise DataFrameValidationError("test_frac must be between 0.0 and 1.0")
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
-    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    is_test = (u.cast("double") / F.lit(float(2**32))) < F.lit(float(test_frac))
+    is_test = _uniform01(id_col, seed, portable=True) < F.lit(float(test_frac))
     return df.withColumn(out_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train")))

@@ -131,6 +131,9 @@ def pack_greedy(
         import pandas as pd
 
         pdf = pdf.sort_values(order_col)
+        # NULL token arrays arrive as None — treat as empty (mirrors
+        # pack_concat_chunks, where posexplode silently skips NULL arrays)
+        pdf = pdf.assign(**{tokens_col: pdf[tokens_col].map(lambda a: [] if a is None else a)})
         lens = pdf[tokens_col].map(len).to_numpy()
         bins = np.empty(len(lens), dtype="int64")
         b, fill = 0, 0

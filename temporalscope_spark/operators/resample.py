@@ -80,10 +80,15 @@ def resample(
 
     t, _ = _time_expr(df, time_col)
     out = df.withColumn("__t", t)
+    # bucket index on an exact integer-µs axis: double division puts rows
+    # exactly on a bucket edge into the previous bucket when step is not
+    # binary-representable (0.3/0.1 -> 2.999...); integer floor-div is exact
+    step_us = max(1, int(round(float(step_seconds) * 1_000_000)))
+    origin_us = int(round(float(origin) * 1_000_000))
+    t_us = F.round(F.col("__t") * F.lit(1_000_000.0)).cast("long")
+    idx = F.floor((t_us - F.lit(origin_us)) / F.lit(step_us)).cast("long")
     bucket = (
-        F.floor((F.col("__t") - F.lit(float(origin))) / F.lit(float(step_seconds)))
-        * F.lit(float(step_seconds))
-        + F.lit(float(origin))
+        (idx * F.lit(step_us) + F.lit(origin_us)).cast("double") / F.lit(1e6)
     ).alias("bucket_start")
 
     keys = ([F.col(id_col)] if id_col else []) + [bucket]
@@ -128,8 +133,16 @@ def interpolate_linear(
     prev = F.last(obs, ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, -1))
     nxt = F.first(obs, ignorenulls=True).over(w.rowsBetween(1, Window.unboundedFollowing))
 
-    frac = (F.col("__t") - prev["t"]) / (nxt["t"] - prev["t"])
-    interp = prev["v"] + (nxt["v"] - prev["v"]) * frac
+    # try_divide: under ANSI mode (Spark 4 default) a plain x/0 THROWS, and
+    # t_next == t_prev happens whenever the null row's nearest neighbors
+    # share its timestamp (dup-timestamp gate bypassed)
+    frac = F.try_divide(F.col("__t") - prev["t"], nxt["t"] - prev["t"])
+    # ...then the NULL frac falls back to the midpoint of the two neighbors
+    # instead of silently leaving the gap unfilled
+    interp = F.coalesce(
+        prev["v"] + (nxt["v"] - prev["v"]) * frac,
+        (prev["v"] + nxt["v"]) / F.lit(2.0),
+    )
     filled = F.when(v.isNotNull(), v).otherwise(
         F.when(prev.isNotNull() & nxt.isNotNull(), interp).otherwise(
             F.coalesce(prev["v"], nxt["v"]) if extrapolate == "nearest" else F.lit(None)

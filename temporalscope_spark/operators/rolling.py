@@ -42,6 +42,15 @@ _AGG_FNS = {
 }
 
 
+def _validate_aggs(aggs, table=None) -> None:
+    table = table if table is not None else _AGG_FNS
+    bad = [a for a in aggs if a not in table]
+    if bad:
+        raise DataFrameValidationError(
+            f"Unsupported aggs {bad}; supported: {sorted(table)}"
+        )
+
+
 def _time_expr(df: DataFrame, time_col: str) -> Column:
     for f in df.schema.fields:
         if f.name == time_col:
@@ -81,11 +90,7 @@ def rolling_features(
     """
     if not value_cols or not windows_seconds:
         raise DataFrameValidationError("value_cols and windows_seconds must be non-empty")
-    bad = [a for a in aggs if a not in _AGG_FNS]
-    if bad:
-        raise DataFrameValidationError(
-            f"Unsupported aggs {bad}; supported: {sorted(_AGG_FNS)}"
-        )
+    _validate_aggs(aggs)
 
     t = _time_micros(df, time_col)
     out = df.withColumn("__t", t)
@@ -121,11 +126,7 @@ def rolling_row_features(
     """
     if not value_cols or not lookback_rows:
         raise DataFrameValidationError("value_cols and lookback_rows must be non-empty")
-    bad = [a for a in aggs if a not in _AGG_FNS]
-    if bad:
-        raise DataFrameValidationError(
-            f"Unsupported aggs {bad}; supported: {sorted(_AGG_FNS)}"
-        )
+    _validate_aggs(aggs)
 
     t = _time_expr(df, time_col)
     out = df.withColumn("__t", t)
@@ -171,6 +172,8 @@ def ewma(
     """
     import math as _math
 
+    if not float(halflife_rows) > 0:
+        raise DataFrameValidationError("halflife_rows must be > 0")
     a = 2.0 ** (-1.0 / float(halflife_rows))
     # a^K < rel_tol  =>  K > log(rel_tol)/log(a); cap for sanity
     k_rows = min(100_000, max(1, int(_math.ceil(_math.log(rel_tol) / _math.log(a)))))
@@ -213,17 +216,17 @@ def expanding_features(
     """
     if not value_cols:
         raise DataFrameValidationError("value_cols must be non-empty")
-    bad = [a for a in aggs if a not in _AGG_FNS]
-    if bad:
-        raise DataFrameValidationError(
-            f"Unsupported aggs {bad}; supported: {sorted(_AGG_FNS)}"
-        )
+    _validate_aggs(aggs)
     t = _time_micros(df, time_col)
     out = df.withColumn("__t", t)
     base = Window.orderBy("__t")
     if id_col is not None:
         base = base.partitionBy(id_col)
-    frame = base.rowsBetween(Window.unboundedPreceding, 0 if include_current else -1)
+    # RANGE (not ROWS) frame on the integer-µs axis: with duplicate
+    # timestamps a rows-frame would include same-time rows (simultaneous-
+    # information leakage) nondeterministically; range excludes ALL rows at
+    # the current timestamp from the strictly-past frame.
+    frame = base.rangeBetween(Window.unboundedPreceding, 0 if include_current else -1)
     cols = [
         _AGG_FNS[a](F.col(c)).over(frame).alias(f"{c}_{a}_expanding")
         for c in value_cols
@@ -259,7 +262,10 @@ def target_encode_expanding(
     out_col = out_col or f"{category_col}_te"
     t = _time_micros(df, time_col)
     out = df.withColumn("__t", t)
-    w = Window.partitionBy(category_col).orderBy("__t").rowsBetween(
+    # RANGE frame on integer µs: rows sharing a timestamp within a category
+    # must not see each other's targets (same-instant leakage) — a rows
+    # frame would include one of them nondeterministically
+    w = Window.partitionBy(category_col).orderBy("__t").rangeBetween(
         Window.unboundedPreceding, -1
     )
     s = F.sum(F.col(target_col).cast("double")).over(w)

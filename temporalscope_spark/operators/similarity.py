@@ -34,7 +34,9 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: ANSI mode (Spark 4 default) makes /0 throw — a zero-norm
+    # vector should yield NULL similarity, not kill the job
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -76,7 +78,7 @@ def cosine_self_join_pairs(
     inside the n²/2 pair loop costs 3x (measured 92s → ~30s on the sf0.1
     corpus)."""
     norm = _norm(F.col(vec_col))
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    unit = F.transform(F.col(vec_col), lambda x: F.try_divide(x.cast("double"), norm))
     base = df.withColumn("_vn", unit)
     cols = [F.col(id_col).alias("id_a"), F.col("_vn").alias("_va")] + (
         [F.col(block_col).alias("_blk")] if block_col else []

@@ -200,6 +200,8 @@ def stream_stateful_ewma(
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if not float(halflife_rows) > 0:
+        raise ValueError("halflife_rows must be > 0")
     a = 2.0 ** (-1.0 / float(halflife_rows))
     # a^(-i) = 2^(i/halflife) must stay < ~1e300: chunk m so m/halflife < 996
     chunk = max(1, min(512, int(float(halflife_rows) * 900)))

@@ -88,6 +88,33 @@ class TestPurgeEmbargo:
         path = str(tmp_path / "cvdata")
         ts_df.write.parquet(path)
         df = ts_df.sparkSession.read.parquet(path)
-        fold = next(purged_time_series_splits(df, "t", 3))
-        plan = fold["test"]._jdf.queryExecution().executedPlan().toString()
+        folds = list(purged_time_series_splits(df, "t", 3))
+        # fold 0 is lower-unbounded (cut-point semantics) — check a middle fold
+        plan = folds[1]["test"]._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [" in plan and "GreaterThan" in plan
+        plan0 = folds[0]["test"]._jdf.queryExecution().executedPlan().toString()
+        assert "LessThanOrEqual" in plan0
+
+
+class TestDuplicateBoundaryTimestamps:
+    def test_no_double_counting_on_tied_fold_edges(self, spark):
+        """A timestamp value spanning a positional fold edge must land in
+        exactly ONE fold (review finding: inclusive [lo,hi] ranges counted
+        tied rows in both adjacent folds)."""
+        rows = [(i, t) for i, t in enumerate([1, 1, 1, 1, 3, 4])]
+        df = spark.createDataFrame(rows, "row_id long, t long")
+        summ = purged_fold_summary(df, "t", n_folds=2, embargo_seconds=0.0).collect()
+        total_test = sum(r["test_rows"] for r in summ)
+        assert total_test == 6  # every row in exactly one fold
+        for r in summ:
+            assert r["train_rows"] + r["test_rows"] == 6  # exact partition
+
+    def test_splits_disjoint_with_ties(self, spark):
+        rows = [(i, t) for i, t in enumerate([1, 1, 1, 1, 3, 4, 4, 9])]
+        df = spark.createDataFrame(rows, "row_id long, t long")
+        seen = set()
+        for fold in purged_time_series_splits(df, "t", 2):
+            ids = {r["row_id"] for r in fold["test"].collect()}
+            assert not (ids & seen)
+            seen |= ids
+        assert seen == set(range(8))

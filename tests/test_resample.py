@@ -135,3 +135,38 @@ class TestEntitySplit:
     def test_bad_frac(self, series):
         with pytest.raises(DataFrameValidationError, match="test_frac"):
             entity_split(series, "uid", 1.5)
+
+
+class TestReviewRegressions:
+    def test_fractional_step_edge_exact(self, spark):
+        """t exactly on a bucket edge with a non-binary step must open the
+        new bucket (review finding: double division put 0.3 into [0.2,0.3))."""
+        df = spark.createDataFrame([("a", 0.3, 1.0)], "uid string, t double, v double")
+        out = resample(df, "t", step_seconds=0.1, value_aggs={"v": ("count",)},
+                       id_col="uid").collect()
+        assert abs(out[0]["bucket_start"] - 0.3) < 1e-12
+
+    def test_interpolate_same_instant_neighbors(self, spark):
+        """Three-way timestamp tie (dup gate bypassed): the neighbor lookups
+        are order-dependent among ties, but the result must never crash and
+        never extrapolate outside the two observed values — the x/0 path now
+        falls back to the neighbor midpoint instead of silently NULL."""
+        df = spark.createDataFrame(
+            [("a", 2, 5.0), ("a", 2, None), ("a", 2, 7.0)],
+            "uid string, t long, v double",
+        )
+        got = [r["v_interp"] for r in
+               interpolate_linear(df, "t", "v", id_col="uid").collect()
+               if r["v"] is None]
+        assert len(got) == 1
+        assert got[0] is None or 5.0 <= got[0] <= 7.0
+
+    def test_pack_greedy_null_tokens(self, spark):
+        from temporalscope_spark.operators.packing import pack_greedy
+
+        df = spark.createDataFrame(
+            [("d", 0, [1, 2]), ("d", 1, None), ("d", 2, [3])],
+            "doc_id string, seq_idx int, tokens array<int>",
+        )
+        out = pack_greedy(df, bin_tokens=8).collect()
+        assert sum(r["n_tok"] for r in out) == 3  # NULL treated as empty, no crash

@@ -312,3 +312,41 @@ class TestTargetEncoding:
         df = spark.createDataFrame([("a", 1, 1.0)], "cat string, t long, y double")
         with pytest.raises(DataFrameValidationError, match="requires an explicit prior"):
             target_encode_expanding(df, "cat", "y", time_col="t", smoothing=1.0)
+
+
+class TestDuplicateTimestampLeakage:
+    def test_expanding_excludes_same_instant_rows(self, spark):
+        """Rows sharing a timestamp must not see each other (review finding:
+        a ROWS frame leaked one tied row into the other's 'past')."""
+        from temporalscope_spark.operators.rolling import expanding_features
+
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 20.0), ("a", 2, 99.0), ("a", 3, 30.0)],
+            "uid string, t long, value double",
+        )
+        out = expanding_features(df, ["value"], time_col="t", id_col="uid",
+                                 aggs=("count", "sum"))
+        by_val = {r["value"]: r for r in out.collect()}
+        # both t=2 rows see ONLY the t=1 row — not each other
+        assert by_val[20.0]["value_count_expanding"] == 1
+        assert by_val[99.0]["value_count_expanding"] == 1
+        assert by_val[20.0]["value_sum_expanding"] == 10.0
+        assert by_val[99.0]["value_sum_expanding"] == 10.0
+        assert by_val[30.0]["value_count_expanding"] == 3
+
+    def test_target_encoding_excludes_same_instant_rows(self, spark):
+        from temporalscope_spark.operators.rolling import target_encode_expanding
+
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 0.0), ("a", 2, 100.0)],
+            "cat string, t long, y double",
+        )
+        out = {r["y"]: r["cat_te"] for r in
+               target_encode_expanding(df, "cat", "y", time_col="t").collect()}
+        assert out[0.0] == 10.0 and out[100.0] == 10.0  # tied rows blind to each other
+
+    def test_ewma_rejects_nonpositive_halflife(self, ts_df):
+        with pytest.raises(DataFrameValidationError, match="halflife_rows"):
+            ewma(ts_df, "value", halflife_rows=0, time_col="t", id_col="user_id")
+        with pytest.raises(DataFrameValidationError, match="halflife_rows"):
+            ewma(ts_df, "value", halflife_rows=-5, time_col="t", id_col="user_id")
