@@ -516,10 +516,25 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT all-pairs via triangular block-GEMM (no CartesianProduct node);
+    # threshold 0.4 keeps the oracle set non-empty (59 pairs at sf0.01)
     from temporalscope_spark.operators.similarity import cosine_self_join_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_self_join_pairs(emb, threshold=0.9)
+    out = cosine_self_join_pairs(emb, threshold=0.4, method="gemm")
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate scale path: SRP multi-probe blocking + exact verify.
+    # Emitted pairs are always a subset of the exact set (verification is
+    # exact), so the exact-SQL oracle hash-matches whenever multi-probe
+    # recall is 1.0 on the dataset — asserted at both SFs in
+    # tests/test_similarity.py along with a planted-near-dup recall floor.
+    from temporalscope_spark.operators.similarity import cosine_self_join_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_self_join_pairs(emb, threshold=0.9, method="lsh", probe_hamming=2)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -836,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "ann_topk": q_ann_topk,
         "media_bytes": q_media_bytes,
         "rolling_features": q_rolling_features,
@@ -1224,6 +1240,14 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "embedding_near_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "embedding_near_pairs_lsh": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                 CAST(b.embedding AS DOUBLE[])), 4) AS cosine

@@ -159,6 +159,44 @@ class TestSimilarity:
         approx = set(ann_topk(df, q, k=3, probe_hamming=2).toPandas()["vec_id"])
         assert exact == approx  # tight cluster must be found
 
+    def test_gemm_matches_brute(self, vecs):
+        # block-GEMM is EXACT: identical pair set + cosines vs the brute path,
+        # at several block counts (incl. nb > n edge)
+        df, _ = vecs
+        brute = cosine_self_join_pairs(df, threshold=0.5, method="brute").toPandas()
+        want = {(a, b): round(c, 9) for a, b, c in brute.itertuples(index=False)}
+        for nb in (1, 4, 64):
+            got_df = cosine_self_join_pairs(
+                df, threshold=0.5, method="gemm", num_blocks=nb
+            ).toPandas()
+            got = {(a, b): round(c, 9) for a, b, c in got_df.itertuples(index=False)}
+            assert got == want, f"num_blocks={nb}"
+
+    def test_gemm_plan_has_no_cartesian(self, vecs):
+        df, _ = vecs
+        out = cosine_self_join_pairs(df, threshold=0.9, method="gemm")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        out_lsh = cosine_self_join_pairs(df, threshold=0.9, method="lsh")
+        plan = out_lsh._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_lsh_pairs_containment_and_recall(self, vecs):
+        # emitted pairs ⊆ exact set (verification is exact), and planted
+        # near-dups (cosine ≈ 1) are all recovered under multi-probe
+        df, _ = vecs
+        exact = cosine_self_join_pairs(df, threshold=0.99, method="brute").toPandas()
+        exact_set = {tuple(sorted((a, b))) for a, b in zip(exact["id_a"], exact["id_b"])}
+        got = cosine_self_join_pairs(
+            df, threshold=0.99, method="lsh", probe_hamming=2
+        ).toPandas()
+        got_set = {tuple(sorted((a, b))) for a, b in zip(got["id_a"], got["id_b"])}
+        assert got_set <= exact_set  # containment: never a false positive
+        assert {(0, 1), (0, 2), (1, 2)} <= got_set  # planted cluster found
+        assert len(got_set) >= len(exact_set)  # full recall on this data
+
 
 class TestMultimodal:
     def test_attach_and_extract(self, docs):
