@@ -209,6 +209,7 @@ def shift_target_chunked(
     drop_incomplete: bool = True,
     direction: str = "lead",
     out_col: str | None = None,
+    repair_join: str = "merge",
 ) -> DataFrame:
     """Skew-proof shift: identical result to :func:`shift_target` but with
     per-task state bounded by the time chunk, not by the entity.
@@ -224,9 +225,13 @@ def shift_target_chunked(
        clustered by these keys (``bucketBy(n, id, chunk)``), the window needs
        NO exchange and buffers at most one chunk;
     2. the ``n_lags`` trailing rows of each chunk take their lead values from
-       the next chunk's first rows via a BROADCAST join against a tiny
-       per-chunk boundary table (one aggregate row per (id, chunk) —
-       map-side-combinable, skew-free).
+       the next chunk's first rows via a join against a per-chunk boundary
+       table (one aggregate row per (id, chunk) — map-side-combinable,
+       skew-free). ``repair_join`` picks the strategy: ``'merge'`` (default)
+       sort-merge joins on the keys the fat side is already clustered by —
+       the boundary table grows with the corpus (one row per (id, chunk), so
+       ~10^9 rows at 10^12 input rows) and must never be broadcast;
+       ``'broadcast'`` is opt-in for small bounded-cardinality cases.
 
     Correctness requires every chunk to hold ≥ ``n_lags`` rows of its entity
     (chunk_seconds ≫ n_lags × max event spacing); rows whose lead lies beyond
@@ -243,6 +248,8 @@ def shift_target_chunked(
 
     if direction not in {"lead", "lag"}:
         raise ValueError("direction must be 'lead' or 'lag'")
+    if repair_join not in {"merge", "broadcast"}:
+        raise ValueError("repair_join must be 'merge' or 'broadcast'")
     lead_mode = direction == "lead"
 
     w = Window.partitionBy(id_col, chunk_col).orderBy(time_col)
@@ -250,7 +257,7 @@ def shift_target_chunked(
 
     # boundary rows of every (id, chunk), time-ordered: the first n_lags
     # targets (lead repair) or the last n_lags targets (lag repair). One
-    # aggregate row per chunk — map-side-combinable, skew-free, broadcastable.
+    # aggregate row per chunk — map-side-combinable, skew-free.
     if n_lags == 1:
         agg_fn = F.min_by if lead_mode else F.max_by
         edge = df.groupBy(id_col, chunk_col).agg(
@@ -280,7 +287,14 @@ def shift_target_chunked(
         id_col, chunk_col, neighbor.over(wb).alias("_nbr_targets")
     )
 
-    out = df.join(F.broadcast(boundary), [id_col, chunk_col], "left")
+    if repair_join == "broadcast":
+        boundary = F.broadcast(boundary)
+    else:
+        # matches pipelines/feature_pass.py:124 — the boundary table is one
+        # row per (id, chunk) and GROWS with the corpus; sort-merge on the
+        # keys the fat side is clustered by, never a driver-side broadcast
+        boundary = boundary.hint("merge")
+    out = df.join(boundary, [id_col, chunk_col], "left")
     shift_fn = F.lead if lead_mode else F.lag
     in_chunk = shift_fn(F.col(target_col), n_lags).over(w)
     # row position within the (bounded) chunk group

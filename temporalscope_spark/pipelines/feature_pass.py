@@ -89,11 +89,12 @@ def build_features_clustered(
     * lead target + lag feature via ONE window over ``(id, chunk)`` — no
       exchange on the clustered layout, per-task state = one chunk, hot
       entities spread across all buckets by the chunk salt;
-    * chunk-boundary repair from ONE tiny per-chunk aggregate (first/last
-      target per (id, chunk)) broadcast-joined back;
+    * chunk-boundary repair from ONE per-chunk aggregate (first/last target
+      per (id, chunk)) sort-merge-joined back on the clustering keys — the
+      repair table grows with the corpus, so it is never broadcast;
     * train/test split labels from a per-entity min/max aggregate
-      (map-side-combinable, skew-free) broadcast-joined back — never an
-      unbounded window;
+      (map-side-combinable, skew-free) folded into the same repair join —
+      never an unbounded window;
     * fixed-length token padding LAST (a narrow projection).
     """
     t = F.col(time_col)
@@ -111,7 +112,7 @@ def build_features_clustered(
     )
     wb = Window.partitionBy(id_col).orderBy(chunk_col)
     wspan = Window.partitionBy(id_col)
-    # boundary-repair values + entity span in ONE broadcastable table
+    # boundary-repair values + entity span in ONE compact per-chunk table
     repair = edges.select(
         id_col,
         chunk_col,

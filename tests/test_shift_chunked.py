@@ -116,3 +116,34 @@ def test_build_features_clustered_matches_plain(spark, tok):
         for r in plain.select(*cols, "tokens").collect()
     )
     assert a == b
+
+
+def test_repair_join_merge_default_no_broadcast(tok):
+    # VERDICT r1 #2: the boundary table is one row per (id, chunk) and grows
+    # with the corpus — the default repair join must be sort-merge, with
+    # broadcast strictly opt-in
+    merged = shift_target_chunked(tok, "event_time", "n_tok", 1, chunk_seconds=3600)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+    bcast = shift_target_chunked(
+        tok, "event_time", "n_tok", 1, chunk_seconds=3600, repair_join="broadcast"
+    )
+    plan_b = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+
+    with pytest.raises(ValueError, match="repair_join"):
+        shift_target_chunked(
+            tok, "event_time", "n_tok", 1, chunk_seconds=3600, repair_join="shuffle"
+        )
+
+
+def test_repair_join_strategies_value_identical(tok):
+    a = _collect(shift_target_chunked(tok, "event_time", "n_tok", 1, chunk_seconds=3600))
+    b = _collect(
+        shift_target_chunked(
+            tok, "event_time", "n_tok", 1, chunk_seconds=3600, repair_join="broadcast"
+        )
+    )
+    assert a == b
