@@ -488,7 +488,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check (banding not SQL-replicated); verified jaccard is exact
+    # Oracle = the exact shingle-Jaccard pair set: emitted pairs are a
+    # subset BY CONSTRUCTION (candidates are exact-verified), and banding
+    # recall is 1.0 on the driver datasets (verified at sf0.01 and sf0.1;
+    # tests/test_text_dedup.py asserts containment on adversarial data)
     from temporalscope_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -497,13 +500,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check (bit-level hashing not SQL-replicated)
+    # EXACT oracle: md5-60bit signature is bit-identical in DuckDB, and the
+    # 4-chunk pigeonhole candidate set is COMPLETE for hamming <= 3, so the
+    # output equals the brute-force hamming ball by construction
     from temporalscope_spark.operators.dedup import simhash_near_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=8).select(
-        "id_a", "id_b", "hamming"
-    )
+    return simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3, hash_fn="md5"
+    ).select("id_a", "id_b", "hamming")
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,7 +544,10 @@ def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check (LSH probing); recall vs exact asserted in unit tests
+    # EXACT oracle: the SRP bucketing + hamming<=2 multi-probe + exact
+    # re-rank pipeline is replayed in DuckDB SQL with the same deterministic
+    # hyperplanes inlined as literals — the oracle checks the approximate
+    # ALGORITHM's semantics, not just row counts
     from temporalscope_spark.operators.similarity import ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -579,6 +587,76 @@ def _lang_id_oracle() -> str:
         best = f"CASE WHEN s_{l} > {best_score} THEN '{l}' ELSE {best} END"
         best_score = f"CASE WHEN s_{l} > {best_score} THEN s_{l} ELSE {best_score} END"
     return f"SELECT doc_id, {best} AS lang_pred FROM (SELECT doc_id, text, {scores} FROM documents)"
+
+
+def _ann_topk_oracle() -> str:
+    """Replay q_ann_topk in SQL: same deterministic SRP hyperplanes (inlined
+    as literals), same bucket signature, same hamming<=2 probe set, same
+    exact re-rank. Embedding dim is 64 at every SF (TESTDATA.md)."""
+    from temporalscope_spark.operators.similarity import _hyperplane
+
+    planes = ", ".join(
+        f"({p}, [{', '.join(repr(v) for v in _hyperplane(64, p, 42))}])"
+        for p in range(8)
+    )
+    return f"""
+        WITH planes(p, pv) AS (VALUES {planes}),
+        vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        sigs AS (
+            SELECT v.vec_id,
+                   CAST(SUM(CASE WHEN list_dot_product(v.e, pl.pv) > 0
+                                 THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS sig
+            FROM vecs v CROSS JOIN planes pl GROUP BY v.vec_id
+        ),
+        q AS (
+            SELECT s.sig AS qsig, v.e AS qe
+            FROM sigs s JOIN vecs v USING (vec_id) WHERE v.vec_id = 0
+        )
+        SELECT v.vec_id, round(list_cosine_similarity(v.e, q.qe), 4) AS cosine
+        FROM vecs v JOIN sigs s USING (vec_id), q
+        WHERE bit_count(xor(s.sig, q.qsig)) <= 2
+        ORDER BY list_cosine_similarity(v.e, q.qe) DESC, v.vec_id
+        LIMIT 10
+    """
+
+
+_IVF_TOPK_ORACLE = """
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    seeds AS (
+        SELECT e AS c,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')) - 1 AS idx
+        FROM vecs
+        ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')
+        LIMIT 8
+    ),
+    cents AS (
+        SELECT idx, c,
+               CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN 1.0
+                    ELSE sqrt(list_dot_product(c, c)) END AS cn
+        FROM seeds
+    ),
+    assigned AS (
+        SELECT v.vec_id, v.e, ct.idx,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_dot_product(v.e, ct.c) / ct.cn DESC, ct.idx DESC
+               ) AS rnk
+        FROM vecs v CROSS JOIN cents ct
+    ),
+    cells AS (SELECT vec_id, e, idx FROM assigned WHERE rnk = 1),
+    q AS (SELECT e AS qe FROM vecs WHERE vec_id = 0),
+    probes AS (
+        SELECT ct.idx,
+               row_number() OVER (
+                   ORDER BY list_dot_product(q.qe, ct.c) / ct.cn DESC, ct.idx ASC
+               ) AS pr
+        FROM cents ct, q
+    )
+    SELECT c.vec_id, round(list_cosine_similarity(c.e, q.qe), 4) AS cosine
+    FROM cells c JOIN probes p ON c.idx = p.idx AND p.pr <= 4, q
+    ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
+    LIMIT 10
+"""
 
 
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,9 +787,8 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: the greedy capacity-reset recurrence is not SQL-
-    # expressible; exact semantics asserted against a reference implementation
-    # in tests/test_packing.py
+    # EXACT oracle: the greedy capacity-reset recurrence is replayed in
+    # DuckDB with a recursive CTE walking each entity's sequences in order
     from temporalscope_spark.operators.packing import pack_greedy
 
     seqs = _synthetic_token_events(spark, sf_dir).withColumn(
@@ -787,13 +864,16 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check (IVF probing); exactness at nprobe=C and recall at
-    # partial probe are asserted in unit tests (test_rolling_ivf.py)
+    # EXACT oracle: the full IVF pipeline (md5-seeded coarse quantizer,
+    # nearest-cell assignment, nprobe cell selection, exact re-rank) is
+    # replayed step-by-step in DuckDB SQL. refine_iters=0 keeps the seeds
+    # SQL-expressible; Lloyd refinement is covered by unit tests
+    # (test_rolling_ivf.py: exact-at-full-probe, recall at partial probe)
     from temporalscope_spark.operators.similarity import ivf_centroids, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    cents = ivf_centroids(emb, num_centroids=8, seed=42, refine_iters=1)
+    cents = ivf_centroids(emb, num_centroids=8, seed=42, refine_iters=0, seed_hash="md5")
     return ivf_topk(emb, qvec, cents, k=10, nprobe=4).select(
         "vec_id", F.round("cosine", 4).alias("cosine")
     )
@@ -1225,6 +1305,81 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts ca ON ca.doc_id = id_a
             JOIN counts cb ON cb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2
+        """,
+        # exact shingle-Jaccard pair set: minhash_lsh_pairs output is a
+        # subset by construction (exact verification); equality holds when
+        # banding recall is 1.0 — verified at sf0.01 and sf0.1
+        "minhash_lsh_pairs": f"""
+            WITH {_shingle_cte(12)},
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2
+        """,
+        # brute-force md5-60bit simhash hamming ball; the Spark pigeonhole
+        # candidate set is COMPLETE for hamming <= 3, so equality is by
+        # construction, not data luck
+        "simhash_pairs": f"""
+            WITH shingles AS (
+                SELECT DISTINCT doc_id, substr(norm, CAST(i AS INT), 8) AS sh
+                FROM (SELECT doc_id, {_NORM} AS norm FROM documents),
+                     UNNEST(generate_series(1, greatest(length(norm) - 7, 1))) AS t(i)
+            ),
+            hashed AS (
+                SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+                FROM shingles
+            ),
+            bits AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM hashed, UNNEST(generate_series(0, 59)) AS t(b)
+                GROUP BY doc_id, b
+            ),
+            sigs AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS sig
+                FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
+        "ann_topk": _ann_topk_oracle(),
+        "ivf_topk": _IVF_TOPK_ORACLE,
+        # greedy capacity-reset recurrence via recursive CTE (one step per
+        # sequence rank; max depth = max sequences per entity)
+        "pack_greedy": """
+            WITH RECURSIVE seqs AS (
+                SELECT user_id, toks, CAST(len(toks) AS BIGINT) AS ln,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+                FROM (SELECT user_id, ts,
+                             generate_series(event_id % 100,
+                                             event_id % 100 + event_id % 5) AS toks
+                      FROM events)
+            ),
+            walk AS (
+                SELECT user_id, rn, ln, toks, CAST(0 AS BIGINT) AS bin_id, ln AS fill
+                FROM seqs WHERE rn = 1
+                UNION ALL
+                SELECT s.user_id, s.rn, s.ln, s.toks,
+                       CASE WHEN w.fill + s.ln > 32 THEN w.bin_id + 1 ELSE w.bin_id END,
+                       CASE WHEN w.fill + s.ln > 32 THEN s.ln ELSE w.fill + s.ln END
+                FROM walk w JOIN seqs s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+            )
+            SELECT user_id, bin_id,
+                   array_to_string(flatten(list(toks ORDER BY rn)), ',') AS tokens,
+                   CAST(count(*) AS INT) AS n_seqs,
+                   CAST(sum(ln) AS INT) AS n_tok
+            FROM walk GROUP BY 1, 2
         """,
         "cosine_topk": """
             SELECT e.vec_id,

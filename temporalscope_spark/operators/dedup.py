@@ -244,12 +244,24 @@ def simhash(
     text_col: str = "text",
     shingle_n: int = 8,
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per doc: explode shingles, xxhash64 each, then for every
-    bit position sum ±1 and take the sign — ``bits`` sum-aggregates fused into
-    one groupBy pass. Returns (_id, simhash:long)."""
+    """SimHash per doc: explode shingles, hash each, then for every bit
+    position sum ±1 and take the sign — ``bits`` sum-aggregates fused into
+    one groupBy pass. Returns (_id, simhash:long).
+
+    ``hash_fn='xxhash64'`` (default): 64-bit JVM hash, production path.
+    ``hash_fn='md5'``: 60-bit hash from the first 15 hex chars of md5 —
+    bit-identical in any SQL engine (DuckDB: ``CAST('0x'||substr(md5(sh),
+    1,15) AS BIGINT)``), which is what the exact oracle replays; forces
+    ``bits=60``."""
+    if hash_fn == "md5":
+        bits = 60
     sh = _shingle_table(df, id_col, text_col, shingle_n, None)
-    h = F.col("_shk")  # already xxhash64(_sh)
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(F.col("_sh")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.col("_shk")  # already xxhash64(_sh)
     aggs = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
@@ -270,11 +282,17 @@ def simhash_near_pairs(
     text_col: str = "text",
     shingle_n: int = 8,
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming (< 4): by the
-    pigeonhole principle at least one of the four 16-bit chunks is EQUAL, so
-    candidates come from 4 equi-joins (no n² compare)."""
-    sig = simhash(df, id_col, text_col, shingle_n)
+    """Near-dup pairs with hamming(simhash) <= max_hamming: candidates share
+    at least one of four signature chunks (equi-joins, no n² compare). By the
+    pigeonhole principle the candidate set is COMPLETE for max_hamming < 4 —
+    every qualifying pair shares a chunk — so the output is exactly the
+    brute-force hamming ball; for 4..7 it is a documented approximation
+    (recall < 1 possible)."""
+    sig = simhash(df, id_col, text_col, shingle_n, hash_fn=hash_fn)
+    cbits = (60 if hash_fn == "md5" else 64) // 4
+    mask = (1 << cbits) - 1
     chunks = sig.select(
         "_id",
         "simhash",
@@ -283,8 +301,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), c * cbits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("cv"),
                     )
                     for c in range(4)

@@ -329,20 +329,27 @@ def ivf_centroids(
     num_centroids: int = 16,
     seed: int = 42,
     refine_iters: int = 1,
+    seed_hash: str = "xxhash64",
 ) -> list[list[float]]:
     """IVF coarse quantizer: deterministic seed sample + distributed Lloyd
     refinement.
 
     Seeds = the ``num_centroids`` rows with smallest ``xxhash64(id, seed)``
-    (reproducible, one TakeOrdered job — no RNG state). Each refinement
+    (reproducible, one TakeOrdered job — no RNG state); ``seed_hash='md5'``
+    orders by ``md5(id || '#seed')`` instead — bit-identical in any SQL
+    engine, which is what the driver's DuckDB oracle replays. Each refinement
     iteration assigns every vector to its nearest centroid JVM-side and
     recomputes centroids as per-dimension means via posexplode + groupBy —
     a single shuffle keyed on (cell, dim), fully distributed; only the
     C×dim centroid table ever reaches the driver.
     """
+    if seed_hash == "md5":
+        order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+    else:
+        order = F.xxhash64(F.col(id_col), F.lit(seed))
     rows = (
         df.select(vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy(order)
         .limit(num_centroids)
         .collect()
     )
