@@ -20,13 +20,15 @@ and ordered writes. Skewed entities go through the chunk-salted operators
 
 from __future__ import annotations
 
+import warnings
 from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
 
 from temporalscope_spark.core import convert, validation
-from temporalscope_spark.exceptions import ModeValidationError
+from temporalscope_spark.exceptions import ModeValidationError, TargetColumnWarning
 
 MODE_SINGLE_TARGET = "single_target"
 MODE_MULTI_TARGET = "multi_target"
@@ -75,6 +77,20 @@ class TemporalFrame:
 
         exempt = tuple(exempt_cols) + ((id_col,) if id_col else ())
         validation.validate_dataframe_schema(df, time_col, target_col, exempt_cols=exempt)
+
+        # reference warning contract (exceptions.py:51-70, probed in
+        # test_exceptions.py:78-91): an array-valued target "appears to
+        # contain sequential data" and may need transformation for the
+        # selected mode — static schema probe, no data scan
+        target_type = next(f.dataType for f in df.schema.fields if f.name == target_col)
+        if isinstance(target_type, ArrayType):
+            warnings.warn(
+                "`target_col` appears to contain sequential data. Ensure it is "
+                f"transformed appropriately for {mode} mode.",
+                TargetColumnWarning,
+                stacklevel=2,
+            )
+
         df = convert.convert_time_column(df, time_col, time_col_conversion)
 
         if enforce_temporal_uniqueness:

@@ -5,6 +5,8 @@ Ports the contract of /root/reference/test/unit/core/test_core_utils.py
 init/param errors, sort, conversion, per-group uniqueness, metadata.
 """
 
+import warnings
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -13,6 +15,7 @@ from temporalscope_spark.core import convert, validation
 from temporalscope_spark.exceptions import (
     DataFrameValidationError,
     ModeValidationError,
+    TargetColumnWarning,
     TimeColumnError,
 )
 from temporalscope_spark.frame import TemporalFrame
@@ -87,8 +90,30 @@ class TestTemporalFrameInit:
         df = make_ts_df(spark, n=5, k=1, time_numeric=True).withColumn(
             "tokens", F.array(F.lit(1), F.lit(2))
         )
-        tf = TemporalFrame(df, time_col="time", target_col="tokens", mode="multi_target")
+        with pytest.warns(TargetColumnWarning, match="sequential data"):
+            tf = TemporalFrame(df, time_col="time", target_col="tokens", mode="multi_target")
         assert tf.mode == "multi_target" and tf.target_col == "tokens"
+
+    def test_target_column_warning_contract(self, spark):
+        """Ported warning contract (reference exceptions.py:51-70,
+        test_exceptions.py:78-91): an array-valued target warns with the
+        reference's message text; a scalar target stays silent."""
+        df = make_ts_df(spark, n=5, k=1, time_numeric=True).withColumn(
+            "seq_target", F.array(F.lit(0.3), F.lit(0.4))
+        )
+        with pytest.warns(
+            TargetColumnWarning,
+            match=r"`target_col` appears to contain sequential data\. Ensure it is "
+            r"transformed appropriately for multi_target mode\.",
+        ):
+            TemporalFrame(df, time_col="time", target_col="seq_target", mode="multi_target")
+        with pytest.warns(TargetColumnWarning, match="single_target mode"):
+            TemporalFrame(
+                df, time_col="time", target_col="seq_target", mode="single_target"
+            )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", TargetColumnWarning)
+            TemporalFrame(df, time_col="time", target_col="target")
 
     def test_no_sort_keeps_plan_sortfree(self, spark):
         """sort=False must not inject a global Sort node

@@ -80,14 +80,15 @@ def test_chunked_window_reuses_clustering(spark):
     pre = df.withColumn(
         "time_chunk", F.floor(F.unix_micros("event_time") / F.lit(3600 * 1e6)).cast("long")
     ).repartition(4, "doc_id", "time_chunk")
+    # broadcast mode isolates the fat side: the window and join must ride
+    # the explicit (doc_id, time_chunk) clustering with NO planner-inserted
+    # (ENSURE_REQUIREMENTS) exchange on the chunk keys
     out = shift_target_chunked(
-        pre, "event_time", "n_tok", n_lags=1, id_col="doc_id", chunk_col="time_chunk"
+        pre, "event_time", "n_tok", n_lags=1, id_col="doc_id", chunk_col="time_chunk",
+        repair_join="broadcast",
     )
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan, plan
-    # the window and join must ride the explicit (doc_id, time_chunk)
-    # clustering: no planner-inserted (ENSURE_REQUIREMENTS) exchange may
-    # appear on the chunk keys — only the user REPARTITION nodes
     implicit = [
         line
         for line in plan.splitlines()
@@ -96,6 +97,23 @@ def test_chunked_window_reuses_clustering(spark):
         and "ENSURE_REQUIREMENTS" in line
     ]
     assert implicit == [], plan
+
+    # merge mode (the scale-safe default): the ONLY implicit chunk-key
+    # exchange may be the tiny repair side feeding the sort-merge join —
+    # the fat side still rides its explicit clustering
+    out_m = shift_target_chunked(
+        pre, "event_time", "n_tok", n_lags=1, id_col="doc_id", chunk_col="time_chunk"
+    )
+    plan_m = plan_of(out_m)
+    assert "SortMergeJoin" in plan_m, plan_m
+    implicit_m = [
+        line
+        for line in plan_m.splitlines()
+        if "Exchange hashpartitioning" in line
+        and "time_chunk" in line
+        and "ENSURE_REQUIREMENTS" in line
+    ]
+    assert len(implicit_m) <= 1, plan_m
 
 
 def test_partitioner_labels_use_broadcast_join(spark, sf_dir):
