@@ -705,6 +705,19 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.round("value_ewma", 6).alias("value_ewma"))
 
 
+def q_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented-scan EWMA (exact over unbounded history; per-task buffers
+    bounded by the time chunk). Oracle = the full-history fold in DuckDB."""
+    from temporalscope_spark.operators.rolling import ewma_segmented
+
+    events = _t(spark, sf_dir, "events")
+    out = ewma_segmented(
+        events, "value", halflife_rows=_EWMA_HL, time_col="ts",
+        id_col="user_id", chunk_seconds=86400,
+    )
+    return out.select("event_id", "user_id", F.round("value_ewma", 6).alias("value_ewma"))
+
+
 def q_purged_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purged time-series CV: 5 equal-count folds over events, 30-min embargo
     after each test range; per-fold train/test row counts + test bounds."""
@@ -937,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_features": q_rolling_features,
         "rolling_row": q_rolling_row,
         "ewma": q_ewma,
+        "ewma_segmented": q_ewma_segmented,
         "ivf_topk": q_ivf_topk,
         "purged_cv": q_purged_cv,
         "resample": q_resample,
@@ -1433,6 +1447,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # identical fold (oldest-first, (num,den) -> (num*a + x, den*a + 1))
         # over the identical 200-row truncated frame as the engine's ewma
+        # exact full-history fold (the segmented path has no frame
+        # truncation — UNBOUNDED PRECEDING is the right oracle)
+        "ewma_segmented": f"""
+            SELECT event_id, user_id,
+                   round(s.num / s.den, 6) AS value_ewma
+            FROM (
+                SELECT event_id, user_id,
+                       list_reduce(
+                           list_transform(
+                               list(CAST(value AS DOUBLE)) OVER w,
+                               x -> {{'num': x, 'den': CAST(1.0 AS DOUBLE)}}
+                           ),
+                           (a, b) -> {{'num': a.num * {2.0 ** (-1.0 / _EWMA_HL)!r} + b.num,
+                                       'den': a.den * {2.0 ** (-1.0 / _EWMA_HL)!r} + b.den}}
+                       ) AS s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+        """,
         "ewma": f"""
             SELECT event_id, user_id,
                    round(s.num / s.den, 6) AS value_ewma

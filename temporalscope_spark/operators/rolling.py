@@ -199,6 +199,122 @@ def ewma(
     return out.withColumn(out_col, val).drop("__t")
 
 
+def ewma_segmented(
+    df: DataFrame,
+    value_col: str,
+    halflife_rows: float,
+    time_col: str = "event_time",
+    id_col: str | None = "doc_id",
+    chunk_col: str | None = None,
+    chunk_seconds: int | None = None,
+    out_col: str | None = None,
+    include_current: bool = True,
+) -> DataFrame:
+    """Segmented-scan EWMA: exact over the entity's UNBOUNDED history with
+    per-task state bounded by the time chunk, not by ``40·halflife``.
+
+    :func:`ewma` buffers a K = min(100k, 40·halflife)-row trailing frame per
+    output row — gigabytes per partition once the halflife reaches the
+    thousands. Here the linear recurrence ``acc_t = a·acc_{t-1} + x_t`` is
+    split at chunk boundaries using its affine composition law (running a
+    length-L segment from incoming state s lands on ``s·a^L + seg_fold``):
+
+    1. within each ``(id, chunk)``: prefix fold over the CHUNK-bounded
+       expanding frame — buffer ≤ chunk rows (`_lnum/_lden` at local
+       position p);
+    2. per-chunk summaries (total fold + row count) collapse to one row per
+       chunk — map-side-combinable, skew-free;
+    3. the cross-chunk carry ``s_c = s_{c-1}·a^{L_{c-1}} + tot_{c-1}`` folds
+       over the tiny ordered summary table and sort-merge-joins back (the
+       same shape as ``shift_target_chunked``'s boundary repair);
+    4. ``value = (s_c·a^p + lnum_p) / (s_den·a^p + lden_p)``.
+
+    ``a^p`` underflows to 0 for p ≫ halflife — exactly where the true carry
+    contribution is below machine precision, so the result matches the
+    mathematical EWMA to double rounding. Output is identical to
+    :func:`ewma` up to its ``rel_tol`` frame truncation.
+
+    ``include_current=False`` is the strictly-past (leakage-safe feature)
+    variant; first row of the first chunk yields NULL.
+    """
+    if not float(halflife_rows) > 0:
+        raise DataFrameValidationError("halflife_rows must be > 0")
+    a = 2.0 ** (-1.0 / float(halflife_rows))
+    out_col = out_col or f"{value_col}_ewma"
+
+    if chunk_col is None:
+        if chunk_seconds is None:
+            raise DataFrameValidationError("pass chunk_col or chunk_seconds")
+        from temporalscope_spark.operators.shift import with_time_chunk
+
+        chunk_col = "_ewma_chunk"
+        df = with_time_chunk(df, time_col, chunk_seconds, chunk_col)
+        drop_chunk = True
+    else:
+        drop_chunk = False
+
+    t = _time_expr(df, time_col)
+    base = df.withColumn("__t", t)
+    part = ([id_col] if id_col else []) + [chunk_col]
+    w = Window.partitionBy(*part).orderBy("__t")
+
+    # 1. within-chunk prefix fold (expanding frame bounded by the chunk)
+    xs = F.collect_list(F.col(value_col).cast("double")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    acc0 = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
+    folded = F.aggregate(
+        xs,
+        acc0,
+        lambda acc, x: F.struct(
+            (acc["num"] * a + x).alias("num"), (acc["den"] * a + F.lit(1.0)).alias("den")
+        ),
+    )
+    base = base.withColumn("_lf_inc", folded).withColumn("_p", F.row_number().over(w))
+    if include_current:
+        base = base.withColumn("_lf", F.col("_lf_inc"))
+    else:
+        # strictly past: previous row's prefix at power p-1; first row of a
+        # chunk falls back to the pure carry (lnum=lden=0, a^0=1)
+        zero = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
+        base = base.withColumn(
+            "_lf", F.coalesce(F.lag("_lf_inc", 1).over(w), zero)
+        ).withColumn("_p", F.col("_p") - 1)
+
+    # 2. one summary row per (id, chunk): total INCLUSIVE fold + row count
+    summ = base.groupBy(*part).agg(
+        F.max_by(F.col("_lf_inc"), F.col("__t")).alias("_tot"),
+        F.count(F.lit(1)).alias("_L"),
+    )
+    base = base.drop("_lf_inc")
+
+    # 3. cross-chunk carry over the ordered summary table (tiny: one row per
+    # chunk), prefix fold with the affine composition law
+    wc = Window.partitionBy(*([id_col] if id_col else [F.lit(1)])).orderBy(chunk_col)
+    hist = F.collect_list(F.struct(F.col("_tot"), F.col("_L"))).over(
+        wc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = F.aggregate(
+        hist,
+        acc0,
+        lambda acc, h: F.struct(
+            (acc["num"] * F.pow(F.lit(a), h["_L"]) + h["_tot"]["num"]).alias("num"),
+            (acc["den"] * F.pow(F.lit(a), h["_L"]) + h["_tot"]["den"]).alias("den"),
+        ),
+    )
+    carry_df = summ.select(*part, carry.alias("_carry"))
+
+    # 4. merge-join the carry back (grows with the corpus — never broadcast)
+    out = base.join(carry_df.hint("merge"), part, "left")
+    apow = F.pow(F.lit(a), F.col("_p"))
+    num = F.col("_carry")["num"] * apow + F.col("_lf")["num"]
+    den = F.col("_carry")["den"] * apow + F.col("_lf")["den"]
+    out = out.withColumn(out_col, F.when(den > 0, num / den)).drop(
+        "__t", "_lf", "_p", "_carry"
+    )
+    return out.drop(chunk_col) if drop_chunk else out
+
+
 def expanding_features(
     df: DataFrame,
     value_cols: Sequence[str],

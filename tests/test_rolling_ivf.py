@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from temporalscope_spark.exceptions import DataFrameValidationError
 from temporalscope_spark.operators.rolling import (
     ewma,
+    ewma_segmented,
     rolling_features,
     rolling_row_features,
 )
@@ -197,6 +198,64 @@ class TestEwma:
         np.testing.assert_allclose(
             got["value_ewma"].astype(float)[mask], want[mask], rtol=1e-9
         )
+
+
+class TestEwmaSegmented:
+    @pytest.mark.parametrize("include_current", [True, False])
+    def test_matches_frame_path(self, ts_df, include_current):
+        """Segmented scan == the frame path (to its rel_tol truncation),
+        across chunk boundaries, both leakage modes."""
+        a = ewma(
+            ts_df, "value", 5.0, time_col="t", id_col="user_id",
+            include_current=include_current,
+        ).toPandas().set_index(["user_id", "t"])["value_ewma"]
+        b = ewma_segmented(
+            ts_df, "value", 5.0, time_col="t", id_col="user_id",
+            chunk_seconds=7, include_current=include_current,
+        ).toPandas().set_index(["user_id", "t"])["value_ewma"]
+        b = b.reindex(a.index)
+        assert (a.isna() == b.isna()).all()
+        m = ~a.isna()
+        np.testing.assert_allclose(b[m].astype(float), a[m].astype(float), rtol=1e-9)
+
+    def test_large_halflife_monster_entity(self, spark):
+        """VERDICT r1 #6: halflife 10^4 on a single hot entity — the frame
+        path would buffer min(100k, 40·hl) doubles per row; the segmented
+        path's buffer is the chunk (1024 rows here) and the result is exact
+        vs pandas ewm over the UNBOUNDED history."""
+        n = 150_000
+        df = spark.range(n).select(
+            F.lit("hot").alias("doc_id"),
+            F.col("id").cast("double").alias("t"),
+            (F.sin(F.col("id").cast("double")) * 100).alias("value"),
+        )
+        out = ewma_segmented(
+            df, "value", 1e4, time_col="t", id_col="doc_id", chunk_seconds=1024
+        )
+        got = (
+            out.select("t", "value_ewma").toPandas().sort_values("t")["value_ewma"]
+            .to_numpy()
+        )
+        ref = (
+            pd.Series(np.sin(np.arange(n)) * 100)
+            .ewm(halflife=1e4, adjust=True)
+            .mean()
+            .to_numpy()
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+    def test_carry_join_is_merge_not_broadcast(self, ts_df):
+        out = ewma_segmented(ts_df, "value", 5.0, time_col="t", id_col="user_id",
+                             chunk_seconds=7)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+
+    def test_rejects_bad_args(self, ts_df):
+        with pytest.raises(DataFrameValidationError, match="halflife"):
+            ewma_segmented(ts_df, "value", 0.0, time_col="t", chunk_seconds=7)
+        with pytest.raises(DataFrameValidationError, match="chunk_col or chunk_seconds"):
+            ewma_segmented(ts_df, "value", 5.0, time_col="t")
 
 
 @pytest.fixture(scope="module")
