@@ -58,6 +58,11 @@ SEQ_PATH = os.path.join(CACHE, f"tokenized_sf{SF}")
 # hash exchange of the fat token arrays; that path is the headline metric.
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "48000000"))
 SCALE_PATH = os.path.join(CACHE, f"tokenized_scale{SCALE_ROWS}")
+# pair-operator scaling corpus: 1M docs for exact dedup (md5 groupBy), the
+# first 10% (contiguous — keeps the planted predecessor-dup structure) for
+# MinHash LSH (shingle explode is ~25x row inflation)
+DOCS_ROWS = int(os.environ.get("SPARK_GRAFT_DOCS_ROWS", "1000000"))
+DOCS_PATH = os.path.join(CACHE, f"documents_{DOCS_ROWS}")
 WAREHOUSE = os.path.join(CACHE, "warehouse")
 DERBY = os.path.join(CACHE, "derby")
 N_BUCKETS = 64
@@ -130,7 +135,41 @@ def _ensure_bucketed(spark) -> None:
     )
 
 
-def feature_pass(spark, path: str | None = None, table: str | None = None) -> int:
+def _ensure_documents(spark) -> str:
+    marker = os.path.join(DOCS_PATH, "_SUCCESS")
+    if os.path.exists(marker):
+        return DOCS_PATH
+    from temporalscope_spark.datasets.synthetic import generate_documents
+
+    shutil.rmtree(DOCS_PATH, ignore_errors=True)
+    df = generate_documents(spark, num_docs=DOCS_ROWS)
+    df.repartition(max(32, CPUS)).write.mode("overwrite").parquet(DOCS_PATH)
+    return DOCS_PATH
+
+
+def dedup_exact_pass(spark) -> None:
+    """Exact-dedup pair op at 1M docs: normalized-fingerprint groupBy."""
+    from temporalscope_spark.operators.dedup import dedup_exact
+
+    dedup_exact(spark.read.parquet(DOCS_PATH)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def minhash_lsh_pass(spark) -> None:
+    """MinHash+LSH near-dup pair op at 100k docs (contiguous prefix keeps
+    the planted dup structure; the doc_id filter pushes to the scan)."""
+    from pyspark.sql import functions as F
+
+    from temporalscope_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(DOCS_PATH).filter(F.col("doc_id") < DOCS_ROWS // 10)
+    minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5
+    ).write.format("noop").mode("overwrite").save()
+
+
+def feature_pass(spark, path: str | None = None, table: str | None = None, df=None) -> int:
     """The headline job: sliding-window bucket + leakage-safe shift + pad.
 
     Per-doc lead(n_tok) as the target, time-range train/test split labels,
@@ -145,7 +184,8 @@ def feature_pass(spark, path: str | None = None, table: str | None = None) -> in
 
     from temporalscope_spark.operators.padding import pad_token_arrays
 
-    df = spark.table(table) if table else spark.read.parquet(path)
+    if df is None:
+        df = spark.table(table) if table else spark.read.parquet(path)
     w = Window.partitionBy("doc_id").orderBy("event_time")
     out = (
         df.withColumn("target_n_tok", F.lead("n_tok", 1).over(w))
@@ -195,6 +235,7 @@ def main():
     _ensure_tokenized(spark, SEQ_PATH, SEQ_ROWS)
     if RUN_SCALING:
         _ensure_bucketed(spark)
+        _ensure_documents(spark)
     # warm the JVM/codegen, then measure
     feature_pass(spark, SEQ_PATH)
     t_main, n_rows = timed(feature_pass, spark, SEQ_PATH)
@@ -216,22 +257,35 @@ def main():
                 F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("s")
             ).collect()[0]["n"]
 
-        def best_of(cores, max_reps=7, min_reps=3):
-            s = _new_spark(cores, f"scale{cores}")
-            bucketed_pass(s)  # warm codegen + page cache
+        def reps_min(s, fn, max_reps=7, min_reps=3):
+            fn(s)  # warm codegen + page cache
             # noisy-neighbor CPU steal produces bursty 1.3-6x outliers — and
             # they can come in RUNS, so two agreeing samples are not enough
             # (two slow ones agree too). Take at least min_reps, then stop
             # only once the two fastest agree within 8%; trust the min.
             ts: list[float] = []
             for _ in range(max_reps):
-                ts.append(timed(bucketed_pass, s)[0])
+                ts.append(timed(fn, s)[0])
                 best2 = sorted(ts)[:2]
                 if len(ts) >= min_reps and best2[1] <= best2[0] * 1.08:
                     break
             return min(ts)
 
-        times = {c: best_of(c) for c in (2, 8, 32)}
+        times: dict[int, float] = {}
+        pair_times: dict[str, dict[int, float]] = {"dedup_exact": {}, "minhash_lsh": {}}
+        for c in (2, 8, 32):
+            s = _new_spark(c, f"scale{c}")
+            times[c] = reps_min(s, bucketed_pass)
+            if c in (2, 8):
+                # pair-operator scaling legs (two-level N->4N evidence for
+                # the dedup family; fewer reps — join/agg-bound, less bursty
+                # than the window pass)
+                pair_times["dedup_exact"][c] = reps_min(
+                    s, dedup_exact_pass, max_reps=4, min_reps=2
+                )
+                pair_times["minhash_lsh"][c] = reps_min(
+                    s, minhash_lsh_pass, max_reps=3, min_reps=2
+                )
         def eff(n, n4):
             return round(times[n] / (4 * times[n4]), 3)
 
@@ -255,6 +309,60 @@ def main():
             "efficiency_8_to_32_shared_membus": eff(8, 32),
             "sec_32": round(times[32], 3),
             "seq_per_sec_32": round(SCALE_ROWS / times[32], 1),
+            "pair_ops": {
+                "dedup_exact": {
+                    "rows": DOCS_ROWS,
+                    "sec_n": round(pair_times["dedup_exact"][2], 3),
+                    "sec_4n": round(pair_times["dedup_exact"][8], 3),
+                    "efficiency": round(
+                        pair_times["dedup_exact"][2]
+                        / (4 * pair_times["dedup_exact"][8]),
+                        3,
+                    ),
+                },
+                "minhash_lsh_pairs": {
+                    "rows": DOCS_ROWS // 10,
+                    "sec_n": round(pair_times["minhash_lsh"][2], 3),
+                    "sec_4n": round(pair_times["minhash_lsh"][8], 3),
+                    "efficiency": round(
+                        pair_times["minhash_lsh"][2]
+                        / (4 * pair_times["minhash_lsh"][8]),
+                        3,
+                    ),
+                },
+            },
+        }
+
+    snapshot_read = None
+    if RUN_SCALING:
+        # snapshot-manifest read vs direct scan at 48M: time-travel planning
+        # (scan the manifest's exact file set) must not regress throughput.
+        # Metadata-only register (Iceberg add_files) over the existing files.
+        from temporalscope_spark.datasets.snapshots import SnapshotTable
+
+        snap_dir = os.path.join(CACHE, f"snap_scale{SCALE_ROWS}")
+        st = SnapshotTable(snap_dir)
+        if st.current_version() is None:
+            files = sorted(
+                os.path.join(SCALE_PATH, f)
+                for f in os.listdir(SCALE_PATH)
+                if f.endswith(".parquet")
+            )
+            st.register(files)
+        s32 = _new_spark(32, "snapread")
+        direct_sec = min(timed(feature_pass, s32, SCALE_PATH)[0] for _ in range(2))
+        snap_df = st.read(s32)
+        snap_sec = min(
+            timed(lambda s2: feature_pass(s2, df=st.read(s2)), s32)[0] for _ in range(2)
+        )
+        snapshot_read = {
+            "rows": SCALE_ROWS,
+            "layout": "ad-hoc parquet, hash exchange on doc_id (both reads)",
+            "direct_sec": round(direct_sec, 3),
+            "snapshot_sec": round(snap_sec, 3),
+            "ratio_snapshot_over_direct": round(snap_sec / direct_sec, 3),
+            "snapshot_id": st.snapshot_id(),
+            "n_files": len(snap_df.inputFiles()),
         }
 
     result.update(
@@ -265,6 +373,7 @@ def main():
             "rows": SEQ_ROWS,
             "throughput_seq_per_sec": round(thr_main, 1),
             "scaling": scaling,
+            "snapshot_read": snapshot_read,
         }
     )
     print(json.dumps(result))

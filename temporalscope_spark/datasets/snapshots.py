@@ -123,6 +123,29 @@ class SnapshotTable:
             }
         )
 
+    def register(self, files: list[str]) -> int:
+        """Iceberg ``add_files``-style commit: publish EXISTING parquet files
+        as a new snapshot without rewriting any data. The manifest is the
+        unit of planning — at 100 TB, registering a landed batch is a
+        metadata-only operation."""
+        files = sorted(files)
+        if not files:
+            raise ValueError("register() needs at least one file")
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise FileNotFoundError(f"missing data files: {missing[:3]}")
+        fingerprint = hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+        return self._publish(
+            {
+                "parent": self.current_version(),
+                "operation": "register",
+                "files": files,
+                "n_files": len(files),
+                "snapshot_id": f"snap-{fingerprint}",
+                "committed_at": time.time(),
+            }
+        )
+
     def rollback(self, version: int) -> int:
         """Publish a NEW snapshot with an old version's exact file set
         (history preserved; Iceberg rollback semantics)."""

@@ -158,3 +158,38 @@ def generate_tokenized_sequences(
         F.size(tokens).cast("int").alias("n_tok"),
         source.alias("source"),
     )
+
+
+def generate_documents(
+    spark: SparkSession,
+    num_docs: int = 100_000,
+    words_per_doc: int = 25,
+    random_seed: int = 42,
+) -> DataFrame:
+    """F4: deterministic text corpus for dedup/similarity benchmarks.
+
+    ``text`` = ``words_per_doc`` hash-derived words. ~2% of docs are EXACT
+    duplicates of their predecessor and ~2% are near-duplicates (one word
+    swapped), so exact/minhash/simhash dedup does real pair work. Pure
+    expressions (xxhash64 + format_string) — reproducible at any scale with
+    no RNG state, generation is embarrassingly parallel.
+    """
+    df = spark.range(num_docs).withColumnRenamed("id", "doc_id")
+    r = F.pmod(F.xxhash64(F.lit(random_seed), F.lit("dup"), F.col("doc_id")), F.lit(100))
+    is_dup = (r < 2) & (F.col("doc_id") > 0)
+    is_near = (r >= 2) & (r < 4) & (F.col("doc_id") > 0)
+    src = F.when(is_dup | is_near, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(int(words_per_doc) - 1)),
+        lambda j: F.format_string(
+            "w%06d",
+            F.pmod(F.xxhash64(F.lit(random_seed), F.lit("w"), src, j), F.lit(50_000)).cast("int"),
+        ),
+    )
+    # near-dup: swap the first word for a doc-unique one (high Jaccard kept)
+    near_word = F.format_string(
+        "n%06d",
+        F.pmod(F.xxhash64(F.lit(random_seed), F.lit("nw"), F.col("doc_id")), F.lit(50_000)).cast("int"),
+    )
+    words = F.when(is_near, F.concat(F.array(near_word), F.slice(words, 2, int(words_per_doc)))).otherwise(words)
+    return df.select("doc_id", F.array_join(words, " ").alias("text"))
