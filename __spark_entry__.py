@@ -557,6 +557,20 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (int/int ratios, exact)."""
+    from temporalscope_spark.operators.text import with_repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_repetition_features(docs, "text")
+    return out.select(
+        "doc_id",
+        F.round("dup_word_ratio", 6).alias("dup_word_ratio"),
+        F.round("top_word_ratio", 6).alias("top_word_ratio"),
+        F.round("trigram_dup_ratio", 6).alias("trigram_dup_ratio"),
+    )
+
+
 def q_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporalscope_spark.operators.multimodal import attach_media, extract_media_features
 
@@ -937,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "dataset_validator": q_dataset_validator,
         "lang_id": q_lang_id,
+        "repetition": q_repetition,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1288,6 +1303,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'sample_size', (n >= 3000 AND n <= 50000) FROM s
         """,
         "lang_id": _lang_id_oracle(),
+        "repetition": f"""
+            WITH n AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents
+            ),
+            w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n)
+            SELECT doc_id,
+                   round(CASE WHEN length(norm) = 0 THEN 0.0
+                         ELSE 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                         END, 6) AS dup_word_ratio,
+                   round(CASE WHEN length(norm) = 0 THEN 0.0
+                         ELSE CAST(list_max(list_transform(list_distinct(words),
+                                  w2 -> len(list_filter(words, x -> x = w2)))) AS DOUBLE)
+                              / len(words)
+                         END, 6) AS top_word_ratio,
+                   round(CASE WHEN length(norm) <= 2 THEN 0.0
+                         ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                                  generate_series(1, greatest(length(norm) - 2, 1)),
+                                  i -> substr(norm, CAST(i AS INT), 3)))) AS DOUBLE)
+                              / (length(norm) - 2)
+                         END, 6) AS trigram_dup_ratio
+            FROM w
+        """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS fingerprint, MIN(doc_id) AS doc_id
             FROM documents GROUP BY 1

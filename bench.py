@@ -350,19 +350,41 @@ def main():
             )
             st.register(files)
         s32 = _new_spark(32, "snapread")
-        direct_sec = min(timed(feature_pass, s32, SCALE_PATH)[0] for _ in range(2))
+
+        # the manifest affects SCAN PLANNING only, so measure a scan-
+        # dominated aggregate (tokens is the fat column) — the full feature
+        # pass adds a spill-bursty 11GB exchange whose noise swamps any
+        # planning delta. One unmeasured warm pass, then ALTERNATE
+        # direct/snapshot reps (sequential legs would hand the second leg a
+        # warmed page cache and fake a speedup).
+        def scan_agg(df):
+            from pyspark.sql import functions as F
+
+            return df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_tok").alias("s"),
+                F.sum(F.size("tokens")).alias("st"),
+            ).collect()[0]["n"]
+
         snap_df = st.read(s32)
-        snap_sec = min(
-            timed(lambda s2: feature_pass(s2, df=st.read(s2)), s32)[0] for _ in range(2)
-        )
+        direct_df = s32.read.parquet(SCALE_PATH)
+        assert sorted(snap_df.inputFiles()) == sorted(direct_df.inputFiles())
+        scan_agg(direct_df)  # warm
+        d_ts, s_ts = [], []
+        for _ in range(3):
+            # manifest load + read planning included in the timed region
+            d_ts.append(timed(lambda: scan_agg(s32.read.parquet(SCALE_PATH)))[0])
+            s_ts.append(timed(lambda: scan_agg(st.read(s32)))[0])
+        direct_sec, snap_sec = min(d_ts), min(s_ts)
         snapshot_read = {
             "rows": SCALE_ROWS,
-            "layout": "ad-hoc parquet, hash exchange on doc_id (both reads)",
+            "job": "full-width scan aggregate (count + sum(n_tok) + sum(size(tokens)))",
             "direct_sec": round(direct_sec, 3),
             "snapshot_sec": round(snap_sec, 3),
             "ratio_snapshot_over_direct": round(snap_sec / direct_sec, 3),
             "snapshot_id": st.snapshot_id(),
             "n_files": len(snap_df.inputFiles()),
+            "same_file_set_as_direct": True,
         }
 
     result.update(

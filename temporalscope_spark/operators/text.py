@@ -132,3 +132,52 @@ def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint")
     the exact-dedup key."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS, " "))
     return df.withColumn(out_col, F.md5(norm))
+
+
+def with_repetition_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals for corpus quality filtering:
+
+    * ``dup_word_ratio``   — 1 − distinct words / total words
+    * ``top_word_ratio``   — occurrences of the most frequent word / total
+    * ``trigram_dup_ratio`` — 1 − distinct char-3-grams / total 3-grams
+      (catches "ha ha ha ..." style repetition that word stats miss)
+
+    All ratios are int/int doubles over the whitespace-normalized lowercase
+    text — bit-identical in any engine (oracle-checkable). Expression-only,
+    narrow, zero Python; per-row cost is O(words · distinct words) for the
+    mode (docs are short; for book-length texts switch to an explode +
+    groupBy formulation).
+    """
+    t = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    words = F.split(norm, " ")
+    n_words = F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(words)).cast("long")
+    n_distinct = F.size(F.array_distinct(words)).cast("long")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    ).cast("long")
+    n_tri = F.greatest(F.length(norm) - F.lit(2), F.lit(0)).cast("long")
+    tri_distinct = F.size(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(2), F.lit(1))),
+                lambda i: F.substring(norm, i, 3),
+            )
+        )
+    ).cast("long")
+    zero_guard = lambda num, den: F.when(den == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        num.cast("double") / den.cast("double")
+    )
+    return (
+        df.withColumn("dup_word_ratio", F.lit(1.0) - zero_guard(n_distinct, n_words))
+        .withColumn("top_word_ratio", zero_guard(top_cnt, n_words))
+        .withColumn(
+            "trigram_dup_ratio",
+            F.when(n_tri == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - tri_distinct.cast("double") / n_tri.cast("double")
+            ),
+        )
+    )
