@@ -557,6 +557,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: exact-Jaccard pairs -> connected components ->
+    one canonical id per cluster for every doc (pairs (a,b),(b,c) collapse
+    to ONE survivor). Oracle: recursive-CTE transitive closure in DuckDB."""
+    from temporalscope_spark.operators.dedup import (
+        dedup_cluster_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=12, threshold=0.2)
+    out = dedup_cluster_survivors(docs, pairs, "doc_id")
+    return out.select("doc_id", "canonical_id")
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (int/int ratios, exact)."""
     from temporalscope_spark.operators.text import with_repetition_features
@@ -952,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_validator": q_dataset_validator,
         "lang_id": q_lang_id,
         "repetition": q_repetition,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1303,6 +1319,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'sample_size', (n >= 3000 AND n <= 50000) FROM s
         """,
         "lang_id": _lang_id_oracle(),
+        # pairs -> transitive closure -> min reachable id per node; docs in
+        # no pair are their own canonical id
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_shingle_cte(12)},
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN counts ca ON ca.doc_id = id_a
+                JOIN counts cb ON cb.doc_id = id_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            walk(id, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT w.id, e.d FROM walk w JOIN edges e ON e.s = w.r
+            ),
+            comp AS (SELECT id, MIN(r) AS rep FROM walk GROUP BY id)
+            SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        """,
         "repetition": f"""
             WITH n AS (
                 SELECT doc_id, {_NORM} AS norm FROM documents

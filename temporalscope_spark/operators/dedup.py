@@ -322,3 +322,89 @@ def simhash_near_pairs(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------- dedup clustering
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cluster near-dup PAIRS into components: (node, component) where
+    component = min node id reachable through the pair graph.
+
+    This is the step a real dedup pipeline needs after pair generation —
+    "keep one doc per duplicate CLUSTER", not per pair (pairs (a,b),(b,c)
+    must collapse to one survivor, not two).
+
+    Distributed min-label propagation: every node starts labeled with
+    itself; each round every node takes the min of its own label and its
+    neighbors' labels (one join + one groupBy per round, all map-side-
+    combinable). Converges in graph-diameter rounds — near-dup components
+    are overwhelmingly tiny cliques/chains (diameter ≤ ~3), so 3-4 rounds
+    close web-scale graphs; the alternating large-star/small-star
+    contraction (O(log n) worst case) is the documented upgrade path if a
+    pathological long-chain graph ever appears. Each round's label table is
+    ``localCheckpoint``-ed: iterative self-joins grow the LOGICAL PLAN
+    exponentially across rounds and OOM the driver during planning by ~12
+    iterations — truncating lineage per round is the standard fix for
+    iterative DataFrame algorithms (at cluster scale use a reliable
+    ``checkpoint`` dir so executor loss stays recoverable). The driver sees
+    only the per-round convergence count.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("_s"), F.col(id_b).alias("_d"))
+        .unionByName(pairs.select(F.col(id_b).alias("_s"), F.col(id_a).alias("_d")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("_s").alias("_n"))
+        .distinct()
+        .withColumn("_lbl", F.col("_n"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["_d"] == labels["_n"])
+            .groupBy("_s")
+            .agg(F.min("_lbl").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["_n"] == nbr_min["_s"], "left")
+            .select(
+                "_n",
+                F.least(F.col("_lbl"), F.coalesce(F.col("_nbr"), F.col("_lbl"))).alias("_lbl"),
+                (F.col("_nbr") < F.col("_lbl")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("_n").alias("node"), F.col("_lbl").alias("component"))
+
+
+def dedup_cluster_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Survivor set after clustering: every doc keeps its component's min
+    (or max) id as the canonical representative; docs in no pair survive as
+    themselves. LEFT join against the (small relative to the corpus)
+    component table — broadcast when it fits, else sort-merge via AQE."""
+    comp = connected_components(pairs, "id_a", "id_b")
+    if keep == "min":
+        # the component label IS the min node id — no extra aggregate
+        lbl = comp.select(F.col("node").alias(id_col), F.col("component").alias("_rep"))
+    else:
+        rep = comp.groupBy("component").agg(F.max("node").alias("_rep"))
+        lbl = comp.join(rep, "component").select(F.col("node").alias(id_col), "_rep")
+    return df.join(lbl, id_col, "left").withColumn(
+        "canonical_id", F.coalesce(F.col("_rep"), F.col(id_col))
+    ).drop("_rep")

@@ -172,7 +172,12 @@ def with_repetition_features(df: DataFrame, text_col: str) -> DataFrame:
         num.cast("double") / den.cast("double")
     )
     return (
-        df.withColumn("dup_word_ratio", F.lit(1.0) - zero_guard(n_distinct, n_words))
+        df.withColumn(
+            "dup_word_ratio",
+            F.when(n_words == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - n_distinct.cast("double") / n_words.cast("double")
+            ),
+        )
         .withColumn("top_word_ratio", zero_guard(top_cnt, n_words))
         .withColumn(
             "trigram_dup_ratio",

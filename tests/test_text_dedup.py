@@ -7,6 +7,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from temporalscope_spark.operators.dedup import (
+    connected_components,
+    dedup_cluster_survivors,
     dedup_exact,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -222,3 +224,75 @@ class TestMultimodal:
         assert (frames.groupby("doc_id")["frame_idx"].min() == 0).all()
         one = frames[frames["doc_id"] == 1].sort_values("frame_idx")
         assert len(one) >= 4  # 66-char doc → ≥4 16-byte frames
+
+
+class TestConnectedComponents:
+    def test_chain_collapses_to_one_component(self, spark):
+        # (1-2),(2-3),(3-4): transitive chain -> one component labeled 1
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+        got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_disjoint_components(self, spark):
+        pairs = spark.createDataFrame(
+            [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)], ["id_a", "id_b"]
+        )
+        got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+    def test_survivors_keep_isolated_docs(self, spark, docs):
+        # pair only docs 1 and 2; every other doc is its own canonical id
+        pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        out = dedup_cluster_survivors(docs, pairs, "doc_id").toPandas()
+        canon = out.set_index("doc_id")["canonical_id"]
+        assert canon.loc[1] == 1 and canon.loc[2] == 1
+        others = canon.drop([1, 2])
+        assert (others == others.index).all()
+
+    def test_keep_max_representative(self, spark, docs):
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+        out = dedup_cluster_survivors(docs, pairs, "doc_id", keep="max").toPandas()
+        canon = out.set_index("doc_id")["canonical_id"]
+        assert canon.loc[1] == 3 and canon.loc[2] == 3 and canon.loc[3] == 3
+
+    def test_long_chain_converges(self, spark):
+        # a 12-node path needs ~diameter rounds — exercises the loop bound
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(100, 112)], ["id_a", "id_b"]
+        )
+        got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        assert set(got.values()) == {100}
+
+
+class TestRepetitionFeatures:
+    def test_hand_computed_ratios(self, spark):
+        from temporalscope_spark.operators.text import with_repetition_features
+
+        df = spark.createDataFrame(
+            [(1, "the cat the cat the dog"), (2, "all unique words here")],
+            ["doc_id", "text"],
+        )
+        out = with_repetition_features(df, "text").toPandas().set_index("doc_id")
+        # doc 1: words = [the, cat, the, cat, the, dog] -> 6 total, 3 distinct
+        assert out.loc[1, "dup_word_ratio"] == pytest.approx(1 - 3 / 6)
+        assert out.loc[1, "top_word_ratio"] == pytest.approx(3 / 6)  # 'the' x3
+        assert out.loc[2, "dup_word_ratio"] == pytest.approx(0.0)
+        assert out.loc[2, "top_word_ratio"] == pytest.approx(1 / 4)
+
+    def test_trigram_repetition_catches_ha_ha(self, spark):
+        from temporalscope_spark.operators.text import with_repetition_features
+
+        df = spark.createDataFrame(
+            [(1, "ha " * 30), (2, "a perfectly normal english sentence")],
+            ["doc_id", "text"],
+        )
+        out = with_repetition_features(df, "text").toPandas().set_index("doc_id")
+        assert out.loc[1, "trigram_dup_ratio"] > 0.9
+        assert out.loc[2, "trigram_dup_ratio"] < 0.2
+
+    def test_empty_text_zero_ratios(self, spark):
+        from temporalscope_spark.operators.text import with_repetition_features
+
+        df = spark.createDataFrame([(1, "   "), (2, "")], ["doc_id", "text"])
+        out = with_repetition_features(df, "text").toPandas()
+        assert (out[["dup_word_ratio", "top_word_ratio", "trigram_dup_ratio"]] == 0).all().all()
