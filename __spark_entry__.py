@@ -557,6 +557,24 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprints — md5-60bit lane, exact oracle."""
+    from temporalscope_spark.operators.dedup import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4, hash_fn="md5")
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style coarse token estimate (regex runs, engine-portable)."""
+    from temporalscope_spark.operators.text import with_bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_bpe_token_count(docs, "text", "n_bpe_tokens").select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: exact-Jaccard pairs -> connected components ->
     one canonical id per cluster for every doc (pairs (a,b),(b,c) collapse
@@ -968,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "repetition": q_repetition,
         "dedup_clusters": q_dedup_clusters,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "bpe_token_count": q_bpe_token_count,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1319,6 +1339,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'sample_size', (n >= 3000 AND n <= 50000) FROM s
         """,
         "lang_id": _lang_id_oracle(),
+        "winnow_fingerprints": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+            h AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
+                           i -> CAST(('0x' || substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)) AS hs
+                FROM n
+            ),
+            m AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+                           j -> list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)]))) AS fps
+                FROM h
+            )
+            SELECT doc_id, unnest(fps) AS fingerprint FROM m
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
         # pairs -> transitive closure -> min reachable id per node; docs in
         # no pair are their own canonical id
         "dedup_clusters": f"""

@@ -408,3 +408,53 @@ def dedup_cluster_survivors(
     return df.join(lbl, id_col, "left").withColumn(
         "canonical_id", F.coalesce(F.col("_rep"), F.col(id_col))
     ).drop("_rep")
+
+
+# ------------------------------------------------- winnowing fingerprints
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every char k-gram of the
+    normalized text, slide a ``window``-wide window over the hash sequence,
+    keep each window's minimum. GUARANTEE: any substring match of length
+    >= k + window - 1 between two docs produces at least one shared
+    fingerprint — the local fingerprinting primitive for fuzzy/partial-copy
+    detection (where whole-doc MinHash dilutes).
+
+    Output: (id, fingerprint) distinct — join on fingerprint to find
+    partial-overlap candidates; density is ~2/(window+1) of the k-gram
+    count. Expression-only (no Python); the k-gram hash array is projected
+    to a REAL column before the window pass — referencing it inside the
+    window lambda would re-evaluate the whole array per window (no CSE
+    across HOF lambda boundaries, the measured-5x pitfall).
+
+    ``hash_fn='md5'``: 60-bit md5 lane, bit-identical in any SQL engine
+    (the DuckDB oracle replays it); ``'xxhash64'`` for production.
+    """
+    if hash_fn == "md5":
+        def hfn(s):
+            return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    else:
+        hfn = F.xxhash64
+    normed = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+    )
+    n_grams = F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: hfn(F.substring(F.col("_norm"), i, k))
+    )
+    hashed = normed.select(id_col, hs.alias("_hs"))
+    n_win = F.greatest(F.size("_hs") - F.lit(window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.array_min(F.slice(F.col("_hs"), j, window)),
+    )
+    return hashed.select(
+        id_col, F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )

@@ -296,3 +296,68 @@ class TestRepetitionFeatures:
         df = spark.createDataFrame([(1, "   "), (2, "")], ["doc_id", "text"])
         out = with_repetition_features(df, "text").toPandas()
         assert (out[["dup_word_ratio", "top_word_ratio", "trigram_dup_ratio"]] == 0).all().all()
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantee(self, spark):
+        from temporalscope_spark.operators.dedup import winnowing_fingerprints
+
+        # docs share a 40-char substring; k=8, w=4 guarantees a shared
+        # fingerprint for any match of length >= k + w - 1 = 11
+        shared = "the quick brown fox jumps over the lazy"
+        df = spark.createDataFrame(
+            [
+                (1, f"prefix one {shared} suffix alpha"),
+                (2, f"{shared} totally different ending here"),
+                (3, "no overlap with anything else at all in this one"),
+            ],
+            ["doc_id", "text"],
+        )
+        fps = winnowing_fingerprints(df, k=8, window=4).toPandas()
+        by_doc = fps.groupby("doc_id")["fingerprint"].apply(set)
+        assert by_doc[1] & by_doc[2]          # shared substring detected
+        assert not (by_doc[1] & by_doc[3])    # disjoint docs don't collide
+
+    def test_md5_lane_deterministic_and_distinct(self, spark, docs):
+        from temporalscope_spark.operators.dedup import winnowing_fingerprints
+
+        a = winnowing_fingerprints(docs, hash_fn="md5").toPandas()
+        b = winnowing_fingerprints(docs, hash_fn="md5").toPandas()
+        key = lambda d: sorted(map(tuple, d.values))  # noqa: E731
+        assert key(a) == key(b)
+        assert not a.duplicated(["doc_id", "fingerprint"]).any()
+
+    def test_density(self, spark, docs):
+        from temporalscope_spark.operators.dedup import winnowing_fingerprints
+
+        fps = winnowing_fingerprints(docs, k=8, window=4).toPandas()
+        n = fps.groupby("doc_id").size()
+        # winnowing emits ~2/(w+1) of k-grams; must be well under 1 per gram
+        lens = {r["doc_id"]: len(r["text"]) for r in docs.collect()}
+        for doc_id, cnt in n.items():
+            assert cnt <= lens[doc_id]  # sanity: sub-linear in text length
+
+
+class TestBpeTokenCount:
+    def test_hand_counts(self, spark):
+        from temporalscope_spark.operators.text import with_bpe_token_count
+
+        df = spark.createDataFrame(
+            [
+                (1, "hello world"),        # 2
+                (2, "hello, world!"),      # hello | , | ' world' | ! = 4
+                (3, "x=1+2"),              # x | = | 1 | + | 2 = 5
+                (4, ""),                   # 0
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["n_bpe_tokens"] for r in with_bpe_token_count(df, "text").collect()}
+        assert out == {1: 2, 2: 4, 3: 5, 4: 0}
+
+    def test_code_splits_finer_than_whitespace(self, spark):
+        from temporalscope_spark.operators.text import with_bpe_token_count, with_token_count
+
+        df = spark.createDataFrame([(1, "def f(x): return x+1  # comment")], ["doc_id", "text"])
+        bpe = with_bpe_token_count(df, "text").first()["n_bpe_tokens"]
+        ws = with_token_count(df, "text").first()["n_tokens"]
+        assert bpe > ws
