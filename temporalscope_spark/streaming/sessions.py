@@ -259,3 +259,34 @@ def stream_stateful_ewma(
     return stream.groupBy(id_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    text_col: str,
+    time_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen-wins on the normalized content
+    fingerprint.
+
+    ``dropDuplicates`` keyed on (fingerprint) alone would grow state forever
+    on an unbounded corpus; keying on (fingerprint, watermarked event-time
+    column) lets Spark EXPIRE state older than the watermark — the standard
+    bounded-state streaming dedup: duplicates arriving within the watermark
+    horizon are dropped exactly; re-occurrences later than the horizon
+    re-admit (documented, unavoidable trade-off of bounded state —
+    batch `dedup_exact` over snapshots is the exact complement).
+
+    Spark 3.5+ exposes this directly as ``dropDuplicatesWithinWatermark``;
+    used when available, falling back to plain dropDuplicates on the
+    fingerprint (unbounded state) otherwise.
+    """
+    from temporalscope_spark.operators.text import with_fingerprint
+
+    fp = with_fingerprint(
+        stream.withWatermark(time_col, watermark), text_col, "fingerprint"
+    )
+    if hasattr(fp, "dropDuplicatesWithinWatermark"):
+        return fp.dropDuplicatesWithinWatermark(["fingerprint"])
+    return fp.dropDuplicates(["fingerprint"])

@@ -191,3 +191,40 @@ def test_stream_ewma_state_survives_restart(spark, tmp_path):
         ).toPandas().sort_values("ts").reset_index(drop=True)["v_ewma"].to_numpy()
     )
     np.testing.assert_allclose(got, batch, rtol=1e-9)
+
+
+def test_stream_dedup_exact_matches_batch(spark, tmp_path):
+    """Streaming first-seen dedup over a replayed corpus keeps exactly one
+    row per normalized fingerprint (same distinct set as batch dedup)."""
+    import pandas as pd
+
+    from temporalscope_spark.operators.dedup import dedup_exact
+    from temporalscope_spark.streaming.sessions import (
+        replay_static_as_stream,
+        stream_dedup_exact,
+    )
+
+    rows = [
+        (1, "2023-01-01 00:00:00", "the quick brown fox"),
+        (2, "2023-01-01 00:01:00", "The  QUICK brown fox "),  # normalized dup of 1
+        (3, "2023-01-01 00:02:00", "something else entirely"),
+        (4, "2023-01-01 00:03:00", "the quick brown fox"),    # exact dup of 1
+        (5, "2023-01-01 00:04:00", "a third unique document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ts", "text"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    d = str(tmp_path / "docs")
+    df.write.parquet(d)
+
+    streamed = replay_static_as_stream(
+        spark, d, df.schema,
+        lambda s: stream_dedup_exact(s, "text", "ts", watermark="0 seconds"),
+        "dedup_out", output_mode="append",
+    ).toPandas()
+    batch = dedup_exact(df, "text", "doc_id").toPandas()
+
+    assert len(streamed) == len(batch) == 3
+    assert set(streamed["fingerprint"]) == set(batch["fingerprint"])
+    # exactly one surviving row per fingerprint
+    assert not pd.Series(streamed["fingerprint"]).duplicated().any()
