@@ -172,3 +172,61 @@ def test_pack_chunks_preserves_stream(spark, lens, block):
     got = [t for arr in out["tokens"] for t in arr]
     keep = (len(tok_stream) // block) * block
     assert got == tok_stream[:keep]
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_gemm_pairs_partition_invariant(spark, sf_dir, nparts):
+    """Exact block-GEMM pair set must not depend on input partitioning."""
+    from temporalscope_spark.operators.similarity import cosine_self_join_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(nparts)
+    got = cosine_self_join_pairs(emb, threshold=0.4, method="gemm").toPandas()
+    key = sorted((a, b, round(c, 9)) for a, b, c in got.itertuples(index=False))
+    emb1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").coalesce(1)
+    want_df = cosine_self_join_pairs(emb1, threshold=0.4, method="gemm").toPandas()
+    want = sorted((a, b, round(c, 9)) for a, b, c in want_df.itertuples(index=False))
+    assert key == want
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_connected_components_partition_invariant(spark, nparts):
+    from temporalscope_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(2, 4), (10, 30)],
+        ["id_a", "id_b"],
+    ).repartition(nparts)
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    # brute-force union-find on the driver
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in [(i, i + 1) for i in range(0, 40, 2)] + [(2, 4), (10, 30)]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_ewma_segmented_partition_invariant(spark, sf_dir, nparts):
+    from temporalscope_spark.operators.rolling import ewma_segmented
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(nparts)
+    out = ewma_segmented(
+        ev, "value", 5.0, time_col="ts", id_col="user_id", chunk_seconds=43200
+    ).toPandas()
+    got = out.set_index("event_id")["value_ewma"].sort_index()
+    ev1 = spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(1)
+    want = (
+        ewma_segmented(ev1, "value", 5.0, time_col="ts", id_col="user_id",
+                       chunk_seconds=43200)
+        .toPandas().set_index("event_id")["value_ewma"].sort_index()
+    )
+    import numpy as np
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-12)
