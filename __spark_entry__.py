@@ -575,6 +575,24 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composed corpus filter (quality score + repetition
+    signals) — one fused projection + filter, no shuffle."""
+    from temporalscope_spark.operators.text import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_filter(
+        docs, "text", min_quality=0.6, max_dup_word_ratio=0.5,
+        max_trigram_dup_ratio=0.9,
+    )
+    return out.select(
+        "doc_id",
+        F.round("quality_score", 6).alias("quality_score"),
+        F.round("dup_word_ratio", 6).alias("dup_word_ratio"),
+        F.round("trigram_dup_ratio", 6).alias("trigram_dup_ratio"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: exact-Jaccard pairs -> connected components ->
     one canonical id per cluster for every doc (pairs (a,b),(b,c) collapse
@@ -986,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "repetition": q_repetition,
         "dedup_clusters": q_dedup_clusters,
+        "quality_gate": q_quality_gate,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_token_count": q_bpe_token_count,
         "dedup_exact": q_dedup_exact,
@@ -1029,7 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM (SELECT event_id, user_id, ts, "
         "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events)"
     )
-    return {
+    sql = {
         "target_shift": """
             SELECT event_id, user_id, value, value_shift_1 FROM (
                 SELECT event_id, user_id, value,
@@ -1761,3 +1780,17 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         """,
     }
+    # composed C4-style gate: reuse the validated quality_score and
+    # repetition oracles as subqueries (DuckDB allows WITH inside subqueries)
+    sql["quality_gate"] = f"""
+        SELECT qs.doc_id,
+               round(qs.quality_score, 6) AS quality_score,
+               round(rep.dup_word_ratio, 6) AS dup_word_ratio,
+               round(rep.trigram_dup_ratio, 6) AS trigram_dup_ratio
+        FROM ({sql['quality_score']}) qs
+        JOIN ({sql['repetition']}) rep ON qs.doc_id = rep.doc_id
+        WHERE qs.quality_score >= 0.6
+          AND rep.dup_word_ratio <= 0.5
+          AND rep.trigram_dup_ratio <= 0.9
+    """
+    return sql

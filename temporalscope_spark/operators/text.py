@@ -203,3 +203,31 @@ def bpe_token_count(text: Column) -> Column:
 
 def with_bpe_token_count(df: DataFrame, text_col: str, out_col: str = "n_bpe_tokens") -> DataFrame:
     return df.withColumn(out_col, bpe_token_count(F.col(text_col)))
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.6,
+    max_dup_word_ratio: float = 0.5,
+    max_trigram_dup_ratio: float = 0.9,
+    langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """C4/Gopher-style corpus gate: compose the quality score, repetition
+    signals, and (optionally) language ID into one keep/drop filter.
+
+    One narrow map over the corpus — all component expressions fuse into a
+    single whole-stage-codegen projection + filter, no shuffle, no second
+    scan. Returns the surviving rows with the signal columns attached (so
+    downstream audits can see WHY a row survived)."""
+    out = with_quality_score(df, text_col)
+    out = with_repetition_features(out, text_col)
+    cond = (
+        (F.col("quality_score") >= min_quality)
+        & (F.col("dup_word_ratio") <= max_dup_word_ratio)
+        & (F.col("trigram_dup_ratio") <= max_trigram_dup_ratio)
+    )
+    if langs is not None:
+        out = with_lang_id(out, text_col)
+        cond = cond & F.col("lang_pred").isin(list(langs))
+    return out.filter(cond)

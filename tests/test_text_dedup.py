@@ -361,3 +361,36 @@ class TestBpeTokenCount:
         bpe = with_bpe_token_count(df, "text").first()["n_bpe_tokens"]
         ws = with_token_count(df, "text").first()["n_tokens"]
         assert bpe > ws
+
+
+class TestQualityGate:
+    def test_gate_composition(self, spark):
+        from temporalscope_spark.operators.text import quality_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat and then the dog sat on the other mat too"),
+                (2, "ha ha ha ha ha ha ha ha ha ha ha ha ha ha ha ha ha ha ha ha"),
+                (3, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 21 22"),
+            ],
+            ["doc_id", "text"],
+        )
+        kept = quality_filter(df, "text").toPandas()
+        assert set(kept["doc_id"]) == {1}  # repetition + digit gates drop 2, 3
+        # signal columns attached for auditability
+        assert {"quality_score", "dup_word_ratio", "trigram_dup_ratio"} <= set(kept.columns)
+
+    def test_lang_gate(self, spark, docs):
+        from temporalscope_spark.operators.text import quality_filter
+
+        kept = quality_filter(
+            docs, "text", min_quality=0.0, max_dup_word_ratio=1.0,
+            max_trigram_dup_ratio=1.0, langs=("en",),
+        ).toPandas()
+        assert set(kept["lang_pred"]) == {"en"}
+
+    def test_gate_is_shuffle_free(self, spark, docs):
+        from temporalscope_spark.operators.text import quality_filter
+
+        plan = quality_filter(docs, "text")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
