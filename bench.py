@@ -169,7 +169,7 @@ def minhash_lsh_pass(spark) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
-def feature_pass(spark, path: str | None = None, table: str | None = None, df=None) -> int:
+def feature_pass(spark, path: str | None = None, table: str | None = None) -> int:
     """The headline job: sliding-window bucket + leakage-safe shift + pad.
 
     Per-doc lead(n_tok) as the target, time-range train/test split labels,
@@ -184,8 +184,7 @@ def feature_pass(spark, path: str | None = None, table: str | None = None, df=No
 
     from temporalscope_spark.operators.padding import pad_token_arrays
 
-    if df is None:
-        df = spark.table(table) if table else spark.read.parquet(path)
+    df = spark.table(table) if table else spark.read.parquet(path)
     w = Window.partitionBy("doc_id").orderBy("event_time")
     out = (
         df.withColumn("target_n_tok", F.lead("n_tok", 1).over(w))

@@ -341,11 +341,12 @@ def connected_components(
     Distributed min-label propagation: every node starts labeled with
     itself; each round every node takes the min of its own label and its
     neighbors' labels (one join + one groupBy per round, all map-side-
-    combinable). Converges in graph-diameter rounds — near-dup components
-    are overwhelmingly tiny cliques/chains (diameter ≤ ~3), so 3-4 rounds
-    close web-scale graphs; the alternating large-star/small-star
-    contraction (O(log n) worst case) is the documented upgrade path if a
-    pathological long-chain graph ever appears. Each round's label table is
+    combinable). Each round is a
+    neighbor-min step plus a POINTER JUMP (follow the label's own label —
+    path compression), so a diameter-D component converges in O(log D)
+    rounds; near-dup components are overwhelmingly tiny cliques/chains,
+    closing in 2-3 rounds. Raises instead of silently returning partial
+    labels if max_iters is ever exceeded (that would under-deduplicate). Each round's label table is
     ``localCheckpoint``-ed: iterative self-joins grow the LOGICAL PLAN
     exponentially across rounds and OOM the driver during planning by ~12
     iterations — truncating lineage per round is the standard fix for
@@ -366,25 +367,44 @@ def connected_components(
         .withColumn("_lbl", F.col("_n"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
+        # (a) neighbor-min: each node takes the min of its neighbors' labels
         nbr_min = (
             edges.join(labels, edges["_d"] == labels["_n"])
             .groupBy("_s")
             .agg(F.min("_lbl").alias("_nbr"))
         )
+        stepped = labels.join(nbr_min, labels["_n"] == nbr_min["_s"], "left").select(
+            "_n",
+            F.col("_lbl").alias("_old"),
+            F.least(F.col("_lbl"), F.coalesce(F.col("_nbr"), F.col("_lbl"))).alias("_mid"),
+        )
+        # (b) pointer jump (path compression): follow the label's own label —
+        # halves the remaining path length every round, so a diameter-D
+        # chain converges in O(log D) rounds instead of D
+        ptr = stepped.select(F.col("_n").alias("_m"), F.col("_mid").alias("_plbl"))
         new_labels = (
-            labels.join(nbr_min, labels["_n"] == nbr_min["_s"], "left")
+            stepped.join(ptr, stepped["_mid"] == ptr["_m"], "left")
             .select(
                 "_n",
-                F.least(F.col("_lbl"), F.coalesce(F.col("_nbr"), F.col("_lbl"))).alias("_lbl"),
-                (F.col("_nbr") < F.col("_lbl")).alias("_chg"),
+                F.least(F.col("_mid"), F.coalesce(F.col("_plbl"), F.col("_mid"))).alias("_lbl"),
+                "_old",
             )
         ).localCheckpoint()
-        changed = new_labels.filter(F.col("_chg")).count()
-        labels = new_labels.drop("_chg")
+        changed = new_labels.filter(F.col("_lbl") < F.col("_old")).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds — "
+            "the pair graph has a component with diameter > max_iters "
+            "(silently returning partial labels would under-deduplicate); "
+            "raise max_iters or switch to star-contraction for such graphs"
+        )
     return labels.select(F.col("_n").alias("node"), F.col("_lbl").alias("component"))
 
 

@@ -270,7 +270,11 @@ def ewma_segmented(
             (acc["num"] * a + x).alias("num"), (acc["den"] * a + F.lit(1.0)).alias("den")
         ),
     )
-    base = base.withColumn("_lf_inc", folded).withColumn("_p", F.row_number().over(w))
+    base = (
+        base.withColumn("_lf_inc", folded)
+        .withColumn("_rn_inc", F.row_number().over(w))
+        .withColumn("_p", F.col("_rn_inc"))
+    )
     if include_current:
         base = base.withColumn("_lf", F.col("_lf_inc"))
     else:
@@ -281,12 +285,15 @@ def ewma_segmented(
             "_lf", F.coalesce(F.lag("_lf_inc", 1).over(w), zero)
         ).withColumn("_p", F.col("_p") - 1)
 
-    # 2. one summary row per (id, chunk): total INCLUSIVE fold + row count
+    # 2. one summary row per (id, chunk): total INCLUSIVE fold + row count.
+    # max_by keys on the ROW NUMBER, not the timestamp — with duplicate
+    # timestamps max_by(.., __t) tie-breaks non-deterministically and could
+    # carry an incomplete prefix into every later chunk
     summ = base.groupBy(*part).agg(
-        F.max_by(F.col("_lf_inc"), F.col("__t")).alias("_tot"),
+        F.max_by(F.col("_lf_inc"), F.col("_rn_inc")).alias("_tot"),
         F.count(F.lit(1)).alias("_L"),
     )
-    base = base.drop("_lf_inc")
+    base = base.drop("_lf_inc", "_rn_inc")
 
     # 3. cross-chunk carry over the ordered summary table (tiny: one row per
     # chunk), prefix fold with the affine composition law

@@ -72,6 +72,7 @@ def cosine_self_join_pairs(
     num_planes: int = 8,
     probe_hamming: int = 1,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding near-dup.
 
@@ -102,10 +103,14 @@ def cosine_self_join_pairs(
 
     Vectors are L2-NORMALIZED map-side before any join (n norm
     computations), so per-pair work is a single dot product."""
+    if method not in {"gemm", "lsh", "brute"}:
+        # an unrecognized method must NEVER fall through to the brute
+        # crossJoin path — that is the O(n²) scale-killer
+        raise ValueError("method must be 'gemm', 'lsh' or 'brute'")
     if method == "gemm":
         return _gemm_pairs(df, vec_col, id_col, threshold, num_blocks, block_col)
     if method == "lsh":
-        bucketed = with_lsh_bucket(df, vec_col, num_planes, seed, out_col="_lshb")
+        bucketed = with_lsh_bucket(df, vec_col, num_planes, seed, dim=dim, out_col="_lshb")
         probes = _probe_offsets(num_planes, probe_hamming)
         left = bucketed.select(
             F.col(id_col), F.col(vec_col),
@@ -278,7 +283,10 @@ def with_lsh_bucket(
     buckets; at corpus scale repartition by bucket and search within.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # eager one-row job at plan-build time; pass dim to avoid it. An
+        # empty input gets a placeholder dim — output is empty either way
+        row = df.select(vec_col).first()
+        dim = len(row[0]) if row is not None and row[0] is not None else 1
     bucket = F.lit(0)
     for p in range(num_planes):
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])

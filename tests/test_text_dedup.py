@@ -394,3 +394,27 @@ class TestQualityGate:
 
         plan = quality_filter(docs, "text")._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_connected_components_deep_chain_pointer_jump(spark):
+    """A 120-node path (diameter 119) must converge well inside max_iters —
+    the pointer-jump step compresses paths in O(log D) rounds; r1's pure
+    neighbor-min propagation needed D rounds and silently mislabeled."""
+    from temporalscope_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1120)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs, max_iters=12).collect()}
+    assert set(got.values()) == {1000}
+    assert len(got) == 121
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from temporalscope_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
