@@ -58,10 +58,12 @@ SEQ_PATH = os.path.join(CACHE, f"tokenized_sf{SF}")
 # hash exchange of the fat token arrays; that path is the headline metric.
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "48000000"))
 SCALE_PATH = os.path.join(CACHE, f"tokenized_scale{SCALE_ROWS}")
-# pair-operator scaling corpus: 1M docs for exact dedup (md5 groupBy), the
-# first 10% (contiguous — keeps the planted predecessor-dup structure) for
+# pair-operator scaling corpus: 4M docs for exact dedup (md5 groupBy — big
+# enough that the 8-core leg is not session-overhead-bound), a fixed 100k
+# contiguous prefix (keeps the planted predecessor-dup structure) for
 # MinHash LSH (shingle explode is ~25x row inflation)
-DOCS_ROWS = int(os.environ.get("SPARK_GRAFT_DOCS_ROWS", "1000000"))
+DOCS_ROWS = int(os.environ.get("SPARK_GRAFT_DOCS_ROWS", "4000000"))
+MINHASH_DOCS = int(os.environ.get("SPARK_GRAFT_MINHASH_DOCS", "100000"))
 DOCS_PATH = os.path.join(CACHE, f"documents_{DOCS_ROWS}")
 WAREHOUSE = os.path.join(CACHE, "warehouse")
 DERBY = os.path.join(CACHE, "derby")
@@ -157,13 +159,13 @@ def dedup_exact_pass(spark) -> None:
 
 
 def minhash_lsh_pass(spark) -> None:
-    """MinHash+LSH near-dup pair op at 100k docs (contiguous prefix keeps
-    the planted dup structure; the doc_id filter pushes to the scan)."""
+    """MinHash+LSH near-dup pair op over a fixed 100k-doc contiguous prefix
+    (keeps the planted dup structure; the doc_id filter pushes to the scan)."""
     from pyspark.sql import functions as F
 
     from temporalscope_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(DOCS_PATH).filter(F.col("doc_id") < DOCS_ROWS // 10)
+    docs = spark.read.parquet(DOCS_PATH).filter(F.col("doc_id") < MINHASH_DOCS)
     minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5
     ).write.format("noop").mode("overwrite").save()
@@ -244,6 +246,7 @@ def main():
     qtimes = run_queries(spark)
 
     scaling = None
+    snapshot_read = None
     if RUN_SCALING:
         def bucketed_pass(s):
             from pyspark.sql import functions as F
@@ -279,6 +282,65 @@ def main():
         for c in (2, 8, 32):
             s = _new_spark(c, f"scale{c}")
             times[c] = reps_min(s, bucketed_pass)
+        def measure_snapshot_read():
+            # snapshot-manifest read vs direct scan at 48M: time-travel planning
+            # (scan the manifest's exact file set) must not regress throughput.
+            # Metadata-only register (Iceberg add_files) over the existing files.
+            from temporalscope_spark.datasets.snapshots import SnapshotTable
+
+            snap_dir = os.path.join(CACHE, f"snap_scale{SCALE_ROWS}")
+            st = SnapshotTable(snap_dir)
+            if st.current_version() is None:
+                files = sorted(
+                    os.path.join(SCALE_PATH, f)
+                    for f in os.listdir(SCALE_PATH)
+                    if f.endswith(".parquet")
+                )
+                st.register(files)
+            s32 = _new_spark(32, "snapread")
+
+            # the manifest affects SCAN PLANNING only, so measure a scan-
+            # dominated aggregate (tokens is the fat column) — the full feature
+            # pass adds a spill-bursty 11GB exchange whose noise swamps any
+            # planning delta. One unmeasured warm pass, then ALTERNATE
+            # direct/snapshot reps (sequential legs would hand the second leg a
+            # warmed page cache and fake a speedup).
+            def scan_agg(df):
+                from pyspark.sql import functions as F
+
+                return df.select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("n_tok").alias("s"),
+                    F.sum(F.size("tokens")).alias("st"),
+                ).collect()[0]["n"]
+
+            snap_df = st.read(s32)
+            direct_df = s32.read.parquet(SCALE_PATH)
+            assert sorted(snap_df.inputFiles()) == sorted(direct_df.inputFiles())
+            scan_agg(direct_df)  # warm
+            scan_agg(snap_df)
+            d_ts, s_ts = [], []
+            for _ in range(3):
+                # manifest load + read planning included in the timed region
+                d_ts.append(timed(lambda: scan_agg(s32.read.parquet(SCALE_PATH)))[0])
+                s_ts.append(timed(lambda: scan_agg(st.read(s32)))[0])
+            direct_sec, snap_sec = min(d_ts), min(s_ts)
+            snapshot_read = {
+                "rows": SCALE_ROWS,
+                "job": "full-width scan aggregate (count + sum(n_tok) + sum(size(tokens)))",
+                "direct_sec": round(direct_sec, 3),
+                "snapshot_sec": round(snap_sec, 3),
+                "ratio_snapshot_over_direct": round(snap_sec / direct_sec, 3),
+                "snapshot_id": st.snapshot_id(),
+                "n_files": len(snap_df.inputFiles()),
+                "same_file_set_as_direct": True,
+            }
+            return snapshot_read
+
+        # snapshot comparison FIRST (48M table still hot from the flagship
+        # levels); the pair legs below churn the page cache with their own data
+        snapshot_read = measure_snapshot_read()
+
         # pair-operator scaling legs after: two-level N->4N evidence for the
         # dedup family (fewer reps — join/agg-bound, less bursty than the
         # window pass)
@@ -326,7 +388,7 @@ def main():
                     ),
                 },
                 "minhash_lsh_pairs": {
-                    "rows": DOCS_ROWS // 10,
+                    "rows": MINHASH_DOCS,
                     "sec_n": round(pair_times["minhash_lsh"][2], 3),
                     "sec_4n": round(pair_times["minhash_lsh"][8], 3),
                     "efficiency": round(
@@ -336,60 +398,6 @@ def main():
                     ),
                 },
             },
-        }
-
-    snapshot_read = None
-    if RUN_SCALING:
-        # snapshot-manifest read vs direct scan at 48M: time-travel planning
-        # (scan the manifest's exact file set) must not regress throughput.
-        # Metadata-only register (Iceberg add_files) over the existing files.
-        from temporalscope_spark.datasets.snapshots import SnapshotTable
-
-        snap_dir = os.path.join(CACHE, f"snap_scale{SCALE_ROWS}")
-        st = SnapshotTable(snap_dir)
-        if st.current_version() is None:
-            files = sorted(
-                os.path.join(SCALE_PATH, f)
-                for f in os.listdir(SCALE_PATH)
-                if f.endswith(".parquet")
-            )
-            st.register(files)
-        s32 = _new_spark(32, "snapread")
-
-        # the manifest affects SCAN PLANNING only, so measure a scan-
-        # dominated aggregate (tokens is the fat column) — the full feature
-        # pass adds a spill-bursty 11GB exchange whose noise swamps any
-        # planning delta. One unmeasured warm pass, then ALTERNATE
-        # direct/snapshot reps (sequential legs would hand the second leg a
-        # warmed page cache and fake a speedup).
-        def scan_agg(df):
-            from pyspark.sql import functions as F
-
-            return df.select(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("n_tok").alias("s"),
-                F.sum(F.size("tokens")).alias("st"),
-            ).collect()[0]["n"]
-
-        snap_df = st.read(s32)
-        direct_df = s32.read.parquet(SCALE_PATH)
-        assert sorted(snap_df.inputFiles()) == sorted(direct_df.inputFiles())
-        scan_agg(direct_df)  # warm
-        d_ts, s_ts = [], []
-        for _ in range(3):
-            # manifest load + read planning included in the timed region
-            d_ts.append(timed(lambda: scan_agg(s32.read.parquet(SCALE_PATH)))[0])
-            s_ts.append(timed(lambda: scan_agg(st.read(s32)))[0])
-        direct_sec, snap_sec = min(d_ts), min(s_ts)
-        snapshot_read = {
-            "rows": SCALE_ROWS,
-            "job": "full-width scan aggregate (count + sum(n_tok) + sum(size(tokens)))",
-            "direct_sec": round(direct_sec, 3),
-            "snapshot_sec": round(snap_sec, 3),
-            "ratio_snapshot_over_direct": round(snap_sec / direct_sec, 3),
-            "snapshot_id": st.snapshot_id(),
-            "n_files": len(snap_df.inputFiles()),
-            "same_file_set_as_direct": True,
         }
 
     result.update(
