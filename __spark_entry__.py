@@ -905,6 +905,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type")
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to token budgets: per-source totals -> capped fractions
+    -> deterministic md5 membership (books budget exceeds its total, so the
+    cap keeps that source whole)."""
+    from temporalscope_spark.operators.sampling import sample_to_token_budget
+
+    seqs = _synthetic_token_events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.element_at(
+            F.array(F.lit("web"), F.lit("code"), F.lit("books")),
+            (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("source"),
+        F.size("tokens").cast("long").alias("n_tok"),
+    )
+    out = sample_to_token_budget(
+        seqs, {"web": 3000.0, "code": 1000.0, "books": 1e12},
+        strata_col="source", token_col="n_tok", key_col="event_id",
+        seed=7, portable=True,
+    )
+    return out.select("event_id", "user_id", "source")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style passage splitting: 120-char chunks, 20-char overlap."""
+    from temporalscope_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_chars=120, overlap=20)
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by value per event type (deterministic tie-break)."""
     from temporalscope_spark.operators.sampling import top_k_per_group
@@ -1030,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "token_budget_sample": q_token_budget_sample,
+        "chunk_documents": q_chunk_documents,
         "topk_per_group": q_topk_per_group,
         "expanding": q_expanding,
         "target_encode": q_target_encode,
@@ -1755,6 +1787,35 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) / 4294967296.0 <
                   CASE event_type WHEN 'purchase' THEN 1.0
                                   WHEN 'click' THEN 0.2 ELSE 0.0 END
+        """,
+        "token_budget_sample": """
+            WITH seqs AS (
+                SELECT event_id, user_id,
+                       ['web','code','books'][CAST((user_id % 3) + 1 AS INT)] AS source,
+                       CAST(event_id % 5 + 1 AS BIGINT) AS n_tok
+                FROM events
+            ),
+            tot AS (SELECT source, CAST(SUM(n_tok) AS DOUBLE) AS t FROM seqs GROUP BY source),
+            fr AS (
+                SELECT source,
+                       least(1.0, CASE source WHEN 'web' THEN 3000.0
+                                              WHEN 'code' THEN 1000.0
+                                              WHEN 'books' THEN 1e12 END / t) AS f
+                FROM tot
+            )
+            SELECT s.event_id, s.user_id, s.source
+            FROM seqs s JOIN fr USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(s.event_id AS VARCHAR) || '#7'), 1, 8))
+                       AS BIGINT) / 4294967296.0 < fr.f
+        """,
+        "chunk_documents": """
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   substr(text, CAST(i * 100 + 1 AS INT), 120) AS chunk_text,
+                   CAST(length(substr(text, CAST(i * 100 + 1 AS INT), 120)) AS BIGINT) AS n_chunk_chars
+            FROM documents,
+                 UNNEST(generate_series(0,
+                     CAST(ceil(greatest(length(text) - 120, 0) / 100.0) AS INT))) AS t(i)
         """,
         "topk_per_group": """
             SELECT event_type, rank, event_id, value FROM (

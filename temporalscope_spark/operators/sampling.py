@@ -92,3 +92,41 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: Mapping[str, float],
+    strata_col: str = "source",
+    token_col: str = "n_tok",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    portable: bool = False,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Corpus mixing to TOKEN budgets: downsample each source so its
+    expected token count hits ``budgets[source]`` (sources under budget are
+    kept whole — fraction is capped at 1).
+
+    ONE tiny aggregate (per-source token totals — C rows to the driver),
+    fraction = min(1, budget / total) per source, then the deterministic
+    hash filter from :func:`stratified_sample` — no shuffle of the corpus,
+    partition-invariant, replayable in any engine with ``portable=True``.
+    This is the standard "mix 300B web + 50B code + all of books" recipe
+    expressed as one narrow map.
+    """
+    for k, v in budgets.items():
+        if float(v) < 0:
+            raise DataFrameValidationError(f"budget for stratum '{k}' must be >= 0")
+    totals = {
+        r[strata_col]: float(r["_t"])
+        for r in df.groupBy(strata_col).agg(F.sum(token_col).alias("_t")).collect()
+    }
+    fractions = {
+        k: min(1.0, float(v) / totals[k]) if totals.get(k) else 0.0
+        for k, v in budgets.items()
+    }
+    return stratified_sample(
+        df, strata_col, fractions, key_col=key_col, seed=seed,
+        default_fraction=default_fraction, portable=portable,
+    )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from temporalscope_spark.exceptions import DataFrameValidationError
+
 # substring-count based language markers: chosen to be computable with plain
 # (non-regex) replace() so any SQL engine reproduces counts exactly.
 # Each marker includes surrounding spaces to approximate word matching.
@@ -231,3 +233,46 @@ def quality_filter(
         out = with_lang_id(out, text_col)
         cond = cond & F.col("lang_pred").isin(list(langs))
     return out.filter(cond)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 1000,
+    overlap: int = 100,
+) -> DataFrame:
+    """Split documents into fixed-size character passages with overlap —
+    the RAG/embedding-pipeline passage splitter.
+
+    Chunk i covers ``[i·step, i·step + chunk_chars)`` with
+    ``step = chunk_chars − overlap``; the last chunk may be shorter; an
+    empty document yields one empty chunk (docs are never silently
+    dropped). Expression-only (sequence → transform → explode), narrow,
+    engine-replicable: output (id, chunk_idx, chunk_text, n_chunk_chars).
+    """
+    if chunk_chars <= 0:
+        raise DataFrameValidationError("chunk_chars must be > 0")
+    if not 0 <= overlap < chunk_chars:
+        raise DataFrameValidationError("overlap must be in [0, chunk_chars)")
+    step = chunk_chars - overlap
+    t = F.col(text_col)
+    # n_chunks = 1 + ceil(max(len - chunk_chars, 0) / step)
+    extra = F.greatest(F.length(t) - F.lit(chunk_chars), F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra.cast("double") / F.lit(float(step))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.substring(t, i * step + 1, chunk_chars).alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(chunks).alias("_c"),
+    ).select(
+        id_col,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.length("_c.chunk_text").cast("long").alias("n_chunk_chars"),
+    )

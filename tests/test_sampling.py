@@ -73,3 +73,86 @@ class TestTopKPerGroup:
     def test_bad_k(self, corpus):
         with pytest.raises(DataFrameValidationError, match="k must be"):
             top_k_per_group(corpus, ["source"], "quality", k=0)
+
+
+class TestTokenBudgetSample:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (i, ["web", "code", "books"][i % 3], 10 + (i % 7))
+            for i in range(600)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+
+    def test_budget_hits_expected_tokens(self, corpus):
+        from temporalscope_spark.operators.sampling import sample_to_token_budget
+
+        totals = {r["source"]: r["t"] for r in
+                  corpus.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()}
+        budget = totals["web"] * 0.3
+        kept = sample_to_token_budget(
+            corpus, {"web": budget}, key_col="doc_id", seed=1
+        ).toPandas()
+        assert set(kept["source"]) == {"web"}  # unlisted strata dropped
+        got = kept["n_tok"].sum()
+        assert abs(got - budget) / budget < 0.35  # hash-sample variance bound
+
+    def test_cap_keeps_source_whole(self, corpus):
+        from temporalscope_spark.operators.sampling import sample_to_token_budget
+
+        kept = sample_to_token_budget(
+            corpus, {"books": 1e9}, key_col="doc_id", seed=1
+        ).toPandas()
+        n_books = corpus.filter(F.col("source") == "books").count()
+        assert len(kept) == n_books  # fraction capped at 1.0
+
+    def test_deterministic_and_partition_invariant(self, spark, corpus):
+        from temporalscope_spark.operators.sampling import sample_to_token_budget
+
+        a = sample_to_token_budget(corpus.repartition(1), {"web": 500},
+                                   key_col="doc_id", seed=2).toPandas()
+        b = sample_to_token_budget(corpus.repartition(9), {"web": 500},
+                                   key_col="doc_id", seed=2).toPandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+    def test_negative_budget_rejected(self, corpus):
+        from temporalscope_spark.exceptions import DataFrameValidationError
+        from temporalscope_spark.operators.sampling import sample_to_token_budget
+
+        with pytest.raises(DataFrameValidationError, match=">= 0"):
+            sample_to_token_budget(corpus, {"web": -1}, key_col="doc_id")
+
+
+class TestChunkDocuments:
+    def test_chunks_cover_and_overlap(self, spark):
+        from temporalscope_spark.operators.text import chunk_documents
+
+        text = "abcdefghijklmnopqrstuvwxyz" * 10  # 260 chars
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        out = chunk_documents(df, chunk_chars=100, overlap=20).toPandas()
+        out = out.sort_values("chunk_idx").reset_index(drop=True)
+        # step 80: starts 0, 80, 160 -> 3 chunks (1 + ceil(160/80))
+        assert list(out["chunk_idx"]) == [0, 1, 2]
+        assert out.loc[0, "chunk_text"] == text[0:100]
+        assert out.loc[1, "chunk_text"] == text[80:180]
+        assert out.loc[2, "chunk_text"] == text[160:260]
+        # overlap region shared between consecutive chunks
+        assert out.loc[0, "chunk_text"][-20:] == out.loc[1, "chunk_text"][:20]
+
+    def test_short_and_empty_docs(self, spark):
+        from temporalscope_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "short"), (2, "")], ["doc_id", "text"])
+        out = chunk_documents(df, chunk_chars=100, overlap=10).toPandas()
+        assert len(out) == 2  # one chunk each; empty doc not dropped
+        assert set(out["chunk_idx"]) == {0}
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.exceptions import DataFrameValidationError
+        from temporalscope_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(DataFrameValidationError, match="chunk_chars"):
+            chunk_documents(df, chunk_chars=0)
+        with pytest.raises(DataFrameValidationError, match="overlap"):
+            chunk_documents(df, chunk_chars=10, overlap=10)
