@@ -783,6 +783,22 @@ def q_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.round("value_ewma", 6).alias("value_ewma"))
 
 
+def q_normalize_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe z-score + min-max normalization over strictly-past
+    per-user history (RANGE frame on integer µs)."""
+    from temporalscope_spark.operators.rolling import normalize_features
+
+    events = _t(spark, sf_dir, "events")
+    z = normalize_features(events, ["value"], time_col="ts", id_col="user_id")
+    z = z.withColumnRenamed("value_norm", "value_z")
+    m = normalize_features(z, ["value"], time_col="ts", id_col="user_id", method="minmax")
+    return m.select(
+        "event_id", "user_id",
+        F.round("value_z", 6).alias("value_z"),
+        F.round("value_norm", 6).alias("value_mm"),
+    )
+
+
 def q_purged_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purged time-series CV: 5 equal-count folds over events, 30-min embargo
     after each test range; per-fold train/test row counts + test bounds."""
@@ -1051,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_row": q_rolling_row,
         "ewma": q_ewma,
         "ewma_segmented": q_ewma_segmented,
+        "normalize_expanding": q_normalize_expanding,
         "ivf_topk": q_ivf_topk,
         "purged_cv": q_purged_cv,
         "resample": q_resample,
@@ -1621,6 +1638,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # identical fold (oldest-first, (num,den) -> (num*a + x, den*a + 1))
         # over the identical 200-row truncated frame as the engine's ewma
+        "normalize_expanding": """
+            SELECT event_id, user_id,
+                   round((value - avg(value) OVER w) / nullif(stddev_samp(value) OVER w, 0), 6) AS value_z,
+                   round((value - min(value) OVER w)
+                         / nullif(max(value) OVER w - min(value) OVER w, 0), 6) AS value_mm
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
         # exact full-history fold (the segmented path has no frame
         # truncation — UNBOUNDED PRECEDING is the right oracle)
         "ewma_segmented": f"""

@@ -404,3 +404,49 @@ def target_encode_expanding(
         if prior is not None:
             enc = F.coalesce(enc, F.lit(float(prior)))
     return out.withColumn(out_col, enc).drop("__t")
+
+
+def normalize_features(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    time_col: str = "event_time",
+    id_col: str | None = "doc_id",
+    method: str = "zscore",
+    include_current: bool = False,
+) -> DataFrame:
+    """Leakage-safe per-entity feature normalization.
+
+    ``zscore``: ``(x − mean_past) / std_past``; ``minmax``:
+    ``(x − min_past) / (max_past − min_past)`` — statistics computed over
+    the entity's STRICTLY-PAST rows (RANGE frame on the integer-µs axis, so
+    duplicate timestamps never leak same-instant values;
+    ``include_current=True`` closes the frame for train-time use). The
+    point-in-time analogue of sklearn's StandardScaler/MinMaxScaler that a
+    temporal pipeline actually needs — fitting a global scaler on the full
+    table leaks future distribution shift into early rows.
+
+    Degenerate windows (no past, zero variance/range) yield NULL via
+    ``try_divide`` — never an ANSI error. All normalized columns share ONE
+    window partitioning (single exchange, like :func:`rolling_features`).
+    Output columns: ``{c}_norm``.
+    """
+    if not value_cols:
+        raise DataFrameValidationError("value_cols must be non-empty")
+    if method not in ("zscore", "minmax"):
+        raise DataFrameValidationError("method must be 'zscore' or 'minmax'")
+    t = _time_micros(df, time_col)
+    out = df.withColumn("__t", t)
+    base = Window.orderBy("__t")
+    if id_col is not None:
+        base = base.partitionBy(id_col)
+    frame = base.rangeBetween(Window.unboundedPreceding, 0 if include_current else -1)
+    cols = []
+    for c in value_cols:
+        x = F.col(c).cast("double")
+        if method == "zscore":
+            norm = F.try_divide(x - F.avg(x).over(frame), F.stddev_samp(x).over(frame))
+        else:
+            lo, hi = F.min(x).over(frame), F.max(x).over(frame)
+            norm = F.try_divide(x - lo, hi - lo)
+        cols.append(norm.alias(f"{c}_norm"))
+    return out.select("*", *cols).drop("__t")

@@ -409,3 +409,60 @@ class TestDuplicateTimestampLeakage:
             ewma(ts_df, "value", halflife_rows=0, time_col="t", id_col="user_id")
         with pytest.raises(DataFrameValidationError, match="halflife_rows"):
             ewma(ts_df, "value", halflife_rows=-5, time_col="t", id_col="user_id")
+
+
+class TestNormalizeFeatures:
+    def test_zscore_matches_pandas_expanding(self, ts_df):
+        from temporalscope_spark.operators.rolling import normalize_features
+
+        got = (
+            normalize_features(ts_df, ["value"], time_col="t", id_col="user_id")
+            .toPandas().sort_values(["user_id", "t"]).reset_index(drop=True)
+        )
+        pdf = ts_df.toPandas().sort_values(["user_id", "t"]).reset_index(drop=True)
+        def exp_z(s):
+            return (s - s.expanding().mean().shift(1)) / s.expanding().std(ddof=1).shift(1)
+        want = pdf.groupby("user_id")["value"].apply(exp_z).reset_index(drop=True)
+        m = ~want.isna()
+        np.testing.assert_allclose(
+            got["value_norm"].astype(float)[m], want[m], rtol=1e-9
+        )
+        # first two rows per user have no valid std -> NULL
+        firsts = got.groupby("user_id").head(2)["value_norm"]
+        assert firsts.isna().all()
+
+    def test_minmax_bounds_and_leakage(self, spark, ts_df):
+        from temporalscope_spark.operators.rolling import normalize_features
+
+        out = normalize_features(
+            ts_df, ["value"], time_col="t", id_col="user_id", method="minmax"
+        )
+        pdf = out.toPandas()
+        # minmax vs PAST window can exceed [0,1] when current value is a new
+        # extreme — that's the point (no future knowledge); but past-only
+        # stats mean editing future rows cannot change earlier outputs
+        cutoff = 150
+        pert = ts_df.withColumn(
+            "value",
+            F.when(F.col("t") >= cutoff, F.col("value") * 977 + 13).otherwise(F.col("value")),
+        )
+        a = (
+            normalize_features(ts_df, ["value"], time_col="t", id_col="user_id", method="minmax")
+            .filter(F.col("t") < cutoff).toPandas()
+            .sort_values(["user_id", "t"]).reset_index(drop=True)
+        )
+        b = (
+            normalize_features(pert, ["value"], time_col="t", id_col="user_id", method="minmax")
+            .filter(F.col("t") < cutoff).toPandas()
+            .sort_values(["user_id", "t"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert pdf["value_norm"].notna().sum() > 0
+
+    def test_error_contracts(self, ts_df):
+        from temporalscope_spark.operators.rolling import normalize_features
+
+        with pytest.raises(DataFrameValidationError, match="non-empty"):
+            normalize_features(ts_df, [], time_col="t")
+        with pytest.raises(DataFrameValidationError, match="method"):
+            normalize_features(ts_df, ["value"], time_col="t", method="robust")
