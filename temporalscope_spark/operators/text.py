@@ -146,20 +146,24 @@ def with_repetition_features(df: DataFrame, text_col: str) -> DataFrame:
 
     All ratios are int/int doubles over the whitespace-normalized lowercase
     text — bit-identical in any engine (oracle-checkable). Expression-only,
-    narrow, zero Python; per-row cost is O(words · distinct words) for the
-    mode (docs are short; for book-length texts switch to an explode +
-    groupBy formulation).
+    narrow, zero Python. The normalized text and word arrays are projected
+    to REAL columns before any lambda touches them — inlining them re-runs
+    the regex + split once per array ELEMENT (no CSE across HOF lambda
+    boundaries; measured 6.7x: 16s → 2.4s on the sf0.1 corpus). Per-row
+    cost is O(words · distinct words) for the mode (docs are short; for
+    book-length texts switch to an explode + groupBy formulation).
     """
     t = F.col(text_col)
-    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
-    words = F.split(norm, " ")
+    base = df.withColumn(
+        "_rep_norm", F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    )
+    base = base.withColumn("_rep_words", F.split(F.col("_rep_norm"), " "))
+    base = base.withColumn("_rep_dwords", F.array_distinct(F.col("_rep_words")))
+    norm, words, dwords = F.col("_rep_norm"), F.col("_rep_words"), F.col("_rep_dwords")
     n_words = F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(words)).cast("long")
-    n_distinct = F.size(F.array_distinct(words)).cast("long")
+    n_distinct = F.size(dwords).cast("long")
     top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda w: F.size(F.filter(words, lambda x: x == w)),
-        )
+        F.transform(dwords, lambda w: F.size(F.filter(words, lambda x: x == w)))
     ).cast("long")
     n_tri = F.greatest(F.length(norm) - F.lit(2), F.lit(0)).cast("long")
     tri_distinct = F.size(
@@ -174,7 +178,7 @@ def with_repetition_features(df: DataFrame, text_col: str) -> DataFrame:
         num.cast("double") / den.cast("double")
     )
     return (
-        df.withColumn(
+        base.withColumn(
             "dup_word_ratio",
             F.when(n_words == 0, F.lit(0.0)).otherwise(
                 F.lit(1.0) - n_distinct.cast("double") / n_words.cast("double")
@@ -187,24 +191,8 @@ def with_repetition_features(df: DataFrame, text_col: str) -> DataFrame:
                 F.lit(1.0) - tri_distinct.cast("double") / n_tri.cast("double")
             ),
         )
+        .drop("_rep_norm", "_rep_words", "_rep_dwords")
     )
-
-
-_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
-
-
-def bpe_token_count(text: Column) -> Column:
-    """GPT-2-pre-tokenizer-style coarse token estimate: runs of letters,
-    digits, or punctuation, each with an optional leading space (ASCII
-    approximation of the GPT-2 split regex — no \\p{} classes, so the
-    pattern behaves identically in Java regex and RE2/DuckDB). A much
-    better sizing proxy for LLM budgets than whitespace tokens (code and
-    punctuation-dense text split far finer)."""
-    return F.size(F.regexp_extract_all(text, F.lit(_BPE_PATTERN), F.lit(0))).cast("long")
-
-
-def with_bpe_token_count(df: DataFrame, text_col: str, out_col: str = "n_bpe_tokens") -> DataFrame:
-    return df.withColumn(out_col, bpe_token_count(F.col(text_col)))
 
 
 def quality_filter(
