@@ -603,7 +603,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=12, threshold=0.2)
+    # stop-shingle df cap: without it the equi-join on ubiquitous shingles
+    # dominates (measured 32s vs 8s at sf0.1) — same guard as ngram_jaccard
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=12, threshold=0.2, max_shingle_df=100
+    )
     out = dedup_cluster_survivors(docs, pairs, "doc_id")
     return out.select("doc_id", "canonical_id")
 
@@ -1432,10 +1436,12 @@ def oracle_sql() -> dict[str, str]:
         # no pair are their own canonical id
         "dedup_clusters": f"""
             WITH RECURSIVE {_shingle_cte(12)},
-            counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+            kept AS (SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= 100),
+            fsh AS (SELECT s.doc_id, s.sh FROM shingles s JOIN kept k ON s.sh = k.sh),
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-                FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             ),
             pairs AS (
