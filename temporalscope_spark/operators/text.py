@@ -195,6 +195,23 @@ def with_repetition_features(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """GPT-2-pre-tokenizer-style coarse token estimate: runs of letters,
+    digits, or punctuation, each with an optional leading space (ASCII
+    approximation of the GPT-2 split regex — no \\p{} classes, so the
+    pattern behaves identically in Java regex and RE2/DuckDB). A much
+    better sizing proxy for LLM budgets than whitespace tokens (code and
+    punctuation-dense text split far finer)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_PATTERN), F.lit(0))).cast("long")
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str, out_col: str = "n_bpe_tokens") -> DataFrame:
+    return df.withColumn(out_col, bpe_token_count(F.col(text_col)))
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",
