@@ -491,7 +491,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Oracle = the exact shingle-Jaccard pair set: emitted pairs are a
     # subset BY CONSTRUCTION (candidates are exact-verified), and banding
     # recall is 1.0 on the driver datasets (verified at sf0.01 and sf0.1;
-    # tests/test_text_dedup.py asserts containment on adversarial data)
+    # tests/test_text_dedup.py asserts containment on adversarial data).
+    #
+    # FRAGILITY NOTE (deliberate, data-dependent): full equality with the
+    # exact set holds only because the fixture's pair Jaccards are bimodal —
+    # planted near-dups sit near j≈1 (band collision ~certain) and organic
+    # pairs sit below the 0.2 threshold. A borderline pair at j≈0.2 has
+    # <1% band-collision probability with k=16/b=4, so REGENERATED data with
+    # mid-Jaccard pairs would fail this row spuriously — that failure mode
+    # means "re-tune k/b or switch this oracle to an algorithm replay", not
+    # "the operator broke". The structural (data-independent) guarantees —
+    # emitted ⊆ exact, banding semantics — are what the pytest containment
+    # and planted-recall tests assert.
     from temporalscope_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -531,15 +542,20 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Approximate scale path: SRP multi-probe blocking + exact verify.
-    # Emitted pairs are always a subset of the exact set (verification is
-    # exact), so the exact-SQL oracle hash-matches whenever multi-probe
-    # recall is 1.0 on the dataset — asserted at both SFs in
-    # tests/test_similarity.py along with a planted-near-dup recall floor.
+    # Approximate scale path: SRP multi-probe blocking + exact verify. The
+    # oracle replays the ALGORITHM (same deterministic hyperplanes inlined
+    # as SQL literals, same hamming<=2 candidate rule, same exact-cosine
+    # verify) — equality is BY CONSTRUCTION at any threshold, so the check
+    # is non-vacuous: threshold 0.4 yields a real pair set (subset of the
+    # 59/920 exact pairs at sf0.01/sf0.1). dim=64 (TESTDATA.md) is passed
+    # so no eager plan-build job runs. Recall vs the exact set is covered
+    # in tests/test_text_dedup.py (containment + planted-cluster floor).
     from temporalscope_spark.operators.similarity import cosine_self_join_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_self_join_pairs(emb, threshold=0.9, method="lsh", probe_hamming=2)
+    out = cosine_self_join_pairs(
+        emb, threshold=0.4, method="lsh", probe_hamming=2, dim=64
+    )
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -686,6 +702,38 @@ def _ann_topk_oracle() -> str:
         WHERE bit_count(xor(s.sig, q.qsig)) <= 2
         ORDER BY list_cosine_similarity(v.e, q.qe) DESC, v.vec_id
         LIMIT 10
+    """
+
+
+def _embedding_lsh_pairs_oracle() -> str:
+    """Replay q_embedding_near_pairs_lsh in SQL: the Spark LSH path emits a
+    pair (a<b) iff hamming(SRP_sig_a, SRP_sig_b) <= probe_hamming (the left
+    side probes every bucket within 2 bit flips of its own; the right stays
+    home) AND exact cosine >= threshold. Same deterministic hyperplanes
+    (dim=64, 8 planes, seed 42) inlined as literals as in the ann_topk
+    oracle."""
+    from temporalscope_spark.operators.similarity import _hyperplane
+
+    planes = ", ".join(
+        f"({p}, [{', '.join(repr(v) for v in _hyperplane(64, p, 42))}])"
+        for p in range(8)
+    )
+    return f"""
+        WITH planes(p, pv) AS (VALUES {planes}),
+        vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        sigs AS (
+            SELECT v.vec_id,
+                   CAST(SUM(CASE WHEN list_dot_product(v.e, pl.pv) > 0
+                                 THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS sig
+            FROM vecs v CROSS JOIN planes pl GROUP BY v.vec_id
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(va.e, vb.e), 4) AS cosine
+        FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+        JOIN vecs va ON va.vec_id = a.vec_id
+        JOIN vecs vb ON vb.vec_id = b.vec_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 2
+          AND list_cosine_similarity(va.e, vb.e) >= 0.4
     """
 
 
@@ -1007,6 +1055,111 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linear_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS over leakage-safe lag features — the modeling layer's
+    one-aggregation trainer (modeling/linear.py; reference analogue:
+    temporal_model_trainer.py:18-115). EXACT oracle: DuckDB computes the
+    identical sufficient statistics and solves the 3x3 normal equations via
+    Cramer's rule — both engines derive the coefficients from the same sums,
+    so round(6) equality is structural (well-conditioned Gram matrix)."""
+    from temporalscope_spark.modeling import fit_linear
+    from temporalscope_spark.operators.shift import lag_features
+
+    events = _t(spark, sf_dir, "events")
+    feats = lag_features(
+        events, "ts", ["value"], [1, 2], id_col="user_id", drop_incomplete=True
+    )
+    m = fit_linear(feats, ["value_lag_1", "value_lag_2"], "value")
+    rows = [
+        ("intercept", round(m.intercept, 6)),
+        ("value_lag_1", round(m.coefs["value_lag_1"], 6)),
+        ("value_lag_2", round(m.coefs["value_lag_2"], 6)),
+    ]
+    return spark.createDataFrame(rows, "feature string, coef double")
+
+
+def q_masv_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASV with an EXACT SHAP explainer: per-phase mean |coef_f·(x_f −
+    mean_f)| of the globally-fitted linear model over each phase's train
+    split (Linear SHAP is exact for linear models — masv.py upgraded from
+    the magnitude proxy; reference spec: metrics/masv.py:26-98). The
+    oracle replays the whole pipeline: lag features → OLS via Cramer →
+    partitioner phase/split labeling (same rule as partitioner_splits) →
+    per-(bucket, feature) mean absolute SHAP."""
+    from temporalscope_spark.frame import TemporalFrame
+    from temporalscope_spark.metrics.masv import calculate_masv
+    from temporalscope_spark.modeling import fit_linear, linear_shap_importance
+    from temporalscope_spark.operators.partitioner import SlidingWindowPartitioner
+    from temporalscope_spark.operators.shift import lag_features
+
+    events = _t(spark, sf_dir, "events")
+    feats = lag_features(
+        events, "ts", ["value"], [1, 2], id_col="user_id", drop_incomplete=True
+    )
+    model = fit_linear(feats, ["value_lag_1", "value_lag_2"], "value")
+    tf = TemporalFrame(
+        feats, time_col="ts", target_col="value", id_col="user_id",
+        exempt_cols=("event_type", "props", "event_id"), sort=False,
+    )
+    part = SlidingWindowPartitioner(tf, num_partitions=4, train_pct=0.7)
+    part.setup()
+    part.fit()
+    masv = calculate_masv(
+        part, ["value_lag_1", "value_lag_2"],
+        importance_fn=linear_shap_importance(model),
+    )
+    rows = [
+        (b, f, round(masv[f][b], 6))
+        for f in sorted(masv)
+        for b in range(len(masv[f]))
+    ]
+    return spark.createDataFrame(rows, "bucket long, feature string, masv double")
+
+
+def _lag_ols_ctes() -> str:
+    """Shared oracle CTEs: lag features over events, one sufficient-stats
+    row, the Cramer 3x3 solve (b0=intercept, b1, b2) + feature means."""
+    return """
+        feats AS (
+            SELECT event_id, ts, value AS y,
+                   lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS l1,
+                   lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS l2
+            FROM events
+        ),
+        d AS (SELECT * FROM feats WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+        s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   sum(l1) AS s1, sum(l2) AS s2,
+                   sum(l1*l1) AS s11, sum(l1*l2) AS s12, sum(l2*l2) AS s22,
+                   sum(y) AS sy, sum(l1*y) AS s1y, sum(l2*y) AS s2y
+            FROM d
+        ),
+        beta AS (
+            SELECT
+                s1 / n AS m1, s2 / n AS m2,
+                (  sy  * (s11*s22 - s12*s12)
+                 - s1  * (s1y*s22 - s12*s2y)
+                 + s2  * (s1y*s12 - s11*s2y)) /
+                (  n   * (s11*s22 - s12*s12)
+                 - s1  * (s1 *s22 - s12*s2 )
+                 + s2  * (s1 *s12 - s11*s2 )) AS b0,
+                (  n   * (s1y*s22 - s12*s2y)
+                 - sy  * (s1 *s22 - s12*s2 )
+                 + s2  * (s1 *s2y - s1y*s2 )) /
+                (  n   * (s11*s22 - s12*s12)
+                 - s1  * (s1 *s22 - s12*s2 )
+                 + s2  * (s1 *s12 - s11*s2 )) AS b1,
+                (  n   * (s11*s2y - s1y*s12)
+                 - s1  * (s1 *s2y - s1y*s2 )
+                 + sy  * (s1 *s12 - s11*s2 )) /
+                (  n   * (s11*s22 - s12*s12)
+                 - s1  * (s1 *s22 - s12*s2 )
+                 + s2  * (s1 *s12 - s11*s2 )) AS b2
+            FROM s
+        )
+    """
+
+
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
@@ -1073,6 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_segmented": q_ewma_segmented,
         "normalize_expanding": q_normalize_expanding,
         "ivf_topk": q_ivf_topk,
+        "linear_model": q_linear_model,
+        "masv_linear": q_masv_linear,
         "purged_cv": q_purged_cv,
         "resample": q_resample,
         "interpolate": q_interpolate,
@@ -1566,6 +1721,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk": _ann_topk_oracle(),
         "ivf_topk": _IVF_TOPK_ORACLE,
+        # exact replay of the one-aggregation OLS: identical sufficient
+        # statistics, Cramer 3x3 solve (Spark side solves by LAPACK — both
+        # are backward-stable on this well-conditioned Gram matrix, so the
+        # round-6 coefficients agree structurally)
+        "linear_model": f"""
+            WITH {_lag_ols_ctes()}
+            SELECT f.feature,
+                   round(CASE f.feature WHEN 'intercept' THEN beta.b0
+                                        WHEN 'value_lag_1' THEN beta.b1
+                                        ELSE beta.b2 END, 6) AS coef
+            FROM beta,
+                 (VALUES ('intercept'), ('value_lag_1'), ('value_lag_2')) f(feature)
+        """,
+        # full-pipeline replay: lag features -> global OLS (Cramer) ->
+        # partitioner bucket/split labeling (same row-count bucketing +
+        # linear time-range split as the partitioner_splits oracle, over the
+        # lag-complete subset) -> per-(bucket, feature) mean |SHAP|
+        "masv_linear": f"""
+            WITH {_lag_ols_ctes()},
+            nm AS (
+                SELECT ts, l1, l2, ROW_NUMBER() OVER (ORDER BY ts) AS rn,
+                       COUNT(*) OVER () AS total
+                FROM d
+            ),
+            lab AS (
+                SELECT ts, l1, l2, CAST((rn - 1) // (total // 4) AS INT) AS bucket
+                FROM nm WHERE (rn - 1) // (total // 4) < 4
+            ),
+            bounds AS (
+                SELECT bucket, MIN(epoch(ts)) AS s, MAX(epoch(ts)) AS e
+                FROM lab GROUP BY bucket
+            ),
+            train AS (
+                SELECT l.bucket, l.l1, l.l2
+                FROM lab l JOIN bounds b ON l.bucket = b.bucket
+                WHERE epoch(l.ts) >= b.s
+                  AND epoch(l.ts) < b.s + (b.e - b.s) * 0.7
+            )
+            SELECT CAST(t.bucket AS BIGINT) AS bucket, f.feature,
+                   round(avg(CASE WHEN f.feature = 'value_lag_1'
+                                  THEN abs(beta.b1 * (t.l1 - beta.m1))
+                                  ELSE abs(beta.b2 * (t.l2 - beta.m2)) END), 6) AS masv
+            FROM train t, beta,
+                 (VALUES ('value_lag_1'), ('value_lag_2')) f(feature)
+            GROUP BY t.bucket, f.feature
+        """,
         # greedy capacity-reset recurrence via recursive CTE (one step per
         # sequence rank; max depth = max sequences per entity)
         "pack_greedy": """
@@ -1613,14 +1814,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
-        "embedding_near_pairs_lsh": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.9
-        """,
+        # algorithm replay, not exact-set comparison: same deterministic SRP
+        # hyperplanes, same "candidate iff hamming(sig_a, sig_b) <= 2"
+        # multi-probe rule, same exact-cosine verify — equality with the
+        # Spark LSH path is structural at any threshold (non-vacuous: the
+        # pair set is non-empty at both SFs)
+        "embedding_near_pairs_lsh": _embedding_lsh_pairs_oracle(),
         "media_bytes": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents

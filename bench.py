@@ -64,6 +64,7 @@ SCALE_PATH = os.path.join(CACHE, f"tokenized_scale{SCALE_ROWS}")
 # MinHash LSH (shingle explode is ~25x row inflation)
 DOCS_ROWS = int(os.environ.get("SPARK_GRAFT_DOCS_ROWS", "4000000"))
 MINHASH_DOCS = int(os.environ.get("SPARK_GRAFT_MINHASH_DOCS", "100000"))
+COMPONENT_NODES = int(os.environ.get("SPARK_GRAFT_COMPONENT_NODES", "1000000"))
 DOCS_PATH = os.path.join(CACHE, f"documents_{DOCS_ROWS}")
 WAREHOUSE = os.path.join(CACHE, "warehouse")
 DERBY = os.path.join(CACHE, "derby")
@@ -150,12 +151,32 @@ def _ensure_documents(spark) -> str:
 
 
 def dedup_exact_pass(spark) -> None:
-    """Exact-dedup pair op at 1M docs: normalized-fingerprint groupBy."""
+    """Exact-dedup pair op at DOCS_ROWS (default 4M) docs:
+    normalized-fingerprint groupBy."""
     from temporalscope_spark.operators.dedup import dedup_exact
 
     dedup_exact(spark.read.parquet(DOCS_PATH)).write.format("noop").mode(
         "overwrite"
     ).save()
+
+
+def components_pass(spark) -> None:
+    """Connected components — the ITERATIVE dedup-clustering op, most
+    exposed to per-round overhead (each round = one join + one min-agg +
+    one pointer jump + a localCheckpoint) — over a deterministic
+    COMPONENT_NODES-node pair graph of 16-node chains (~6 pointer-jump
+    rounds to converge; star-shaped real dup clusters close faster, so
+    chains are the conservative shape)."""
+    from pyspark.sql import functions as F
+
+    from temporalscope_spark.operators.dedup import connected_components
+
+    edges = (
+        spark.range(COMPONENT_NODES - 1)
+        .filter(F.pmod(F.col("id"), F.lit(16)) != 15)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    connected_components(edges).write.format("noop").mode("overwrite").save()
 
 
 def minhash_lsh_pass(spark) -> None:
@@ -344,7 +365,9 @@ def main():
         # pair-operator scaling legs after: two-level N->4N evidence for the
         # dedup family (fewer reps — join/agg-bound, less bursty than the
         # window pass)
-        pair_times: dict[str, dict[int, float]] = {"dedup_exact": {}, "minhash_lsh": {}}
+        pair_times: dict[str, dict[int, float]] = {
+            "dedup_exact": {}, "minhash_lsh": {}, "components": {},
+        }
         for c in (2, 8):
             s = _new_spark(c, f"pair{c}")
             pair_times["dedup_exact"][c] = reps_min(
@@ -352,6 +375,9 @@ def main():
             )
             pair_times["minhash_lsh"][c] = reps_min(
                 s, minhash_lsh_pass, max_reps=3, min_reps=2
+            )
+            pair_times["components"][c] = reps_min(
+                s, components_pass, max_reps=3, min_reps=2
             )
         def eff(n, n4):
             return round(times[n] / (4 * times[n4]), 3)
@@ -394,6 +420,17 @@ def main():
                     "efficiency": round(
                         pair_times["minhash_lsh"][2]
                         / (4 * pair_times["minhash_lsh"][8]),
+                        3,
+                    ),
+                },
+                "connected_components": {
+                    "rows": COMPONENT_NODES,
+                    "graph": "16-node chains (~6 pointer-jump rounds)",
+                    "sec_n": round(pair_times["components"][2], 3),
+                    "sec_4n": round(pair_times["components"][8], 3),
+                    "efficiency": round(
+                        pair_times["components"][2]
+                        / (4 * pair_times["components"][8]),
                         3,
                     ),
                 },

@@ -176,8 +176,13 @@ def generate_documents(
     """
     df = spark.range(num_docs).withColumnRenamed("id", "doc_id")
     r = F.pmod(F.xxhash64(F.lit(random_seed), F.lit("dup"), F.col("doc_id")), F.lit(100))
-    is_dup = (r < 2) & (F.col("doc_id") > 0)
-    is_near = (r >= 2) & (r < 4) & (F.col("doc_id") > 0)
+    # dup/near flags only on ODD ids: a flagged doc's predecessor (even) is
+    # then never itself flagged, so every dup really duplicates its
+    # predecessor's ACTUAL text (no unresolved dup-of-dup chains); doubled
+    # thresholds keep the overall rates at ~2% exact / ~2% near
+    odd = F.pmod(F.col("doc_id"), F.lit(2)) == 1
+    is_dup = (r < 4) & odd
+    is_near = (r >= 4) & (r < 8) & odd
     src = F.when(is_dup | is_near, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
     words = F.transform(
         F.sequence(F.lit(0), F.lit(int(words_per_doc) - 1)),

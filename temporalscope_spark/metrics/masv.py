@@ -11,7 +11,12 @@ model stack exists in this environment, so the explainer is a PLUGGABLE
 ``importance_fn`` — any callable that maps (DataFrame, feature_cols) to the
 same DataFrame with one ``imp_{f}`` column per feature (vectorized,
 expression-only or Pandas-UDF). The default :func:`abs_deviation_importance`
-is an explicit stand-in (|x - global mean|), NOT SHAP.
+is an explicit stand-in (|x - global mean|), NOT SHAP. For the built-in
+closed-form linear trainer, however,
+:func:`temporalscope_spark.modeling.linear_shap_importance` IS exact SHAP
+(Linear SHAP: φ_f(x) = coef_f·(x_f − E[x_f]), Lundberg & Lee 2017) with no
+``shap`` dependency — MASV over linear models is therefore the real metric,
+not a proxy (driver query ``masv_linear`` verifies it end-to-end).
 
 Spark-first shape: the reference loops partitions and runs the explainer
 per phase (P driver round-trips). Here every row is labeled with its

@@ -98,9 +98,13 @@ def _shingle_table(
         F.explode(char_shingles(F.col("_norm"), n, normalized=True)).alias("_sh"),
     ).withColumn("_shk", F.xxhash64("_sh"))
     if max_shingle_df:
+        # Anti-join against the OVER-cap set, which is tiny by construction
+        # (stop-shingles are the rare high-df tail), not an inner join against
+        # the near-total keep set — the keep-side join shuffled the full
+        # shingle table; the broadcast anti is one map-side pass, no shuffle.
         freq = sh.groupBy("_shk").agg(F.count(F.lit(1)).alias("_df"))
-        keep = freq.filter(F.col("_df") <= max_shingle_df).select("_shk")
-        sh = sh.join(keep, "_shk")  # AQE broadcasts when the kept set is small
+        drop = freq.filter(F.col("_df") > max_shingle_df).select("_shk")
+        sh = sh.join(F.broadcast(drop), "_shk", "left_anti")
     if persist:
         from pyspark import StorageLevel
 

@@ -57,11 +57,31 @@ def attach_media(
 
 
 def _decode_image_bytes(data: bytes) -> "object":
-    """Real decoder hook — not available in this container."""
-    raise NotImplementedError(
-        "Image decoding requires PIL/opencv, not present in this environment. "
-        "The Spark plumbing around this hook (mapInPandas batching, schema) is real."
-    )
+    """Real decoder hook: uses PIL when the executor environment has it
+    (guarded import — the day the cluster image gains Pillow this path goes
+    live with no code change), else raises. Returns a PIL.Image."""
+    try:  # executor-side guarded import: PIL is optional
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "Image decoding requires PIL/opencv, not present in this environment. "
+            "The Spark plumbing around this hook (mapInPandas batching, schema) is real."
+        ) from exc
+    import io  # noqa: PLC0415
+
+    return Image.open(io.BytesIO(data))
+
+
+def _image_features(data: bytes, n_features: int) -> list[float]:
+    """Real feature extraction when PIL is present: decode, downscale to a
+    fixed grid, emit normalized grayscale intensities (a deterministic,
+    library-faithful stand-in for a learned encoder)."""
+    img = _decode_image_bytes(data)
+    side = max(1, int(n_features ** 0.5))
+    small = img.convert("L").resize((side, side))
+    vals = [p / 255.0 * 2.0 - 1.0 for p in small.getdata()]
+    out = (vals * ((n_features // len(vals)) + 1))[:n_features]
+    return [float(v) for v in out]
 
 
 def _fake_features(data: bytes, n_features: int) -> list[float]:
@@ -113,7 +133,7 @@ def extract_media_features(
             feats = [
                 _fake_features(p, n_features)
                 if use_stub
-                else _decode_image_bytes(p)
+                else _image_features(p, n_features)
                 for p in payloads
             ]
             out = pdf[list(id_cols)].copy()

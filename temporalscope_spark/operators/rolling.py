@@ -169,15 +169,39 @@ def ewma(
 
     ``include_current=False`` gives the strictly-past (leakage-safe feature)
     variant: frame ``[-K, -1]``; rows with no past yield NULL.
+
+    When the rel_tol-exact frame would exceed the 100k-row buffer cap
+    (halflife ≳ 2.5k at the default tolerance) this DELEGATES to
+    :func:`ewma_segmented` over row-number-derived chunks instead of
+    silently truncating weights at the cap — the segmented path is exact
+    over the unbounded history with per-task buffers bounded by the chunk.
     """
     import math as _math
 
     if not float(halflife_rows) > 0:
         raise DataFrameValidationError("halflife_rows must be > 0")
     a = 2.0 ** (-1.0 / float(halflife_rows))
-    # a^K < rel_tol  =>  K > log(rel_tol)/log(a); cap for sanity
-    k_rows = min(100_000, max(1, int(_math.ceil(_math.log(rel_tol) / _math.log(a)))))
+    # a^K < rel_tol  =>  K > log(rel_tol)/log(a)
+    k_exact = max(1, int(_math.ceil(_math.log(rel_tol) / _math.log(a))))
     out_col = out_col or f"{value_col}_ewma"
+    if k_exact > 100_000:
+        # row-count chunks keep the segmented fold's buffer (and its O(L²)
+        # within-chunk cost) bounded regardless of the entity's time density;
+        # L=2048 → ~1k fold steps per row, ~2M per chunk — the sweet spot
+        # between per-row fold cost (∝L) and chunk-summary fan-out (∝1/L)
+        t0 = _time_expr(df, time_col)
+        wrn = Window.orderBy(F.col("__t0"))
+        if id_col is not None:
+            wrn = wrn.partitionBy(id_col)
+        chunked = df.withColumn("__t0", t0).withColumn(
+            "_ewma_rchunk",
+            ((F.row_number().over(wrn) - 1) / F.lit(2048)).cast("long"),
+        ).drop("__t0")
+        return ewma_segmented(
+            chunked, value_col, halflife_rows, time_col=time_col, id_col=id_col,
+            chunk_col="_ewma_rchunk", out_col=out_col, include_current=include_current,
+        ).drop("_ewma_rchunk")
+    k_rows = k_exact
 
     t = _time_expr(df, time_col)
     out = df.withColumn("__t", t)
@@ -221,7 +245,14 @@ def ewma_segmented(
 
     1. within each ``(id, chunk)``: prefix fold over the CHUNK-bounded
        expanding frame — buffer ≤ chunk rows (`_lnum/_lden` at local
-       position p);
+       position p). NOTE the within-chunk cost: the expanding
+       ``collect_list`` + per-row re-fold is O(L²) work and O(L) memory
+       per row for a length-L chunk (the sequential fold is what the
+       DuckDB ``list_reduce`` oracle replays bit-for-bit — an incremental
+       rebased running sum would change summation order and break exact
+       cross-engine equality). Size ``chunk_seconds`` so per-(id, chunk)
+       row counts stay in the low tens of thousands; row-derived chunks
+       (what :func:`ewma` auto-delegation uses) cap L at 32k;
     2. per-chunk summaries (total fold + row count) collapse to one row per
        chunk — map-side-combinable, skew-free;
     3. the cross-chunk carry ``s_c = s_{c-1}·a^{L_{c-1}} + tot_{c-1}`` folds

@@ -149,9 +149,13 @@ def with_repetition_features(df: DataFrame, text_col: str) -> DataFrame:
     narrow, zero Python. The normalized text and word arrays are projected
     to REAL columns before any lambda touches them — inlining them re-runs
     the regex + split once per array ELEMENT (no CSE across HOF lambda
-    boundaries; measured 6.7x: 16s → 2.4s on the sf0.1 corpus). Per-row
-    cost is O(words · distinct words) for the mode (docs are short; for
-    book-length texts switch to an explode + groupBy formulation).
+    boundaries; measured 6.7x: 16s → 2.4s on the sf0.1 corpus).
+
+    The mode count (``top_word_ratio``) is ``array_sort`` + a run-length
+    ``aggregate`` fold — O(n log n) per row, safe for book-length documents
+    (the earlier ``transform(filter(...))`` form was O(words · distinct
+    words): ~10⁹ comparisons inside ONE row for a 100k-word / 10k-distinct
+    doc, and ``quality_filter`` runs this on every document).
     """
     t = F.col(text_col)
     base = df.withColumn(
@@ -159,12 +163,34 @@ def with_repetition_features(df: DataFrame, text_col: str) -> DataFrame:
     )
     base = base.withColumn("_rep_words", F.split(F.col("_rep_norm"), " "))
     base = base.withColumn("_rep_dwords", F.array_distinct(F.col("_rep_words")))
+    # mode via sorted run-length: equal words are adjacent after array_sort,
+    # so one linear fold tracking (prev, run, best) yields max multiplicity
+    base = base.withColumn("_rep_sorted", F.array_sort(F.col("_rep_words")))
     norm, words, dwords = F.col("_rep_norm"), F.col("_rep_words"), F.col("_rep_dwords")
     n_words = F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(words)).cast("long")
     n_distinct = F.size(dwords).cast("long")
-    top_cnt = F.array_max(
-        F.transform(dwords, lambda w: F.size(F.filter(words, lambda x: x == w)))
-    ).cast("long")
+    run_acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    # NULL prev on the first element: `w == NULL` is NULL, when() falls to
+    # otherwise(1) — the first run starts at 1 without a sentinel that could
+    # collide with a real (e.g. empty-string) word
+    run_fold = F.aggregate(
+        F.col("_rep_sorted"),
+        run_acc0,
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_cnt = run_fold.cast("long")
     n_tri = F.greatest(F.length(norm) - F.lit(2), F.lit(0)).cast("long")
     tri_distinct = F.size(
         F.array_distinct(
@@ -191,7 +217,7 @@ def with_repetition_features(df: DataFrame, text_col: str) -> DataFrame:
                 F.lit(1.0) - tri_distinct.cast("double") / n_tri.cast("double")
             ),
         )
-        .drop("_rep_norm", "_rep_words", "_rep_dwords")
+        .drop("_rep_norm", "_rep_words", "_rep_dwords", "_rep_sorted")
     )
 
 

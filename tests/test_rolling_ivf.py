@@ -200,6 +200,38 @@ class TestEwma:
         )
 
 
+    def test_large_halflife_delegates_to_segmented(self, spark):
+        """halflife 10⁴ needs a ~400k-row rel_tol frame — over the 100k
+        buffer cap, so ewma must route through the segmented path (exact
+        unbounded history, chunk-bounded buffers) instead of silently
+        truncating. Values still match pandas ewm; no helper columns leak."""
+        import pandas as pd
+
+        n = 5000
+        pdf = pd.DataFrame(
+            {
+                "user_id": [i % 2 for i in range(n)],
+                "t": pd.to_datetime(1_700_000_000 + np.arange(n), unit="s"),
+                "value": np.random.RandomState(3).randn(n),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        got = (
+            ewma(df, "value", halflife_rows=10_000.0, time_col="t", id_col="user_id")
+            .toPandas()
+            .sort_values(["user_id", "t"])
+            .reset_index(drop=True)
+        )
+        assert "_ewma_rchunk" not in got.columns
+        want = (
+            pdf.sort_values(["user_id", "t"])
+            .groupby("user_id")["value"]
+            .apply(lambda s: s.ewm(halflife=10_000.0, adjust=True).mean())
+            .reset_index(drop=True)
+        )
+        np.testing.assert_allclose(got["value_ewma"].astype(float), want, rtol=1e-9)
+
+
 class TestEwmaSegmented:
     @pytest.mark.parametrize("include_current", [True, False])
     def test_matches_frame_path(self, ts_df, include_current):

@@ -212,11 +212,38 @@ class TestMultimodal:
         assert list(f.loc[1, "features"]) == list(f.loc[2, "features"])
         assert f.loc[1, "n_bytes"] > 0
 
-    def test_decode_stub_raises(self):
+    def test_decode_raises_without_pil(self):
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("PIL installed — guarded decode is live, not stubbed")
+        except ImportError:
+            pass
         from temporalscope_spark.operators.multimodal import _decode_image_bytes
 
         with pytest.raises(NotImplementedError):
             _decode_image_bytes(b"xx")
+
+    def test_real_decode_with_pil(self):
+        """Exercises the LIVE codec path the day the environment gains
+        Pillow — skipped (not silently faked) until then."""
+        try:
+            from PIL import Image
+        except ImportError:
+            pytest.skip("PIL not in this container")
+        import io
+
+        from temporalscope_spark.operators.multimodal import (
+            _decode_image_bytes,
+            _image_features,
+        )
+
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 8), color=(255, 0, 0)).save(buf, format="PNG")
+        img = _decode_image_bytes(buf.getvalue())
+        assert img.size == (8, 8)
+        feats = _image_features(buf.getvalue(), 16)
+        assert len(feats) == 16 and all(-1.0 <= v <= 1.0 for v in feats)
 
     def test_sample_frames(self, docs):
         media = attach_media(docs, "text")
@@ -263,6 +290,18 @@ class TestConnectedComponents:
         got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
         assert set(got.values()) == {100}
 
+    def test_pathological_path_graph_converges(self, spark):
+        """Property (VERDICT r2 #10): a 1000-node PATH — the adversarial
+        near-dup-spam shape, diameter 999 — must converge within the default
+        max_iters thanks to pointer jumping (O(log D) rounds, ~10 here), not
+        abort a run. All nodes collapse to the min label."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1000)], ["id_a", "id_b"]
+        )
+        got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        assert len(got) == 1001
+        assert set(got.values()) == {0}
+
 
 class TestRepetitionFeatures:
     def test_hand_computed_ratios(self, spark):
@@ -296,6 +335,31 @@ class TestRepetitionFeatures:
         df = spark.createDataFrame([(1, "   "), (2, "")], ["doc_id", "text"])
         out = with_repetition_features(df, "text").toPandas()
         assert (out[["dup_word_ratio", "top_word_ratio", "trigram_dup_ratio"]] == 0).all().all()
+
+    def test_book_length_document_linear(self, spark):
+        """The mode is array_sort + run-length (O(n log n)/row), not the
+        O(words · distinct) transform/filter — a 100k-word doc with 10k
+        distinct words (~10⁹ comparisons under the old form) must finish in
+        seconds with the exact multiplicity."""
+        import random
+        import time
+        from collections import Counter
+
+        from temporalscope_spark.operators.text import with_repetition_features
+
+        rng = random.Random(7)
+        words = [f"w{rng.randrange(10_000)}" for _ in range(100_000)]
+        df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+        t0 = time.monotonic()
+        row = (
+            with_repetition_features(df, "text")
+            .select("top_word_ratio", "dup_word_ratio")
+            .collect()[0]
+        )
+        assert time.monotonic() - t0 < 30.0
+        counts = Counter(words)
+        assert row["top_word_ratio"] == pytest.approx(max(counts.values()) / 100_000)
+        assert row["dup_word_ratio"] == pytest.approx(1 - len(counts) / 100_000)
 
 
 class TestWinnowing:
