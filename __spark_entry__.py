@@ -1116,6 +1116,44 @@ def q_masv_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "bucket long, feature string, masv double")
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-100 words by frequency, deterministic
+    (n desc, word) order. Map-side partial aggregation compresses the hot
+    keys; global top-k is TakeOrderedAndProject, never a full sort."""
+    from temporalscope_spark.operators.corpus_stats import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "text", k=100)
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EXACT token-count quantiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, both type-7 interpolation). The approx=True
+    sketch is the 100 TB path (bounds-tested in pytest, no exact oracle
+    by nature)."""
+    from temporalscope_spark.operators.corpus_stats import token_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_quantiles(docs, "text", group_col="source")
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document char lengths (width 100)."""
+    from temporalscope_spark.operators.corpus_stats import length_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_histogram(docs, "n_chars", bin_width=100)
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BPE-per-word fertility — ratio of two long sums, exact
+    in any engine."""
+    from temporalscope_spark.operators.corpus_stats import tokenizer_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs, "text", group_col="source")
+
+
 def _lag_ols_ctes() -> str:
     """Shared oracle CTEs: lag features over events, one sufficient-stats
     row, the Cramer 3x3 solve (b0=intercept, b1, b2) + feature means."""
@@ -1228,6 +1266,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "linear_model": q_linear_model,
         "masv_linear": q_masv_linear,
+        "heavy_hitters": q_heavy_hitters,
+        "token_quantiles": q_token_quantiles,
+        "length_histogram": q_length_histogram,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "purged_cv": q_purged_cv,
         "resample": q_resample,
         "interpolate": q_interpolate,
@@ -1721,6 +1763,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk": _ann_topk_oracle(),
         "ivf_topk": _IVF_TOPK_ORACLE,
+        "heavy_hitters": f"""
+            WITH words AS (
+                SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+            )
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM words WHERE word <> ''
+            GROUP BY word
+            ORDER BY n DESC, word
+            LIMIT 100
+        """,
+        # Spark `percentile` and DuckDB `quantile_cont` are both the type-7
+        # (linear interpolation at p*(n-1)) definition — exact match
+        "token_quantiles": """
+            WITH toks AS (
+                SELECT source,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+                FROM documents
+            )
+            SELECT source,
+                   round(quantile_cont(n_tok, 0.5), 6) AS p50,
+                   round(quantile_cont(n_tok, 0.9), 6) AS p90,
+                   round(quantile_cont(n_tok, 0.99), 6) AS p99,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM toks GROUP BY source
+        """,
+        "length_histogram": """
+            SELECT CAST((n_chars // 100) * 100 AS BIGINT) AS bin_start,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "tokenizer_fertility": r"""
+            WITH t AS (
+                SELECT source,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws,
+                       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS bpe
+                FROM documents
+            )
+            SELECT source,
+                   CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                   CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+                   round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6) AS fertility
+            FROM t GROUP BY source
+        """,
         # exact replay of the one-aggregation OLS: identical sufficient
         # statistics, Cramer 3x3 solve (Spark side solves by LAPACK — both
         # are backward-stable on this well-conditioned Gram matrix, so the

@@ -24,11 +24,12 @@ from pyspark.sql import functions as F
 from temporalscope_spark.exceptions import DataFrameValidationError
 
 
-def _ngram_arrays(tokens: Column, n: int) -> Column:
-    """Array of token n-grams (each an array<int> slice); empty if shorter."""
+def _ngram_arrays(tokens: Column, n: int, element_type: str = "int") -> Column:
+    """Array of token n-grams (each an array<element_type> slice); empty if
+    shorter than n (the otherwise-branch type must match the slice type)."""
     count = F.size(tokens) - F.lit(n - 1)
     return F.when(count > 0, F.transform(F.sequence(F.lit(1), count), lambda i: F.slice(tokens, i, n))).otherwise(
-        F.array().cast("array<array<int>>")
+        F.array().cast(f"array<array<{element_type}>>")
     )
 
 
@@ -51,9 +52,18 @@ def token_ngrams(
         raise DataFrameValidationError("n must be >= 1")
     if key not in ("hash", "string"):
         raise DataFrameValidationError("key must be 'hash' or 'string'")
+    # int arrays are normalized to a single numeric type so train/eval gram
+    # strings agree even when one side is int and the other long; STRING
+    # arrays (word tokens) pass through untouched — word-level
+    # decontamination is first-class, not a cast error
+    from pyspark.sql.types import ArrayType, StringType  # noqa: PLC0415
+
+    et = df.schema[tokens_col].dataType
+    is_str = isinstance(et, ArrayType) and isinstance(et.elementType, StringType)
+    toks = F.col(tokens_col) if is_str else F.col(tokens_col).cast("array<int>")
     grams = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(_ngram_arrays(F.col(tokens_col).cast("array<int>"), n)).alias("_g"),
+        F.explode(_ngram_arrays(toks, n, "string" if is_str else "int")).alias("_g"),
     ).select("_id", F.array_join("_g", ",").alias("_gs"))
     if key == "hash":
         grams = grams.select("_id", F.xxhash64("_gs").alias("ngram_key"))

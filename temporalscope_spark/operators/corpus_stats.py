@@ -1,0 +1,144 @@
+"""Corpus-level statistics for training-data pipelines: heavy hitters,
+exact/approximate quantiles, histograms, tokenizer fertility.
+
+The reporting layer a 100 TB curation run needs next to the filters: what
+are the dominant tokens, how are document lengths distributed, how fine
+does the tokenizer split each source. All operators are single-aggregation
+shapes (map-side combinable, one shuffle on the group key) with exact
+DuckDB-replicable semantics; where the exact form cannot scale (exact
+quantiles buffer per group), the approximate scale path is a flag away and
+the trade-off is documented rather than silent.
+
+Beyond the reference's scope (its tables are numeric-only); extends
+``operators/text.py``'s per-document signals to corpus level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.text import bpe_token_count, token_count
+
+
+def _norm_words(text_col: str):
+    """Whitespace-collapsed lowercase word array (shared with the oracles).
+    Projected to a real column by callers BEFORE any explode/lambda — the
+    no-CSE-across-HOF-boundaries pitfall."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Top-k most frequent words across the corpus: (word, n) ordered by
+    (n desc, word asc) — deterministic tie-break.
+
+    Plan shape at scale: explode → hash aggregate with MAP-SIDE partial
+    combine (the heavy hitters are exactly the keys partial aggregation
+    compresses best — a word appearing 10⁹ times contributes one partial
+    row per task, not 10⁹ shuffle rows) → global top-k via
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows, no
+    full sort). Empty strings (blank docs) are dropped.
+    """
+    if k <= 0:
+        raise DataFrameValidationError("k must be > 0")
+    words = df.select(F.explode(_norm_words(text_col)).alias("word")).filter(
+        F.col("word") != ""
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    return counts.orderBy(F.col("n").desc(), F.col("word")).limit(k)
+
+
+def token_quantiles(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = "source",
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group quantiles of the whitespace token count — the corpus
+    sizing profile (sequence-length planning, packing bin sizing).
+
+    ``approx=False`` (default): EXACT linearly-interpolated quantiles
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, both the type-7
+    definition) — one aggregation, but the executor buffers each group's
+    values: fine to ~10⁸ rows per group, NOT the 100 TB path.
+    ``approx=True``: ``percentile_approx`` (streaming t-digest-style
+    sketch, constant memory, map-side combinable) — the scale path; rank
+    error bounded by 1/accuracy, so it has no exact cross-engine oracle
+    (tested by bounds instead).
+    """
+    n_tok = token_count(F.col(text_col))
+    fn = F.percentile_approx if approx else F.percentile
+    aggs = [
+        F.round(fn(n_tok, F.lit(float(p))).cast("double"), 6).alias(
+            f"p{int(round(p * 100))}"
+        )
+        for p in probs
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n_docs"))
+    if group_col is None:
+        return df.agg(*aggs)
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def length_histogram(
+    df: DataFrame,
+    length_col: str = "n_chars",
+    bin_width: int = 100,
+) -> DataFrame:
+    """Fixed-width histogram of a length column: (bin_start, n) with
+    ``bin_start = floor(len / width) * width``.
+
+    One hash aggregate on a derived integer key — fully map-side
+    combinable, output rows = number of occupied bins (tiny). The
+    building block for length-based curation cut decisions.
+    """
+    if bin_width <= 0:
+        raise DataFrameValidationError("bin_width must be > 0")
+    bin_start = (F.floor(F.col(length_col) / bin_width) * bin_width).cast("long")
+    return (
+        df.groupBy(bin_start.alias("bin_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin_start")
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Per-group tokenizer fertility: BPE-style tokens per whitespace word
+    (how much finer the subword tokenizer splits each source — code and
+    punctuation-heavy sources run 1.5-3x). Ratio of two LONG sums, so the
+    double is bit-identical in any engine. One fused aggregation.
+
+    Output: (group, ws_tokens, bpe_tokens, fertility).
+    """
+    ws = token_count(F.col(text_col))
+    bpe = bpe_token_count(F.col(text_col))
+    aggs = [
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_tokens"),
+    ]
+    base = df.groupBy(group_col) if group_col is not None else df.groupBy()
+    out = base.agg(*aggs)
+    return out.withColumn(
+        "fertility",
+        F.round(
+            F.try_divide(
+                F.col("bpe_tokens").cast("double"), F.col("ws_tokens").cast("double")
+            ),
+            6,
+        ),
+    )

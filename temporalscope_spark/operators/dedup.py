@@ -105,6 +105,13 @@ def _shingle_table(
         freq = sh.groupBy("_shk").agg(F.count(F.lit(1)).alias("_df"))
         drop = freq.filter(F.col("_df") > max_shingle_df).select("_shk")
         sh = sh.join(F.broadcast(drop), "_shk", "left_anti")
+        # ... but the downstream pair self-join NEEDS hash(_shk) partitioning,
+        # which the old shuffle-join provided as a side effect. A map-side
+        # anti alone leaves scan partitioning in the persisted table and BOTH
+        # self-join branches re-shuffle it (measured 2x on ngram_jaccard).
+        # One explicit repartition — of the kept rows only, after the gate —
+        # restores it; cached branches then join exchange-free.
+        sh = sh.repartition("_shk")
     if persist:
         from pyspark import StorageLevel
 

@@ -73,3 +73,22 @@ class TestDecontaminate:
         a = {r["doc_id"] for r in contaminated_ids(train, ev, 2, key="hash").collect()}
         b = {r["doc_id"] for r in contaminated_ids(train, ev, 2, key="string").collect()}
         assert a == b
+
+
+def test_word_token_decontamination(spark):
+    """String word-token arrays are first-class: no int cast, same anti-join
+    semantics (word-level decontamination over raw text corpora)."""
+    from temporalscope_spark.operators.contamination import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, ["the", "quick", "brown", "fox", "jumps"]),
+            (2, ["totally", "unrelated", "training", "text", "here"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, ["quick", "brown", "fox"])], "doc_id long, tokens array<string>"
+    )
+    out = decontaminate(train, eval_df, n=3)
+    assert [r["doc_id"] for r in out.collect()] == [2]

@@ -1,0 +1,109 @@
+"""Corpus statistics operators (operators/corpus_stats.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.corpus_stats import (
+    heavy_hitters,
+    length_histogram,
+    token_quantiles,
+    tokenizer_fertility,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat", "web", 22),
+        (2, "the dog", "web", 7),
+        (3, "cat cat cat", "books", 11),
+        (4, "", "books", 0),
+        (5, "one two three four five six", "web", 27),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source", "n_chars"])
+
+
+class TestHeavyHitters:
+    def test_counts_and_order(self, docs):
+        out = heavy_hitters(docs, "text", k=3).toPandas()
+        # 'cat' 4, 'the' 3, then alphabetical among count-1... next is count 1
+        assert list(out["word"][:2]) == ["cat", "the"]
+        assert list(out["n"][:2]) == [4, 3]
+        assert len(out) == 3
+
+    def test_empty_docs_excluded(self, docs):
+        out = heavy_hitters(docs, "text", k=100).toPandas()
+        assert "" not in set(out["word"])
+
+    def test_min_count_filter(self, docs):
+        out = heavy_hitters(docs, "text", k=100, min_count=2).toPandas()
+        assert set(out["word"]) == {"cat", "the"}
+
+    def test_k_validation(self, docs):
+        with pytest.raises(DataFrameValidationError):
+            heavy_hitters(docs, "text", k=0)
+
+    def test_topk_plan_no_global_sort(self, docs):
+        plan = heavy_hitters(docs, "text", k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestTokenQuantiles:
+    def test_exact_matches_numpy(self, docs):
+        out = token_quantiles(docs, "text", group_col="source").toPandas().set_index("source")
+        web = np.array([6, 2, 6])  # docs 1, 2, 5
+        books = np.array([3, 0])  # docs 3, 4
+        # type-7 (linear interpolation) == numpy default
+        assert out.loc["web", "p50"] == pytest.approx(np.percentile(web, 50))
+        assert out.loc["web", "p90"] == pytest.approx(np.percentile(web, 90))
+        assert out.loc["books", "p50"] == pytest.approx(np.percentile(books, 50))
+        assert out.loc["web", "n_docs"] == 3
+
+    def test_global_group(self, docs):
+        out = token_quantiles(docs, "text", group_col=None).toPandas()
+        assert len(out) == 1
+        assert out["n_docs"].iloc[0] == 5
+
+    def test_approx_within_bounds(self, spark):
+        # 1000 docs with token counts 1..1000: approx p50 must land within
+        # the sketch's rank-error bound of the true median
+        rows = [(i, " ".join(["w"] * i)) for i in range(1, 1001)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = token_quantiles(df, "text", group_col=None, approx=True).toPandas()
+        assert abs(out["p50"].iloc[0] - 500) <= 20
+
+
+class TestLengthHistogram:
+    def test_bins(self, docs):
+        out = length_histogram(docs, "n_chars", bin_width=10).toPandas()
+        got = dict(zip(out["bin_start"], out["n"]))
+        assert got == {0: 2, 10: 1, 20: 2}
+
+    def test_width_validation(self, docs):
+        with pytest.raises(DataFrameValidationError):
+            length_histogram(docs, "n_chars", bin_width=0)
+
+
+class TestTokenizerFertility:
+    def test_ratio_is_sum_ratio(self, docs):
+        out = tokenizer_fertility(docs, "text", group_col="source").toPandas().set_index("source")
+        # plain lowercase words: BPE regex == whitespace tokens -> fertility 1
+        assert out.loc["web", "fertility"] == pytest.approx(1.0)
+        assert out.loc["web", "ws_tokens"] == 14
+        assert out.loc["books", "ws_tokens"] == 3
+
+    def test_punct_raises_fertility(self, spark):
+        df = spark.createDataFrame(
+            [(1, "foo.bar(x=1); qux!", "code")], ["doc_id", "text", "source"]
+        )
+        out = tokenizer_fertility(df, "text", group_col="source").toPandas()
+        assert out["fertility"].iloc[0] > 2.0
+
+    def test_empty_corpus_null_fertility(self, spark):
+        df = spark.createDataFrame([(1, "", "x")], ["doc_id", "text", "source"])
+        out = tokenizer_fertility(df, "text", group_col="source").toPandas()
+        assert out["ws_tokens"].iloc[0] == 0
+        assert out["fertility"].isna().iloc[0]

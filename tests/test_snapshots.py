@@ -80,6 +80,96 @@ class TestSnapshots:
         assert ck2.completed_buckets() == set()  # invalidated
 
 
+class TestIncrementalRead:
+    def test_increment_is_exactly_the_new_rows(self, spark, table):
+        table.write(_df(spark, 0, 10))
+        table.write(_df(spark, 10, 25))
+        v3 = table.write(_df(spark, 25, 30))
+        inc = table.read_increment(spark, 1, v3)
+        got = sorted(r["id"] for r in inc.collect())
+        assert got == list(range(10, 30))
+        # the planning set is disjoint from the base snapshot's files and
+        # is exactly what the incremental scan reads
+        base_files = set(table._load(1)["files"])
+        diff = set(table.diff_files(1, v3))
+        assert diff and diff.isdisjoint(base_files)
+        assert set(inc.inputFiles()) <= {f"file://{f}" for f in diff} | diff
+        inc2 = table.read_increment(spark, 2, v3)
+        assert sorted(r["id"] for r in inc2.collect()) == list(range(25, 30))
+
+    def test_empty_increment_keeps_schema(self, spark, table):
+        v1 = table.write(_df(spark, 0, 10))
+        inc = table.read_increment(spark, v1, v1)
+        assert inc.count() == 0
+        assert inc.columns == ["id", "x"]
+
+    def test_overwrite_in_range_raises(self, spark, table):
+        table.write(_df(spark, 0, 10))
+        table.write(_df(spark, 10, 20), mode="overwrite")
+        with pytest.raises(ValueError, match="not an append"):
+            table.read_increment(spark, 1)
+
+    def test_increment_after_overwrite_base_is_fine(self, spark, table):
+        # the overwrite is the BASE snapshot, not inside the range — valid
+        table.write(_df(spark, 0, 10))
+        v2 = table.write(_df(spark, 10, 20), mode="overwrite")
+        v3 = table.write(_df(spark, 20, 23))
+        inc = table.read_increment(spark, v2, v3)
+        assert sorted(r["id"] for r in inc.collect()) == [20, 21, 22]
+
+    def test_bad_range_raises(self, spark, table):
+        table.write(_df(spark, 0, 5))
+        v2 = table.write(_df(spark, 5, 8))
+        with pytest.raises(ValueError, match="precedes"):
+            table.read_increment(spark, v2, 1)
+
+
+class TestIncrementalFeatures:
+    def _tok_df(self, spark, rows):
+        # (doc_id, second, n_tok) -> tokenized-sequence shaped frame
+        return spark.createDataFrame(
+            [(d, f"2023-01-01 00:00:{s:02d}", n, list(range(n))) for d, s, n in rows],
+            "doc_id long, event_time string, n_tok int, tokens array<int>",
+        ).withColumn("event_time", F.col("event_time").cast("timestamp"))
+
+    def test_affected_entity_recompute_matches_full(self, spark, tmp_path):
+        from temporalscope_spark.pipelines.feature_pass import (
+            build_features,
+            incremental_features,
+        )
+
+        table = SnapshotTable(str(tmp_path / "tok"))
+        v1_rows = [(1, 0, 3), (1, 10, 4), (1, 20, 5), (2, 0, 6), (2, 10, 7)]
+        table.write(self._tok_df(spark, v1_rows))
+        # append touches ONLY entity 2 — its earlier rows' lead target and
+        # lag chain change, entity 1 must not be recomputed
+        v2 = table.write(self._tok_df(spark, [(2, 20, 8), (2, 30, 9)]))
+
+        inc = incremental_features(spark, table, 1, v2, pad_to=8).toPandas()
+        assert set(inc["doc_id"]) == {2}
+        full = (
+            build_features(table.read(spark, v2), pad_to=8)
+            .filter(F.col("doc_id") == 2)
+            .toPandas()
+        )
+        key = ["doc_id", "event_time"]
+        inc_s = inc.sort_values(key).reset_index(drop=True)
+        full_s = full.sort_values(key).reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_series_equal(inc_s["target"], full_s["target"])
+        pd.testing.assert_series_equal(inc_s["n_tok_lag_1"], full_s["n_tok_lag_1"])
+        assert len(inc_s) == len(full_s)
+
+    def test_no_new_rows_empty_frame(self, spark, tmp_path):
+        from temporalscope_spark.pipelines.feature_pass import incremental_features
+
+        table = SnapshotTable(str(tmp_path / "tok2"))
+        v1 = table.write(self._tok_df(spark, [(1, 0, 3), (1, 10, 4)]))
+        out = incremental_features(spark, table, v1, v1, pad_to=8)
+        assert out.count() == 0
+
+
 class TestSnapshotPipeline:
     def test_resume_same_snapshot_reprocess_new_snapshot(self, spark, tmp_path):
         from temporalscope_spark.datasets.synthetic import generate_tokenized_sequences

@@ -148,6 +148,21 @@ class TestSimilarity:
         got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
         assert {(0, 1), (0, 2), (1, 2)} <= got
 
+    def test_lsh_dim_given_no_eager_job(self, vecs, monkeypatch):
+        """With dim passed, building the LSH pair plan must submit NO job
+        (the dim=None fallback runs an eager one-row `first()` at
+        plan-build time — the driver query passes dim=64 to avoid it)."""
+        from pyspark.sql import DataFrame
+
+        df, _ = vecs
+
+        def boom(self, *a, **k):  # noqa: ANN001
+            raise AssertionError("eager job submitted at plan-build time")
+
+        monkeypatch.setattr(DataFrame, "first", boom)
+        out = cosine_self_join_pairs(df, threshold=0.5, method="lsh", dim=8)
+        assert {"id_a", "id_b", "cosine"} <= set(out.columns)  # plan built, no job
+
     def test_lsh_bucket_deterministic(self, vecs):
         df, _ = vecs
         b1 = with_lsh_bucket(df).toPandas().set_index("vec_id")["lsh_bucket"]
@@ -289,6 +304,17 @@ class TestConnectedComponents:
         )
         got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
         assert set(got.values()) == {100}
+
+    def test_stop_shingle_gate_is_broadcast_anti(self, spark, docs):
+        """The df cap must drop stop-shingles via a broadcast LEFT ANTI
+        against the tiny over-cap set — never shuffle the full shingle
+        table against the near-total keep set (round-2 finding)."""
+        from temporalscope_spark.operators.dedup import _shingle_table
+
+        sh = _shingle_table(docs, "doc_id", "text", 8, max_shingle_df=100)
+        plan = sh._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "LeftAnti" in plan
 
     def test_pathological_path_graph_converges(self, spark):
         """Property (VERDICT r2 #10): a 1000-node PATH — the adversarial
