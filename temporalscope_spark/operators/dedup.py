@@ -44,6 +44,26 @@ def dedup_exact(
     return fp.groupBy("fingerprint").agg(agg.alias(id_col))
 
 
+def _parallelize_before_explode(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism BEFORE an explode when
+    the input has fewer partitions than cores.
+
+    The shingle explode inflates rows ~25x and its output partitioning
+    mirrors the input's — a coarsely-partitioned (or single-file) input
+    serializes the whole expansion onto a handful of tasks (measured: the
+    ENTIRE minhash pipeline ran as 1-task stages on a one-file corpus).
+    Shuffling the narrow PRE-explode rows is ~25x cheaper than anything
+    downstream, and at 100 TB this still holds: a 128 MB scan split
+    explodes to ~3 GB of shingle rows, so finer pre-explode splits are the
+    right trade at every scale. No-op when the input is already at least
+    as parallel as the cluster."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ------------------------------------------------------------ shingling
 def normalize_text(text: Column) -> Column:
     """Whitespace-collapsed lowercase normalization (shared with the oracle)."""
@@ -93,6 +113,7 @@ def _shingle_table(
     normed = df.select(
         F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm")
     )
+    normed = _parallelize_before_explode(normed)
     sh = normed.select(
         "_id",
         F.explode(char_shingles(F.col("_norm"), n, normalized=True)).alias("_sh"),
@@ -473,8 +494,8 @@ def winnowing_fingerprints(
             return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     else:
         hfn = F.xxhash64
-    normed = df.select(
-        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+    normed = _parallelize_before_explode(
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
     )
     n_grams = F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(1))
     hs = F.transform(
