@@ -1145,6 +1145,15 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram(docs, "n_chars", bin_width=100)
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter key diagnosis: top-20 heaviest user_id keys — the
+    pre-flight check for groupBy/window partitioning at scale."""
+    from temporalscope_spark.operators.corpus_stats import skew_profile
+
+    events = _t(spark, sf_dir, "events")
+    return skew_profile(events, "user_id", k=20)
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source BPE-per-word fertility — ratio of two long sums, exact
     in any engine."""
@@ -1267,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_model": q_linear_model,
         "masv_linear": q_masv_linear,
         "heavy_hitters": q_heavy_hitters,
+        "skew_profile": q_skew_profile,
         "token_quantiles": q_token_quantiles,
         "length_histogram": q_length_histogram,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -1772,6 +1782,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word
             LIMIT 100
+        """,
+        "skew_profile": """
+            WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+            t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events)
+            SELECT c.user_id, CAST(c.n AS BIGINT) AS n,
+                   round(c.n / t.total, 6) AS fraction
+            FROM c, t ORDER BY c.n DESC, c.user_id LIMIT 20
         """,
         # Spark `percentile` and DuckDB `quantile_cont` are both the type-7
         # (linear interpolation at p*(n-1)) definition — exact match

@@ -113,6 +113,37 @@ def length_histogram(
     )
 
 
+def skew_profile(
+    df: DataFrame,
+    key_cols: tuple[str, ...] | str,
+    k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter key diagnosis for shuffle/window planning: the top-k
+    heaviest grouping keys with row counts and corpus fraction.
+
+    This is the pre-flight check for every ``groupBy``/``Window.partitionBy``
+    at scale — a key holding >1% of a 100 TB table means a straggler task
+    (the engine's chunk-salted shift and banded pair ops exist exactly for
+    what this surfaces). One map-side-combinable count aggregate + a k-row
+    TakeOrderedAndProject + a broadcast one-row total; only k rows reach
+    the driver. Output: key cols + (n, fraction) ordered by (n desc, keys).
+    """
+    if isinstance(key_cols, str):
+        key_cols = (key_cols,)
+    if k <= 0:
+        raise DataFrameValidationError("k must be > 0")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    top = counts.orderBy(F.col("n").desc(), *key_cols).limit(k)
+    return top.join(F.broadcast(total)).select(
+        *key_cols,
+        "n",
+        F.round(F.col("n").cast("double") / F.col("_total").cast("double"), 6).alias(
+            "fraction"
+        ),
+    )
+
+
 def tokenizer_fertility(
     df: DataFrame,
     text_col: str = "text",

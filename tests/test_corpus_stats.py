@@ -87,6 +87,32 @@ class TestLengthHistogram:
             length_histogram(docs, "n_chars", bin_width=0)
 
 
+class TestSkewProfile:
+    def test_top_keys_and_fractions(self, spark):
+        from temporalscope_spark.operators.corpus_stats import skew_profile
+
+        rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",), ("b",)]
+        df = spark.createDataFrame(rows, ["k"])
+        out = skew_profile(df, "k", k=2).toPandas()
+        assert list(out["k"]) == ["hot", "warm"]
+        assert list(out["n"]) == [6, 3]
+        assert out["fraction"].iloc[0] == pytest.approx(6 / 11, abs=1e-6)
+
+    def test_tie_break_deterministic(self, spark):
+        from temporalscope_spark.operators.corpus_stats import skew_profile
+
+        df = spark.createDataFrame([("b",), ("a",), ("c",)], ["k"])
+        out = skew_profile(df, "k", k=2).toPandas()
+        assert list(out["k"]) == ["a", "b"]  # equal counts -> key order
+
+    def test_k_validation(self, spark):
+        from temporalscope_spark.operators.corpus_stats import skew_profile
+
+        df = spark.createDataFrame([("a",)], ["k"])
+        with pytest.raises(DataFrameValidationError):
+            skew_profile(df, "k", k=0)
+
+
 class TestTokenizerFertility:
     def test_ratio_is_sum_ratio(self, docs):
         out = tokenizer_fertility(docs, "text", group_col="source").toPandas().set_index("source")

@@ -228,3 +228,34 @@ def test_stream_dedup_exact_matches_batch(spark, tmp_path):
     assert set(streamed["fingerprint"]) == set(batch["fingerprint"])
     # exactly one surviving row per fingerprint
     assert not pd.Series(streamed["fingerprint"]).duplicated().any()
+
+
+def test_stream_quality_filter_matches_batch(spark, tmp_path):
+    """The corpus quality gate is a stateless narrow map, so it composes
+    with Structured Streaming unchanged — same rows survive, same signal
+    columns, in a readStream -> quality_filter -> sink pipeline."""
+    from temporalscope_spark.operators.text import quality_filter
+    from temporalscope_spark.streaming.sessions import replay_static_as_stream
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to the hills"),
+        (2, "a a a a a a a a a a a a"),  # repetition-gated
+        (3, "1 2 3 4 5 6 7 8 9 10 11 12"),  # digit-ratio-gated
+        (4, "this is another perfectly reasonable english sentence with many tokens"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = str(tmp_path / "docs")
+    df.write.parquet(d)
+
+    streamed = replay_static_as_stream(
+        spark, d, df.schema,
+        lambda s: quality_filter(s, "text", min_quality=0.6),
+        "qf_out",
+        output_mode="append",  # stateless narrow map — no aggregation state
+    ).toPandas()
+    batch = quality_filter(df, "text", min_quality=0.6).toPandas()
+    assert sorted(streamed["doc_id"]) == sorted(batch["doc_id"])
+    a = streamed.sort_values("doc_id").reset_index(drop=True)
+    b = batch.sort_values("doc_id").reset_index(drop=True)
+    assert a["quality_score"].tolist() == b["quality_score"].tolist()
+    assert a["dup_word_ratio"].tolist() == b["dup_word_ratio"].tolist()
