@@ -185,21 +185,23 @@ def ewma(
     k_exact = max(1, int(_math.ceil(_math.log(rel_tol) / _math.log(a))))
     out_col = out_col or f"{value_col}_ewma"
     if k_exact > 100_000:
-        # row-count chunks keep the segmented fold's buffer (and its O(L²)
-        # within-chunk cost) bounded regardless of the entity's time density;
-        # L=2048 → ~1k fold steps per row, ~2M per chunk — the sweet spot
-        # between per-row fold cost (∝L) and chunk-summary fan-out (∝1/L)
+        # row-count chunks bound the segmented scan's state regardless of
+        # the entity's time density; the rebased O(L) scan makes larger
+        # chunks strictly better (fewer summary rows), and L=32768 keeps
+        # the rebasing exponent 2^(L/halflife) ≤ 2^13 in the delegated
+        # regime (halflife > ~2.5k)
         t0 = _time_expr(df, time_col)
         wrn = Window.orderBy(F.col("__t0"))
         if id_col is not None:
             wrn = wrn.partitionBy(id_col)
         chunked = df.withColumn("__t0", t0).withColumn(
             "_ewma_rchunk",
-            ((F.row_number().over(wrn) - 1) / F.lit(2048)).cast("long"),
+            ((F.row_number().over(wrn) - 1) / F.lit(32_768)).cast("long"),
         ).drop("__t0")
         return ewma_segmented(
             chunked, value_col, halflife_rows, time_col=time_col, id_col=id_col,
             chunk_col="_ewma_rchunk", out_col=out_col, include_current=include_current,
+            scan="rebase",
         ).drop("_ewma_rchunk")
     k_rows = k_exact
 
@@ -233,6 +235,7 @@ def ewma_segmented(
     chunk_seconds: int | None = None,
     out_col: str | None = None,
     include_current: bool = True,
+    scan: str = "fold",
 ) -> DataFrame:
     """Segmented-scan EWMA: exact over the entity's UNBOUNDED history with
     per-task state bounded by the time chunk, not by ``40·halflife``.
@@ -267,9 +270,22 @@ def ewma_segmented(
 
     ``include_current=False`` is the strictly-past (leakage-safe feature)
     variant; first row of the first chunk yields NULL.
+
+    ``scan='fold'`` (default) is the sequential within-chunk fold above —
+    O(L²) per chunk but replayed bit-for-bit by the DuckDB ``list_reduce``
+    oracle. ``scan='rebase'`` computes the same prefix via incremental
+    running sums rebased at the chunk origin — O(L) per chunk, the fast
+    lane :func:`ewma` auto-delegation uses — valid while the within-chunk
+    exponent stays in double range (chunk rows < 600·halflife; a row-level
+    ``assert_true`` guard raises past it instead of silently overflowing).
+    The two scans agree to double rounding; ``rebase`` additionally treats
+    a NULL value as zero contribution (the running sum skips it) where
+    ``fold`` propagates NULL through the rest of the chunk.
     """
     if not float(halflife_rows) > 0:
         raise DataFrameValidationError("halflife_rows must be > 0")
+    if scan not in ("fold", "rebase"):
+        raise DataFrameValidationError("scan must be 'fold' or 'rebase'")
     a = 2.0 ** (-1.0 / float(halflife_rows))
     out_col = out_col or f"{value_col}_ewma"
 
@@ -289,18 +305,47 @@ def ewma_segmented(
     part = ([id_col] if id_col else []) + [chunk_col]
     w = Window.partitionBy(*part).orderBy("__t")
 
-    # 1. within-chunk prefix fold (expanding frame bounded by the chunk)
-    xs = F.collect_list(F.col(value_col).cast("double")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
-    )
+    # 1. within-chunk prefix scan (expanding frame bounded by the chunk)
     acc0 = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
-    folded = F.aggregate(
-        xs,
-        acc0,
-        lambda acc, x: F.struct(
-            (acc["num"] * a + x).alias("num"), (acc["den"] * a + F.lit(1.0)).alias("den")
-        ),
-    )
+    if scan == "rebase":
+        # num_p = a^p · Σ_{i<=p} x_i·a^(−i): two incremental running sums
+        # (Spark evaluates unbounded-preceding frames with a running
+        # accumulator — O(L) per chunk) + a rebasing power per row. The
+        # exponent a^(−rn) = 2^(rn/halflife) must stay in double range:
+        # guarded at rn = 600·halflife (delegation chunks are 2048 rows at
+        # halflife > 2509, safe by construction)
+        rn = F.row_number().over(w)
+        limit = max(1, int(600.0 * float(halflife_rows)))
+        guard = F.coalesce(
+            F.assert_true(
+                rn <= F.lit(limit),
+                F.lit(
+                    "ewma_segmented(scan='rebase'): chunk longer than "
+                    f"600*halflife rows ({limit}) — the rebased exponent "
+                    "would overflow; shrink chunks or use scan='fold'"
+                ),
+            ).cast("double"),
+            F.lit(0.0),
+        )
+        frame = w.rowsBetween(Window.unboundedPreceding, 0)
+        inv = F.pow(F.lit(a), -rn)
+        snum = F.sum(F.col(value_col).cast("double") * inv).over(frame)
+        sden = F.sum(inv).over(frame)
+        apr = F.pow(F.lit(a), rn)
+        folded = F.struct(
+            (apr * snum + guard).alias("num"), (apr * sden).alias("den")
+        )
+    else:
+        xs = F.collect_list(F.col(value_col).cast("double")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        folded = F.aggregate(
+            xs,
+            acc0,
+            lambda acc, x: F.struct(
+                (acc["num"] * a + x).alias("num"), (acc["den"] * a + F.lit(1.0)).alias("den")
+            ),
+        )
     base = (
         base.withColumn("_lf_inc", folded)
         .withColumn("_rn_inc", F.row_number().over(w))

@@ -233,6 +233,40 @@ class TestEwma:
 
 
 class TestEwmaSegmented:
+    def test_rebase_scan_matches_fold(self, ts_df):
+        """The O(L) rebased running-sum scan equals the sequential fold to
+        double rounding, on a shared chunking, both leakage modes."""
+        for inc in (True, False):
+            a = ewma_segmented(
+                ts_df, "value", 5.0, time_col="t", id_col="user_id",
+                chunk_seconds=600, include_current=inc, scan="fold",
+            ).toPandas().sort_values(["user_id", "t"]).reset_index(drop=True)
+            b = ewma_segmented(
+                ts_df, "value", 5.0, time_col="t", id_col="user_id",
+                chunk_seconds=600, include_current=inc, scan="rebase",
+            ).toPandas().sort_values(["user_id", "t"]).reset_index(drop=True)
+            mask = ~a["value_ewma"].isna()
+            np.testing.assert_allclose(
+                a["value_ewma"][mask].astype(float),
+                b["value_ewma"][mask].astype(float), rtol=1e-9,
+            )
+            assert a["value_ewma"].isna().equals(b["value_ewma"].isna())
+
+    def test_rebase_guard_raises_on_oversized_chunk(self, ts_df):
+        """Past 600·halflife rows per chunk the rebased exponent would
+        overflow — the row-level guard must raise, not return garbage."""
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+        with pytest.raises(SparkRuntimeException, match="rebase"):
+            ewma_segmented(
+                ts_df, "value", 0.05, time_col="t", id_col="user_id",
+                chunk_seconds=10**9, scan="rebase",
+            ).collect()
+
+    def test_invalid_scan_raises(self, ts_df):
+        with pytest.raises(Exception, match="scan"):
+            ewma_segmented(ts_df, "value", 5.0, time_col="t", chunk_seconds=60, scan="x")
+
     @pytest.mark.parametrize("include_current", [True, False])
     def test_matches_frame_path(self, ts_df, include_current):
         """Segmented scan == the frame path (to its rel_tol truncation),
