@@ -362,6 +362,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Cluster near-dup PAIRS into components: (node, component) where
     component = min node id reachable through the pair graph.
@@ -378,7 +379,16 @@ def connected_components(
     path compression), so a diameter-D component converges in O(log D)
     rounds; near-dup components are overwhelmingly tiny cliques/chains,
     closing in 2-3 rounds. Raises instead of silently returning partial
-    labels if max_iters is ever exceeded (that would under-deduplicate). Each round's label table is
+    labels if max_iters is ever exceeded (that would under-deduplicate).
+
+    SMALL-GRAPH FAST PATH: with at most ``driver_threshold`` edges (one
+    cheap count; 1M edges ≈ 16 MB) the edge list is collected and solved
+    with a driver-side union-find — identical min-label output, zero
+    iterative rounds, none of the per-round job overhead that dominates
+    below ~4M edges. The edge set of a NEAR-DUP graph is small relative to
+    the corpus by construction (pair generation is thresholded), so this
+    path serves most real runs; pass ``driver_threshold=0`` to force the
+    distributed path. Each round's label table is
     ``localCheckpoint``-ed: iterative self-joins grow the LOGICAL PLAN
     exponentially across rounds and OOM the driver during planning by ~12
     iterations — truncating lineage per round is the standard fix for
@@ -387,6 +397,16 @@ def connected_components(
     only the per-round convergence count.
     """
     from pyspark import StorageLevel
+
+    if driver_threshold:
+        # one capped collect decides AND feeds the fast path — the pair
+        # pipeline is never evaluated twice for the common small case
+        sample = pairs.select(id_a, id_b).limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            schema = pairs.select(
+                F.col(id_a).alias("node"), F.col(id_a).alias("component")
+            ).schema
+            return _connected_components_driver(pairs.sparkSession, sample, schema)
 
     edges = (
         pairs.select(F.col(id_a).alias("_s"), F.col(id_b).alias("_d"))
@@ -438,6 +458,34 @@ def connected_components(
             "raise max_iters or switch to star-contraction for such graphs"
         )
     return labels.select(F.col("_n").alias("node"), F.col("_lbl").alias("component"))
+
+
+def _connected_components_driver(spark, rows, schema) -> DataFrame:
+    """Driver-side union-find over a collected (bounded) edge list.
+
+    Same output contract as the distributed path: (node, component) with
+    component = MIN node id reachable through the pair graph. Union by
+    min-root + path compression — O(E·α(N))."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the MIN id as the root so the label IS the min node id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {x for r in rows for x in (r[0], r[1])}
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return spark.createDataFrame(out, schema)
 
 
 def dedup_cluster_survivors(

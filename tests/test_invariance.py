@@ -189,14 +189,18 @@ def test_gemm_pairs_partition_invariant(spark, sf_dir, nparts):
 
 
 @pytest.mark.parametrize("nparts", [1, 5])
-def test_connected_components_partition_invariant(spark, nparts):
+@pytest.mark.parametrize("dt", [0, 1_000_000])  # distributed AND driver paths
+def test_connected_components_partition_invariant(spark, nparts, dt):
     from temporalscope_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 40, 2)] + [(2, 4), (10, 30)],
         ["id_a", "id_b"],
     ).repartition(nparts)
-    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, driver_threshold=dt).collect()
+    }
     # brute-force union-find on the driver
     parent = {}
     def find(x):

@@ -269,18 +269,39 @@ class TestMultimodal:
 
 
 class TestConnectedComponents:
-    def test_chain_collapses_to_one_component(self, spark):
+    # dt=0 forces the distributed label-propagation path; the default goes
+    # through the driver union-find fast path — both must agree everywhere
+    @pytest.mark.parametrize("dt", [0, 1_000_000])
+    def test_chain_collapses_to_one_component(self, spark, dt):
         # (1-2),(2-3),(3-4): transitive chain -> one component labeled 1
         pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
-        got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        got = {r["node"]: r["component"]
+               for r in connected_components(pairs, driver_threshold=dt).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 1}
 
-    def test_disjoint_components(self, spark):
+    @pytest.mark.parametrize("dt", [0, 1_000_000])
+    def test_disjoint_components(self, spark, dt):
         pairs = spark.createDataFrame(
             [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)], ["id_a", "id_b"]
         )
-        got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        got = {r["node"]: r["component"]
+               for r in connected_components(pairs, driver_threshold=dt).collect()}
         assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+    def test_driver_and_distributed_paths_agree(self, spark):
+        """Random-ish graph: the union-find fast path and the distributed
+        min-label propagation must produce identical labelings."""
+        import random
+
+        rng = random.Random(13)
+        edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        fast = {r["node"]: r["component"]
+                for r in connected_components(pairs).collect()}
+        dist = {r["node"]: r["component"]
+                for r in connected_components(pairs, driver_threshold=0).collect()}
+        assert fast == dist
 
     def test_survivors_keep_isolated_docs(self, spark, docs):
         # pair only docs 1 and 2; every other doc is its own canonical id
@@ -299,10 +320,12 @@ class TestConnectedComponents:
 
     def test_long_chain_converges(self, spark):
         # a 12-node path needs ~diameter rounds — exercises the loop bound
+        # of the DISTRIBUTED path (driver_threshold=0)
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(100, 112)], ["id_a", "id_b"]
         )
-        got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        got = {r["node"]: r["component"]
+               for r in connected_components(pairs, driver_threshold=0).collect()}
         assert set(got.values()) == {100}
 
     def test_stop_shingle_gate_is_broadcast_anti(self, spark, docs):
@@ -324,7 +347,8 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(1000)], ["id_a", "id_b"]
         )
-        got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        got = {r["node"]: r["component"]
+               for r in connected_components(pairs, driver_threshold=0).collect()}
         assert len(got) == 1001
         assert set(got.values()) == {0}
 
@@ -506,5 +530,7 @@ def test_connected_components_raises_on_non_convergence(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 40)], ["id_a", "id_b"]
     )
+    # driver_threshold=0 forces the ITERATIVE path (the union-find fast
+    # path has no convergence bound to trip)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iters=2)
+        connected_components(pairs, max_iters=2, driver_threshold=0)
