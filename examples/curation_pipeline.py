@@ -43,6 +43,11 @@ def main() -> None:
     print("tokenizer fertility (global):")
     tokenizer_fertility(docs, "text", group_col=None).show()
 
+    from temporalscope_spark.operators.corpus_stats import skew_profile
+
+    print("heaviest dedup-key candidates (skew pre-flight):")
+    skew_profile(docs.withColumn("_k", F.col("doc_id") % 1000), "_k", k=3).show()
+
     # 2. quality gate: C4/Gopher-style fused filter (one narrow map)
     from temporalscope_spark.operators.text import quality_filter
 
