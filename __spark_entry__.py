@@ -1154,6 +1154,19 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(events, "user_id", k=20)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-20 docs for the corpus's own top-3 heavy-hitter
+    words (self-contained, data-independent query). Ordering is on the
+    ROUNDED score + doc-id tie-break, so the top-k boundary is replayable
+    bit-for-bit in the SQL oracle."""
+    from temporalscope_spark.operators.corpus_stats import heavy_hitters
+    from temporalscope_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = [r["word"] for r in heavy_hitters(docs, "text", k=3).collect()]
+    return bm25_topk(docs, terms, k=20)
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source BPE-per-word fertility — ratio of two long sums, exact
     in any engine."""
@@ -1277,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "masv_linear": q_masv_linear,
         "heavy_hitters": q_heavy_hitters,
         "skew_profile": q_skew_profile,
+        "bm25_topk": q_bm25_topk,
         "token_quantiles": q_token_quantiles,
         "length_histogram": q_length_histogram,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -1782,6 +1796,46 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word
             LIMIT 100
+        """,
+        # full relational replay: top-3 heavy-hitter terms -> one-pass corpus
+        # stats -> per-term idf -> matching-(doc, term) tf -> per-doc BM25 sum,
+        # ordered by the ROUNDED score (cross-engine-stable top-k boundary)
+        "bm25_topk": f"""
+            WITH w0 AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+            d AS (
+                SELECT doc_id, w,
+                       CAST(CASE WHEN array_to_string(w, '') = '' THEN 0
+                            ELSE len(w) END AS DOUBLE) AS dl
+                FROM w0
+            ),
+            terms AS (
+                SELECT word FROM (SELECT unnest(w) AS word FROM w0)
+                WHERE word <> ''
+                GROUP BY word ORDER BY count(*) DESC, word LIMIT 3
+            ),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+            dfs AS (
+                SELECT t.word, CAST(count(*) AS DOUBLE) AS dft
+                FROM terms t JOIN d ON list_contains(d.w, t.word)
+                GROUP BY t.word
+            ),
+            idf AS (
+                SELECT word, ln((s.n - dft + 0.5) / (dft + 0.5) + 1) AS idf
+                FROM dfs, stats s
+            ),
+            exploded AS (SELECT doc_id, dl, unnest(w) AS word FROM d),
+            tf AS (
+                SELECT doc_id, dl, word, CAST(count(*) AS DOUBLE) AS tf
+                FROM exploded JOIN terms USING (word)
+                GROUP BY 1, 2, 3
+            )
+            SELECT tf.doc_id,
+                   round(sum(i.idf * tf.tf * (1.2 + 1.0)
+                             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))), 6) AS score
+            FROM tf JOIN idf i USING (word), stats s
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id
+            LIMIT 20
         """,
         "skew_profile": """
             WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),

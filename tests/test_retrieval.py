@@ -1,0 +1,80 @@
+"""BM25 retrieval scoring (operators/retrieval.py) vs a hand-rolled
+reference implementation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.retrieval import bm25_topk
+
+
+def _ref_bm25(docs, terms, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    out = {}
+    for i, w in toks.items():
+        score = 0.0
+        for t in set(terms):
+            dft = sum(1 for ww in toks.values() if t in ww)
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - dft + 0.5) / (dft + 0.5) + 1)
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        if score > 0:
+            out[i] = round(score, 6)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog chased the cat around the yard"),
+        (3, "dogs and cats living together"),
+        (4, "completely unrelated text about spark"),
+        (5, "cat cat cat cat"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]), rows
+
+
+class TestBm25:
+    def test_matches_reference(self, corpus):
+        df, rows = corpus
+        got = bm25_topk(df, ["cat", "dog"], k=10).toPandas()
+        want = _ref_bm25(rows, ["cat", "dog"])
+        assert dict(zip(got["doc_id"], got["score"])) == pytest.approx(want)
+        # non-matching doc 4 is excluded, not ranked at 0
+        assert 4 not in set(got["doc_id"])
+
+    def test_ordering_and_limit(self, corpus):
+        df, rows = corpus
+        got = bm25_topk(df, ["cat"], k=2).toPandas()
+        want = _ref_bm25(rows, ["cat"])
+        expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        assert list(zip(got["doc_id"], got["score"])) == pytest.approx(expect)
+
+    def test_tf_saturation(self, corpus):
+        """BM25's k1 saturation: doc 5 (tf=4, short) beats tf=1 docs but its
+        score is far below 4x a single occurrence."""
+        df, rows = corpus
+        got = bm25_topk(df, ["cat"], k=10).toPandas().set_index("doc_id")["score"]
+        assert got.loc[5] == max(got)
+        assert got.loc[5] < 4 * got.drop(5).max()
+
+    def test_duplicate_terms_deduped(self, corpus):
+        df, _ = corpus
+        a = bm25_topk(df, ["cat", "cat"], k=10).toPandas()
+        b = bm25_topk(df, ["cat"], k=10).toPandas()
+        assert a.equals(b)
+
+    def test_validation(self, corpus):
+        df, _ = corpus
+        with pytest.raises(DataFrameValidationError):
+            bm25_topk(df, [], k=5)
+        with pytest.raises(DataFrameValidationError):
+            bm25_topk(df, ["x"], k=0)
