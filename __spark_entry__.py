@@ -545,11 +545,17 @@ def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate scale path: SRP multi-probe blocking + exact verify. The
     # oracle replays the ALGORITHM (same deterministic hyperplanes inlined
     # as SQL literals, same hamming<=2 candidate rule, same exact-cosine
-    # verify) — equality is BY CONSTRUCTION at any threshold, so the check
-    # is non-vacuous: threshold 0.4 yields a real pair set (subset of the
-    # 59/920 exact pairs at sf0.01/sf0.1). dim=64 (TESTDATA.md) is passed
-    # so no eager plan-build job runs. Recall vs the exact set is covered
-    # in tests/test_text_dedup.py (containment + planted-cluster floor).
+    # verify), so equality is structural UP TO float summation order:
+    # an SRP sign bit is sign(dot(v, h)), and a vector lying within ~1 ulp
+    # of a hyperplane can flip under DuckDB's list_dot_product summation
+    # vs Spark's fold, changing the hamming<=2 candidate set (same
+    # data-dependent fragility class as the minhash_lsh_pairs FRAGILITY
+    # NOTE — a future spurious mismatch here is oracle fragility, not an
+    # operator bug). Non-vacuous: threshold 0.4 yields a real pair set
+    # (subset of the 59/920 exact pairs at sf0.01/sf0.1). dim=64
+    # (TESTDATA.md) is passed so no eager plan-build job runs. Recall vs
+    # the exact set is covered in tests/test_text_dedup.py (containment +
+    # planted-cluster floor).
     from temporalscope_spark.operators.similarity import cosine_self_join_pairs
 
     emb = _t(spark, sf_dir, "embeddings")

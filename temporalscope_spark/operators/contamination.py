@@ -43,10 +43,15 @@ def token_ngrams(
 ) -> DataFrame:
     """Exploded per-row token n-grams: (id, ngram_key).
 
-    ``key='hash'``: ``xxhash64`` over the n-gram string form (8-byte join
-    key); ``key='string'``: comma-joined token string (engine-portable).
-    ``distinct=True`` dedupes (id, ngram) pairs — what containment joins
-    want (multiplicity is irrelevant to contamination).
+    ``key='hash'``: ``xxhash64`` over the n-gram ARRAY value directly (8-byte
+    join key, no serialization ambiguity); ``key='string'``: tokens joined
+    with the unit-separator control char ``\\x1f`` (engine-portable —
+    DuckDB: ``array_to_string(g, chr(31))``). A comma delimiter would alias
+    distinct word-token grams (``['a,b','c']`` == ``['a','b,c']``) into
+    false-positive contamination hits; ``\\x1f`` cannot appear in
+    whitespace-split tokens. ``distinct=True`` dedupes (id, ngram) pairs —
+    what containment joins want (multiplicity is irrelevant to
+    contamination).
     """
     if n < 1:
         raise DataFrameValidationError("n must be >= 1")
@@ -64,11 +69,14 @@ def token_ngrams(
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.explode(_ngram_arrays(toks, n, "string" if is_str else "int")).alias("_g"),
-    ).select("_id", F.array_join("_g", ",").alias("_gs"))
+    )
     if key == "hash":
-        grams = grams.select("_id", F.xxhash64("_gs").alias("ngram_key"))
+        # hash the array value itself — immune to any join-delimiter aliasing
+        grams = grams.select("_id", F.xxhash64("_g").alias("ngram_key"))
     else:
-        grams = grams.select("_id", F.col("_gs").alias("ngram_key"))
+        grams = grams.select(
+            "_id", F.array_join("_g", "\x1f").alias("ngram_key")
+        )
     return grams.distinct() if distinct else grams
 
 

@@ -44,6 +44,33 @@ def dedup_exact(
     return fp.groupBy("fingerprint").agg(agg.alias(id_col))
 
 
+# semanticHash(analyzed plan) -> partition count. The df.rdd probe forces a
+# full physical-planning + RDD-DAG conversion (no job, but repeated per
+# operator call it is pure waste — a multi-op dedup pipeline over one corpus
+# used to re-plan the same scan 3-5x). Analysis is already cached by Spark,
+# so the semanticHash key is nearly free; the RDD conversion runs once per
+# distinct input plan.
+_PARTN_CACHE: dict[int, int] = {}
+_PARTN_PROBES: int = 0  # test hook: actual RDD conversions performed
+
+
+def _input_partitions(df: DataFrame) -> int:
+    global _PARTN_PROBES
+    try:
+        key = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover - connect/alt backends: probe directly
+        key = None
+    if key is not None and key in _PARTN_CACHE:
+        return _PARTN_CACHE[key]
+    _PARTN_PROBES += 1
+    n = df.rdd.getNumPartitions()
+    if key is not None:
+        if len(_PARTN_CACHE) > 1024:
+            _PARTN_CACHE.clear()
+        _PARTN_CACHE[key] = n
+    return n
+
+
 def _parallelize_before_explode(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism BEFORE an explode when
     the input has fewer partitions than cores.
@@ -56,10 +83,12 @@ def _parallelize_before_explode(df: DataFrame) -> DataFrame:
     downstream, and at 100 TB this still holds: a 128 MB scan split
     explodes to ~3 GB of shingle rows, so finer pre-explode splits are the
     right trade at every scale. No-op when the input is already at least
-    as parallel as the cluster."""
+    as parallel as the cluster. The partition-count probe is memoized per
+    analyzed plan (:func:`_input_partitions`) so repeated pair ops over
+    the same corpus don't re-run the RDD conversion."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _input_partitions(df) < target:
         return df.repartition(target)
     return df
 
@@ -381,14 +410,20 @@ def connected_components(
     closing in 2-3 rounds. Raises instead of silently returning partial
     labels if max_iters is ever exceeded (that would under-deduplicate).
 
-    SMALL-GRAPH FAST PATH: with at most ``driver_threshold`` edges (one
-    cheap count; 1M edges ≈ 16 MB) the edge list is collected and solved
-    with a driver-side union-find — identical min-label output, zero
-    iterative rounds, none of the per-round job overhead that dominates
-    below ~4M edges. The edge set of a NEAR-DUP graph is small relative to
-    the corpus by construction (pair generation is thresholded), so this
-    path serves most real runs; pass ``driver_threshold=0`` to force the
-    distributed path. Each round's label table is
+    SMALL-GRAPH FAST PATH: with at most ``driver_threshold`` edges the edge
+    list is pulled to the driver through Arrow (``toPandas`` → primitive
+    columns, ~16 MB for 1M long-id edges; string ids cost their bytes —
+    NOT PySpark ``Row`` objects, which would be hundreds of MB of Python
+    heap at 1M rows) and solved with a driver-side union-find — identical
+    min-label output, zero iterative rounds, none of the per-round job
+    overhead that dominates below ~4M edges. The pair pipeline is persisted
+    before the probe, so when the graph EXCEEDS the threshold the
+    distributed path reuses the already-computed pairs instead of
+    re-running pair generation. The edge set of a NEAR-DUP graph is small
+    relative to the corpus by construction (pair generation is
+    thresholded), so this path serves most real runs; pass
+    ``driver_threshold=0`` to force the distributed path. Each round's
+    label table is
     ``localCheckpoint``-ed: iterative self-joins grow the LOGICAL PLAN
     exponentially across rounds and OOM the driver during planning by ~12
     iterations — truncating lineage per round is the standard fix for
@@ -398,15 +433,25 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
+    pairs_persisted = False
     if driver_threshold:
-        # one capped collect decides AND feeds the fast path — the pair
-        # pipeline is never evaluated twice for the common small case
-        sample = pairs.select(id_a, id_b).limit(driver_threshold + 1).collect()
-        if len(sample) <= driver_threshold:
+        # one capped Arrow collect decides AND feeds the fast path; the
+        # persist means an over-threshold probe hands its (already computed)
+        # pair partitions to the distributed path instead of re-running the
+        # pair pipeline
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs_persisted = True
+        head = pairs.select(id_a, id_b).limit(driver_threshold + 1).toPandas()
+        if len(head) <= driver_threshold:
             schema = pairs.select(
                 F.col(id_a).alias("node"), F.col(id_a).alias("component")
             ).schema
-            return _connected_components_driver(pairs.sparkSession, sample, schema)
+            sample = list(
+                zip(head.iloc[:, 0].tolist(), head.iloc[:, 1].tolist())
+            )
+            out = _connected_components_driver(pairs.sparkSession, sample, schema)
+            pairs.unpersist()
+            return out
 
     edges = (
         pairs.select(F.col(id_a).alias("_s"), F.col(id_b).alias("_d"))
@@ -450,6 +495,8 @@ def connected_components(
             converged = True
             break
     edges.unpersist()
+    if pairs_persisted:
+        pairs.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds — "

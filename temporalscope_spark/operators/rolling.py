@@ -278,9 +278,14 @@ def ewma_segmented(
     lane :func:`ewma` auto-delegation uses — valid while the within-chunk
     exponent stays in double range (chunk rows < 600·halflife; a row-level
     ``assert_true`` guard raises past it instead of silently overflowing).
-    The two scans agree to double rounding; ``rebase`` additionally treats
-    a NULL value as zero contribution (the running sum skips it) where
-    ``fold`` propagates NULL through the rest of the chunk.
+    The two scans agree to double rounding, including on NULL values: a
+    NULL row is skipped entirely — it contributes nothing AND does not
+    advance the decay (``collect_list`` drops NULLs, so the fold's decay
+    index is the non-NULL position; the rebase sums and the cross-chunk
+    carry index decay by the running non-NULL count to match). This is
+    pandas ``ewm(..., adjust=True, ignore_na=True)`` semantics and what
+    plain :func:`ewma` computes, so the auto-delegation boundary is
+    seamless on NULL-containing data.
     """
     if not float(halflife_rows) > 0:
         raise DataFrameValidationError("halflife_rows must be > 0")
@@ -304,41 +309,55 @@ def ewma_segmented(
     base = df.withColumn("__t", t)
     part = ([id_col] if id_col else []) + [chunk_col]
     w = Window.partitionBy(*part).orderBy("__t")
+    inc_frame = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    # NULL semantics shared by every scan (and by plain ewma's collect_list
+    # fold): a NULL value row is skipped — no contribution, no decay step.
+    # All decay exponents therefore index by the running NON-NULL count
+    # (F.count skips NULLs), never by the row number.
+    base = base.withColumn("_rn_inc", F.row_number().over(w)).withColumn(
+        "_nn_inc", F.count(F.col(value_col)).over(inc_frame)
+    )
 
     # 1. within-chunk prefix scan (expanding frame bounded by the chunk)
     acc0 = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
     if scan == "rebase":
-        # num_p = a^p · Σ_{i<=p} x_i·a^(−i): two incremental running sums
-        # (Spark evaluates unbounded-preceding frames with a running
-        # accumulator — O(L) per chunk) + a rebasing power per row. The
-        # exponent a^(−rn) = 2^(rn/halflife) must stay in double range:
-        # guarded at rn = 600·halflife (delegation chunks are 2048 rows at
-        # halflife > 2509, safe by construction)
-        rn = F.row_number().over(w)
+        # num_p = a^p · Σ_{i<=p, x_i not null} x_i·a^(−i): two incremental
+        # running sums (Spark evaluates unbounded-preceding frames with a
+        # running accumulator — O(L) per chunk) + a rebasing power per row,
+        # i = non-null position. The exponent a^(−i) = 2^(i/halflife) must
+        # stay in double range: guarded at i = 600·halflife (delegation
+        # chunks are 32768 rows at halflife > 2509, safe by construction)
+        nn = F.col("_nn_inc")
         limit = max(1, int(600.0 * float(halflife_rows)))
         guard = F.coalesce(
             F.assert_true(
-                rn <= F.lit(limit),
+                nn <= F.lit(limit),
                 F.lit(
                     "ewma_segmented(scan='rebase'): chunk longer than "
-                    f"600*halflife rows ({limit}) — the rebased exponent "
-                    "would overflow; shrink chunks or use scan='fold'"
+                    f"600*halflife non-null rows ({limit}) — the rebased "
+                    "exponent would overflow; shrink chunks or use "
+                    "scan='fold'"
                 ),
             ).cast("double"),
             F.lit(0.0),
         )
-        frame = w.rowsBetween(Window.unboundedPreceding, 0)
-        inv = F.pow(F.lit(a), -rn)
-        snum = F.sum(F.col(value_col).cast("double") * inv).over(frame)
-        sden = F.sum(inv).over(frame)
-        apr = F.pow(F.lit(a), rn)
+        notnull = F.col(value_col).isNotNull()
+        inv = F.pow(F.lit(a), -nn)
+        snum = F.sum(F.when(notnull, F.col(value_col).cast("double") * inv)).over(
+            inc_frame
+        )
+        sden = F.sum(F.when(notnull, inv)).over(inc_frame)
+        apr = F.pow(F.lit(a), nn)
+        # coalesce: an all-NULL prefix must fold to (0, 0) — NULL here would
+        # poison the carry merge in step 4 and wrongly NULL rows whose EWMA
+        # is carried entirely from earlier chunks
         folded = F.struct(
-            (apr * snum + guard).alias("num"), (apr * sden).alias("den")
+            (apr * F.coalesce(snum, F.lit(0.0)) + guard).alias("num"),
+            (apr * F.coalesce(sden, F.lit(0.0))).alias("den"),
         )
     else:
-        xs = F.collect_list(F.col(value_col).cast("double")).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        )
+        xs = F.collect_list(F.col(value_col).cast("double")).over(inc_frame)
         folded = F.aggregate(
             xs,
             acc0,
@@ -346,30 +365,38 @@ def ewma_segmented(
                 (acc["num"] * a + x).alias("num"), (acc["den"] * a + F.lit(1.0)).alias("den")
             ),
         )
-    base = (
-        base.withColumn("_lf_inc", folded)
-        .withColumn("_rn_inc", F.row_number().over(w))
-        .withColumn("_p", F.col("_rn_inc"))
+    # _p: the rebasing power for the cross-chunk carry — the number of
+    # non-NULL values in the within-chunk prefix the row sees
+    base = base.withColumn("_lf_inc", folded).withColumn(
+        "_p",
+        F.col("_nn_inc")
+        if include_current
+        else F.col("_nn_inc") - F.col(value_col).isNotNull().cast("int"),
     )
     if include_current:
         base = base.withColumn("_lf", F.col("_lf_inc"))
     else:
-        # strictly past: previous row's prefix at power p-1; first row of a
-        # chunk falls back to the pure carry (lnum=lden=0, a^0=1)
+        # strictly past: previous row's INCLUSIVE prefix (= fold over the
+        # non-NULLs strictly before the current row); first row of a chunk
+        # falls back to the pure carry (lnum=lden=0, a^0=1). _p was already
+        # computed as the strictly-past non-null count above.
         zero = F.struct(F.lit(0.0).alias("num"), F.lit(0.0).alias("den"))
         base = base.withColumn(
             "_lf", F.coalesce(F.lag("_lf_inc", 1).over(w), zero)
-        ).withColumn("_p", F.col("_p") - 1)
+        )
 
     # 2. one summary row per (id, chunk): total INCLUSIVE fold + row count.
     # max_by keys on the ROW NUMBER, not the timestamp — with duplicate
     # timestamps max_by(.., __t) tie-breaks non-deterministically and could
     # carry an incomplete prefix into every later chunk
+    # _L counts NON-NULL values (count(col) skips NULLs): the carry decays
+    # by the chunk's non-null length — a NULL row adds no decay step, same
+    # as within-chunk
     summ = base.groupBy(*part).agg(
         F.max_by(F.col("_lf_inc"), F.col("_rn_inc")).alias("_tot"),
-        F.count(F.lit(1)).alias("_L"),
+        F.count(F.col(value_col)).alias("_L"),
     )
-    base = base.drop("_lf_inc", "_rn_inc")
+    base = base.drop("_lf_inc", "_rn_inc", "_nn_inc")
 
     # 3. cross-chunk carry over the ordered summary table (tiny: one row per
     # chunk), prefix fold with the affine composition law

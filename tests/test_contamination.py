@@ -35,7 +35,7 @@ class TestTokenNgrams:
     def test_gram_set(self, spark):
         df = spark.createDataFrame([("a", [1, 2, 3, 4])], "doc_id string, tokens array<int>")
         got = {r["ngram_key"] for r in token_ngrams(df, 3, key="string").collect()}
-        assert got == {"1,2,3", "2,3,4"}
+        assert got == {"1\x1f2\x1f3", "2\x1f3\x1f4"}
 
     def test_short_rows_yield_nothing(self, spark):
         df = spark.createDataFrame([("a", [1, 2])], "doc_id string, tokens array<int>")
@@ -92,3 +92,28 @@ def test_word_token_decontamination(spark):
     )
     out = decontaminate(train, eval_df, n=3)
     assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+@pytest.mark.parametrize("key", ["hash", "string"])
+def test_comma_tokens_do_not_alias(spark, key):
+    """ADVICE r3: comma-joined gram keys aliased ['a,b','c'] with
+    ['a','b,c'] — whitespace-split word tokens commonly contain commas
+    ('world,'). Neither key mode may produce a false-positive match for
+    grams that differ only in comma placement."""
+    from temporalscope_spark.operators.contamination import contaminated_ids
+
+    train = spark.createDataFrame(
+        [(1, ["a,b", "c"]), (2, ["x", "y"])], "doc_id long, tokens array<string>"
+    )
+    eval_df = spark.createDataFrame(
+        [(100, ["a", "b,c"])], "doc_id long, tokens array<string>"
+    )
+    bad = contaminated_ids(train, eval_df, n=2, key=key).collect()
+    assert bad == []
+
+    # and a genuine shared gram still matches
+    eval2 = spark.createDataFrame(
+        [(101, ["a,b", "c"])], "doc_id long, tokens array<string>"
+    )
+    hit = {r["doc_id"] for r in contaminated_ids(train, eval2, n=2, key=key).collect()}
+    assert hit == {1}

@@ -252,6 +252,59 @@ class TestEwmaSegmented:
             )
             assert a["value_ewma"].isna().equals(b["value_ewma"].isna())
 
+    @pytest.mark.parametrize("include_current", [True, False])
+    def test_null_semantics_agree_across_scans(self, spark, include_current):
+        """ADVICE r3 (medium): on NULL-containing data the rebase scan used
+        to treat a NULL as value=0 (decayed AND weighted) while fold skipped
+        it — so ewma()'s silent auto-delegation at halflife ≳ 2.5k changed
+        answers. All three lanes must agree: skip the NULL entirely (no
+        contribution, no decay step) = pandas ewm(adjust=True,
+        ignore_na=True), including across chunk boundaries and for
+        chunks that start or end with NULL runs."""
+        rng = np.random.RandomState(11)
+        rows = []
+        for u in range(3):
+            for i in range(60):
+                v = None if rng.rand() < 0.3 else float(rng.randn())
+                rows.append((u, float(i), v))
+        # force boundary cases: chunk (chunk_seconds=16) starting/ending NULL
+        rows += [(9, float(i), None) for i in range(20)]  # all-NULL entity
+        pdf = pd.DataFrame(rows, columns=["user_id", "t", "value"])
+        df = spark.createDataFrame(pdf)
+
+        kw = dict(time_col="t", id_col="user_id", include_current=include_current)
+        plain = ewma(df, "value", 5.0, **kw).toPandas()
+        fold = ewma_segmented(
+            df, "value", 5.0, chunk_seconds=16, scan="fold", **kw
+        ).toPandas()
+        reb = ewma_segmented(
+            df, "value", 5.0, chunk_seconds=16, scan="rebase", **kw
+        ).toPandas()
+
+        key = ["user_id", "t"]
+        plain = plain.sort_values(key).reset_index(drop=True)
+        fold = fold.sort_values(key).reset_index(drop=True)
+        reb = reb.sort_values(key).reset_index(drop=True)
+
+        want = (
+            pdf.sort_values(key)
+            .groupby("user_id")["value"]
+            .apply(
+                lambda s: s.astype(float)
+                .ewm(halflife=5.0, adjust=True, ignore_na=True)
+                .mean()
+                .shift(0 if include_current else 1)
+            )
+            .reset_index(drop=True)
+        )
+        for name, got in [("plain", plain), ("fold", fold), ("rebase", reb)]:
+            g = got["value_ewma"].astype(float)
+            assert g.isna().equals(want.isna()), f"{name}: NULL mask differs"
+            m = ~want.isna()
+            np.testing.assert_allclose(
+                g[m], want[m], rtol=1e-9, err_msg=f"{name} lane"
+            )
+
     def test_rebase_guard_raises_on_oversized_chunk(self, ts_df):
         """Past 600·halflife rows per chunk the rebased exponent would
         overflow — the row-level guard must raise, not return garbage."""
