@@ -510,6 +510,43 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup equivalence, end to end: index 90% of documents
+    (doc_id % 10 != 0) as the existing corpus, then dedup the remaining 10%
+    as an appended batch against the persisted-index SHAPE (fingerprint +
+    band rows + component labels) — batch-sized work only. Output: the
+    final (doc_id, canonical_id) for ALL docs (v0 labels with merge
+    relabels applied ∪ batch labels).
+
+    Oracle: FULL-corpus clustering (exact-Jaccard pairs >= 0.2 + recursive
+    transitive closure) — the equivalence property itself is the check.
+    Same FRAGILITY NOTE as minhash_lsh_pairs: equality relies on banding
+    recall being 1.0 on this corpus (verified at sf0.01/sf0.1); the
+    incremental==full-LSH equivalence is structural and pinned by
+    tests/test_incremental_dedup.py on adversarial bridge/merge fixtures."""
+    from temporalscope_spark.operators.incremental_dedup import (
+        cluster_corpus,
+        dedup_index_rows,
+        incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    v0 = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    params = dict(num_hashes=16, bands=4, shingle_n=12, threshold=0.2)
+    v0_labels = cluster_corpus(v0, **params)
+    index = dedup_index_rows(v0, components=v0_labels, **params)
+    res = incremental_dedup(index, batch, v0, **params)
+    rl = res.relabels.selectExpr("old_component as component", "component as _new")
+    v0_out = v0_labels.join(F.broadcast(rl), "component", "left").select(
+        "doc_id", F.coalesce("_new", "component").alias("canonical_id")
+    )
+    b_out = res.batch_components.select(
+        "doc_id", F.col("component").alias("canonical_id")
+    )
+    return v0_out.unionByName(b_out)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXACT oracle: md5-60bit signature is bit-identical in DuckDB, and the
     # 4-chunk pigeonhole candidate set is COMPLETE for hamming <= 3, so the
@@ -1280,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "incremental_dedup": q_incremental_dedup,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -1747,6 +1785,35 @@ def oracle_sql() -> dict[str, str]:
         # exact shingle-Jaccard pair set: minhash_lsh_pairs output is a
         # subset by construction (exact verification); equality holds when
         # banding recall is 1.0 — verified at sf0.01 and sf0.1
+        # the equivalence property IS the oracle: incremental (index v0 +
+        # batch) must equal FULL-corpus exact-Jaccard clustering
+        "incremental_dedup": f"""
+            WITH RECURSIVE {_shingle_cte(12)},
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN counts ca ON ca.doc_id = id_a
+                JOIN counts cb ON cb.doc_id = id_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            walk(id, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT w.id, e.d FROM walk w JOIN edges e ON e.s = w.r
+            ),
+            comp AS (SELECT id, MIN(r) AS rep FROM walk GROUP BY id)
+            SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        """,
         "minhash_lsh_pairs": f"""
             WITH {_shingle_cte(12)},
             counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),

@@ -1,0 +1,464 @@
+"""Incremental dedup against a persisted fingerprint/minhash-band index.
+
+The capstone of the incremental pipeline (VERDICT r3 #1): when a batch lands
+(``SnapshotTable.read_increment``), dedup the NEW docs against the existing
+corpus WITHOUT re-fingerprinting the corpus. The persisted index holds, per
+already-indexed doc, its exact-dedup fingerprint, its LSH band hashes, and
+its near-dup component label:
+
+    (_id, component, fingerprint, _band, _bh)   — one row per (doc, band)
+
+Incremental pass over a batch B against corpus index I:
+
+1. shingle/fingerprint/sign B only (batch-sized);
+2. exact lane: B.fingerprint ⋈ I.fingerprint (broadcast the BATCH side —
+   the index is corpus-sized and must never move);
+3. candidate lane: B band rows ⋈ I band rows on (_band, _bh) + a B×B
+   band self-join — the EXACT same candidate criterion the full-corpus
+   :func:`~temporalscope_spark.operators.dedup.minhash_lsh_pairs` uses, so
+   incremental and full-corpus runs see identical candidate sets by
+   construction;
+4. verify candidates with exact Jaccard. Batch shingles are in hand; the
+   matched corpus docs' shingles are re-derived from ``corpus_docs``
+   restricted by a broadcast semi-join on the candidate ids (candidates are
+   batch-sized — at 100 TB this is a filter-only scan that an id-clustered
+   or bloom-indexed layout prunes to candidate files, never a
+   re-fingerprinting of the corpus);
+5. connected components over the BATCH-SIZED merge graph whose corpus
+   endpoints are replaced by their persisted component labels — merging
+   two old components through a batch doc yields a relabel, exactly what
+   full-corpus clustering would have produced.
+
+EQUIVALENCE (the property the tests pin): because the candidate criterion,
+verification, and min-label clustering are identical, (full-corpus dedup of
+C0 ∪ B) == (index built from C0) + (incremental dedup of B) — including
+transitive merges where a batch doc bridges two pre-existing components.
+
+No reference parity: TemporalScope is a batch library with no incremental
+story; this extends the engine's snapshot/increment contract
+(``datasets/snapshots.py``) to the dedup family.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.dedup import (
+    _shingle_table,
+    _signatures_from_shingles,
+    connected_components,
+    minhash_lsh_pairs,
+)
+from temporalscope_spark.operators.text import with_fingerprint
+
+
+# --------------------------------------------------------------- building
+def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, _band, _bh) from a signature table — the same band hashing
+    formula as minhash_lsh_pairs (md5 over '|'-joined rows per band), so
+    index rows and full-corpus runs bucket identically."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        chunk = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *chunk)).alias("bh"))
+        )
+    return sig.select("_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "_id", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh")
+    )
+
+
+def cluster_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 12,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Full-corpus near-dup clustering: LSH pairs → connected components →
+    (id, component) for EVERY doc (singletons label themselves). This is
+    the reference computation the incremental path must reproduce, and the
+    v0 builder for :func:`dedup_index_rows`."""
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, threshold=threshold, hash_fn=hash_fn,
+    )
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias(id_col), F.col("component").alias("_c")
+    )
+    return docs.select(id_col).join(comp, id_col, "left").select(
+        id_col, F.coalesce(F.col("_c"), F.col(id_col)).alias("component")
+    )
+
+
+def dedup_index_rows(
+    docs: DataFrame,
+    components: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 12,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Index rows for ``docs``: (_id, component, fingerprint, _band, _bh),
+    one row per (doc, band). ``components`` is a prior (id, component)
+    labeling (e.g. from :func:`cluster_corpus`, or the output of a previous
+    incremental pass); without one it is computed here."""
+    if components is None:
+        components = cluster_corpus(
+            docs, id_col, text_col, num_hashes, bands, shingle_n, threshold, hash_fn
+        )
+    sh = _shingle_table(docs, id_col, text_col, shingle_n, None, persist=True)
+    sig = _signatures_from_shingles(sh, num_hashes, hash_fn)
+    bandr = _band_rows(sig, num_hashes, bands)
+    fp = with_fingerprint(docs, text_col).select(
+        F.col(id_col).alias("_id"), "fingerprint"
+    )
+    comp = components.select(
+        F.col(id_col).alias("_id"), F.col("component")
+    )
+    out = bandr.join(fp, "_id").join(comp, "_id").select(
+        "_id", "component", "fingerprint", "_band", "_bh"
+    )
+    return out
+
+
+# ------------------------------------------------------------ incremental
+@dataclass
+class IncrementalDedupResult:
+    """Outputs of one incremental pass.
+
+    ``batch_components``: (id, component, is_exact_dup) for every batch doc
+    — component is the post-merge min label; a doc survives dedup iff
+    ``component == id``.
+    ``relabels``: (old_component, component) for pre-existing components a
+    batch doc merged into a smaller label — apply to stored labels to stay
+    consistent with what full-corpus clustering would produce.
+    ``index_rows``: the batch's index rows (already carrying post-merge
+    labels), ready to append to the persisted index."""
+
+    batch_components: DataFrame
+    relabels: DataFrame
+    index_rows: DataFrame
+
+
+def incremental_dedup(
+    index: DataFrame,
+    batch: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 12,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> IncrementalDedupResult:
+    """Dedup ``batch`` against the persisted ``index`` at batch-sized cost.
+
+    ``corpus_docs`` supplies the TEXT of already-indexed docs for
+    verify-on-candidates only (restricted by a broadcast semi-join on the
+    candidate ids); the corpus is never re-fingerprinted. See the module
+    docstring for the plan shape and the equivalence property.
+    """
+    from pyspark import StorageLevel
+
+    for c in ("_id", "component", "fingerprint", "_band", "_bh"):
+        if c not in index.columns:
+            raise DataFrameValidationError(f"index is missing column '{c}'")
+
+    # 1. batch-side artifacts (all batch-sized); the shingle table feeds
+    # signatures AND both verification lanes — persist once
+    bsh = _shingle_table(batch, id_col, text_col, shingle_n, None).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bsig = _signatures_from_shingles(bsh, num_hashes, hash_fn)
+    bband = _band_rows(bsig, num_hashes, bands).persist(StorageLevel.MEMORY_AND_DISK)
+    bfp = with_fingerprint(batch, text_col).select(
+        F.col(id_col).alias("_id"), "fingerprint"
+    )
+
+    # 2. exact lane: identical normalized text ⇒ same component, no verify
+    # needed. Broadcast the batch side — the index never moves.
+    exact_hits = (
+        index.select("fingerprint", F.col("component").alias("_cc"))
+        .join(F.broadcast(bfp), "fingerprint")
+        .select(F.col("_id").alias("_bid"), "_cc")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # 3. candidate lane — batch×corpus via the persisted band table
+    # (broadcast batch bands), batch×batch via self-join
+    cand_bc = (
+        index.select("_band", "_bh", F.col("_id").alias("_cid"), "component")
+        .join(F.broadcast(bband.select(F.col("_id").alias("_bid"), "_band", "_bh")),
+              ["_band", "_bh"])
+        .select("_bid", "_cid", "component")
+        .distinct()
+    )
+    lb = bband.select(F.col("_id").alias("id_a"), "_band", "_bh")
+    rb = bband.select(F.col("_id").alias("id_b"), "_band", "_bh")
+    cand_bb = (
+        lb.join(rb, ["_band", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # 4. exact-Jaccard verification. Corpus candidate shingles come from a
+    # broadcast semi-join-restricted scan of corpus_docs (batch-sized id
+    # set); batch shingles are already in hand.
+    cand_ids = cand_bc.select(F.col("_cid").alias(id_col)).distinct()
+    cdocs = corpus_docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    csh = _shingle_table(cdocs, id_col, text_col, shingle_n, None)
+
+    bcounts = bsh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    ccounts = csh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+
+    inter_bc = (
+        cand_bc.select("_bid", "_cid")
+        .join(bsh.select(F.col("_id").alias("_bid"), "_shk"), "_bid")
+        .join(csh.select(F.col("_id").alias("_cid"), "_shk"), ["_cid", "_shk"])
+        .groupBy("_bid", "_cid")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    ver_bc = (
+        inter_bc.join(bcounts.select(F.col("_id").alias("_bid"), F.col("_n").alias("_na")), "_bid")
+        .join(ccounts.select(F.col("_id").alias("_cid"), F.col("_n").alias("_nb")), "_cid")
+        .filter(
+            F.col("_i").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_i")).cast("double")
+            >= threshold
+        )
+        .join(cand_bc, ["_bid", "_cid"])
+        .select("_bid", F.col("component").alias("_cc"))
+    )
+
+    inter_bb = (
+        cand_bb.join(bsh.select(F.col("_id").alias("id_a"), "_shk"), "id_a")
+        .join(bsh.select(F.col("_id").alias("id_b"), "_shk"), ["id_b", "_shk"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    ver_bb = (
+        inter_bb.join(bcounts.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(bcounts.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .filter(
+            F.col("_i").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_i")).cast("double")
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+
+    # 5. merge graph: corpus endpoints collapse to their component labels.
+    # Exact hits are included explicitly (identical docs always verify at
+    # jaccard 1 through the band lane too, but the explicit edge keeps the
+    # exact lane correct even with threshold > 1-epsilon configs).
+    edges = (
+        ver_bc.select(F.col("_bid").alias("id_a"), F.col("_cc").alias("id_b"))
+        .unionByName(
+            exact_hits.select(F.col("_bid").alias("id_a"), F.col("_cc").alias("id_b"))
+        )
+        .unionByName(ver_bb)
+        .distinct()
+    )
+    cc = connected_components(edges, "id_a", "id_b")
+
+    # 6. outputs
+    batch_ids = batch.select(F.col(id_col)).distinct()
+    batch_components = (
+        batch_ids.join(
+            cc.select(F.col("node").alias(id_col), F.col("component")), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+        .join(
+            exact_hits.select(F.col("_bid").alias(id_col)).distinct()
+            .withColumn("is_exact_dup", F.lit(True)),
+            id_col,
+            "left",
+        )
+        .fillna(False, ["is_exact_dup"])
+    )
+
+    old_components = index.select(F.col("component").alias("node")).distinct()
+    relabels = (
+        cc.join(old_components, "node")
+        .filter(F.col("component") != F.col("node"))
+        .select(
+            F.col("node").alias("old_component"), F.col("component")
+        )
+    )
+
+    index_rows = dedup_index_rows(
+        batch,
+        components=batch_components.select(id_col, "component"),
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        hash_fn=hash_fn,
+    )
+    return IncrementalDedupResult(batch_components, relabels, index_rows)
+
+
+# ------------------------------------------------------------- persistence
+class DedupIndex:
+    """Persisted dedup index: a SnapshotTable of index rows + an
+    append-only relabel log + a params manifest pinning the hashing
+    configuration (a batch indexed with different shingle/band params would
+    silently never match — the manifest makes that impossible).
+
+    ``rows/`` grows by append only (each batch commits its own rows);
+    component merges never rewrite old rows — they land in ``relabels/``
+    and are folded in at read time (:meth:`components`). Merges are rare
+    (a relabel needs a batch doc bridging two pre-existing clusters), so
+    the relabel log stays tiny and is resolved driver-side with the same
+    union-find the dedup fast path uses.
+    """
+
+    _PARAMS = ("num_hashes", "bands", "shingle_n", "threshold", "hash_fn",
+               "id_col", "text_col")
+
+    def __init__(self, path: str):
+        from temporalscope_spark.datasets.snapshots import SnapshotTable
+
+        self.path = path
+        self.rows = SnapshotTable(os.path.join(path, "rows"))
+        self.relabels = SnapshotTable(os.path.join(path, "relabels"))
+        self._params_path = os.path.join(path, "params.json")
+
+    # ------------------------------------------------------------- params
+    def _save_params(self, params: dict) -> None:
+        tmp = f"{self._params_path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(params, fh, indent=1)
+        os.replace(tmp, self._params_path)
+
+    def params(self) -> dict:
+        with open(self._params_path) as fh:
+            return json.load(fh)
+
+    # -------------------------------------------------------------- build
+    @classmethod
+    def create(
+        cls,
+        path: str,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_n: int = 12,
+        threshold: float = 0.5,
+        hash_fn: str = "xxhash64",
+    ) -> "DedupIndex":
+        """Build v0: cluster ``docs`` in full, persist their index rows."""
+        idx = cls(path)
+        if idx.rows.current_version() is not None:
+            raise ValueError(f"dedup index already exists at {path}")
+        idx._save_params(
+            {
+                "num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n,
+                "threshold": threshold, "hash_fn": hash_fn,
+                "id_col": id_col, "text_col": text_col,
+            }
+        )
+        rows = dedup_index_rows(
+            docs, None, id_col, text_col, num_hashes, bands, shingle_n,
+            threshold, hash_fn,
+        )
+        idx.rows.write(rows, mode="append")
+        return idx
+
+    # ------------------------------------------------------------- dedup
+    def dedup_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        corpus_docs: DataFrame,
+        commit: bool = True,
+    ) -> IncrementalDedupResult:
+        """Incrementally dedup ``batch`` against the index; with
+        ``commit=True`` append the batch's index rows and any relabels
+        (batch-sized commits — the corpus-sized rows table is only read)."""
+        p = self.params()
+        result = incremental_dedup(
+            self.rows.read(spark),
+            batch,
+            corpus_docs,
+            id_col=p["id_col"], text_col=p["text_col"],
+            num_hashes=p["num_hashes"], bands=p["bands"],
+            shingle_n=p["shingle_n"], threshold=p["threshold"],
+            hash_fn=p["hash_fn"],
+        )
+        if commit:
+            self.rows.write(result.index_rows, mode="append")
+            if result.relabels.limit(1).count() > 0:
+                self.relabels.write(result.relabels, mode="append")
+        return result
+
+    # -------------------------------------------------------------- reads
+    def _relabel_map(self, spark: SparkSession) -> dict:
+        """Driver-resolved transitive relabel map (old → final label).
+        The log only grows when a batch doc bridges two pre-existing
+        components — bounded by the number of merges ever performed, i.e.
+        tiny; resolved with union-find so chains across batches collapse."""
+        if self.relabels.current_version() is None:
+            return {}
+        pdf = self.relabels.read(spark).toPandas()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for old, new in zip(pdf["old_component"].tolist(), pdf["component"].tolist()):
+            ra, rb = find(old), find(new)
+            if ra == rb:
+                continue
+            # labels are homogeneous ids (min-label invariant: keep the
+            # smaller root so the final label is the true min)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        return {k: find(k) for k in list(parent)}
+
+    def components(self, spark: SparkSession) -> DataFrame:
+        """(id, component) for every indexed doc, relabel log applied —
+        exactly what full-corpus clustering over all indexed docs yields."""
+        p = self.params()
+        comp = self.rows.read(spark).select(
+            F.col("_id").alias(p["id_col"]), "component"
+        ).distinct()
+        mapping = self._relabel_map(spark)
+        if not mapping:
+            return comp
+        mdf = spark.createDataFrame(
+            list(mapping.items()), ["component", "_new"]
+        )
+        return comp.join(F.broadcast(mdf), "component", "left").select(
+            p["id_col"],
+            F.coalesce(F.col("_new"), F.col("component")).alias("component"),
+        )
