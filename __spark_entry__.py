@@ -1210,6 +1210,27 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, terms, k=20)
 
 
+def q_bm25_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 over the persisted postings index: three 2-term
+    queries drawn from the corpus's own top-6 heavy-hitter words (ranks
+    1-2 / 3-4 / 5-6 — self-contained, data-independent), scored in ONE
+    pass over the postings table. Scores/ordering identical to per-query
+    bm25_topk (rounded-score + doc-id tie-break, engine-replayable)."""
+    from temporalscope_spark.operators.corpus_stats import heavy_hitters
+    from temporalscope_spark.operators.retrieval import bm25_topk_multi, build_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    hh = heavy_hitters(docs, "text", k=6).collect()
+    words = [r["word"] for r in sorted(hh, key=lambda r: (-r["n"], r["word"]))]
+    queries = spark.createDataFrame(
+        [(i // 2, w) for i, w in enumerate(words)], "query_id int, word string"
+    )
+    postings, stats, termdf = build_postings(docs)
+    return bm25_topk_multi(postings, stats, termdf, queries, k=10).select(
+        "query_id", "doc_id", "score"
+    )
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source BPE-per-word fertility — ratio of two long sums, exact
     in any engine."""
@@ -1335,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "skew_profile": q_skew_profile,
         "bm25_topk": q_bm25_topk,
+        "bm25_multi_topk": q_bm25_multi_topk,
         "token_quantiles": q_token_quantiles,
         "length_histogram": q_length_histogram,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -1909,6 +1931,52 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tf.doc_id
             ORDER BY score DESC, tf.doc_id
             LIMIT 20
+        """,
+        "bm25_multi_topk": f"""
+            WITH w0 AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+            d AS (
+                SELECT doc_id, w,
+                       CAST(CASE WHEN array_to_string(w, '') = '' THEN 0
+                            ELSE len(w) END AS DOUBLE) AS dl
+                FROM w0
+            ),
+            ranked AS (
+                SELECT word,
+                       row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+                FROM (SELECT unnest(w) AS word FROM w0)
+                WHERE word <> ''
+                GROUP BY word ORDER BY count(*) DESC, word LIMIT 6
+            ),
+            qterms AS (SELECT CAST((rk - 1) // 2 AS INT) AS query_id, word FROM ranked),
+            terms AS (SELECT DISTINCT word FROM qterms),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+            dfs AS (
+                SELECT t.word, CAST(count(*) AS DOUBLE) AS dft
+                FROM terms t JOIN d ON list_contains(d.w, t.word)
+                GROUP BY t.word
+            ),
+            idf AS (
+                SELECT word, ln((s.n - dft + 0.5) / (dft + 0.5) + 1) AS idf
+                FROM dfs, stats s
+            ),
+            exploded AS (SELECT doc_id, dl, unnest(w) AS word FROM d),
+            tf AS (
+                SELECT doc_id, dl, word, CAST(count(*) AS DOUBLE) AS tf
+                FROM exploded JOIN terms USING (word)
+                GROUP BY 1, 2, 3
+            ),
+            scoredq AS (
+                SELECT q.query_id, tf.doc_id,
+                       round(sum(i.idf * tf.tf * (1.2 + 1.0)
+                                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))), 6) AS score
+                FROM tf JOIN idf i USING (word) JOIN qterms q USING (word), stats s
+                GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, doc_id, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, doc_id
+                ) AS rn FROM scoredq
+            ) WHERE rn <= 10
         """,
         "skew_profile": """
             WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),

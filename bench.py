@@ -265,6 +265,65 @@ def _ensure_incr_index(spark, mult: int) -> str:
     return path
 
 
+BM25_DOCS = int(os.environ.get("SPARK_GRAFT_BM25_DOCS", "100000"))
+BM25_QUERIES = 8
+
+
+def _bm25_corpus(spark):
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(DOCS_PATH).filter(F.col("doc_id") < BM25_DOCS)
+
+
+def _ensure_bm25_postings(spark) -> str:
+    """Materialize the postings index once (the amortized artifact)."""
+    from temporalscope_spark.operators.retrieval import build_postings
+
+    path = os.path.join(CACHE, f"bm25_postings_{BM25_DOCS}")
+    if not os.path.exists(os.path.join(path, "postings", "_SUCCESS")):
+        postings, stats, termdf = build_postings(_bm25_corpus(spark))
+        postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+        stats.write.mode("overwrite").parquet(os.path.join(path, "stats"))
+        termdf.write.mode("overwrite").parquet(os.path.join(path, "termdf"))
+    return path
+
+
+def _bm25_query_words(spark) -> list[str]:
+    from temporalscope_spark.operators.corpus_stats import heavy_hitters
+
+    hh = heavy_hitters(_bm25_corpus(spark), "text", k=2 * BM25_QUERIES).collect()
+    return [r["word"] for r in hh]
+
+
+def _bm25_single_pass(spark, words) -> None:
+    """The repeated-query cost WITHOUT an index: each query rescans the
+    corpus (stats agg + word count + join), BM25_QUERIES times."""
+    from temporalscope_spark.operators.retrieval import bm25_topk
+
+    docs = _bm25_corpus(spark)
+    for q in range(BM25_QUERIES):
+        bm25_topk(docs, words[2 * q : 2 * q + 2], k=10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+
+def _bm25_multi_pass(spark, idx_path, words) -> None:
+    """The same BM25_QUERIES queries in ONE pass over the persisted
+    postings — per-query marginal cost is the matched-postings join."""
+    from temporalscope_spark.operators.retrieval import bm25_topk_multi
+
+    queries = spark.createDataFrame(
+        [(i // 2, w) for i, w in enumerate(words)], "query_id int, word string"
+    )
+    bm25_topk_multi(
+        spark.read.parquet(os.path.join(idx_path, "postings")),
+        spark.read.parquet(os.path.join(idx_path, "stats")),
+        spark.read.parquet(os.path.join(idx_path, "termdf")),
+        queries,
+        k=10,
+    ).write.format("noop").mode("overwrite").save()
+
+
 def feature_pass(spark, path: str | None = None, table: str | None = None) -> int:
     """The headline job: sliding-window bucket + leakage-safe shift + pad.
 
@@ -342,6 +401,7 @@ def main():
     scaling = None
     snapshot_read = None
     incremental_dedup_bench = None
+    bm25_bench = None
     if RUN_SCALING:
         def bucketed_pass(s):
             from pyspark.sql import functions as F
@@ -449,6 +509,28 @@ def main():
         incr2_sec = reps_min(
             s_incr, lambda s: _incr_batch_pass(s, idx2, 2), max_reps=3, min_reps=2
         )
+        # BM25 postings: per-query marginal cost vs per-query full scans
+        # (VERDICT r3 #3). Index build is untimed (amortized artifact).
+        bm25_idx = _ensure_bm25_postings(s_incr)
+        bm25_words = _bm25_query_words(s_incr)
+        single8 = reps_min(
+            s_incr, lambda s: _bm25_single_pass(s, bm25_words),
+            max_reps=3, min_reps=2,
+        )
+        multi8 = reps_min(
+            s_incr, lambda s: _bm25_multi_pass(s, bm25_idx, bm25_words),
+            max_reps=3, min_reps=2,
+        )
+        bm25_bench = {
+            "corpus_docs": BM25_DOCS,
+            "n_queries": BM25_QUERIES,
+            "single_full_scans_sec": round(single8, 3),
+            "multi_over_postings_sec": round(multi8, 3),
+            "per_query_single_sec": round(single8 / BM25_QUERIES, 3),
+            "per_query_multi_sec": round(multi8 / BM25_QUERIES, 3),
+            "speedup": round(single8 / multi8, 2),
+        }
+
         incremental_dedup_bench = {
             "batch_docs": INCR_DOCS // 10,
             "corpus_docs": INCR_DOCS - INCR_DOCS // 10,
@@ -547,6 +629,7 @@ def main():
             "scaling": scaling,
             "snapshot_read": snapshot_read,
             "incremental_dedup": incremental_dedup_bench,
+            "bm25_postings": bm25_bench,
         }
     )
     out_path = os.environ.get("SPARK_GRAFT_BENCH_JSON")

@@ -1,0 +1,38 @@
+"""Execute the example scripts end-to-end (VERDICT r3 #2).
+
+The reference runs every tutorial notebook under papermill so the docs can't
+rot (``/root/reference/test/notebook/test_notebooks.py:26-45``); the engine's
+analogues are plain scripts, executed here as subprocesses (each builds its
+own SparkSession, exactly as a user would run them). A non-zero exit or a
+Python traceback fails the test. Marked ``example`` so a quick inner-loop run
+can deselect them (``-m 'not example'``); the default full suite runs them.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.example
+@pytest.mark.parametrize(
+    "script", ["examples/quickstart.py", "examples/curation_pipeline.py"]
+)
+def test_example_runs_clean(script):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, script)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"{script} exited {proc.returncode}\n--- stdout tail ---\n"
+        f"{proc.stdout[-2000:]}\n--- stderr tail ---\n{proc.stderr[-2000:]}"
+    )
+    assert "Traceback" not in proc.stderr, proc.stderr[-2000:]

@@ -78,3 +78,107 @@ class TestBm25:
             bm25_topk(df, [], k=5)
         with pytest.raises(DataFrameValidationError):
             bm25_topk(df, ["x"], k=0)
+
+
+class TestPostingsMulti:
+    """Multi-query BM25 over the persisted postings index (VERDICT r3 #3):
+    one pass over postings scores a whole query batch, and every score must
+    equal the single-query full-scan path."""
+
+    def test_multi_matches_single_per_query(self, spark, corpus):
+        from temporalscope_spark.operators.retrieval import (
+            bm25_topk_multi,
+            build_postings,
+        )
+
+        df, _ = corpus
+        postings, stats, termdf = build_postings(df)
+        queries = spark.createDataFrame(
+            [(0, "cat"), (0, "dog"), (1, "spark"), (2, "yard"), (2, "mat")],
+            "query_id int, word string",
+        )
+        got = bm25_topk_multi(postings, stats, termdf, queries, k=10).toPandas()
+        for qid, terms in [(0, ["cat", "dog"]), (1, ["spark"]), (2, ["yard", "mat"])]:
+            single = bm25_topk(df, terms, k=10).toPandas()
+            sub = got[got["query_id"] == qid].sort_values(
+                ["score", "doc_id"], ascending=[False, True]
+            )
+            assert list(sub["doc_id"]) == list(single["doc_id"]), f"query {qid}"
+            assert list(sub["score"]) == pytest.approx(list(single["score"]))
+
+    def test_per_query_topk_boundary(self, spark, corpus):
+        from temporalscope_spark.operators.retrieval import (
+            bm25_topk_multi,
+            build_postings,
+        )
+
+        df, _ = corpus
+        postings, stats, termdf = build_postings(df)
+        queries = spark.createDataFrame(
+            [(0, "cat"), (1, "the")], "query_id int, word string"
+        )
+        got = bm25_topk_multi(postings, stats, termdf, queries, k=1).toPandas()
+        # exactly one row per matching query
+        assert sorted(got["query_id"]) == [0, 1]
+
+    def test_unknown_term_is_dropped_like_single(self, spark, corpus):
+        from temporalscope_spark.operators.retrieval import (
+            bm25_topk_multi,
+            build_postings,
+        )
+
+        df, _ = corpus
+        postings, stats, termdf = build_postings(df)
+        queries = spark.createDataFrame(
+            [(0, "cat"), (0, "zzz_not_in_corpus")], "query_id int, word string"
+        )
+        got = bm25_topk_multi(postings, stats, termdf, queries, k=10).toPandas()
+        single = bm25_topk(df, ["cat", "zzz_not_in_corpus"], k=10).toPandas()
+        sub = got.sort_values(["score", "doc_id"], ascending=[False, True])
+        assert list(sub["doc_id"]) == list(single["doc_id"])
+        assert list(sub["score"]) == pytest.approx(list(single["score"]))
+
+    def test_postings_shapes(self, spark, corpus):
+        from temporalscope_spark.operators.retrieval import build_postings
+
+        df, rows = corpus
+        postings, stats, termdf = build_postings(df)
+        assert postings.columns == ["word", "id", "tf", "dl"]
+        st = stats.first()
+        assert st["n_docs"] == len(rows)
+        # (word, id) unique
+        assert (
+            postings.groupBy("word", "id").count().filter("count > 1").count() == 0
+        )
+        # df consistency
+        w = termdf.filter("word = 'cat'").first()
+        assert w["df"] == 3  # docs 1, 2, 5 ('cats' in doc 3 is a different term)
+
+    def test_plan_broadcasts_queries_and_group_limits(self, spark, corpus):
+        """The postings scan must see a BROADCAST of the matched query
+        terms (never a shuffle of postings by word for a tiny query batch),
+        and the per-query top-k must be a WindowGroupLimit."""
+        from temporalscope_spark.operators.retrieval import (
+            bm25_topk_multi,
+            build_postings,
+        )
+
+        df, _ = corpus
+        postings, stats, termdf = build_postings(df)
+        queries = spark.createDataFrame([(0, "cat")], "query_id int, word string")
+        out = bm25_topk_multi(postings, stats, termdf, queries, k=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "WindowGroupLimit" in plan
+
+    def test_k_validation(self, spark, corpus):
+        from temporalscope_spark.operators.retrieval import (
+            bm25_topk_multi,
+            build_postings,
+        )
+
+        df, _ = corpus
+        postings, stats, termdf = build_postings(df)
+        queries = spark.createDataFrame([(0, "cat")], "query_id int, word string")
+        with pytest.raises(DataFrameValidationError):
+            bm25_topk_multi(postings, stats, termdf, queries, k=0)
