@@ -257,3 +257,86 @@ class TestNullCounts:
         assert counts["feature_1"] == 5
         assert counts["feature_2"] == 3  # NaN counted as null (reference parity)
         assert counts["target"] == 0
+
+
+class TestSkewAwareLayout:
+    """VERDICT r3 #7: ensure_layout(detect_skew=True) measures key skew
+    with the skew_profile pre-flight and derives the salt factor from the
+    MEASURED top-key fraction — a planted hot key gets a salted
+    (id, time_chunk) layout automatically; uniform tables stay unsalted."""
+
+    def _table(self, spark, hot_rows, n_entities=50, rows_per=20):
+        rows = [
+            (f"e{e:03d}", float(86400 * 365 + e * 1000 + i), float(i))
+            for e in range(n_entities)
+            for i in range(rows_per)
+        ]
+        # hot entity spanning the full corpus time range
+        span = n_entities * 1000 + rows_per
+        rows += [
+            ("hot", float(86400 * 365 + (i * span) // max(hot_rows, 1)), float(i))
+            for i in range(hot_rows)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "t", "value"])
+
+    def test_hot_key_gets_salted_layout(self, spark):
+        df = self._table(spark, hot_rows=200)  # hot = ~17% of 1200 rows
+        tf = TemporalFrame(
+            df, time_col="t", target_col="value", id_col="doc_id", sort=False
+        ).ensure_layout(num_partitions=8, detect_skew=True, skew_threshold=0.05)
+        assert tf.chunk_col == "time_chunk"
+        out = tf.df
+        assert "time_chunk" in out.columns
+        # measured fraction ~0.167, parallelism 8 -> S = ceil(1.33) = 2
+        n_chunks = (
+            out.filter(F.col("doc_id") == "hot")
+            .select("time_chunk").distinct().count()
+        )
+        assert n_chunks >= 2
+        # every (id, chunk) group is time-contiguous by construction
+        # (chunk = floor(epoch/chunk_seconds)) — monotone in time
+        pdf = (
+            out.filter(F.col("doc_id") == "hot")
+            .select("t", "time_chunk").toPandas().sort_values("t")
+        )
+        assert pdf["time_chunk"].is_monotonic_increasing
+
+    def test_uniform_table_stays_unsalted(self, spark):
+        df = self._table(spark, hot_rows=0)
+        tf = TemporalFrame(
+            df, time_col="t", target_col="value", id_col="doc_id", sort=False
+        ).ensure_layout(num_partitions=8, detect_skew=True, skew_threshold=0.05)
+        assert tf.chunk_col is None
+        assert "time_chunk" not in tf.df.columns
+
+    def test_salted_layout_chunked_shift_matches_plain(self, spark):
+        """Correctness through the salted lane: shift_target_chunked over
+        the frame's auto-derived chunk column == plain shift_target."""
+        from temporalscope_spark.operators.shift import shift_target, shift_target_chunked
+
+        df = self._table(spark, hot_rows=200)
+        tf = TemporalFrame(
+            df, time_col="t", target_col="value", id_col="doc_id", sort=False
+        ).ensure_layout(num_partitions=8, detect_skew=True, skew_threshold=0.05)
+        chunked = (
+            shift_target_chunked(
+                tf.df, "t", "value", n_lags=1, id_col="doc_id",
+                chunk_col=tf.chunk_col,
+            )
+            .select("doc_id", "t", "value_shift_1")
+            .toPandas().sort_values(["doc_id", "t"]).reset_index(drop=True)
+        )
+        plain = (
+            shift_target(df, "t", "value", n_lags=1, id_col="doc_id")
+            .select("doc_id", "t", "value_shift_1")
+            .toPandas().sort_values(["doc_id", "t"]).reset_index(drop=True)
+        )
+        assert chunked.equals(plain)
+
+    def test_detect_skew_off_is_unchanged(self, spark):
+        df = self._table(spark, hot_rows=200)
+        tf = TemporalFrame(
+            df, time_col="t", target_col="value", id_col="doc_id", sort=False
+        ).ensure_layout(num_partitions=8)
+        assert tf.chunk_col is None
+        assert "time_chunk" not in tf.df.columns
