@@ -298,6 +298,61 @@ def minhash_lsh_pairs(
     )
 
 
+def with_minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 12,
+    hash_fn: str = "xxhash64",
+    shingle_col: str = "_shg",
+    band_col: str = "_bands",
+) -> DataFrame:
+    """STATELESS per-row MinHash banding: appends ``shingle_col`` (the
+    distinct shingle array) and ``band_col`` (array<struct<band, bh>>) as
+    pure expressions — no explode/groupBy, so it composes with Structured
+    Streaming in append mode (the streaming near-dup lane).
+
+    EXACT parity with the exploded batch lane: ``array_min`` over the
+    per-shingle hash strings equals ``groupBy(_id).agg(min(...))`` over the
+    exploded shingle table (both are lexicographic string mins over the
+    same distinct set), and the band hash is the same '|'-joined md5 as
+    :func:`minhash_lsh_pairs` / ``incremental_dedup._band_rows`` — pinned
+    by tests. (Batch pair ops keep the exploded path: one explode feeding
+    k min-aggregates measured faster there because the shingle array is
+    computed once, not once per signature column — here the array IS a
+    real column, so the same holds.)
+    """
+    rows_per_band = num_hashes // bands
+    out = df.withColumn("__mh_norm", normalize_text(F.col(text_col))).withColumn(
+        shingle_col, char_shingles(F.col("__mh_norm"), shingle_n, normalized=True)
+    )
+    # NB: transform() inspects lambda ARITY — a 2-arg lambda receives
+    # (element, index), so `lambda x, s=s:` closures silently bind the
+    # element index as the seed. Close over the seed with a factory.
+    def _seed_hash(s: int):
+        if hash_fn == "md5":
+            return lambda x: F.md5(F.concat(x, F.lit(f"#{s}")))
+        return lambda x: F.xxhash64(x, F.lit(s)).cast("string")
+
+    sig_cols = []
+    for s in range(num_hashes):
+        sig_cols.append(
+            F.array_min(F.transform(F.col(shingle_col), _seed_hash(s))).alias(
+                f"__mh_{s}"
+            )
+        )
+    out = out.select("*", *sig_cols)
+    band_structs = []
+    for b in range(bands):
+        chunk = [F.col(f"__mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *chunk)).alias("bh"))
+        )
+    out = out.withColumn(band_col, F.array(*band_structs))
+    return out.drop("__mh_norm", *[f"__mh_{s}" for s in range(num_hashes)])
+
+
 # ------------------------------------------------------------- SimHash
 def simhash(
     df: DataFrame,

@@ -290,3 +290,101 @@ def stream_dedup_exact(
     if hasattr(fp, "dropDuplicatesWithinWatermark"):
         return fp.dropDuplicatesWithinWatermark(["fingerprint"])
     return fp.dropDuplicates(["fingerprint"])
+
+
+def stream_near_dup(
+    stream: DataFrame,
+    index: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str | None = None,
+    watermark: str = "1 hour",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 12,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Streaming near-dup: match ARRIVING docs against the persisted dedup
+    index (the streaming twin of ``operators.incremental_dedup`` —
+    VERDICT r3 #8).
+
+    Everything is append-mode-safe:
+
+      * per-row MinHash banding is STATELESS expressions
+        (:func:`~temporalscope_spark.operators.dedup.with_minhash_bands`)
+        — no streaming aggregation, no state store for signatures;
+      * candidates come from a STREAM-STATIC equi-join of the exploded
+        band structs against the index's (band, bh) rows — Spark executes
+        it per micro-batch with the static side broadcast/hashed, no
+        watermark needed;
+      * exact-Jaccard verification is expression-only: the candidate
+        corpus doc's distinct shingle set is derived inline from
+        ``corpus_docs`` (static side) and compared with
+        ``array_intersect`` — identical to the batch verify since both
+        sides are DISTINCT shingle sets.
+
+    Output: one row per verified (arriving doc, indexed doc) match —
+    (id, matched_id, component, jaccard). A pair sharing m > 1 bands
+    would emit m duplicate rows; with ``time_col`` set they are removed
+    exactly via ``dropDuplicatesWithinWatermark`` on (id, matched_id)
+    (bounded state); without a time column duplicates pass through
+    (document-level consumers treat the rows as a set).
+
+    Intra-stream (batch-internal) pairs are out of scope here — exact
+    intra-stream dups are handled by :func:`stream_dedup_exact`, and the
+    periodic batch ``incremental_dedup`` pass over each landed snapshot
+    resolves near-dup pairs among the new docs themselves.
+    """
+    from temporalscope_spark.operators.dedup import char_shingles, normalize_text, with_minhash_bands
+
+    s = with_minhash_bands(
+        stream, text_col, num_hashes, bands, shingle_n, hash_fn
+    )
+    cand = (
+        s.withColumn("_bb", F.explode("_bands"))
+        .drop("_bands")
+        .withColumn("_band", F.col("_bb.band"))
+        .withColumn("_bh", F.col("_bb.bh"))
+        .drop("_bb")
+        .join(
+            index.select(
+                "_band", "_bh", F.col("_id").alias("matched_id"), "component"
+            ),
+            ["_band", "_bh"],
+        )
+    )
+    verified = (
+        cand.join(
+            corpus_docs.select(
+                F.col(id_col).alias("matched_id"), F.col(text_col).alias("_ctext")
+            ),
+            "matched_id",
+        )
+        # project the normalization to a REAL column before the shingle HOF
+        # (no CSE across lambda boundaries — the measured-5x pitfall)
+        .withColumn("_cnorm", normalize_text(F.col("_ctext")))
+        .withColumn("_cshg", char_shingles(F.col("_cnorm"), shingle_n, normalized=True))
+        .withColumn(
+            "_i", F.size(F.array_intersect(F.col("_shg"), F.col("_cshg"))).cast("double")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_i")
+            / (F.size("_shg") + F.size("_cshg") - F.col("_i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            id_col,
+            "matched_id",
+            "component",
+            "jaccard",
+            *([time_col] if time_col else []),
+        )
+    )
+    if time_col is not None:
+        verified = verified.withWatermark(time_col, watermark)
+        if hasattr(verified, "dropDuplicatesWithinWatermark"):
+            return verified.dropDuplicatesWithinWatermark([id_col, "matched_id"])
+    return verified
