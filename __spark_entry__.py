@@ -1121,6 +1121,35 @@ def q_linear_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "feature string, coef double")
 
 
+def q_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One IRLS round of the logistic trainer (modeling/logistic.py) at a
+    fixed starting point: weighted sufficient statistics at beta0 feed the
+    same Cramer 3x3 solve the linear oracle uses — both engines derive the
+    round-1 coefficients AND the log-likelihood from the same sums, so
+    round(6) equality is structural. The full fit is this step iterated
+    (numpy-parity tested in tests/test_modeling.py); the binary target is
+    the deterministic event_id parity."""
+    from temporalscope_spark.modeling import irls_step
+    from temporalscope_spark.operators.shift import lag_features
+
+    events = _t(spark, sf_dir, "events")
+    feats = lag_features(
+        events, "ts", ["value"], [1, 2], id_col="user_id", drop_incomplete=True
+    ).withColumn("yb", (F.col("event_id") % 2).cast("double"))
+    b0, b1, b2 = _IRLS_B0
+    ic, beta, _, ll = irls_step(
+        feats, ["value_lag_1", "value_lag_2"], "yb",
+        {"value_lag_1": b1, "value_lag_2": b2}, b0,
+    )
+    rows = [
+        ("intercept", round(ic, 6)),
+        ("log_likelihood", round(ll, 6)),
+        ("value_lag_1", round(beta["value_lag_1"], 6)),
+        ("value_lag_2", round(beta["value_lag_2"], 6)),
+    ]
+    return spark.createDataFrame(rows, "term string, value double")
+
+
 def q_masv_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MASV with an EXACT SHAP explainer: per-phase mean |coef_f·(x_f −
     mean_f)| of the globally-fitted linear model over each phase's train
@@ -1240,25 +1269,11 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(docs, "text", group_col="source")
 
 
-def _lag_ols_ctes() -> str:
-    """Shared oracle CTEs: lag features over events, one sufficient-stats
-    row, the Cramer 3x3 solve (b0=intercept, b1, b2) + feature means."""
-    return """
-        feats AS (
-            SELECT event_id, ts, value AS y,
-                   lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS l1,
-                   lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS l2
-            FROM events
-        ),
-        d AS (SELECT * FROM feats WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
-        s AS (
-            SELECT CAST(count(*) AS DOUBLE) AS n,
-                   sum(l1) AS s1, sum(l2) AS s2,
-                   sum(l1*l1) AS s11, sum(l1*l2) AS s12, sum(l2*l2) AS s22,
-                   sum(y) AS sy, sum(l1*y) AS s1y, sum(l2*y) AS s2y
-            FROM d
-        ),
-        beta AS (
+def _cramer3_cte() -> str:
+    """Cramer 3x3 solve of the (possibly weighted) normal equations from a
+    CTE ``s`` with columns (n, s1, s2, s11, s12, s22, sy, s1y, s2y) —
+    b0=intercept, b1, b2 + the first/second moment means."""
+    return """beta AS (
             SELECT
                 s1 / n AS m1, s2 / n AS m2,
                 (  sy  * (s11*s22 - s12*s12)
@@ -1282,6 +1297,69 @@ def _lag_ols_ctes() -> str:
             FROM s
         )
     """
+
+
+def _lag_ols_ctes() -> str:
+    """Shared oracle CTEs: lag features over events, one sufficient-stats
+    row, the Cramer 3x3 solve (b0=intercept, b1, b2) + feature means."""
+    return f"""
+        feats AS (
+            SELECT event_id, ts, value AS y,
+                   lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS l1,
+                   lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS l2
+            FROM events
+        ),
+        d AS (SELECT * FROM feats WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+        s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   sum(l1) AS s1, sum(l2) AS s2,
+                   sum(l1*l1) AS s11, sum(l1*l2) AS s12, sum(l2*l2) AS s22,
+                   sum(y) AS sy, sum(l1*y) AS s1y, sum(l2*y) AS s2y
+            FROM d
+        ),
+        {_cramer3_cte()}"""
+
+
+# one IRLS round at fixed beta0 — the weighted sums feed the SAME Cramer
+# solve; beta0 is scaled to the events value range (|eta| <= ~1.1) so the
+# weights stay well-conditioned in both engines
+_IRLS_B0 = (0.01, 0.002, -0.002)
+
+
+def _irls_step_ctes() -> str:
+    b0, b1, b2 = _IRLS_B0
+    return f"""
+        feats AS (
+            SELECT event_id, ts,
+                   CAST(event_id % 2 AS DOUBLE) AS yb,
+                   lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS l1,
+                   lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS l2
+            FROM events
+        ),
+        d0 AS (SELECT * FROM feats WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+        m AS (
+            SELECT l1, l2, yb, {b0} + {b1}*l1 + ({b2})*l2 AS eta FROM d0
+        ),
+        mw AS (
+            SELECT l1, l2, yb, eta,
+                   least(greatest(1/(1+exp(-eta)), 1e-10), 1-1e-10) AS mu
+            FROM m
+        ),
+        mz AS (
+            SELECT l1, l2, yb, eta, mu*(1-mu) AS w,
+                   eta + (yb-mu)/(mu*(1-mu)) AS z
+            FROM mw
+        ),
+        s AS (
+            SELECT sum(w) AS n,
+                   sum(w*l1) AS s1, sum(w*l2) AS s2,
+                   sum(w*l1*l1) AS s11, sum(w*l1*l2) AS s12, sum(w*l2*l2) AS s22,
+                   sum(w*z) AS sy, sum(w*l1*z) AS s1y, sum(w*l2*z) AS s2y,
+                   sum(yb*eta - CASE WHEN eta > 30 THEN eta
+                                     ELSE ln(1+exp(eta)) END) AS ll
+            FROM mz
+        ),
+        {_cramer3_cte()}"""
 
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1352,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_expanding": q_normalize_expanding,
         "ivf_topk": q_ivf_topk,
         "linear_model": q_linear_model,
+        "irls_step": q_irls_step,
         "masv_linear": q_masv_linear,
         "heavy_hitters": q_heavy_hitters,
         "skew_profile": q_skew_profile,
@@ -2032,6 +2111,17 @@ def oracle_sql() -> dict[str, str]:
                                         ELSE beta.b2 END, 6) AS coef
             FROM beta,
                  (VALUES ('intercept'), ('value_lag_1'), ('value_lag_2')) f(feature)
+        """,
+        "irls_step": f"""
+            WITH {_irls_step_ctes()}
+            SELECT t.term,
+                   round(CASE t.term WHEN 'intercept' THEN beta.b0
+                                     WHEN 'log_likelihood' THEN s.ll
+                                     WHEN 'value_lag_1' THEN beta.b1
+                                     ELSE beta.b2 END, 6) AS value
+            FROM beta, s,
+                 (VALUES ('intercept'), ('log_likelihood'),
+                         ('value_lag_1'), ('value_lag_2')) t(term)
         """,
         # full-pipeline replay: lag features -> global OLS (Cramer) ->
         # partitioner bucket/split labeling (same row-count bucketing +

@@ -1,11 +1,14 @@
-"""Spark-native modeling: closed-form linear training + exact linear SHAP.
+"""Spark-native modeling: closed-form linear training + exact linear SHAP
++ IRLS logistic classification.
 
 The reference reserves this surface in its (commented-out)
 ``TemporalModelTrainer`` (/root/reference/src/temporalscope/modeling/
 temporal_model_trainer.py:18-115, LightGBM-based). Neither LightGBM nor any
-model stack exists in this container, so the engine ships the model family
-that IS closed-form trainable inside a Spark aggregation: ridge/OLS linear
-regression. See :mod:`temporalscope_spark.modeling.linear`.
+model stack exists in this container, so the engine ships the model families
+whose training is a (few) Spark aggregation(s): ridge/OLS linear regression
+(one job, :mod:`temporalscope_spark.modeling.linear`) and binary logistic
+regression via IRLS (one job per Newton round,
+:mod:`temporalscope_spark.modeling.logistic`).
 """
 
 from temporalscope_spark.modeling.linear import (
@@ -14,10 +17,18 @@ from temporalscope_spark.modeling.linear import (
     fit_linear,
     linear_shap_importance,
 )
+from temporalscope_spark.modeling.logistic import (
+    LogisticModel,
+    fit_logistic,
+    irls_step,
+)
 
 __all__ = [
     "LinearModel",
+    "LogisticModel",
     "TemporalModelTrainer",
     "fit_linear",
+    "fit_logistic",
+    "irls_step",
     "linear_shap_importance",
 ]

@@ -192,3 +192,140 @@ class TestTemporalModelTrainer:
         assert len(masv["x1"]) == 3
         for p in range(3):
             assert masv["x1"][p] > 10 * masv["x2"][p]
+
+
+def _np_irls(X, y, ridge=0.0, max_iters=25, tol=1e-8, eps=1e-10):
+    """Row-level numpy IRLS with the SAME clamps as modeling/logistic.py —
+    the reference implementation the Spark aggregation path must match."""
+    n, p = X.shape
+    Xd = np.hstack([np.ones((n, 1)), X])
+    beta = np.zeros(p + 1)
+    for _ in range(max_iters):
+        eta = Xd @ beta
+        mu = np.clip(1.0 / (1.0 + np.exp(-eta)), eps, 1.0 - eps)
+        w = mu * (1.0 - mu)
+        z = eta + (y - mu) / w
+        A = Xd.T @ (w[:, None] * Xd)
+        if ridge:
+            A[1:, 1:] += ridge * np.eye(p)
+        b = Xd.T @ (w * z)
+        new = np.linalg.solve(A, b)
+        if np.max(np.abs(new - beta)) < tol:
+            return new
+        beta = new
+    raise RuntimeError("reference IRLS did not converge")
+
+
+@pytest.fixture(scope="module")
+def logit_df(spark):
+    rng = np.random.RandomState(7)
+    n = 4000
+    x1 = rng.randn(n)
+    x2 = rng.randn(n) * 1.5
+    p = 1.0 / (1.0 + np.exp(-(0.5 + 1.2 * x1 - 0.8 * x2)))
+    y = (rng.rand(n) < p).astype(float)
+    pdf = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+    return spark.createDataFrame(pdf), pdf
+
+
+class TestFitLogistic:
+    def test_matches_numpy_irls(self, logit_df):
+        """The Spark aggregation path equals row-level numpy IRLS (same
+        clamps, same solve) to near machine precision — the contract of
+        'training is just sufficient statistics'."""
+        from temporalscope_spark.modeling import fit_logistic
+
+        df, pdf = logit_df
+        m = fit_logistic(df, ["x1", "x2"], "y")
+        ref = _np_irls(pdf[["x1", "x2"]].to_numpy(), pdf["y"].to_numpy())
+        got = np.array([m.intercept, m.coefs["x1"], m.coefs["x2"]])
+        np.testing.assert_allclose(got, ref, rtol=1e-8)
+        assert m.converged and m.n_iters <= 10
+
+    def test_recovers_planted_coefficients(self, logit_df):
+        from temporalscope_spark.modeling import fit_logistic
+
+        df, _ = logit_df
+        m = fit_logistic(df, ["x1", "x2"], "y")
+        # MLE at n=4000: planted (0.5, 1.2, -0.8) recovered within ~15%
+        assert abs(m.intercept - 0.5) < 0.2
+        assert abs(m.coefs["x1"] - 1.2) < 0.2
+        assert abs(m.coefs["x2"] + 0.8) < 0.2
+
+    def test_ridge_matches_numpy(self, logit_df):
+        from temporalscope_spark.modeling import fit_logistic
+
+        df, pdf = logit_df
+        m = fit_logistic(df, ["x1", "x2"], "y", ridge=5.0)
+        ref = _np_irls(pdf[["x1", "x2"]].to_numpy(), pdf["y"].to_numpy(), ridge=5.0)
+        got = np.array([m.intercept, m.coefs["x1"], m.coefs["x2"]])
+        np.testing.assert_allclose(got, ref, rtol=1e-8)
+        # ridge shrinks vs unpenalized
+        m0 = fit_logistic(df, ["x1", "x2"], "y")
+        assert abs(m.coefs["x1"]) < abs(m0.coefs["x1"])
+
+    def test_predict_proba_expression(self, logit_df):
+        from temporalscope_spark.modeling import fit_logistic
+
+        df, pdf = logit_df
+        m = fit_logistic(df, ["x1", "x2"], "y")
+        out = m.with_prediction(df).select("probability").toPandas()["probability"]
+        assert ((out > 0) & (out < 1)).all()
+        eta = m.intercept + m.coefs["x1"] * pdf["x1"] + m.coefs["x2"] * pdf["x2"]
+        want = 1.0 / (1.0 + np.exp(-eta))
+        np.testing.assert_allclose(np.sort(out), np.sort(want), rtol=1e-12)
+
+    def test_one_step_is_weighted_ols(self, logit_df):
+        """A single irls_step from a fixed beta equals the numpy weighted
+        normal-equations solve at that beta — what the driver oracle replays."""
+        from temporalscope_spark.modeling import irls_step
+
+        df, pdf = logit_df
+        beta0 = {"x1": 0.3, "x2": -0.2}
+        ic0 = 0.1
+        ic, beta, n, ll = irls_step(df, ["x1", "x2"], "y", beta0, ic0)
+        X = pdf[["x1", "x2"]].to_numpy()
+        y = pdf["y"].to_numpy()
+        Xd = np.hstack([np.ones((len(y), 1)), X])
+        b0 = np.array([ic0, beta0["x1"], beta0["x2"]])
+        eta = Xd @ b0
+        mu = np.clip(1 / (1 + np.exp(-eta)), 1e-10, 1 - 1e-10)
+        w = mu * (1 - mu)
+        z = eta + (y - mu) / w
+        ref = np.linalg.solve(Xd.T @ (w[:, None] * Xd), Xd.T @ (w * z))
+        np.testing.assert_allclose([ic, beta["x1"], beta["x2"]], ref, rtol=1e-9)
+        ref_ll = float(np.sum(y * eta - np.log1p(np.exp(eta))))
+        assert ll == pytest.approx(ref_ll, rel=1e-9)
+
+    def test_rejects_non_binary_target(self, spark):
+        from temporalscope_spark.modeling import fit_logistic
+
+        df = spark.createDataFrame(
+            [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)], "x double, y double"
+        )
+        with pytest.raises(DataFrameValidationError, match="outside"):
+            fit_logistic(df, ["x"], "y")
+
+    def test_raises_on_separable_non_convergence(self, spark):
+        """Perfectly separable data: coefficients diverge; the fit must
+        RAISE, not return a half-stepped model."""
+        from temporalscope_spark.modeling import fit_logistic
+
+        rows = [(float(i), 0.0) for i in range(-20, 0)] + [
+            (float(i), 1.0) for i in range(1, 21)
+        ]
+        df = spark.createDataFrame(rows, "x double, y double")
+        with pytest.raises(DataFrameValidationError, match="converge"):
+            fit_logistic(df, ["x"], "y", max_iters=30)
+        # ...and ridge restores convergence (the documented fix)
+        m = fit_logistic(df, ["x"], "y", ridge=1.0, max_iters=50)
+        assert m.converged and m.coefs["x"] > 0
+
+    def test_empty_and_bad_args(self, spark):
+        from temporalscope_spark.modeling import fit_logistic
+
+        df = spark.createDataFrame([(1.0, None)], "x double, y double")
+        with pytest.raises(DataFrameValidationError, match="no rows"):
+            fit_logistic(df, ["x"], "y")
+        with pytest.raises(DataFrameValidationError, match="non-empty"):
+            fit_logistic(df, [], "y")
