@@ -204,3 +204,41 @@ class TestDedupIndexPersistence:
 
         with pytest.raises(DataFrameValidationError, match="missing column"):
             incremental_dedup(v0.select("doc_id"), batch, v0, **PARAMS)
+
+
+def test_read_increment_feeds_dedup_batch(spark, tmp_path):
+    """The full incremental story (VERDICT r3 #1 wiring): a corpus
+    SnapshotTable takes an append; read_increment yields exactly the landed
+    batch (metadata-only diff); DedupIndex.dedup_batch dedups it against
+    the persisted index; the final labels equal full-corpus clustering."""
+    from temporalscope_spark.datasets.snapshots import SnapshotTable
+
+    v0 = spark.createDataFrame(V0, "doc_id long, text string")
+    batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+
+    corpus_table = SnapshotTable(str(tmp_path / "corpus"))
+    v_base = corpus_table.write(v0, mode="append")
+    idx = DedupIndex.create(str(tmp_path / "idx"), v0, **PARAMS)
+
+    # a batch lands as an append commit
+    corpus_table.write(batch, mode="append")
+    landed = corpus_table.read_increment(spark, from_version=v_base)
+    assert landed.count() == len(BATCH)
+
+    # dedup ONLY the landed increment against the index; corpus text for
+    # candidate verification comes from the base snapshot (time travel)
+    res = idx.dedup_batch(
+        spark, landed, corpus_table.read(spark, version=v_base)
+    )
+    got = {r["doc_id"]: r["component"] for r in idx.components(spark).collect()}
+    full = {
+        r["doc_id"]: r["component"]
+        for r in cluster_corpus(corpus_table.read(spark), **PARAMS).collect()
+    }
+    assert got == full
+    # survivors of the batch: docs whose component is themselves
+    survivors = {
+        r["doc_id"] for r in res.batch_components.collect()
+        if r["component"] == r["doc_id"]
+    }
+    assert survivors == {102, 104}
