@@ -243,17 +243,25 @@ def minhash_lsh_pairs(
     shingle_n: int = 12,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH near-dup pipeline: signature → band buckets → candidate pairs →
     exact Jaccard verification on candidates only.
 
     Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold. With k=16,
     b=4 (r=4 rows/band) the S-curve crosses ~0.5 — tune k/b per corpus.
+
+    ``shingles``: a precomputed (ideally persisted) ``_shingle_table(df)``
+    output; callers that also need the shingle table elsewhere (e.g. the
+    incremental-dedup index builder) pass it in so the explode runs once
+    per pipeline, not once per operator.
     """
     rows_per_band = num_hashes // bands
     # ONE persisted shingle table feeds signatures AND verification — the
     # explode/substring generation runs once, not once per plan branch
-    sh = _shingle_table(df, id_col, text_col, shingle_n, None, persist=True)
+    sh = shingles if shingles is not None else _shingle_table(
+        df, id_col, text_col, shingle_n, None, persist=True
+    )
     sig = _signatures_from_shingles(sh, num_hashes, hash_fn)
 
     band_cols = []

@@ -84,14 +84,17 @@ def cluster_corpus(
     shingle_n: int = 12,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full-corpus near-dup clustering: LSH pairs → connected components →
     (id, component) for EVERY doc (singletons label themselves). This is
     the reference computation the incremental path must reproduce, and the
-    v0 builder for :func:`dedup_index_rows`."""
+    v0 builder for :func:`dedup_index_rows`. ``shingles`` optionally shares
+    a precomputed (persisted) shingle table with the index builder."""
     pairs = minhash_lsh_pairs(
         docs, id_col, text_col, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, threshold=threshold, hash_fn=hash_fn,
+        shingles=shingles,
     )
     comp = connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias(id_col), F.col("component").alias("_c")
@@ -111,16 +114,22 @@ def dedup_index_rows(
     shingle_n: int = 12,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Index rows for ``docs``: (_id, component, fingerprint, _band, _bh),
     one row per (doc, band). ``components`` is a prior (id, component)
     labeling (e.g. from :func:`cluster_corpus`, or the output of a previous
-    incremental pass); without one it is computed here."""
+    incremental pass); without one it is computed here. ``shingles``
+    optionally shares a precomputed (persisted) shingle table with
+    :func:`cluster_corpus` so the corpus is shingled once, not twice."""
     if components is None:
         components = cluster_corpus(
-            docs, id_col, text_col, num_hashes, bands, shingle_n, threshold, hash_fn
+            docs, id_col, text_col, num_hashes, bands, shingle_n, threshold,
+            hash_fn, shingles=shingles,
         )
-    sh = _shingle_table(docs, id_col, text_col, shingle_n, None, persist=True)
+    sh = shingles if shingles is not None else _shingle_table(
+        docs, id_col, text_col, shingle_n, None, persist=True
+    )
     sig = _signatures_from_shingles(sh, num_hashes, hash_fn)
     bandr = _band_rows(sig, num_hashes, bands)
     fp = with_fingerprint(docs, text_col).select(
@@ -382,11 +391,26 @@ class DedupIndex:
                 "id_col": id_col, "text_col": text_col,
             }
         )
+        from pyspark import StorageLevel
+
+        # ONE shingle table feeds both the clustering pass and the index
+        # rows (shingling is the dominant cost of the v0 build — sharing
+        # halves it); labels persist because the index plan branches over
+        # them (band rows join + fingerprint join).
+        sh = _shingle_table(docs, id_col, text_col, shingle_n, None).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        labels = cluster_corpus(
+            docs, id_col, text_col, num_hashes, bands, shingle_n,
+            threshold, hash_fn, shingles=sh,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         rows = dedup_index_rows(
-            docs, None, id_col, text_col, num_hashes, bands, shingle_n,
-            threshold, hash_fn,
+            docs, labels, id_col, text_col, num_hashes, bands, shingle_n,
+            threshold, hash_fn, shingles=sh,
         )
         idx.rows.write(rows, mode="append")
+        sh.unpersist()
+        labels.unpersist()
         return idx
 
     # ------------------------------------------------------------- dedup
