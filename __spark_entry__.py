@@ -540,8 +540,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE persisted shingle table feeds clustering AND index rows, and the
     # small label/index tables persist because the final plan branches over
     # them (index → incremental pass, labels → relabel join) — without
-    # these the pairs pipeline re-evaluates per branch (measured 51s → 17s
-    # at sf0.1).
+    # these the pairs pipeline re-evaluates per branch (measured 51.5s →
+    # 21.6s cold / 9.4s warm at sf0.1).
     v0_sh = _shingle_table(v0, "doc_id", "text", 12, None).persist(
         StorageLevel.MEMORY_AND_DISK
     )
