@@ -50,14 +50,25 @@ def dedup_exact(
 # used to re-plan the same scan 3-5x). Analysis is already cached by Spark,
 # so the semanticHash key is nearly free; the RDD conversion runs once per
 # distinct input plan.
-_PARTN_CACHE: dict[int, int] = {}
+_PARTN_CACHE: dict[tuple, int] = {}
 _PARTN_PROBES: int = 0  # test hook: actual RDD conversions performed
 
 
 def _input_partitions(df: DataFrame) -> int:
     global _PARTN_PROBES
     try:
-        key = df._jdf.queryExecution().analyzed().semanticHash()
+        # semanticHash alone is STALE-PRONE: HadoopFsRelation canonicalizes
+        # by root path + schema, not file list, so a directory rewritten
+        # mid-session (compaction, overwrite) would keep serving the old
+        # count — and silently skip the anti-straggler repartition. Folding
+        # the scan's file list into the key (metadata-only; the file index
+        # is already materialized by analysis) invalidates on any layout
+        # change. Non-file plans hash an empty list, falling back to plain
+        # semanticHash behavior.
+        key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            hash(tuple(df.inputFiles())),
+        )
     except Exception:  # pragma: no cover - connect/alt backends: probe directly
         key = None
     if key is not None and key in _PARTN_CACHE:
@@ -234,6 +245,30 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int, hash_fn: str) -> D
     return sh.groupBy("_id").agg(*aggs)
 
 
+def band_structs(num_hashes: int, bands: int, mh=None) -> list:
+    """THE banding formula — md5 over the '|'-joined signature rows of each
+    band, as ``struct<band:int, bh:string>`` expressions.
+
+    This is the single definition all three banding sites share
+    (:func:`minhash_lsh_pairs` buckets, :func:`with_minhash_bands`
+    streaming lane, ``incremental_dedup._band_rows`` index rows). The
+    whole incremental/streaming design depends on these bucketing
+    BIT-IDENTICALLY: a persisted index hashed with a drifted copy of the
+    formula would silently never match new batches. ``mh`` maps a
+    signature index to its Column (default: the exploded-lane ``mh_{i}``
+    naming)."""
+    if mh is None:
+        mh = lambda i: F.col(f"mh_{i}")  # noqa: E731
+    rows_per_band = num_hashes // bands
+    out = []
+    for b in range(bands):
+        chunk = [mh(b * rows_per_band + r) for r in range(rows_per_band)]
+        out.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *chunk)).alias("bh"))
+        )
+    return out
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -256,7 +291,6 @@ def minhash_lsh_pairs(
     incremental-dedup index builder) pass it in so the explode runs once
     per pipeline, not once per operator.
     """
-    rows_per_band = num_hashes // bands
     # ONE persisted shingle table feeds signatures AND verification — the
     # explode/substring generation runs once, not once per plan branch
     sh = shingles if shingles is not None else _shingle_table(
@@ -264,14 +298,8 @@ def minhash_lsh_pairs(
     )
     sig = _signatures_from_shingles(sh, num_hashes, hash_fn)
 
-    band_cols = []
-    for b in range(bands):
-        chunk = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *chunk)).alias("bh"))
-        )
     buckets = sig.select(
-        "_id", F.explode(F.array(*band_cols)).alias("bb")
+        "_id", F.explode(F.array(*band_structs(num_hashes, bands))).alias("bb")
     ).select("_id", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
 
     l = buckets.select(F.col("_id").alias("id_a"), "_band", "_bh")
@@ -331,7 +359,6 @@ def with_minhash_bands(
     computed once, not once per signature column — here the array IS a
     real column, so the same holds.)
     """
-    rows_per_band = num_hashes // bands
     out = df.withColumn("__mh_norm", normalize_text(F.col(text_col))).withColumn(
         shingle_col, char_shingles(F.col("__mh_norm"), shingle_n, normalized=True)
     )
@@ -351,13 +378,10 @@ def with_minhash_bands(
             )
         )
     out = out.select("*", *sig_cols)
-    band_structs = []
-    for b in range(bands):
-        chunk = [F.col(f"__mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *chunk)).alias("bh"))
-        )
-    out = out.withColumn(band_col, F.array(*band_structs))
+    out = out.withColumn(
+        band_col,
+        F.array(*band_structs(num_hashes, bands, mh=lambda i: F.col(f"__mh_{i}"))),
+    )
     return out.drop("__mh_norm", *[f"__mh_{s}" for s in range(num_hashes)])
 
 
@@ -496,31 +520,51 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
+    # persist hygiene: never persist (and later evict) a DataFrame the
+    # CALLER already cached, and release our own persists on every exit
+    # path — including exceptions — via the try/finally below.
     pairs_persisted = False
-    if driver_threshold:
-        # one capped Arrow collect decides AND feeds the fast path; the
-        # persist means an over-threshold probe hands its (already computed)
-        # pair partitions to the distributed path instead of re-running the
-        # pair pipeline
-        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-        pairs_persisted = True
-        head = pairs.select(id_a, id_b).limit(driver_threshold + 1).toPandas()
-        if len(head) <= driver_threshold:
-            schema = pairs.select(
-                F.col(id_a).alias("node"), F.col(id_a).alias("component")
-            ).schema
-            sample = list(
-                zip(head.iloc[:, 0].tolist(), head.iloc[:, 1].tolist())
-            )
-            out = _connected_components_driver(pairs.sparkSession, sample, schema)
-            pairs.unpersist()
-            return out
+    edges = None
+    try:
+        if driver_threshold:
+            # one capped Arrow collect decides AND feeds the fast path; the
+            # persist means an over-threshold probe hands its (already
+            # computed) pair partitions to the distributed path instead of
+            # re-running the pair pipeline
+            if not pairs.is_cached:
+                pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+                pairs_persisted = True
+            head = pairs.select(id_a, id_b).limit(driver_threshold + 1).toPandas()
+            if len(head) <= driver_threshold:
+                schema = pairs.select(
+                    F.col(id_a).alias("node"), F.col(id_a).alias("component")
+                ).schema
+                sample = list(
+                    zip(head.iloc[:, 0].tolist(), head.iloc[:, 1].tolist())
+                )
+                return _connected_components_driver(
+                    pairs.sparkSession, sample, schema
+                )
 
-    edges = (
-        pairs.select(F.col(id_a).alias("_s"), F.col(id_b).alias("_d"))
-        .unionByName(pairs.select(F.col(id_b).alias("_s"), F.col(id_a).alias("_d")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        edges = (
+            pairs.select(F.col(id_a).alias("_s"), F.col(id_b).alias("_d"))
+            .unionByName(
+                pairs.select(F.col(id_b).alias("_s"), F.col(id_a).alias("_d"))
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        return _cc_distributed(edges, max_iters)
+    finally:
+        if edges is not None:
+            edges.unpersist()
+        if pairs_persisted:
+            pairs.unpersist()
+
+
+def _cc_distributed(edges: DataFrame, max_iters: int) -> DataFrame:
+    """The distributed pointer-jump loop over a persisted symmetric edge
+    table; each round's label table is localCheckpoint-ed (eager), so the
+    returned labels do not depend on ``edges`` staying cached."""
     labels = (
         edges.select(F.col("_s").alias("_n"))
         .distinct()
@@ -557,9 +601,6 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
-    if pairs_persisted:
-        pairs.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds — "

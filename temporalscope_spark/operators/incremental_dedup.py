@@ -52,6 +52,7 @@ from temporalscope_spark.exceptions import DataFrameValidationError
 from temporalscope_spark.operators.dedup import (
     _shingle_table,
     _signatures_from_shingles,
+    band_structs,
     connected_components,
     minhash_lsh_pairs,
 )
@@ -60,19 +61,13 @@ from temporalscope_spark.operators.text import with_fingerprint
 
 # --------------------------------------------------------------- building
 def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(_id, _band, _bh) from a signature table — the same band hashing
-    formula as minhash_lsh_pairs (md5 over '|'-joined rows per band), so
-    index rows and full-corpus runs bucket identically."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        chunk = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *chunk)).alias("bh"))
-        )
-    return sig.select("_id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "_id", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh")
-    )
+    """(_id, _band, _bh) from a signature table — the ONE shared band
+    hashing formula (:func:`~temporalscope_spark.operators.dedup.
+    band_structs`), so index rows and full-corpus runs bucket
+    identically."""
+    return sig.select(
+        "_id", F.explode(F.array(*band_structs(num_hashes, bands))).alias("bb")
+    ).select("_id", F.col("bb.band").alias("_band"), F.col("bb.bh").alias("_bh"))
 
 
 def cluster_corpus(
@@ -156,11 +151,26 @@ class IncrementalDedupResult:
     batch doc merged into a smaller label — apply to stored labels to stay
     consistent with what full-corpus clustering would produce.
     ``index_rows``: the batch's index rows (already carrying post-merge
-    labels), ready to append to the persisted index."""
+    labels), ready to append to the persisted index.
+
+    The pass persists batch-sized intermediates (shingles, band rows,
+    exact hits) that its outputs read from; call :meth:`unpersist` once
+    the outputs are consumed (``DedupIndex.dedup_batch`` releases the
+    internals itself after committing) so a long-running ingest loop does
+    not accumulate cache entries batch after batch."""
 
     batch_components: DataFrame
     relabels: DataFrame
     index_rows: DataFrame
+    _cached: tuple = ()
+
+    def unpersist(self) -> None:
+        """Release every cache this pass created: the internal batch-sized
+        intermediates plus any persisted output (unpersist on a
+        never-persisted DataFrame is a no-op)."""
+        for df in (*self._cached, self.batch_components, self.relabels,
+                   self.index_rows):
+            df.unpersist()
 
 
 def incremental_dedup(
@@ -325,8 +335,14 @@ def incremental_dedup(
         shingle_n=shingle_n,
         threshold=threshold,
         hash_fn=hash_fn,
+        # the batch's shingle table is already in hand (and persisted) —
+        # without this the index rows re-shingle the batch and cache a
+        # duplicate table
+        shingles=bsh,
     )
-    return IncrementalDedupResult(batch_components, relabels, index_rows)
+    return IncrementalDedupResult(
+        batch_components, relabels, index_rows, _cached=(bsh, bband, exact_hits)
+    )
 
 
 # ------------------------------------------------------------- persistence
@@ -400,17 +416,21 @@ class DedupIndex:
         sh = _shingle_table(docs, id_col, text_col, shingle_n, None).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        labels = cluster_corpus(
-            docs, id_col, text_col, num_hashes, bands, shingle_n,
-            threshold, hash_fn, shingles=sh,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        rows = dedup_index_rows(
-            docs, labels, id_col, text_col, num_hashes, bands, shingle_n,
-            threshold, hash_fn, shingles=sh,
-        )
-        idx.rows.write(rows, mode="append")
-        sh.unpersist()
-        labels.unpersist()
+        labels = None
+        try:
+            labels = cluster_corpus(
+                docs, id_col, text_col, num_hashes, bands, shingle_n,
+                threshold, hash_fn, shingles=sh,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            rows = dedup_index_rows(
+                docs, labels, id_col, text_col, num_hashes, bands, shingle_n,
+                threshold, hash_fn, shingles=sh,
+            )
+            idx.rows.write(rows, mode="append")
+        finally:
+            sh.unpersist()
+            if labels is not None:
+                labels.unpersist()
         return idx
 
     # ------------------------------------------------------------- dedup
@@ -423,10 +443,39 @@ class DedupIndex:
     ) -> IncrementalDedupResult:
         """Incrementally dedup ``batch`` against the index; with
         ``commit=True`` append the batch's index rows and any relabels
-        (batch-sized commits — the corpus-sized rows table is only read)."""
+        (batch-sized commits — the corpus-sized rows table is only read).
+
+        With ``commit=False`` nothing is written and the result's caches
+        stay live — call ``result.unpersist()`` when done. With
+        ``commit=True`` the internal caches are released after the writes;
+        the (persisted, batch-sized) ``batch_components``/``relabels``
+        outputs stay cached for the caller, who still owns the final
+        ``result.unpersist()``."""
+        from pyspark import StorageLevel
+
         p = self.params()
+        index = self.rows.read(spark)
+        # FOLD THE RELABEL LOG INTO THE INDEX before matching: rows/ is
+        # append-only, so rows written before a merge still carry the
+        # pre-merge component label. Matching against a stale label would
+        # hand a batch doc a component full-corpus clustering no longer
+        # produces (and could even break the "survives iff component == id"
+        # rule when the stale label exceeds the doc's own id). The log is
+        # merge-bounded tiny, so this is one broadcast join on the scan.
+        mapping = self._relabel_map(spark)
+        if mapping:
+            mdf = spark.createDataFrame(
+                list(mapping.items()), ["component", "_new"]
+            )
+            index = (
+                index.join(F.broadcast(mdf), "component", "left")
+                .withColumn(
+                    "component", F.coalesce(F.col("_new"), F.col("component"))
+                )
+                .drop("_new")
+            )
         result = incremental_dedup(
-            self.rows.read(spark),
+            index,
             batch,
             corpus_docs,
             id_col=p["id_col"], text_col=p["text_col"],
@@ -435,9 +484,22 @@ class DedupIndex:
             hash_fn=p["hash_fn"],
         )
         if commit:
+            # persist the two batch-sized outputs the commits branch over:
+            # index_rows reads batch_components (components join), and the
+            # relabel emptiness probe + write would otherwise evaluate the
+            # corpus-sized distinct underneath relabels twice
+            result.batch_components = result.batch_components.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            result.relabels = result.relabels.persist(StorageLevel.MEMORY_AND_DISK)
             self.rows.write(result.index_rows, mode="append")
             if result.relabels.limit(1).count() > 0:
                 self.relabels.write(result.relabels, mode="append")
+            # release the pass's internal caches; keep the persisted
+            # outputs for the caller (result.unpersist() drops those too)
+            for df in result._cached:
+                df.unpersist()
+            result._cached = ()
         return result
 
     # -------------------------------------------------------------- reads

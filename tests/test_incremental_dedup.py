@@ -191,6 +191,42 @@ class TestDedupIndexPersistence:
         assert got == full
         assert set(got.values()) == {1}
 
+    def test_dedup_batch_folds_relabel_log_before_matching(self, spark, tmp_path):
+        """rows/ is append-only, so after a merge the old rows still carry
+        their pre-merge component label. dedup_batch must fold the relabel
+        log into the index BEFORE matching: a batch doc whose only
+        near-dups are stale-labeled rows must come back with the
+        POST-merge component — otherwise the documented "survives dedup
+        iff component == id" rule keeps a duplicate."""
+        t2 = "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi " * 3
+        v0 = spark.createDataFrame(
+            [(8, t2), (9, t2 + " tail")], "doc_id long, text string"
+        )
+        idx = DedupIndex.create(str(tmp_path / "idx4"), v0, **PARAMS)
+        # simulate a prior batch having merged component 8 into component 4
+        # (only the log matters for the stale-label property)
+        idx.relabels.write(
+            spark.createDataFrame(
+                [(8, 4)], "old_component long, component long"
+            ),
+            mode="append",
+        )
+        batch = spark.createDataFrame(
+            [(7, t2 + " y")], "doc_id long, text string"
+        )
+        res = idx.dedup_batch(spark, batch, v0)
+        got = {
+            r["doc_id"]: r["component"] for r in res.batch_components.collect()
+        }
+        # the stale lane would yield {7: 7} — doc 7 "survives" although it
+        # duplicates the (merged) cluster — or {7: 8} for larger batch ids
+        assert got == {7: 4}
+        comp = {
+            r["doc_id"]: r["component"] for r in idx.components(spark).collect()
+        }
+        assert comp == {7: 4, 8: 4, 9: 4}
+        res.unpersist()
+
     def test_params_manifest_guards_config(self, spark, corpora, tmp_path):
         v0, _, _ = corpora
         idx = DedupIndex.create(str(tmp_path / "idx3"), v0, **PARAMS)
