@@ -89,12 +89,19 @@ class SnapshotTable:
         return vs[-1] if vs else None
 
     # ----------------------------------------------------------------- write
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def write(
+        self, df: DataFrame, mode: str = "append", meta: Optional[dict] = None
+    ) -> int:
         """Commit ``df`` as a new snapshot; returns the new version number.
 
         ``mode='append'``: new snapshot = parent's files + this commit's
         files. ``mode='overwrite'``: new snapshot = this commit's files only
         (old data files stay on disk — old snapshots remain readable).
+
+        ``meta``: free-form JSON-serializable commit metadata recorded in
+        the manifest under ``"meta"`` (Iceberg snapshot-summary contract) —
+        e.g. a streaming micro-batch id, which makes replayed commits
+        DETECTABLE and therefore idempotent (:meth:`version_with_meta`).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError("mode must be 'append' or 'overwrite'")
@@ -112,16 +119,27 @@ class SnapshotTable:
         if mode == "append" and parent is not None:
             files = self._load(parent)["files"] + files
         fingerprint = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()[:16]
-        return self._publish(
-            {
-                "parent": parent,
-                "operation": mode,
-                "files": files,
-                "n_files": len(files),
-                "snapshot_id": f"snap-{fingerprint}",
-                "committed_at": time.time(),
-            }
-        )
+        manifest = {
+            "parent": parent,
+            "operation": mode,
+            "files": files,
+            "n_files": len(files),
+            "snapshot_id": f"snap-{fingerprint}",
+            "committed_at": time.time(),
+        }
+        if meta:
+            manifest["meta"] = meta
+        return self._publish(manifest)
+
+    def version_with_meta(self, key: str, value) -> Optional[int]:
+        """The LATEST version whose manifest ``meta`` has ``key == value``
+        (None if no commit carries it). This is the idempotent-replay
+        probe: a streaming sink tags each commit with its micro-batch id
+        and skips work whose commit already landed."""
+        for v in reversed(self._versions()):
+            if self._load(v).get("meta", {}).get(key) == value:
+                return v
+        return None
 
     def register(self, files: list[str]) -> int:
         """Iceberg ``add_files``-style commit: publish EXISTING parquet files

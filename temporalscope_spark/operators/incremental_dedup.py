@@ -502,6 +502,100 @@ class DedupIndex:
             result._cached = ()
         return result
 
+    # --------------------------------------------------------- streaming
+    _BKEY = "stream_batch_id"
+
+    def ingest_stream_batch(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        batch_id: int,
+        corpus_table,
+    ) -> None:
+        """One idempotent micro-batch ingest step: dedup ``batch_df``
+        against the index, append the raw docs to ``corpus_table`` and the
+        batch's index rows to the index — each commit tagged with
+        ``batch_id`` in its manifest meta, so a REPLAYED micro-batch
+        (Structured Streaming re-runs the last batch after any failure)
+        detects its own partial progress and completes it instead of
+        double-committing.
+
+        Commit order and the crash matrix (every arrow is a possible
+        failure point; replay is safe at each):
+
+          relabels(meta) → corpus append(meta) → index rows(meta = DONE)
+
+        * crash before anything: replay recomputes from scratch;
+        * crash after relabels: replay skips the relabels write (meta
+          probe) and — because :meth:`dedup_batch` folds the relabel log
+          before matching — computes the same post-merge labels;
+        * crash after the corpus append: replay reads the corpus at that
+          commit's PARENT version (time travel), so the batch never
+          matches its own half-landed copy;
+        * after the index-rows commit the batch is done — replay returns
+          immediately.
+        """
+        from pyspark import StorageLevel
+
+        if self.rows.version_with_meta(self._BKEY, batch_id) is not None:
+            return  # fully committed — replay after a post-commit failure
+
+        # corpus as of BEFORE this batch, even if a prior attempt already
+        # appended it
+        cv = corpus_table.version_with_meta(self._BKEY, batch_id)
+        if cv is not None:
+            parent_version = corpus_table._load(cv)["parent"]
+            corpus_prev = (
+                corpus_table.read(spark, version=parent_version)
+                if parent_version is not None
+                else batch_df.limit(0)
+            )
+        elif corpus_table.current_version() is not None:
+            corpus_prev = corpus_table.read(spark)
+        else:
+            corpus_prev = batch_df.limit(0)
+
+        result = self.dedup_batch(spark, batch_df, corpus_prev, commit=False)
+        try:
+            result.batch_components = result.batch_components.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            result.relabels = result.relabels.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            if (
+                self.relabels.version_with_meta(self._BKEY, batch_id) is None
+                and result.relabels.limit(1).count() > 0
+            ):
+                self.relabels.write(
+                    result.relabels, mode="append", meta={self._BKEY: batch_id}
+                )
+            if cv is None:
+                corpus_table.write(
+                    batch_df, mode="append", meta={self._BKEY: batch_id}
+                )
+            self.rows.write(
+                result.index_rows, mode="append", meta={self._BKEY: batch_id}
+            )
+        finally:
+            result.unpersist()
+
+    def stream_sink(self, corpus_table):
+        """A ``foreachBatch`` sink maintaining corpus table + index:
+
+            stream.writeStream.foreachBatch(idx.stream_sink(corpus)).start()
+
+        Each micro-batch runs :meth:`ingest_stream_batch` — batch-sized
+        work, idempotent under Structured Streaming's replay-on-failure
+        contract (see there for the crash matrix)."""
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.ingest_stream_batch(
+                batch_df.sparkSession, batch_df, batch_id, corpus_table
+            )
+
+        return sink
+
     # -------------------------------------------------------------- reads
     def _relabel_map(self, spark: SparkSession) -> dict:
         """Driver-resolved transitive relabel map (old → final label).

@@ -1,0 +1,155 @@
+"""Streaming maintenance of the persisted dedup index.
+
+The write path twin of ``streaming.sessions.stream_near_dup``: a
+``foreachBatch`` sink (``DedupIndex.stream_sink``) that, per micro-batch,
+dedups the arriving docs against the index and appends BOTH the raw docs
+(corpus table) and the batch's index rows — every commit tagged with the
+micro-batch id in the snapshot manifest, so Structured Streaming's
+replay-after-failure contract becomes idempotent completion instead of a
+double commit.
+
+THE property under test: streaming the corpus in micro-batches yields an
+index whose ``components()`` equals one-shot full-corpus clustering — and
+stays equal under replayed and partially-failed batches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from temporalscope_spark.datasets.snapshots import SnapshotTable
+from temporalscope_spark.operators.incremental_dedup import (
+    DedupIndex,
+    cluster_corpus,
+)
+
+# same hash-deterministic corpus as test_incremental_dedup (bridge doc 101
+# merges the A and B clusters, 103 exact-dups 30, 104/105 pair up)
+from tests.test_incremental_dedup import BATCH, PARAMS, V0
+
+
+def _full_labels(spark):
+    full = spark.createDataFrame(V0 + BATCH, "doc_id long, text string")
+    return {
+        r["doc_id"]: r["component"]
+        for r in cluster_corpus(full, **PARAMS).collect()
+    }
+
+
+def _components(spark, idx):
+    return {
+        r["doc_id"]: r["component"] for r in idx.components(spark).collect()
+    }
+
+
+@pytest.fixture()
+def seeded(spark, tmp_path):
+    """v0 docs in BOTH the corpus table and the index — the state a
+    streaming deployment starts from."""
+    v0 = spark.createDataFrame(V0, "doc_id long, text string")
+    corpus = SnapshotTable(str(tmp_path / "corpus"))
+    corpus.write(v0, mode="append")
+    idx = DedupIndex.create(str(tmp_path / "idx"), v0, **PARAMS)
+    return corpus, idx
+
+
+def test_stream_ingest_matches_full_clustering(spark, tmp_path, seeded):
+    """Real readStream → foreachBatch wiring: the batch docs arrive as
+    one-file micro-batches; the final index equals one-shot clustering of
+    v0 ∪ batch, and the corpus table holds every doc exactly once."""
+    corpus, idx = seeded
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    # three micro-batches: (100, 101), (102, 103), (104, 105) — the bridge
+    # lands in the first, the exact dup in the second, the batch-internal
+    # near-dup pair in the third
+    for i, chunk in enumerate([BATCH[0:2], BATCH[2:4], BATCH[4:6]]):
+        spark.createDataFrame(chunk, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(idx.stream_sink(corpus))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert _components(spark, idx) == _full_labels(spark)
+    got_docs = {
+        r["doc_id"] for r in corpus.read(spark).select("doc_id").collect()
+    }
+    assert got_docs == {d for d, _ in V0 + BATCH}
+    assert corpus.read(spark).count() == len(V0) + len(BATCH)
+    # every streamed commit carries its micro-batch id
+    metas = [
+        s.get("meta", {}).get("stream_batch_id")
+        for s in idx.rows.snapshots()[1:]
+    ]
+    assert sorted(metas) == [0, 1, 2]
+
+
+def test_replayed_batch_is_a_noop(spark, tmp_path, seeded):
+    """Re-delivering an already-committed micro-batch (the replay
+    Structured Streaming performs after any post-commit failure) changes
+    nothing: no new versions on any table."""
+    corpus, idx = seeded
+    batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+    idx.ingest_stream_batch(spark, batch, 7, corpus)
+    before = (
+        idx.rows.current_version(),
+        idx.relabels.current_version(),
+        corpus.current_version(),
+    )
+    labels_before = _components(spark, idx)
+
+    idx.ingest_stream_batch(spark, batch, 7, corpus)  # replay
+
+    assert (
+        idx.rows.current_version(),
+        idx.relabels.current_version(),
+        corpus.current_version(),
+    ) == before
+    assert _components(spark, idx) == labels_before == _full_labels(spark)
+
+
+def test_replay_completes_a_partially_failed_batch(spark, tmp_path, seeded):
+    """Inject a crash AFTER the relabels + corpus commits but BEFORE the
+    index-rows commit (the worst interleaving: the batch is half-landed).
+    The replay must read the corpus at the pre-batch version (so the batch
+    never matches its own half-landed copy), skip the already-written
+    relabels, and finish with state identical to a clean run."""
+    corpus, idx = seeded
+    batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+
+    real_write = idx.rows.write
+    def boom(df, mode="append", meta=None):
+        raise RuntimeError("injected crash before the index-rows commit")
+
+    idx.rows.write = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.ingest_stream_batch(spark, batch, 3, corpus)
+    idx.rows.write = real_write
+
+    # half-landed: corpus + relabels committed, rows not
+    assert corpus.version_with_meta("stream_batch_id", 3) is not None
+    assert idx.relabels.version_with_meta("stream_batch_id", 3) is not None
+    assert idx.rows.version_with_meta("stream_batch_id", 3) is None
+
+    idx.ingest_stream_batch(spark, batch, 3, corpus)  # the replay
+
+    assert _components(spark, idx) == _full_labels(spark)
+    # exactly one corpus append and one relabels commit for the batch
+    assert corpus.read(spark).count() == len(V0) + len(BATCH)
+    relabel_commits = [
+        s for s in idx.relabels.snapshots()
+        if s.get("meta", {}).get("stream_batch_id") == 3
+    ]
+    assert len(relabel_commits) == 1
