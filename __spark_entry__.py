@@ -667,6 +667,23 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation funnel (pipelines/curation.py): quality gate →
+    near-dup cluster survivors → word-4-gram decontamination vs the eval
+    slice (doc_id % 13 == 0), returning (doc_id, n_tokens) per surviving
+    doc. Funnel at sf0.01: 461 train → 198 gated → 187 canonical → 179
+    clean — every stage drops rows, so the composition is non-vacuous.
+    Oracle: the full pipeline as one DuckDB CTE chain (the gate, the
+    recursive-CTE transitive closure, and the gram containment are each
+    the already-proven per-stage oracles, spliced)."""
+    from temporalscope_spark.pipelines.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 13 == 0)
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    return curate_corpus(train, ev, decontam_n=4)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: exact-Jaccard pairs -> connected components ->
     one canonical id per cluster for every doc (pairs (a,b),(b,c) collapse
@@ -1425,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "dedup_clusters": q_dedup_clusters,
         "quality_gate": q_quality_gate,
+        "curate_corpus": q_curate_corpus,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bpe_token_count": q_bpe_token_count,
         "dedup_exact": q_dedup_exact,
@@ -2488,5 +2506,79 @@ def oracle_sql() -> dict[str, str]:
         WHERE qs.quality_score >= 0.6
           AND rep.dup_word_ratio <= 0.5
           AND rep.trigram_dup_ratio <= 0.9
+    """
+    # END-TO-END curation funnel: quality gate (train slice) → near-dup
+    # transitive closure over the GATED docs only (the shingle-df cap must
+    # count document frequency within the clustered set, hence the custom
+    # gdocs-based shingle CTE) → word-4-gram decontamination vs the eval
+    # slice. Splices the per-stage oracles proven above; chr(31) is the
+    # same \\x1f gram delimiter the engine uses (commas alias word grams).
+    sql["curate_corpus"] = f"""
+        WITH RECURSIVE
+        gate AS (
+            SELECT qs.doc_id
+            FROM ({sql['quality_score']}) qs
+            JOIN ({sql['repetition']}) rep ON qs.doc_id = rep.doc_id
+            WHERE qs.quality_score >= 0.6
+              AND rep.dup_word_ratio <= 0.5
+              AND rep.trigram_dup_ratio <= 0.9
+              AND qs.doc_id % 13 <> 0
+        ),
+        gdocs AS (
+            SELECT d.doc_id, {_NORM} AS norm
+            FROM documents d JOIN gate USING (doc_id)
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id, substr(norm, CAST(i AS INT), 12) AS sh
+            FROM gdocs,
+                 UNNEST(generate_series(1, greatest(length(norm) - 11, 1))) AS t(i)
+        ),
+        kept AS (SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= 100),
+        fsh AS (SELECT s.doc_id, s.sh FROM shingles s JOIN kept k ON s.sh = k.sh),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        walk(id, r) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT w.id, e.d FROM walk w JOIN edges e ON e.s = w.r
+        ),
+        comp AS (SELECT id, MIN(r) AS rep FROM walk GROUP BY id),
+        canon AS (
+            SELECT g.doc_id, string_split(g.norm, ' ') AS words
+            FROM gdocs g LEFT JOIN comp c ON c.id = g.doc_id
+            WHERE COALESCE(c.rep, g.doc_id) = g.doc_id
+        ),
+        ew AS (
+            SELECT string_split({_NORM}, ' ') AS words
+            FROM documents WHERE doc_id % 13 = 0
+        ),
+        tg AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(words[CAST(i AS INT):CAST(i + 3 AS INT)], chr(31)) AS g
+            FROM canon, UNNEST(generate_series(1, len(words) - 3)) AS u(i)
+        ),
+        eg AS (
+            SELECT DISTINCT
+                   array_to_string(words[CAST(i AS INT):CAST(i + 3 AS INT)], chr(31)) AS g
+            FROM ew, UNNEST(generate_series(1, len(words) - 3)) AS u(i)
+        ),
+        bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g))
+        SELECT c.doc_id, CAST(len(c.words) AS INT) AS n_tokens
+        FROM canon c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM bad)
     """
     return sql
