@@ -812,12 +812,18 @@ def _embedding_lsh_pairs_oracle() -> str:
     """
 
 
-_IVF_TOPK_ORACLE = """
+def _ivf_sql(seed_where: str = "TRUE") -> str:
+    """The IVF pipeline replay (md5-seeded coarse quantizer → nearest-cell
+    assignment over ALL vectors → nprobe cells → exact re-rank).
+    ``seed_where`` restricts the quantizer's TRAINING set only — the
+    ann_index_topk oracle trains on the v0 slice while assigning the full
+    corpus, exactly the frozen-quantizer add_batch contract."""
+    return f"""
     WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     seeds AS (
         SELECT e AS c,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')) - 1 AS idx
-        FROM vecs
+        FROM (SELECT * FROM vecs WHERE {seed_where}) sv
         ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')
         LIMIT 8
     ),
@@ -849,6 +855,9 @@ _IVF_TOPK_ORACLE = """
     ORDER BY list_cosine_similarity(c.e, q.qe) DESC, c.vec_id
     LIMIT 10
 """
+
+
+_IVF_TOPK_ORACLE = _ivf_sql()
 
 
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1126,6 +1135,33 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     cents = ivf_centroids(emb, num_centroids=8, seed=42, refine_iters=0, seed_hash="md5")
     return ivf_topk(emb, qvec, cents, k=10, nprobe=4).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF index with incremental adds (operators/ann_index.py,
+    the embedding twin of DedupIndex): train the coarse quantizer on the
+    v0 slice (vec_id % 10 != 0), index it, add_batch the held-out slice
+    under the FROZEN centroids (batch-sized, FAISS add-after-train
+    contract), then probe. Oracle: the IVF replay with the quantizer
+    trained on the v0 slice but assignment over the full corpus —
+    structurally identical to create + add_batch. Same float-boundary
+    fragility note as ivf_topk (cell argmax ties at the last ulp)."""
+    import tempfile
+
+    from temporalscope_spark.operators.ann_index import AnnIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v0 = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    idx = AnnIndex.create(
+        tempfile.mkdtemp(prefix="annidx_"), v0,
+        num_centroids=8, seed=42, refine_iters=0, seed_hash="md5",
+    )
+    idx.add_batch(batch)
+    return idx.topk(spark, qvec, k=10, nprobe=4).select(
         "vec_id", F.round("cosine", 4).alias("cosine")
     )
 
@@ -1462,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_segmented": q_ewma_segmented,
         "normalize_expanding": q_normalize_expanding,
         "ivf_topk": q_ivf_topk,
+        "ann_index_topk": q_ann_index_topk,
         "linear_model": q_linear_model,
         "irls_step": q_irls_step,
         "masv_linear": q_masv_linear,
@@ -1994,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk": _ann_topk_oracle(),
         "ivf_topk": _IVF_TOPK_ORACLE,
+        "ann_index_topk": _ivf_sql("vec_id % 10 <> 0"),
         "heavy_hitters": f"""
             WITH words AS (
                 SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
