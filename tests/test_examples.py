@@ -21,7 +21,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.example
 @pytest.mark.parametrize(
-    "script", ["examples/quickstart.py", "examples/curation_pipeline.py"]
+    "script",
+    [
+        "examples/quickstart.py",
+        "examples/curation_pipeline.py",
+        "examples/incremental_ingest.py",
+    ],
 )
 def test_example_runs_clean(script):
     proc = subprocess.run(
