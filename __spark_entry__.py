@@ -477,6 +477,18 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(F.col("_id").alias("doc_id"), "mh_0", "mh_1", "mh_2", "mh_3")
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022, distributed form):
+    per-doc fraction of word 8-grams that occur >= 2 times corpus-wide.
+    Counts are hash-key-invariant, so Spark groups xxhash64(gram) while
+    the oracle groups the raw gram string — identical stats (a 64-bit
+    collision inside this corpus is ~1e-13)."""
+    from temporalscope_spark.operators.dedup import dup_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_span_stats(docs, "text", "doc_id", n=8, min_total=2)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporalscope_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1328,6 +1340,19 @@ def q_bm25_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist scrubbing: whole-word case-insensitive redaction of the
+    corpus's own top-3 heavy-hitter words (self-contained, non-vacuous —
+    every doc containing a hot word is rewritten). Token-level transform,
+    no regex dialect in play; blocklist inlined as a plan literal."""
+    from temporalscope_spark.operators.corpus_stats import heavy_hitters
+    from temporalscope_spark.operators.text import redact_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = [r["word"] for r in heavy_hitters(docs, "text", k=3).collect()]
+    return redact_terms(docs, terms, "text", "doc_id")
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source BPE-per-word fertility — ratio of two long sums, exact
     in any engine."""
@@ -1484,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_span_stats": q_dup_span_stats,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "incremental_dedup": q_incremental_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -1503,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "irls_step": q_irls_step,
         "masv_linear": q_masv_linear,
         "heavy_hitters": q_heavy_hitters,
+        "redact_terms": q_redact_terms,
         "skew_profile": q_skew_profile,
         "bm25_topk": q_bm25_topk,
         "bm25_multi_topk": q_bm25_multi_topk,
@@ -1925,6 +1952,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5({_NORM}) AS fingerprint, MIN(doc_id) AS doc_id
             FROM documents GROUP BY 1
         """,
+        # raw gram strings where Spark groups xxhash64(gram) — count-based
+        # stats are identical under any injective-modulo-collision key
+        "dup_span_stats": f"""
+            WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+            g AS (
+                SELECT d.doc_id,
+                       array_to_string(
+                           list_slice(d.w, CAST(i AS INT), CAST(i AS INT) + 7),
+                           chr(31)
+                       ) AS gram
+                FROM d, UNNEST(generate_series(1, len(d.w) - 7)) AS t(i)
+            ),
+            gd AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            tot AS (SELECT gram, sum(c) AS tot FROM gd GROUP BY 1),
+            per AS (
+                SELECT gd.doc_id,
+                       sum(gd.c) AS n_grams,
+                       sum(CASE WHEN tot.tot >= 2 THEN gd.c ELSE 0 END) AS n_dup
+                FROM gd JOIN tot USING (gram) GROUP BY 1
+            )
+            SELECT doc.doc_id,
+                   CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_grams,
+                   CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+                        ELSE CAST(per.n_dup AS DOUBLE) / CAST(per.n_grams AS DOUBLE)
+                   END AS dup_span_ratio
+            FROM documents doc LEFT JOIN per USING (doc_id)
+        """,
         "minhash_signatures": f"""
             WITH {_shingle_cte(12)}
             SELECT doc_id,
@@ -2041,6 +2096,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n DESC, word
             LIMIT 100
+        """,
+        "redact_terms": f"""
+            WITH words AS (
+                SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+            ),
+            terms AS (
+                SELECT word FROM words WHERE word <> ''
+                GROUP BY word ORDER BY count(*) DESC, word LIMIT 3
+            ),
+            tl AS (SELECT list(word ORDER BY word) AS ts FROM terms),
+            d AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS w
+                FROM documents
+            )
+            SELECT d.doc_id,
+                   array_to_string(
+                       list_transform(d.w, x -> CASE
+                           WHEN list_contains(tl.ts, lower(x)) THEN '[REDACTED]'
+                           ELSE x END),
+                       ' '
+                   ) AS redacted_text,
+                   CAST(len(list_filter(d.w, x -> list_contains(tl.ts, lower(x))))
+                        AS BIGINT) AS n_redacted
+            FROM d, tl
         """,
         # full relational replay: top-3 heavy-hitter terms -> one-pass corpus
         # stats -> per-term idf -> matching-(doc, term) tf -> per-doc BM25 sum,

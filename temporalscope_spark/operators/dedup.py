@@ -661,6 +661,97 @@ def dedup_cluster_survivors(
     ).drop("_rep")
 
 
+# ----------------------------------------------- duplicate token spans
+#: Unit separator — joins n-gram words into one key; cannot appear inside a
+#: whitespace-split token, so distinct gram tuples never alias (the comma-
+#: aliasing bug class fixed in contamination.py).
+SPAN_SEP = "\x1f"
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_total: int = 2,
+) -> DataFrame:
+    """Per-document duplicate token-span statistics — the distributed
+    approximation of exact-substring training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a word
+    n-gram that occurs ``>= min_total`` times corpus-wide (within OR across
+    documents) marks a duplicated span.
+
+    Lee et al. build a suffix array — inherently sequential and
+    memory-resident. The shuffle-native equivalent is fixed-n gram
+    counting: any duplicated substring of >= n words contributes >= 1
+    duplicated n-gram, so the per-doc duplicated-gram fraction is the
+    span-level dup signal (this is the shape production corpus pipelines
+    use, e.g. bloom-filter paragraph dedup).
+
+    Plan shape: positional word n-grams (expression-only transform; grams
+    hashed to 8-byte xxhash64 keys — stats are count-based, so any
+    injective-modulo-collision key gives identical output and the oracle
+    can group the raw gram strings instead) → per-(doc, gram) partial
+    counts (shrinks the gram table before any shuffle) → corpus totals via
+    one map-side-combinable aggregate → equi-join back on the gram hash →
+    per-doc rollup. Two shuffles total, both on bounded-width keys; no
+    all-pairs anything. Docs shorter than n words have zero grams and
+    report (0, 0, 0.0) via the final left join — never silently dropped.
+
+    Output: (id, n_grams, n_dup_grams, dup_span_ratio) — ratio is an
+    int/int double, bit-identical in any engine.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_total < 2:
+        raise ValueError("min_total must be >= 2 (1 would flag every gram)")
+    base = _parallelize_before_explode(
+        df.select(
+            F.col(id_col),
+            F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+        )
+    )
+    cnt = F.size("_w") - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.xxhash64(F.array_join(F.slice(F.col("_w"), i, n), SPAN_SEP)),
+    )
+    # sequence(1, cnt) counts DOWN when cnt < 1 (Spark's default step is -1
+    # for start > stop) — guard short docs to an empty gram array explicitly
+    g = base.select(
+        id_col,
+        F.explode(
+            F.when(cnt >= 1, grams).otherwise(F.array().cast("array<bigint>"))
+        ).alias("_gh"),
+    )
+    gd = g.groupBy(id_col, "_gh").agg(F.count(F.lit(1)).alias("_c"))
+    tot = gd.groupBy("_gh").agg(F.sum("_c").alias("_tot"))
+    per = (
+        gd.join(tot, "_gh")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_n_grams"),
+            F.sum(
+                F.when(F.col("_tot") >= min_total, F.col("_c")).otherwise(F.lit(0))
+            ).alias("_n_dup"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("_n_dup", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.when(F.coalesce("_n_grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("_n_dup").cast("double") / F.col("_n_grams").cast("double")
+            )
+            .alias("dup_span_ratio"),
+        )
+    )
+
+
 # ------------------------------------------------- winnowing fingerprints
 def winnowing_fingerprints(
     df: DataFrame,

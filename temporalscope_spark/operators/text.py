@@ -276,6 +276,49 @@ def quality_filter(
     return out.filter(cond)
 
 
+def redact_terms(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """Blocklist scrubbing: replace every whole-word, case-insensitive
+    occurrence of ``terms`` with ``replacement`` — the PII/blocklist
+    redaction pass of a training-data pipeline (emails, names, banned
+    strings), expressed on whole tokens so no regex-dialect divergence can
+    creep between engines.
+
+    Token-level transform over the whitespace-split text (runs of
+    whitespace collapse to single spaces in the output — redaction
+    pipelines re-emit normalized text). The blocklist ships as a plan
+    literal: broadcast to every task with the serialized expression — no
+    join, no Python, one narrow whole-stage-codegen projection. For
+    blocklists too large to inline (>~10⁴ terms) the right shape is a
+    broadcast LEFT ANTI join on exploded tokens; this operator is the
+    inline-literal lane.
+
+    Output: (id, redacted_text, n_redacted).
+    """
+    if not terms:
+        raise DataFrameValidationError("terms must be a non-empty list")
+    lowered = sorted({t.lower() for t in terms})
+    t = F.col(text_col)
+    words = F.split(F.trim(t), _WS)
+    base = df.withColumn(
+        "_rw", F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>")).otherwise(words)
+    )
+    hit = lambda w: F.lower(w).isin(lowered)  # noqa: E731
+    return base.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(F.col("_rw"), lambda w: F.when(hit(w), F.lit(replacement)).otherwise(w)),
+            " ",
+        ).alias("redacted_text"),
+        F.size(F.filter(F.col("_rw"), hit)).cast("long").alias("n_redacted"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -579,3 +579,93 @@ def test_connected_components_raises_on_non_convergence(spark):
     # path has no convergence bound to trip)
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iters=2, driver_threshold=0)
+
+
+class TestDupSpanStats:
+    """Exact-substring dedup signal: per-doc duplicated word-n-gram stats."""
+
+    def test_matches_bruteforce(self, spark, docs):
+        from collections import Counter
+
+        from temporalscope_spark.operators.dedup import dup_span_stats
+
+        n = 4
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_span_ratio"])
+            for r in dup_span_stats(docs, "text", "doc_id", n=n).collect()
+        }
+        # reference: positional n-grams of the normalized word sequence
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        grams = {}
+        for d, t in texts.items():
+            w = " ".join(t.lower().split()).split(" ")
+            grams[d] = [tuple(w[i : i + n]) for i in range(max(len(w) - n + 1, 0))]
+        totals = Counter(g for gs in grams.values() for g in gs)
+        for d, gs in grams.items():
+            n_dup = sum(1 for g in gs if totals[g] >= 2)
+            ratio = n_dup / len(gs) if gs else 0.0
+            assert got[d] == (len(gs), n_dup, ratio), d
+        # non-vacuous: the dup trio (1, 2, 7) is fully duplicated, 6 is clean
+        assert got[1][2] == 1.0 and got[7][2] == 1.0
+        assert got[6][1] == 0
+
+    def test_short_doc_reports_zero_not_dropped(self, spark):
+        from temporalscope_spark.operators.dedup import dup_span_stats
+
+        df = spark.createDataFrame(
+            [(1, "only three words"), (2, ""), (3, "a b c d e a b c d e")],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r for r in dup_span_stats(df, n=5).collect()}
+        assert len(got) == 3
+        assert (got[1]["n_grams"], got[1]["dup_span_ratio"]) == (0, 0.0)
+        assert (got[2]["n_grams"], got[2]["dup_span_ratio"]) == (0, 0.0)
+        # doc 3: 6 grams, 'a b c d e' window repeats at positions 0 and 5
+        assert got[3]["n_grams"] == 6
+        assert got[3]["n_dup_grams"] == 2
+
+    def test_param_validation(self, spark, docs):
+        from temporalscope_spark.operators.dedup import dup_span_stats
+
+        with pytest.raises(ValueError, match="min_total"):
+            dup_span_stats(docs, min_total=1)
+        with pytest.raises(ValueError, match="n must"):
+            dup_span_stats(docs, n=0)
+
+
+class TestRedactTerms:
+    def test_whole_word_case_insensitive(self, spark):
+        from temporalscope_spark.operators.text import redact_terms
+
+        df = spark.createDataFrame(
+            [
+                (1, "Alice met BOB and alice@example.com stayed"),
+                (2, "nothing to scrub here"),
+                (3, "  spaced   Alice  text "),
+                (4, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r for r in redact_terms(df, ["alice", "bob"]).collect()}
+        assert got[1]["redacted_text"] == "[REDACTED] met [REDACTED] and alice@example.com stayed"
+        assert got[1]["n_redacted"] == 2  # substring inside the email is NOT a whole word
+        assert got[2]["redacted_text"] == "nothing to scrub here"
+        assert got[2]["n_redacted"] == 0
+        # whitespace runs collapse; matching is case-insensitive
+        assert got[3]["redacted_text"] == "spaced [REDACTED] text"
+        assert got[4]["redacted_text"] == "" and got[4]["n_redacted"] == 0
+
+    def test_empty_blocklist_rejected(self, spark, docs):
+        from temporalscope_spark.exceptions import DataFrameValidationError
+        from temporalscope_spark.operators.text import redact_terms
+
+        with pytest.raises(DataFrameValidationError, match="non-empty"):
+            redact_terms(docs, [])
+
+    def test_no_exchange_in_plan(self, spark, docs):
+        """Redaction is one narrow projection — the blocklist is a plan
+        literal, so there must be no join/shuffle."""
+        from temporalscope_spark.operators.text import redact_terms
+
+        plan = redact_terms(docs, ["the", "fox"])._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
