@@ -1362,6 +1362,19 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(docs, "text", group_col="source")
 
 
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality signal: per-doc cross-entropy under a
+    top-1000-word unigram LM estimated from the corpus itself. OOV words
+    floor at count 1 (non-vacuous: the truncated vocab leaves real OOV
+    mass at sf0.01). Float-exact across engines because the per-doc sum is
+    a sorted-word left fold, replayed by DuckDB's list_reduce."""
+    from temporalscope_spark.operators.lm import score_unigram, unigram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = unigram_counts(docs, "text", vocab_size=1000)
+    return score_unigram(docs, lm, "text", "doc_id")
+
+
 def _cramer3_cte() -> str:
     """Cramer 3x3 solve of the (possibly weighted) normal equations from a
     CTE ``s`` with columns (n, s1, s2, s11, s12, s22, sy, s1y, s2y) —
@@ -1536,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quantiles": q_token_quantiles,
         "length_histogram": q_length_histogram,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "unigram_lm_score": q_unigram_lm_score,
         "purged_cv": q_purged_cv,
         "resample": q_resample,
         "interpolate": q_interpolate,
@@ -2251,6 +2265,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
                    round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6) AS fertility
             FROM t GROUP BY source
+        """,
+        # sorted-word left fold replayed with list_reduce (0.0 prepended so
+        # the addition sequence matches Spark's aggregate(initial=0.0)
+        # exactly); vocab truncated top-1000 by (n DESC, word) — a total
+        # order, so both engines keep the identical vocabulary
+        "unigram_lm_score": f"""
+            WITH w AS (
+                SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+                FROM documents
+            ),
+            wf AS (SELECT doc_id, word FROM w WHERE word <> ''),
+            lm AS (
+                SELECT word, count(*) AS n FROM wf
+                GROUP BY 1 ORDER BY n DESC, word LIMIT 1000
+            ),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM lm),
+            tf AS (
+                SELECT doc_id, word, count(*) AS tf FROM wf GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT tf.doc_id, tf.word, tf.tf,
+                       CAST(coalesce(lm.n, 1) AS DOUBLE) AS c
+                FROM tf LEFT JOIN lm USING (word)
+            ),
+            arr AS (
+                SELECT j.doc_id,
+                       list(CAST(j.tf AS DOUBLE) * ln(j.c / tot.t)
+                            ORDER BY j.word) AS terms,
+                       sum(j.tf) AS L
+                FROM j, tot GROUP BY 1
+            ),
+            scored AS (
+                SELECT doc_id, L,
+                       -list_reduce(list_prepend(0.0, terms),
+                                    (acc, x) -> acc + x)
+                           / CAST(L AS DOUBLE) AS xent
+                FROM arr
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.L, 0) AS BIGINT) AS n_words,
+                   round(coalesce(s.xent, 0.0), 6) AS xent_nats,
+                   round(exp(coalesce(s.xent, 0.0)), 6) AS ppl
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         # exact replay of the one-aggregation OLS: identical sufficient
         # statistics, Cramer 3x3 solve (Spark side solves by LAPACK — both

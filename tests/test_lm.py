@@ -1,0 +1,99 @@
+"""Unigram language-model scoring (operators/lm.py)."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.lm import score_unigram, unigram_counts
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the the the the repeated head word"),
+        (3, "zebra quux xylophone"),  # rare words -> high xent under corpus LM
+        (4, ""),
+        (5, "  the   QUICK  fox "),  # normalization: collapse + lowercase
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _norm_words(t):
+    return [w for w in " ".join(t.lower().split()).split(" ") if w]
+
+
+class TestUnigramCounts:
+    def test_counts_match_bruteforce(self, spark, docs):
+        got = {r["word"]: r["n"] for r in unigram_counts(docs).collect()}
+        want = Counter(w for r in docs.collect() for w in _norm_words(r["text"]))
+        assert got == dict(want)
+
+    def test_vocab_truncation_is_deterministic(self, spark, docs):
+        top = unigram_counts(docs, vocab_size=3).collect()
+        # ties on n broken by word ascending: 'the' (7), then n=2 group
+        # sorted by word — 'fox' and 'quick' both have n=2
+        assert [r["word"] for r in sorted(top, key=lambda r: (-r["n"], r["word"]))] == [
+            "the",
+            "fox",
+            "quick",
+        ]
+
+    def test_vocab_size_validated(self, spark, docs):
+        with pytest.raises(DataFrameValidationError, match="vocab_size"):
+            unigram_counts(docs, vocab_size=0)
+
+
+class TestScoreUnigram:
+    def test_matches_bruteforce(self, spark, docs):
+        lm = unigram_counts(docs)
+        got = {r["doc_id"]: r for r in score_unigram(docs, lm).collect()}
+
+        counts = Counter(w for r in docs.collect() for w in _norm_words(r["text"]))
+        total = float(sum(counts.values()))
+        for row in docs.collect():
+            words = _norm_words(row["text"])
+            if not words:
+                exp = (0, 0.0, 1.0)
+            else:
+                tf = Counter(words)
+                # sorted-word fold, same order as the operator
+                s = 0.0
+                for w in sorted(tf):
+                    s += tf[w] * math.log(counts[w] / total)
+                xent = -s / len(words)
+                exp = (len(words), round(xent, 6), round(math.exp(xent), 6))
+            r = got[row["doc_id"]]
+            assert (r["n_words"], r["xent_nats"], r["ppl"]) == exp, row["doc_id"]
+
+    def test_rare_docs_score_worse(self, spark, docs):
+        lm = unigram_counts(docs)
+        got = {r["doc_id"]: r["ppl"] for r in score_unigram(docs, lm).collect()}
+        # doc 3 is all singletons -> higher perplexity than the head-heavy doc 2
+        assert got[3] > got[2]
+        assert got[4] == 1.0  # empty doc reported, not dropped
+
+    def test_oov_floors_at_one(self, spark, docs):
+        # truncate the vocab to 1 word ('the'); everything else is OOV with
+        # count floored at 1 over T = count('the')
+        lm = unigram_counts(docs, vocab_size=1)
+        got = {r["doc_id"]: r for r in score_unigram(docs, lm).collect()}
+        t = 7.0  # 'the' occurs 7 times corpus-wide
+        words = _norm_words("the quick brown fox jumps over the lazy dog")
+        s = sum(
+            (2 if w == "the" else 1) * math.log((7.0 if w == "the" else 1.0) / t)
+            for w in sorted(set(words))
+        )
+        assert got[1]["xent_nats"] == round(-s / len(words), 6)
+
+    def test_lm_join_is_broadcast(self, spark, docs):
+        lm = unigram_counts(docs, vocab_size=100)
+        plan = (
+            score_unigram(docs, lm)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
