@@ -489,6 +489,17 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(docs, "text", "doc_id", n=8, min_total=2)
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span removal (Lee et al. 2022 transform half): strip
+    every word position covered by a corpus-duplicated 8-gram and re-emit
+    the surviving normalized text. Non-vacuous at sf0.01: the synthetic
+    dup chains are fully stripped, clean docs pass through verbatim."""
+    from temporalscope_spark.operators.dedup import remove_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_dup_spans(docs, "text", "doc_id", n=8, min_total=2)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporalscope_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1523,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_span_stats": q_dup_span_stats,
+        "remove_dup_spans": q_remove_dup_spans,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "incremental_dedup": q_incremental_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -1993,6 +2005,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(per.n_dup AS DOUBLE) / CAST(per.n_grams AS DOUBLE)
                    END AS dup_span_ratio
             FROM documents doc LEFT JOIN per USING (doc_id)
+        """,
+        # transform twin of dup_span_stats: every position covered by a
+        # corpus-duplicated 8-gram is stripped; oracle groups raw gram
+        # strings where Spark groups xxhash64(gram) (count-invariant)
+        "remove_dup_spans": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split({_NORM}, ' ') END AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT d.doc_id, CAST(i AS INT) AS i,
+                       array_to_string(
+                           list_slice(d.w, CAST(i AS INT), CAST(i AS INT) + 7),
+                           chr(31)
+                       ) AS gram
+                FROM d, UNNEST(generate_series(1, len(d.w) - 7)) AS t(i)
+            ),
+            dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+            cov AS (
+                SELECT DISTINCT g.doc_id, CAST(p AS INT) AS p
+                FROM g JOIN dup USING (gram),
+                     UNNEST(generate_series(g.i, g.i + 7)) AS c(p)
+            ),
+            wp AS (
+                SELECT d.doc_id, CAST(p AS INT) AS p, d.w[CAST(p AS INT)] AS word
+                FROM d, UNNEST(generate_series(1, len(d.w))) AS t(p)
+            ),
+            keep AS (SELECT wp.* FROM wp ANTI JOIN cov USING (doc_id, p)),
+            reb AS (
+                SELECT doc_id,
+                       string_agg(word, ' ' ORDER BY p) AS cleaned_text,
+                       count(*) AS k
+                FROM keep GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(reb.cleaned_text, '') AS cleaned_text,
+                   CAST(coalesce(reb.k, 0) AS BIGINT) AS n_kept,
+                   CAST(len(d.w) - coalesce(reb.k, 0) AS BIGINT) AS n_removed
+            FROM d LEFT JOIN reb USING (doc_id)
         """,
         "minhash_signatures": f"""
             WITH {_shingle_cte(12)}

@@ -752,6 +752,110 @@ def dup_span_stats(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_total: int = 2,
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the transform half of Lee et al. 2022
+    training-data dedup: strip every word position covered by an n-gram
+    that occurs ``>= min_total`` times corpus-wide, and re-emit the
+    surviving text. ``dup_span_stats`` measures; this one edits.
+
+    Semantics (the distributed relaxation, deliberately symmetric): ALL
+    occurrences of a duplicated n-gram are removed, including the "first"
+    one — keep-one-occurrence needs a global document order and a
+    sequential sweep, which is exactly what a shuffle-native pipeline must
+    not depend on. Removing both sides is what bloom-filter span dedup
+    ships in practice, and is deterministic under any partitioning.
+
+    Plan shape: positional grams (expression-only; xxhash64 keys) → one
+    map-side-combinable corpus count → the duplicated-gram set joins back
+    on the gram hash → covered positions explode (each gram covers i..
+    i+n-1) → distinct (doc, pos) → broadcast-free LEFT ANTI against the
+    positional words → per-doc ordered rebuild via sorted struct
+    collect_list. Shuffles are keyed on gram hash and doc id only; no
+    all-pairs stage. Docs with no duplicated span pass through verbatim
+    (modulo whitespace normalization — this operator re-emits normalized
+    text, like every rewrite lane in this package).
+
+    Output: (id, cleaned_text, n_kept, n_removed).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_total < 2:
+        raise ValueError("min_total must be >= 2 (1 would remove every gram)")
+    norm = normalize_text(F.col(text_col))
+    base = _parallelize_before_explode(
+        df.select(
+            F.col(id_col),
+            F.when(F.length(norm) == 0, F.array().cast("array<string>"))
+            .otherwise(F.split(norm, " "))
+            .alias("_w"),
+        )
+    )
+    cnt = F.size("_w") - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.struct(
+            i.alias("_i"),
+            F.xxhash64(F.array_join(F.slice(F.col("_w"), i, n), SPAN_SEP)).alias(
+                "_gh"
+            ),
+        ),
+    )
+    g = base.select(
+        id_col,
+        F.explode(
+            F.when(cnt >= 1, grams).otherwise(
+                F.array().cast("array<struct<_i:int,_gh:bigint>>")
+            )
+        ).alias("_g"),
+    ).select(id_col, F.col("_g._i").alias("_i"), F.col("_g._gh").alias("_gh"))
+    dup = (
+        g.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_tot"))
+        .filter(F.col("_tot") >= min_total)
+        .select("_gh")
+    )
+    covered = (
+        g.join(dup, "_gh")
+        .select(
+            id_col,
+            F.explode(F.sequence("_i", F.col("_i") + F.lit(n - 1))).alias("_p"),
+        )
+        .distinct()
+    )
+    words = base.select(
+        id_col, F.posexplode("_w").alias("_p0", "_word")
+    ).withColumn("_p", F.col("_p0") + 1)
+    kept = words.join(covered, [id_col, "_p"], "left_anti")
+    reb = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_word"))),
+                lambda s: s["_word"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    return (
+        base.select(id_col, F.size("_w").alias("_orig"))
+        .join(reb, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("_k", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_orig") - F.coalesce("_k", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 # ------------------------------------------------- winnowing fingerprints
 def winnowing_fingerprints(
     df: DataFrame,

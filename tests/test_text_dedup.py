@@ -669,3 +669,74 @@ class TestRedactTerms:
 
         plan = redact_terms(docs, ["the", "fox"])._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestRemoveDupSpans:
+    """Exact-substring span removal: corpus-duplicated n-grams stripped."""
+
+    def test_matches_bruteforce(self, spark, docs):
+        from collections import Counter
+
+        from temporalscope_spark.operators.dedup import remove_dup_spans
+
+        n = 4
+        got = {
+            r["doc_id"]: (r["cleaned_text"], r["n_kept"], r["n_removed"])
+            for r in remove_dup_spans(docs, "text", "doc_id", n=n).collect()
+        }
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        words = {
+            d: [w for w in " ".join(t.lower().split()).split(" ") if w]
+            for d, t in texts.items()
+        }
+        totals = Counter(
+            tuple(w[i : i + n])
+            for w in words.values()
+            for i in range(len(w) - n + 1)
+        )
+        for d, w in words.items():
+            covered = set()
+            for i in range(len(w) - n + 1):
+                if totals[tuple(w[i : i + n])] >= 2:
+                    covered.update(range(i, i + n))
+            kept = [w[i] for i in range(len(w)) if i not in covered]
+            assert got[d] == (" ".join(kept), len(kept), len(w) - len(kept)), d
+        # non-vacuous: the dup trio (1, 2, 7) is fully removed, 6 untouched
+        assert got[1][0] == "" and got[2][0] == "" and got[7][0] == ""
+        assert got[6] == (texts[6], len(words[6]), 0)
+        # near-dup 3 shares long spans with 1 but keeps its unique region
+        assert 0 < got[3][1] < len(words[3])
+        assert "walks" in got[3][0]
+
+    def test_within_doc_repeats_removed(self, spark):
+        from temporalscope_spark.operators.dedup import remove_dup_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e x y z a b c d e"), (2, "totally unrelated words here")],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r for r in remove_dup_spans(df, n=5).collect()}
+        # 'a b c d e' repeats within doc 1 -> both occurrences stripped
+        assert got[1]["cleaned_text"] == "x y z"
+        assert got[1]["n_removed"] == 10
+        assert got[2]["n_removed"] == 0
+
+    def test_short_and_empty_docs_pass_through(self, spark):
+        from temporalscope_spark.operators.dedup import remove_dup_spans
+
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, ""), (3, "   ")], ["doc_id", "text"]
+        )
+        got = {r["doc_id"]: r for r in remove_dup_spans(df, n=8).collect()}
+        assert got[1]["cleaned_text"] == "too short"
+        assert (got[1]["n_kept"], got[1]["n_removed"]) == (2, 0)
+        assert got[2]["cleaned_text"] == "" and got[2]["n_kept"] == 0
+        assert got[3]["cleaned_text"] == "" and got[3]["n_removed"] == 0
+
+    def test_param_validation(self, spark, docs):
+        from temporalscope_spark.operators.dedup import remove_dup_spans
+
+        with pytest.raises(ValueError, match="min_total"):
+            remove_dup_spans(docs, min_total=1)
+        with pytest.raises(ValueError, match="n must"):
+            remove_dup_spans(docs, n=0)
