@@ -1386,6 +1386,23 @@ def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_unigram(docs, lm, "text", "doc_id")
 
 
+def q_stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff bigram scoring (Brants et al. 2007 — the original
+    MapReduce-distributed LM): full unigram table + top-500 bigram table
+    (916 distinct bigrams at sf0.01, so ~45% of pair types genuinely back
+    off). Sorted-(w1, w2) fold keeps the float sum engine-replayable."""
+    from temporalscope_spark.operators.lm import (
+        bigram_counts,
+        score_stupid_backoff,
+        unigram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = unigram_counts(docs, "text")
+    big = bigram_counts(docs, "text", top_k=500)
+    return score_stupid_backoff(docs, uni, big, "text", "doc_id", alpha=0.4)
+
+
 def _cramer3_cte() -> str:
     """Cramer 3x3 solve of the (possibly weighted) normal equations from a
     CTE ``s`` with columns (n, s1, s2, s11, s12, s22, sy, s1y, s2y) —
@@ -1562,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "tokenizer_fertility": q_tokenizer_fertility,
         "unigram_lm_score": q_unigram_lm_score,
+        "stupid_backoff_score": q_stupid_backoff_score,
         "purged_cv": q_purged_cv,
         "resample": q_resample,
         "interpolate": q_interpolate,
@@ -2361,6 +2379,73 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(s.xent, 0.0), 6) AS xent_nats,
                    round(exp(coalesce(s.xent, 0.0)), 6) AS ppl
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # Stupid Backoff replay: '' sentinel marks the first position (can
+        # never be a real word post-normalization); per-doc fold sorted by
+        # (w1, w2) with 0.0 prepended matches Spark's addition sequence
+        "stupid_backoff_score": f"""
+            WITH d AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+            ),
+            uni AS (
+                SELECT word, count(*) AS n FROM (
+                    SELECT unnest(w) AS word FROM d
+                ) WHERE word <> '' GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM uni),
+            big AS (
+                SELECT w1, w2, count(*) AS n FROM (
+                    SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+                    FROM d, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+                    WHERE w[1] <> ''
+                ) GROUP BY 1, 2
+                ORDER BY n DESC, w1, w2 LIMIT 500
+            ),
+            pos AS (
+                SELECT doc_id,
+                       CASE WHEN i = 1 THEN '' ELSE w[CAST(i AS INT) - 1] END AS w1,
+                       w[CAST(i AS INT)] AS w2
+                FROM d, UNNEST(generate_series(1, len(w))) AS t(i)
+                WHERE w[1] <> ''
+            ),
+            tf AS (
+                SELECT doc_id, w1, w2, count(*) AS tf FROM pos GROUP BY 1, 2, 3
+            ),
+            j AS (
+                SELECT tf.doc_id, tf.w1, tf.w2, tf.tf,
+                       CASE
+                           WHEN tf.w1 = '' THEN
+                               ln(CAST(coalesce(u2.n, 1) AS DOUBLE) / tot.t)
+                           WHEN big.n IS NOT NULL THEN
+                               ln(CAST(big.n AS DOUBLE)
+                                  / CAST(coalesce(u1.n, 1) AS DOUBLE))
+                           ELSE
+                               ln(0.4 * CAST(coalesce(u2.n, 1) AS DOUBLE) / tot.t)
+                       END AS s
+                FROM tf
+                LEFT JOIN big ON tf.w1 = big.w1 AND tf.w2 = big.w2
+                LEFT JOIN uni u1 ON tf.w1 = u1.word
+                LEFT JOIN uni u2 ON tf.w2 = u2.word
+                CROSS JOIN tot
+            ),
+            arr AS (
+                SELECT doc_id,
+                       list(CAST(tf AS DOUBLE) * s ORDER BY w1, w2) AS terms,
+                       sum(tf) AS L
+                FROM j GROUP BY 1
+            ),
+            scored AS (
+                SELECT doc_id, L,
+                       -list_reduce(list_prepend(0.0, terms),
+                                    (acc, x) -> acc + x)
+                           / CAST(L AS DOUBLE) AS xent
+                FROM arr
+            )
+            SELECT doc.doc_id,
+                   CAST(coalesce(s.L, 0) AS BIGINT) AS n_words,
+                   round(coalesce(s.xent, 0.0), 6) AS xent_nats,
+                   round(exp(coalesce(s.xent, 0.0)), 6) AS ppl
+            FROM documents doc LEFT JOIN scored s USING (doc_id)
         """,
         # exact replay of the one-aggregation OLS: identical sufficient
         # statistics, Cramer 3x3 solve (Spark side solves by LAPACK — both

@@ -48,6 +48,153 @@ def unigram_counts(
     return counts
 
 
+def bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """(w1, w2, n) adjacent-bigram table over the normalized corpus.
+
+    Expression-only pair construction (``transform`` over ``sequence`` —
+    no self-join of the word stream) followed by one map-side-combinable
+    hash aggregate. ``top_k`` keeps the most frequent bigrams by
+    (n desc, w1, w2) — the bounded table that stays broadcastable at any
+    corpus size; everything outside it backs off to unigrams downstream,
+    which is exactly Stupid Backoff's contract.
+    """
+    base = df.select(_norm_words(text_col).alias("_w")).filter(
+        F.element_at("_w", 1) != ""
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda i: F.struct(
+            F.element_at("_w", i).alias("w1"),
+            F.element_at("_w", i + 1).alias("w2"),
+        ),
+    )
+    counts = (
+        base.filter(F.size("_w") >= 2)
+        .select(F.explode(pairs).alias("_p"))
+        .groupBy(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if top_k is not None:
+        if top_k <= 0:
+            raise DataFrameValidationError("top_k must be > 0")
+        counts = counts.orderBy(F.col("n").desc(), "w1", "w2").limit(top_k)
+    return counts
+
+
+def score_stupid_backoff(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document Stupid Backoff bigram score (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the original
+    MapReduce-distributed LM, built for exactly this count-table shape).
+
+    Position scores: the first word scores ``ln(c(w1)/T)``; position t>=2
+    scores ``ln(c(w_{t-1} w_t) / c(w_{t-1}))`` when the bigram is in the
+    supplied table, else backs off to ``ln(alpha · c(w_t)/T)``. Unseen
+    unigrams floor at count 1. ``xent = -(Σ scores)/L``; ``ppl =
+    exp(xent)``. (Backoff scores are not normalized probabilities —
+    that is Stupid Backoff's published trade: no discounting pass, so the
+    whole model is two count tables.)
+
+    Plan shape: per-doc positional pairs with a ``''`` sentinel first-row
+    (``''`` cannot survive word normalization, so it cannot collide with a
+    real word) → per-(doc, w1, w2) tf partial aggregate → broadcast LEFT
+    joins against the bigram table and the unigram table (once on w1 for
+    the denominator, once on w2 for backoff) → per-doc sorted-(w1, w2)
+    fold, replayable by DuckDB ``list_reduce`` for the oracle. Wide
+    exchanges are keyed on (doc, pair) only.
+
+    Output: (id, n_words, xent_nats, ppl), floats rounded to 6.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise DataFrameValidationError("alpha must be in (0, 1]")
+    total = unigrams.agg(F.sum("n").cast("double").alias("_T"))
+    base = df.select(F.col(id_col), _norm_words(text_col).alias("_w"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_w")),
+        lambda i: F.struct(
+            F.when(i == 1, F.lit("")).otherwise(F.element_at("_w", i - 1)).alias(
+                "w1"
+            ),
+            F.element_at("_w", i).alias("w2"),
+        ),
+    )
+    pos = (
+        base.filter(F.element_at("_w", 1) != "")
+        .select(id_col, F.explode(pairs).alias("_p"))
+        .select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    tf = pos.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("_tf"))
+    un1 = unigrams.select(F.col("word").alias("w1"), F.col("n").alias("_c1"))
+    un2 = unigrams.select(F.col("word").alias("w2"), F.col("n").alias("_c2"))
+    big = bigrams.select("w1", "w2", F.col("n").alias("_n12"))
+    joined = (
+        tf.join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(un1), "w1", "left")
+        .join(F.broadcast(un2), "w2", "left")
+        .join(F.broadcast(total))
+        .select(
+            id_col,
+            "w1",
+            "w2",
+            "_tf",
+            F.when(F.col("w1") == "", F.log(F.coalesce("_c2", F.lit(1)).cast("double") / F.col("_T")))
+            .when(
+                F.col("_n12").isNotNull(),
+                F.log(
+                    F.col("_n12").cast("double")
+                    / F.coalesce("_c1", F.lit(1)).cast("double")
+                ),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(float(alpha))
+                    * F.coalesce("_c2", F.lit(1)).cast("double")
+                    / F.col("_T")
+                )
+            )
+            .alias("_s"),
+        )
+    )
+    per = joined.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("w1", "w2", "_tf", "_s"))).alias(
+            "_arr"
+        ),
+        F.sum("_tf").cast("long").alias("_L"),
+    )
+    scored = per.select(
+        id_col,
+        "_L",
+        (
+            -F.aggregate(
+                "_arr",
+                F.lit(0.0),
+                lambda acc, s: acc + s["_tf"].cast("double") * s["_s"],
+            )
+            / F.col("_L").cast("double")
+        ).alias("_xent"),
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_L", F.lit(0)).cast("long").alias("n_words"),
+            F.round(F.coalesce("_xent", F.lit(0.0)), 6).alias("xent_nats"),
+            F.round(F.exp(F.coalesce("_xent", F.lit(0.0))), 6).alias("ppl"),
+        )
+    )
+
+
 def score_unigram(
     df: DataFrame,
     lm: DataFrame,

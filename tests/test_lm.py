@@ -97,3 +97,112 @@ class TestScoreUnigram:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestStupidBackoff:
+    def _brute(self, rows, bigram_top=None, alpha=0.4):
+        import math
+        from collections import Counter
+
+        docs = {d: _norm_words(t) for d, t in rows}
+        uni = Counter(w for ws in docs.values() for w in ws)
+        big = Counter(
+            (ws[i], ws[i + 1]) for ws in docs.values() for i in range(len(ws) - 1)
+        )
+        if bigram_top is not None:
+            kept = sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:bigram_top]
+            big = dict(kept)
+        t = float(sum(uni.values()))
+        out = {}
+        for d, ws in docs.items():
+            if not ws:
+                out[d] = (0, 0.0, 1.0)
+                continue
+            terms = Counter()
+            for i, w in enumerate(ws):
+                w1 = "" if i == 0 else ws[i - 1]
+                terms[(w1, w)] += 1
+            s = 0.0
+            for (w1, w2), tf in sorted(terms.items()):
+                if w1 == "":
+                    v = math.log(uni.get(w2, 1) / t)
+                elif (w1, w2) in big:
+                    v = math.log(big[(w1, w2)] / uni.get(w1, 1))
+                else:
+                    v = math.log(alpha * uni.get(w2, 1) / t)
+                s += tf * v
+            xent = -s / len(ws)
+            out[d] = (len(ws), round(xent, 6), round(math.exp(xent), 6))
+        return out
+
+    def test_matches_bruteforce(self, spark, docs):
+        from temporalscope_spark.operators.lm import (
+            bigram_counts,
+            score_stupid_backoff,
+            unigram_counts,
+        )
+
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        uni = unigram_counts(docs)
+        big = bigram_counts(docs)
+        got = {
+            r["doc_id"]: (r["n_words"], r["xent_nats"], r["ppl"])
+            for r in score_stupid_backoff(docs, uni, big).collect()
+        }
+        assert got == self._brute(rows)
+
+    def test_backoff_path_exercised(self, spark, docs):
+        """Truncating the bigram table to 2 entries forces real backoff."""
+        from temporalscope_spark.operators.lm import (
+            bigram_counts,
+            score_stupid_backoff,
+            unigram_counts,
+        )
+
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        uni = unigram_counts(docs)
+        big = bigram_counts(docs, top_k=2)
+        got = {
+            r["doc_id"]: (r["n_words"], r["xent_nats"], r["ppl"])
+            for r in score_stupid_backoff(docs, uni, big).collect()
+        }
+        want = self._brute(rows, bigram_top=2)
+        assert got == want
+        # sanity: the truncated model scores strictly worse on doc 1
+        full = {
+            r["doc_id"]: r["ppl"]
+            for r in score_stupid_backoff(docs, uni, bigram_counts(docs)).collect()
+        }
+        assert got[1][2] > full[1]
+
+    def test_repeated_bigrams_score_well(self, spark):
+        from temporalscope_spark.operators.lm import (
+            bigram_counts,
+            score_stupid_backoff,
+            unigram_counts,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a b a b"), (2, "a x b a q b p a"), (3, "")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: r
+            for r in score_stupid_backoff(
+                df, unigram_counts(df), bigram_counts(df)
+            ).collect()
+        }
+        assert got[1]["ppl"] < got[2]["ppl"]
+        assert (got[3]["n_words"], got[3]["ppl"]) == (0, 1.0)
+
+    def test_alpha_validated(self, spark, docs):
+        from temporalscope_spark.operators.lm import (
+            bigram_counts,
+            score_stupid_backoff,
+            unigram_counts,
+        )
+
+        with pytest.raises(DataFrameValidationError, match="alpha"):
+            score_stupid_backoff(
+                docs, unigram_counts(docs), bigram_counts(docs), alpha=0.0
+            )
