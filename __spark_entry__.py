@@ -1403,6 +1403,19 @@ def q_stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_stupid_backoff(docs, uni, big, "text", "doc_id", alpha=0.4)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): keep the 100 raw docs
+    whose hashed unigram+bigram distribution best matches the trusted
+    target slice (source='src1' stands in for the paper's Wikipedia
+    target). md5 feature buckets + sorted-bucket folds + rounded-score
+    ranking keep the whole pipeline engine-replayable."""
+    from temporalscope_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src1")
+    return dsir_select(docs, target, k=100, n_buckets=1024, smoothing=1.0)
+
+
 def _cramer3_cte() -> str:
     """Cramer 3x3 solve of the (possibly weighted) normal equations from a
     CTE ``s`` with columns (n, s1, s2, s11, s12, s22, sy, s1y, s2y) —
@@ -1580,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "unigram_lm_score": q_unigram_lm_score,
         "stupid_backoff_score": q_stupid_backoff_score,
+        "dsir_select": q_dsir_select,
         "purged_cv": q_purged_cv,
         "resample": q_resample,
         "interpolate": q_interpolate,
@@ -2379,6 +2393,71 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(s.xent, 0.0), 6) AS xent_nats,
                    round(exp(coalesce(s.xent, 0.0)), 6) AS ppl
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # DSIR replay: md5-first-8-hex bucket map (the entity_split
+        # portable hash), sorted-bucket fold with 0.0 prepended, rank on
+        # the ROUNDED score with doc-id tie-break; zero-feature docs sort
+        # last and are never selected
+        "dsir_select": f"""
+            WITH d AS (
+                SELECT doc_id, source,
+                       CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split({_NORM}, ' ') END AS w
+                FROM documents
+            ),
+            gs AS (
+                SELECT doc_id, source, unnest(w) AS g FROM d
+                UNION ALL
+                SELECT doc_id, source,
+                       w[CAST(i AS INT)] || chr(31) || w[CAST(i AS INT) + 1]
+                FROM d, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+            ),
+            gb AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 1024
+                           AS bucket
+                FROM gs
+            ),
+            feats AS (
+                SELECT doc_id, bucket, count(*) AS tf FROM gb GROUP BY 1, 2
+            ),
+            cr AS (SELECT bucket, sum(tf) AS cr FROM feats GROUP BY 1),
+            tr AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr FROM cr),
+            ct AS (
+                SELECT bucket, count(*) AS ct FROM gb
+                WHERE source = 'src1' GROUP BY 1
+            ),
+            tt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS tt FROM ct),
+            lam AS (
+                SELECT cr.bucket,
+                       ln((CAST(coalesce(ct.ct, 0) AS DOUBLE) + 1.0)
+                          / (tt.tt + 1024.0))
+                       - ln((CAST(cr.cr AS DOUBLE) + 1.0) / (tr.tr + 1024.0))
+                           AS lam
+                FROM cr LEFT JOIN ct USING (bucket), tr, tt
+            ),
+            per AS (
+                SELECT f.doc_id,
+                       list(CAST(f.tf AS DOUBLE) * lam.lam
+                            ORDER BY f.bucket) AS terms,
+                       sum(f.tf) AS n
+                FROM feats f JOIN lam USING (bucket) GROUP BY 1
+            ),
+            scored AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(per.n, 0) AS BIGINT) AS n_feats,
+                       round(coalesce(
+                           list_reduce(list_prepend(0.0, per.terms),
+                                       (acc, x) -> acc + x), 0.0), 6)
+                           AS logratio
+                FROM d LEFT JOIN per USING (doc_id)
+            )
+            SELECT doc_id, n_feats, logratio,
+                   (n_feats > 0) AND
+                   (row_number() OVER (
+                        ORDER BY (n_feats > 0) DESC, logratio DESC, doc_id
+                    ) <= 100) AS selected
+            FROM scored
         """,
         # Stupid Backoff replay: '' sentinel marks the first position (can
         # never be a real word post-normalization); per-doc fold sorted by
