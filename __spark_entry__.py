@@ -1416,6 +1416,30 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(docs, target, k=100, n_buckets=1024, smoothing=1.0)
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5/XLM-R temperature mixing over the 20 document sources:
+    rate_s ∝ n_s^alpha / n_s at alpha=0.3, capped at 1, md5-portable
+    membership. The n^alpha normalizer folds over source-sorted counts so
+    the oracle replays the identical float sequence."""
+    from temporalscope_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, budget_rows=300, strata_col="source", alpha=0.3, seed=42,
+        portable=True,
+    )
+
+
+def q_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training dataloaders:
+    md5-derived (shard, pos) addresses, per-shard windows only (no global
+    sort)."""
+    from temporalscope_spark.operators.sampling import assign_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_shards(docs.select("doc_id"), n_shards=8, seed=42)
+
+
 def _cramer3_cte() -> str:
     """Cramer 3x3 solve of the (possibly weighted) normal equations from a
     CTE ``s`` with columns (n, s1, s2, s11, s12, s22, sy, s1y, s2y) —
@@ -1594,6 +1618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_score": q_unigram_lm_score,
         "stupid_backoff_score": q_stupid_backoff_score,
         "dsir_select": q_dsir_select,
+        "temperature_sample": q_temperature_sample,
+        "assign_shards": q_assign_shards,
         "purged_cv": q_purged_cv,
         "resample": q_resample,
         "interpolate": q_interpolate,
@@ -2393,6 +2419,51 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(s.xent, 0.0), 6) AS xent_nats,
                    round(exp(coalesce(s.xent, 0.0)), 6) AS ppl
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # temperature-mixing replay: n^alpha normalizer as a source-sorted
+        # left fold (matches the operator's driver-side fold sequence);
+        # md5 membership identical to entity_split's portable map. pow()
+        # is the one libm call — last-ulp divergence would need a doc's
+        # u32/2^32 to sit within ~1e-16 of the rate (same accepted
+        # fragility class as the minhash FRAGILITY NOTE)
+        "temperature_sample": """
+            WITH counts AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY 1
+            ),
+            zn AS (
+                SELECT list_reduce(
+                           list_prepend(0.0, list(pow(CAST(n AS DOUBLE), 0.3)
+                                                  ORDER BY source)),
+                           (acc, x) -> acc + x) AS z
+                FROM counts
+            ),
+            rates AS (
+                SELECT source,
+                       least(1.0,
+                             300.0 * (pow(CAST(n AS DOUBLE), 0.3) / zn.z)
+                                 / CAST(n AS DOUBLE)) AS rate
+                FROM counts, zn
+            )
+            SELECT d.doc_id, d.source, round(r.rate, 6) AS keep_frac
+            FROM documents d JOIN rates r USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#42'),
+                                       1, 8)) AS BIGINT) / 4294967296.0
+                  < r.rate
+        """,
+        "assign_shards": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR) || '#42') AS hx
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8 AS INT)
+                       AS shard,
+                   CAST(row_number() OVER (
+                        PARTITION BY CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8
+                        ORDER BY CAST(('0x' || substr(hx, 9, 8)) AS BIGINT), doc_id
+                    ) AS INT) AS pos
+            FROM h
         """,
         # DSIR replay: md5-first-8-hex bucket map (the entity_split
         # portable hash), sorted-bucket fold with 0.0 prepended, rank on

@@ -130,3 +130,103 @@ def sample_to_token_budget(
         df, strata_col, fractions, key_col=key_col, seed=seed,
         default_fraction=default_fraction, portable=portable,
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    budget_rows: int,
+    strata_col: str = "source",
+    alpha: float = 0.3,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing (the mT5/XLM-R recipe): sample
+    sources with probability proportional to ``share^alpha`` so low-
+    resource sources are up-weighted relative to their natural share
+    (``alpha=1`` reproduces natural proportions; ``alpha→0`` approaches
+    uniform-over-sources).
+
+    Per-source keep rate: ``rate_s = min(1, budget_rows · q_s / n_s)``
+    with ``q_s = (n_s/N)^alpha / Σ_g (n_g/N)^alpha`` — over-budget
+    sources are kept whole, exactly like :func:`sample_to_token_budget`
+    (this package never up-samples; duplication is a separate, explicit
+    op). Membership is the deterministic hash filter, so the sample is
+    partition-invariant and engine-replayable with ``portable=True``.
+
+    ONE tiny aggregate (per-source row counts — C rows to the driver, the
+    same bounded-collect contract as :func:`sample_to_token_budget`); the
+    ``Σ n_g^alpha`` normalizer folds over SOURCE-SORTED counts so the
+    float is reproduced identically by any engine replaying the same
+    sequence (N^alpha cancels in q_s, so only ``n^alpha`` terms appear);
+    the C rates then ship as plan literals — the corpus itself sees one
+    narrow filter+map, no shuffle, no join. Output: the kept rows'
+    (key, stratum) plus the per-source ``keep_frac`` (rounded to 6).
+    """
+    if budget_rows <= 0:
+        raise DataFrameValidationError("budget_rows must be > 0")
+    if not 0.0 < alpha <= 1.0:
+        raise DataFrameValidationError("alpha must be in (0, 1]")
+    counts = sorted(
+        df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n")).collect(),
+        key=lambda r: r[strata_col],
+    )
+    zn = 0.0
+    for r in counts:  # left fold over sorted sources — engine-replayable
+        zn += float(r["_n"]) ** alpha
+    rates = {
+        r[strata_col]: min(
+            1.0,
+            float(budget_rows) * (float(r["_n"]) ** alpha / zn) / float(r["_n"]),
+        )
+        for r in counts
+    }
+    rate_expr = F.lit(None).cast("double")
+    for s, v in rates.items():
+        rate_expr = F.when(F.col(strata_col) == s, F.lit(v)).otherwise(rate_expr)
+    return (
+        df.select(key_col, strata_col, rate_expr.alias("_rate"))
+        .filter(_uniform01(key_col, seed, portable) < F.col("_rate"))
+        .select(key_col, strata_col, F.round("_rate", 6).alias("keep_frac"))
+    )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training dataloaders:
+    every row gets a (shard, pos) address that is a pure function of
+    (key, seed) and the corpus membership — re-running on the same corpus
+    yields the same order, any engine replays it, and changing ``seed``
+    reshuffles.
+
+    ``shard`` = first 8 md5 hex chars of ``key#seed`` as u32, mod
+    n_shards; ``pos`` = rank of the NEXT 8 hex chars (independent bits)
+    within the shard, key tie-break. The window partitions by shard, so
+    each shard sorts independently — at cluster scale this is
+    ``repartition(shard) + sortWithinPartitions``, no global sort, no
+    single-partition window.
+
+    Output: (key, shard, pos); pos is contiguous 1..|shard|.
+    """
+    if n_shards <= 0:
+        raise DataFrameValidationError("n_shards must be > 0")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")))
+    u = lambda a: F.conv(F.substring(h, a, 8), 16, 10).cast("long")  # noqa: E731
+    return (
+        df.select(
+            key_col,
+            (u(1) % F.lit(n_shards)).cast("int").alias("shard"),
+            u(9).alias("_ok"),
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy("_ok", key_col)
+            ),
+        )
+        .drop("_ok")
+    )
