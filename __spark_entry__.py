@@ -1382,7 +1382,9 @@ def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporalscope_spark.operators.lm import score_unigram, unigram_counts
 
     docs = _t(spark, sf_dir, "documents")
-    lm = unigram_counts(docs, "text", vocab_size=1000)
+    # the LM table feeds both the broadcast scoring join and the total-mass
+    # aggregate — cache() so the corpus scan+agg behind it runs once
+    lm = unigram_counts(docs, "text", vocab_size=1000).cache()
     return score_unigram(docs, lm, "text", "doc_id")
 
 
@@ -1398,8 +1400,11 @@ def q_stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    uni = unigram_counts(docs, "text")
-    big = bigram_counts(docs, "text", top_k=500)
+    # the unigram table feeds THREE broadcast joins (w1 denominator, w2
+    # backoff, total) — without cache() each broadcast re-runs the full
+    # corpus scan+agg; the table is vocab-sized, so caching is free
+    uni = unigram_counts(docs, "text").cache()
+    big = bigram_counts(docs, "text", top_k=500).cache()
     return score_stupid_backoff(docs, uni, big, "text", "doc_id", alpha=0.4)
 
 

@@ -724,7 +724,15 @@ def dup_span_stats(
             F.when(cnt >= 1, grams).otherwise(F.array().cast("array<bigint>"))
         ).alias("_gh"),
     )
-    gd = g.groupBy(id_col, "_gh").agg(F.count(F.lit(1)).alias("_c"))
+    from pyspark import StorageLevel
+
+    # gd branches (corpus totals + the join back) — persist so the gram
+    # explode and the first aggregation run once
+    gd = (
+        g.groupBy(id_col, "_gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = gd.groupBy("_gh").agg(F.sum("_c").alias("_tot"))
     per = (
         gd.join(tot, "_gh")
@@ -806,14 +814,22 @@ def remove_dup_spans(
             ),
         ),
     )
-    g = base.select(
-        id_col,
-        F.explode(
-            F.when(cnt >= 1, grams).otherwise(
-                F.array().cast("array<struct<_i:int,_gh:bigint>>")
-            )
-        ).alias("_g"),
-    ).select(id_col, F.col("_g._i").alias("_i"), F.col("_g._gh").alias("_gh"))
+    from pyspark import StorageLevel
+
+    # the positional gram stream branches (duplicated-gram set + covered-
+    # position join) — persist so the explode runs once
+    g = (
+        base.select(
+            id_col,
+            F.explode(
+                F.when(cnt >= 1, grams).otherwise(
+                    F.array().cast("array<struct<_i:int,_gh:bigint>>")
+                )
+            ).alias("_g"),
+        )
+        .select(id_col, F.col("_g._i").alias("_i"), F.col("_g._gh").alias("_gh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dup = (
         g.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_tot"))

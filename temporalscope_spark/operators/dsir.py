@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from temporalscope_spark.exceptions import DataFrameValidationError
 from temporalscope_spark.operators.corpus_stats import _norm_words
-from temporalscope_spark.operators.dedup import SPAN_SEP
+from temporalscope_spark.operators.dedup import SPAN_SEP, _parallelize_before_explode
 
 
 def _gram_stream(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
@@ -43,10 +43,9 @@ def _gram_stream(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
     grams = F.when(
         F.element_at(w, 1) == "", F.array().cast("array<string>")
     ).otherwise(F.concat(w, bis))
-    return (
+    return _parallelize_before_explode(
         df.select(*keep, _norm_words(text_col).alias("_w"))
-        .select(*keep, F.explode(grams).alias("_g"))
-    )
+    ).select(*keep, F.explode(grams).alias("_g"))
 
 
 def _bucket(gram, n_buckets: int):
@@ -116,7 +115,14 @@ def dsir_select(
     s = float(smoothing)
     b = float(n_buckets)
 
-    feats = hashed_ngram_features(df, text_col, id_col, n_buckets)
+    from pyspark import StorageLevel
+
+    # the feature table branches: it feeds the raw distribution estimate
+    # AND the per-doc scoring join — persist so the gram explode + md5
+    # bucketing runs once (the _shingle_table pattern, dedup.py)
+    feats = hashed_ngram_features(df, text_col, id_col, n_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cr = feats.groupBy("bucket").agg(F.sum("tf").alias("_cr"))
     ct = (
         _gram_stream(target, text_col)

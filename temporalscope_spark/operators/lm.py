@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from temporalscope_spark.exceptions import DataFrameValidationError
 from temporalscope_spark.operators.corpus_stats import _norm_words
+from temporalscope_spark.operators.dedup import _parallelize_before_explode
 
 
 def unigram_counts(
@@ -37,9 +38,9 @@ def unigram_counts(
     at any corpus size (V·~30 bytes; 10⁵ words ≈ 3 MB); everything outside
     the kept vocabulary scores as OOV downstream.
     """
-    words = df.select(F.explode(_norm_words(text_col)).alias("word")).filter(
-        F.col("word") != ""
-    )
+    words = _parallelize_before_explode(
+        df.select(_norm_words(text_col).alias("_w"))
+    ).select(F.explode("_w").alias("word")).filter(F.col("word") != "")
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     if vocab_size is not None:
         if vocab_size <= 0:
@@ -62,9 +63,9 @@ def bigram_counts(
     corpus size; everything outside it backs off to unigrams downstream,
     which is exactly Stupid Backoff's contract.
     """
-    base = df.select(_norm_words(text_col).alias("_w")).filter(
-        F.element_at("_w", 1) != ""
-    )
+    base = _parallelize_before_explode(
+        df.select(_norm_words(text_col).alias("_w"))
+    ).filter(F.element_at("_w", 1) != "")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("_w") - 1),
         lambda i: F.struct(
@@ -118,7 +119,9 @@ def score_stupid_backoff(
     if not (0.0 < alpha <= 1.0):
         raise DataFrameValidationError("alpha must be in (0, 1]")
     total = unigrams.agg(F.sum("n").cast("double").alias("_T"))
-    base = df.select(F.col(id_col), _norm_words(text_col).alias("_w"))
+    base = _parallelize_before_explode(
+        df.select(F.col(id_col), _norm_words(text_col).alias("_w"))
+    )
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("_w")),
         lambda i: F.struct(
@@ -217,9 +220,9 @@ def score_unigram(
     Output: (id, n_words, xent_nats, ppl), floats rounded to 6.
     """
     total = lm.agg(F.sum("n").cast("double").alias("_T"))
-    words = df.select(
-        F.col(id_col), F.explode(_norm_words(text_col)).alias("word")
-    ).filter(F.col("word") != "")
+    words = _parallelize_before_explode(
+        df.select(F.col(id_col), _norm_words(text_col).alias("_w"))
+    ).select(id_col, F.explode("_w").alias("word")).filter(F.col("word") != "")
     tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("_tf"))
     joined = tf.join(F.broadcast(lm), "word", "left").select(
         id_col,
