@@ -1388,6 +1388,63 @@ def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_unigram(docs, lm, "text", "doc_id")
 
 
+def _unigram_scored_ctes() -> str:
+    """Shared DuckDB replay of the unigram LM scoring pass (top-1000 vocab,
+    sorted-word fold): CTE chain ending in ``final`` with columns
+    (doc_id, n_words, xent_nats, ppl). Used by the unigram_lm_score and
+    ppl_buckets oracles."""
+    return f"""w AS (
+                SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+                FROM documents
+            ),
+            wf AS (SELECT doc_id, word FROM w WHERE word <> ''),
+            lm AS (
+                SELECT word, count(*) AS n FROM wf
+                GROUP BY 1 ORDER BY n DESC, word LIMIT 1000
+            ),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM lm),
+            tf AS (
+                SELECT doc_id, word, count(*) AS tf FROM wf GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT tf.doc_id, tf.word, tf.tf,
+                       CAST(coalesce(lm.n, 1) AS DOUBLE) AS c
+                FROM tf LEFT JOIN lm USING (word)
+            ),
+            arr AS (
+                SELECT j.doc_id,
+                       list(CAST(j.tf AS DOUBLE) * ln(j.c / tot.t)
+                            ORDER BY j.word) AS terms,
+                       sum(j.tf) AS L
+                FROM j, tot GROUP BY 1
+            ),
+            scored AS (
+                SELECT doc_id, L,
+                       -list_reduce(list_prepend(0.0, terms),
+                                    (acc, x) -> acc + x)
+                           / CAST(L AS DOUBLE) AS xent
+                FROM arr
+            ),
+            final AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(s.L, 0) AS BIGINT) AS n_words,
+                       round(coalesce(s.xent, 0.0), 6) AS xent_nats,
+                       round(exp(coalesce(s.xent, 0.0)), 6) AS ppl
+                FROM documents d LEFT JOIN scored s USING (doc_id)
+            )"""
+
+
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles over the corpus-estimated
+    unigram LM; exact percentile cuts (the 100 TB lane swaps in
+    percentile_approx)."""
+    from temporalscope_spark.operators.lm import ppl_buckets, unigram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = unigram_counts(docs, "text", vocab_size=1000).cache()
+    return ppl_buckets(docs, lm, "text", "doc_id")
+
+
 def q_stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid Backoff bigram scoring (Brants et al. 2007 — the original
     MapReduce-distributed LM): full unigram table + top-500 bigram table
@@ -1621,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "tokenizer_fertility": q_tokenizer_fertility,
         "unigram_lm_score": q_unigram_lm_score,
+        "ppl_buckets": q_ppl_buckets,
         "stupid_backoff_score": q_stupid_backoff_score,
         "dsir_select": q_dsir_select,
         "temperature_sample": q_temperature_sample,
@@ -2387,43 +2445,26 @@ def oracle_sql() -> dict[str, str]:
         # exactly); vocab truncated top-1000 by (n DESC, word) — a total
         # order, so both engines keep the identical vocabulary
         "unigram_lm_score": f"""
-            WITH w AS (
-                SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
-                FROM documents
-            ),
-            wf AS (SELECT doc_id, word FROM w WHERE word <> ''),
-            lm AS (
-                SELECT word, count(*) AS n FROM wf
-                GROUP BY 1 ORDER BY n DESC, word LIMIT 1000
-            ),
-            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM lm),
-            tf AS (
-                SELECT doc_id, word, count(*) AS tf FROM wf GROUP BY 1, 2
-            ),
-            j AS (
-                SELECT tf.doc_id, tf.word, tf.tf,
-                       CAST(coalesce(lm.n, 1) AS DOUBLE) AS c
-                FROM tf LEFT JOIN lm USING (word)
-            ),
-            arr AS (
-                SELECT j.doc_id,
-                       list(CAST(j.tf AS DOUBLE) * ln(j.c / tot.t)
-                            ORDER BY j.word) AS terms,
-                       sum(j.tf) AS L
-                FROM j, tot GROUP BY 1
-            ),
-            scored AS (
-                SELECT doc_id, L,
-                       -list_reduce(list_prepend(0.0, terms),
-                                    (acc, x) -> acc + x)
-                           / CAST(L AS DOUBLE) AS xent
-                FROM arr
+            WITH {_unigram_scored_ctes()}
+            SELECT doc_id, n_words, xent_nats, ppl FROM final
+        """,
+        # CCNet terciles on top of the same scored CTE chain: exact
+        # quantile_cont == Spark percentile (the token_quantiles type-7
+        # equivalence) over non-empty docs' ROUNDED ppl; empty docs get
+        # their own label instead of polluting the head
+        "ppl_buckets": f"""
+            WITH {_unigram_scored_ctes()},
+            cuts AS (
+                SELECT quantile_cont(ppl, 0.333333) AS c1,
+                       quantile_cont(ppl, 0.666667) AS c2
+                FROM final WHERE n_words > 0
             )
-            SELECT d.doc_id,
-                   CAST(coalesce(s.L, 0) AS BIGINT) AS n_words,
-                   round(coalesce(s.xent, 0.0), 6) AS xent_nats,
-                   round(exp(coalesce(s.xent, 0.0)), 6) AS ppl
-            FROM documents d LEFT JOIN scored s USING (doc_id)
+            SELECT final.doc_id, final.n_words, final.ppl,
+                   CASE WHEN final.n_words = 0 THEN 'empty'
+                        WHEN final.ppl <= cuts.c1 THEN 'head'
+                        WHEN final.ppl <= cuts.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM final, cuts
         """,
         # temperature-mixing replay: n^alpha normalizer as a source-sorted
         # left fold (matches the operator's driver-side fold sequence);

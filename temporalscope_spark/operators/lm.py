@@ -257,3 +257,51 @@ def score_unigram(
             F.round(F.exp(F.coalesce("_xent", F.lit(0.0))), 6).alias("ppl"),
         )
     )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cuts: tuple[float, float] = (0.333333, 0.666667),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: label every document ``head`` /
+    ``middle`` / ``tail`` by which side of the corpus perplexity quantile
+    cuts it falls on (CCNet keeps the head — the low-perplexity third —
+    as the highest-quality slice and typically drops the tail).
+
+    Cut points are EXACT ``percentile`` values of the rounded ppl over
+    non-empty documents (Spark ``percentile`` == DuckDB ``quantile_cont``,
+    the same type-7 equivalence token_quantiles relies on); the exact
+    quantile is the oracle lane — ``percentile_approx`` is the drop-in at
+    100 TB, one flag away like corpus_stats documents. Empty documents
+    carry no signal and are labeled ``empty`` rather than polluting the
+    head (their ppl is exp(0)=1, the corpus minimum).
+
+    Plan shape: one scoring pass (persisted — it feeds the quantile
+    aggregate AND the labeling projection), a 1-row cut-point aggregate
+    broadcast-crossed in, one narrow label map. Output:
+    (id, n_words, ppl, bucket).
+    """
+    if not (0.0 < cuts[0] < cuts[1] < 1.0):
+        raise DataFrameValidationError("cuts must satisfy 0 < c1 < c2 < 1")
+    from pyspark import StorageLevel
+
+    scored = score_unigram(df, lm, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    q = scored.filter(F.col("n_words") > 0).agg(
+        F.percentile("ppl", float(cuts[0])).alias("_c1"),
+        F.percentile("ppl", float(cuts[1])).alias("_c2"),
+    )
+    return scored.join(F.broadcast(q)).select(
+        id_col,
+        "n_words",
+        "ppl",
+        F.when(F.col("n_words") == 0, F.lit("empty"))
+        .when(F.col("ppl") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

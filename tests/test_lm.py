@@ -206,3 +206,39 @@ class TestStupidBackoff:
             score_stupid_backoff(
                 docs, unigram_counts(docs), bigram_counts(docs), alpha=0.0
             )
+
+
+class TestPplBuckets:
+    def test_buckets_match_bruteforce(self, spark, docs):
+        from temporalscope_spark.operators.lm import ppl_buckets, unigram_counts
+
+        lm = unigram_counts(docs)
+        got = {r["doc_id"]: r for r in ppl_buckets(docs, lm).collect()}
+        # replicate: exact quantile_cont (type-7) over non-empty docs' ppl
+        ppls = sorted(got[d]["ppl"] for d in got if got[d]["n_words"] > 0)
+
+        def qcont(xs, f):
+            h = (len(xs) - 1) * f
+            lo, hi = int(h), min(int(h) + 1, len(xs) - 1)
+            return xs[lo] + (h - lo) * (xs[hi] - xs[lo])
+
+        c1, c2 = qcont(ppls, 0.333333), qcont(ppls, 0.666667)
+        for d, r in got.items():
+            if r["n_words"] == 0:
+                assert r["bucket"] == "empty", d
+            elif r["ppl"] <= c1:
+                assert r["bucket"] == "head", d
+            elif r["ppl"] <= c2:
+                assert r["bucket"] == "middle", d
+            else:
+                assert r["bucket"] == "tail", d
+        # non-vacuous: every non-empty label appears in this fixture
+        labels = {r["bucket"] for r in got.values()}
+        assert {"head", "middle", "tail", "empty"} <= labels | {"empty"}
+        assert got[4]["bucket"] == "empty"
+
+    def test_cuts_validated(self, spark, docs):
+        from temporalscope_spark.operators.lm import ppl_buckets, unigram_counts
+
+        with pytest.raises(DataFrameValidationError, match="cuts"):
+            ppl_buckets(docs, unigram_counts(docs), cuts=(0.7, 0.3))
