@@ -1388,6 +1388,67 @@ def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_unigram(docs, lm, "text", "doc_id")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016): the first 8
+    merges from the corpus's character-level word vocabulary. Pure
+    int/string logic (weighted pair counts, total-order argmax, greedy
+    left-to-right rewrite via the islands+parity closed form) — the
+    oracle replays every round as unrolled CTE blocks."""
+    from temporalscope_spark.operators.bpe import learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, "text", num_merges=8)
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """One unrolled BPE round for the DuckDB oracle: pair counts over
+    v{r-1} → 1-row argmax b{r} → islands+parity merge rewrite → v{r}."""
+    p = f"""p{r} AS (
+                SELECT syms[CAST(i AS INT)] AS lhs,
+                       syms[CAST(i AS INT) + 1] AS rhs,
+                       sum(wc) AS freq
+                FROM v{r - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+                WHERE len(syms) >= 2 GROUP BY 1, 2
+            ),
+            b{r} AS (
+                SELECT lhs, rhs, freq FROM p{r}
+                ORDER BY freq DESC, lhs, rhs LIMIT 1
+            ),
+            s{r} AS (
+                SELECT v.word, v.wc, CAST(i AS INT) AS i,
+                       v.syms[CAST(i AS INT)] AS s,
+                       v.syms[CAST(i AS INT) + 1] AS nxt
+                FROM v{r - 1} v, UNNEST(generate_series(1, len(v.syms))) AS t(i)
+            ),
+            m{r} AS (
+                SELECT s.*, (s.s = b.lhs AND s.nxt = b.rhs) AS m
+                FROM s{r} s, b{r} b
+            ),
+            g{r} AS (
+                SELECT *, CASE WHEN m THEN
+                    i - row_number() OVER (PARTITION BY word, m ORDER BY i)
+                END AS grp FROM m{r}
+            ),
+            mm{r} AS (
+                SELECT *, m AND
+                    ((i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0)
+                    AS merged
+                FROM g{r}
+            ),
+            d{r} AS (
+                SELECT *,
+                    coalesce(lag(merged) OVER (PARTITION BY word ORDER BY i),
+                             false) AS drp,
+                    CASE WHEN merged THEN s || nxt ELSE s END AS ns
+                FROM mm{r}
+            ),
+            v{r} AS (
+                SELECT word, wc, list(ns ORDER BY i) AS syms
+                FROM d{r} WHERE NOT drp GROUP BY 1, 2
+            )"""
+    return p
+
+
 def _unigram_scored_ctes() -> str:
     """Shared DuckDB replay of the unigram LM scoring pass (top-1000 vocab,
     sorted-word fold): CTE chain ending in ``final`` with columns
@@ -1680,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_score": q_unigram_lm_score,
         "ppl_buckets": q_ppl_buckets,
         "stupid_backoff_score": q_stupid_backoff_score,
+        "bpe_merges": q_bpe_merges,
         "dsir_select": q_dsir_select,
         "temperature_sample": q_temperature_sample,
         "assign_shards": q_assign_shards,
@@ -2510,6 +2572,25 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY CAST(('0x' || substr(hx, 9, 8)) AS BIGINT), doc_id
                     ) AS INT) AS pos
             FROM h
+        """,
+        # BPE replay: 8 unrolled rounds, each pair-count -> argmax ->
+        # islands+parity merge rewrite — all integer/string logic, so
+        # equality is exact; early exhaustion yields empty b{r} rows in
+        # both engines
+        "bpe_merges": f"""
+            WITH v0 AS (
+                SELECT word, count(*) AS wc,
+                       list_transform(generate_series(1, length(word)),
+                                      i -> word[CAST(i AS INT)]) AS syms
+                FROM (
+                    SELECT unnest(string_split({_NORM}, ' ')) AS word
+                    FROM documents
+                ) WHERE word <> '' GROUP BY word
+            ),
+            {', '.join(_bpe_round_ctes(r) for r in range(1, 9))}
+            SELECT * FROM (
+                {' UNION ALL '.join(f"SELECT {r} AS rank, lhs, rhs, CAST(freq AS BIGINT) AS freq FROM b{r}" for r in range(1, 9))}
+            )
         """,
         # DSIR replay: md5-first-8-hex bucket map (the entity_split
         # portable hash), sorted-bucket fold with 0.0 prepended, rank on

@@ -1,0 +1,89 @@
+"""Distributed BPE merge learning (operators/bpe.py)."""
+
+from collections import Counter
+
+import pytest
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.bpe import learn_bpe_merges, word_vocab
+
+
+def _brute_bpe(texts, k):
+    """Reference BPE: dict-based Sennrich-style training with the same
+    tie-break (freq desc, then left, then right) and greedy left-to-right
+    merging."""
+    vocab = Counter()
+    for t in texts:
+        for w in " ".join(t.lower().split()).split(" "):
+            if w:
+                vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for r in range(k):
+        pairs = Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), f = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r + 1, a, b, f))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+class TestLearnBpeMerges:
+    def test_matches_reference_bpe(self, spark):
+        texts = [
+            "low lower lowest low low",
+            "newer newest new news",
+            "wider wide widest lower",
+            "low low lowest newer",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = [
+            (r["rank"], r["lhs"], r["rhs"], r["freq"])
+            for r in learn_bpe_merges(df, num_merges=6).orderBy("rank").collect()
+        ]
+        assert got == _brute_bpe(texts, 6)
+
+    def test_overlapping_same_symbol_runs(self, spark):
+        """'aaaa' with merge (a,a): greedy left-to-right gives (aa)(aa),
+        'aaa' gives (aa)a — the island-parity closed form must match."""
+        texts = ["aaaa aaa aa aaaa", "aaaa aa b"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = [
+            (r["rank"], r["lhs"], r["rhs"], r["freq"])
+            for r in learn_bpe_merges(df, num_merges=4).orderBy("rank").collect()
+        ]
+        assert got == _brute_bpe(texts, 4)
+
+    def test_stops_when_exhausted(self, spark):
+        df = spark.createDataFrame([(1, "ab ab"), (2, "cd")], ["doc_id", "text"])
+        out = learn_bpe_merges(df, num_merges=50).collect()
+        # after merging every word to a single symbol no pairs remain
+        assert 0 < len(out) < 50
+
+    def test_vocab_shape(self, spark):
+        df = spark.createDataFrame([(1, "Hi  hi HO"), (2, "")], ["doc_id", "text"])
+        got = {r["word"]: (r["wc"], r["syms"]) for r in word_vocab(df).collect()}
+        assert got == {"hi": (2, ["h", "i"]), "ho": (1, ["h", "o"])}
+
+    def test_num_merges_validated(self, spark):
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(DataFrameValidationError, match="num_merges"):
+            learn_bpe_merges(df, num_merges=0)
