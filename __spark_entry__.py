@@ -1388,6 +1388,23 @@ def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_unigram(docs, lm, "text", "doc_id")
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): IVF-cell-bounded near-identical pair
+    search + one survivor per duplicate group (lowest centroid cosine —
+    the diversity-keeping rule). md5-seeded quantizer, refine_iters=0, so
+    the oracle replays the full pipeline; components replay as a
+    recursive-CTE min-label closure (the pack_greedy precedent). Same
+    float-boundary fragility class as ivf_topk. t=0.4 drops 10 of 500
+    vecs at sf0.01 — non-vacuous."""
+    from temporalscope_spark.operators.similarity import ivf_centroids, semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(
+        emb, num_centroids=8, seed=42, refine_iters=0, seed_hash="md5"
+    )
+    return semdedup(emb, threshold=0.4, centroids=cents)
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (Sennrich et al. 2016): the first 8
     merges from the corpus's character-level word vocabulary. Pure
@@ -1742,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "stupid_backoff_score": q_stupid_backoff_score,
         "bpe_merges": q_bpe_merges,
+        "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "temperature_sample": q_temperature_sample,
         "assign_shards": q_assign_shards,
@@ -2572,6 +2590,74 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY CAST(('0x' || substr(hx, 9, 8)) AS BIGINT), doc_id
                     ) AS INT) AS pos
             FROM h
+        """,
+        # SemDeDup replay: the _ivf_sql quantizer CTEs (md5 seeds, argmax
+        # tie -> larger idx matching array_max struct order), cell-bounded
+        # pair self-join, recursive-CTE min-label closure for components,
+        # survivor = lowest (rounded centroid cosine, vec_id)
+        "semdedup": """
+            WITH RECURSIVE
+            vecs AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ),
+            seeds AS (
+                SELECT e AS c,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')
+                       ) - 1 AS idx
+                FROM vecs
+                ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')
+                LIMIT 8
+            ),
+            cents AS (
+                SELECT idx, c,
+                       CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN 1.0
+                            ELSE sqrt(list_dot_product(c, c)) END AS cn
+                FROM seeds
+            ),
+            assigned AS (
+                SELECT v.vec_id, v.e, ct.idx, ct.c, ct.cn,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(v.e, ct.c) / ct.cn DESC,
+                                    ct.idx DESC
+                       ) AS rnk
+                FROM vecs v CROSS JOIN cents ct
+            ),
+            cells AS (
+                SELECT vec_id, e, idx AS cell,
+                       round(list_dot_product(e, c)
+                             / (cn * sqrt(list_dot_product(e, e))), 4)
+                           AS cent_cosine
+                FROM assigned WHERE rnk = 1
+            ),
+            prs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM cells a JOIN cells b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM prs
+                UNION ALL SELECT id_b, id_a FROM prs
+            ),
+            reach(n, l) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n
+            ),
+            comp AS (SELECT n AS node, min(l) AS component FROM reach GROUP BY 1),
+            rk AS (
+                SELECT c.vec_id,
+                       row_number() OVER (
+                           PARTITION BY cp.component
+                           ORDER BY c.cent_cosine, c.vec_id
+                       ) AS rn
+                FROM cells c JOIN comp cp ON c.vec_id = cp.node
+            )
+            SELECT c.vec_id, CAST(c.cell AS INT) AS cell, c.cent_cosine,
+                   coalesce(rk.rn = 1, true) AS keep
+            FROM cells c LEFT JOIN rk ON c.vec_id = rk.vec_id
         """,
         # BPE replay: 8 unrolled rounds, each pair-count -> argmax ->
         # islands+parity merge rewrite — all integer/string logic, so

@@ -437,3 +437,92 @@ def ivf_topk(
     cells = with_ivf_cell(df, centroids, vec_col=vec_col, out_col="__cell")
     cand = cells.filter(F.col("__cell").isin(probes)).drop("__cell")
     return cosine_topk(cand, query_vec, vec_col, id_col, k)
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+    seed_hash: str = "xxhash64",
+    refine_iters: int = 0,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication of an embedded
+    corpus — cluster with the IVF coarse quantizer, find near-identical
+    pairs WITHIN each cluster only, and keep one representative per
+    duplicate group.
+
+    The clustering is what makes the method scale: the quadratic pair
+    search is bounded per cell (SemDeDup's own design), so the join is a
+    cell-keyed equi-join, never a global CartesianProduct; the exact GEMM
+    pair op remains the opt-in global lane. Keep rule (the paper's): the
+    member with the LOWEST cosine to its cluster centroid survives —
+    farthest from the centroid preserves the most diversity. The rule
+    ranks the ROUNDED centroid cosine (4 dp, the embedding_near_pairs
+    precision) with id tie-break, so the survivor choice is engine-stable.
+
+    Singletons (no near-identical neighbor) always keep. Same
+    float-boundary fragility class as ivf_topk (cell argmax / threshold
+    compare at the last ulp), documented there.
+
+    Output: (id, cell, cent_cosine, keep).
+    """
+    from pyspark import StorageLevel
+
+    from temporalscope_spark.exceptions import DataFrameValidationError
+    from temporalscope_spark.operators.dedup import connected_components
+
+    if not 0.0 < threshold <= 1.0:
+        raise DataFrameValidationError("threshold must be in (0, 1]")
+    cents = centroids or ivf_centroids(
+        df, vec_col, id_col, num_centroids, seed, refine_iters, seed_hash
+    )
+    a = with_ivf_cell(df, cents, vec_col=vec_col, out_col="cell")
+    cos_to = []
+    for c in cents:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        cos_to.append(_dot(F.col(vec_col), lit) / (F.lit(n) * _norm(F.col(vec_col))))
+    # assignment branches 4 ways (both pair sides, members, final) —
+    # persist the narrow (id, cell, cent_cosine, vec) table
+    a = a.select(
+        id_col,
+        "cell",
+        F.round(F.element_at(F.array(*cos_to), F.col("cell") + 1), 4).alias(
+            "cent_cosine"
+        ),
+        vec_col,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    left = a.select(F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("_va"))
+    right = a.select(F.col(id_col).alias("id_b"), "cell", F.col(vec_col).alias("_vb"))
+    pairs = (
+        left.join(right, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    members = a.join(comp, a[id_col] == comp["node"]).select(
+        id_col, "cent_cosine", "component"
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("component").orderBy(
+            F.col("cent_cosine").asc(), F.col(id_col).asc()
+        )
+    )
+    keepers = members.select(id_col, (rn == 1).alias("_kd"))
+    return (
+        a.select(id_col, "cell", "cent_cosine")
+        .join(keepers, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "cent_cosine",
+            F.coalesce("_kd", F.lit(True)).alias("keep"),
+        )
+    )
