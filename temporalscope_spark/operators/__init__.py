@@ -22,13 +22,24 @@ from temporalscope_spark.operators.cv import (
     purged_fold_summary,
     purged_time_series_splits,
 )
+from temporalscope_spark.operators.bpe import learn_bpe_merges, word_vocab
 from temporalscope_spark.operators.dedup import (
     dedup_exact,
+    dup_span_stats,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    remove_dup_spans,
     simhash,
     simhash_near_pairs,
+)
+from temporalscope_spark.operators.dsir import dsir_select, hashed_ngram_features
+from temporalscope_spark.operators.lm import (
+    bigram_counts,
+    ppl_buckets,
+    score_stupid_backoff,
+    score_unigram,
+    unigram_counts,
 )
 from temporalscope_spark.operators.packing import pack_concat_chunks, pack_greedy
 from temporalscope_spark.operators.padding import (
@@ -46,8 +57,10 @@ from temporalscope_spark.operators.rolling import (
     target_encode_expanding,
 )
 from temporalscope_spark.operators.sampling import (
+    assign_shards,
     deterministic_sample,
     stratified_sample,
+    temperature_sample,
     top_k_per_group,
 )
 from temporalscope_spark.operators.sessionize import (
@@ -68,6 +81,7 @@ from temporalscope_spark.operators.similarity import (
     cosine_topk,
     ivf_centroids,
     ivf_topk,
+    semdedup,
     with_ivf_cell,
     with_lsh_bucket,
 )
@@ -77,18 +91,24 @@ __all__ = [
     "contaminated_ids", "decontaminate", "token_ngrams",
     "entity_split", "fit_fold_bounds", "purged_fold_summary",
     "purged_time_series_splits",
-    "dedup_exact", "minhash_lsh_pairs", "minhash_signatures",
-    "ngram_jaccard_pairs", "simhash", "simhash_near_pairs",
+    "dedup_exact", "dup_span_stats", "minhash_lsh_pairs",
+    "minhash_signatures", "ngram_jaccard_pairs", "remove_dup_spans",
+    "simhash", "simhash_near_pairs",
+    "learn_bpe_merges", "word_vocab",
+    "dsir_select", "hashed_ngram_features",
+    "bigram_counts", "ppl_buckets", "score_stupid_backoff",
+    "score_unigram", "unigram_counts",
     "pack_concat_chunks", "pack_greedy",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",
     "SlidingWindowPartitioner",
     "interpolate_linear", "resample",
     "ewma", "expanding_features", "rolling_features", "rolling_row_features",
     "target_encode_expanding",
-    "deterministic_sample", "stratified_sample", "top_k_per_group",
+    "assign_shards", "deterministic_sample", "stratified_sample",
+    "temperature_sample", "top_k_per_group",
     "session_bounds", "sessionize", "sessionize_builtin",
     "TargetShifter", "lag_features", "multi_step_targets", "shift_target",
     "shift_target_chunked",
     "ann_topk", "cosine_self_join_pairs", "cosine_topk", "ivf_centroids",
-    "ivf_topk", "with_ivf_cell", "with_lsh_bucket",
+    "ivf_topk", "semdedup", "with_ivf_cell", "with_lsh_bucket",
 ]
