@@ -416,10 +416,13 @@ def main():
     if RUN_SCALING:
         _ensure_bucketed(spark)
         _ensure_documents(spark)
-    # warm the JVM/codegen, then best-of-3 (a single sample is 2-3x bursty
-    # right after the generation phase's GC/page-cache churn)
+    # warm the JVM/codegen, then best-of-5 (a single sample is 2-3x bursty
+    # right after the generation phase's GC/page-cache churn — and the
+    # bursts come in runs, so 3 samples have recorded 0.78-1.37s for the
+    # same code across clean r4 runs; each rep is ~1s, so 5 is cheap
+    # insurance on the round's headline number)
     feature_pass(spark, SEQ_PATH)
-    t_main = min(timed(feature_pass, spark, SEQ_PATH)[0] for _ in range(3))
+    t_main = min(timed(feature_pass, spark, SEQ_PATH)[0] for _ in range(5))
     thr_main = SEQ_ROWS / t_main
 
     qtimes = run_queries(spark)
