@@ -1388,6 +1388,16 @@ def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_unigram(docs, lm, "text", "doc_id")
 
 
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 8 learned BPE merges and measure corpus compression —
+    the train→apply→measure loop of a tokenizer-design pass. Oracle
+    aggregates the unrolled-round CTE chain's final vocab (v8)."""
+    from temporalscope_spark.operators.bpe import bpe_compression_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_compression_stats(docs, "text", num_merges=8)
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): IVF-cell-bounded near-identical pair
     search + one survivor per duplicate group (lowest centroid cosine —
@@ -1427,7 +1437,7 @@ def _bpe_round_ctes(r: int) -> str:
                 FROM v{r - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
                 WHERE len(syms) >= 2 GROUP BY 1, 2
             ),
-            b{r} AS (
+            b{r} AS MATERIALIZED (
                 SELECT lhs, rhs, freq FROM p{r}
                 ORDER BY freq DESC, lhs, rhs LIMIT 1
             ),
@@ -1459,9 +1469,14 @@ def _bpe_round_ctes(r: int) -> str:
                     CASE WHEN merged THEN s || nxt ELSE s END AS ns
                 FROM mm{r}
             ),
-            v{r} AS (
+            v{r} AS MATERIALIZED (
                 SELECT word, wc, list(ns ORDER BY i) AS syms
                 FROM d{r} WHERE NOT drp GROUP BY 1, 2
+                UNION ALL
+                -- early exhaustion: an empty argmax must PRESERVE the
+                -- vocab (matching the Spark loop's break), not empty it
+                SELECT word, wc, syms FROM v{r - 1}
+                WHERE NOT EXISTS (SELECT 1 FROM b{r})
             )"""
     return p
 
@@ -1759,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "stupid_backoff_score": q_stupid_backoff_score,
         "bpe_merges": q_bpe_merges,
+        "bpe_compression": q_bpe_compression,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "temperature_sample": q_temperature_sample,
@@ -2664,7 +2680,7 @@ def oracle_sql() -> dict[str, str]:
         # equality is exact; early exhaustion yields empty b{r} rows in
         # both engines
         "bpe_merges": f"""
-            WITH v0 AS (
+            WITH v0 AS MATERIALIZED (
                 SELECT word, count(*) AS wc,
                        list_transform(generate_series(1, length(word)),
                                       i -> word[CAST(i AS INT)]) AS syms
@@ -2677,6 +2693,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (
                 {' UNION ALL '.join(f"SELECT {r} AS rank, lhs, rhs, CAST(freq AS BIGINT) AS freq FROM b{r}" for r in range(1, 9))}
             )
+        """,
+        # same unrolled rounds; the final vocab v8 aggregates to the
+        # compression stats (the exhaustion fallback preserves the vocab,
+        # so the aggregate is never over an emptied table)
+        "bpe_compression": f"""
+            WITH v0 AS MATERIALIZED (
+                SELECT word, count(*) AS wc,
+                       list_transform(generate_series(1, length(word)),
+                                      i -> word[CAST(i AS INT)]) AS syms
+                FROM (
+                    SELECT unnest(string_split({_NORM}, ' ')) AS word
+                    FROM documents
+                ) WHERE word <> '' GROUP BY word
+            ),
+            {', '.join(_bpe_round_ctes(r) for r in range(1, 9))}
+            SELECT CAST(count(*) AS BIGINT) AS vocab_words,
+                   CAST(sum(wc * length(word)) AS BIGINT) AS tokens_before,
+                   CAST(sum(wc * len(syms)) AS BIGINT) AS tokens_after,
+                   round(CAST(sum(wc * length(word)) AS DOUBLE)
+                         / CAST(sum(wc * len(syms)) AS DOUBLE), 6)
+                       AS compression
+            FROM v8
         """,
         # DSIR replay: md5-first-8-hex bucket map (the entity_split
         # portable hash), sorted-bucket fold with 0.0 prepended, rank on

@@ -150,3 +150,44 @@ def learn_bpe_merges(
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, freq long"
     )
+
+
+def bpe_compression_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> DataFrame:
+    """Apply the learned merges and measure what they bought: corpus
+    token counts before (character symbols) and after ``num_merges`` BPE
+    rounds — the train→apply→measure loop a tokenizer-design pass runs.
+
+    Same driver loop as :func:`learn_bpe_merges` (the merge table and the
+    rewritten vocab fall out of the same rounds); the final aggregate is
+    one map-side-combinable pass over the bounded vocab table.
+
+    Output (1 row): (vocab_words, tokens_before, tokens_after,
+    compression) — compression = before/after, rounded to 6.
+    """
+    if num_merges <= 0:
+        raise DataFrameValidationError("num_merges must be > 0")
+    vocab = word_vocab(df, text_col).localCheckpoint()
+    for _ in range(num_merges):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.col("freq").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        vocab = _apply_merge(vocab, best[0]["lhs"], best[0]["rhs"]).localCheckpoint()
+    return vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_words"),
+        F.sum(F.col("wc") * F.length("word")).cast("long").alias("tokens_before"),
+        F.sum(F.col("wc") * F.size("syms")).cast("long").alias("tokens_after"),
+        F.round(
+            F.sum(F.col("wc") * F.length("word")).cast("double")
+            / F.sum(F.col("wc") * F.size("syms")).cast("double"),
+            6,
+        ).alias("compression"),
+    )

@@ -87,3 +87,39 @@ class TestLearnBpeMerges:
         df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
         with pytest.raises(DataFrameValidationError, match="num_merges"):
             learn_bpe_merges(df, num_merges=0)
+
+
+class TestBpeCompressionStats:
+    def test_matches_reference(self, spark):
+        texts = ["low lower lowest low low", "newer newest new news", "low low"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        k = 4
+        # reference: replay merges on the dict model and count symbols
+        from collections import Counter
+
+        vocab = Counter(w for t in texts for w in t.lower().split())
+        syms = {w: list(w) for w in vocab}
+        for _, a, b, _f in _brute_bpe(texts, k):
+            for w in syms:
+                s, out, i = syms[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        before = sum(c * len(w) for w, c in vocab.items())
+        after = sum(c * len(syms[w]) for w, c in vocab.items())
+
+        from temporalscope_spark.operators.bpe import bpe_compression_stats
+
+        row = bpe_compression_stats(df, num_merges=k).collect()[0]
+        assert row["vocab_words"] == len(vocab)
+        assert row["tokens_before"] == before
+        assert row["tokens_after"] == after
+        assert row["compression"] == round(before / after, 6)
+        assert row["compression"] > 1.0  # merges must actually compress
