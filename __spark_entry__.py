@@ -1571,6 +1571,23 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(docs, target, k=100, n_buckets=1024, smoothing=1.0)
 
 
+def q_dsir_select_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scale lane (exact=False): approxQuantile bounds a candidate
+    set whose exact count certifies it contains the true top-k, then the
+    quantile-bucket two-phase rank (plans/rownum.py) replaces the global
+    single-partition row_number window. The selection is provably
+    IDENTICAL to the exact lane, so this query shares dsir_select's
+    oracle — the strongest possible check that the scale path changes
+    the plan, not the answer."""
+    from temporalscope_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src1")
+    return dsir_select(
+        docs, target, k=100, n_buckets=1024, smoothing=1.0, exact=False
+    )
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mT5/XLM-R temperature mixing over the 20 document sources:
     rate_s ∝ n_s^alpha / n_s at alpha=0.3, capped at 1, md5-portable
@@ -1777,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_compression": q_bpe_compression,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
+        "dsir_select_approx": q_dsir_select_approx,
         "temperature_sample": q_temperature_sample,
         "assign_shards": q_assign_shards,
         "purged_cv": q_purged_cv,
@@ -3297,4 +3315,8 @@ def oracle_sql() -> dict[str, str]:
         FROM canon c
         WHERE c.doc_id NOT IN (SELECT doc_id FROM bad)
     """
+    # the DSIR scale lane is selection-identical to the exact lane by
+    # construction (candidate set provably contains the top-k, same total
+    # order) — sharing the oracle string IS the equivalence check
+    sql["dsir_select_approx"] = sql["dsir_select"]
     return sql

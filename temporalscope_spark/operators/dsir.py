@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from temporalscope_spark.core.caching import hold
 from temporalscope_spark.exceptions import DataFrameValidationError
 from temporalscope_spark.operators.corpus_stats import _norm_words
 from temporalscope_spark.operators.dedup import SPAN_SEP, _parallelize_before_explode
@@ -87,6 +88,8 @@ def dsir_select(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     smoothing: float = 1.0,
+    exact: bool = True,
+    relative_error: float = 0.005,
 ) -> DataFrame:
     """Score every raw doc by its DSIR log importance ratio and flag the
     top-``k``.
@@ -97,14 +100,32 @@ def dsir_select(
 
     Plan shape: two bounded bucket-count aggregations (B rows each — the
     λ table is ≤ n_buckets rows, always broadcastable) → broadcast join
-    onto the per-doc features → per-doc fold → one global rank to flag
-    the top-k. Zero-feature docs (empty text) carry no evidence: they
-    sort last and are never selected — otherwise their 0.0 score would
-    out-rank every real doc, since DSIR sums are typically negative.
-    The rank sorts (rounded score, doc id) — at 100 TB you
-    would replace the exact rank with an approx-quantile threshold on the
-    score (one extra aggregation) and keep everything else; the exact
-    rank is the oracle lane.
+    onto the per-doc features → per-doc fold → top-k flagging. Zero-
+    feature docs (empty text) carry no evidence: they sort last and are
+    never selected — otherwise their 0.0 score would out-rank every real
+    doc, since DSIR sums are typically negative. Selection sorts
+    (rounded score desc, doc id asc) in both lanes:
+
+    * ``exact=True`` (oracle lane): one global ``row_number`` rank — a
+      single-partition window, fine to ~10⁸ rows, NOT the 100 TB path.
+    * ``exact=False`` (scale lane): approx-quantile threshold first — an
+      ``approxQuantile`` probe (rel. error ``relative_error``) bounds a
+      candidate set of ~``k + 2·err·N`` rows, verified by an exact count
+      (``|{score ≥ t}| ≥ k  ⟺  t ≤ k-th score``, so candidates provably
+      contain the true top-k regardless of the sketch's error; the probe
+      widens and finally falls back to all positives if the count comes
+      up short). The exact rank then runs only on the candidates via the
+      quantile-bucket two-phase row numbering (``plans/rownum.py``) — no
+      single-partition window anywhere, and the SELECTION IS IDENTICAL
+      to the exact lane (same total order, candidate set ⊇ top-k), so
+      both lanes share one oracle and the output stays
+      partition-invariant.
+
+    Caching: the scale lane persists the scored table for its bounded
+    count/quantile probes; the returned plan also reads it (and the
+    per-doc feature table in both lanes) — release with
+    :func:`temporalscope_spark.core.caching.release` after the terminal
+    action.
 
     Output: (id, n_feats, logratio, selected).
     """
@@ -112,6 +133,8 @@ def dsir_select(
         raise DataFrameValidationError("k must be > 0")
     if smoothing <= 0.0:
         raise DataFrameValidationError("smoothing must be > 0")
+    if not (0.0 < relative_error < 0.5):
+        raise DataFrameValidationError("relative_error must be in (0, 0.5)")
     s = float(smoothing)
     b = float(n_buckets)
 
@@ -171,7 +194,7 @@ def dsir_select(
             ).alias("_lr"),
         )
     )
-    ranked = (
+    scored = (
         df.select(id_col)
         .join(per, id_col, "left")
         .select(
@@ -179,19 +202,64 @@ def dsir_select(
             F.coalesce("_n", F.lit(0)).cast("long").alias("n_feats"),
             F.coalesce("_lr", F.lit(0.0)).alias("logratio"),
         )
-        .withColumn(
-            "selected",
-            (F.col("n_feats") > 0)
-            & (
-                F.row_number().over(
-                    Window.orderBy(
-                        (F.col("n_feats") > 0).desc(),
-                        F.col("logratio").desc(),
-                        F.col(id_col),
-                    )
-                )
-                <= k
-            ),
-        )
     )
-    return ranked
+    if exact:
+        return hold(
+            scored.withColumn(
+                "selected",
+                (F.col("n_feats") > 0)
+                & (
+                    F.row_number().over(
+                        Window.orderBy(
+                            (F.col("n_feats") > 0).desc(),
+                            F.col("logratio").desc(),
+                            F.col(id_col),
+                        )
+                    )
+                    <= k
+                ),
+            ),
+            feats,
+        )
+
+    # ---- scale lane: threshold-bounded candidates + bucketed exact rank
+    from temporalscope_spark.plans.rownum import with_global_row_number
+
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    pos = scored.filter(F.col("n_feats") > 0)
+    n_pos = pos.count()
+    # scored is materialized; the feature table's blocks are no longer
+    # needed by any downstream plan node — release them here (ADVICE r4)
+    feats.unpersist()
+    if n_pos <= k:
+        return hold(
+            scored.withColumn("selected", F.col("n_feats") > 0), scored
+        )
+    err = float(relative_error)
+    cand = None
+    margin = err
+    for _ in range(4):
+        p = max(0.0, 1.0 - float(k) / float(n_pos) - margin)
+        t0 = pos.stat.approxQuantile("logratio", [p], err)[0]
+        c = pos.filter(F.col("logratio") >= F.lit(float(t0)))
+        # exact count check: |{score >= t0}| >= k  <=>  t0 <= k-th score,
+        # so a passing candidate set provably contains the true top-k
+        if c.count() >= k:
+            cand = c
+            break
+        margin *= 4.0
+    if cand is None:
+        cand = pos
+    ranked = with_global_row_number(
+        cand.withColumn("_negl", -F.col("logratio")),
+        ["_negl", id_col],
+        "_rn",
+    )
+    sel = ranked.filter(F.col("_rn") <= k).select(id_col, F.lit(True).alias("_sel"))
+    out = scored.join(sel, id_col, "left").select(
+        id_col,
+        "n_feats",
+        "logratio",
+        F.coalesce("_sel", F.lit(False)).alias("selected"),
+    )
+    return hold(out, scored)

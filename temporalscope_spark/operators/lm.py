@@ -101,10 +101,13 @@ def score_stupid_backoff(
     Position scores: the first word scores ``ln(c(w1)/T)``; position t>=2
     scores ``ln(c(w_{t-1} w_t) / c(w_{t-1}))`` when the bigram is in the
     supplied table, else backs off to ``ln(alpha · c(w_t)/T)``. Unseen
-    unigrams floor at count 1. ``xent = -(Σ scores)/L``; ``ppl =
-    exp(xent)``. (Backoff scores are not normalized probabilities —
-    that is Stupid Backoff's published trade: no discounting pass, so the
-    whole model is two count tables.)
+    unigrams floor at count 1; the seen-bigram denominator floors at the
+    bigram count (``c(w1 w2) ≤ c(w1)`` holds whenever the unigram table
+    covers the bigram table's left words — the floor keeps a truncated
+    unigram table from yielding positive "log-probabilities").
+    ``xent = -(Σ scores)/L``; ``ppl = exp(xent)``. (Backoff scores are
+    not normalized probabilities — that is Stupid Backoff's published
+    trade: no discounting pass, so the whole model is two count tables.)
 
     Plan shape: per-doc positional pairs with a ``''`` sentinel first-row
     (``''`` cannot survive word normalization, so it cannot collide with a
@@ -153,9 +156,15 @@ def score_stupid_backoff(
             F.when(F.col("w1") == "", F.log(F.coalesce("_c2", F.lit(1)).cast("double") / F.col("_T")))
             .when(
                 F.col("_n12").isNotNull(),
+                # denominator floored at the bigram count: c(w1 w2) <= c(w1)
+                # whenever the unigram table covers the bigram table's left
+                # words, but a truncated/mismatched unigram table must not
+                # produce ln(n12/1) > 0 "probabilities" (ppl < 1)
                 F.log(
                     F.col("_n12").cast("double")
-                    / F.coalesce("_c1", F.lit(1)).cast("double")
+                    / F.greatest(
+                        F.coalesce("_c1", F.lit(1)), F.col("_n12")
+                    ).cast("double")
                 ),
             )
             .otherwise(
@@ -265,37 +274,45 @@ def ppl_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     cuts: tuple[float, float] = (0.333333, 0.666667),
+    approx: bool = False,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing: label every document ``head`` /
     ``middle`` / ``tail`` by which side of the corpus perplexity quantile
     cuts it falls on (CCNet keeps the head — the low-perplexity third —
     as the highest-quality slice and typically drops the tail).
 
-    Cut points are EXACT ``percentile`` values of the rounded ppl over
-    non-empty documents (Spark ``percentile`` == DuckDB ``quantile_cont``,
-    the same type-7 equivalence token_quantiles relies on); the exact
-    quantile is the oracle lane — ``percentile_approx`` is the drop-in at
-    100 TB, one flag away like corpus_stats documents. Empty documents
-    carry no signal and are labeled ``empty`` rather than polluting the
-    head (their ppl is exp(0)=1, the corpus minimum).
+    ``approx=False`` (oracle lane): cut points are EXACT ``percentile``
+    values of the rounded ppl over non-empty documents (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, the same type-7
+    equivalence token_quantiles relies on) — the executor buffers the
+    value list, fine to ~10⁸ docs, NOT the 100 TB path.
+    ``approx=True`` (scale lane): ``percentile_approx`` — a streaming
+    constant-memory, map-side-combinable sketch whose rank error is
+    bounded by 1/accuracy (accuracy 10⁴ → ≤0.01% rank error), so labels
+    can differ from the exact lane only for documents within that sliver
+    of the cut points (tested by bound, not by oracle).
 
     Plan shape: one scoring pass (persisted — it feeds the quantile
-    aggregate AND the labeling projection), a 1-row cut-point aggregate
-    broadcast-crossed in, one narrow label map. Output:
-    (id, n_words, ppl, bucket).
+    aggregate AND the labeling projection; release the cache with
+    :func:`temporalscope_spark.core.caching.release` after the terminal
+    action), a 1-row cut-point aggregate broadcast-crossed in, one narrow
+    label map. Output: (id, n_words, ppl, bucket).
     """
     if not (0.0 < cuts[0] < cuts[1] < 1.0):
         raise DataFrameValidationError("cuts must satisfy 0 < c1 < c2 < 1")
     from pyspark import StorageLevel
 
+    from temporalscope_spark.core.caching import hold
+
     scored = score_unigram(df, lm, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    pfn = F.percentile_approx if approx else F.percentile
     q = scored.filter(F.col("n_words") > 0).agg(
-        F.percentile("ppl", float(cuts[0])).alias("_c1"),
-        F.percentile("ppl", float(cuts[1])).alias("_c2"),
+        pfn("ppl", F.lit(float(cuts[0]))).alias("_c1"),
+        pfn("ppl", F.lit(float(cuts[1]))).alias("_c2"),
     )
-    return scored.join(F.broadcast(q)).select(
+    out = scored.join(F.broadcast(q)).select(
         id_col,
         "n_words",
         "ppl",
@@ -305,3 +322,4 @@ def ppl_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+    return hold(out, scored)

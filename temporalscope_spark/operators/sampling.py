@@ -18,6 +18,51 @@ from pyspark.sql.window import Window
 from temporalscope_spark.exceptions import DataFrameValidationError
 
 
+# above this many strata the literal-map lookup gives way to a broadcast
+# join: a create_map with thousands of entries is one giant expression and
+# lands in the same JVM 64 KB-per-method codegen territory the chained-when
+# argmax hit in lang_id (operators/text.py) — the join plan compiles no
+# matter how many strata there are
+_MAP_LITERAL_MAX = 64
+
+
+def _with_rate(df: DataFrame, strata_col: str, rates: Mapping, default):
+    """Add a per-stratum double column ``_rate`` (``default`` — a float or
+    None — for strata absent from ``rates``).
+
+    Below ``_MAP_LITERAL_MAX`` strata: one literal ``create_map`` +
+    ``element_at`` lookup — each rate appears ONCE in the plan (never the
+    chained ``when`` tree whose duplicated branches blow the JVM's 64 KB
+    codegen method limit). Above it: a broadcast hash join against the
+    C-row rate table — still no shuffle of ``df``, and whole-stage codegen
+    compiles at any C.
+    """
+    dflt = F.lit(None).cast("double") if default is None else F.lit(float(default))
+    key = F.col(strata_col).cast("string")
+    if len(rates) == 0:
+        return df.withColumn("_rate", dflt)
+    if len(rates) <= _MAP_LITERAL_MAX:
+        m = F.create_map(
+            *[
+                F.lit(x)
+                for s, v in sorted(rates.items(), key=lambda kv: str(kv[0]))
+                for x in (str(s), float(v))
+            ]
+        )
+        return df.withColumn("_rate", F.coalesce(F.element_at(m, key), dflt))
+    spark = df.sparkSession
+    tbl = spark.createDataFrame(
+        [(str(s), float(v)) for s, v in rates.items()],
+        "_rate_key string, _rate_v double",
+    )
+    return (
+        df.withColumn("_rate_key", key)
+        .join(F.broadcast(tbl), "_rate_key", "left")
+        .withColumn("_rate", F.coalesce("_rate_v", dflt))
+        .drop("_rate_key", "_rate_v")
+    )
+
+
 def _uniform01(key_col: str, seed: int, portable: bool):
     """Deterministic U[0,1) from a row key. ``portable=True`` = md5 (bit-
     reproducible in any SQL engine); else xxhash64 (faster, JVM)."""
@@ -55,14 +100,17 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling (the corpus-mixing primitive:
     'keep 100% of books, 10% of web'). Unlisted strata get
-    ``default_fraction``. One narrow map — no shuffle, no RNG state."""
+    ``default_fraction``. One narrow map (literal-map lookup, or a
+    broadcast rate join above ``_MAP_LITERAL_MAX`` strata) — no shuffle
+    of the corpus, no RNG state."""
     for k, v in fractions.items():
         if not 0.0 <= float(v) <= 1.0:
             raise DataFrameValidationError(f"fraction for stratum '{k}' must be in [0, 1]")
-    frac = F.lit(float(default_fraction))
-    for k, v in sorted(fractions.items()):
-        frac = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(frac)
-    return df.filter(_uniform01(key_col, seed, portable) < frac)
+    return (
+        _with_rate(df, strata_col, fractions, default_fraction)
+        .filter(_uniform01(key_col, seed, portable) < F.col("_rate"))
+        .drop("_rate")
+    )
 
 
 def top_k_per_group(
@@ -159,8 +207,9 @@ def temperature_sample(
     ``Σ n_g^alpha`` normalizer folds over SOURCE-SORTED counts so the
     float is reproduced identically by any engine replaying the same
     sequence (N^alpha cancels in q_s, so only ``n^alpha`` terms appear);
-    the C rates then ship as plan literals — the corpus itself sees one
-    narrow filter+map, no shuffle, no join. Output: the kept rows'
+    the C rates then ship as a literal-map lookup (or a broadcast rate
+    join above ``_MAP_LITERAL_MAX`` sources) — the corpus itself sees one
+    narrow filter+map and never shuffles. Output: the kept rows'
     (key, stratum) plus the per-source ``keep_frac`` (rounded to 6).
     """
     if budget_rows <= 0:
@@ -181,11 +230,8 @@ def temperature_sample(
         )
         for r in counts
     }
-    rate_expr = F.lit(None).cast("double")
-    for s, v in rates.items():
-        rate_expr = F.when(F.col(strata_col) == s, F.lit(v)).otherwise(rate_expr)
     return (
-        df.select(key_col, strata_col, rate_expr.alias("_rate"))
+        _with_rate(df.select(key_col, strata_col), strata_col, rates, None)
         .filter(_uniform01(key_col, seed, portable) < F.col("_rate"))
         .select(key_col, strata_col, F.round("_rate", 6).alias("keep_frac"))
     )

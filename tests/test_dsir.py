@@ -129,3 +129,86 @@ class TestDsirSelect:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+def _corpus(spark, n=200):
+    """Deterministic 200-doc corpus with a quality gradient toward the
+    target topic plus planted exact-duplicate texts (score ties)."""
+    vocab_a = ["spark", "shuffle", "join", "broadcast", "partition", "plan"]
+    vocab_b = ["gato", "casa", "cocina", "perro", "calle", "plaza"]
+    rows = []
+    for i in range(n):
+        mix = i % 10  # 0..9: how target-like the doc is
+        words = [vocab_a[(i + j) % 6] for j in range(mix)] + [
+            vocab_b[(i * 3 + j) % 6] for j in range(10 - mix)
+        ]
+        if i % 17 == 0:  # planted duplicates -> identical scores, id tie-break
+            words = vocab_a[:4] + vocab_b[:2]
+        rows.append((i, " ".join(words)))
+    rows.append((n, ""))  # one empty doc
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestDsirApproxLane:
+    """exact=False: approx-quantile-bounded candidates + bucketed exact
+    rank must reproduce the exact lane's selection bit-for-bit."""
+
+    def _both(self, spark, k, **kw):
+        raw = _corpus(spark)
+        target = spark.createDataFrame(
+            [(901, "spark broadcast join partition shuffle plan")],
+            ["doc_id", "text"],
+        )
+        ex = dsir_select(raw, target, k=k, n_buckets=128, exact=True, **kw)
+        ap = dsir_select(raw, target, k=k, n_buckets=128, exact=False, **kw)
+        key = lambda r: r["doc_id"]  # noqa: E731
+        return sorted(ex.collect(), key=key), sorted(ap.collect(), key=key)
+
+    def test_equals_exact_lane(self, spark):
+        ex, ap = self._both(spark, k=25)
+        assert [tuple(r) for r in ex] == [tuple(r) for r in ap]
+        assert sum(r["selected"] for r in ap) == 25
+
+    def test_equals_exact_with_coarse_sketch(self, spark):
+        # a deliberately sloppy sketch only widens the candidate set; the
+        # exact count check + bucketed rank keep the selection identical
+        ex, ap = self._both(spark, k=7, relative_error=0.4)
+        assert [tuple(r) for r in ex] == [tuple(r) for r in ap]
+
+    def test_k_exceeds_positive_docs(self, spark):
+        ex, ap = self._both(spark, k=100_000)
+        assert [tuple(r) for r in ex] == [tuple(r) for r in ap]
+        # every non-empty doc selected, the empty doc never
+        assert all(r["selected"] == (r["n_feats"] > 0) for r in ap)
+
+    def test_partition_invariant(self, spark):
+        raw = _corpus(spark)
+        target = spark.createDataFrame(
+            [(901, "spark broadcast join partition shuffle plan")],
+            ["doc_id", "text"],
+        )
+        outs = []
+        for parts in (1, 7):
+            got = dsir_select(
+                raw.repartition(parts), target, k=25, n_buckets=128, exact=False
+            ).collect()
+            outs.append(sorted(tuple(r) for r in got))
+        assert outs[0] == outs[1]
+
+    def test_release_frees_cached_blocks(self, spark):
+        from temporalscope_spark.core.caching import release
+
+        raw = _corpus(spark)
+        target = spark.createDataFrame(
+            [(901, "spark broadcast join shuffle")], ["doc_id", "text"]
+        )
+        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        out = dsir_select(raw, target, k=10, n_buckets=64, exact=False)
+        out.count()
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > before
+        release(out)
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+    def test_relative_error_validated(self, spark, raw, target):
+        with pytest.raises(DataFrameValidationError, match="relative_error"):
+            dsir_select(raw, target, k=1, exact=False, relative_error=0.5)

@@ -242,3 +242,111 @@ class TestPplBuckets:
 
         with pytest.raises(DataFrameValidationError, match="cuts"):
             ppl_buckets(docs, unigram_counts(docs), cuts=(0.7, 0.3))
+
+
+class TestBackoffDenominatorFloor:
+    def test_truncated_unigram_table_never_yields_ppl_below_one(self, spark):
+        """A unigram table that does not cover the bigram table's left
+        words must not produce ln(n12/1) > 0 scores (ppl < 1)."""
+        from temporalscope_spark.operators.lm import (
+            bigram_counts,
+            score_stupid_backoff,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta alpha beta alpha beta"), (2, "gamma delta")],
+            ["doc_id", "text"],
+        )
+        # truncated unigram vocabulary: 'alpha' (the hot w1) is MISSING
+        uni = spark.createDataFrame(
+            [("gamma", 1), ("delta", 1)], ["word", "n"]
+        )
+        big = bigram_counts(df)
+        got = {
+            r["doc_id"]: r for r in score_stupid_backoff(df, uni, big).collect()
+        }
+        # seen bigram (alpha, beta) n12=3, c1 missing -> floor at n12:
+        # score ln(3/3)=0, never ln(3/1)>0
+        assert got[1]["ppl"] >= 1.0
+        assert got[2]["ppl"] >= 1.0
+
+    def test_floor_inactive_with_covering_table(self, spark, docs):
+        """With a full unigram table (c1 >= n12 always) the floor is a
+        no-op — scores identical to the pre-floor formula."""
+        from temporalscope_spark.operators.lm import (
+            bigram_counts,
+            score_stupid_backoff,
+            unigram_counts,
+        )
+
+        uni = unigram_counts(docs)
+        big = bigram_counts(docs)
+        got = {r["doc_id"]: r["xent_nats"]
+               for r in score_stupid_backoff(docs, uni, big).collect()}
+        # replicate doc 1's first-position + seen-bigram scores by hand
+        rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+        uni_c = Counter(w for t in rows.values() for w in _norm_words(t))
+        tot = sum(uni_c.values())
+        big_c = Counter()
+        for t in rows.values():
+            ws = _norm_words(t)
+            big_c.update(zip(ws, ws[1:]))
+        ws = _norm_words(rows[1])
+        s = math.log(uni_c[ws[0]] / tot)
+        for a, b in zip(ws, ws[1:]):
+            if (a, b) in big_c:
+                s += math.log(big_c[(a, b)] / uni_c[a])
+            else:
+                s += math.log(0.4 * uni_c[b] / tot)
+        assert got[1] == round(-s / len(ws), 6)
+
+
+class TestPplBucketsApprox:
+    def test_approx_labels_match_exact_within_rank_tolerance(self, spark):
+        """percentile_approx rank error <= 1/accuracy: labels may differ
+        from the exact lane only for docs whose ppl sits within that
+        sliver of a cut point."""
+        from temporalscope_spark.operators.lm import ppl_buckets, unigram_counts
+
+        rows = [
+            (i, " ".join(f"w{(i * 7 + j) % 50}" for j in range(12)))
+            for i in range(300)
+        ] + [(300, "")]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        lm = unigram_counts(docs)
+        exact = {r["doc_id"]: r for r in ppl_buckets(docs, lm).collect()}
+        approx = {
+            r["doc_id"]: r for r in ppl_buckets(docs, lm, approx=True).collect()
+        }
+        ppls = sorted(r["ppl"] for r in exact.values() if r["n_words"] > 0)
+        n = len(ppls)
+        # rank window around each exact cut that approx may legally cross
+        # (default accuracy 10000 -> rank error <= n/10000, i.e. <1 row
+        # here; allow 1 row of slack for boundary-value equality)
+        tol_ranks = max(1, n // 10000 + 1)
+        import bisect
+
+        mismatched = [
+            d for d in exact if exact[d]["bucket"] != approx[d]["bucket"]
+        ]
+        for d in mismatched:
+            r = bisect.bisect_left(ppls, exact[d]["ppl"])
+            near_cut = any(
+                abs(r - round(f * (n - 1))) <= tol_ranks
+                for f in (0.333333, 0.666667)
+            )
+            assert near_cut, (d, exact[d]["ppl"], exact[d]["bucket"],
+                              approx[d]["bucket"])
+        # and the lanes agree on the overwhelming majority
+        assert len(mismatched) <= tol_ranks * 2
+
+    def test_release_frees_scored_cache(self, spark, docs):
+        from temporalscope_spark.core.caching import release
+        from temporalscope_spark.operators.lm import ppl_buckets, unigram_counts
+
+        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        out = ppl_buckets(docs, unigram_counts(docs))
+        out.count()
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > before
+        release(out)
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before

@@ -156,3 +156,90 @@ class TestChunkDocuments:
             chunk_documents(df, chunk_chars=0)
         with pytest.raises(DataFrameValidationError, match="overlap"):
             chunk_documents(df, chunk_chars=10, overlap=10)
+
+
+class TestManyStrataCodegen:
+    """5,000 strata must compile under whole-stage codegen (the chained-
+    when rate tree was exactly the 64 KB-method class that silently
+    de-compiled lang_id): CODEGEN_ONLY + fallback=false turns a codegen
+    compile failure into a hard error instead of interpreted mode."""
+
+    def _codegen_only(self, spark):
+        return (
+            ("spark.sql.codegen.factoryMode", "CODEGEN_ONLY"),
+            ("spark.sql.codegen.fallback", "false"),
+        )
+
+    def _run_strict(self, spark, fn):
+        saved = {}
+        for k, v in self._codegen_only(spark):
+            saved[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        try:
+            return fn()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def test_stratified_5000_strata_compiles_and_is_exact(self, spark):
+        n_strata = 5000
+        df = spark.range(20000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % n_strata).cast("string")).alias(
+                "source"
+            ),
+        )
+        fractions = {f"s{i}": (1.0 if i % 2 == 0 else 0.0) for i in range(n_strata)}
+        out = stratified_sample(df, "source", fractions, key_col="doc_id")
+        rows = self._run_strict(spark, out.collect)
+        # rate 1.0 keeps everything in even strata; rate 0.0 drops odd ones
+        assert len(rows) == 10000
+        assert all(int(r["source"][1:]) % 2 == 0 for r in rows)
+        assert out.columns == df.columns  # helper columns dropped
+
+    def test_temperature_sample_500_sources_compiles(self, spark):
+        from temporalscope_spark.operators.sampling import temperature_sample
+
+        df = spark.range(5000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % 500).cast("string")).alias(
+                "source"
+            ),
+        )
+        rows = self._run_strict(
+            spark, temperature_sample(df, 2500, alpha=0.3).collect
+        )
+        assert 0 < len(rows) <= 5000
+        assert set(r["keep_frac"] for r in rows)  # rates materialized
+
+    def test_small_strata_stay_a_literal_map(self, spark):
+        """Below the threshold the plan is a single narrow projection —
+        no join node at all."""
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.element_at(
+                F.array(F.lit("web"), F.lit("books")),
+                (F.col("id") % 2 + 1).cast("int"),
+            ).alias("source"),
+        )
+        out = stratified_sample(
+            df, "source", {"web": 0.5, "books": 1.0}, key_col="doc_id"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+
+    def test_large_strata_use_broadcast_join(self, spark):
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 200).cast("string")).alias(
+                "source"
+            ),
+        )
+        out = stratified_sample(
+            df, "source", {f"s{i}": 0.5 for i in range(200)}, key_col="doc_id"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
