@@ -1427,6 +1427,23 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(docs, "text", num_merges=8)
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply loop closed: tokenize the documents table with the 8
+    learned merges (apply_bpe). The merge rounds run over the bounded
+    DISTINCT-WORD table only; the corpus sees one positional explode +
+    one mapping join + one ordered reassembly. Token arrays are
+    serialized with a space join for the value hash (the
+    multi_lead_tokens convention)."""
+    from temporalscope_spark.operators.bpe import apply_bpe, learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", num_merges=8)
+    out = apply_bpe(docs, merges, "text", "doc_id")
+    return out.select(
+        "doc_id", F.array_join("tokens", " ").alias("tokens_str"), "n_tok"
+    )
+
+
 def _bpe_round_ctes(r: int) -> str:
     """One unrolled BPE round for the DuckDB oracle: pair counts over
     v{r-1} → 1-row argmax b{r} → islands+parity merge rewrite → v{r}."""
@@ -1792,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff_score": q_stupid_backoff_score,
         "bpe_merges": q_bpe_merges,
         "bpe_compression": q_bpe_compression,
+        "bpe_tokenize": q_bpe_tokenize,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "dsir_select_approx": q_dsir_select_approx,
@@ -2733,6 +2751,43 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(wc * len(syms)) AS DOUBLE), 6)
                        AS compression
             FROM v8
+        """,
+        # apply lane: the same 8 unrolled rounds produce the final word->
+        # tokens mapping v8; documents then rejoin it positionally and
+        # flatten in word order (word-closed BPE: neighbors never matter)
+        "bpe_tokenize": f"""
+            WITH v0 AS MATERIALIZED (
+                SELECT word, count(*) AS wc,
+                       list_transform(generate_series(1, length(word)),
+                                      i -> word[CAST(i AS INT)]) AS syms
+                FROM (
+                    SELECT unnest(string_split({_NORM}, ' ')) AS word
+                    FROM documents
+                ) WHERE word <> '' GROUP BY word
+            ),
+            {', '.join(_bpe_round_ctes(r) for r in range(1, 9))},
+            dw AS (
+                SELECT doc_id,
+                       CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split({_NORM}, ' ') END AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, CAST(i AS INT) AS i, w[CAST(i AS INT)] AS word
+                FROM dw, UNNEST(generate_series(1, len(w))) AS t(i)
+                WHERE w[CAST(i AS INT)] <> ''
+            ),
+            per AS (
+                SELECT p.doc_id,
+                       flatten(list(v.syms ORDER BY p.i)) AS toks
+                FROM pos p JOIN v8 v USING (word) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   array_to_string(coalesce(per.toks,
+                                            CAST([] AS VARCHAR[])), ' ')
+                       AS tokens_str,
+                   CAST(coalesce(len(per.toks), 0) AS INT) AS n_tok
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         # DSIR replay: md5-first-8-hex bucket map (the entity_split
         # portable hash), sorted-bucket fold with 0.0 prepended, rank on

@@ -112,28 +112,16 @@ def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     return rebuilt
 
 
-def learn_bpe_merges(
-    df: DataFrame,
-    text_col: str = "text",
-    num_merges: int = 8,
-) -> DataFrame:
-    """Learn the first ``num_merges`` BPE merges from the corpus.
-
-    Driver loop of ``num_merges`` rounds (the IRLS precedent: a handful of
-    aggregation rounds, each a full distributed job): weighted pair count
-    → 1-row argmax collect (total order: freq DESC, lhs, rhs) → merge
-    rewrite → localCheckpoint (bounded vocab table; truncating lineage
-    each round keeps round R's plan O(1), not O(R)). Stops early when no
-    pair remains.
-
-    Output: (rank, lhs, rhs, freq) — all ints/strings, exact in any
-    engine (lhs/rhs rather than left/right so the SQL oracle needs no
-    keyword quoting).
-    """
-    if num_merges <= 0:
-        raise DataFrameValidationError("num_merges must be > 0")
-    spark = df.sparkSession
-    vocab = word_vocab(df, text_col).localCheckpoint()
+def _learn_rounds(
+    vocab: DataFrame, num_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The shared merge-round driver loop (the IRLS precedent: a handful
+    of aggregation rounds, each a full distributed job): weighted pair
+    count → 1-row argmax collect (total order: freq DESC, lhs, rhs) →
+    merge rewrite → localCheckpoint (bounded vocab table; truncating
+    lineage each round keeps round R's plan O(1), not O(R)). Stops early
+    when no pair remains. Returns (merge list, final rewritten vocab) —
+    train, apply-to-vocab, and measure all come out of ONE pass."""
     merges: list[tuple[int, str, str, int]] = []
     for r in range(num_merges):
         best = (
@@ -147,6 +135,38 @@ def learn_bpe_merges(
         a, b, freq = best[0]["lhs"], best[0]["rhs"], int(best[0]["freq"])
         merges.append((r + 1, a, b, freq))
         vocab = _apply_merge(vocab, a, b).localCheckpoint()
+    return merges, vocab
+
+
+def _ordered_merges(merges) -> list[tuple[str, str]]:
+    """(lhs, rhs) pairs in rank order from a merge table — a DataFrame
+    with (rank, lhs, rhs) columns or an already-ordered list of pairs.
+    Merge tables are vocabulary-sized (10⁴–10⁵ rows at production
+    tokenizer sizes), so the collect is bounded."""
+    if isinstance(merges, DataFrame):
+        return [
+            (r["lhs"], r["rhs"]) for r in merges.orderBy("rank").collect()
+        ]
+    return [(a, b) for a, b in merges]
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> DataFrame:
+    """Learn the first ``num_merges`` BPE merges from the corpus
+    (driver loop shared with :func:`bpe_compression_stats` and
+    :func:`apply_bpe` via ``_learn_rounds``).
+
+    Output: (rank, lhs, rhs, freq) — all ints/strings, exact in any
+    engine (lhs/rhs rather than left/right so the SQL oracle needs no
+    keyword quoting).
+    """
+    if num_merges <= 0:
+        raise DataFrameValidationError("num_merges must be > 0")
+    spark = df.sparkSession
+    merges, _ = _learn_rounds(word_vocab(df, text_col).localCheckpoint(), num_merges)
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, freq long"
     )
@@ -156,31 +176,30 @@ def bpe_compression_stats(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 8,
+    merges: DataFrame | list | None = None,
 ) -> DataFrame:
-    """Apply the learned merges and measure what they bought: corpus
-    token counts before (character symbols) and after ``num_merges`` BPE
-    rounds — the train→apply→measure loop a tokenizer-design pass runs.
+    """Apply BPE merges and measure what they bought: corpus token counts
+    before (character symbols) and after the merge rounds — the
+    train→apply→measure loop a tokenizer-design pass runs.
 
-    Same driver loop as :func:`learn_bpe_merges` (the merge table and the
-    rewritten vocab fall out of the same rounds); the final aggregate is
-    one map-side-combinable pass over the bounded vocab table.
+    With ``merges=None`` the merges are learned here (the shared
+    ``_learn_rounds`` loop). Passing a pre-learned merge table (the
+    output of :func:`learn_bpe_merges`) skips the per-round pair
+    counting and argmax entirely — a train+measure pipeline runs the
+    rounds ONCE, not twice. The final aggregate is one map-side-
+    combinable pass over the bounded vocab table.
 
     Output (1 row): (vocab_words, tokens_before, tokens_after,
     compression) — compression = before/after, rounded to 6.
     """
-    if num_merges <= 0:
-        raise DataFrameValidationError("num_merges must be > 0")
     vocab = word_vocab(df, text_col).localCheckpoint()
-    for _ in range(num_merges):
-        best = (
-            _pair_counts(vocab)
-            .orderBy(F.col("freq").desc(), "lhs", "rhs")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        vocab = _apply_merge(vocab, best[0]["lhs"], best[0]["rhs"]).localCheckpoint()
+    if merges is not None:
+        for a, b in _ordered_merges(merges):
+            vocab = _apply_merge(vocab, a, b).localCheckpoint()
+    else:
+        if num_merges <= 0:
+            raise DataFrameValidationError("num_merges must be > 0")
+        _, vocab = _learn_rounds(vocab, num_merges)
     return vocab.agg(
         F.count(F.lit(1)).cast("long").alias("vocab_words"),
         F.sum(F.col("wc") * F.length("word")).cast("long").alias("tokens_before"),
@@ -190,4 +209,72 @@ def bpe_compression_stats(
             / F.sum(F.col("wc") * F.size("syms")).cast("double"),
             6,
         ).alias("compression"),
+    )
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: DataFrame | list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize DOCUMENTS with a learned merge table — the apply side of
+    the BPE loop, closing the circle to the engine's canonical
+    pre-tokenized payload (``tokens`` arrays).
+
+    BPE tokenization is word-closed: a word's token sequence depends only
+    on the word, never on its neighbors. So the corpus never sees the
+    merge loop — the DISTINCT-WORD table does (bounded, vocabulary-
+    sized): each merge is one islands+parity rewrite over it, in rank
+    order, with localCheckpoint lineage truncation per round (the same
+    closed form as training, ``_apply_merge``). The corpus itself is
+    touched exactly twice: one positional word explode, one join against
+    the finished word→tokens mapping (vocabulary-sized — Catalyst
+    broadcasts it when it fits; at 10⁸+ distinct words it degrades to a
+    plain shuffle join on ``word``, never corpus × vocab), then a per-doc
+    ordered reassembly. No per-row Python anywhere; a production-size
+    merge table (~32k rounds) would swap the per-merge relational rewrite
+    for one vectorized pandas UDF pass over the SAME bounded distinct-word
+    table — the corpus-side plan (explode, join, reassemble) is already
+    the 100 TB shape.
+
+    Output: (id, tokens array<string>, n_tok int); docs whose text
+    normalizes to empty get an empty array and n_tok 0.
+    """
+    mlist = _ordered_merges(merges)
+    # word -> token-sequence mapping: merge rounds over distinct words only
+    vocab = word_vocab(df, text_col).localCheckpoint()
+    for a, b in mlist:
+        vocab = _apply_merge(vocab, a, b).localCheckpoint()
+    mapping = vocab.select("word", "syms")
+
+    pos = (
+        _parallelize_before_explode(
+            df.select(F.col(id_col), _norm_words(text_col).alias("_w"))
+        )
+        .select(F.col(id_col), F.posexplode("_w").alias("_i", "word"))
+        .filter(F.col("word") != "")
+    )
+    per = (
+        pos.join(mapping, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("tokens")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("tokens", F.array().cast("array<string>")).alias("tokens"),
+            F.size(F.coalesce("tokens", F.array().cast("array<string>")))
+            .cast("int")
+            .alias("n_tok"),
+        )
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from temporalscope_spark.exceptions import DataFrameValidationError
 from temporalscope_spark.operators.text import with_fingerprint
 
 
@@ -707,9 +708,9 @@ def dup_span_stats(
     int/int double, bit-identical in any engine.
     """
     if n < 1:
-        raise ValueError("n must be >= 1")
+        raise DataFrameValidationError("n must be >= 1")
     if min_total < 2:
-        raise ValueError("min_total must be >= 2 (1 would flag every gram)")
+        raise DataFrameValidationError("min_total must be >= 2 (1 would flag every gram)")
     base = _parallelize_before_explode(
         df.select(
             F.col(id_col),
@@ -743,7 +744,9 @@ def dup_span_stats(
     nd = g.join(dup, "_gh").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n_dup")
     )
-    return (
+    from temporalscope_spark.core.caching import hold
+
+    return hold(
         base.select(id_col, F.greatest(cnt, F.lit(0)).cast("long").alias("n_grams"))
         .join(nd, id_col, "left")
         .select(
@@ -756,7 +759,8 @@ def dup_span_stats(
                 / F.col("n_grams").cast("double")
             )
             .alias("dup_span_ratio"),
-        )
+        ),
+        g,
     )
 
 
@@ -792,9 +796,9 @@ def remove_dup_spans(
     Output: (id, cleaned_text, n_kept, n_removed).
     """
     if n < 1:
-        raise ValueError("n must be >= 1")
+        raise DataFrameValidationError("n must be >= 1")
     if min_total < 2:
-        raise ValueError("min_total must be >= 2 (1 would remove every gram)")
+        raise DataFrameValidationError("min_total must be >= 2 (1 would remove every gram)")
     norm = normalize_text(F.col(text_col))
     base = _parallelize_before_explode(
         df.select(
@@ -858,7 +862,9 @@ def remove_dup_spans(
         ).alias("cleaned_text"),
         F.count(F.lit(1)).alias("_k"),
     )
-    return (
+    from temporalscope_spark.core.caching import hold
+
+    return hold(
         base.select(id_col, F.size("_w").alias("_orig"))
         .join(reb, id_col, "left")
         .select(
@@ -868,7 +874,8 @@ def remove_dup_spans(
             (F.col("_orig") - F.coalesce("_k", F.lit(0)))
             .cast("long")
             .alias("n_removed"),
-        )
+        ),
+        g,
     )
 
 

@@ -516,7 +516,9 @@ def semdedup(
         )
     )
     keepers = members.select(id_col, (rn == 1).alias("_kd"))
-    return (
+    from temporalscope_spark.core.caching import hold
+
+    return hold(
         a.select(id_col, "cell", "cent_cosine")
         .join(keepers, id_col, "left")
         .select(
@@ -524,5 +526,6 @@ def semdedup(
             "cell",
             "cent_cosine",
             F.coalesce("_kd", F.lit(True)).alias("keep"),
-        )
+        ),
+        a,
     )

@@ -123,3 +123,87 @@ class TestBpeCompressionStats:
         assert row["tokens_after"] == after
         assert row["compression"] == round(before / after, 6)
         assert row["compression"] > 1.0  # merges must actually compress
+
+
+def _brute_apply(text, merge_pairs):
+    """Greedy left-to-right application of (a, b) merges in rank order to
+    each normalized word of one text."""
+    toks = []
+    for w in " ".join(text.lower().split()).split(" "):
+        if not w:
+            continue
+        s = list(w)
+        for a, b in merge_pairs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        toks.extend(s)
+    return toks
+
+
+class TestApplyBpe:
+    TEXTS = [
+        "low lower lowest low low",
+        "newer newest new news",
+        "wider wide widest lower",
+        "",
+        "  LOW   low ",
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], ["doc_id", "text"]
+        )
+
+    def test_matches_reference_apply(self, spark):
+        from temporalscope_spark.operators.bpe import apply_bpe
+
+        df = self._df(spark)
+        merges = learn_bpe_merges(df, num_merges=6)
+        pairs = [(a, b) for _, a, b, _ in _brute_bpe(self.TEXTS, 6)]
+        got = {
+            r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+            for r in apply_bpe(df, merges).collect()
+        }
+        for i, t in enumerate(self.TEXTS):
+            want = _brute_apply(t, pairs)
+            assert got[i] == (want, len(want)), i
+
+    def test_accepts_pair_list_and_empty_doc(self, spark):
+        from temporalscope_spark.operators.bpe import apply_bpe
+
+        df = self._df(spark)
+        got = {
+            r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+            for r in apply_bpe(df, [("l", "o"), ("lo", "w")]).collect()
+        }
+        assert got[3] == ([], 0)  # empty text -> empty array, not a drop
+        assert got[4] == (["low", "low"], 2)
+        assert got[0][0][:1] == ["low"]
+
+    def test_unmerged_words_stay_char_level(self, spark):
+        from temporalscope_spark.operators.bpe import apply_bpe
+
+        df = spark.createDataFrame([(1, "xyz ab")], ["doc_id", "text"])
+        got = apply_bpe(df, [("a", "b")]).collect()[0]
+        assert list(got["tokens"]) == ["x", "y", "z", "ab"]
+
+
+class TestCompressionSharedRounds:
+    def test_precomputed_merges_match_learned_path(self, spark):
+        from temporalscope_spark.operators.bpe import bpe_compression_stats
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(TestApplyBpe.TEXTS)],
+            ["doc_id", "text"],
+        )
+        merges = learn_bpe_merges(df, num_merges=5)
+        learned = bpe_compression_stats(df, num_merges=5).collect()[0]
+        shared = bpe_compression_stats(df, merges=merges).collect()[0]
+        assert tuple(learned) == tuple(shared)

@@ -4,6 +4,8 @@ import math
 
 import pytest
 
+from temporalscope_spark.exceptions import DataFrameValidationError
+
 from pyspark.sql import functions as F
 
 from temporalscope_spark.operators.dedup import (
@@ -627,9 +629,9 @@ class TestDupSpanStats:
     def test_param_validation(self, spark, docs):
         from temporalscope_spark.operators.dedup import dup_span_stats
 
-        with pytest.raises(ValueError, match="min_total"):
+        with pytest.raises(DataFrameValidationError, match="min_total"):
             dup_span_stats(docs, min_total=1)
-        with pytest.raises(ValueError, match="n must"):
+        with pytest.raises(DataFrameValidationError, match="n must"):
             dup_span_stats(docs, n=0)
 
 
@@ -736,7 +738,7 @@ class TestRemoveDupSpans:
     def test_param_validation(self, spark, docs):
         from temporalscope_spark.operators.dedup import remove_dup_spans
 
-        with pytest.raises(ValueError, match="min_total"):
+        with pytest.raises(DataFrameValidationError, match="min_total"):
             remove_dup_spans(docs, min_total=1)
-        with pytest.raises(ValueError, match="n must"):
+        with pytest.raises(DataFrameValidationError, match="n must"):
             remove_dup_spans(docs, n=0)
