@@ -1351,6 +1351,37 @@ def q_bm25_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted postings lifecycle: build the index over 90% of documents
+    (doc_id % 10 != 0), append the remaining 10% as an incremental batch
+    (batch-sized work — the corpus-resident postings never move), then
+    run the SAME three heavy-hitter queries as bm25_multi_topk over the
+    folded read view. Sharing bm25_multi_topk's oracle IS the equivalence
+    check: v0+increment must score bit-identically to a one-shot build."""
+    import tempfile
+
+    from temporalscope_spark.operators.corpus_stats import heavy_hitters
+    from temporalscope_spark.operators.retrieval import (
+        PostingsIndex,
+        bm25_topk_multi,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hh = heavy_hitters(docs, "text", k=6).collect()
+    words = [r["word"] for r in sorted(hh, key=lambda r: (-r["n"], r["word"]))]
+    queries = spark.createDataFrame(
+        [(i // 2, w) for i, w in enumerate(words)], "query_id int, word string"
+    )
+    idx = PostingsIndex.create(
+        tempfile.mkdtemp(prefix="bm25idx_"), docs.filter(F.col("doc_id") % 10 != 0)
+    )
+    idx.append_batch(docs.filter(F.col("doc_id") % 10 == 0), batch_id=1)
+    postings, stats, termdf = idx.read(spark)
+    return bm25_topk_multi(postings, stats, termdf, queries, k=10).select(
+        "query_id", "doc_id", "score"
+    )
+
+
 def q_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist scrubbing: whole-word case-insensitive redaction of the
     corpus's own top-3 heavy-hitter words (self-contained, non-vacuous —
@@ -1801,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": q_skew_profile,
         "bm25_topk": q_bm25_topk,
         "bm25_multi_topk": q_bm25_multi_topk,
+        "bm25_incremental": q_bm25_incremental,
         "token_quantiles": q_token_quantiles,
         "length_histogram": q_length_histogram,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -3374,4 +3406,7 @@ def oracle_sql() -> dict[str, str]:
     # construction (candidate set provably contains the top-k, same total
     # order) — sharing the oracle string IS the equivalence check
     sql["dsir_select_approx"] = sql["dsir_select"]
+    # the incremental postings build is score-identical to the one-shot
+    # build by the add-only df-partials contract — shared oracle = check
+    sql["bm25_incremental"] = sql["bm25_multi_topk"]
     return sql

@@ -314,6 +314,47 @@ def _ensure_bm25_postings(spark) -> str:
     return path
 
 
+def _ensure_postings_index(spark, n_docs: int) -> str:
+    """PostingsIndex artifact over the first n_docs (amortized, built once
+    per size) — the base the incremental-append legs copy from."""
+    from pyspark.sql import functions as F
+
+    from temporalscope_spark.operators.retrieval import PostingsIndex
+
+    path = os.path.join(CACHE, f"bm25_pidx_{n_docs}")
+    if not os.path.exists(os.path.join(path, "stats")):
+        docs = spark.read.parquet(DOCS_PATH).filter(F.col("doc_id") < n_docs)
+        PostingsIndex.create(path, docs)
+    return path
+
+
+def _postings_append_pass(spark, base_path: str, batch_lo: int, batch_hi: int):
+    """Time ONE batch append against a corpus-resident postings index:
+    copy the (metadata + parquet) artifact, append [batch_lo, batch_hi),
+    and fold the read view once. The copy is outside the timed region."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from temporalscope_spark.operators.retrieval import PostingsIndex
+
+    tmp = tempfile.mkdtemp(prefix="pidx_append_")
+    shutil.rmtree(tmp)
+    shutil.copytree(base_path, tmp)
+    batch = spark.read.parquet(DOCS_PATH).filter(
+        (F.col("doc_id") >= batch_lo) & (F.col("doc_id") < batch_hi)
+    )
+    t0 = time.time()
+    idx = PostingsIndex(tmp)
+    idx.append_batch(batch, batch_id=99)
+    postings, stats, termdf = idx.read(spark)
+    stats.collect()
+    termdf.write.format("noop").mode("overwrite").save()
+    sec = time.time() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+    return sec
+
+
 def _bm25_query_words(spark) -> list[str]:
     from temporalscope_spark.operators.corpus_stats import heavy_hitters
 
@@ -550,6 +591,24 @@ def main():
             s_incr, lambda s: _bm25_multi_pass(s, bm25_idx, bm25_words),
             max_reps=3, min_reps=2,
         )
+        # incremental append: the same 10k-doc batch against a 1x and a 2x
+        # corpus-resident index — flat cost = batch-sized, not corpus-sized
+        # (the dedup-index marginal-cost argument applied to retrieval)
+        append_batch_docs = BM25_DOCS // 10
+        pidx1 = _ensure_postings_index(s_incr, BM25_DOCS)
+        pidx2 = _ensure_postings_index(s_incr, 2 * BM25_DOCS)
+        app1 = min(
+            _postings_append_pass(
+                s_incr, pidx1, 3 * BM25_DOCS, 3 * BM25_DOCS + append_batch_docs
+            )
+            for _ in range(2)
+        )
+        app2 = min(
+            _postings_append_pass(
+                s_incr, pidx2, 3 * BM25_DOCS, 3 * BM25_DOCS + append_batch_docs
+            )
+            for _ in range(2)
+        )
         bm25_bench = {
             "corpus_docs": BM25_DOCS,
             "n_queries": BM25_QUERIES,
@@ -558,6 +617,10 @@ def main():
             "per_query_single_sec": round(single8 / BM25_QUERIES, 3),
             "per_query_multi_sec": round(multi8 / BM25_QUERIES, 3),
             "speedup": round(single8 / multi8, 2),
+            "append_batch_docs": append_batch_docs,
+            "append_sec_1x_corpus": round(app1, 3),
+            "append_sec_2x_corpus": round(app2, 3),
+            "append_corpus_doubling_cost": round(app2 / app1, 2),
         }
 
         incremental_dedup_bench = {

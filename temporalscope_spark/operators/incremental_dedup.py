@@ -632,13 +632,28 @@ class DedupIndex:
         comp = self.rows.read(spark).select(
             F.col("_id").alias(p["id_col"]), "component"
         ).distinct()
+        return self._apply_relabels(spark, comp)
+
+    def band_index(self, spark: SparkSession) -> DataFrame:
+        """(_band, _bh, _id, component) — the LSH band rows with the
+        relabel log folded in, i.e. the labels full-corpus clustering
+        would assign TODAY. This is the read surface a streaming matcher
+        (``streaming.sessions.stream_near_dup``) must join against:
+        stored rows are append-only and keep their at-write labels, so a
+        matcher reading ``self.rows`` raw would emit PRE-merge components
+        for any cluster a later batch bridged."""
+        raw = self.rows.read(spark).select("_band", "_bh", "_id", "component")
+        return self._apply_relabels(spark, raw)
+
+    def _apply_relabels(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        """Fold the (tiny, driver-resolved) relabel log into ``df``'s
+        ``component`` column via a broadcast map join."""
         mapping = self._relabel_map(spark)
         if not mapping:
-            return comp
-        mdf = spark.createDataFrame(
-            list(mapping.items()), ["component", "_new"]
-        )
-        return comp.join(F.broadcast(mdf), "component", "left").select(
-            p["id_col"],
+            return df
+        mdf = spark.createDataFrame(list(mapping.items()), ["component", "_new"])
+        others = [c for c in df.columns if c != "component"]
+        return df.join(F.broadcast(mdf), "component", "left").select(
+            *others,
             F.coalesce(F.col("_new"), F.col("component")).alias("component"),
         )

@@ -208,3 +208,109 @@ def bm25_topk_multi(
             "score",
         )
     )
+
+
+# ----------------------------------------------- persisted postings index
+class PostingsIndex:
+    """Persisted BM25 postings artifact with incremental append — the
+    dedup-index lifecycle applied to retrieval (VERDICT r4 #7).
+
+    Three append-only SnapshotTables under ``path``:
+
+      * ``postings/`` (word, id, tf, dl) — one commit per ingested batch;
+      * ``termdf/``   (word, df)         — PER-BATCH partial document
+        frequencies; the read-time view aggregates them (vocabulary-sized
+        rows per batch — never a postings rescan);
+      * ``stats/``    (n_docs, sum_dl)   — one partial row per batch.
+
+    Appending a batch is batch-sized work: one :func:`build_postings`
+    pass over the NEW docs only; the corpus-resident postings never move
+    or re-shuffle. Batches must contain only NEW doc ids (retrieval
+    corpora are add-only here; updates/deletes are a compaction concern,
+    as in the reference Iceberg model) — under that contract per-batch
+    df partials sum to exactly the full-corpus df, so an index built
+    v0+increments scores bit-identically to one built in one shot
+    (pinned by tests and the ``bm25_incremental`` driver oracle).
+
+    Commits are tagged with ``batch_id`` meta when supplied, making
+    replayed appends idempotent (the ``DedupIndex`` contract): commit
+    order is postings → termdf → stats, each skipped if its table
+    already carries the batch tag.
+    """
+
+    _BKEY = "postings_batch_id"
+
+    def __init__(self, path: str):
+        import os
+
+        from temporalscope_spark.datasets.snapshots import SnapshotTable
+
+        self.path = path
+        self.postings = SnapshotTable(os.path.join(path, "postings"))
+        self.termdf = SnapshotTable(os.path.join(path, "termdf"))
+        self.stats = SnapshotTable(os.path.join(path, "stats"))
+
+    @classmethod
+    def create(
+        cls,
+        path: str,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "PostingsIndex":
+        idx = cls(path)
+        if idx.postings.current_version() is not None:
+            raise DataFrameValidationError(
+                f"postings index already exists at {path}"
+            )
+        idx.append_batch(docs, text_col=text_col, id_col=id_col, batch_id=None)
+        return idx
+
+    def append_batch(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        batch_id=None,
+    ) -> None:
+        """Ingest one batch of NEW docs: batch-sized postings build, three
+        appends. With ``batch_id`` set, a replayed call completes partial
+        progress instead of double-committing."""
+        meta = {self._BKEY: batch_id} if batch_id is not None else None
+        if (
+            batch_id is not None
+            and self.stats.version_with_meta(self._BKEY, batch_id) is not None
+        ):
+            return  # fully committed (stats is the LAST commit in order)
+        postings, stats, termdf = build_postings(docs, text_col, id_col)
+        partial = stats.select(
+            F.col("n_docs").cast("long"),
+            (F.col("n_docs") * F.coalesce(F.col("avgdl"), F.lit(0.0))).alias(
+                "sum_dl"
+            ),
+        )
+        if not (
+            batch_id is not None
+            and self.postings.version_with_meta(self._BKEY, batch_id) is not None
+        ):
+            self.postings.write(postings, mode="append", meta=meta)
+        if not (
+            batch_id is not None
+            and self.termdf.version_with_meta(self._BKEY, batch_id) is not None
+        ):
+            self.termdf.write(termdf, mode="append", meta=meta)
+        self.stats.write(partial, mode="append", meta=meta)
+
+    def read(self, spark) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(postings, stats, termdf) exactly as :func:`bm25_topk_multi`
+        consumes them — partials folded: df summed per word, avgdl =
+        Σ sum_dl / Σ n_docs."""
+        postings = self.postings.read(spark)
+        termdf = self.termdf.read(spark).groupBy("word").agg(
+            F.sum("df").alias("df")
+        )
+        stats = self.stats.read(spark).agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            (F.sum("sum_dl") / F.sum("n_docs").cast("double")).alias("avgdl"),
+        )
+        return postings, stats, termdf

@@ -388,3 +388,54 @@ def stream_near_dup(
         if hasattr(verified, "dropDuplicatesWithinWatermark"):
             return verified.dropDuplicatesWithinWatermark([id_col, "matched_id"])
     return verified
+
+
+def stream_near_dup_indexed(
+    stream: DataFrame,
+    index,
+    corpus_table,
+    time_col: str | None = None,
+    watermark: str = "1 hour",
+):
+    """Streaming near-dup matching against a live ``DedupIndex`` — the
+    read half of the incremental-dedup lifecycle, unified with the write
+    half (``DedupIndex.stream_sink``).
+
+    :func:`stream_near_dup` takes a static band-row DataFrame and emits
+    whatever ``component`` those rows carry; index rows are append-only
+    and keep their at-write labels, so matching against the raw ``rows``
+    table emits PRE-merge components for any cluster a later batch
+    bridged. This wrapper instead reads
+
+      * the band rows through :meth:`DedupIndex.band_index` (relabel log
+        folded in — labels identical to ``components()``/full-corpus
+        clustering), and
+      * the hashing configuration from the index's params manifest — the
+        matcher physically cannot drift from the parameters the index
+        was built with (mismatched shingle/band params silently never
+        match; the manifest makes that impossible, same as the sink),
+      * the corpus text from the same SnapshotTable the sink appends to.
+
+    The static sides are resolved ONCE at plan-build time: Structured
+    Streaming re-executes the stream-static join per micro-batch against
+    that snapshot. A long-running deployment restarts the query after
+    sink commits (or periodically) to pick up new index versions — the
+    same refresh contract as any stream-static join over a snapshot
+    store.
+    """
+    p = index.params()
+    spark = stream.sparkSession
+    return stream_near_dup(
+        stream,
+        index.band_index(spark),
+        corpus_table.read(spark).select(p["id_col"], p["text_col"]),
+        text_col=p["text_col"],
+        id_col=p["id_col"],
+        time_col=time_col,
+        watermark=watermark,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        shingle_n=p["shingle_n"],
+        threshold=p["threshold"],
+        hash_fn=p["hash_fn"],
+    )

@@ -182,3 +182,74 @@ class TestPostingsMulti:
         queries = spark.createDataFrame([(0, "cat")], "query_id int, word string")
         with pytest.raises(DataFrameValidationError):
             bm25_topk_multi(postings, stats, termdf, queries, k=0)
+
+
+class TestPostingsIndex:
+    """Persisted postings artifact: v0 + incremental appends must score
+    bit-identically to a one-shot full-corpus build."""
+
+    def _full_and_incremental(self, spark, corpus, tmp_path):
+        from temporalscope_spark.operators.retrieval import PostingsIndex
+
+        corpus, _ = corpus
+        v0 = corpus.filter("doc_id % 2 = 1")
+        inc1 = corpus.filter("doc_id % 2 = 0 and doc_id <= 4")
+        inc2 = corpus.filter("doc_id % 2 = 0 and doc_id > 4")
+        idx = PostingsIndex.create(str(tmp_path / "pidx"), v0)
+        idx.append_batch(inc1, batch_id=1)
+        idx.append_batch(inc2, batch_id=2)
+        return idx
+
+    def test_incremental_equals_one_shot_build(self, spark, corpus, tmp_path):
+        from temporalscope_spark.operators.retrieval import (
+            PostingsIndex,
+            bm25_topk_multi,
+            build_postings,
+        )
+
+        idx = self._full_and_incremental(spark, corpus, tmp_path)
+        got_p, got_s, got_t = idx.read(spark)
+        want_p, want_s, want_t = build_postings(corpus[0])
+
+        key = lambda r: (r["word"], r["id"])  # noqa: E731
+        assert sorted(map(tuple, got_p.collect()), key=str) == sorted(
+            map(tuple, want_p.collect()), key=str
+        )
+        assert sorted(map(tuple, got_t.collect())) == sorted(
+            map(tuple, want_t.collect())
+        )
+        gs, ws = got_s.first(), want_s.first()
+        assert gs["n_docs"] == ws["n_docs"]
+        assert abs(gs["avgdl"] - ws["avgdl"]) < 1e-9
+
+        queries = spark.createDataFrame(
+            [(0, "cat"), (0, "dog"), (1, "spark")], "query_id int, word string"
+        )
+        got = bm25_topk_multi(got_p, got_s, got_t, queries, k=5).collect()
+        want = bm25_topk_multi(want_p, want_s, want_t, queries, k=5).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def test_replayed_batch_is_noop(self, spark, corpus, tmp_path):
+        from temporalscope_spark.operators.retrieval import PostingsIndex
+
+        idx = self._full_and_incremental(spark, corpus, tmp_path)
+        corpus, _ = corpus
+        before = (
+            idx.postings.current_version(),
+            idx.termdf.current_version(),
+            idx.stats.current_version(),
+        )
+        idx.append_batch(corpus.filter("doc_id % 2 = 0 and doc_id <= 4"),
+                         batch_id=1)  # replay
+        assert (
+            idx.postings.current_version(),
+            idx.termdf.current_version(),
+            idx.stats.current_version(),
+        ) == before
+
+    def test_create_refuses_existing(self, spark, corpus, tmp_path):
+        from temporalscope_spark.operators.retrieval import PostingsIndex
+
+        PostingsIndex.create(str(tmp_path / "dup"), corpus[0])
+        with pytest.raises(DataFrameValidationError, match="already exists"):
+            PostingsIndex.create(str(tmp_path / "dup"), corpus[0])

@@ -153,3 +153,67 @@ def test_replay_completes_a_partially_failed_batch(spark, tmp_path, seeded):
         if s.get("meta", {}).get("stream_batch_id") == 3
     ]
     assert len(relabel_commits) == 1
+
+
+def test_matcher_reads_post_merge_labels(spark, tmp_path, seeded):
+    """Lifecycle unification (read half): after the stream sink lands the
+    bridge batch (doc 101 merges v0 clusters {1,2} and {10,11}), a NEW
+    arrival near-duplicating BASE_B must be matched via band rows that
+    were WRITTEN with the pre-merge label 10 — and still come back with
+    the post-merge component (1), because stream_near_dup_indexed folds
+    the relabel log into the band index. Matching the raw rows table
+    instead would emit the stale label (asserted as the negative
+    control)."""
+    from tests.test_incremental_dedup import BASE_B
+    from temporalscope_spark.streaming.sessions import (
+        replay_static_as_stream,
+        stream_near_dup,
+        stream_near_dup_indexed,
+    )
+
+    corpus, idx = seeded
+    batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+    idx.ingest_stream_batch(spark, batch, 0, corpus)
+    final = _components(spark, idx)
+    assert final == _full_labels(spark)
+    # the merge actually happened: B-cluster docs now share A's label
+    assert final[10] == final[1]
+    assert idx.relabels.current_version() is not None
+
+    arrivals = [(500, BASE_B + " freshly arriving copy")]
+    src = str(tmp_path / "probe")
+    arr_df = spark.createDataFrame(arrivals, "doc_id long, text string")
+    arr_df.write.parquet(src)
+
+    got = replay_static_as_stream(
+        spark,
+        src,
+        arr_df.schema,
+        lambda s: stream_near_dup_indexed(s, idx, corpus),
+        "near_dup_indexed_out",
+        output_mode="append",
+    ).toPandas()
+    assert len(got) > 0  # the planted near-dup fires
+    # matches the B cluster and the bridge doc that carries B's text
+    assert set(got["matched_id"]) <= {10, 11, 101}
+    assert set(got["matched_id"]) & {10, 11}  # pre-merge rows did match
+    # every emitted component is the POST-merge label
+    assert set(got["component"]) == {final[10]}
+
+    # negative control: the raw rows table still carries the stale label,
+    # so an un-unified matcher would emit pre-merge components
+    raw = replay_static_as_stream(
+        spark,
+        src,
+        arr_df.schema,
+        lambda s: stream_near_dup(
+            s,
+            idx.rows.read(spark).select("_band", "_bh", "_id", "component"),
+            corpus.read(spark),
+            **PARAMS,
+        ),
+        "near_dup_raw_out",
+        output_mode="append",
+    ).toPandas()
+    stale = {r for r in raw["component"]}
+    assert stale and stale != {final[10]}
