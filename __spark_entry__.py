@@ -740,6 +740,39 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher rule battery (Rae et al. 2021 A1.1): word-count /
+    mean-word-length / symbol / alpha-word / stop-word metrics plus the
+    n-gram character-fraction repetition rules (top n-gram char fraction
+    for n=2..4, duplicated n-gram char mass for n=5..10) and the
+    conjunction gate. Expression-only per-row folds — no explode, no
+    shuffle; the oracle rebuilds the same grams via UNNEST + list_slice
+    and the same (count, gram) tie-break via ORDER BY cnt DESC, gram
+    DESC."""
+    from temporalscope_spark.operators.gopher import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_quality_flags(docs, "text")
+    sel = [
+        F.col("doc_id"),
+        F.col("gopher_word_count"),
+        F.col("gopher_mean_word_len"),
+        F.col("gopher_symbol_word_ratio"),
+        F.col("gopher_alpha_word_ratio"),
+        F.col("gopher_stop_word_hits"),
+    ]
+    for n in (2, 3, 4):
+        sel.append(
+            F.round(f"top_{n}gram_char_frac", 6).alias(f"top_{n}gram_char_frac")
+        )
+    for n in (5, 6, 7, 8, 9, 10):
+        sel.append(
+            F.round(f"dup_{n}gram_char_frac", 6).alias(f"dup_{n}gram_char_frac")
+        )
+    sel.append(F.col("gopher_keep"))
+    return out.select(*sel)
+
+
 def q_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporalscope_spark.operators.multimodal import attach_media, extract_media_features
 
@@ -1239,6 +1272,64 @@ def q_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("value_lag_2", round(beta["value_lag_2"], 6)),
     ]
     return spark.createDataFrame(rows, "term string, value double")
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality gate (VERDICT r4 stretch #9): one IRLS round from
+    beta=0 learns a logistic gate over (quality_score, dup_word_ratio)
+    against the heuristic gate's own label, then every doc is scored
+    sigma(x-dot-beta) and gated at rounded prob >= 0.5 — the classifier
+    lane replacing the heuristic-only gate in the curation funnel.
+
+    At beta=0 the round is exact in any engine (mu=0.5, w=0.25, z=4y-2 —
+    no transcendental disagreement feeding the sums); the oracle replays
+    the weighted sums + the same Cramer 3x3 solve irls_step is pinned by,
+    then the scoring projection. Rounding prob to 6 BEFORE the gate
+    comparison makes the boolean structurally engine-identical."""
+    from temporalscope_spark.modeling.logistic import irls_step
+    from temporalscope_spark.operators.text import (
+        with_quality_score,
+        with_repetition_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = with_quality_score(docs, "text").select("doc_id", "quality_score")
+    rep = with_repetition_features(docs, "text").select(
+        "doc_id", F.round("dup_word_ratio", 6).alias("dup_word_ratio")
+    )
+    from pyspark import StorageLevel
+
+    # the feature table feeds the sufficient-stats aggregate AND the final
+    # scoring projection — persist the branch point (release via caching.hold)
+    feats = (
+        qs.join(rep, "doc_id")
+        .select(
+            "doc_id",
+            F.col("quality_score").alias("x1"),
+            F.col("dup_word_ratio").alias("x2"),
+            (
+                (F.col("quality_score") >= 0.6) & (F.col("dup_word_ratio") <= 0.5)
+            )
+            .cast("double")
+            .alias("yb"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ic, beta, _, _ = irls_step(
+        feats, ["x1", "x2"], "yb", {"x1": 0.0, "x2": 0.0}, 0.0
+    )
+    logit = (
+        F.lit(ic) + F.lit(beta["x1"]) * F.col("x1") + F.lit(beta["x2"]) * F.col("x2")
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    from temporalscope_spark.core.caching import hold
+
+    return hold(
+        feats.select(
+            "doc_id", prob.alias("prob"), (prob >= 0.5).alias("gate")
+        ),
+        feats,
+    )
 
 
 def q_masv_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1756,6 +1847,121 @@ def _irls_step_ctes() -> str:
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
+def _gopher_oracle() -> str:
+    """DuckDB replay of q_gopher_rules: grams via UNNEST(generate_series) +
+    list_slice (the dup_span_stats idiom), top gram via ORDER BY cnt DESC,
+    gram DESC (= Spark's struct-max tie-break), dup mass as
+    count×len over grams with count ≥ 2; every ratio int/int rounded 6."""
+    from temporalscope_spark.operators.gopher import (
+        GOPHER_DUP_NGRAM_MAX_FRAC,
+        GOPHER_STOP_WORDS,
+        GOPHER_TOP_NGRAM_MAX_FRAC,
+    )
+
+    top_ns = sorted(GOPHER_TOP_NGRAM_MAX_FRAC)
+    dup_ns = sorted(GOPHER_DUP_NGRAM_MAX_FRAC)
+    padded = "(' ' || norm || ' ')"
+    stop_terms = " + ".join(
+        f"(length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2}"
+        for w in GOPHER_STOP_WORDS
+    )
+    ctes = [
+        f"n0 AS (SELECT doc_id, {_NORM} AS norm FROM documents)",
+        "w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM n0)",
+        f"""m AS (
+            SELECT doc_id,
+                   CASE WHEN length(norm) = 0 THEN 0 ELSE len(words) END AS n_words,
+                   length(norm) AS n_chars,
+                   length(norm) - length(replace(norm, ' ', '')) AS n_spaces,
+                   length(norm) - length(replace(norm, '#', '')) AS n_hash,
+                   (length(norm) - length(replace(norm, '...', ''))) / 3 AS n_ell,
+                   len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                   CAST({stop_terms} AS BIGINT) AS stop_hits
+            FROM w
+        )""",
+    ]
+    for n in sorted({*top_ns, *dup_ns}):
+        ctes.append(
+            f"""g{n} AS (
+            SELECT doc_id, gram, count(*) AS cnt FROM (
+                SELECT w.doc_id,
+                       array_to_string(list_slice(w.words, CAST(i AS INT),
+                                       CAST(i AS INT) + {n - 1}), ' ') AS gram
+                FROM w, UNNEST(generate_series(1, len(w.words) - {n - 1})) AS t(i)
+                WHERE len(w.words) >= {n}
+            ) GROUP BY doc_id, gram
+        )"""
+        )
+    for n in top_ns:
+        ctes.append(
+            f"""t{n} AS (
+            SELECT doc_id, cnt * length(gram) AS chars FROM (
+                SELECT doc_id, gram, cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY cnt DESC, gram DESC) AS rn
+                FROM g{n}
+            ) WHERE rn = 1
+        )"""
+        )
+    for n in dup_ns:
+        ctes.append(
+            f"""d{n} AS (
+            SELECT doc_id,
+                   sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS chars
+            FROM g{n} GROUP BY doc_id
+        )"""
+        )
+    frac = (
+        "round(CASE WHEN m.n_chars = 0 THEN 0.0 "
+        "ELSE least(CAST(coalesce({src}.chars, 0) AS DOUBLE) / m.n_chars, 1.0) "
+        "END, 6)"
+    )
+    sel_cols = [
+        "m.doc_id",
+        "CAST(m.n_words AS BIGINT) AS gopher_word_count",
+        "round((m.n_chars - m.n_spaces) / greatest(m.n_words, 1), 6)"
+        " AS gopher_mean_word_len",
+        "round((m.n_hash + m.n_ell) / greatest(m.n_words, 1), 6)"
+        " AS gopher_symbol_word_ratio",
+        "round(CASE WHEN m.n_words = 0 THEN 0.0"
+        " ELSE CAST(m.n_alpha AS DOUBLE) / m.n_words END, 6)"
+        " AS gopher_alpha_word_ratio",
+        "m.stop_hits AS gopher_stop_word_hits",
+    ]
+    joins = []
+    for n in top_ns:
+        sel_cols.append(frac.format(src=f"t{n}") + f" AS top_{n}gram_char_frac")
+        joins.append(f"LEFT JOIN t{n} ON t{n}.doc_id = m.doc_id")
+    for n in dup_ns:
+        sel_cols.append(frac.format(src=f"d{n}") + f" AS dup_{n}gram_char_frac")
+        joins.append(f"LEFT JOIN d{n} ON d{n}.doc_id = m.doc_id")
+    keep_conds = [
+        "gopher_word_count >= 50",
+        "gopher_word_count <= 100000",
+        "gopher_mean_word_len >= 3.0",
+        "gopher_mean_word_len <= 10.0",
+        "gopher_symbol_word_ratio <= 0.1",
+        "gopher_alpha_word_ratio >= 0.8",
+        "gopher_stop_word_hits >= 2",
+    ]
+    for n, thr in sorted(GOPHER_TOP_NGRAM_MAX_FRAC.items()):
+        keep_conds.append(f"top_{n}gram_char_frac <= {thr}")
+    for n, thr in sorted(GOPHER_DUP_NGRAM_MAX_FRAC.items()):
+        keep_conds.append(f"dup_{n}gram_char_frac <= {thr}")
+    cte_block = ",\n        ".join(ctes)
+    sel_block = ",\n                   ".join(sel_cols)
+    join_block = " ".join(joins)
+    keep_block = " AND ".join(keep_conds)
+    return f"""
+        WITH {cte_block},
+        sel AS (
+            SELECT {sel_block}
+            FROM m {join_block}
+        )
+        SELECT *, ({keep_block}) AS gopher_keep FROM sel
+    """
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -1799,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_validator": q_dataset_validator,
         "lang_id": q_lang_id,
         "repetition": q_repetition,
+        "gopher_rules": q_gopher_rules,
         "dedup_clusters": q_dedup_clusters,
         "quality_gate": q_quality_gate,
         "curate_corpus": q_curate_corpus,
@@ -1826,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_topk": q_ann_index_topk,
         "linear_model": q_linear_model,
         "irls_step": q_irls_step,
+        "quality_classifier": q_quality_classifier,
         "masv_linear": q_masv_linear,
         "heavy_hitters": q_heavy_hitters,
         "redact_terms": q_redact_terms,
@@ -3328,6 +3536,35 @@ def oracle_sql() -> dict[str, str]:
           AND rep.dup_word_ratio <= 0.5
           AND rep.trigram_dup_ratio <= 0.9
     """
+    # trained quality gate: one IRLS round from beta=0 (mu=0.5, w=0.25,
+    # z=4y-2 — exact in both engines) over the validated quality_score /
+    # repetition features, Cramer 3x3 solve, sigmoid scoring; prob rounds
+    # to 6 BEFORE the >= 0.5 gate so the boolean is engine-identical
+    sql["quality_classifier"] = f"""
+        WITH qsq AS ({sql['quality_score']}),
+        repq AS ({sql['repetition']}),
+        f AS (
+            SELECT q.doc_id, q.quality_score AS x1, r.dup_word_ratio AS x2,
+                   CASE WHEN q.quality_score >= 0.6 AND r.dup_word_ratio <= 0.5
+                        THEN 1.0 ELSE 0.0 END AS yb
+            FROM qsq q JOIN repq r USING (doc_id)
+        ),
+        mz AS (SELECT doc_id, x1, x2, 0.25 AS w, 4*yb - 2 AS z FROM f),
+        s AS (
+            SELECT sum(w) AS n, sum(w*x1) AS s1, sum(w*x2) AS s2,
+                   sum(w*x1*x1) AS s11, sum(w*x1*x2) AS s12,
+                   sum(w*x2*x2) AS s22,
+                   sum(w*z) AS sy, sum(w*x1*z) AS s1y, sum(w*x2*z) AS s2y
+            FROM mz
+        ),
+        {_cramer3_cte()}
+        SELECT f.doc_id,
+               round(1/(1+exp(-(beta.b0 + beta.b1*f.x1 + beta.b2*f.x2))), 6)
+                   AS prob,
+               round(1/(1+exp(-(beta.b0 + beta.b1*f.x1 + beta.b2*f.x2))), 6)
+                   >= 0.5 AS gate
+        FROM f, beta
+    """
     # END-TO-END curation funnel: quality gate (train slice) → near-dup
     # transitive closure over the GATED docs only (the shingle-df cap must
     # count document frequency within the clustered set, hence the custom
@@ -3406,6 +3643,7 @@ def oracle_sql() -> dict[str, str]:
     # construction (candidate set provably contains the top-k, same total
     # order) — sharing the oracle string IS the equivalence check
     sql["dsir_select_approx"] = sql["dsir_select"]
+    sql["gopher_rules"] = _gopher_oracle()
     # the incremental postings build is score-identical to the one-shot
     # build by the add-only df-partials contract — shared oracle = check
     sql["bm25_incremental"] = sql["bm25_multi_topk"]

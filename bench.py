@@ -74,6 +74,10 @@ DOCS_PATH = os.path.join(CACHE, f"documents_{DOCS_ROWS}")
 # tokens-axis scaling corpus: 1M docs -> ~18M positional 8-gram rows for
 # the dup-span pass (gram explode is ~18x row inflation at 25 words/doc)
 DUPSPAN_DOCS = int(os.environ.get("SPARK_GRAFT_DUPSPAN_DOCS", "1000000"))
+# DSIR scaling corpus: 1M docs -> ~49M unigram+bigram rows through the
+# bucket hash; big enough that the exact lane's single-partition final
+# rank is visibly serialized while the approx lane stays parallel
+DSIR_DOCS = int(os.environ.get("SPARK_GRAFT_DSIR_DOCS", "1000000"))
 WAREHOUSE = os.path.join(CACHE, "warehouse")
 DERBY = os.path.join(CACHE, "derby")
 N_BUCKETS = 64
@@ -189,6 +193,26 @@ def dup_span_pass(spark) -> None:
     dup_span_stats(docs, "text", "doc_id", n=8).write.format("noop").mode(
         "overwrite"
     ).save()
+
+
+def dsir_pass(spark, exact: bool) -> None:
+    """DSIR selection over a contiguous DSIR_DOCS prefix (target = every
+    101st doc, ~1% — the trusted-slice shape of the shipped query) at
+    k = 10% of the corpus. exact=True runs the oracle lane whose final
+    rank is a documented single-partition window; exact=False runs the
+    scale lane (approxQuantile threshold → bucketed two-phase rank).
+    clearCache first: both lanes persist intermediates internally, so
+    each rep measures the cold pipeline."""
+    from pyspark.sql import functions as F
+
+    from temporalscope_spark.operators.dsir import dsir_select
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(DOCS_PATH).filter(F.col("doc_id") < DSIR_DOCS)
+    target = docs.filter(F.pmod(F.col("doc_id"), F.lit(101)) == 0)
+    dsir_select(
+        docs, target, k=DSIR_DOCS // 10, n_buckets=4096, exact=exact
+    ).write.format("noop").mode("overwrite").save()
 
 
 def components_pass(spark) -> None:
@@ -641,8 +665,9 @@ def main():
         # window pass)
         pair_times: dict[str, dict[int, float]] = {
             "dedup_exact": {}, "minhash_lsh": {}, "components": {},
-            "dup_span": {},
+            "dup_span": {}, "dsir_approx": {},
         }
+        dsir_exact_8 = None
         for c in (2, 8):
             s = _new_spark(c, f"pair{c}")
             pair_times["dedup_exact"][c] = reps_min(
@@ -657,6 +682,18 @@ def main():
             pair_times["dup_span"][c] = reps_min(
                 s, dup_span_pass, max_reps=3, min_reps=2
             )
+            pair_times["dsir_approx"][c] = reps_min(
+                s, lambda sp: dsir_pass(sp, exact=False),
+                max_reps=3, min_reps=2,
+            )
+            if c == 8:
+                # lane comparison at the same core count: the exact lane's
+                # single-partition final rank vs the approx lane's bucketed
+                # two-phase rank (VERDICT r4 #1 "Done" evidence)
+                dsir_exact_8 = reps_min(
+                    s, lambda sp: dsir_pass(sp, exact=True),
+                    max_reps=3, min_reps=2,
+                )
         def eff(n, n4):
             return round(times[n] / (4 * times[n4]), 3)
 
@@ -710,6 +747,25 @@ def main():
                         pair_times["components"][2]
                         / (4 * pair_times["components"][8]),
                         3,
+                    ),
+                },
+                "dsir_select_approx": {
+                    "rows": DSIR_DOCS,
+                    "note": (
+                        "scale lane (approxQuantile threshold + bucketed "
+                        "two-phase rank, no single-partition window); "
+                        "exact-lane comparison at 8 cores below"
+                    ),
+                    "sec_n": round(pair_times["dsir_approx"][2], 3),
+                    "sec_4n": round(pair_times["dsir_approx"][8], 3),
+                    "efficiency": round(
+                        pair_times["dsir_approx"][2]
+                        / (4 * pair_times["dsir_approx"][8]),
+                        3,
+                    ),
+                    "exact_lane_sec_4n": round(dsir_exact_8, 3),
+                    "exact_over_approx_4n": round(
+                        dsir_exact_8 / pair_times["dsir_approx"][8], 2
                     ),
                 },
                 "dup_span_stats": {

@@ -81,7 +81,45 @@ def main() -> None:
     print(f"after perplexity gate (head+middle): {n_gated} docs")
     assert 0 < n_gated < n_docs
 
-    # 3. Stupid Backoff bigram scoring (Brants et al. 2007) — the sharper
+    # 3. TRAINED quality gate (replaces a heuristic-only threshold): one
+    #    IRLS round learns a logistic gate over (quality_score,
+    #    dup_word_ratio) against the heuristic gate's own label, then docs
+    #    pass on predicted probability — the pattern that generalizes to a
+    #    human-labeled quality set at production scale.
+    from temporalscope_spark.modeling.logistic import irls_step
+    from temporalscope_spark.operators.text import (
+        with_quality_score,
+        with_repetition_features,
+    )
+
+    qs = with_quality_score(gated, "text").select("doc_id", "quality_score")
+    rep = with_repetition_features(gated, "text").select(
+        "doc_id", F.round("dup_word_ratio", 6).alias("dup_word_ratio")
+    )
+    feats = (
+        qs.join(rep, "doc_id")
+        .select(
+            "doc_id",
+            F.col("quality_score").alias("x1"),
+            F.col("dup_word_ratio").alias("x2"),
+            ((F.col("quality_score") >= 0.6) & (F.col("dup_word_ratio") <= 0.5))
+            .cast("double")
+            .alias("yb"),
+        )
+        .localCheckpoint()
+    )
+    ic, beta, _, ll = irls_step(feats, ["x1", "x2"], "yb", {"x1": 0.0, "x2": 0.0}, 0.0)
+    print(f"trained gate: intercept={ic:.3f} beta={beta} ll={ll:.1f}")
+    logit = F.lit(ic) + F.lit(beta["x1"]) * F.col("x1") + F.lit(beta["x2"]) * F.col("x2")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    clf_kept = feats.filter(prob >= 0.5).select("doc_id")
+    n_clf = clf_kept.count()
+    print(f"classifier gate keeps {n_clf} of {n_gated}")
+    assert 0 < n_clf <= n_gated
+    gated = gated.join(clf_kept, "doc_id").localCheckpoint()
+    n_gated = n_clf
+
+    # 4. Stupid Backoff bigram scoring (Brants et al. 2007) — the sharper
     #    fluency signal; show the extremes.
     big = bigram_counts(gated, "text", top_k=50_000).cache()
     sb = score_stupid_backoff(gated, lm, big, "text", "doc_id")
@@ -89,13 +127,17 @@ def main() -> None:
     sb.orderBy("ppl").limit(3).show()
     sb.orderBy(F.col("ppl").desc()).limit(3).show()
 
-    # 4. DSIR: select the half of the gated corpus that best matches the
-    #    trusted target slice (source='src0' stands in for Wikipedia).
+    # 5. DSIR: select the half of the gated corpus that best matches the
+    #    trusted target slice (source='src0' stands in for Wikipedia) —
+    #    on the SCALE lane (exact=False): approx-quantile-bounded
+    #    candidates + bucketed rank, no single-partition window.
     from temporalscope_spark.operators.dsir import dsir_select
 
     target = gated.filter(F.col("source") == "src0")
     k = n_gated // 2
-    picked = dsir_select(gated, target, k=k, n_buckets=4096).localCheckpoint()
+    picked = dsir_select(
+        gated, target, k=k, n_buckets=4096, exact=False
+    ).localCheckpoint()
     n_sel = picked.filter("selected").count()
     print(f"DSIR selected {n_sel} of {n_gated} (k={k})")
     assert n_sel == min(k, n_gated)
@@ -103,7 +145,7 @@ def main() -> None:
         picked.filter("selected").select("doc_id"), "doc_id"
     ).localCheckpoint()
 
-    # 5. temperature mixing: flatten the source distribution (alpha=0.5)
+    # 6. temperature mixing: flatten the source distribution (alpha=0.5)
     #    to a 60% row budget.
     from temporalscope_spark.operators.sampling import assign_shards, temperature_sample
 
@@ -114,7 +156,7 @@ def main() -> None:
     print("kept per source (temperature-mixed):")
     mixed.groupBy("source", "keep_frac").count().orderBy("source").show()
 
-    # 6. deterministic dataloader shards: (shard, pos) addresses, then a
+    # 7. deterministic dataloader shards: (shard, pos) addresses, then a
     #    partitioned parquet layout a trainer can stream.
     shards = assign_shards(mixed, n_shards=16, seed=7)
     final = mixed.join(shards, "doc_id").join(

@@ -22,7 +22,12 @@ from temporalscope_spark.operators.cv import (
     purged_fold_summary,
     purged_time_series_splits,
 )
-from temporalscope_spark.operators.bpe import learn_bpe_merges, word_vocab
+from temporalscope_spark.operators.bpe import (
+    apply_bpe,
+    bpe_compression_stats,
+    learn_bpe_merges,
+    word_vocab,
+)
 from temporalscope_spark.operators.dedup import (
     dedup_exact,
     dup_span_stats,
@@ -34,6 +39,16 @@ from temporalscope_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from temporalscope_spark.operators.dsir import dsir_select, hashed_ngram_features
+from temporalscope_spark.operators.gopher import (
+    gopher_quality_flags,
+    gopher_repetition_features,
+)
+from temporalscope_spark.operators.retrieval import (
+    PostingsIndex,
+    bm25_topk,
+    bm25_topk_multi,
+    build_postings,
+)
 from temporalscope_spark.operators.lm import (
     bigram_counts,
     ppl_buckets,
@@ -94,8 +109,10 @@ __all__ = [
     "dedup_exact", "dup_span_stats", "minhash_lsh_pairs",
     "minhash_signatures", "ngram_jaccard_pairs", "remove_dup_spans",
     "simhash", "simhash_near_pairs",
-    "learn_bpe_merges", "word_vocab",
+    "learn_bpe_merges", "word_vocab", "apply_bpe", "bpe_compression_stats",
+    "PostingsIndex", "bm25_topk", "bm25_topk_multi", "build_postings",
     "dsir_select", "hashed_ngram_features",
+    "gopher_quality_flags", "gopher_repetition_features",
     "bigram_counts", "ppl_buckets", "score_stupid_backoff",
     "score_unigram", "unigram_counts",
     "pack_concat_chunks", "pack_greedy",
