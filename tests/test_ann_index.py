@@ -20,6 +20,7 @@ def _qvec(emb):
     return [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
 
 
+@pytest.mark.slow
 def test_incremental_add_equals_one_shot_assignment(spark, emb, tmp_path):
     """create(v0) + add_batch(rest) must answer queries identically to
     assigning the WHOLE corpus under the same (v0-trained) centroids —

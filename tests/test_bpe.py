@@ -43,6 +43,7 @@ def _brute_bpe(texts, k):
 
 
 class TestLearnBpeMerges:
+    @pytest.mark.slow
     def test_matches_reference_bpe(self, spark):
         texts = [
             "low lower lowest low low",
@@ -196,6 +197,7 @@ class TestApplyBpe:
 
 
 class TestCompressionSharedRounds:
+    @pytest.mark.slow
     def test_precomputed_merges_match_learned_path(self, spark):
         from temporalscope_spark.operators.bpe import bpe_compression_stats
 

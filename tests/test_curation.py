@@ -8,6 +8,8 @@ shape of the final stage.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from temporalscope_spark.pipelines.curation import curate_corpus
@@ -28,6 +30,7 @@ EVAL = [
 ]
 
 
+@pytest.mark.slow
 def test_funnel_drops_each_planted_doc_for_its_reason(spark):
     train = spark.createDataFrame(DOCS, "doc_id long, text string")
     ev = spark.createDataFrame(EVAL, "doc_id long, text string")

@@ -45,6 +45,7 @@ class TestFoldBounds:
 
 
 class TestPurgeEmbargo:
+    @pytest.mark.slow
     def test_train_test_disjoint_and_purged(self, ts_df):
         embargo = 50.0
         for fold in purged_time_series_splits(ts_df, "t", 4, embargo_seconds=embargo):
@@ -65,6 +66,7 @@ class TestPurgeEmbargo:
         for r in summ:
             assert r["train_rows"] + r["test_rows"] == total
 
+    @pytest.mark.slow
     def test_embargo_shrinks_train(self, ts_df):
         s0 = {r["fold"]: r["train_rows"]
               for r in purged_fold_summary(ts_df, "t", 4, embargo_seconds=0.0).collect()}

@@ -169,6 +169,7 @@ class TestDsirApproxLane:
         assert [tuple(r) for r in ex] == [tuple(r) for r in ap]
         assert sum(r["selected"] for r in ap) == 25
 
+    @pytest.mark.slow
     def test_equals_exact_with_coarse_sketch(self, spark):
         # a deliberately sloppy sketch only widens the candidate set; the
         # exact count check + bucketed rank keep the selection identical
@@ -181,6 +182,7 @@ class TestDsirApproxLane:
         # every non-empty doc selected, the empty doc never
         assert all(r["selected"] == (r["n_feats"] > 0) for r in ap)
 
+    @pytest.mark.slow
     def test_partition_invariant(self, spark):
         raw = _corpus(spark)
         target = spark.createDataFrame(

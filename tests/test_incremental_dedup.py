@@ -10,6 +10,8 @@ pre-existing components (which forces a relabel of a stored cluster).
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from temporalscope_spark.operators.incremental_dedup import (

@@ -151,6 +151,7 @@ class TestStupidBackoff:
         }
         assert got == self._brute(rows)
 
+    @pytest.mark.slow
     def test_backoff_path_exercised(self, spark, docs):
         """Truncating the bigram table to 2 entries forces real backoff."""
         from temporalscope_spark.operators.lm import (

@@ -306,6 +306,7 @@ class TestFitLogistic:
         with pytest.raises(DataFrameValidationError, match="outside"):
             fit_logistic(df, ["x"], "y")
 
+    @pytest.mark.slow
     def test_raises_on_separable_non_convergence(self, spark):
         """Perfectly separable data: coefficients diverge; the fit must
         RAISE, not return a half-stepped model."""

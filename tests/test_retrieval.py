@@ -85,6 +85,7 @@ class TestPostingsMulti:
     one pass over postings scores a whole query batch, and every score must
     equal the single-query full-scan path."""
 
+    @pytest.mark.slow
     def test_multi_matches_single_per_query(self, spark, corpus):
         from temporalscope_spark.operators.retrieval import (
             bm25_topk_multi,
@@ -200,6 +201,7 @@ class TestPostingsIndex:
         idx.append_batch(inc2, batch_id=2)
         return idx
 
+    @pytest.mark.slow
     def test_incremental_equals_one_shot_build(self, spark, corpus, tmp_path):
         from temporalscope_spark.operators.retrieval import (
             PostingsIndex,

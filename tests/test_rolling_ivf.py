@@ -337,6 +337,7 @@ class TestEwmaSegmented:
         m = ~a.isna()
         np.testing.assert_allclose(b[m].astype(float), a[m].astype(float), rtol=1e-9)
 
+    @pytest.mark.slow
     def test_large_halflife_monster_entity(self, spark):
         """VERDICT r1 #6: halflife 10^4 on a single hot entity — the frame
         path would buffer min(100k, 40·hl) doubles per row; the segmented

@@ -18,9 +18,12 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-pytestmark = pytest.mark.skipif(
-    shutil.which("spark-submit") is None, reason="spark-submit not on PATH"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        shutil.which("spark-submit") is None, reason="spark-submit not on PATH"
+    ),
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")

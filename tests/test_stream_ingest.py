@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from temporalscope_spark.datasets.snapshots import SnapshotTable
 from temporalscope_spark.operators.incremental_dedup import (
     DedupIndex,

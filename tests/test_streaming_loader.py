@@ -309,6 +309,7 @@ class TestStreamNearDup:
             }
             assert stream_bands == batch_bands, f"hash_fn={hf}"
 
+    @pytest.mark.slow
     def test_stream_matches_batch_cross_pairs(self, spark, tmp_path):
         from temporalscope_spark.operators.dedup import minhash_lsh_pairs
         from temporalscope_spark.operators.incremental_dedup import dedup_index_rows

@@ -113,6 +113,7 @@ class TestDedup:
         # high-threshold verified pairs are hash-choice independent
         assert pa == pb
 
+    @pytest.mark.slow
     def test_simhash_near_pairs(self, docs):
         sig = simhash(docs, "doc_id", "text").toPandas().set_index("_id")
         assert sig.loc[1, "simhash"] == sig.loc[2, "simhash"]
@@ -178,6 +179,7 @@ class TestSimilarity:
         approx = set(ann_topk(df, q, k=3, probe_hamming=2).toPandas()["vec_id"])
         assert exact == approx  # tight cluster must be found
 
+    @pytest.mark.slow
     def test_gemm_matches_brute(self, vecs):
         # block-GEMM is EXACT: identical pair set + cosines vs the brute path,
         # at several block counts (incl. nb > n edge)
@@ -202,6 +204,7 @@ class TestSimilarity:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
 
+    @pytest.mark.slow
     def test_lsh_pairs_containment_and_recall(self, vecs):
         # emitted pairs ⊆ exact set (verification is exact), and planted
         # near-dups (cosine ≈ 1) are all recovered under multi-probe
