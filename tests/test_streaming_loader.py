@@ -351,3 +351,37 @@ class TestStreamNearDup:
         comp = {r["_id"]: r["component"] for r in index.collect()}
         for _, row in got.iterrows():
             assert row["component"] == comp[row["matched_id"]]
+
+
+def test_stream_gopher_flags_match_batch(spark, tmp_path):
+    """The Gopher rule battery is stateless per-row folds, so it composes
+    with Structured Streaming unchanged — identical metrics, flags, and
+    keep decisions in a readStream -> gopher_quality_flags -> sink
+    pipeline."""
+    from temporalscope_spark.operators.gopher import gopher_quality_flags
+    from temporalscope_spark.streaming.sessions import replay_static_as_stream
+
+    rows = [
+        (1, ("the cat and the dog have long walks of great length that "
+             "wear them out and make the evenings quiet with rest and "
+             "a good life of play and sleep that suits them rather well "
+             "the pair also have games of chess that keep them busy")),
+        (2, " ".join(["ha"] * 30)),  # repetition-gated
+        (3, ""),                       # word-count-gated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = str(tmp_path / "docs")
+    df.write.parquet(d)
+
+    streamed = replay_static_as_stream(
+        spark, d, df.schema,
+        lambda s: gopher_quality_flags(s, "text"),
+        "gopher_out",
+        output_mode="append",  # stateless narrow map — no aggregation state
+    ).toPandas()
+    batch = gopher_quality_flags(df, "text").toPandas()
+    a = streamed.sort_values("doc_id").reset_index(drop=True)
+    b = batch.sort_values("doc_id").reset_index(drop=True)
+    for col in ("gopher_word_count", "gopher_stop_word_hits",
+                "top_2gram_char_frac", "dup_5gram_char_frac", "gopher_keep"):
+        assert a[col].tolist() == b[col].tolist()
