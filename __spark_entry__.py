@@ -1962,6 +1962,47 @@ def _gopher_oracle() -> str:
     """
 
 
+def q_delta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-past change features (diff / pct-change / per-second rate)
+    per user over `events.value` — one fused window operator (single entity
+    shuffle + sort), tie-broken on event_id so lag order is engine-stable."""
+    from temporalscope_spark.operators.shift import delta_features
+
+    events = _t(spark, sf_dir, "events")
+    out = delta_features(
+        events, "ts", ["value"], [1], id_col="user_id", order_cols=["event_id"]
+    )
+    return out.select(
+        "event_id", "user_id", "value_diff_1", "value_pct_1", "value_rate_1"
+    )
+
+
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of `events.value` across a mid-corpus time
+    split: exact reference-slice percentile edges (quantized to 1e-6 before
+    the bin comparison — engine-stable), one fused per-bin conditional-count
+    pass, eps-floored shares. The oracle replays the identical edges via
+    DuckDB quantile_cont (the established type-7 equivalence)."""
+    from temporalscope_spark.operators.drift import psi_drift
+
+    events = _t(spark, sf_dir, "events")
+    return psi_drift(events, "value", "ts", _DRIFT_SPLIT, bins=10)
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic of `events.value`
+    across the same time split: per-distinct-value ref/cur counts, global
+    running counts via the quantile-bucket two-phase cumulative (no
+    single-partition window), max |ECDF gap|."""
+    from temporalscope_spark.operators.drift import ks_drift
+
+    events = _t(spark, sf_dir, "events")
+    return ks_drift(events, "value", "ts", _DRIFT_SPLIT)
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -2068,6 +2109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "expanding": q_expanding,
         "target_encode": q_target_encode,
+        "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
+        "delta_features": q_delta_features,
     }
 
 
@@ -3644,6 +3688,105 @@ def oracle_sql() -> dict[str, str]:
     # order) — sharing the oracle string IS the equivalence check
     sql["dsir_select_approx"] = sql["dsir_select"]
     sql["gopher_rules"] = _gopher_oracle()
+    # change features: identical lag order (ts, event_id); epoch() and the
+    # engine's unix_micros/1e6 agree exactly (micros < 2^53)
+    sql["delta_features"] = """
+        WITH l AS (
+            SELECT event_id, user_id, value,
+                   lag(value, 1) OVER w AS lv,
+                   epoch(ts) - epoch(lag(ts, 1) OVER w) AS dt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id,
+               round(value - lv, 6) AS value_diff_1,
+               CASE WHEN lv <> 0 THEN round(value / lv - 1.0, 6) END
+                   AS value_pct_1,
+               CASE WHEN dt <> 0 THEN round((value - lv) / dt, 6) END
+                   AS value_rate_1
+        FROM l
+    """
+    # PSI: identical edge convention (ref-slice quantile_cont == Spark
+    # percentile, both quantized to 1e-6 before the bin comparison)
+    sql["psi_drift"] = f"""
+        WITH ref AS (
+            SELECT value FROM events
+            WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}' AND value IS NOT NULL
+        ),
+        edges AS (
+            SELECT list_transform(
+                quantile_cont(value, {[i / 10 for i in range(1, 10)]}),
+                e -> round(e, 6)) AS e
+            FROM ref
+        ),
+        binned AS (
+            SELECT 1 + len(list_filter(edges.e, x -> CAST(value AS DOUBLE) > x))
+                       AS bin,
+                   (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS is_ref
+            FROM events, edges WHERE value IS NOT NULL
+        ),
+        counts AS (
+            SELECT bin,
+                   sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+            FROM binned GROUP BY 1
+        ),
+        spine AS (SELECT unnest(generate_series(1, 10)) AS bin),
+        filled AS (
+            SELECT s.bin,
+                   CASE WHEN s.bin >= 2 THEN edges.e[s.bin - 1] END AS lo,
+                   CASE WHEN s.bin <= 9 THEN edges.e[s.bin] END AS hi,
+                   CAST(coalesce(c.n_ref, 0) AS BIGINT) AS n_ref,
+                   CAST(coalesce(c.n_cur, 0) AS BIGINT) AS n_cur
+            FROM spine s LEFT JOIN counts c USING (bin), edges
+        ),
+        tot AS (
+            SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                   CAST(sum(n_cur) AS DOUBLE) AS tc
+            FROM filled
+        ),
+        termed AS (
+            SELECT bin, lo, hi, n_ref, n_cur,
+                   greatest(n_ref / tot.tr, 1e-6) AS p,
+                   greatest(n_cur / tot.tc, 1e-6) AS q
+            FROM filled, tot
+        ),
+        total AS (SELECT sum((p - q) * ln(p / q)) AS psi FROM termed)
+        SELECT bin, lo, hi, n_ref, n_cur,
+               round(p, 6) AS ref_share,
+               round(q, 6) AS cur_share,
+               round((p - q) * ln(p / q), 6) AS psi_term,
+               round(total.psi, 6) AS psi_total
+        FROM termed, total
+    """
+    # KS: cumulative ref/cur counts over pooled distinct values — the
+    # single ordered window here is the ORACLE's luxury; the engine runs
+    # the bucketed two-phase cumulative instead
+    sql["ks_drift"] = f"""
+        WITH pv AS (
+            SELECT CAST(value AS DOUBLE) AS v,
+                   sum(CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}'
+                       THEN 1 ELSE 0 END) AS n_ref,
+                   sum(CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}'
+                       THEN 0 ELSE 1 END) AS n_cur
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                   CAST(sum(n_cur) AS DOUBLE) AS tc
+            FROM pv
+        ),
+        cum AS (
+            SELECT sum(n_ref) OVER (ORDER BY v) AS cr,
+                   sum(n_cur) OVER (ORDER BY v) AS cc
+            FROM pv
+        )
+        SELECT round(max(abs(CAST(cr AS DOUBLE) / tot.tr
+                             - CAST(cc AS DOUBLE) / tot.tc)), 6) AS ks_stat,
+               CAST(max(tot.tr) AS BIGINT) AS n_ref,
+               CAST(max(tot.tc) AS BIGINT) AS n_cur
+        FROM cum, tot
+    """
     # the incremental postings build is score-identical to the one-shot
     # build by the add-only df-partials contract — shared oracle = check
     sql["bm25_incremental"] = sql["bm25_multi_topk"]

@@ -38,6 +38,7 @@ from temporalscope_spark.operators.dedup import (
     simhash,
     simhash_near_pairs,
 )
+from temporalscope_spark.operators.drift import ks_drift, psi_drift
 from temporalscope_spark.operators.dsir import dsir_select, hashed_ngram_features
 from temporalscope_spark.operators.gopher import (
     gopher_quality_flags,
@@ -85,6 +86,7 @@ from temporalscope_spark.operators.sessionize import (
 )
 from temporalscope_spark.operators.shift import (
     TargetShifter,
+    delta_features,
     lag_features,
     multi_step_targets,
     shift_target,
@@ -112,6 +114,7 @@ __all__ = [
     "learn_bpe_merges", "word_vocab", "apply_bpe", "bpe_compression_stats",
     "PostingsIndex", "bm25_topk", "bm25_topk_multi", "build_postings",
     "dsir_select", "hashed_ngram_features",
+    "ks_drift", "psi_drift",
     "gopher_quality_flags", "gopher_repetition_features",
     "bigram_counts", "ppl_buckets", "score_stupid_backoff",
     "score_unigram", "unigram_counts",
@@ -124,8 +127,8 @@ __all__ = [
     "assign_shards", "deterministic_sample", "stratified_sample",
     "temperature_sample", "top_k_per_group",
     "session_bounds", "sessionize", "sessionize_builtin",
-    "TargetShifter", "lag_features", "multi_step_targets", "shift_target",
-    "shift_target_chunked",
+    "TargetShifter", "delta_features", "lag_features", "multi_step_targets",
+    "shift_target", "shift_target_chunked",
     "ann_topk", "cosine_self_join_pairs", "cosine_topk", "ivf_centroids",
     "ivf_topk", "semdedup", "with_ivf_cell", "with_lsh_bucket",
 ]

@@ -178,6 +178,73 @@ def lag_features(
     return out
 
 
+def delta_features(
+    df: DataFrame,
+    time_col: str,
+    value_cols: list[str],
+    lags: list[int],
+    id_col: str | None = None,
+    order_cols: list[str] | None = None,
+    include_rate: bool = True,
+) -> DataFrame:
+    """First-difference / pct-change / per-second-rate features — the change
+    companions to :func:`lag_features`, all strictly-past (a row only sees
+    values ``n`` rows BEHIND it in the entity's time order, so zero leakage).
+
+    Per value column ``c`` and lag ``n``:
+
+    * ``{c}_diff_{n}``  = ``c - lag(c, n)``
+    * ``{c}_pct_{n}``   = ``c / lag(c, n) - 1`` (null when the lag is null
+      or exactly 0 — no synthetic infinities)
+    * ``{c}_rate_{n}``  = ``diff / Δt_seconds`` against the lagged row's
+      timestamp (null when Δt = 0; irregular grids get a real slope, which
+      a plain diff misrepresents)
+
+    All expressions share ONE window spec, so Spark fuses them into a single
+    window physical operator — one entity shuffle, one sort, k×m narrow
+    projections. ``order_cols`` appends tie-break columns to the time
+    ordering (pass the row key when timestamps can collide — lag semantics
+    on ties are otherwise engine-arbitrary). Floats are rounded to 6 for
+    engine-portable comparison.
+    """
+    if not value_cols or not lags:
+        raise ValueError("value_cols and lags must be non-empty")
+    if any(n <= 0 for n in lags):
+        raise ValueError("`n_lags` must be greater than 0")
+    from temporalscope_spark.core.convert import epoch_seconds
+
+    order = [F.col(time_col)] + [F.col(c) for c in (order_cols or [])]
+    if id_col:
+        w = Window.partitionBy(id_col).orderBy(*order)
+    else:
+        warnings.warn(
+            "delta_features without id_col runs the window on one partition",
+            stacklevel=2,
+        )
+        w = Window.orderBy(*order)
+    dt_type = dict((f.name, f.dataType) for f in df.schema.fields)[time_col]
+    t_now = epoch_seconds(F.col(time_col), dt_type)
+
+    new_cols = []
+    for c in value_cols:
+        for n in lags:
+            lagged = F.lag(F.col(c), n).over(w)
+            diff = F.col(c) - lagged
+            new_cols.append(F.round(diff, 6).alias(f"{c}_diff_{n}"))
+            new_cols.append(
+                F.round(F.when(lagged != 0, F.col(c) / lagged - 1.0), 6).alias(
+                    f"{c}_pct_{n}"
+                )
+            )
+            if include_rate:
+                dt = t_now - F.lag(t_now, n).over(w)
+                new_cols.append(
+                    F.round(F.when(dt != 0, diff / dt), 6).alias(f"{c}_rate_{n}")
+                )
+    # one select (not chained withColumn) => ONE Window physical operator
+    return df.select("*", *new_cols)
+
+
 def with_time_chunk(
     df: DataFrame,
     time_col: str,

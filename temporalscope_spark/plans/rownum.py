@@ -96,6 +96,76 @@ def with_global_row_number(
     )
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Add exact global running sums ``{c}_cum`` ordered by ``order_cols``.
+
+    Same quantile-bucket two-phase plan as :func:`with_global_row_number`,
+    generalized from rank to SUM: per-bucket window cumsums run in parallel,
+    then the driver prefix-sums one ``(bucket, partial)`` row per bucket and
+    broadcasts the offsets back as literal maps. No single-partition window
+    appears for any input size; the driver holds ``B × len(sum_cols)``
+    numbers. The primary order column must be numeric/timestamp; rows tie
+    within a bucket, so the running sum at each ROW depends on the full
+    ``order_cols`` ordering — pass a unique key suffix for determinism when
+    the leading columns tie.
+    """
+    if num_buckets is None:
+        num_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    primary = order_cols[0]
+    tnum = _numeric_order_expr(df, primary)
+    probed = df.withColumn("_cs_t", tnum)
+
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    boundaries = (
+        probed.stat.approxQuantile("_cs_t", probs, 0.001) if probs else []
+    )
+    bnds = sorted(set(boundaries))
+    if bnds:
+        barr = F.array(*[F.lit(float(b)) for b in bnds])
+        bucket = F.aggregate(
+            barr, F.lit(0), lambda acc, b: acc + (F.col("_cs_t") > b).cast("int")
+        )
+    else:
+        bucket = F.lit(0)
+    bucketed = probed.withColumn(_BUCKET, bucket)
+
+    partials = (
+        bucketed.groupBy(_BUCKET)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    # offsets keep the partials' own Python type (int stays int, so long
+    # counts stay exact; doubles are exact to 2^53 anyway)
+    offsets: dict[str, dict[int, float]] = {c: {} for c in sum_cols}
+    acc = {c: 0 for c in sum_cols}
+    for r in sorted(partials, key=lambda x: x[_BUCKET]):
+        for c in sum_cols:
+            offsets[c][r[_BUCKET]] = acc[c]
+            acc[c] += r[c] or 0
+
+    w = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = bucketed
+    for c in sum_cols:
+        if offsets[c]:
+            mapping = F.create_map(
+                *[F.lit(x) for kv in offsets[c].items() for x in kv]
+            )
+            off = F.coalesce(F.element_at(mapping, F.col(_BUCKET)), F.lit(0))
+        else:
+            off = F.lit(0)
+        out = out.withColumn(f"{c}_cum", F.sum(c).over(w) + off)
+    return out.drop("_cs_t", _BUCKET)
+
+
 def order_statistics(
     df: DataFrame,
     order_cols: list[str],

@@ -134,3 +134,60 @@ def test_multi_step_targets(spark):
 
     with _pytest.raises(ValueError, match="horizon"):
         multi_step_targets(df, "t", "target", horizon=0, id_col="uid")
+
+
+def test_delta_features_values_and_fused_window(spark):
+    from temporalscope_spark.operators.shift import delta_features
+
+    rows = [
+        # (uid, t_seconds, v)
+        (1, 0.0, 10.0),
+        (1, 2.0, 14.0),
+        (1, 6.0, 7.0),
+        (2, 0.0, 0.0),
+        (2, 5.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "uid int, t double, v double")
+    out = delta_features(df, "t", ["v"], [1], id_col="uid")
+    got = {(r["uid"], r["t"]): r for r in out.collect()}
+    assert got[(1, 0.0)]["v_diff_1"] is None
+    assert got[(1, 2.0)]["v_diff_1"] == 4.0
+    assert got[(1, 2.0)]["v_pct_1"] == pytest.approx(0.4)
+    assert got[(1, 2.0)]["v_rate_1"] == pytest.approx(2.0)
+    assert got[(1, 6.0)]["v_diff_1"] == -7.0
+    assert got[(1, 6.0)]["v_rate_1"] == pytest.approx(-1.75)
+    # lag value exactly 0 -> pct is null, diff/rate still real
+    assert got[(2, 5.0)]["v_pct_1"] is None
+    assert got[(2, 5.0)]["v_diff_1"] == 5.0
+    # one fused window operator for diff+pct+rate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") <= 2
+
+
+def test_delta_features_multi_lag_and_validation(spark):
+    from temporalscope_spark.operators.shift import delta_features
+
+    rows = [(1, float(t), float(t * t)) for t in range(5)]
+    df = spark.createDataFrame(rows, "uid int, t double, v double")
+    out = delta_features(df, "t", ["v"], [1, 2], id_col="uid", include_rate=False)
+    got = {r["t"]: r for r in out.collect()}
+    assert got[4.0]["v_diff_1"] == 7.0  # 16 - 9
+    assert got[4.0]["v_diff_2"] == 12.0  # 16 - 4
+    assert "v_rate_1" not in out.columns
+    with pytest.raises(ValueError):
+        delta_features(df, "t", ["v"], [0], id_col="uid")
+    with pytest.raises(ValueError):
+        delta_features(df, "t", [], [1], id_col="uid")
+
+
+def test_delta_features_tiebreak_determinism(spark):
+    from temporalscope_spark.operators.shift import delta_features
+
+    # two rows share a timestamp; order_cols pins the lag order
+    rows = [(1, 1.0, 9, 100.0), (1, 1.0, 5, 50.0), (1, 2.0, 7, 70.0)]
+    df = spark.createDataFrame(rows, "uid int, t double, k int, v double")
+    out = delta_features(df, "t", ["v"], [1], id_col="uid", order_cols=["k"])
+    got = {r["k"]: r["v_diff_1"] for r in out.collect()}
+    assert got[5] is None        # first in (t, k) order
+    assert got[9] == 50.0        # 100 - 50
+    assert got[7] == -30.0       # 70 - 100
