@@ -1962,6 +1962,29 @@ def _gopher_oracle() -> str:
     """
 
 
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-past trailing covariance/correlation between `events.value`
+    and the props payload length over a 1h range frame — five windowed sums
+    sharing one window spec (one exchange), moments combined in a closed
+    form the oracle replays verbatim from ITS windowed sums (built-in
+    covar_samp/corr would disagree across engines on update order)."""
+    from temporalscope_spark.operators.rolling import rolling_corr
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "plen", F.length("props").cast("double")
+    )
+    out = rolling_corr(
+        events, "value", "plen", [3600], time_col="ts", id_col="user_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value_plen_n_3600s",
+        "value_plen_cov_3600s",
+        "value_plen_corr_3600s",
+    )
+
+
 def q_delta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-past change features (diff / pct-change / per-second rate)
     per user over `events.value` — one fused window operator (single entity
@@ -2112,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "delta_features": q_delta_features,
+        "rolling_corr": q_rolling_corr,
     }
 
 
@@ -3688,6 +3712,43 @@ def oracle_sql() -> dict[str, str]:
     # order) — sharing the oracle string IS the equivalence check
     sql["dsir_select_approx"] = sql["dsir_select"]
     sql["gopher_rules"] = _gopher_oracle()
+    # rolling corr: the oracle replays the ENGINE's closed form from its own
+    # windowed sums (pairwise-complete gating, n-1 denominator) rather than
+    # using covar_samp/corr builtins, whose incremental orders differ
+    sql["rolling_corr"] = """
+        WITH b AS (
+            SELECT event_id, user_id, epoch_us(ts) AS t,
+                   CASE WHEN value IS NOT NULL AND props IS NOT NULL
+                        THEN value END AS xg,
+                   CASE WHEN value IS NOT NULL AND props IS NOT NULL
+                        THEN CAST(length(props) AS DOUBLE) END AS yg
+            FROM events
+        ),
+        s AS (
+            SELECT event_id, user_id,
+                   CAST(count(xg) OVER w AS DOUBLE) AS n,
+                   sum(xg) OVER w AS sx,
+                   sum(yg) OVER w AS sy,
+                   sum(xg * yg) OVER w AS sxy,
+                   sum(xg * xg) OVER w AS sxx,
+                   sum(yg * yg) OVER w AS syy
+            FROM b
+            WINDOW w AS (PARTITION BY user_id ORDER BY t
+                         RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id,
+               CAST(n AS BIGINT) AS value_plen_n_3600s,
+               round(CASE WHEN n >= 2
+                          THEN (sxy - sx * sy / n) / (n - 1) END, 6)
+                   AS value_plen_cov_3600s,
+               round(CASE WHEN n >= 2 AND (sxx - sx * sx / n) > 0
+                               AND (syy - sy * sy / n) > 0
+                          THEN (sxy - sx * sy / n)
+                               / sqrt((sxx - sx * sx / n)
+                                      * (syy - sy * sy / n)) END, 6)
+                   AS value_plen_corr_3600s
+        FROM s
+    """
     # change features: identical lag order (ts, event_id); epoch() and the
     # engine's unix_micros/1e6 agree exactly (micros < 2^53)
     sql["delta_features"] = """

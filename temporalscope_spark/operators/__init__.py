@@ -68,6 +68,7 @@ from temporalscope_spark.operators.resample import interpolate_linear, resample
 from temporalscope_spark.operators.rolling import (
     ewma,
     expanding_features,
+    rolling_corr,
     rolling_features,
     rolling_row_features,
     target_encode_expanding,
@@ -122,7 +123,8 @@ __all__ = [
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",
     "SlidingWindowPartitioner",
     "interpolate_linear", "resample",
-    "ewma", "expanding_features", "rolling_features", "rolling_row_features",
+    "ewma", "expanding_features", "rolling_corr", "rolling_features",
+    "rolling_row_features",
     "target_encode_expanding",
     "assign_shards", "deterministic_sample", "stratified_sample",
     "temperature_sample", "top_k_per_group",

@@ -145,6 +145,83 @@ def rolling_row_features(
     return out.select("*", *cols).drop("__t")
 
 
+def rolling_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    windows_seconds: Sequence[int],
+    time_col: str = "event_time",
+    id_col: str | None = "doc_id",
+    include_current: bool = False,
+    sample: bool = True,
+) -> DataFrame:
+    """Trailing covariance/correlation between two columns per entity —
+    the point-in-time co-movement feature (strictly-past ``[t - w, t)``
+    frame, so zero leakage; ``include_current=True`` closes the frame).
+
+    Per window ``w`` adds ``{x}_{y}_n_{w}s`` (pairwise-complete count —
+    rows where BOTH columns are non-null), ``{x}_{y}_cov_{w}s`` and
+    ``{x}_{y}_corr_{w}s``. Covariance divides by ``n - 1`` when
+    ``sample=True`` (else ``n``); both are null below 2 pairs, correlation
+    additionally null on zero variance (no synthetic ±inf).
+
+    Plan shape: FIVE windowed sums + one count per window, all sharing one
+    window spec — ONE exchange + sort total, with Catalyst deduplicating
+    repeated window expressions; the moments combine in a narrow projection
+    (textbook ``cov = (Σxy - ΣxΣy/n) / (n-1)``). The same closed form is
+    what the oracle replays from ITS windowed sums, so engines agree to
+    rounding — unlike built-in ``covar_samp``/``corr`` whose incremental
+    update orders differ per engine.
+    """
+    if not windows_seconds:
+        raise DataFrameValidationError("windows_seconds must be non-empty")
+    for c in (x_col, y_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"rolling_corr: missing column {c!r}")
+
+    t = _time_micros(df, time_col)
+    out = df.withColumn("__t", t)
+    base = Window.orderBy("__t")
+    if id_col is not None:
+        base = base.partitionBy(id_col)
+    upper = 0 if include_current else -1
+
+    both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    xg = F.when(both, F.col(x_col).cast("double"))
+    yg = F.when(both, F.col(y_col).cast("double"))
+
+    cols = []
+    for w in windows_seconds:
+        frame = base.rangeBetween(-int(w) * 1_000_000, upper)
+        n = F.count(xg).over(frame).cast("double")
+        sx = F.sum(xg).over(frame)
+        sy = F.sum(yg).over(frame)
+        sxy = F.sum(xg * yg).over(frame)
+        sxx = F.sum(xg * xg).over(frame)
+        syy = F.sum(yg * yg).over(frame)
+        cov_num = sxy - sx * sy / n
+        varx = sxx - sx * sx / n
+        vary = syy - sy * sy / n
+        denom = n - 1 if sample else n
+        prefix = f"{x_col}_{y_col}"
+        cols.append(F.count(xg).over(frame).alias(f"{prefix}_n_{w}s"))
+        cols.append(
+            F.round(F.when(n >= 2, cov_num / denom), 6).alias(
+                f"{prefix}_cov_{w}s"
+            )
+        )
+        cols.append(
+            F.round(
+                F.when(
+                    (n >= 2) & (varx > 0) & (vary > 0),
+                    cov_num / F.sqrt(varx * vary),
+                ),
+                6,
+            ).alias(f"{prefix}_corr_{w}s")
+        )
+    return out.select("*", *cols).drop("__t")
+
+
 def ewma(
     df: DataFrame,
     value_col: str,

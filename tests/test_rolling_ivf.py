@@ -586,3 +586,83 @@ class TestNormalizeFeatures:
             normalize_features(ts_df, [], time_col="t")
         with pytest.raises(DataFrameValidationError, match="method"):
             normalize_features(ts_df, ["value"], time_col="t", method="robust")
+
+
+class TestRollingCorr:
+    def _df(self, spark):
+        rows = []
+        for u in range(3):
+            t = 0
+            for i in range(30):
+                t += 1 + ((u * 997 + i * 7919) % 9)
+                x = float(((u + 1) * 13 + i * 29) % 83) / 7.0
+                y = 2.0 * x + float((i * 37) % 11) - 5.0  # correlated + noise
+                rows.append((u, t, x, y))
+        return spark.createDataFrame(rows, ["user_id", "t", "x", "y"])
+
+    def test_brute_force_parity(self, spark):
+        from temporalscope_spark.operators.rolling import rolling_corr
+
+        df = self._df(spark)
+        w = 40
+        out = rolling_corr(df, "x", "y", [w], time_col="t", id_col="user_id")
+        pdf = df.toPandas()
+        got = {(r["user_id"], r["t"]): r for r in out.collect()}
+        for _, r in pdf.iterrows():
+            m = (
+                (pdf["user_id"] == r["user_id"])
+                & (pdf["t"] >= r["t"] - w)
+                & (pdf["t"] < r["t"])
+            )
+            xs, ys = pdf.loc[m, "x"], pdf.loc[m, "y"]
+            k = (r["user_id"], r["t"])
+            assert got[k]["x_y_n_40s"] == len(xs)
+            if len(xs) >= 2:
+                import numpy as np
+
+                cov = float(np.cov(xs, ys, ddof=1)[0, 1])
+                assert got[k]["x_y_cov_40s"] == pytest.approx(cov, abs=2e-6)
+                sx, sy = xs.std(ddof=1), ys.std(ddof=1)
+                if sx > 0 and sy > 0:
+                    corr = float(np.corrcoef(xs, ys)[0, 1])
+                    assert got[k]["x_y_corr_40s"] == pytest.approx(corr, abs=2e-6)
+            else:
+                assert got[k]["x_y_cov_40s"] is None
+                assert got[k]["x_y_corr_40s"] is None
+
+    def test_perfect_linear_and_zero_variance(self, spark):
+        from temporalscope_spark.operators.rolling import rolling_corr
+
+        rows = [(1, t, float(t), 3.0 * t + 1.0, 5.0) for t in range(1, 8)]
+        df = spark.createDataFrame(rows, ["uid", "t", "x", "y", "c"])
+        out = rolling_corr(df, "x", "y", [100], time_col="t", id_col="uid")
+        last = [r for r in out.collect() if r["t"] == 7][0]
+        assert last["x_y_corr_100s"] == pytest.approx(1.0)
+        # constant column -> zero variance -> corr null, cov 0
+        out2 = rolling_corr(df, "x", "c", [100], time_col="t", id_col="uid")
+        last2 = [r for r in out2.collect() if r["t"] == 7][0]
+        assert last2["x_c_corr_100s"] is None
+        assert last2["x_c_cov_100s"] == pytest.approx(0.0)
+
+    def test_pairwise_null_gating(self, spark):
+        from temporalscope_spark.operators.rolling import rolling_corr
+
+        rows = [
+            (1, 1, 1.0, 2.0),
+            (1, 2, None, 9.0),   # y alone must not count
+            (1, 3, 2.0, 4.0),
+            (1, 4, 3.0, None),   # x alone must not count
+            (1, 5, 0.0, 0.0),
+        ]
+        df = spark.createDataFrame(rows, "uid int, t int, x double, y double")
+        out = rolling_corr(df, "x", "y", [100], time_col="t", id_col="uid")
+        at5 = [r for r in out.collect() if r["t"] == 5][0]
+        assert at5["x_y_n_100s"] == 2  # only rows t=1 and t=3
+
+    def test_single_exchange_plan(self, spark):
+        from temporalscope_spark.operators.rolling import rolling_corr
+
+        df = self._df(spark)
+        out = rolling_corr(df, "x", "y", [10, 40], time_col="t", id_col="user_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1
