@@ -1697,6 +1697,23 @@ def q_stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_stupid_backoff(docs, uni, big, "text", "doc_id", alpha=0.4)
 
 
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1998's d=0.75) over the same top-500 bigram table as the
+    Stupid Backoff query — the whole model (left marginals, continuation
+    counts, type total) derives from that ONE bounded table, so the
+    truncated LM stays internally consistent and the DuckDB replay is
+    pure integer-count rational arithmetic."""
+    from temporalscope_spark.operators.lm import bigram_counts, score_kneser_ney
+
+    docs = _t(spark, sf_dir, "documents")
+    # one bounded table feeds four derivations (pair join + three
+    # aggregated marginals) — cache the TABLE so each broadcast doesn't
+    # re-run the corpus scan (the r4 stupid-backoff lesson)
+    big = bigram_counts(docs, "text", top_k=500).cache()
+    return score_kneser_ney(docs, big, "text", "doc_id", discount=0.75)
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): keep the 100 raw docs
     whose hashed unigram+bigram distribution best matches the trusted
@@ -2111,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_score": q_unigram_lm_score,
         "ppl_buckets": q_ppl_buckets,
         "stupid_backoff_score": q_stupid_backoff_score,
+        "kneser_ney_score": q_kneser_ney,
         "bpe_merges": q_bpe_merges,
         "bpe_compression": q_bpe_compression,
         "bpe_tokenize": q_bpe_tokenize,
@@ -3209,6 +3227,78 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN uni u1 ON tf.w1 = u1.word
                 LEFT JOIN uni u2 ON tf.w2 = u2.word
                 CROSS JOIN tot
+            ),
+            arr AS (
+                SELECT doc_id,
+                       list(CAST(tf AS DOUBLE) * s ORDER BY w1, w2) AS terms,
+                       sum(tf) AS L
+                FROM j GROUP BY 1
+            ),
+            scored AS (
+                SELECT doc_id, L,
+                       -list_reduce(list_prepend(0.0, terms),
+                                    (acc, x) -> acc + x)
+                           / CAST(L AS DOUBLE) AS xent
+                FROM arr
+            )
+            SELECT doc.doc_id,
+                   CAST(coalesce(s.L, 0) AS BIGINT) AS n_words,
+                   round(coalesce(s.xent, 0.0), 6) AS xent_nats,
+                   round(exp(coalesce(s.xent, 0.0)), 6) AS ppl
+            FROM documents doc LEFT JOIN scored s USING (doc_id)
+        """,
+        # Kneser–Ney replay: the whole model (left marginal c1/nl,
+        # continuation counts r, type total B) derives from the SAME
+        # top-500 bigram table; expression order mirrors the Spark plan
+        # term-for-term ((d*nl)/c1)*pcont so the float fold replays
+        "kneser_ney_score": f"""
+            WITH d AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+            ),
+            big AS (
+                SELECT w1, w2, count(*) AS n FROM (
+                    SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+                    FROM d, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+                    WHERE w[1] <> ''
+                ) GROUP BY 1, 2
+                ORDER BY n DESC, w1, w2 LIMIT 500
+            ),
+            lft AS (
+                SELECT w1, CAST(sum(n) AS DOUBLE) AS c1,
+                       CAST(count(*) AS DOUBLE) AS nl
+                FROM big GROUP BY 1
+            ),
+            cont AS (
+                SELECT w2, CAST(count(*) AS DOUBLE) AS r FROM big GROUP BY 1
+            ),
+            ty AS (SELECT CAST(count(*) AS DOUBLE) AS B FROM big),
+            pos AS (
+                SELECT doc_id,
+                       CASE WHEN i = 1 THEN ''
+                            ELSE w[CAST(i AS INT) - 1] END AS w1,
+                       w[CAST(i AS INT)] AS w2
+                FROM d, UNNEST(generate_series(1, len(w))) AS t(i)
+                WHERE w[1] <> ''
+            ),
+            tf AS (
+                SELECT doc_id, w1, w2, count(*) AS tf FROM pos GROUP BY 1, 2, 3
+            ),
+            j AS (
+                SELECT tf.doc_id, tf.w1, tf.w2, tf.tf,
+                       CASE WHEN tf.w1 <> '' AND lft.c1 IS NOT NULL THEN
+                           ln(greatest(CAST(coalesce(big.n, 0) AS DOUBLE)
+                                       - 0.75, 0.0) / lft.c1
+                              + 0.75 * lft.nl / lft.c1
+                                * (greatest(coalesce(cont.r, 0.0), 1.0)
+                                   / ty.B))
+                       ELSE
+                           ln(greatest(coalesce(cont.r, 0.0), 1.0) / ty.B)
+                       END AS s
+                FROM tf
+                LEFT JOIN big ON tf.w1 = big.w1 AND tf.w2 = big.w2
+                LEFT JOIN lft ON tf.w1 = lft.w1
+                LEFT JOIN cont ON tf.w2 = cont.w2
+                CROSS JOIN ty
             ),
             arr AS (
                 SELECT doc_id,

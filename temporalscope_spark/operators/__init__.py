@@ -53,6 +53,7 @@ from temporalscope_spark.operators.retrieval import (
 from temporalscope_spark.operators.lm import (
     bigram_counts,
     ppl_buckets,
+    score_kneser_ney,
     score_stupid_backoff,
     score_unigram,
     unigram_counts,
@@ -117,8 +118,8 @@ __all__ = [
     "dsir_select", "hashed_ngram_features",
     "ks_drift", "psi_drift",
     "gopher_quality_flags", "gopher_repetition_features",
-    "bigram_counts", "ppl_buckets", "score_stupid_backoff",
-    "score_unigram", "unigram_counts",
+    "bigram_counts", "ppl_buckets", "score_kneser_ney",
+    "score_stupid_backoff", "score_unigram", "unigram_counts",
     "pack_concat_chunks", "pack_greedy",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",
     "SlidingWindowPartitioner",

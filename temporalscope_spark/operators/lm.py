@@ -207,6 +207,128 @@ def score_stupid_backoff(
     )
 
 
+def score_kneser_ney(
+    df: DataFrame,
+    bigrams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document interpolated Kneser–Ney bigram score (Kneser & Ney
+    1995; the interpolated form and the 0.75 default follow Chen & Goodman
+    1998's empirical study — the strongest classical n-gram smoother, the
+    step up from Stupid Backoff when a real probability is wanted).
+
+    The whole model derives from the ONE supplied bigram table (so a
+    truncated top-K table stays internally consistent):
+
+    * left marginal   ``c1(w1) = Σ_w2 c(w1 w2)``, ``nl(w1) = N1+(w1,·)``
+    * continuation    ``r(w2) = N1+(·,w2)``, ``B = total bigram types``
+    * ``Pcont(w2) = max(r(w2), 1) / B``   (unseen continuations floor at 1
+      so ln stays finite — the same OOV convention as score_unigram)
+    * seen context:   ``P(w2|w1) = max(c12 - d, 0)/c1
+      + d · nl(w1)/c1 · Pcont(w2)``  (c12 = 0 when the pair is absent —
+      the interpolation term carries it, never a zero probability)
+    * unseen context (OOV / truncated-away w1) and the first position:
+      ``P = Pcont(w2)``.
+
+    ``xent = -(Σ tf · ln P)/L``; ``ppl = exp(xent)``. Everything is
+    rational in integer counts, so DuckDB replays it exactly; the per-doc
+    fold is sorted by (w1, w2) like the other LM scorers.
+
+    Plan shape: identical to :func:`score_stupid_backoff` — positional
+    pairs with the ``''`` sentinel first row, per-(doc, pair) tf partial
+    aggregate, then broadcast LEFT joins against the three BOUNDED derived
+    tables (left-marginal, continuation, 1-row type total). Cache the
+    bigram table you pass in: it feeds three derivations plus the pair
+    join, and each broadcast re-evaluates an uncached lineage.
+
+    Output: (id, n_words, xent_nats, ppl), floats rounded to 6.
+    """
+    if not (0.0 < discount < 1.0):
+        raise DataFrameValidationError("discount must be in (0, 1)")
+    d = float(discount)
+    left = bigrams.groupBy("w1").agg(
+        F.sum("n").cast("double").alias("_c1"),
+        F.count(F.lit(1)).cast("double").alias("_nl"),
+    )
+    cont = bigrams.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("_r"))
+    types = bigrams.agg(F.count(F.lit(1)).cast("double").alias("_B"))
+
+    base = _parallelize_before_explode(
+        df.select(F.col(id_col), _norm_words(text_col).alias("_w"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_w")),
+        lambda i: F.struct(
+            F.when(i == 1, F.lit("")).otherwise(F.element_at("_w", i - 1)).alias(
+                "w1"
+            ),
+            F.element_at("_w", i).alias("w2"),
+        ),
+    )
+    pos = (
+        base.filter(F.element_at("_w", 1) != "")
+        .select(id_col, F.explode(pairs).alias("_p"))
+        .select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    tf = pos.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("_tf"))
+    big = bigrams.select("w1", "w2", F.col("n").cast("double").alias("_n12"))
+    pcont = F.greatest(F.coalesce("_r", F.lit(0.0)), F.lit(1.0)) / F.col("_B")
+    joined = (
+        tf.join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(left), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .join(F.broadcast(types))
+        .select(
+            id_col,
+            "w1",
+            "w2",
+            "_tf",
+            F.when(
+                (F.col("w1") != "") & F.col("_c1").isNotNull(),
+                F.log(
+                    F.greatest(
+                        F.coalesce("_n12", F.lit(0.0)) - F.lit(d), F.lit(0.0)
+                    )
+                    / F.col("_c1")
+                    + F.lit(d) * F.col("_nl") / F.col("_c1") * pcont
+                ),
+            )
+            .otherwise(F.log(pcont))
+            .alias("_s"),
+        )
+    )
+    per = joined.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("w1", "w2", "_tf", "_s"))).alias(
+            "_arr"
+        ),
+        F.sum("_tf").cast("long").alias("_L"),
+    )
+    scored = per.select(
+        id_col,
+        "_L",
+        (
+            -F.aggregate(
+                "_arr",
+                F.lit(0.0),
+                lambda acc, s: acc + s["_tf"].cast("double") * s["_s"],
+            )
+            / F.col("_L").cast("double")
+        ).alias("_xent"),
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_L", F.lit(0)).cast("long").alias("n_words"),
+            F.round(F.coalesce("_xent", F.lit(0.0)), 6).alias("xent_nats"),
+            F.round(F.exp(F.coalesce("_xent", F.lit(0.0))), 6).alias("ppl"),
+        )
+    )
+
+
 def score_unigram(
     df: DataFrame,
     lm: DataFrame,

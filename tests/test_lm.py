@@ -209,6 +209,95 @@ class TestStupidBackoff:
             )
 
 
+class TestScoreKneserNey:
+    @staticmethod
+    def _brute(rows, bigram_top=None, d=0.75):
+        big = Counter()
+        for _, t in rows:
+            ws = _norm_words(t)
+            for i in range(1, len(ws)):
+                big[(ws[i - 1], ws[i])] += 1
+        if bigram_top is not None:
+            kept = sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))
+            big = dict(kept[:bigram_top])
+        c1, nl, r = Counter(), Counter(), Counter()
+        for (w1, w2), n in big.items():
+            c1[w1] += n
+            nl[w1] += 1
+            r[w2] += 1
+        B = float(len(big))
+        out = {}
+        for did, t in rows:
+            ws = _norm_words(t)
+            if not ws:
+                out[did] = (0, 0.0, 1.0)
+                continue
+            terms = Counter()
+            for i, w in enumerate(ws):
+                terms[("" if i == 0 else ws[i - 1], w)] += 1
+            s = 0.0
+            for (w1, w2), tf in sorted(terms.items()):
+                pcont = max(float(r.get(w2, 0)), 1.0) / B
+                if w1 != "" and w1 in c1:
+                    n12 = float(big.get((w1, w2), 0))
+                    p = max(n12 - d, 0.0) / c1[w1] + d * nl[w1] / c1[w1] * pcont
+                else:
+                    p = pcont
+                s += tf * math.log(p)
+            xent = -s / len(ws)
+            out[did] = (len(ws), round(xent, 6), round(math.exp(xent), 6))
+        return out
+
+    def test_matches_bruteforce(self, spark, docs):
+        from temporalscope_spark.operators.lm import bigram_counts, score_kneser_ney
+
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        got = {
+            r["doc_id"]: (r["n_words"], r["xent_nats"], r["ppl"])
+            for r in score_kneser_ney(docs, bigram_counts(docs)).collect()
+        }
+        assert got == self._brute(rows)
+
+    def test_truncated_table_stays_consistent(self, spark, docs):
+        """Unseen-context path (w1 absent from the truncated table)
+        falls back to the continuation distribution, and ppl never
+        drops below 1 — the marginals derive from the SAME table, so
+        truncation can't produce the inconsistent-tables pathology the
+        Stupid Backoff floor guards against."""
+        from temporalscope_spark.operators.lm import bigram_counts, score_kneser_ney
+
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        big = bigram_counts(docs, top_k=2)
+        got = {
+            r["doc_id"]: (r["n_words"], r["xent_nats"], r["ppl"])
+            for r in score_kneser_ney(docs, big).collect()
+        }
+        assert got == self._brute(rows, bigram_top=2)
+        assert all(v[2] >= 1.0 for v in got.values())
+
+    def test_repeated_bigrams_score_well(self, spark):
+        from temporalscope_spark.operators.lm import bigram_counts, score_kneser_ney
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a b a b"), (2, "a x b a q b p a"), (3, "")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: r
+            for r in score_kneser_ney(df, bigram_counts(df)).collect()
+        }
+        assert got[1]["ppl"] < got[2]["ppl"]
+        assert (got[3]["n_words"], got[3]["ppl"]) == (0, 1.0)
+
+    def test_discount_validated(self, spark, docs):
+        from temporalscope_spark.operators.lm import bigram_counts, score_kneser_ney
+
+        with pytest.raises(DataFrameValidationError, match="discount"):
+            score_kneser_ney(docs, bigram_counts(docs), discount=1.0)
+        with pytest.raises(DataFrameValidationError, match="discount"):
+            score_kneser_ney(docs, bigram_counts(docs), discount=0.0)
+
+
 class TestPplBuckets:
     def test_buckets_match_bruteforce(self, spark, docs):
         from temporalscope_spark.operators.lm import ppl_buckets, unigram_counts
