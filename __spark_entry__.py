@@ -1979,6 +1979,36 @@ def _gopher_oracle() -> str:
     """
 
 
+def q_acf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sample autocorrelation of `events.value` at lags 1-3
+    (global-mean Box-Jenkins estimator): three lag() columns over ONE
+    (ts, event_id)-ordered window, one grouped cross-moment aggregation,
+    closed-form projection the oracle replays term-for-term."""
+    from temporalscope_spark.operators.tsfeatures import acf_features
+
+    events = _t(spark, sf_dir, "events")
+    return acf_features(
+        events, "value", 3, time_col="ts", id_col="user_id", tiebreak_col="event_id"
+    )
+
+
+def q_fourier_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-period sin/cos time encodings (2 harmonics) of `events.ts` —
+    a pure narrow projection (plan-tested exchange-free) that folds into
+    any scan already reading the time column."""
+    from temporalscope_spark.operators.tsfeatures import fourier_time_features
+
+    events = _t(spark, sf_dir, "events")
+    out = fourier_time_features(events, "ts", period_seconds=86_400, harmonics=2)
+    return out.select(
+        "event_id",
+        "ts_86400s_sin_1",
+        "ts_86400s_cos_1",
+        "ts_86400s_sin_2",
+        "ts_86400s_cos_2",
+    )
+
+
 def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-past trailing covariance/correlation between `events.value`
     and the props payload length over a 1h range frame — five windowed sums
@@ -2154,6 +2184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "delta_features": q_delta_features,
         "rolling_corr": q_rolling_corr,
+        "acf_features": q_acf_features,
+        "fourier_time": q_fourier_time,
     }
 
 
@@ -3941,4 +3973,58 @@ def oracle_sql() -> dict[str, str]:
     # the incremental postings build is score-identical to the one-shot
     # build by the add-only df-partials contract — shared oracle = check
     sql["bm25_incremental"] = sql["bm25_multi_topk"]
+    # ACF replay: the expanded cross-moment closed form, term-for-term the
+    # engine's projection (num = cxy - mean*(ca+cb) + m*mean*mean over the
+    # full-series SSE); ordering (ts, event_id) matches the µs window key
+    sql["acf_features"] = """
+        WITH b AS (
+            SELECT user_id, CAST(value AS DOUBLE) AS x,
+                   lag(CAST(value AS DOUBLE), 1) OVER w AS l1,
+                   lag(CAST(value AS DOUBLE), 2) OVER w AS l2,
+                   lag(CAST(value AS DOUBLE), 3) OVER w AS l3
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        m AS (
+            SELECT user_id,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(x) AS s1, sum(x * x) AS s2,
+                   CAST(count(l1) AS DOUBLE) AS m1, sum(x * l1) AS cxy1,
+                   sum(CASE WHEN l1 IS NOT NULL THEN x END) AS ca1,
+                   sum(l1) AS cb1,
+                   CAST(count(l2) AS DOUBLE) AS m2, sum(x * l2) AS cxy2,
+                   sum(CASE WHEN l2 IS NOT NULL THEN x END) AS ca2,
+                   sum(l2) AS cb2,
+                   CAST(count(l3) AS DOUBLE) AS m3, sum(x * l3) AS cxy3,
+                   sum(CASE WHEN l3 IS NOT NULL THEN x END) AS ca3,
+                   sum(l3) AS cb3
+            FROM b GROUP BY 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+               round(s1 / n, 6) + 0.0 AS mean,
+               round(CASE WHEN m1 >= 1 AND s2 - s1 * s1 / n > 0 THEN
+                   (cxy1 - s1 / n * (ca1 + cb1) + m1 * (s1 / n) * (s1 / n))
+                       / (s2 - s1 * s1 / n) END, 6) + 0.0 AS acf_1,
+               round(CASE WHEN m2 >= 1 AND s2 - s1 * s1 / n > 0 THEN
+                   (cxy2 - s1 / n * (ca2 + cb2) + m2 * (s1 / n) * (s1 / n))
+                       / (s2 - s1 * s1 / n) END, 6) + 0.0 AS acf_2,
+               round(CASE WHEN m3 >= 1 AND s2 - s1 * s1 / n > 0 THEN
+                   (cxy3 - s1 / n * (ca3 + cb3) + m3 * (s1 / n) * (s1 / n))
+                       / (s2 - s1 * s1 / n) END, 6) + 0.0 AS acf_3
+        FROM m
+    """
+    # Fourier: identical literal 2πh multiplier and phase expression;
+    # + 0.0 canonicalizes the signed zero sin() hits at half-period
+    sql["fourier_time"] = """
+        SELECT event_id,
+               round(sin(2 * pi() * 1 * phase), 6) + 0.0 AS ts_86400s_sin_1,
+               round(cos(2 * pi() * 1 * phase), 6) + 0.0 AS ts_86400s_cos_1,
+               round(sin(2 * pi() * 2 * phase), 6) + 0.0 AS ts_86400s_sin_2,
+               round(cos(2 * pi() * 2 * phase), 6) + 0.0 AS ts_86400s_cos_2
+        FROM (
+            SELECT event_id,
+                   (CAST(epoch(ts) AS DOUBLE) % 86400.0) / 86400.0 AS phase
+            FROM events
+        )
+    """
     return sql

@@ -1,0 +1,167 @@
+"""Per-series temporal feature extraction: autocorrelation and Fourier
+time encodings.
+
+The reference's feature story stops at lag/lead shifts and sliding-window
+partitions (/root/reference/src/temporalscope/target_shifters/
+single_step.py:265-301, partition/sliding_window.py); a temporal feature
+engine additionally needs the classic series-level descriptors — the
+autocorrelation function (the first thing a forecaster computes per
+series, and the standard seasonality/AR-order diagnostic) and periodic
+sin/cos encodings (the standard way to hand a model time-of-day /
+day-of-week as continuous features).
+
+Plan shapes (both 100 TB-safe):
+
+* ``acf_features``: K ``lag()`` columns sharing ONE window spec (one
+  exchange + sort, amortized across every lag) → ONE map-side-combinable
+  ``groupBy(entity)`` aggregation producing all cross-moments → a narrow
+  closed-form projection. Output is entity-sized, not row-sized. With the
+  bucketed layout (``TemporalFrame.ensure_layout``) the window and the
+  aggregation both run exchange-free.
+* ``fourier_time_features``: pure narrow projection — zero exchanges at
+  any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.rolling import _time_expr, _time_micros
+
+
+def acf_features(
+    df: DataFrame,
+    value_col: str,
+    max_lag: int,
+    time_col: str = "event_time",
+    id_col: str = "doc_id",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-entity sample autocorrelation at lags ``1..max_lag``.
+
+    Uses the standard global-mean estimator (statsmodels' ``acf`` /
+    Box–Jenkins): with ``x̄`` the series mean over its n non-null points,
+
+        ρ(k) = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+
+    (denominator is the full-series sum of squares, NOT the lag-k
+    subset's — that keeps |ρ| ≤ 1 and matches every published ACF
+    implementation). Null values are dropped first, so the ACF is over
+    the series' non-null subsequence in time order; pass ``tiebreak_col``
+    (a unique row id) to make the order — and therefore the ACF on data
+    with duplicate timestamps — fully deterministic (the shipped query
+    orders by (ts, event_id)).
+
+    Expanding the numerator gives a pure cross-moment form the SQL
+    oracle replays exactly from integer-count + double sums:
+
+        num_k = Σ x_t·x_{t−k} − x̄·(Σ_{t>k} x_t + Σ_{t>k} x_{t−k}) + m_k·x̄²
+
+    Output: one row per entity — ``(id, n_obs, mean, acf_1..acf_K)``,
+    floats rounded to 6; ``acf_k`` is NULL when the series has zero
+    variance or fewer than ``k + 1`` points.
+    """
+    if max_lag < 1:
+        raise DataFrameValidationError("max_lag must be >= 1")
+    if value_col not in df.columns:
+        raise DataFrameValidationError(f"acf_features: missing column {value_col!r}")
+
+    x = F.col(value_col).cast("double")
+    tb = [F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []
+    base = (
+        df.filter(x.isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            _time_micros(df, time_col).alias("_t"),
+            *tb,
+            x.alias("_x"),
+        )
+    )
+    order = ["_t", "_tb"] if tiebreak_col else ["_t"]
+    w = Window.partitionBy("_id").orderBy(*order)
+    lagged = base.select(
+        "_id",
+        "_x",
+        *[F.lag("_x", k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_s1"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_s2"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_l{k}")
+        aggs.extend(
+            [
+                F.count(lk).cast("double").alias(f"_m{k}"),
+                F.sum(F.col("_x") * lk).alias(f"_cxy{k}"),
+                F.sum(F.when(lk.isNotNull(), F.col("_x"))).alias(f"_ca{k}"),
+                F.sum(lk).alias(f"_cb{k}"),
+            ]
+        )
+    mom = lagged.groupBy("_id").agg(*aggs)
+
+    mean = F.col("_s1") / F.col("_n")
+    sse = F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")
+    out_cols = [
+        F.col("_id").alias(id_col),
+        F.col("_n").cast("long").alias("n_obs"),
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean"),
+    ]
+    for k in range(1, max_lag + 1):
+        num = (
+            F.col(f"_cxy{k}")
+            - mean * (F.col(f"_ca{k}") + F.col(f"_cb{k}"))
+            + F.col(f"_m{k}") * mean * mean
+        )
+        out_cols.append(
+            (
+                F.round(
+                    F.when((F.col(f"_m{k}") >= 1) & (sse > 0), num / sse), 6
+                )
+                + F.lit(0.0)  # canonicalize -0.0; NULL + 0.0 stays NULL
+            ).alias(f"acf_{k}")
+        )
+    return mom.select(*out_cols)
+
+
+def fourier_time_features(
+    df: DataFrame,
+    time_col: str = "event_time",
+    period_seconds: int = 86_400,
+    harmonics: int = 2,
+    prefix: str | None = None,
+) -> DataFrame:
+    """Append periodic sin/cos encodings of the time column: for each
+    harmonic ``h`` in ``1..harmonics``,
+
+        sin(2π·h·(epoch mod period)/period),  cos(...)
+
+    — the standard continuous encoding for time-of-day / day-of-week
+    seasonality (period 86400 = daily, 604800 = weekly). Column names:
+    ``{prefix}_sin_{h}`` / ``{prefix}_cos_{h}`` with the prefix
+    defaulting to ``{time_col}_{period}s``. Pure narrow projection; at
+    100 TB this folds into whatever scan already reads the time column.
+    """
+    if harmonics < 1:
+        raise DataFrameValidationError("harmonics must be >= 1")
+    if period_seconds <= 0:
+        raise DataFrameValidationError("period_seconds must be > 0")
+    p = prefix if prefix is not None else f"{time_col}_{period_seconds}s"
+    sec = _time_expr(df, time_col)
+    phase = (sec % F.lit(float(period_seconds))) / F.lit(float(period_seconds))
+    two_pi = 2.0 * 3.141592653589793
+    cols = []
+    for h in range(1, harmonics + 1):
+        ang = F.lit(two_pi * h) * phase
+        # + 0.0 canonicalizes IEEE -0.0 (sin at half-period rounds to a
+        # signed zero whose byte representation differs across engines)
+        cols.append((F.round(F.sin(ang), 6) + F.lit(0.0)).alias(f"{p}_sin_{h}"))
+        cols.append((F.round(F.cos(ang), 6) + F.lit(0.0)).alias(f"{p}_cos_{h}"))
+    return df.select("*", *cols)

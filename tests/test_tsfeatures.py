@@ -1,0 +1,144 @@
+"""Autocorrelation + Fourier time features (operators/tsfeatures.py)."""
+
+import math
+
+import pytest
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.tsfeatures import acf_features, fourier_time_features
+
+
+@pytest.fixture
+def series(spark):
+    rows = []
+    # entity 1: strong AR(1)-ish alternation -> negative acf_1
+    vals1 = [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]
+    rows += [(1, float(t), v) for t, v in enumerate(vals1)]
+    # entity 2: slow ramp -> strongly positive acf_1
+    vals2 = [float(t) for t in range(10)]
+    rows += [(2, float(t), v) for t, v in enumerate(vals2)]
+    # entity 3: constant (zero variance) -> acf null
+    rows += [(3, float(t), 5.0) for t in range(5)]
+    # entity 4: too short for lag 2
+    rows += [(4, 0.0, 1.0), (4, 1.0, 2.0)]
+    # entity 5: nulls interleaved -> ACF over the non-null subsequence
+    rows += [(5, 0.0, 1.0), (5, 1.0, None), (5, 2.0, 3.0), (5, 3.0, 2.0), (5, 4.0, None), (5, 5.0, 4.0)]
+    return spark.createDataFrame(rows, ["uid", "t", "x"])
+
+
+def _brute_acf(xs, max_lag):
+    n = len(xs)
+    m = sum(xs) / n
+    sse = sum((v - m) ** 2 for v in xs)
+    out = {}
+    for k in range(1, max_lag + 1):
+        if n > k and sse > 0:
+            num = sum((xs[t] - m) * (xs[t - k] - m) for t in range(k, n))
+            out[k] = num / sse
+        else:
+            out[k] = None
+    return m, out
+
+
+class TestAcfFeatures:
+    def test_matches_bruteforce(self, spark, series):
+        got = {
+            r["uid"]: r
+            for r in acf_features(series, "x", 2, time_col="t", id_col="uid").collect()
+        }
+        data = {}
+        for r in series.collect():
+            if r["x"] is not None:
+                data.setdefault(r["uid"], []).append((r["t"], r["x"]))
+        assert set(got) == set(data)
+        for uid, pts in data.items():
+            xs = [v for _, v in sorted(pts)]
+            m, acf = _brute_acf(xs, 2)
+            row = got[uid]
+            assert row["n_obs"] == len(xs)
+            assert row["mean"] == pytest.approx(m, abs=2e-6)
+            for k in (1, 2):
+                if acf[k] is None:
+                    assert row[f"acf_{k}"] is None
+                else:
+                    assert row[f"acf_{k}"] == pytest.approx(acf[k], abs=2e-6)
+
+    def test_alternating_vs_ramp_signs(self, spark, series):
+        got = {
+            r["uid"]: r
+            for r in acf_features(series, "x", 1, time_col="t", id_col="uid").collect()
+        }
+        assert got[1]["acf_1"] < -0.8  # alternating
+        assert got[2]["acf_1"] > 0.5  # ramp
+        assert got[3]["acf_1"] is None  # zero variance
+
+    def test_acf_bounded(self, spark, series):
+        rows = acf_features(series, "x", 3, time_col="t", id_col="uid").collect()
+        for r in rows:
+            for k in (1, 2, 3):
+                v = r[f"acf_{k}"]
+                assert v is None or -1.0 - 1e-9 <= v <= 1.0 + 1e-9
+
+    def test_tiebreak_makes_duplicate_ts_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.0, 10, 1.0), (1, 0.0, 11, 5.0), (1, 1.0, 12, 2.0), (1, 1.0, 13, 7.0)],
+            ["uid", "t", "rid", "x"],
+        )
+        a = acf_features(df, "x", 1, time_col="t", id_col="uid", tiebreak_col="rid")
+        b = acf_features(
+            df.orderBy("x"), "x", 1, time_col="t", id_col="uid", tiebreak_col="rid"
+        )
+        assert a.collect() == b.collect()
+
+    def test_validations(self, spark, series):
+        with pytest.raises(DataFrameValidationError, match="max_lag"):
+            acf_features(series, "x", 0, time_col="t", id_col="uid")
+        with pytest.raises(DataFrameValidationError, match="missing column"):
+            acf_features(series, "nope", 1, time_col="t", id_col="uid")
+
+
+class TestFourierTimeFeatures:
+    def test_matches_math(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, 21600.0), (3, 43200.0), (4, 86400.0), (5, 90000.0)],
+            ["eid", "t"],
+        )
+        got = {
+            r["eid"]: r
+            for r in fourier_time_features(
+                df, "t", period_seconds=86400, harmonics=2
+            ).collect()
+        }
+        for eid, sec in [(1, 0.0), (2, 21600.0), (3, 43200.0), (4, 86400.0), (5, 90000.0)]:
+            phase = (sec % 86400) / 86400
+            for h in (1, 2):
+                ang = 2 * math.pi * h * phase
+                assert got[eid][f"t_86400s_sin_{h}"] == pytest.approx(
+                    math.sin(ang), abs=2e-6
+                )
+                assert got[eid][f"t_86400s_cos_{h}"] == pytest.approx(
+                    math.cos(ang), abs=2e-6
+                )
+
+    def test_period_wraps(self, spark):
+        df = spark.createDataFrame([(1, 3600.0), (2, 90000.0)], ["eid", "t"])
+        got = fourier_time_features(df, "t", 86400, 1).collect()
+        by = {r["eid"]: (r["t_86400s_sin_1"], r["t_86400s_cos_1"]) for r in got}
+        assert by[1] == by[2]  # 90000 mod 86400 == 3600
+
+    def test_validations(self, spark):
+        df = spark.createDataFrame([(1, 0.0)], ["eid", "t"])
+        with pytest.raises(DataFrameValidationError, match="harmonics"):
+            fourier_time_features(df, "t", 86400, 0)
+        with pytest.raises(DataFrameValidationError, match="period_seconds"):
+            fourier_time_features(df, "t", 0, 1)
+
+    def test_no_exchange_in_plan(self, spark):
+        df = spark.createDataFrame([(1, 0.0)], ["eid", "t"])
+        plan = (
+            fourier_time_features(df, "t")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
