@@ -2009,6 +2009,21 @@ def q_fourier_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI / chi-square / Cramér's V of two binned features against
+    `events.event_type`: one corpus melt+count to a bounded cell table
+    (persisted branch point), marginals + expected grid + sorted folds all
+    cell-table-sized."""
+    from temporalscope_spark.operators.relevance import feature_relevance
+
+    events = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / 50).cast("int").alias("vbin"),
+        (F.col("user_id") % 8).cast("int").alias("ubin"),
+        "event_type",
+    )
+    return feature_relevance(events, ["vbin", "ubin"], "event_type")
+
+
 def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-past trailing covariance/correlation between `events.value`
     and the props payload length over a 1h range frame — five windowed sums
@@ -2186,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "acf_features": q_acf_features,
         "fourier_time": q_fourier_time,
+        "feature_relevance": q_feature_relevance,
     }
 
 
@@ -4012,6 +4028,70 @@ def oracle_sql() -> dict[str, str]:
                    (cxy3 - s1 / n * (ca3 + cb3) + m3 * (s1 / n) * (s1 / n))
                        / (s2 - s1 * s1 / n) END, 6) + 0.0 AS acf_3
         FROM m
+    """
+    # feature relevance: exact contingency replay — cell counts, expected
+    # grid (E = a*b/n, the engine's evaluation order), MI over observed
+    # cells + chi2 over the full grid, folded sorted by (v, y)
+    sql["feature_relevance"] = """
+        WITH src AS (
+            SELECT CAST(floor(value / 50) AS INT) AS vbin,
+                   CAST(user_id % 8 AS INT) AS ubin, event_type
+            FROM events
+        ),
+        mel AS (
+            SELECT 'vbin' AS feature, CAST(vbin AS VARCHAR) AS v,
+                   CAST(event_type AS VARCHAR) AS y FROM src
+            UNION ALL
+            SELECT 'ubin', CAST(ubin AS VARCHAR),
+                   CAST(event_type AS VARCHAR) FROM src
+        ),
+        cells AS (
+            SELECT feature, v, y, CAST(count(*) AS DOUBLE) AS c
+            FROM mel WHERE v IS NOT NULL AND y IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        av AS (SELECT feature, v, sum(c) AS a FROM cells GROUP BY 1, 2),
+        bl AS (SELECT feature, y, sum(c) AS b FROM cells GROUP BY 1, 2),
+        nf AS (SELECT feature, sum(c) AS n FROM cells GROUP BY 1),
+        grid AS (
+            SELECT av.feature, av.v, bl.y, nf.n,
+                   coalesce(cells.c, 0.0) AS o,
+                   av.a * bl.b / nf.n AS e
+            FROM av
+            JOIN bl USING (feature)
+            JOIN nf ON nf.feature = av.feature
+            LEFT JOIN cells ON cells.feature = av.feature
+                           AND cells.v = av.v AND cells.y = bl.y
+        ),
+        terms AS (
+            SELECT feature, n, v, y,
+                   CASE WHEN o > 0 THEN (o / n) * ln(o / e)
+                        ELSE 0.0 END AS mi_t,
+                   (o - e) * (o - e) / e AS chi_t
+            FROM grid
+        ),
+        folded AS (
+            SELECT feature, max(n) AS n,
+                   list(mi_t ORDER BY v, y) AS mis,
+                   list(chi_t ORDER BY v, y) AS chis,
+                   CAST(count(DISTINCT v) AS DOUBLE) AS nv,
+                   CAST(count(DISTINCT y) AS DOUBLE) AS nl
+            FROM terms GROUP BY 1
+        )
+        SELECT feature, CAST(n AS BIGINT) AS n_obs,
+               CAST(nv AS BIGINT) AS n_values,
+               CAST(nl AS BIGINT) AS n_labels,
+               round(list_reduce(list_prepend(0.0, mis),
+                                 (acc, x) -> acc + x), 6) + 0.0 AS mi_nats,
+               round(list_reduce(list_prepend(0.0, chis),
+                                 (acc, x) -> acc + x), 6) + 0.0 AS chi2,
+               CAST((nv - 1) * (nl - 1) AS BIGINT) AS dof,
+               round(CASE WHEN least(nv - 1, nl - 1) >= 1 THEN
+                   sqrt(list_reduce(list_prepend(0.0, chis),
+                                    (acc, x) -> acc + x)
+                        / (n * least(nv - 1, nl - 1))) END, 6) + 0.0
+                   AS cramers_v
+        FROM folded
     """
     # Fourier: identical literal 2πh multiplier and phase expression;
     # + 0.0 canonicalizes the signed zero sin() hits at half-period

@@ -1,0 +1,149 @@
+"""Feature-relevance scoring: mutual information, chi-square, Cramér's V.
+
+Feature selection at corpus scale needs per-feature relevance-to-label
+scores BEFORE any model is trained (the sklearn
+``mutual_info_score`` / ``chi2`` step of a feature-engineering pipeline).
+The reference stops at validation-side profiling
+(/root/reference/src/temporalscope/datasets/dataset_validator.py — counts,
+nulls, class balance); this module adds the relevance battery over the
+same profile-shaped plan.
+
+Plan shape (100 TB-safe by construction): the corpus is touched ONCE — a
+narrow melt projection (``stack``) followed by one map-side-combinable
+``groupBy(feature, value, label)`` count. Everything downstream operates
+on the CELL table, whose size is Σ_f |V_f|·|L| — bounded by the
+categorical cardinalities, not the row count. Marginals, the expected
+grid, and the per-feature folds are all joins/aggregations over that
+small table (AQE broadcasts them). Continuous features should be binned
+first (``window_buckets`` or a plain ``floor``) — relevance over raw
+doubles degenerates to one cell per row, which this module treats as the
+caller's modeling error, not something to paper over.
+
+Determinism: per-feature statistics fold cell terms SORTED by
+(value, label) — the same sorted-fold contract as the LM scorers — so an
+exact SQL oracle replays the float sums bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from temporalscope_spark.core.caching import hold
+from temporalscope_spark.exceptions import DataFrameValidationError
+
+
+def feature_relevance(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+) -> DataFrame:
+    """Relevance of each categorical feature to a categorical label.
+
+    Per feature ``f`` over the rows where both ``f`` and the label are
+    non-null (pairwise-complete, like ``pandas.crosstab``):
+
+    * ``mi_nats``  — mutual information Σ p(v,y)·ln(p(v,y)/(p(v)p(y)))
+      over observed cells (empty cells contribute 0 by the 0·ln0 = 0
+      convention).
+    * ``chi2``     — Pearson's Σ (O−E)²/E over the FULL V×L grid
+      (E = row·col/n; zero-observed cells still contribute E).
+    * ``dof``      — (V−1)(L−1).
+    * ``cramers_v`` — √(chi2 / (n·min(V−1, L−1))), the [0,1]-normalized
+      effect size; NULL when either side is constant.
+
+    Feature and label values are compared as strings (uniform melt
+    type); numeric features must be pre-binned — see module docstring.
+
+    Output: one row per feature —
+    ``(feature, n_obs, n_values, n_labels, mi_nats, chi2, dof, cramers_v)``,
+    floats rounded to 6.
+    """
+    if not feature_cols:
+        raise DataFrameValidationError("feature_cols must be non-empty")
+    missing = [c for c in (*feature_cols, label_col) if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"feature_relevance: missing columns {missing}")
+
+    p = len(feature_cols)
+    stack_args = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in feature_cols
+    )
+    melted = (
+        df.select(
+            F.expr(f"stack({p}, {stack_args}) AS (feature, v)"),
+            F.col(label_col).cast("string").alias("y"),
+        )
+        .filter(F.col("v").isNotNull() & F.col("y").isNotNull())
+    )
+    # the cell table is the branch point: it feeds both marginals, the
+    # totals AND the grid join — without the persist, each consumer
+    # re-runs the corpus melt+count (four full scans). It is bounded by
+    # the categorical cardinalities, so the cache is small; the handle is
+    # attached to the result (core.caching.hold) for explicit release.
+    cells = (
+        melted.groupBy("feature", "v", "y")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    av = cells.groupBy("feature", "v").agg(F.sum("c").alias("a"))
+    bl = cells.groupBy("feature", "y").agg(F.sum("c").alias("b"))
+    nf = cells.groupBy("feature").agg(F.sum("c").alias("n"))
+
+    grid = (
+        av.join(bl, "feature")
+        .join(cells, ["feature", "v", "y"], "left")
+        .join(F.broadcast(nf), "feature")
+        .select(
+            "feature",
+            "v",
+            "y",
+            "n",
+            F.coalesce("c", F.lit(0.0)).alias("o"),
+            (F.col("a") * F.col("b") / F.col("n")).alias("e"),
+        )
+    )
+    terms = grid.select(
+        "feature",
+        "n",
+        F.struct(
+            "v",
+            "y",
+            F.when(
+                F.col("o") > 0,
+                (F.col("o") / F.col("n")) * F.log(F.col("o") / F.col("e")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mi_t"),
+            (
+                (F.col("o") - F.col("e"))
+                * (F.col("o") - F.col("e"))
+                / F.col("e")
+            ).alias("chi_t"),
+        ).alias("_s"),
+    )
+    folded = terms.groupBy("feature").agg(
+        F.first("n").alias("n"),
+        F.array_sort(F.collect_list("_s")).alias("_arr"),
+        F.count_distinct(F.col("_s.v")).cast("double").alias("nv"),
+        F.count_distinct(F.col("_s.y")).cast("double").alias("nl"),
+    )
+    mi = F.aggregate("_arr", F.lit(0.0), lambda acc, s: acc + s["mi_t"])
+    chi2 = F.aggregate("_arr", F.lit(0.0), lambda acc, s: acc + s["chi_t"])
+    mind = F.least(F.col("nv") - 1, F.col("nl") - 1)
+    return hold(folded.select(
+        "feature",
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("nv").cast("long").alias("n_values"),
+        F.col("nl").cast("long").alias("n_labels"),
+        (F.round(mi, 6) + F.lit(0.0)).alias("mi_nats"),
+        (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+        ((F.col("nv") - 1) * (F.col("nl") - 1)).cast("long").alias("dof"),
+        (
+            F.round(F.when(mind >= 1, F.sqrt(chi2 / (F.col("n") * mind))), 6)
+            + F.lit(0.0)
+        ).alias("cramers_v"),
+    ), cells)

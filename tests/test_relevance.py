@@ -1,0 +1,144 @@
+"""Feature-relevance battery (operators/relevance.py)."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.relevance import feature_relevance
+
+
+def _brute(pairs):
+    """(mi, chi2, dof, cramers_v, n, nv, nl) over (value, label) pairs."""
+    cells = Counter(pairs)
+    n = float(len(pairs))
+    av = Counter(v for v, _ in pairs)
+    bl = Counter(y for _, y in pairs)
+    mi = chi2 = 0.0
+    for v in av:
+        for y in bl:
+            o = float(cells.get((v, y), 0))
+            e = av[v] * bl[y] / n
+            if o > 0:
+                mi += (o / n) * math.log(o / e)
+            chi2 += (o - e) ** 2 / e
+    nv, nl = len(av), len(bl)
+    dof = (nv - 1) * (nl - 1)
+    cv = (
+        math.sqrt(chi2 / (n * min(nv - 1, nl - 1)))
+        if min(nv - 1, nl - 1) >= 1
+        else None
+    )
+    return mi, chi2, dof, cv, int(n), nv, nl
+
+
+@pytest.fixture
+def table(spark):
+    rows = []
+    # f_dep == label exactly; f_ind independent-ish; f_const constant
+    data = [
+        ("a", "a", "x", 1),
+        ("a", "a", "y", 1),
+        ("b", "b", "x", 1),
+        ("b", "b", "y", 1),
+        ("a", "a", "x", 1),
+        ("b", "b", "y", 1),
+        ("a", "a", "y", 1),
+        ("b", "b", "x", 1),
+    ]
+    rows = [(f1, lab, f2, c) for f1, lab, f2, c in data]
+    return spark.createDataFrame(rows, ["f_dep", "label", "f_ind", "f_const"])
+
+
+class TestFeatureRelevance:
+    def test_matches_bruteforce(self, spark, table):
+        got = {
+            r["feature"]: r
+            for r in feature_relevance(
+                table, ["f_dep", "f_ind", "f_const"], "label"
+            ).collect()
+        }
+        raw = table.collect()
+        for feat in ("f_dep", "f_ind", "f_const"):
+            pairs = [
+                (str(r[feat]), r["label"])
+                for r in raw
+                if r[feat] is not None and r["label"] is not None
+            ]
+            mi, chi2, dof, cv, n, nv, nl = _brute(pairs)
+            row = got[feat]
+            assert row["n_obs"] == n
+            assert (row["n_values"], row["n_labels"]) == (nv, nl)
+            assert row["mi_nats"] == pytest.approx(mi, abs=2e-6)
+            assert row["chi2"] == pytest.approx(chi2, abs=2e-6)
+            assert row["dof"] == dof
+            if cv is None:
+                assert row["cramers_v"] is None
+            else:
+                assert row["cramers_v"] == pytest.approx(cv, abs=2e-6)
+
+    def test_perfect_dependence(self, spark, table):
+        got = {
+            r["feature"]: r
+            for r in feature_relevance(table, ["f_dep"], "label").collect()
+        }
+        # f_dep == label: MI = H(label) = ln 2 for the 50/50 split;
+        # Cramér's V = 1
+        assert got["f_dep"]["mi_nats"] == pytest.approx(math.log(2), abs=2e-6)
+        assert got["f_dep"]["cramers_v"] == pytest.approx(1.0, abs=2e-6)
+
+    def test_independence_scores_zero(self, spark, table):
+        got = {
+            r["feature"]: r
+            for r in feature_relevance(table, ["f_ind"], "label").collect()
+        }
+        # f_ind is exactly balanced against the label in the fixture
+        assert got["f_ind"]["mi_nats"] == pytest.approx(0.0, abs=2e-6)
+        assert got["f_ind"]["chi2"] == pytest.approx(0.0, abs=2e-6)
+
+    def test_constant_feature_degenerates(self, spark, table):
+        got = {
+            r["feature"]: r
+            for r in feature_relevance(table, ["f_const"], "label").collect()
+        }
+        row = got["f_const"]
+        assert (row["n_values"], row["dof"]) == (1, 0)
+        assert row["cramers_v"] is None
+        assert row["mi_nats"] == pytest.approx(0.0, abs=2e-6)
+
+    def test_nulls_dropped_pairwise(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", None), (None, "y"), ("b", "y"), ("b", "y")],
+            ["f", "label"],
+        )
+        row = feature_relevance(df, ["f"], "label").collect()[0]
+        assert row["n_obs"] == 3  # only rows with both sides non-null
+
+    def test_numeric_features_melt_as_strings(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0), (1, 0), (2, 1), (2, 1)], ["f", "label"]
+        )
+        row = feature_relevance(df, ["f"], "label").collect()[0]
+        assert row["cramers_v"] == pytest.approx(1.0, abs=2e-6)
+
+    def test_validations(self, spark, table):
+        with pytest.raises(DataFrameValidationError, match="non-empty"):
+            feature_relevance(table, [], "label")
+        with pytest.raises(DataFrameValidationError, match="missing columns"):
+            feature_relevance(table, ["nope"], "label")
+
+    def test_cell_branch_point_is_persisted(self, spark, table):
+        """The cell table feeds four consumers (both marginals, totals,
+        grid join); the operator persists it so the corpus melt+count runs
+        once, and attaches the handle for release."""
+        from temporalscope_spark.core.caching import held_handles, release
+
+        out = feature_relevance(table, ["f_dep", "f_ind"], "label")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        handles = held_handles(out)
+        assert len(handles) == 1
+        out.collect()
+        release(out)
+        assert handles[0].storageLevel.useMemory is False
