@@ -1864,6 +1864,50 @@ def _irls_step_ctes() -> str:
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
+def _corr_matrix_oracle() -> str:
+    """Generated from the same pair loop as the engine: per pair, six
+    gated moments in one aggregation, the identical closed forms
+    (sample cov n-1, corr gated on n>=2 and positive variances)."""
+    cols = [
+        ("value", "CAST(value AS DOUBLE)"),
+        ("plen", "CAST(length(props) AS DOUBLE)"),
+        ("uvar", "CAST(user_id % 100 AS DOUBLE)"),
+    ]
+    sels, rows = [], []
+    for i, (ni, ei) in enumerate(cols):
+        for nj, ej in cols[i:]:
+            t = f"{ni}_{nj}"
+            both = f"({ei} IS NOT NULL AND {ej} IS NOT NULL)"
+            gx = f"CASE WHEN {both} THEN {ei} END"
+            gy = f"CASE WHEN {both} THEN {ej} END"
+            sels += [
+                f"CAST(count({gx}) AS DOUBLE) AS n_{t}",
+                f"sum({gx}) AS sx_{t}",
+                f"sum({gy}) AS sy_{t}",
+                f"sum(({gx}) * ({gy})) AS sxy_{t}",
+                f"sum(({gx}) * ({gx})) AS sxx_{t}",
+                f"sum(({gy}) * ({gy})) AS syy_{t}",
+            ]
+            cov_num = f"(sxy_{t} - sx_{t} * sy_{t} / n_{t})"
+            varx = f"(sxx_{t} - sx_{t} * sx_{t} / n_{t})"
+            vary = f"(syy_{t} - sy_{t} * sy_{t} / n_{t})"
+            rows.append(
+                f"SELECT '{ni}' AS f1, '{nj}' AS f2, "
+                f"CAST(n_{t} AS BIGINT) AS n_pairs, "
+                f"round(CASE WHEN n_{t} >= 2 THEN {cov_num} / (n_{t} - 1) "
+                f"END, 6) + 0.0 AS cov, "
+                f"round(CASE WHEN n_{t} >= 2 AND {varx} > 0 AND {vary} > 0 "
+                f"THEN {cov_num} / sqrt({varx} * {vary}) END, 6) + 0.0 AS corr "
+                f"FROM m"
+            )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(sels)
+        + " FROM events) "
+        + " UNION ALL ".join(rows)
+    )
+
+
 def _gopher_oracle() -> str:
     """DuckDB replay of q_gopher_rules: grams via UNNEST(generate_series) +
     list_slice (the dup_span_stats idiom), top gram via ORDER BY cnt DESC,
@@ -2022,6 +2066,20 @@ def q_feature_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     return feature_relevance(events, ["vbin", "ubin"], "event_type")
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-complete Pearson cov/corr matrix over three numeric
+    columns — all p(p+1)/2·6 gated moments from ONE aggregation (one
+    corpus scan, 1-row result), long rows exploded from that row."""
+    from temporalscope_spark.operators.relevance import correlation_matrix
+
+    events = _t(spark, sf_dir, "events").select(
+        "value",
+        F.length("props").cast("double").alias("plen"),
+        (F.col("user_id") % 100).cast("double").alias("uvar"),
+    )
+    return correlation_matrix(events, ["value", "plen", "uvar"])
 
 
 def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2202,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_features": q_acf_features,
         "fourier_time": q_fourier_time,
         "feature_relevance": q_feature_relevance,
+        "correlation_matrix": q_correlation_matrix,
     }
 
 
@@ -3850,6 +3909,7 @@ def oracle_sql() -> dict[str, str]:
     # order) — sharing the oracle string IS the equivalence check
     sql["dsir_select_approx"] = sql["dsir_select"]
     sql["gopher_rules"] = _gopher_oracle()
+    sql["correlation_matrix"] = _corr_matrix_oracle()
     # rolling corr: the oracle replays the ENGINE's closed form from its own
     # windowed sums (pairwise-complete gating, n-1 denominator) rather than
     # using covar_samp/corr builtins, whose incremental orders differ

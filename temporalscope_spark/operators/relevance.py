@@ -147,3 +147,96 @@ def feature_relevance(
             + F.lit(0.0)
         ).alias("cramers_v"),
     ), cells)
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    sample: bool = True,
+) -> DataFrame:
+    """Pairwise-complete Pearson correlation/covariance matrix over the
+    given numeric columns, long format — the multicollinearity screen a
+    feature pipeline runs before model fitting (pandas ``df.corr()`` /
+    ``df.cov()``, but in ONE distributed aggregation).
+
+    For every unordered pair ``i ≤ j``, statistics use the rows where BOTH
+    columns are non-null (pairwise-complete, pandas' convention), via
+    gated sums: ``cov = (Σxy − ΣxΣy/n) / (n−1)`` (``sample=False``
+    divides by n) and the matching closed-form correlation — the same
+    textbook moments as :func:`~temporalscope_spark.operators.rolling.
+    rolling_corr`, so the SQL oracle replays them exactly. ``cov``/
+    ``corr`` are NULL below 2 pairs; ``corr`` additionally NULL on zero
+    variance (diagonal included: corr 1.0 unless degenerate).
+
+    Plan shape: ONE map-side-combinable aggregation computes all
+    p(p+1)/2 · 6 gated moments (one corpus scan, one 1-row result), then
+    the long rows explode from that single row — nothing downstream of
+    the scan depends on the data size. ``p`` is the feature dimension
+    (tens); for p in the thousands you'd batch the pair set, not this
+    operator's target.
+
+    Output: ``(f1, f2, n_pairs, cov, corr)`` for each ``f1 ≤ f2`` in the
+    given column order, floats rounded to 6.
+    """
+    if len(cols) < 2:
+        raise DataFrameValidationError("correlation_matrix needs >= 2 columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"correlation_matrix: missing columns {missing}")
+
+    aggs = []
+    pairs = []
+    for i, ci in enumerate(cols):
+        for cj in cols[i:]:
+            xi = F.col(ci).cast("double")
+            xj = F.col(cj).cast("double")
+            both = xi.isNotNull() & xj.isNotNull()
+            gx, gy = F.when(both, xi), F.when(both, xj)
+            tag = f"{ci}__{cj}"
+            aggs.extend(
+                [
+                    F.count(gx).cast("double").alias(f"n_{tag}"),
+                    F.sum(gx).alias(f"sx_{tag}"),
+                    F.sum(gy).alias(f"sy_{tag}"),
+                    F.sum(gx * gy).alias(f"sxy_{tag}"),
+                    F.sum(gx * gx).alias(f"sxx_{tag}"),
+                    F.sum(gy * gy).alias(f"syy_{tag}"),
+                ]
+            )
+            pairs.append((ci, cj, tag))
+    one = df.agg(*aggs)
+
+    structs = []
+    for ci, cj, tag in pairs:
+        n = F.col(f"n_{tag}")
+        sx, sy = F.col(f"sx_{tag}"), F.col(f"sy_{tag}")
+        sxy, sxx, syy = (
+            F.col(f"sxy_{tag}"),
+            F.col(f"sxx_{tag}"),
+            F.col(f"syy_{tag}"),
+        )
+        cov_num = sxy - sx * sy / n
+        varx = sxx - sx * sx / n
+        vary = syy - sy * sy / n
+        denom = n - 1 if sample else n
+        structs.append(
+            F.struct(
+                F.lit(ci).alias("f1"),
+                F.lit(cj).alias("f2"),
+                n.cast("long").alias("n_pairs"),
+                (F.round(F.when(n >= 2, cov_num / denom), 6) + F.lit(0.0)).alias(
+                    "cov"
+                ),
+                (
+                    F.round(
+                        F.when(
+                            (n >= 2) & (varx > 0) & (vary > 0),
+                            cov_num / F.sqrt(varx * vary),
+                        ),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("corr"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")

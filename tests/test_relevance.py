@@ -6,7 +6,10 @@ from collections import Counter
 import pytest
 
 from temporalscope_spark.exceptions import DataFrameValidationError
-from temporalscope_spark.operators.relevance import feature_relevance
+from temporalscope_spark.operators.relevance import (
+    correlation_matrix,
+    feature_relevance,
+)
 
 
 def _brute(pairs):
@@ -142,3 +145,77 @@ class TestFeatureRelevance:
         out.collect()
         release(out)
         assert handles[0].storageLevel.useMemory is False
+
+
+class TestCorrelationMatrix:
+    @pytest.fixture
+    def num(self, spark):
+        rows = [
+            (1.0, 2.0, 5.0),
+            (2.0, 4.0, 5.0),
+            (3.0, 6.0, 5.0),
+            (4.0, 8.1, 5.0),
+            (None, 1.0, 5.0),
+            (5.0, None, 5.0),
+        ]
+        return spark.createDataFrame(rows, ["x", "y", "z"])
+
+    def test_matches_pandas(self, spark, num):
+        import pandas as pd
+
+        pdf = num.toPandas()
+        got = {
+            (r["f1"], r["f2"]): r
+            for r in correlation_matrix(num, ["x", "y", "z"]).collect()
+        }
+        assert set(got) == {
+            ("x", "x"), ("x", "y"), ("x", "z"),
+            ("y", "y"), ("y", "z"), ("z", "z"),
+        }
+        for (a, b), r in got.items():
+            sub = pdf[[a, b]].dropna() if a != b else pdf[[a]].dropna()
+            if a != b:
+                want_cov = sub[a].cov(sub[b])
+                want_corr = sub[a].corr(sub[b])
+                assert r["n_pairs"] == len(sub)
+                assert r["cov"] == pytest.approx(want_cov, abs=2e-6)
+                if pd.isna(want_corr):
+                    assert r["corr"] is None
+                else:
+                    assert r["corr"] == pytest.approx(want_corr, abs=2e-6)
+            else:
+                assert r["cov"] == pytest.approx(sub[a].var(), abs=2e-6)
+
+    def test_constant_column_corr_null(self, spark, num):
+        got = {
+            (r["f1"], r["f2"]): r
+            for r in correlation_matrix(num, ["x", "z"]).collect()
+        }
+        assert got[("x", "z")]["corr"] is None  # z constant -> zero variance
+        assert got[("z", "z")]["corr"] is None
+        assert got[("x", "x")]["corr"] == pytest.approx(1.0, abs=2e-6)
+
+    def test_perfect_linear(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, -2.0), (2.0, -4.0), (3.0, -6.0)], ["a", "b"]
+        )
+        got = {
+            (r["f1"], r["f2"]): r for r in correlation_matrix(df, ["a", "b"]).collect()
+        }
+        assert got[("a", "b")]["corr"] == pytest.approx(-1.0, abs=2e-6)
+
+    def test_validations(self, spark, num):
+        with pytest.raises(DataFrameValidationError, match=">= 2"):
+            correlation_matrix(num, ["x"])
+        with pytest.raises(DataFrameValidationError, match="missing columns"):
+            correlation_matrix(num, ["x", "nope"])
+
+    def test_one_aggregation_plan(self, spark, num):
+        """All moments come from ONE aggregate over one scan."""
+        plan = (
+            correlation_matrix(num, ["x", "y", "z"])
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("Aggregate") == 1
