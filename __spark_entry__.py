@@ -1714,6 +1714,19 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_kneser_ney(docs, big, "text", "doc_id", discount=0.75)
 
 
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence PPMI (Church & Hanks 1990 / Levy & Goldberg
+    2014) over the top-500 vocabulary, window 2, min_count 2 — in-row pair
+    generation (no corpus self-join), broadcast vocab semi-joins, one
+    count; marginals/totals derive from the counted pair table."""
+    from temporalscope_spark.operators.cooccur import cooccurrence_pmi
+    from temporalscope_spark.operators.lm import unigram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = unigram_counts(docs, "text", vocab_size=500).cache()
+    return cooccurrence_pmi(docs, vocab, "text", window=2, min_count=2)
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): keep the 100 raw docs
     whose hashed unigram+bigram distribution best matches the trusted
@@ -2232,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "stupid_backoff_score": q_stupid_backoff_score,
         "kneser_ney_score": q_kneser_ney,
+        "cooccurrence_pmi": q_cooccurrence_pmi,
         "bpe_merges": q_bpe_merges,
         "bpe_compression": q_bpe_compression,
         "bpe_tokenize": q_bpe_tokenize,
@@ -3425,6 +3439,54 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(s.xent, 0.0), 6) AS xent_nats,
                    round(exp(coalesce(s.xent, 0.0)), 6) AS ppl
             FROM documents doc LEFT JOIN scored s USING (doc_id)
+        """,
+        # co-occurrence PMI replay: same canonical unordered pairs at
+        # distance <= 2, top-500 vocab gate, marginals as pair-table row
+        # sums (self-pairs twice), D = 2·Σc, pmi = ln(c·D/(m1·m2))
+        "cooccurrence_pmi": f"""
+            WITH d AS (
+                SELECT CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split({_NORM}, ' ') END AS w
+                FROM documents
+            ),
+            voc AS (
+                SELECT word FROM (
+                    SELECT unnest(w) AS word FROM d
+                ) GROUP BY 1
+                ORDER BY count(*) DESC, word LIMIT 500
+            ),
+            pr AS (
+                SELECT least(w[CAST(i AS INT)], w[CAST(i + dd AS INT)]) AS w1,
+                       greatest(w[CAST(i AS INT)], w[CAST(i + dd AS INT)]) AS w2
+                FROM d,
+                     UNNEST(generate_series(1, len(w) - 1)) AS t(i),
+                     UNNEST(generate_series(1, 2)) AS s(dd)
+                WHERE CAST(i + dd AS INT) <= len(w)
+            ),
+            cnt AS (
+                SELECT pr.w1, pr.w2, CAST(count(*) AS DOUBLE) AS c
+                FROM pr
+                JOIN voc v1 ON pr.w1 = v1.word
+                JOIN voc v2 ON pr.w2 = v2.word
+                GROUP BY 1, 2
+            ),
+            marg AS (
+                SELECT w, sum(c) AS m FROM (
+                    SELECT w1 AS w, c FROM cnt
+                    UNION ALL
+                    SELECT w2 AS w, c FROM cnt
+                ) GROUP BY 1
+            ),
+            tot AS (SELECT sum(c) * 2 AS D FROM cnt)
+            SELECT cnt.w1, cnt.w2, CAST(c AS BIGINT) AS n_pairs,
+                   round(ln(c * tot.D / (m1.m * m2.m)), 6) + 0.0 AS pmi,
+                   round(greatest(ln(c * tot.D / (m1.m * m2.m)), 0.0), 6)
+                       + 0.0 AS ppmi
+            FROM cnt
+            JOIN marg m1 ON cnt.w1 = m1.w
+            JOIN marg m2 ON cnt.w2 = m2.w
+            CROSS JOIN tot
+            WHERE c >= 2
         """,
         # exact replay of the one-aggregation OLS: identical sufficient
         # statistics, Cramer 3x3 solve (Spark side solves by LAPACK — both

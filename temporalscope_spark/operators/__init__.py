@@ -59,6 +59,7 @@ from temporalscope_spark.operators.lm import (
     unigram_counts,
 )
 from temporalscope_spark.operators.packing import pack_concat_chunks, pack_greedy
+from temporalscope_spark.operators.cooccur import cooccurrence_pmi
 from temporalscope_spark.operators.relevance import correlation_matrix, feature_relevance
 from temporalscope_spark.operators.tsfeatures import acf_features, fourier_time_features
 from temporalscope_spark.operators.padding import (
@@ -124,7 +125,7 @@ __all__ = [
     "score_stupid_backoff", "score_unigram", "unigram_counts",
     "pack_concat_chunks", "pack_greedy",
     "acf_features", "fourier_time_features", "feature_relevance",
-    "correlation_matrix",
+    "correlation_matrix", "cooccurrence_pmi",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",
     "SlidingWindowPartitioner",
     "interpolate_linear", "resample",
