@@ -2066,6 +2066,30 @@ def q_fourier_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile discretization of `events.value`: one 1-row exact-percentile
+    fit (edges become plan literals, `approx=True` is the sketch lane),
+    then a pure narrow projection — the psi_drift binning as a standalone
+    fit/transform feature op."""
+    from temporalscope_spark.operators.binning import quantile_bin
+
+    events = _t(spark, sf_dir, "events")
+    return quantile_bin(events, "value", bins=10).select(
+        "event_id", "value", "value_bin"
+    )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize `events.value` at the [0.05, 0.95] quantiles — bounds
+    from one aggregation, interior values pass through bit-exact."""
+    from temporalscope_spark.operators.binning import winsorize
+
+    events = _t(spark, sf_dir, "events")
+    return winsorize(events, ["value"], lower=0.05, upper=0.95).select(
+        "event_id", "value", "value_wins"
+    )
+
+
 def q_feature_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MI / chi-square / Cramér's V of two binned features against
     `events.event_type`: one corpus melt+count to a bounded cell table
@@ -2275,6 +2299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fourier_time": q_fourier_time,
         "feature_relevance": q_feature_relevance,
         "correlation_matrix": q_correlation_matrix,
+        "quantile_bin": q_quantile_bin,
+        "winsorize": q_winsorize,
     }
 
 
@@ -4150,6 +4176,36 @@ def oracle_sql() -> dict[str, str]:
                    (cxy3 - s1 / n * (ca3 + cb3) + m3 * (s1 / n) * (s1 / n))
                        / (s2 - s1 * s1 / n) END, 6) + 0.0 AS acf_3
         FROM m
+    """
+    # quantile binning: same exact interpolated percentile edges (rounded
+    # 6) and the same count-of-smaller-edges bin index as psi_drift
+    sql["quantile_bin"] = """
+        WITH edges AS (
+            SELECT list_transform(
+                quantile_cont(CAST(value AS DOUBLE),
+                              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                e -> round(e, 6)) AS e
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_id, value,
+               CASE WHEN value IS NOT NULL THEN
+                   CAST(1 + len(list_filter(edges.e,
+                       x -> CAST(value AS DOUBLE) > x)) AS INT)
+               END AS value_bin
+        FROM events, edges
+    """
+    sql["winsorize"] = """
+        WITH b AS (
+            SELECT round(quantile_cont(CAST(value AS DOUBLE), 0.05), 6) AS lo,
+                   round(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS hi
+            FROM events
+        )
+        SELECT event_id, value,
+               CASE WHEN value IS NULL THEN NULL
+                    WHEN CAST(value AS DOUBLE) < b.lo THEN b.lo
+                    WHEN CAST(value AS DOUBLE) > b.hi THEN b.hi
+                    ELSE CAST(value AS DOUBLE) END AS value_wins
+        FROM events, b
     """
     # feature relevance: exact contingency replay — cell counts, expected
     # grid (E = a*b/n, the engine's evaluation order), MI over observed

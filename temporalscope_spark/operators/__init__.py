@@ -59,6 +59,7 @@ from temporalscope_spark.operators.lm import (
     unigram_counts,
 )
 from temporalscope_spark.operators.packing import pack_concat_chunks, pack_greedy
+from temporalscope_spark.operators.binning import fit_quantile_edges, quantile_bin, winsorize
 from temporalscope_spark.operators.cooccur import cooccurrence_pmi
 from temporalscope_spark.operators.relevance import correlation_matrix, feature_relevance
 from temporalscope_spark.operators.tsfeatures import acf_features, fourier_time_features
@@ -126,6 +127,7 @@ __all__ = [
     "pack_concat_chunks", "pack_greedy",
     "acf_features", "fourier_time_features", "feature_relevance",
     "correlation_matrix", "cooccurrence_pmi",
+    "fit_quantile_edges", "quantile_bin", "winsorize",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",
     "SlidingWindowPartitioner",
     "interpolate_linear", "resample",
