@@ -2090,6 +2090,19 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of `events.value`
+    per user (daily period, hour-of-day phases): one time-RANGE window for
+    the centered trend, one bounded (user, phase) mean broadcast back."""
+    from temporalscope_spark.operators.tsfeatures import seasonal_decompose
+
+    events = _t(spark, sf_dir, "events")
+    out = seasonal_decompose(
+        events, "value", 86_400, 3_600, time_col="ts", id_col="user_id"
+    )
+    return out.select("event_id", "phase", "trend", "seasonal", "resid")
+
+
 def q_feature_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MI / chi-square / Cramér's V of two binned features against
     `events.event_type`: one corpus melt+count to a bounded cell table
@@ -2301,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_matrix": q_correlation_matrix,
         "quantile_bin": q_quantile_bin,
         "winsorize": q_winsorize,
+        "seasonal_decompose": q_seasonal_decompose,
     }
 
 
@@ -4176,6 +4190,36 @@ def oracle_sql() -> dict[str, str]:
                    (cxy3 - s1 / n * (ca3 + cb3) + m3 * (s1 / n) * (s1 / n))
                        / (s2 - s1 * s1 / n) END, 6) + 0.0 AS acf_3
         FROM m
+    """
+    # seasonal decomposition: same centered ±period/2 µs-RANGE trend
+    # (sum/count, not avg, to pin the closed form), per-(user, phase)
+    # detrended mean, inner join preserves all-null groups as NULL rows
+    sql["seasonal_decompose"] = """
+        WITH b AS (
+            SELECT event_id, user_id, value, epoch_us(ts) AS t,
+                   CAST(floor((epoch_us(ts) % 86400000000)
+                              / 3600000000) AS INT) AS phase
+            FROM events
+        ),
+        w AS (
+            SELECT *,
+                   sum(CAST(value AS DOUBLE)) OVER fr
+                       / count(CAST(value AS DOUBLE)) OVER fr AS tr
+            FROM b
+            WINDOW fr AS (PARTITION BY user_id ORDER BY t
+                          RANGE BETWEEN 43200000000 PRECEDING
+                                    AND 43200000000 FOLLOWING)
+        ),
+        d AS (SELECT *, CAST(value AS DOUBLE) - tr AS det FROM w),
+        s AS (
+            SELECT user_id, phase, sum(det) / count(det) AS seas
+            FROM d GROUP BY 1, 2
+        )
+        SELECT d.event_id, d.phase,
+               round(d.tr, 6) + 0.0 AS trend,
+               round(s.seas, 6) + 0.0 AS seasonal,
+               round(d.det - s.seas, 6) + 0.0 AS resid
+        FROM d JOIN s USING (user_id, phase)
     """
     # quantile binning: same exact interpolated percentile edges (rounded
     # 6) and the same count-of-smaller-edges bin index as psi_drift

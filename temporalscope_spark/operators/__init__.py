@@ -62,7 +62,11 @@ from temporalscope_spark.operators.packing import pack_concat_chunks, pack_greed
 from temporalscope_spark.operators.binning import fit_quantile_edges, quantile_bin, winsorize
 from temporalscope_spark.operators.cooccur import cooccurrence_pmi
 from temporalscope_spark.operators.relevance import correlation_matrix, feature_relevance
-from temporalscope_spark.operators.tsfeatures import acf_features, fourier_time_features
+from temporalscope_spark.operators.tsfeatures import (
+    acf_features,
+    fourier_time_features,
+    seasonal_decompose,
+)
 from temporalscope_spark.operators.padding import (
     mean_fill_pad,
     pad_groups_mean_fill,
@@ -125,7 +129,8 @@ __all__ = [
     "bigram_counts", "ppl_buckets", "score_kneser_ney",
     "score_stupid_backoff", "score_unigram", "unigram_counts",
     "pack_concat_chunks", "pack_greedy",
-    "acf_features", "fourier_time_features", "feature_relevance",
+    "acf_features", "fourier_time_features", "seasonal_decompose",
+    "feature_relevance",
     "correlation_matrix", "cooccurrence_pmi",
     "fit_quantile_edges", "quantile_bin", "winsorize",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",

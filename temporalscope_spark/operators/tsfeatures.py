@@ -131,6 +131,78 @@ def acf_features(
     return mom.select(*out_cols)
 
 
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str,
+    period_seconds: int,
+    phase_seconds: int,
+    time_col: str = "event_time",
+    id_col: str | None = "doc_id",
+) -> DataFrame:
+    """Classical additive decomposition (the moving-average method of
+    statsmodels' ``seasonal_decompose``, adapted to irregular distributed
+    series): ``x = trend + seasonal + resid`` where
+
+    * ``trend``     — centered mean over ``[t − period/2, t + period/2]``
+      (time-RANGE frame, so gaps and irregular sampling are handled by
+      construction);
+    * ``seasonal``  — per-(entity, phase) mean of the detrended values,
+      with ``phase = floor((epoch mod period) / phase_seconds)`` (e.g.
+      period 86400 / phase 3600 = hour-of-day);
+    * ``resid``     — what's left.
+
+    DIAGNOSTIC op: the trend window is two-sided, so this is NOT
+    leakage-safe — use :func:`~temporalscope_spark.operators.rolling.
+    rolling_features` for point-in-time features; this is the corpus-level
+    seasonality profile (drift dashboards, anomaly baselines).
+
+    Plan shape: one windowed sum+count (single exchange on the entity
+    key), one bounded ``groupBy(entity, phase)`` mean broadcast back, one
+    narrow projection. Output: input + ``(phase, trend, seasonal, resid)``
+    rounded to 6 (NULL where the value is NULL).
+    """
+    if period_seconds <= 0 or phase_seconds <= 0:
+        raise DataFrameValidationError("period_seconds and phase_seconds must be > 0")
+    if period_seconds % phase_seconds != 0:
+        raise DataFrameValidationError(
+            "phase_seconds must divide period_seconds evenly"
+        )
+    if value_col not in df.columns:
+        raise DataFrameValidationError(
+            f"seasonal_decompose: missing column {value_col!r}"
+        )
+    x = F.col(value_col).cast("double")
+    t_us = _time_micros(df, time_col)
+    half = int(period_seconds) * 1_000_000 // 2
+    out = df.withColumn("__t", t_us).withColumn(
+        "phase",
+        F.floor(
+            (F.col("__t") % (int(period_seconds) * 1_000_000))
+            / (int(phase_seconds) * 1_000_000)
+        ).cast("int"),
+    )
+    base = Window.orderBy("__t")
+    keys = [id_col] if id_col is not None else []
+    if id_col is not None:
+        base = base.partitionBy(id_col)
+    frame = base.rangeBetween(-half, half)
+    trend = F.sum(x).over(frame) / F.count(x).over(frame)
+    out = out.withColumn("_trend", trend).withColumn("_det", x - F.col("_trend"))
+    seas = out.groupBy(*keys, "phase").agg(
+        (F.sum("_det") / F.count("_det")).alias("_seasonal")
+    )
+    joined = out.join(F.broadcast(seas), [*keys, "phase"])
+    return joined.select(
+        *[c for c in df.columns],
+        "phase",
+        (F.round("_trend", 6) + F.lit(0.0)).alias("trend"),
+        (F.round("_seasonal", 6) + F.lit(0.0)).alias("seasonal"),
+        (F.round(F.col("_det") - F.col("_seasonal"), 6) + F.lit(0.0)).alias(
+            "resid"
+        ),
+    )
+
+
 def fourier_time_features(
     df: DataFrame,
     time_col: str = "event_time",

@@ -142,3 +142,103 @@ class TestFourierTimeFeatures:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestSeasonalDecompose:
+    @pytest.fixture
+    def seasonal_series(self, spark):
+        # period 4s, phase buckets of 1s; planted pattern [0, 10, 0, -10]
+        pat = [0.0, 10.0, 0.0, -10.0]
+        rows = [
+            (1, float(t), pat[t % 4] + 0.5 * t)  # pattern + linear trend
+            for t in range(32)
+        ]
+        rows.append((1, 32.0, None))  # null value row
+        return spark.createDataFrame(rows, ["uid", "t", "x"])
+
+    def _brute(self, rows, period, phase_s):
+        from collections import defaultdict
+
+        half = period / 2
+        pts = sorted((t, x) for _, t, x in rows)
+        trend = {}
+        for t, x in pts:
+            vals = [v for u, v in pts if abs(u - t) <= half and v is not None]
+            trend[t] = (sum(vals) / len(vals)) if vals else None
+        det = {
+            t: (x - trend[t]) if (x is not None and trend[t] is not None) else None
+            for t, x in pts
+        }
+        byphase = defaultdict(list)
+        for t, _ in pts:
+            if det[t] is not None:
+                byphase[int((t % period) // phase_s)].append(det[t])
+        seas = {p: sum(v) / len(v) for p, v in byphase.items()}
+        out = {}
+        for t, x in pts:
+            p = int((t % period) // phase_s)
+            s = seas.get(p)
+            out[t] = (
+                p,
+                None if trend[t] is None else round(trend[t], 6),
+                None if s is None else round(s, 6),
+                None if (det[t] is None or s is None) else round(det[t] - s, 6),
+            )
+        return out
+
+    def test_matches_bruteforce(self, spark, seasonal_series):
+        from temporalscope_spark.operators.tsfeatures import seasonal_decompose
+
+        got = {
+            r["t"]: (r["phase"], r["trend"], r["seasonal"], r["resid"])
+            for r in seasonal_decompose(
+                seasonal_series, "x", 4, 1, time_col="t", id_col="uid"
+            ).collect()
+        }
+        want = self._brute(
+            [(r["uid"], r["t"], r["x"]) for r in seasonal_series.collect()], 4, 1
+        )
+        for t, w in want.items():
+            g = got[t]
+            assert g[0] == w[0]
+            for gi, wi in zip(g[1:], w[1:]):
+                if wi is None:
+                    assert gi is None
+                else:
+                    assert gi == pytest.approx(wi, abs=2e-6)
+
+    def test_additive_identity(self, spark, seasonal_series):
+        from temporalscope_spark.operators.tsfeatures import seasonal_decompose
+
+        rows = seasonal_decompose(
+            seasonal_series, "x", 4, 1, time_col="t", id_col="uid"
+        ).collect()
+        for r in rows:
+            if r["x"] is not None and r["resid"] is not None:
+                assert r["trend"] + r["seasonal"] + r["resid"] == pytest.approx(
+                    r["x"], abs=5e-6
+                )
+
+    def test_recovers_planted_pattern(self, spark, seasonal_series):
+        from temporalscope_spark.operators.tsfeatures import seasonal_decompose
+
+        rows = seasonal_decompose(
+            seasonal_series, "x", 4, 1, time_col="t", id_col="uid"
+        ).collect()
+        by_phase = {}
+        for r in rows:
+            if r["seasonal"] is not None:
+                by_phase[r["phase"]] = r["seasonal"]
+        # planted [0, 10, 0, -10]: phase 1 highest, phase 3 lowest
+        assert by_phase[1] == max(by_phase.values())
+        assert by_phase[3] == min(by_phase.values())
+
+    def test_validations(self, spark, seasonal_series):
+        from temporalscope_spark.operators.tsfeatures import seasonal_decompose
+
+        with pytest.raises(DataFrameValidationError, match="divide"):
+            seasonal_decompose(seasonal_series, "x", 5, 2, time_col="t", id_col="uid")
+        with pytest.raises(DataFrameValidationError, match="must be > 0"):
+            seasonal_decompose(seasonal_series, "x", 0, 1, time_col="t", id_col="uid")
+        with pytest.raises(DataFrameValidationError, match="missing column"):
+            seasonal_decompose(seasonal_series, "nope", 4, 1, time_col="t", id_col="uid")
