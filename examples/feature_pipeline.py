@@ -1,0 +1,199 @@
+"""End-to-end temporal FEATURE-ENGINEERING pipeline — the tour of the
+feature side of the engine, composed the way a forecasting/scoring team
+would actually wire it:
+
+  synthesize seasonal events → winsorize tails → fit quantile bins on the
+  TRAIN slice only (fit/transform) → seasonal decomposition → Fourier time
+  encodings → leakage-safe rolling features → per-entity ACF profile →
+  relevance screen (MI / chi² / Cramér's V) → collinearity screen
+  (correlation matrix) → drift gate (PSI) → IRLS logistic on the surviving
+  features.
+
+Every stage is a distributed plan (no driver-side loops over data); the
+script asserts the statistical behavior it claims (seasonality recovered,
+relevance ranking correct, collinear pair flagged, planted drift caught,
+model beats the base rate).
+
+Run: python examples/feature_pipeline.py  (local[8], ~1 min)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from temporalscope_spark.session import get_spark
+
+TWO_PI = 6.283185307179586
+
+
+def main() -> None:
+    spark = get_spark("feature-pipeline", master="local[8]", shuffle_partitions=8)
+
+    # 1. deterministic synthetic events: 50 users x hourly points, a daily
+    # sine, a per-user level, hash noise, and a planted late-window level
+    # shift (the drift the gate must catch). Label: "high-activity hour".
+    n, users = 40_000, 50
+    base = F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+    idx = F.col("id")
+    noise = (F.pmod(F.xxhash64(idx, F.lit("n")), F.lit(1000)) / 1000.0) - 0.5
+    daily = F.sin(F.lit(TWO_PI) * F.pmod(idx, F.lit(24)) / 24.0)
+    late = (idx >= int(n * 0.8)).cast("double")  # planted drift
+    ev = spark.range(n).select(
+        idx.alias("event_id"),
+        F.timestamp_seconds(base + idx * 3600).alias("ts"),
+        F.pmod(idx, F.lit(users)).alias("user_id"),
+        (10.0 * daily + 2.0 * noise + late * 6.0).alias("value"),
+    )
+    # heavy right tail on 1% of rows (what winsorize must clip)
+    ev = ev.withColumn(
+        "value",
+        F.when(F.pmod(F.xxhash64("event_id", F.lit("t")), F.lit(100)) == 0,
+               F.col("value") + 80.0).otherwise(F.col("value")),
+    )
+    label = (F.col("value") > 5.0).cast("int")
+    ev = ev.withColumn("y", label).localCheckpoint()
+    print("events:", ev.count())
+
+    # 2. winsorize the tails at [1%, 99%] — the planted spike rate is 1%,
+    # so the upper cut must sit BELOW the spike mass to clip all of it
+    # (a 99.5% cut would leave half the spikes in and dilute every
+    # downstream correlation)
+    from temporalscope_spark.operators.binning import (
+        fit_quantile_edges,
+        quantile_bin,
+        winsorize,
+    )
+
+    ev = winsorize(ev, ["value"], lower=0.01, upper=0.99)
+    mx = ev.agg(F.max("value"), F.max("value_wins")).collect()[0]
+    assert mx[1] < mx[0], "winsorize should clip the planted 80-point tail"
+
+    # 3. fit decile edges on the TRAIN slice only, transform everywhere —
+    # the fit/transform discipline that keeps serving-time parity
+    split_ts = "2024-12-01 00:00:00"
+    train = ev.filter(F.col("ts") < split_ts)
+    edges = fit_quantile_edges(train, "value_wins", bins=10)
+    ev = quantile_bin(ev, "value_wins", edges=edges)
+    print("decile edges (train-fit):", edges[:3], "...")
+
+    # 4. seasonal decomposition: daily period, hour-of-day phases — the
+    # planted sine must show up in the seasonal component
+    from temporalscope_spark.operators.tsfeatures import (
+        acf_features,
+        fourier_time_features,
+        seasonal_decompose,
+    )
+
+    # global decomposition (id_col=None): the event stream is hourly
+    # globally but 50-hourly per user, so per-user ±12h trend windows
+    # would be single points — decompose the corpus-level series
+    dec = seasonal_decompose(
+        ev, "value_wins", 86_400, 3_600, time_col="ts", id_col=None
+    )
+    prof = (
+        dec.groupBy("phase").agg(F.avg("seasonal").alias("s"))
+        .orderBy("phase").collect()
+    )
+    peak = max(prof, key=lambda r: r["s"])["phase"]
+    trough = min(prof, key=lambda r: r["s"])["phase"]
+    assert abs(peak - 6) <= 1 and abs(trough - 18) <= 1, (peak, trough)
+    print(f"seasonality recovered: peak phase {peak}, trough {trough}")
+
+    # 5. Fourier encodings of the same daily cycle (model-ready continuous
+    # features, no fit needed) + leakage-safe rolling mean
+    from temporalscope_spark.operators.rolling import rolling_features
+
+    feats = fourier_time_features(ev, "ts", period_seconds=86_400, harmonics=2)
+    feats = rolling_features(
+        feats, ["value_wins"], [6 * 3600], aggs=("mean",),
+        time_col="ts", id_col="user_id",
+    )
+
+    # 6. per-entity ACF: hourly sampling of a daily sine -> strong positive
+    # acf at lag 24 for every user
+    acf = acf_features(ev, "value_wins", 24, time_col="ts", id_col="user_id")
+    lag24 = acf.agg(F.avg("acf_24")).collect()[0][0]
+    assert lag24 > 0.8, lag24
+    print(f"mean per-user acf_24 = {lag24:.3f} (daily cycle confirmed)")
+
+    # 7. relevance screen: the decile bin must dominate the user id
+    from temporalscope_spark.operators.relevance import (
+        correlation_matrix,
+        feature_relevance,
+    )
+
+    rel = {
+        r["feature"]: r
+        for r in feature_relevance(
+            ev.select("value_wins_bin", "user_id", "y"),
+            ["value_wins_bin", "user_id"], "y",
+        ).collect()
+    }
+    assert rel["value_wins_bin"]["mi_nats"] > 10 * rel["user_id"]["mi_nats"]
+    print("relevance: bin MI", round(rel["value_wins_bin"]["mi_nats"], 4),
+          ">> user MI", round(rel["user_id"]["mi_nats"], 4))
+
+    # 8. collinearity screen: the classic trap is the same quantity logged
+    # in two units (value in points vs "value_pct" in basis points) — the
+    # matrix must flag the unit-twin pair ~1 while the raw/winsorized pair
+    # is visibly weaker (the unclipped spikes decorrelate it)
+    ev = ev.withColumn("value_pct", F.col("value_wins") * 100.0)
+    cm = {
+        (r["f1"], r["f2"]): r["corr"]
+        for r in correlation_matrix(
+            ev, ["value", "value_wins", "value_pct"]
+        ).collect()
+    }
+    assert cm[("value_wins", "value_pct")] > 0.999
+    assert cm[("value", "value_wins")] < cm[("value_wins", "value_pct")]
+    print(
+        "collinearity: corr(value_wins, value_pct) =",
+        round(cm[("value_wins", "value_pct")], 6),
+        "-> drop the unit twin; corr(value, value_wins) =",
+        round(cm[("value", "value_wins")], 3),
+    )
+
+    # 9. drift gate: the planted level shift starts at row 0.8·n — split
+    # the PSI windows at that boundary (reference = clean history,
+    # current = the shifted tail; a mid-history split would dilute the
+    # current window with clean rows and sit under the 0.1 alert line)
+    from temporalscope_spark.operators.drift import psi_drift
+
+    drift_ts = "2027-08-26 08:00:00"  # 2024-01-01 + 0.8·n hours
+    psi = psi_drift(ev, "value_wins", "ts", drift_ts).collect()[0]["psi_total"]
+    assert psi > 0.1, psi
+    print(f"drift gate: PSI across {drift_ts} = {psi:.3f} (> 0.1, shift caught)")
+
+    # 10. IRLS logistic on the engineered features (sin/cos + rolling mean)
+    from temporalscope_spark.modeling.logistic import fit_logistic
+
+    model_in = feats.select(
+        F.col("ts_86400s_sin_1").alias("f1"),
+        F.col("ts_86400s_cos_1").alias("f2"),
+        F.coalesce("value_wins_mean_21600s", F.lit(0.0)).alias("f3"),
+        F.col("y").cast("double").alias("y"),
+    ).localCheckpoint()
+    # the daily sine makes the label near-separable by f1 — a small ridge
+    # keeps the IRLS normal equations well-conditioned (unpenalized
+    # coefficients would run off to ±inf and the weight matrix to zero)
+    model = fit_logistic(
+        model_in, ["f1", "f2", "f3"], "y", ridge=1e-2, max_iters=25
+    )
+    pred = model_in.select("y", (model.logit_col() > 0).cast("int").alias("p"))
+    acc = pred.agg(F.avg((F.col("y") == F.col("p")).cast("double"))).collect()[0][0]
+    rate = model_in.agg(F.avg("y")).collect()[0][0]
+    base_acc = max(rate, 1 - rate)
+    assert acc > base_acc + 0.05, (acc, base_acc)
+    print(f"IRLS on engineered features: accuracy {acc:.3f} vs base rate {base_acc:.3f}")
+
+    print("feature pipeline complete.")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

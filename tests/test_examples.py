@@ -27,6 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "examples/curation_pipeline.py",
         "examples/incremental_ingest.py",
         "examples/pretrain_data_pipeline.py",
+        "examples/feature_pipeline.py",
     ],
 )
 def test_example_runs_clean(script):
