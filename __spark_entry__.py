@@ -2196,6 +2196,88 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(events, "value", "ts", _DRIFT_SPLIT)
 
 
+def q_scale_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-scale `events.value`: ONE 1-row aggregation fits
+    (mean, sample stddev) — rounded to 6 so the model replays across
+    engines — then the transform is a pure narrow projection with the
+    statistics as plan literals (plan-tested exchange-free)."""
+    from temporalscope_spark.operators.scaling import scale_features
+
+    events = _t(spark, sf_dir, "events")
+    return scale_features(events, ["value"]).select(
+        "event_id", "value", "value_scaled"
+    )
+
+
+def q_scale_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-scale `events.value` by (median, IQR) — exact `percentile`
+    fit (the oracle lane; `approx=True` swaps the constant-memory
+    `percentile_approx` sketch for the 100 TB path), literal transform."""
+    from temporalscope_spark.operators.scaling import scale_features
+
+    events = _t(spark, sf_dir, "events")
+    return scale_features(events, ["value"], method="robust").select(
+        "event_id", "value", "value_scaled"
+    )
+
+
+def q_count_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-encode `events.event_type`: map-side-combined C-row
+    count table broadcast back onto the corpus — the fat side never
+    shuffles (plan-tested BroadcastHashJoin)."""
+    from temporalscope_spark.operators.encoding import count_encode
+
+    events = _t(spark, sf_dir, "events")
+    return count_encode(events, "event_type", normalize=True).select(
+        "event_id", "event_type", "event_type_freq"
+    )
+
+
+def q_one_hot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 one-hot of `events.event_type` with an `_other` bucket:
+    rank-ordered column NAMES (stable regardless of data values,
+    tie-break count desc / value asc), expression-only transform."""
+    from temporalscope_spark.operators.encoding import one_hot_top_k
+
+    events = _t(spark, sf_dir, "events")
+    return one_hot_top_k(events, "event_type", k=3).select(
+        "event_id",
+        "event_type",
+        "event_type_oh_1",
+        "event_type_oh_2",
+        "event_type_oh_3",
+        "event_type_oh_other",
+    )
+
+
+def q_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse `documents.lang` levels seen < 70 times into `__other__`
+    — the bounded KEEP set broadcasts into a left join, tail levels fall
+    through to the sentinel (keeps every downstream contingency table /
+    encoder vocabulary bounded)."""
+    from temporalscope_spark.operators.encoding import rare_collapse
+
+    docs = _t(spark, sf_dir, "documents")
+    return rare_collapse(docs, "lang", min_count=70).select(
+        "doc_id", "lang", "lang_rc"
+    )
+
+
+def q_hash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed (user bucket × event_type) interaction feature, 256
+    buckets — the hashing-trick cross as a pure md5 expression (portable
+    bucket map shared with DSIR; exact DuckDB twin), no vocabulary
+    materialized, no shuffle."""
+    from temporalscope_spark.operators.encoding import hash_cross
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ubkt", (F.col("user_id") % 50).cast("long")
+    )
+    return hash_cross(events, ["ubkt", "event_type"], n_buckets=256).select(
+        "event_id", "ubkt", "event_type", "cross_ubkt_event_type"
+    )
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -2315,6 +2397,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin": q_quantile_bin,
         "winsorize": q_winsorize,
         "seasonal_decompose": q_seasonal_decompose,
+        "scale_zscore": q_scale_zscore,
+        "scale_robust": q_scale_robust,
+        "count_encode": q_count_encode,
+        "one_hot_topk": q_one_hot_topk,
+        "rare_collapse": q_rare_collapse,
+        "hash_cross": q_hash_cross,
     }
 
 
@@ -4328,5 +4416,82 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(epoch(ts) AS DOUBLE) % 86400.0) / 86400.0 AS phase
             FROM events
         )
+    """
+    # scalers: fit statistics rounded to 6 BEFORE use (the engine's
+    # replayable-model contract), zero/NULL spread -> scale 1
+    sql["scale_zscore"] = """
+        WITH m AS (
+            SELECT round(avg(CAST(value AS DOUBLE)), 6) AS a,
+                   round(stddev_samp(CAST(value AS DOUBLE)), 6) AS b
+            FROM events
+        )
+        SELECT event_id, value,
+               round((CAST(value AS DOUBLE) - m.a)
+                     / (CASE WHEN m.b > 0 THEN m.b ELSE 1 END), 6) + 0.0
+                   AS value_scaled
+        FROM events, m
+    """
+    sql["scale_robust"] = """
+        WITH m AS (
+            SELECT round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS a,
+                   round(quantile_cont(CAST(value AS DOUBLE), 0.75)
+                         - quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS b
+            FROM events
+        )
+        SELECT event_id, value,
+               round((CAST(value AS DOUBLE) - m.a)
+                     / (CASE WHEN m.b > 0 THEN m.b ELSE 1 END), 6) + 0.0
+                   AS value_scaled
+        FROM events, m
+    """
+    sql["count_encode"] = """
+        SELECT event_id, event_type,
+               round(CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE)
+                     / (SELECT count(*) FROM events), 6) AS event_type_freq
+        FROM events
+    """
+    # one-hot: the oracle re-derives the fitted top-3 list (count desc,
+    # value asc) and compares by RANK — same stable-column contract
+    sql["one_hot_topk"] = """
+        WITH c AS (
+            SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS k,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        ),
+        r AS (SELECT k, row_number() OVER (ORDER BY n DESC, k) AS rn FROM c)
+        SELECT event_id, event_type,
+               CAST(COALESCE(CAST(event_type AS VARCHAR), '__null__')
+                    = (SELECT k FROM r WHERE rn = 1) AS INT) AS event_type_oh_1,
+               CAST(COALESCE(CAST(event_type AS VARCHAR), '__null__')
+                    = (SELECT k FROM r WHERE rn = 2) AS INT) AS event_type_oh_2,
+               CAST(COALESCE(CAST(event_type AS VARCHAR), '__null__')
+                    = (SELECT k FROM r WHERE rn = 3) AS INT) AS event_type_oh_3,
+               CAST(COALESCE(CAST(event_type AS VARCHAR), '__null__')
+                    NOT IN (SELECT k FROM r WHERE rn <= 3) AS INT)
+                   AS event_type_oh_other
+        FROM events
+    """
+    sql["rare_collapse"] = """
+        WITH keep AS (
+            SELECT COALESCE(CAST(lang AS VARCHAR), '__null__') AS k
+            FROM documents GROUP BY 1 HAVING count(*) >= 70
+        )
+        SELECT doc_id, lang,
+               CASE WHEN COALESCE(CAST(lang AS VARCHAR), '__null__')
+                         IN (SELECT k FROM keep)
+                    THEN COALESCE(CAST(lang AS VARCHAR), '__null__')
+                    ELSE '__other__' END AS lang_rc
+        FROM documents
+    """
+    # hash cross: identical portable bucket map to the engine's
+    # (first 8 md5 hex chars as a 32-bit int, mod n_buckets)
+    sql["hash_cross"] = """
+        SELECT event_id, CAST(user_id % 50 AS BIGINT) AS ubkt, event_type,
+               CAST(CAST(('0x' || substr(md5(
+                        concat_ws(chr(31),
+                                  COALESCE(CAST(user_id % 50 AS VARCHAR), '__null__'),
+                                  COALESCE(CAST(event_type AS VARCHAR), '__null__'))
+                    ), 1, 8)) AS BIGINT) % 256 AS INT) AS cross_ubkt_event_type
+        FROM events
     """
     return sql

@@ -61,6 +61,14 @@ from temporalscope_spark.operators.lm import (
 from temporalscope_spark.operators.packing import pack_concat_chunks, pack_greedy
 from temporalscope_spark.operators.binning import fit_quantile_edges, quantile_bin, winsorize
 from temporalscope_spark.operators.cooccur import cooccurrence_pmi
+from temporalscope_spark.operators.encoding import (
+    count_encode,
+    fit_top_categories,
+    hash_cross,
+    one_hot_top_k,
+    rare_collapse,
+)
+from temporalscope_spark.operators.scaling import fit_scaler, scale_features
 from temporalscope_spark.operators.relevance import correlation_matrix, feature_relevance
 from temporalscope_spark.operators.tsfeatures import (
     acf_features,
@@ -133,6 +141,9 @@ __all__ = [
     "feature_relevance",
     "correlation_matrix", "cooccurrence_pmi",
     "fit_quantile_edges", "quantile_bin", "winsorize",
+    "fit_scaler", "scale_features",
+    "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
+    "rare_collapse",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",
     "SlidingWindowPartitioner",
     "interpolate_linear", "resample",

@@ -1,0 +1,182 @@
+"""Categorical encoders — count/frequency encoding, top-K one-hot,
+rare-category collapse, and hashed feature crosses: the encoder family a
+tabular feature pipeline applies to id-like and categorical columns
+before model fitting (the supervised member, target encoding, lives in
+``operators/rolling.py``'s strictly-past lane).
+
+Scale shape shared by every encoder here: the category statistics table
+is AGGREGATED first (map-side combinable, C rows for C distinct
+categories) and then rejoined to the corpus as the small build side —
+the fat side is never shuffled. ``count_encode``/``rare_collapse``
+broadcast that C-row table by default (C = distinct categories; at
+vocabulary-sized C pass ``broadcast_counts=False`` and let AQE pick the
+join); ``one_hot_top_k`` and :func:`hash_cross` are expression-only
+(literals / pure hash), so they fold into whatever scan already reads
+the columns. Hash crosses use the first 8 hex chars of ``md5`` — the
+engine's portable hash (``operators/dsir.py``) with an exact DuckDB
+twin.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+
+#: NULL categories are encoded via this sentinel so they join/count like
+#: any other level (sklearn's ``handle_unknown`` has no NULL story; a
+#: real pipeline needs one).
+NULL_TOKEN = "__null__"
+
+
+def _cat(col: str):
+    return F.coalesce(F.col(col).cast("string"), F.lit(NULL_TOKEN))
+
+
+def count_encode(
+    df: DataFrame,
+    col: str,
+    normalize: bool = False,
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """Append ``{col}_count`` (occurrences of the row's category) or,
+    with ``normalize``, ``{col}_freq`` (share of rows, rounded 6).
+
+    One map-side-combined aggregation builds the C-row count table; the
+    corpus then takes a broadcast hash join against it — no fat-side
+    exchange (set ``broadcast_counts=False`` for vocabulary-sized C).
+    NULL categories count as their own level.
+    """
+    if col not in df.columns:
+        raise DataFrameValidationError(f"count_encode: missing column {col!r}")
+    total = df.count() if normalize else None
+    counts = (
+        df.groupBy(_cat(col).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    if normalize:
+        counts = counts.select(
+            "_k", F.round(F.col("_n") / F.lit(float(total)), 6).alias("_n")
+        )
+    if broadcast_counts:
+        counts = F.broadcast(counts)
+    out_col = f"{col}_freq" if normalize else f"{col}_count"
+    return (
+        df.withColumn("_k", _cat(col))
+        .join(counts, "_k", "left")
+        .withColumnRenamed("_n", out_col)
+        .drop("_k")
+    )
+
+
+def fit_top_categories(df: DataFrame, col: str, k: int) -> list[str]:
+    """Top-``k`` categories by (count desc, value asc) — the
+    deterministic tie-break makes the fitted list engine-replayable.
+    NULLs participate as :data:`NULL_TOKEN`."""
+    if k < 1:
+        raise DataFrameValidationError("fit_top_categories: k must be >= 1")
+    if col not in df.columns:
+        raise DataFrameValidationError(f"fit_top_categories: missing column {col!r}")
+    rows = (
+        df.groupBy(_cat(col).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("_k"))
+        .limit(k)
+        .collect()
+    )
+    return [r["_k"] for r in rows]
+
+
+def one_hot_top_k(
+    df: DataFrame,
+    col: str,
+    k: int = 16,
+    categories: Sequence[str] | None = None,
+) -> DataFrame:
+    """Append indicator columns ``{col}_oh_1..m`` for the top-``k``
+    categories (rank order — stable column NAMES regardless of the data's
+    values) plus ``{col}_oh_other`` for everything else.
+
+    Pass pre-fit ``categories`` (from :func:`fit_top_categories` on the
+    train slice) for train→serve column stability. The transform is
+    expression-only: m+1 literal comparisons, no join, no shuffle.
+    """
+    cats = list(categories) if categories is not None else fit_top_categories(df, col, k)
+    if not cats:
+        raise DataFrameValidationError("one_hot_top_k: empty category list")
+    v = _cat(col)
+    out = df
+    for i, c in enumerate(cats, start=1):
+        out = out.withColumn(f"{col}_oh_{i}", (v == F.lit(c)).cast("int"))
+    other = ~v.isin([str(c) for c in cats])
+    return out.withColumn(f"{col}_oh_other", other.cast("int"))
+
+
+def rare_collapse(
+    df: DataFrame,
+    col: str,
+    min_count: int = 2,
+    other: str = "__other__",
+    broadcast_keep: bool = True,
+) -> DataFrame:
+    """Append ``{col}_rc``: the category itself when it occurs at least
+    ``min_count`` times, else ``other`` — the long-tail guard that keeps
+    downstream encoders/contingency tables bounded.
+
+    The KEEP set (categories ≥ min_count — at most corpus/min_count
+    rows, so it shrinks as the threshold grows) broadcasts into a left
+    join; tail categories fall through to the sentinel via coalesce.
+    """
+    if min_count < 1:
+        raise DataFrameValidationError("rare_collapse: min_count must be >= 1")
+    if col not in df.columns:
+        raise DataFrameValidationError(f"rare_collapse: missing column {col!r}")
+    keep = (
+        df.groupBy(_cat(col).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_k", F.col("_k").alias("_keep"))
+    )
+    if broadcast_keep:
+        keep = F.broadcast(keep)
+    return (
+        df.withColumn("_k", _cat(col))
+        .join(keep, "_k", "left")
+        .withColumn(f"{col}_rc", F.coalesce("_keep", F.lit(other)))
+        .drop("_k", "_keep")
+    )
+
+
+def hash_cross(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_buckets: int = 1024,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Append a hashed interaction feature of ``cols`` — the
+    hashing-trick cross (``hash(colA × colB) % n_buckets``) that gives a
+    model second-order structure without materializing the cross
+    vocabulary.
+
+    Pure expression: unit-separator concat (values never alias across
+    the boundary) → first 8 md5 hex chars as a 32-bit int, mod
+    ``n_buckets`` — the portable bucket map DSIR's features use, exactly
+    replayable in DuckDB. NULLs participate via :data:`NULL_TOKEN`.
+    """
+    if len(cols) < 2:
+        raise DataFrameValidationError("hash_cross: need >= 2 columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"hash_cross: missing columns {missing}")
+    if n_buckets <= 0:
+        raise DataFrameValidationError("hash_cross: n_buckets must be > 0")
+    name = out_col or ("cross_" + "_".join(cols))
+    key = F.concat_ws("\x1f", *[_cat(c) for c in cols])
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+    return df.withColumn(name, bucket)
