@@ -2278,6 +2278,30 @@ def q_hash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form TF-IDF over `documents` (min_df=1, no max_df cap,
+    sklearn smooth-idf + per-doc L2 norm): term/doc frequencies are
+    map-side-combined aggregations, idf joins word-keyed, norms join
+    id-keyed — no dense per-doc vectors anywhere."""
+    from temporalscope_spark.operators.vectorize import tfidf_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_table(docs, "text", "doc_id", min_df=1, max_df_frac=1.0)
+
+
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine document pairs via the inverted index: unit-norm
+    TF-IDF rows self-join ON WORD (pairs only where vocabulary overlaps
+    — never an all-pairs product), per-pair dots in one grouped
+    aggregation; the max_df cap (0.3) bounds each word's pair fan-out."""
+    from temporalscope_spark.operators.vectorize import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, "text", "doc_id", min_df=1, max_df_frac=0.3, min_sim=0.3
+    )
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -2403,6 +2427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hot_topk": q_one_hot_topk,
         "rare_collapse": q_rare_collapse,
         "hash_cross": q_hash_cross,
+        "tfidf_vectors": q_tfidf_vectors,
+        "tfidf_cosine": q_tfidf_cosine,
     }
 
 
@@ -4482,6 +4508,56 @@ def oracle_sql() -> dict[str, str]:
                     THEN COALESCE(CAST(lang AS VARCHAR), '__null__')
                     ELSE '__other__' END AS lang_rc
         FROM documents
+    """
+    # tf-idf: sklearn smooth-idf formula term-for-term; weights round to
+    # 6 BEFORE the pair dot (the engine's replayable-model contract)
+    _tfidf_cte = f"""
+        tf AS (
+            SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY 1, 2
+        ),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        dfs AS (SELECT word, count(*) AS dfc FROM tf GROUP BY 1)
+    """
+    sql["tfidf_vectors"] = f"""
+        WITH {_tfidf_cte},
+        keep AS (
+            SELECT word, ln((1 + nd.n) / (1 + CAST(dfc AS DOUBLE))) + 1 AS idf
+            FROM dfs, nd WHERE dfc >= 1
+        ),
+        w AS (
+            SELECT tf.doc_id, tf.word, tf.tf,
+                   CAST(tf.tf AS DOUBLE) * k.idf AS wgt
+            FROM tf JOIN keep k USING (word)
+        ),
+        nrm AS (SELECT doc_id, sqrt(sum(wgt * wgt)) AS nm FROM w GROUP BY 1)
+        SELECT w.doc_id, w.word, w.tf,
+               round(w.wgt / nrm.nm, 6) + 0.0 AS tfidf
+        FROM w JOIN nrm USING (doc_id)
+    """
+    sql["tfidf_cosine"] = f"""
+        WITH {_tfidf_cte},
+        keep AS (
+            SELECT word, ln((1 + nd.n) / (1 + CAST(dfc AS DOUBLE))) + 1 AS idf
+            FROM dfs, nd WHERE CAST(dfc AS DOUBLE) <= 0.3 * nd.n
+        ),
+        w AS (
+            SELECT tf.doc_id, tf.word,
+                   CAST(tf.tf AS DOUBLE) * k.idf AS wgt
+            FROM tf JOIN keep k USING (word)
+        ),
+        nrm AS (SELECT doc_id, sqrt(sum(wgt * wgt)) AS nm FROM w GROUP BY 1),
+        vec AS (
+            SELECT w.doc_id, w.word, round(w.wgt / nrm.nm, 6) AS u
+            FROM w JOIN nrm USING (doc_id)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(sum(a.u * b.u), 6) + 0.0 AS cosine
+        FROM vec a JOIN vec b ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING round(sum(a.u * b.u), 6) >= 0.3
     """
     # hash cross: identical portable bucket map to the engine's
     # (first 8 md5 hex chars as a 32-bit int, mod n_buckets)

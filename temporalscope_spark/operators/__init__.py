@@ -69,6 +69,7 @@ from temporalscope_spark.operators.encoding import (
     rare_collapse,
 )
 from temporalscope_spark.operators.scaling import fit_scaler, scale_features
+from temporalscope_spark.operators.vectorize import tfidf_cosine_pairs, tfidf_table
 from temporalscope_spark.operators.relevance import correlation_matrix, feature_relevance
 from temporalscope_spark.operators.tsfeatures import (
     acf_features,
@@ -142,6 +143,7 @@ __all__ = [
     "correlation_matrix", "cooccurrence_pmi",
     "fit_quantile_edges", "quantile_bin", "winsorize",
     "fit_scaler", "scale_features",
+    "tfidf_cosine_pairs", "tfidf_table",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
     "rare_collapse",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",

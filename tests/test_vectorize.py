@@ -1,0 +1,132 @@
+"""TF-IDF long-form vectors + sparse cosine pairs (operators/vectorize.py):
+sklearn-formula parity via a numpy replay, df filtering, blank docs, and
+the unit-norm / symmetric-dot properties."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.vectorize import tfidf_cosine_pairs, tfidf_table
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "cats and dogs and cats"),
+    (4, ""),  # blank doc: contributes nothing, still counts toward N
+]
+
+
+def _numpy_tfidf(docs, min_df=1, max_df_frac=1.0):
+    n = len(docs)
+    toks = {i: t.lower().split() for i, t in docs}
+    vocab = sorted({w for ws in toks.values() for w in ws if w})
+    dfc = {w: sum(w in set(ws) for ws in toks.values()) for w in vocab}
+    keep = [
+        w
+        for w in vocab
+        if dfc[w] >= min_df and (max_df_frac >= 1.0 or dfc[w] <= max_df_frac * n)
+    ]
+    out = {}
+    for i, ws in toks.items():
+        raw = {w: ws.count(w) * (math.log((1 + n) / (1 + dfc[w])) + 1) for w in set(ws) if w in keep}
+        nrm = math.sqrt(sum(v * v for v in raw.values()))
+        if nrm > 0:
+            out[i] = {w: round(v / nrm, 6) for w, v in raw.items()}
+    return out
+
+
+@pytest.fixture
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+class TestTfidfTable:
+    def test_sklearn_formula_parity(self, spark, docs):
+        got = {}
+        for r in tfidf_table(docs, "text", "doc_id").collect():
+            got.setdefault(r["doc_id"], {})[r["word"]] = r["tfidf"]
+        want = _numpy_tfidf(DOCS)
+        assert set(got) == set(want)  # blank doc absent
+        for i in want:
+            assert set(got[i]) == set(want[i])
+            for w in want[i]:
+                assert got[i][w] == pytest.approx(want[i][w], abs=2e-6)
+
+    def test_unit_norms(self, spark, docs):
+        tab = tfidf_table(docs, "text", "doc_id")
+        norms = (
+            tab.groupBy("doc_id")
+            .agg(F.sum(F.col("tfidf") * F.col("tfidf")).alias("n2"))
+            .collect()
+        )
+        for r in norms:
+            assert r["n2"] == pytest.approx(1.0, abs=1e-5)
+
+    def test_df_filters(self, spark, docs):
+        # min_df=2 keeps only words in >= 2 docs
+        words = {
+            r["word"] for r in tfidf_table(docs, "text", "doc_id", min_df=2).collect()
+        }
+        assert words == {"the", "sat", "on"}
+        # max_df_frac strict cap: 'the' is in 2/4 docs -> dropped at 0.4
+        words = {
+            r["word"]
+            for r in tfidf_table(docs, "text", "doc_id", max_df_frac=0.4).collect()
+        }
+        assert "the" not in words and "cat" in words
+
+    def test_raw_lane_unnormalized(self, spark, docs):
+        n = 4
+        tab = tfidf_table(docs, "text", "doc_id", l2_normalize=False).collect()
+        row = [r for r in tab if r["doc_id"] == 3 and r["word"] == "cats"][0]
+        assert row["tf"] == 2
+        assert row["tfidf"] == pytest.approx(
+            round(2 * (math.log((1 + n) / (1 + 1)) + 1), 6), abs=1e-6
+        )
+
+    def test_errors(self, spark, docs):
+        with pytest.raises(DataFrameValidationError):
+            tfidf_table(docs, "text", "doc_id", min_df=0)
+        with pytest.raises(DataFrameValidationError):
+            tfidf_table(docs, "text", "doc_id", max_df_frac=0.0)
+        with pytest.raises(DataFrameValidationError):
+            tfidf_table(docs, "nope", "doc_id")
+
+
+class TestCosinePairs:
+    def test_matches_dense_numpy(self, spark, docs):
+        vecs = _numpy_tfidf(DOCS, max_df_frac=1.0)
+        pairs = tfidf_cosine_pairs(
+            docs, "text", "doc_id", max_df_frac=1.0, min_sim=0.0
+        ).collect()
+        got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs}
+        ids = sorted(vecs)
+        for i_ix, i in enumerate(ids):
+            for j in ids[i_ix + 1 :]:
+                want = sum(vecs[i][w] * vecs[j][w] for w in set(vecs[i]) & set(vecs[j]))
+                if want > 0:
+                    assert got[(i, j)] == pytest.approx(want, abs=5e-6)
+                else:
+                    assert (i, j) not in got or got[(i, j)] == 0.0
+
+    def test_min_sim_threshold_and_ordering(self, spark, docs):
+        pairs = tfidf_cosine_pairs(docs, "text", "doc_id", min_sim=0.2).collect()
+        assert all(r["cosine"] >= 0.2 for r in pairs)
+        assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+    def test_identical_docs_cosine_one(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta only")],
+            ["doc_id", "text"],
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in tfidf_cosine_pairs(
+                df, "text", "doc_id", max_df_frac=1.0, min_sim=0.0
+            ).collect()
+        }
+        assert pairs[(1, 2)] == pytest.approx(1.0, abs=1e-5)
+        assert (1, 3) not in pairs  # no shared vocabulary
