@@ -2302,6 +2302,26 @@ def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA of (value, props-length): ONE aggregation of cross-moments
+    (1-row result at any data size), driver 2×2 eigh with deterministic
+    orientation (largest-|entry| positive) and 6-decimal model rounding,
+    then an expression-only literal projection. The oracle replays the
+    2×2 eigenproblem in closed form (v1 ∝ [cov, λ1 − var_x]) — the
+    p-dimensional lane is numpy-parity-tested in tests/test_pca.py."""
+    from temporalscope_spark.operators.pca import fit_pca, pca_project
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.length("props").cast("double").alias("plen"),
+    )
+    model = fit_pca(events, ["value", "plen"], k=2)
+    return pca_project(events, ["value", "plen"], k=2, model=model).select(
+        "event_id", "pc_1", "pc_2"
+    )
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -2429,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_cross": q_hash_cross,
         "tfidf_vectors": q_tfidf_vectors,
         "tfidf_cosine": q_tfidf_cosine,
+        "pca_project": q_pca_project,
     }
 
 
@@ -4558,6 +4579,58 @@ def oracle_sql() -> dict[str, str]:
         FROM vec a JOIN vec b ON a.word = b.word AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING round(sum(a.u * b.u), 6) >= 0.3
+    """
+    # PCA: 2×2 symmetric eigenproblem in closed form — λ from the trace/
+    # discriminant, v_k ∝ [cov, λ_k − var_x], unit-normalized, oriented
+    # largest-|entry|-positive, entries rounded to 6 BEFORE projecting
+    # (the engine's replayable-model contract, identical evaluation order)
+    sql["pca_project"] = """
+        WITH base AS (
+            SELECT event_id, CAST(value AS DOUBLE) AS x,
+                   CAST(length(props) AS DOUBLE) AS y
+            FROM events
+        ),
+        fit AS (
+            SELECT round(avg(x), 6) AS mx, round(avg(y), 6) AS my,
+                   var_samp(x) AS a, covar_samp(x, y) AS b, var_samp(y) AS c
+            FROM base WHERE x IS NOT NULL AND y IS NOT NULL
+        ),
+        eig AS (
+            SELECT mx, my, a, b, c,
+                   ((a + c) + sqrt((a - c) * (a - c) + 4 * b * b)) / 2 AS l1,
+                   ((a + c) - sqrt((a - c) * (a - c) + 4 * b * b)) / 2 AS l2
+            FROM fit
+        ),
+        raw AS (
+            SELECT mx, my,
+                   b / sqrt(b * b + (l1 - a) * (l1 - a)) AS u1x,
+                   (l1 - a) / sqrt(b * b + (l1 - a) * (l1 - a)) AS u1y,
+                   b / sqrt(b * b + (l2 - a) * (l2 - a)) AS u2x,
+                   (l2 - a) / sqrt(b * b + (l2 - a) * (l2 - a)) AS u2y
+            FROM eig
+        ),
+        v AS (
+            SELECT mx, my,
+                   round(CASE WHEN (CASE WHEN abs(u1x) >= abs(u1y)
+                                         THEN u1x ELSE u1y END) >= 0
+                              THEN u1x ELSE -u1x END, 6) AS v1x,
+                   round(CASE WHEN (CASE WHEN abs(u1x) >= abs(u1y)
+                                         THEN u1x ELSE u1y END) >= 0
+                              THEN u1y ELSE -u1y END, 6) AS v1y,
+                   round(CASE WHEN (CASE WHEN abs(u2x) >= abs(u2y)
+                                         THEN u2x ELSE u2y END) >= 0
+                              THEN u2x ELSE -u2x END, 6) AS v2x,
+                   round(CASE WHEN (CASE WHEN abs(u2x) >= abs(u2y)
+                                         THEN u2x ELSE u2y END) >= 0
+                              THEN u2y ELSE -u2y END, 6) AS v2y
+            FROM raw
+        )
+        SELECT base.event_id,
+               round((base.x - v.mx) * v.v1x + (base.y - v.my) * v.v1y, 6)
+                   + 0.0 AS pc_1,
+               round((base.x - v.mx) * v.v2x + (base.y - v.my) * v.v2y, 6)
+                   + 0.0 AS pc_2
+        FROM base, v
     """
     # hash cross: identical portable bucket map to the engine's
     # (first 8 md5 hex chars as a 32-bit int, mod n_buckets)

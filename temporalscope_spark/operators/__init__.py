@@ -68,6 +68,13 @@ from temporalscope_spark.operators.encoding import (
     one_hot_top_k,
     rare_collapse,
 )
+from temporalscope_spark.operators.pca import (
+    PCAModel,
+    fit_pca,
+    fit_pca_array,
+    pca_project,
+    pca_project_array,
+)
 from temporalscope_spark.operators.scaling import fit_scaler, scale_features
 from temporalscope_spark.operators.vectorize import tfidf_cosine_pairs, tfidf_table
 from temporalscope_spark.operators.relevance import correlation_matrix, feature_relevance
@@ -143,6 +150,7 @@ __all__ = [
     "correlation_matrix", "cooccurrence_pmi",
     "fit_quantile_edges", "quantile_bin", "winsorize",
     "fit_scaler", "scale_features",
+    "PCAModel", "fit_pca", "fit_pca_array", "pca_project", "pca_project_array",
     "tfidf_cosine_pairs", "tfidf_table",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
     "rare_collapse",
