@@ -2322,6 +2322,16 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete calendar encodings of `events.ts` (ISO day-of-week,
+    month-end via last_day so leap-February works) — pure narrow
+    projection, folds into any scan reading the time column."""
+    from temporalscope_spark.operators.tsfeatures import calendar_features
+
+    events = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return calendar_features(events, "ts")
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -2450,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vectors": q_tfidf_vectors,
         "tfidf_cosine": q_tfidf_cosine,
         "pca_project": q_pca_project,
+        "calendar_features": q_calendar_features,
     }
 
 
@@ -4631,6 +4642,19 @@ def oracle_sql() -> dict[str, str]:
                round((base.x - v.mx) * v.v2x + (base.y - v.my) * v.v2y, 6)
                    + 0.0 AS pc_2
         FROM base, v
+    """
+    sql["calendar_features"] = """
+        SELECT event_id, ts,
+               CAST(hour(ts) AS INT) AS ts_hour,
+               CAST(isodow(ts) AS INT) AS ts_dow,
+               CAST(day(ts) AS INT) AS ts_day,
+               CAST(month(ts) AS INT) AS ts_month,
+               CAST(quarter(ts) AS INT) AS ts_quarter,
+               CAST(year(ts) AS INT) AS ts_year,
+               CAST(isodow(ts) >= 6 AS INT) AS ts_is_weekend,
+               CAST(day(ts) = 1 AS INT) AS ts_is_month_start,
+               CAST(day(ts) = day(last_day(ts)) AS INT) AS ts_is_month_end
+        FROM events
     """
     # hash cross: identical portable bucket map to the engine's
     # (first 8 md5 hex chars as a 32-bit int, mod n_buckets)

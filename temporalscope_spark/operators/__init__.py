@@ -80,6 +80,7 @@ from temporalscope_spark.operators.vectorize import tfidf_cosine_pairs, tfidf_ta
 from temporalscope_spark.operators.relevance import correlation_matrix, feature_relevance
 from temporalscope_spark.operators.tsfeatures import (
     acf_features,
+    calendar_features,
     fourier_time_features,
     seasonal_decompose,
 )
@@ -145,7 +146,8 @@ __all__ = [
     "bigram_counts", "ppl_buckets", "score_kneser_ney",
     "score_stupid_backoff", "score_unigram", "unigram_counts",
     "pack_concat_chunks", "pack_greedy",
-    "acf_features", "fourier_time_features", "seasonal_decompose",
+    "acf_features", "calendar_features", "fourier_time_features",
+    "seasonal_decompose",
     "feature_relevance",
     "correlation_matrix", "cooccurrence_pmi",
     "fit_quantile_edges", "quantile_bin", "winsorize",

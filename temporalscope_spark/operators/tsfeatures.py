@@ -203,6 +203,43 @@ def seasonal_decompose(
     )
 
 
+def calendar_features(
+    df: DataFrame,
+    time_col: str = "event_time",
+    prefix: str | None = None,
+) -> DataFrame:
+    """Append the discrete calendar encodings models consume alongside
+    the Fourier pair: ``{p}_hour`` (0–23), ``{p}_dow`` (ISO 1=Mon..7=Sun
+    — the convention both engines and every scheduler agree on, unlike
+    Spark's Sunday-first ``dayofweek``), ``{p}_day``, ``{p}_month``,
+    ``{p}_quarter``, ``{p}_year``, ``{p}_is_weekend``,
+    ``{p}_is_month_start``, ``{p}_is_month_end`` (via ``last_day``, so
+    leap-February works). Pure narrow projection — folds into whatever
+    scan reads the time column; NULL timestamps yield NULL features.
+    """
+    if time_col not in df.columns:
+        raise DataFrameValidationError(
+            f"calendar_features: missing column {time_col!r}"
+        )
+    p = prefix if prefix is not None else time_col
+    t = F.col(time_col)
+    dow = (F.weekday(t) + 1).cast("int")  # ISO: Monday=1 .. Sunday=7
+    return df.select(
+        "*",
+        F.hour(t).cast("int").alias(f"{p}_hour"),
+        dow.alias(f"{p}_dow"),
+        F.dayofmonth(t).cast("int").alias(f"{p}_day"),
+        F.month(t).cast("int").alias(f"{p}_month"),
+        F.quarter(t).cast("int").alias(f"{p}_quarter"),
+        F.year(t).cast("int").alias(f"{p}_year"),
+        (dow >= 6).cast("int").alias(f"{p}_is_weekend"),
+        (F.dayofmonth(t) == 1).cast("int").alias(f"{p}_is_month_start"),
+        (F.dayofmonth(t) == F.dayofmonth(F.last_day(t)))
+        .cast("int")
+        .alias(f"{p}_is_month_end"),
+    )
+
+
 def fourier_time_features(
     df: DataFrame,
     time_col: str = "event_time",

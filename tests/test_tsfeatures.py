@@ -242,3 +242,50 @@ class TestSeasonalDecompose:
             seasonal_decompose(seasonal_series, "x", 0, 1, time_col="t", id_col="uid")
         with pytest.raises(DataFrameValidationError, match="missing column"):
             seasonal_decompose(seasonal_series, "nope", 4, 1, time_col="t", id_col="uid")
+
+
+class TestCalendarFeatures:
+    def test_known_dates(self, spark):
+        from datetime import datetime
+
+        from temporalscope_spark.operators.tsfeatures import calendar_features
+
+        rows = [
+            (1, datetime(2024, 2, 29, 13, 5)),   # leap-Feb month end, Thursday
+            (2, datetime(2024, 3, 1, 0, 0)),     # month start, Friday
+            (3, datetime(2024, 3, 31, 23, 59)),  # month end, Sunday
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "rid int, t timestamp")
+        got = {
+            r["rid"]: r
+            for r in calendar_features(df, "t").collect()
+        }
+        r1 = got[1]
+        assert (r1["t_hour"], r1["t_dow"], r1["t_day"], r1["t_month"]) == (13, 4, 29, 2)
+        assert (r1["t_quarter"], r1["t_year"]) == (1, 2024)
+        assert (r1["t_is_weekend"], r1["t_is_month_start"], r1["t_is_month_end"]) == (0, 0, 1)
+        r2 = got[2]
+        assert (r2["t_dow"], r2["t_is_month_start"], r2["t_is_month_end"]) == (5, 1, 0)
+        r3 = got[3]
+        assert (r3["t_dow"], r3["t_is_weekend"], r3["t_is_month_end"]) == (7, 1, 1)
+        r4 = got[4]
+        assert r4["t_hour"] is None and r4["t_is_month_end"] is None
+
+    def test_expression_only(self, spark):
+        from datetime import datetime
+
+        from temporalscope_spark.operators.tsfeatures import calendar_features
+
+        df = spark.createDataFrame([(1, datetime(2024, 1, 1))], "rid int, t timestamp")
+        plan = calendar_features(df, "t")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_missing_column(self, spark):
+        from datetime import datetime
+
+        from temporalscope_spark.operators.tsfeatures import calendar_features
+
+        df = spark.createDataFrame([(1, datetime(2024, 1, 1))], "rid int, t timestamp")
+        with pytest.raises(DataFrameValidationError, match="missing column"):
+            calendar_features(df, "nope")
