@@ -2332,6 +2332,41 @@ def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calendar_features(events, "ts")
 
 
+def q_scale_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score of `events.value`: ONE map-side-combined
+    groupBy(user) stats table equi-joined back (entity-scale G — never a
+    broadcast assumption; salting-friendly key). Groups under 2 rows or
+    with zero variance yield NULL."""
+    from temporalscope_spark.operators.scaling import scale_by_group
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return scale_by_group(events, ["value"], "user_id")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iglewicz–Hoaglin modified z-score + outlier flag on
+    `events.value`: two 1-row exact-percentile fits (median, then MAD —
+    `approx=True` = the sketch lane), literal transform."""
+    from temporalscope_spark.operators.scaling import mad_outliers
+
+    events = _t(spark, sf_dir, "events").select("event_id", "value")
+    return mad_outliers(events, "value", threshold=3.5)
+
+
+def q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold smoothed target encoding of `events.event_type`
+    against `value` (5 md5-hash folds): one groupBy(cat, fold)
+    aggregation (≤ C·F rows) + per-cat fold, broadcast joined back —
+    a row never sees its own label (the non-temporal twin of
+    target_encode_expanding)."""
+    from temporalscope_spark.operators.encoding import target_encode_oof
+
+    events = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return target_encode_oof(
+        events, "event_type", "value", "event_id", n_folds=5, smoothing=20.0
+    ).select("event_id", "event_type", "event_type_te_fold", "event_type_te")
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -2461,6 +2496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": q_tfidf_cosine,
         "pca_project": q_pca_project,
         "calendar_features": q_calendar_features,
+        "scale_by_group": q_scale_by_group,
+        "mad_outliers": q_mad_outliers,
+        "target_encode_oof": q_target_encode_oof,
     }
 
 
@@ -4642,6 +4680,62 @@ def oracle_sql() -> dict[str, str]:
                round((base.x - v.mx) * v.v2x + (base.y - v.my) * v.v2y, 6)
                    + 0.0 AS pc_2
         FROM base, v
+    """
+    sql["scale_by_group"] = """
+        SELECT event_id, user_id, value,
+               CASE WHEN count(CAST(value AS DOUBLE))
+                         OVER (PARTITION BY user_id) >= 2
+                         AND round(stddev_samp(CAST(value AS DOUBLE))
+                                   OVER (PARTITION BY user_id), 6) > 0
+                    THEN round((CAST(value AS DOUBLE)
+                                - round(avg(CAST(value AS DOUBLE))
+                                        OVER (PARTITION BY user_id), 6))
+                               / round(stddev_samp(CAST(value AS DOUBLE))
+                                       OVER (PARTITION BY user_id), 6), 6)
+               END + 0.0 AS value_gz
+        FROM events
+    """
+    sql["mad_outliers"] = """
+        WITH m1 AS (
+            SELECT round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS med
+            FROM events WHERE value IS NOT NULL
+        ),
+        m2 AS (
+            SELECT round(quantile_cont(abs(CAST(value AS DOUBLE) - m1.med), 0.5), 6)
+                       AS mad
+            FROM events, m1 WHERE value IS NOT NULL
+        )
+        SELECT event_id, value,
+               round(0.6745 * (CAST(value AS DOUBLE) - m1.med) / m2.mad, 6)
+                   + 0.0 AS value_mz,
+               CAST(abs(round(0.6745 * (CAST(value AS DOUBLE) - m1.med)
+                              / m2.mad, 6)) > 3.5 AS INT) AS value_is_outlier
+        FROM events, m1, m2
+    """
+    # OOF target encoding: identical md5 fold map and m-estimate
+    # evaluation order (prior rounded to 6 first, encoding rounded last)
+    sql["target_encode_oof"] = """
+        WITH base AS (
+            SELECT event_id, event_type, CAST(value AS DOUBLE) AS y,
+                   CAST(CAST(('0x' || substr(md5(
+                            concat_ws(chr(31), CAST(event_id AS VARCHAR), '0')
+                        ), 1, 8)) AS BIGINT) % 5 AS INT) AS fold,
+                   COALESCE(CAST(event_type AS VARCHAR), '__null__') AS k
+            FROM events
+        ),
+        pf AS (
+            SELECT k, fold, sum(y) AS sf, count(y) AS nf
+            FROM base GROUP BY 1, 2
+        ),
+        pc AS (SELECT k, sum(sf) AS sc, sum(nf) AS nc FROM pf GROUP BY 1),
+        prior AS (SELECT round(avg(y), 6) AS p FROM base)
+        SELECT b.event_id, b.event_type, b.fold AS event_type_te_fold,
+               round((COALESCE(pc.sc, 0) - COALESCE(pf.sf, 0) + 20.0 * prior.p)
+                     / (COALESCE(pc.nc, 0) - COALESCE(pf.nf, 0) + 20.0), 6)
+                   + 0.0 AS event_type_te
+        FROM base b
+        LEFT JOIN pf ON b.k = pf.k AND b.fold = pf.fold
+        LEFT JOIN pc ON b.k = pc.k, prior
     """
     sql["calendar_features"] = """
         SELECT event_id, ts,

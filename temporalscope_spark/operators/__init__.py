@@ -63,6 +63,7 @@ from temporalscope_spark.operators.binning import fit_quantile_edges, quantile_b
 from temporalscope_spark.operators.cooccur import cooccurrence_pmi
 from temporalscope_spark.operators.encoding import (
     count_encode,
+    target_encode_oof,
     fit_top_categories,
     hash_cross,
     one_hot_top_k,
@@ -75,7 +76,12 @@ from temporalscope_spark.operators.pca import (
     pca_project,
     pca_project_array,
 )
-from temporalscope_spark.operators.scaling import fit_scaler, scale_features
+from temporalscope_spark.operators.scaling import (
+    fit_scaler,
+    mad_outliers,
+    scale_by_group,
+    scale_features,
+)
 from temporalscope_spark.operators.vectorize import tfidf_cosine_pairs, tfidf_table
 from temporalscope_spark.operators.relevance import correlation_matrix, feature_relevance
 from temporalscope_spark.operators.tsfeatures import (
@@ -151,11 +157,11 @@ __all__ = [
     "feature_relevance",
     "correlation_matrix", "cooccurrence_pmi",
     "fit_quantile_edges", "quantile_bin", "winsorize",
-    "fit_scaler", "scale_features",
+    "fit_scaler", "mad_outliers", "scale_by_group", "scale_features",
     "PCAModel", "fit_pca", "fit_pca_array", "pca_project", "pca_project_array",
     "tfidf_cosine_pairs", "tfidf_table",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
-    "rare_collapse",
+    "rare_collapse", "target_encode_oof",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",
     "SlidingWindowPartitioner",
     "interpolate_linear", "resample",

@@ -150,6 +150,86 @@ def rare_collapse(
     )
 
 
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    n_folds: int = 5,
+    smoothing: float = 20.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Out-of-fold smoothed target encoding — the leakage guard for
+    NON-temporal data (the temporal twin, strictly-past expanding
+    encoding, is ``operators/rolling.py:target_encode_expanding``): each
+    row's encoding is the m-estimate mean of its category computed from
+    the OTHER folds only, so a row never sees its own label.
+
+        {cat}_te = (S_c − S_cf + m·prior) / (N_c − N_cf + m)
+
+    with ``S_c/N_c`` the category's total target sum/count, ``S_cf/N_cf``
+    the row's own fold's share, ``prior`` the global target mean and
+    ``m = smoothing``. Folds come from the portable md5 hash of
+    ``(id, seed)`` (deterministic, partition-invariant, DuckDB-exact —
+    the ``entity_split`` map). Plan: ONE ``groupBy(cat, fold)``
+    aggregation (≤ C·F rows, map-side combined), per-category totals
+    folded from it with a second tiny aggregation, broadcast join back —
+    the corpus is scanned once and never shuffled. NULL targets are
+    excluded from the statistics but still receive an encoding; NULL
+    categories encode via their own level.
+    """
+    if n_folds < 2:
+        raise DataFrameValidationError("target_encode_oof: n_folds must be >= 2")
+    if smoothing < 0.0:
+        raise DataFrameValidationError("target_encode_oof: smoothing must be >= 0")
+    for c in (cat_col, target_col, id_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"target_encode_oof: missing column {c!r}")
+    y = F.col(target_col).cast("double")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(seed)))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(n_folds)
+    ).cast("int")
+    base = df.withColumn("_fold", fold).withColumn("_k", _cat(cat_col))
+    per_fold = base.groupBy("_k", "_fold").agg(
+        F.sum(y).alias("_sf"), F.count(y).alias("_nf")
+    )
+    per_cat = per_fold.groupBy("_k").agg(
+        F.sum("_sf").alias("_sc"), F.sum("_nf").alias("_nc")
+    )
+    stats = per_fold.join(per_cat, "_k")
+    prior_row = df.agg(F.avg(y).alias("_p")).collect()[0]
+    if prior_row["_p"] is None:
+        raise DataFrameValidationError(
+            f"target_encode_oof: target {target_col!r} has no non-null values"
+        )
+    prior = round(float(prior_row["_p"]), 6)
+    m = float(smoothing)
+    enc = F.round(
+        (
+            F.coalesce(F.col("_sc"), F.lit(0.0))
+            - F.coalesce(F.col("_sf"), F.lit(0.0))
+            + F.lit(m * prior)
+        )
+        / (
+            F.coalesce(F.col("_nc"), F.lit(0)).cast("double")
+            - F.coalesce(F.col("_nf"), F.lit(0)).cast("double")
+            + F.lit(m)
+        ),
+        6,
+    )
+    return (
+        base.join(F.broadcast(stats), ["_k", "_fold"], "left")
+        .withColumn(f"{cat_col}_te", enc)
+        .drop("_k", "_sf", "_nf", "_sc", "_nc")
+        .withColumnRenamed("_fold", f"{cat_col}_te_fold")
+    )
+
+
 def hash_cross(
     df: DataFrame,
     cols: Sequence[str],

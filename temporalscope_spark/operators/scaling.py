@@ -85,6 +85,103 @@ def fit_scaler(
     return model
 
 
+def scale_by_group(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_col: str,
+    min_rows: int = 2,
+) -> DataFrame:
+    """Append per-GROUP z-scores ``{c}_gz = round((x − mean_g)/std_g, 6)``
+    — the per-entity standardization that puts every user/series on one
+    scale before cross-entity models (a global z-score would mostly
+    encode the entity's level, not the row's deviation).
+
+    All groups' (mean, sample std) come from ONE map-side-combinable
+    ``groupBy(group)`` aggregation (G rows for G groups) joined back on
+    the group key — equi-join, salting-friendly, never a broadcast
+    assumption (G is entity-scale, not category-scale). Groups with
+    fewer than ``min_rows`` non-null values or zero variance yield NULL
+    (no honest z-score exists), as does a NULL input.
+    """
+    if not cols:
+        raise DataFrameValidationError("scale_by_group: cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns] + (
+        [] if group_col in df.columns else [group_col]
+    )
+    if missing:
+        raise DataFrameValidationError(f"scale_by_group: missing columns {missing}")
+    if min_rows < 2:
+        raise DataFrameValidationError("scale_by_group: min_rows must be >= 2")
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.avg(x).alias(f"_m_{c}"),
+            F.stddev_samp(x).alias(f"_s_{c}"),
+            F.count(x).alias(f"_n_{c}"),
+        ]
+    stats = df.groupBy(F.col(group_col).alias("_g")).agg(*aggs)
+    out = df.join(stats, df[group_col] == stats["_g"], "left").drop("_g")
+    for c in cols:
+        x = F.col(c).cast("double")
+        z = (x - F.round(F.col(f"_m_{c}"), 6)) / F.round(F.col(f"_s_{c}"), 6)
+        out = out.withColumn(
+            f"{c}_gz",
+            F.when(
+                (F.col(f"_n_{c}") >= min_rows)
+                & (F.round(F.col(f"_s_{c}"), 6) > 0.0),
+                F.round(z, 6),
+            ),
+        ).drop(f"_m_{c}", f"_s_{c}", f"_n_{c}")
+    return out
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    threshold: float = 3.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Append the Iglewicz–Hoaglin modified z-score
+    ``{col}_mz = 0.6745 · (x − median) / MAD`` (rounded 6) and the flag
+    ``{col}_is_outlier = |mz| > threshold`` — the robust anomaly gate
+    (mean/std-based z-scores let the outliers they hunt inflate their
+    own yardstick; median/MAD do not).
+
+    Two 1-row fits by construction (MAD needs the median first), each
+    the exact ``percentile`` (oracle lane) or the ``percentile_approx``
+    sketch (``approx=True``, the 100 TB lane); the transform is a pure
+    literal projection. Zero MAD (over half the values identical) yields
+    NULL score and flag — no meaningful deviation scale exists.
+    """
+    if col not in df.columns:
+        raise DataFrameValidationError(f"mad_outliers: missing column {col!r}")
+    if threshold <= 0.0:
+        raise DataFrameValidationError("mad_outliers: threshold must be > 0")
+    pfn = F.percentile_approx if approx else F.percentile
+    x = F.col(col).cast("double")
+    med_row = df.filter(x.isNotNull()).agg(pfn(x, F.lit(0.5)).alias("_m")).collect()[0]
+    if med_row["_m"] is None:
+        raise DataFrameValidationError(
+            f"mad_outliers: column {col!r} has no non-null values"
+        )
+    med = round(float(med_row["_m"]), 6)
+    mad_row = (
+        df.filter(x.isNotNull())
+        .agg(pfn(F.abs(x - F.lit(med)), F.lit(0.5)).alias("_d"))
+        .collect()[0]
+    )
+    mad = round(float(mad_row["_d"]), 6)
+    if mad <= 0.0:
+        return df.withColumn(f"{col}_mz", F.lit(None).cast("double")).withColumn(
+            f"{col}_is_outlier", F.lit(None).cast("int")
+        )
+    mz = F.round(F.lit(0.6745) * (x - F.lit(med)) / F.lit(mad), 6)
+    return df.withColumn(f"{col}_mz", mz).withColumn(
+        f"{col}_is_outlier", (F.abs(mz) > F.lit(float(threshold))).cast("int")
+    )
+
+
 def scale_features(
     df: DataFrame,
     cols: Sequence[str],

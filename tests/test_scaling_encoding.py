@@ -186,3 +186,107 @@ class TestHashCross:
             hash_cross(cats, ["cat"], 8)
         with pytest.raises(DataFrameValidationError):
             hash_cross(cats, ["cat", "nope"], 8)
+
+
+class TestGroupScale:
+    def test_per_group_zscore(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.scaling import scale_by_group
+
+        rows = [(i, i % 3, float(i) + (i % 3) * 100) for i in range(30)]
+        df = spark.createDataFrame(rows, ["rid", "g", "x"])
+        got = {r["rid"]: r["x_gz"] for r in scale_by_group(df, ["x"], "g").collect()}
+        xs = {g: np.array([r[2] for r in rows if r[1] == g]) for g in range(3)}
+        for rid, g, x in rows:
+            m = round(float(xs[g].mean()), 6)
+            s = round(float(xs[g].std(ddof=1)), 6)
+            assert got[rid] == pytest.approx(round((x - m) / s, 6), abs=1e-9)
+
+    def test_small_and_constant_groups_null(self, spark):
+        from temporalscope_spark.operators.scaling import scale_by_group
+
+        rows = [(1, "solo", 5.0), (2, "const", 1.0), (3, "const", 1.0)]
+        df = spark.createDataFrame(rows, ["rid", "g", "x"])
+        got = {r["rid"]: r["x_gz"] for r in scale_by_group(df, ["x"], "g").collect()}
+        assert got[1] is None  # < min_rows
+        assert got[2] is None and got[3] is None  # zero variance
+
+
+class TestMadOutliers:
+    def test_flags_planted_outlier(self, spark):
+        from temporalscope_spark.operators.scaling import mad_outliers
+
+        rows = [(i, float(i % 7)) for i in range(100)] + [(100, 500.0), (101, None)]
+        df = spark.createDataFrame(rows, ["rid", "x"])
+        got = {r["rid"]: r for r in mad_outliers(df, "x").collect()}
+        assert got[100]["x_is_outlier"] == 1
+        assert got[0]["x_is_outlier"] == 0
+        assert got[101]["x_mz"] is None
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.scaling import mad_outliers
+
+        vals = [float(v) for v in np.linspace(0, 10, 51)]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["rid", "x"])
+        x = np.array(vals)
+        med = round(float(np.median(x)), 6)
+        mad = round(float(np.median(np.abs(x - med))), 6)
+        got = {r["rid"]: r["x_mz"] for r in mad_outliers(df, "x").collect()}
+        for i, v in enumerate(vals):
+            assert got[i] == pytest.approx(round(0.6745 * (v - med) / mad, 6), abs=1e-9)
+
+    def test_zero_mad_null(self, spark):
+        from temporalscope_spark.operators.scaling import mad_outliers
+
+        df = spark.createDataFrame([(i, 3.0) for i in range(10)], ["rid", "x"])
+        out = mad_outliers(df, "x").collect()
+        assert all(r["x_mz"] is None and r["x_is_outlier"] is None for r in out)
+
+
+class TestTargetEncodeOOF:
+    def test_no_self_leakage_hand_check(self, spark):
+        import hashlib
+
+        from temporalscope_spark.operators.encoding import target_encode_oof
+
+        rows = [(i, "a" if i < 12 else "b", float(i % 2)) for i in range(20)]
+        df = spark.createDataFrame(rows, ["rid", "cat", "y"])
+        out = {r["rid"]: r for r in
+               target_encode_oof(df, "cat", "y", "rid", n_folds=3, smoothing=2.0).collect()}
+        prior = round(sum(r[2] for r in rows) / 20, 6)
+        # hand-replay: md5 fold, OOF m-estimate
+        folds = {i: int(hashlib.md5(f"{i}\x1f0".encode()).hexdigest()[:8], 16) % 3
+                 for i, _, _ in rows}
+        for i, c, y in rows:
+            mine = folds[i]
+            s_c = sum(r[2] for r in rows if r[1] == c)
+            n_c = sum(1 for r in rows if r[1] == c)
+            s_f = sum(r[2] for r in rows if r[1] == c and folds[r[0]] == mine)
+            n_f = sum(1 for r in rows if r[1] == c and folds[r[0]] == mine)
+            want = round((s_c - s_f + 2.0 * prior) / (n_c - n_f + 2.0), 6)
+            assert out[i]["cat_te"] == pytest.approx(want, abs=1e-9), i
+            assert out[i]["cat_te_fold"] == mine
+
+    def test_unseen_in_other_folds_falls_to_prior_side(self, spark):
+        from temporalscope_spark.operators.encoding import target_encode_oof
+
+        # a category entirely inside one fold: OOF stats empty -> encoding
+        # is pulled to the prior (m·prior / m)
+        rows = [(i, "common", 1.0) for i in range(30)] + [(1000, "rare", 0.0)]
+        df = spark.createDataFrame(rows, ["rid", "cat", "y"])
+        out = {r["rid"]: r["cat_te"] for r in
+               target_encode_oof(df, "cat", "y", "rid", n_folds=5, smoothing=10.0).collect()}
+        prior = round(30 / 31, 6)
+        assert out[1000] == pytest.approx(round(prior, 6), abs=1e-5)
+
+    def test_errors(self, spark):
+        from temporalscope_spark.operators.encoding import target_encode_oof
+
+        df = spark.createDataFrame([(1, "a", 1.0)], ["rid", "cat", "y"])
+        with pytest.raises(DataFrameValidationError):
+            target_encode_oof(df, "cat", "y", "rid", n_folds=1)
+        with pytest.raises(DataFrameValidationError):
+            target_encode_oof(df, "nope", "y", "rid")
