@@ -2,12 +2,13 @@
 feature side of the engine, composed the way a forecasting/scoring team
 would actually wire it:
 
-  synthesize seasonal events → winsorize tails → fit quantile bins on the
-  TRAIN slice only (fit/transform) → seasonal decomposition → Fourier time
-  encodings → leakage-safe rolling features → per-entity ACF profile →
+  synthesize seasonal events → MAD outlier gate → winsorize tails → fit
+  quantile bins on the TRAIN slice only (fit/transform) → seasonal
+  decomposition → Fourier + calendar time encodings → leakage-safe rolling
+  features → per-entity ACF profile → out-of-fold target encoding →
   relevance screen (MI / chi² / Cramér's V) → collinearity screen
-  (correlation matrix) → drift gate (PSI) → IRLS logistic on the surviving
-  features.
+  (correlation matrix) → drift gate (PSI) → standard-scale (train-fit) →
+  IRLS logistic on the surviving features.
 
 Every stage is a distributed plan (no driver-side loops over data); the
 script asserts the statistical behavior it claims (seasonality recovered,
@@ -59,6 +60,16 @@ def main() -> None:
     ev = ev.withColumn("y", label).localCheckpoint()
     print("events:", ev.count())
 
+    # 1b. MAD outlier gate: the robust modified z-score must flag exactly
+    # the planted spike rows (a mean/std z-score would let the spikes
+    # inflate their own yardstick)
+    from temporalscope_spark.operators.scaling import mad_outliers
+
+    flagged = mad_outliers(ev, "value", threshold=3.5)
+    n_out = flagged.agg(F.sum("value_is_outlier")).collect()[0][0]
+    assert n * 0.005 < n_out < n * 0.02, n_out
+    print(f"MAD gate: {n_out} outliers flagged (~1% planted spikes)")
+
     # 2. winsorize the tails at [1%, 99%] — the planted spike rate is 1%,
     # so the upper cut must sit BELOW the spike mass to clip all of it
     # (a 99.5% cut would leave half the spikes in and dilute every
@@ -108,7 +119,10 @@ def main() -> None:
     # features, no fit needed) + leakage-safe rolling mean
     from temporalscope_spark.operators.rolling import rolling_features
 
+    from temporalscope_spark.operators.tsfeatures import calendar_features
+
     feats = fourier_time_features(ev, "ts", period_seconds=86_400, harmonics=2)
+    feats = calendar_features(feats, "ts")
     feats = rolling_features(
         feats, ["value_wins"], [6 * 3600], aggs=("mean",),
         time_col="ts", id_col="user_id",
@@ -120,6 +134,20 @@ def main() -> None:
     lag24 = acf.agg(F.avg("acf_24")).collect()[0][0]
     assert lag24 > 0.8, lag24
     print(f"mean per-user acf_24 = {lag24:.3f} (daily cycle confirmed)")
+
+    # 6b. out-of-fold target encoding of the hour-of-day: each row's
+    # encoding comes from the OTHER folds, so it carries the hour→label
+    # signal without the row seeing its own label
+    from temporalscope_spark.operators.encoding import target_encode_oof
+
+    enc = target_encode_oof(
+        feats.withColumn("hod", F.col("ts_hour")),
+        "hod", "y", "event_id", n_folds=5, smoothing=20.0,
+    )
+    hi = enc.filter(F.col("hod") == 6).agg(F.avg("hod_te")).collect()[0][0]
+    lo = enc.filter(F.col("hod") == 18).agg(F.avg("hod_te")).collect()[0][0]
+    assert hi > 0.9 and lo < 0.1, (hi, lo)
+    print(f"OOF target encoding: peak-hour te {hi:.3f}, trough-hour te {lo:.3f}")
 
     # 7. relevance screen: the decile bin must dominate the user id
     from temporalscope_spark.operators.relevance import (
@@ -169,15 +197,24 @@ def main() -> None:
     assert psi > 0.1, psi
     print(f"drift gate: PSI across {drift_ts} = {psi:.3f} (> 0.1, shift caught)")
 
-    # 10. IRLS logistic on the engineered features (sin/cos + rolling mean)
+    # 10. standard-scale the surviving features on the TRAIN slice, then
+    # IRLS logistic on the engineered features (sin/cos + rolling mean)
     from temporalscope_spark.modeling.logistic import fit_logistic
+    from temporalscope_spark.operators.scaling import fit_scaler, scale_features
 
-    model_in = feats.select(
+    raw_in = feats.select(
+        "ts",
         F.col("ts_86400s_sin_1").alias("f1"),
         F.col("ts_86400s_cos_1").alias("f2"),
         F.coalesce("value_wins_mean_21600s", F.lit(0.0)).alias("f3"),
         F.col("y").cast("double").alias("y"),
-    ).localCheckpoint()
+    )
+    scaler = fit_scaler(raw_in.filter(F.col("ts") < split_ts), ["f3"])
+    model_in = (
+        scale_features(raw_in, ["f3"], model=scaler)
+        .select("f1", "f2", F.col("f3_scaled").alias("f3"), "y")
+        .localCheckpoint()
+    )
     # the daily sine makes the label near-separable by f1 — a small ridge
     # keeps the IRLS normal equations well-conditioned (unpenalized
     # coefficients would run off to ±inf and the weight matrix to zero)
