@@ -2367,6 +2367,35 @@ def q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "event_type_te_fold", "event_type_te")
 
 
+def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleImputer twin over `events.value` with every 10th value
+    NULLed (the table ships complete, so the query plants the holes the
+    oracle replays): ONE aggregation fits the mean, transform appends
+    the informative `_was_null` indicator + the filled column —
+    expression-only."""
+    from temporalscope_spark.operators.impute import impute
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 != 0, F.col("value")).alias("v"),
+    )
+    return impute(events, ["v"], strategy="mean")
+
+
+def q_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile (n, mean, variance, Fisher–Pearson
+    skewness, excess kurtosis, min, max) of two columns from RAW power
+    sums in ONE map-side-combinable aggregation — built-in skew/kurt
+    implementations disagree across engines, closed forms replay
+    term-for-term."""
+    from temporalscope_spark.operators.scaling import moment_profile
+
+    events = _t(spark, sf_dir, "events").select(
+        "value", F.length("props").cast("double").alias("plen")
+    )
+    return moment_profile(events, ["value", "plen"])
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -2499,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_by_group": q_scale_by_group,
         "mad_outliers": q_mad_outliers,
         "target_encode_oof": q_target_encode_oof,
+        "impute_mean": q_impute_mean,
+        "moment_profile": q_moment_profile,
     }
 
 
@@ -4737,6 +4768,58 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN pf ON b.k = pf.k AND b.fold = pf.fold
         LEFT JOIN pc ON b.k = pc.k, prior
     """
+    sql["impute_mean"] = """
+        WITH base AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 10 <> 0
+                        THEN CAST(value AS DOUBLE) END AS v
+            FROM events
+        ),
+        m AS (SELECT round(avg(v), 6) AS fill FROM base)
+        SELECT event_id, v,
+               CAST(v IS NULL AS INT) AS v_was_null,
+               COALESCE(v, m.fill) AS v_filled
+        FROM base, m
+    """
+    # moment profile: identical closed forms over raw power sums
+    # (population central moments, Fisher–Pearson g1, EXCESS kurtosis,
+    # sample variance), identical evaluation order
+    _moment_cols = {"value": "CAST(value AS DOUBLE)",
+                    "plen": "CAST(length(props) AS DOUBLE)"}
+    _moment_sel = " UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS "column", CAST(count({x}) AS BIGINT) AS n,
+               round(sum({x}) / count({x}), 6) + 0.0 AS mean,
+               round((sum({x}*{x}) - sum({x})*sum({x})/count({x}))
+                     / (count({x}) - 1.0), 6) + 0.0 AS variance,
+               CASE WHEN count({x}) >= 2 AND
+                         sum({x}*{x})/count({x})
+                         - pow(sum({x})/count({x}), 2) > 0
+                    THEN round(
+                        (sum({x}*{x}*{x})/count({x})
+                         - 3.0*(sum({x})/count({x}))*(sum({x}*{x})/count({x}))
+                         + 2.0*pow(sum({x})/count({x}), 3))
+                        / pow(sum({x}*{x})/count({x})
+                              - pow(sum({x})/count({x}), 2), 1.5), 6)
+               END + 0.0 AS skewness,
+               CASE WHEN count({x}) >= 2 AND
+                         sum({x}*{x})/count({x})
+                         - pow(sum({x})/count({x}), 2) > 0
+                    THEN round(
+                        (sum({x}*{x}*{x}*{x})/count({x})
+                         - 4.0*(sum({x})/count({x}))*(sum({x}*{x}*{x})/count({x}))
+                         + 6.0*pow(sum({x})/count({x}), 2)*(sum({x}*{x})/count({x}))
+                         - 3.0*pow(sum({x})/count({x}), 4))
+                        / pow(sum({x}*{x})/count({x})
+                              - pow(sum({x})/count({x}), 2), 2) - 3.0, 6)
+               END + 0.0 AS kurtosis,
+               round(min({x}), 6) + 0.0 AS "min",
+               round(max({x}), 6) + 0.0 AS "max"
+        FROM events
+        """
+        for name, x in _moment_cols.items()
+    )
+    sql["moment_profile"] = _moment_sel
     sql["calendar_features"] = """
         SELECT event_id, ts,
                CAST(hour(ts) AS INT) AS ts_hour,

@@ -76,9 +76,11 @@ from temporalscope_spark.operators.pca import (
     pca_project,
     pca_project_array,
 )
+from temporalscope_spark.operators.impute import fit_impute, impute
 from temporalscope_spark.operators.scaling import (
     fit_scaler,
     mad_outliers,
+    moment_profile,
     scale_by_group,
     scale_features,
 )
@@ -157,7 +159,8 @@ __all__ = [
     "feature_relevance",
     "correlation_matrix", "cooccurrence_pmi",
     "fit_quantile_edges", "quantile_bin", "winsorize",
-    "fit_scaler", "mad_outliers", "scale_by_group", "scale_features",
+    "fit_scaler", "mad_outliers", "moment_profile", "scale_by_group",
+    "scale_features", "fit_impute", "impute",
     "PCAModel", "fit_pca", "fit_pca_array", "pca_project", "pca_project_array",
     "tfidf_cosine_pairs", "tfidf_table",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",

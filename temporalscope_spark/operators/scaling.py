@@ -182,6 +182,74 @@ def mad_outliers(
     )
 
 
+def moment_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One row per column with (n, mean, variance, skewness, kurtosis,
+    min, max) — the distribution-shape profile that decides which scaler
+    / transform a feature needs (high |skew| → log/winsorize first, fat
+    kurtosis → robust scaling), computed from RAW power sums in ONE
+    map-side-combinable aggregation.
+
+    Closed forms (population central moments from Σx..Σx⁴, then
+    Fisher–Pearson ``g1 = m3/m2^1.5`` and EXCESS kurtosis
+    ``g2 = m4/m2² − 3``; variance is the sample one) are evaluated in a
+    fixed order both engines replay term-for-term — built-in
+    ``skewness``/``kurtosis`` implementations disagree across engines on
+    update order and bias correction, so the profile computes its own.
+    NULL shape stats when n < 2 or zero variance. Floats round to 6.
+
+    The raw-power-sum form trades a little numeric headroom for exact
+    replayability (x⁴ sums can lose digits when |x| is huge AND the
+    distribution is tight); center/rescale first if your column lives at
+    1e8±1e-3.
+    """
+    if not cols:
+        raise DataFrameValidationError("moment_profile: cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"moment_profile: missing columns {missing}")
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.count(x).alias(f"_n_{c}"),
+            F.sum(x).alias(f"_s1_{c}"),
+            F.sum(x * x).alias(f"_s2_{c}"),
+            F.sum(x * x * x).alias(f"_s3_{c}"),
+            F.sum(x * x * x * x).alias(f"_s4_{c}"),
+            F.min(x).alias(f"_mn_{c}"),
+            F.max(x).alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        n = F.col(f"_n_{c}").cast("double")
+        s1, s2 = F.col(f"_s1_{c}"), F.col(f"_s2_{c}")
+        s3, s4 = F.col(f"_s3_{c}"), F.col(f"_s4_{c}")
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+        m4 = (
+            s4 / n
+            - F.lit(4.0) * mean * (s3 / n)
+            + F.lit(6.0) * mean * mean * (s2 / n)
+            - F.lit(3.0) * mean * mean * mean * mean
+        )
+        ok = (n >= 2) & (m2 > 0)
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_n_{c}").cast("long").alias("n"),
+                F.round(mean, 6).alias("mean"),
+                F.round((s2 - s1 * s1 / n) / (n - F.lit(1.0)), 6).alias("variance"),
+                F.when(ok, F.round(m3 / F.pow(m2, 1.5), 6)).alias("skewness"),
+                F.when(ok, F.round(m4 / (m2 * m2) - F.lit(3.0), 6)).alias("kurtosis"),
+                F.round(F.col(f"_mn_{c}"), 6).alias("min"),
+                F.round(F.col(f"_mx_{c}"), 6).alias("max"),
+            )
+        )
+    return one.select(F.explode(F.array(*parts)).alias("_p")).select("_p.*")
+
+
 def scale_features(
     df: DataFrame,
     cols: Sequence[str],
