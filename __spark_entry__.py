@@ -2396,6 +2396,30 @@ def q_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moment_profile(events, ["value", "plen"])
 
 
+def q_ecdf_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-to-uniform (cume_dist) transform of `events.value` WITHOUT a
+    global sort: distinct-value counts → quantile-bucket two-phase
+    running sum (plans/rownum, no single-partition window at any size) →
+    value-keyed join back. The oracle may use a plain ordered window —
+    the engine may not."""
+    from temporalscope_spark.operators.scaling import ecdf_feature
+
+    events = _t(spark, sf_dir, "events").select("event_id", "value")
+    return ecdf_feature(events, "value")
+
+
+def q_polynomial_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-2 dense expansion (squares + pairwise products) of two
+    numeric columns — pure narrow projection; the hashing-trick cross
+    (`hash_cross`) is the vocabulary-scale alternative."""
+    from temporalscope_spark.operators.scaling import polynomial_features
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "value", F.length("props").cast("double").alias("plen")
+    )
+    return polynomial_features(events, ["value", "plen"])
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -2530,6 +2554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_oof": q_target_encode_oof,
         "impute_mean": q_impute_mean,
         "moment_profile": q_moment_profile,
+        "ecdf_feature": q_ecdf_feature,
+        "polynomial_features": q_polynomial_features,
     }
 
 
@@ -4767,6 +4793,23 @@ def oracle_sql() -> dict[str, str]:
         FROM base b
         LEFT JOIN pf ON b.k = pf.k AND b.fold = pf.fold
         LEFT JOIN pc ON b.k = pc.k, prior
+    """
+    sql["ecdf_feature"] = """
+        SELECT event_id, value,
+               round(cume_dist() OVER (ORDER BY CAST(value AS DOUBLE)), 6)
+                   AS value_ecdf
+        FROM events
+    """
+    sql["polynomial_features"] = """
+        SELECT event_id, value,
+               CAST(length(props) AS DOUBLE) AS plen,
+               round(CAST(value AS DOUBLE) * CAST(value AS DOUBLE), 6) + 0.0
+                   AS value_pow2,
+               round(CAST(length(props) AS DOUBLE)
+                     * CAST(length(props) AS DOUBLE), 6) + 0.0 AS plen_pow2,
+               round(CAST(value AS DOUBLE)
+                     * CAST(length(props) AS DOUBLE), 6) + 0.0 AS value_x_plen
+        FROM events
     """
     sql["impute_mean"] = """
         WITH base AS (

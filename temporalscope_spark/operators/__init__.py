@@ -78,9 +78,11 @@ from temporalscope_spark.operators.pca import (
 )
 from temporalscope_spark.operators.impute import fit_impute, impute
 from temporalscope_spark.operators.scaling import (
+    ecdf_feature,
     fit_scaler,
     mad_outliers,
     moment_profile,
+    polynomial_features,
     scale_by_group,
     scale_features,
 )
@@ -159,7 +161,8 @@ __all__ = [
     "feature_relevance",
     "correlation_matrix", "cooccurrence_pmi",
     "fit_quantile_edges", "quantile_bin", "winsorize",
-    "fit_scaler", "mad_outliers", "moment_profile", "scale_by_group",
+    "ecdf_feature", "fit_scaler", "mad_outliers", "moment_profile",
+    "polynomial_features", "scale_by_group",
     "scale_features", "fit_impute", "impute",
     "PCAModel", "fit_pca", "fit_pca_array", "pca_project", "pca_project_array",
     "tfidf_cosine_pairs", "tfidf_table",

@@ -250,6 +250,78 @@ def moment_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return one.select(F.explode(F.array(*parts)).alias("_p")).select("_p.*")
 
 
+def ecdf_feature(df: DataFrame, col: str) -> DataFrame:
+    """Append ``{col}_ecdf = P(X ≤ x)`` (SQL ``cume_dist``, rounded 6) —
+    the rank-to-uniform transform that makes any numeric feature
+    distribution-free (the first half of rank-gauss, and the robust
+    alternative when a feature's scale drifts but its order doesn't).
+
+    Global ranking WITHOUT a global sort: distinct-value counts (one
+    map-side-combinable aggregation) run through the quantile-bucket
+    two-phase running sum (``plans/rownum.with_global_cumsum`` — the
+    ks_drift machinery; no single-partition window at any size), then
+    the V-row (value → cumulative count) table joins back value-keyed.
+    NULL in, NULL out; NULLs don't count toward n.
+    """
+    if col not in df.columns:
+        raise DataFrameValidationError(f"ecdf_feature: missing column {col!r}")
+    from temporalscope_spark.plans.rownum import with_global_cumsum
+
+    x = F.col(col).cast("double")
+    vals = df.filter(x.isNotNull()).groupBy(x.alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cum = with_global_cumsum(vals, ["_v"], ["_c"])
+    n = df.filter(x.isNotNull()).count()
+    if n == 0:
+        raise DataFrameValidationError(
+            f"ecdf_feature: column {col!r} has no non-null values"
+        )
+    lut = cum.select(
+        "_v", F.round(F.col("_c_cum") / F.lit(float(n)), 6).alias(f"{col}_ecdf")
+    )
+    return df.withColumn("_v", x).join(lut, "_v", "left").drop("_v")
+
+
+def polynomial_features(
+    df: DataFrame,
+    cols: Sequence[str],
+    degree: int = 2,
+    interaction_only: bool = False,
+) -> DataFrame:
+    """Append degree-2 expansions: pairwise products ``{a}_x_{b}`` for
+    a < b in the given order and (unless ``interaction_only``) squares
+    ``{c}_pow2`` — sklearn ``PolynomialFeatures(2)`` minus the constant
+    term. Pure narrow projection (p(p+1)/2 extra expressions; this is a
+    tens-of-columns tool — for thousands of implicit crosses use
+    ``encoding.hash_cross``). NULL propagates. Only degree 2 is
+    supported: higher-order dense expansions explode combinatorially and
+    belong behind the hashing trick instead.
+    """
+    if degree != 2:
+        raise DataFrameValidationError("polynomial_features: only degree=2 supported")
+    if len(cols) < 1:
+        raise DataFrameValidationError("polynomial_features: cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(
+            f"polynomial_features: missing columns {missing}"
+        )
+    out = []
+    if not interaction_only:
+        for c in cols:
+            x = F.col(c).cast("double")
+            out.append(F.round(x * x, 6).alias(f"{c}_pow2"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            out.append(
+                F.round(F.col(a).cast("double") * F.col(b).cast("double"), 6).alias(
+                    f"{a}_x_{b}"
+                )
+            )
+    return df.select("*", *out)
+
+
 def scale_features(
     df: DataFrame,
     cols: Sequence[str],

@@ -95,3 +95,69 @@ class TestMomentProfile:
         # all columns' moments come from one aggregate: a single pair of
         # HashAggregate stages (partial + final), one exchange
         assert plan.count("Exchange") <= 1
+
+
+class TestEcdf:
+    def test_matches_cume_dist(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.scaling import ecdf_feature
+
+        vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, None, 5.0]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "rid int, x double"
+        )
+        got = {r["rid"]: r["x_ecdf"] for r in ecdf_feature(df, "x").collect()}
+        xs = [v for v in vals if v is not None]
+        for i, v in enumerate(vals):
+            if v is None:
+                assert got[i] is None
+            else:
+                want = round(sum(1 for u in xs if u <= v) / len(xs), 6)
+                assert got[i] == pytest.approx(want, abs=1e-9), (i, v)
+
+    def test_partition_invariance(self, spark):
+        from temporalscope_spark.operators.scaling import ecdf_feature
+
+        df = spark.range(500).select(
+            F.col("id").alias("rid"), (F.pmod(F.col("id") * 37, F.lit(101))).cast("double").alias("x")
+        )
+        a = {r["rid"]: r["x_ecdf"] for r in ecdf_feature(df.repartition(1), "x").collect()}
+        b = {r["rid"]: r["x_ecdf"] for r in ecdf_feature(df.repartition(8), "x").collect()}
+        assert a == b
+
+    def test_no_single_partition_window(self, spark):
+        from temporalscope_spark.operators.scaling import ecdf_feature
+
+        df = spark.range(100).select(
+            F.col("id").alias("rid"), F.col("id").cast("double").alias("x")
+        )
+        plan = ecdf_feature(df, "x")._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+
+class TestPolynomial:
+    def test_values_and_names(self, spark):
+        from temporalscope_spark.operators.scaling import polynomial_features
+
+        df = spark.createDataFrame([(1, 2.0, 3.0, 4.0)], ["rid", "a", "b", "c"])
+        r = polynomial_features(df, ["a", "b", "c"]).collect()[0]
+        assert (r["a_pow2"], r["b_pow2"], r["c_pow2"]) == (4.0, 9.0, 16.0)
+        assert (r["a_x_b"], r["a_x_c"], r["b_x_c"]) == (6.0, 8.0, 12.0)
+
+    def test_interaction_only_and_null(self, spark):
+        from temporalscope_spark.operators.scaling import polynomial_features
+
+        df = spark.createDataFrame([(1, None, 3.0)], "rid int, a double, b double")
+        out = polynomial_features(df, ["a", "b"], interaction_only=True)
+        assert "a_pow2" not in out.columns
+        assert out.collect()[0]["a_x_b"] is None
+
+    def test_errors(self, spark):
+        from temporalscope_spark.operators.scaling import polynomial_features
+
+        df = spark.createDataFrame([(1, 2.0)], ["rid", "a"])
+        with pytest.raises(DataFrameValidationError):
+            polynomial_features(df, ["a"], degree=3)
+        with pytest.raises(DataFrameValidationError):
+            polynomial_features(df, ["nope"])
