@@ -2420,6 +2420,25 @@ def q_polynomial_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polynomial_features(events, ["value", "plen"])
 
 
+def q_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-distance featurization: every embedding becomes 8 dense
+    cosine-to-centroid features (md5-seeded quantizer, refine_iters=0 so
+    the oracle replays the seeds in SQL; Lloyd is unit-tested) —
+    centroids ship as plan literals, expression-only, no join/UDF."""
+    from temporalscope_spark.operators.similarity import (
+        centroid_distance_features,
+        ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(
+        emb, num_centroids=8, seed=42, refine_iters=0, seed_hash="md5"
+    )
+    return centroid_distance_features(emb, cents).select(
+        "vec_id", *[f"cdist_{i}" for i in range(1, 9)]
+    )
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -2556,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moment_profile": q_moment_profile,
         "ecdf_feature": q_ecdf_feature,
         "polynomial_features": q_polynomial_features,
+        "centroid_distances": q_centroid_distances,
     }
 
 
@@ -4793,6 +4813,44 @@ def oracle_sql() -> dict[str, str]:
         FROM base b
         LEFT JOIN pf ON b.k = pf.k AND b.fold = pf.fold
         LEFT JOIN pc ON b.k = pc.k, prior
+    """
+    # centroid distances: md5-seed replay (the _ivf_sql quantizer) then
+    # one cosine column per centroid idx, pivoted via MAX(CASE)
+    sql["centroid_distances"] = """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        seeds AS (
+            SELECT e AS c,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')
+                   ) AS idx
+            FROM vecs
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')
+            LIMIT 8
+        ),
+        scored AS (
+            SELECT v.vec_id, s.idx,
+                   CASE WHEN sqrt(list_dot_product(v.e, v.e)) > 0
+                        THEN round(list_dot_product(v.e, s.c)
+                                   / (sqrt(list_dot_product(v.e, v.e))
+                                      * (CASE WHEN sqrt(list_dot_product(s.c, s.c)) = 0
+                                              THEN 1.0
+                                              ELSE sqrt(list_dot_product(s.c, s.c)) END)),
+                                   6)
+                   END AS cd
+            FROM vecs v CROSS JOIN seeds s
+        )
+        SELECT vec_id,
+               MAX(CASE WHEN idx = 1 THEN cd END) + 0.0 AS cdist_1,
+               MAX(CASE WHEN idx = 2 THEN cd END) + 0.0 AS cdist_2,
+               MAX(CASE WHEN idx = 3 THEN cd END) + 0.0 AS cdist_3,
+               MAX(CASE WHEN idx = 4 THEN cd END) + 0.0 AS cdist_4,
+               MAX(CASE WHEN idx = 5 THEN cd END) + 0.0 AS cdist_5,
+               MAX(CASE WHEN idx = 6 THEN cd END) + 0.0 AS cdist_6,
+               MAX(CASE WHEN idx = 7 THEN cd END) + 0.0 AS cdist_7,
+               MAX(CASE WHEN idx = 8 THEN cd END) + 0.0 AS cdist_8
+        FROM scored GROUP BY vec_id
     """
     sql["ecdf_feature"] = """
         SELECT event_id, value,

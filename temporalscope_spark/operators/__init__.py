@@ -131,6 +131,7 @@ from temporalscope_spark.operators.shift import (
 )
 from temporalscope_spark.operators.similarity import (
     ann_topk,
+    centroid_distance_features,
     cosine_self_join_pairs,
     cosine_topk,
     ivf_centroids,
@@ -179,6 +180,7 @@ __all__ = [
     "session_bounds", "sessionize", "sessionize_builtin",
     "TargetShifter", "delta_features", "lag_features", "multi_step_targets",
     "shift_target", "shift_target_chunked",
-    "ann_topk", "cosine_self_join_pairs", "cosine_topk", "ivf_centroids",
+    "ann_topk", "centroid_distance_features", "cosine_self_join_pairs",
+    "cosine_topk", "ivf_centroids",
     "ivf_topk", "semdedup", "with_ivf_cell", "with_lsh_bucket",
 ]

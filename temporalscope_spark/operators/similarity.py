@@ -409,6 +409,52 @@ def with_ivf_cell(
     return df.withColumn(out_col, best["idx"])
 
 
+def centroid_distance_features(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    prefix: str = "cdist",
+) -> DataFrame:
+    """Append one similarity/distance column per centroid
+    (``{prefix}_1..C``, rounded 6) — embeddings become C dense model
+    features ("how close is this doc to each corpus mode"), the standard
+    cluster-distance featurization after k-means.
+
+    ``cosine`` emits similarity dot(v,c)/(|v||c|); ``euclidean`` emits
+    the L2 distance. Expression-only, centroids inlined as plan literals
+    (the ``with_ivf_cell`` shape) — no join, no UDF, folds into the
+    scan. Zero-norm vectors get NULL cosine (no direction exists).
+    """
+    from temporalscope_spark.exceptions import DataFrameValidationError
+
+    if not centroids:
+        raise DataFrameValidationError(
+            "centroid_distance_features: empty centroid list"
+        )
+    if metric not in ("cosine", "euclidean"):
+        raise DataFrameValidationError(
+            f"centroid_distance_features: unknown metric {metric!r}"
+        )
+    v = F.col(vec_col).cast("array<double>")
+    vnorm = F.sqrt(_dot(v, v))
+    out = df
+    for i, c in enumerate(centroids, start=1):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        if metric == "cosine":
+            cnorm = math.sqrt(sum(x * x for x in c)) or 1.0
+            expr = F.when(
+                vnorm > 0, F.round(_dot(v, lit) / (vnorm * F.lit(cnorm)), 6)
+            )
+        else:
+            diff = F.zip_with(v, lit, lambda a, b: (a - b) * (a - b))
+            expr = F.round(
+                F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)), 6
+            )
+        out = out.withColumn(f"{prefix}_{i}", expr)
+    return out
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -666,3 +666,72 @@ class TestRollingCorr:
         out = rolling_corr(df, "x", "y", [10, 40], time_col="t", id_col="user_id")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= 1
+
+
+class TestCentroidDistanceFeatures:
+    def test_cosine_matches_numpy(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.similarity import (
+            centroid_distance_features,
+        )
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(20, 4))
+        cents = rng.normal(size=(3, 4)).tolist()
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id int, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: (r["cdist_1"], r["cdist_2"], r["cdist_3"])
+            for r in centroid_distance_features(df, cents).collect()
+        }
+        for i, v in enumerate(vecs):
+            for j, c in enumerate(np.array(cents)):
+                want = round(
+                    float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c))), 6
+                )
+                assert got[i][j] == pytest.approx(want, abs=1e-9)
+
+    def test_euclidean_and_zero_norm(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.similarity import (
+            centroid_distance_features,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [3.0, 4.0])],
+            "vec_id int, embedding array<double>",
+        )
+        cents = [[0.0, 0.0], [3.0, 0.0]]
+        rows = {
+            r["vec_id"]: r
+            for r in centroid_distance_features(
+                df, cents, metric="euclidean"
+            ).collect()
+        }
+        assert rows[1]["cdist_1"] == 5.0
+        assert rows[1]["cdist_2"] == 4.0
+        cos = {
+            r["vec_id"]: r
+            for r in centroid_distance_features(df, cents).collect()
+        }
+        assert cos[0]["cdist_1"] is None  # zero-norm vector: no direction
+
+    def test_expression_only(self, spark):
+        from temporalscope_spark.operators.similarity import (
+            centroid_distance_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id int, embedding array<double>"
+        )
+        plan = (
+            centroid_distance_features(df, [[1.0, 0.0]])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
