@@ -2439,6 +2439,30 @@ def q_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recency_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-past recency gaps on `events`: seconds since the user's
+    previous event and since their previous event of the SAME type —
+    two lag() windows sharing the entity shuffle key (exchange-free on
+    the bucketed layout); first events NULL, never 0."""
+    from temporalscope_spark.operators.tsfeatures import recency_features
+
+    events = _t(spark, sf_dir, "events")
+    return recency_features(
+        events, "ts", "user_id", type_col="event_type", tiebreak_col="event_id"
+    ).select("event_id", "user_id", "event_type", "since_any", "since_same_type")
+
+
+def q_entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime descriptor table (n_events, first/last ts,
+    tenure, active days, value stats) — ONE map-side-combinable
+    groupBy(user) aggregation; the entity feature table an as-of join
+    serves back onto streams."""
+    from temporalscope_spark.operators.tsfeatures import entity_profile
+
+    events = _t(spark, sf_dir, "events")
+    return entity_profile(events, "user_id", "ts", "value")
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -2576,6 +2600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecdf_feature": q_ecdf_feature,
         "polynomial_features": q_polynomial_features,
         "centroid_distances": q_centroid_distances,
+        "recency_features": q_recency_features,
+        "entity_profile": q_entity_profile,
     }
 
 
@@ -4851,6 +4877,29 @@ def oracle_sql() -> dict[str, str]:
                MAX(CASE WHEN idx = 7 THEN cd END) + 0.0 AS cdist_7,
                MAX(CASE WHEN idx = 8 THEN cd END) + 0.0 AS cdist_8
         FROM scored GROUP BY vec_id
+    """
+    sql["recency_features"] = """
+        SELECT event_id, user_id, event_type,
+               round(epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)), 6)
+                   + 0.0 AS since_any,
+               round(epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id)), 6)
+                   + 0.0 AS since_same_type
+        FROM events
+    """
+    sql["entity_profile"] = """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               round(epoch(max(ts)) - epoch(min(ts)), 6) + 0.0
+                   AS tenure_seconds,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+               round(avg(CAST(value AS DOUBLE)), 6) + 0.0 AS value_mean,
+               round(min(CAST(value AS DOUBLE)), 6) + 0.0 AS value_min,
+               round(max(CAST(value AS DOUBLE)), 6) + 0.0 AS value_max
+        FROM events GROUP BY user_id
     """
     sql["ecdf_feature"] = """
         SELECT event_id, value,

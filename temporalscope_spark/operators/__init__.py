@@ -91,6 +91,8 @@ from temporalscope_spark.operators.relevance import correlation_matrix, feature_
 from temporalscope_spark.operators.tsfeatures import (
     acf_features,
     calendar_features,
+    entity_profile,
+    recency_features,
     fourier_time_features,
     seasonal_decompose,
 )
@@ -157,7 +159,8 @@ __all__ = [
     "bigram_counts", "ppl_buckets", "score_kneser_ney",
     "score_stupid_backoff", "score_unigram", "unigram_counts",
     "pack_concat_chunks", "pack_greedy",
-    "acf_features", "calendar_features", "fourier_time_features",
+    "acf_features", "calendar_features", "entity_profile",
+    "fourier_time_features", "recency_features",
     "seasonal_decompose",
     "feature_relevance",
     "correlation_matrix", "cooccurrence_pmi",

@@ -203,6 +203,104 @@ def seasonal_decompose(
     )
 
 
+def recency_features(
+    df: DataFrame,
+    time_col: str = "event_time",
+    id_col: str = "doc_id",
+    type_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Append strictly-past recency gaps in seconds (rounded 6):
+    ``since_any`` — time since the entity's previous event — and, given
+    ``type_col``, ``since_same_type`` — time since the previous event of
+    the SAME type (the "how long since this user last erred / last
+    purchased" feature family). First events get NULL (no past exists —
+    never 0, which would alias "just happened").
+
+    One ``lag()`` per window spec, both partitioned by entity (the
+    second additionally by type): two window operators sharing the
+    entity shuffle key; with the bucketed layout this runs
+    exchange-free. Pass ``tiebreak_col`` for deterministic order under
+    duplicate timestamps.
+    """
+    if time_col not in df.columns or id_col not in df.columns:
+        raise DataFrameValidationError(
+            f"recency_features: missing column {time_col!r} or {id_col!r}"
+        )
+    if type_col is not None and type_col not in df.columns:
+        raise DataFrameValidationError(
+            f"recency_features: missing column {type_col!r}"
+        )
+    t = _time_micros(df, time_col)
+    out = df.withColumn("_t_us", t)
+    order = ["_t_us"] + ([tiebreak_col] if tiebreak_col else [])
+    w_any = Window.partitionBy(id_col).orderBy(*order)
+    out = out.withColumn(
+        "since_any",
+        F.round(
+            (F.col("_t_us") - F.lag("_t_us", 1).over(w_any))
+            / F.lit(1_000_000.0),
+            6,
+        ),
+    )
+    if type_col is not None:
+        w_type = Window.partitionBy(id_col, type_col).orderBy(*order)
+        out = out.withColumn(
+            "since_same_type",
+            F.round(
+                (F.col("_t_us") - F.lag("_t_us", 1).over(w_type))
+                / F.lit(1_000_000.0),
+                6,
+            ),
+        )
+    return out.drop("_t_us")
+
+
+def entity_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    time_col: str = "event_time",
+    value_col: str | None = None,
+) -> DataFrame:
+    """One row per entity with its lifetime descriptors — the entity
+    feature table an as-of join (``operators/asof.py``) serves back onto
+    event streams: ``n_events``, ``first_ts``/``last_ts``,
+    ``tenure_seconds``, ``active_days`` (distinct UTC dates), and, given
+    ``value_col``, ``{v}_mean/_min/_max`` (rounded 6).
+
+    ONE map-side-combinable ``groupBy(entity)`` aggregation; output is
+    entity-sized. ``count(DISTINCT date)`` keeps the partial aggregation
+    combinable per group (dates per entity are bounded by tenure).
+    """
+    if id_col not in df.columns or time_col not in df.columns:
+        raise DataFrameValidationError(
+            f"entity_profile: missing column {id_col!r} or {time_col!r}"
+        )
+    if value_col is not None and value_col not in df.columns:
+        raise DataFrameValidationError(
+            f"entity_profile: missing column {value_col!r}"
+        )
+    t_us = _time_micros(df, time_col)
+    base = df.withColumn("_t_us", t_us)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.col(time_col)).alias("first_ts"),
+        F.max(F.col(time_col)).alias("last_ts"),
+        F.round(
+            (F.max("_t_us") - F.min("_t_us")) / F.lit(1_000_000.0), 6
+        ).alias("tenure_seconds"),
+        F.countDistinct(F.to_date(F.col(time_col))).alias("active_days"),
+    ]
+    if value_col is not None:
+        x = F.col(value_col).cast("double")
+        aggs += [
+            F.round(F.avg(x), 6).alias(f"{value_col}_mean"),
+            F.round(F.min(x), 6).alias(f"{value_col}_min"),
+            F.round(F.max(x), 6).alias(f"{value_col}_max"),
+        ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
 def calendar_features(
     df: DataFrame,
     time_col: str = "event_time",

@@ -289,3 +289,76 @@ class TestCalendarFeatures:
         df = spark.createDataFrame([(1, datetime(2024, 1, 1))], "rid int, t timestamp")
         with pytest.raises(DataFrameValidationError, match="missing column"):
             calendar_features(df, "nope")
+
+
+class TestRecencyFeatures:
+    def test_gaps_and_first_event_null(self, spark):
+        from datetime import datetime
+
+        from temporalscope_spark.operators.tsfeatures import recency_features
+
+        rows = [
+            (1, "u1", "a", datetime(2024, 1, 1, 0, 0, 0)),
+            (2, "u1", "b", datetime(2024, 1, 1, 0, 0, 10)),
+            (3, "u1", "a", datetime(2024, 1, 1, 0, 0, 25)),
+            (4, "u2", "a", datetime(2024, 1, 1, 0, 1, 0)),
+        ]
+        df = spark.createDataFrame(rows, "eid int, uid string, typ string, t timestamp")
+        got = {
+            r["eid"]: r
+            for r in recency_features(
+                df, "t", "uid", type_col="typ", tiebreak_col="eid"
+            ).collect()
+        }
+        assert got[1]["since_any"] is None and got[1]["since_same_type"] is None
+        assert got[2]["since_any"] == 10.0
+        assert got[2]["since_same_type"] is None  # first 'b' for u1
+        assert got[3]["since_any"] == 15.0
+        assert got[3]["since_same_type"] == 25.0  # previous 'a' at t=0
+        assert got[4]["since_any"] is None  # other entity: no bleed
+
+    def test_without_type(self, spark):
+        from datetime import datetime
+
+        from temporalscope_spark.operators.tsfeatures import recency_features
+
+        df = spark.createDataFrame(
+            [(1, "u", datetime(2024, 1, 1)), (2, "u", datetime(2024, 1, 2))],
+            "eid int, uid string, t timestamp",
+        )
+        out = recency_features(df, "t", "uid")
+        assert "since_same_type" not in out.columns
+        got = {r["eid"]: r["since_any"] for r in out.collect()}
+        assert got[2] == 86400.0
+
+
+class TestEntityProfile:
+    def test_profile_values(self, spark):
+        from datetime import datetime
+
+        from temporalscope_spark.operators.tsfeatures import entity_profile
+
+        rows = [
+            ("u1", datetime(2024, 1, 1, 10), 1.0),
+            ("u1", datetime(2024, 1, 1, 12), 3.0),
+            ("u1", datetime(2024, 1, 3, 9), 5.0),
+            ("u2", datetime(2024, 2, 1), 7.0),
+        ]
+        df = spark.createDataFrame(rows, "uid string, t timestamp, v double")
+        got = {r["uid"]: r for r in entity_profile(df, "uid", "t", "v").collect()}
+        u1 = got["u1"]
+        assert u1["n_events"] == 3
+        assert u1["tenure_seconds"] == (2 * 86400 - 3600 * 1.0)
+        assert u1["active_days"] == 2
+        assert (u1["v_mean"], u1["v_min"], u1["v_max"]) == (3.0, 1.0, 5.0)
+        u2 = got["u2"]
+        assert u2["n_events"] == 1 and u2["tenure_seconds"] == 0.0
+
+    def test_missing_cols(self, spark):
+        from datetime import datetime
+
+        from temporalscope_spark.operators.tsfeatures import entity_profile
+
+        df = spark.createDataFrame([("u", datetime(2024, 1, 1))], "uid string, t timestamp")
+        with pytest.raises(DataFrameValidationError, match="missing column"):
+            entity_profile(df, "uid", "nope")
