@@ -385,3 +385,57 @@ def test_stream_gopher_flags_match_batch(spark, tmp_path):
     for col in ("gopher_word_count", "gopher_stop_word_hits",
                 "top_2gram_char_frac", "dup_5gram_char_frac", "gopher_keep"):
         assert a[col].tolist() == b[col].tolist()
+
+
+def test_stream_feature_transforms_match_batch(spark, tmp_path):
+    """The fitted tabular feature transforms are stateless expressions once
+    the model is a literal (scalers, one-hot, hash cross, imputation,
+    calendar) — they must compose with readStream UNCHANGED and produce the
+    batch pipeline's exact rows. Fit on the static history (train), apply
+    to the stream (serve): the train->serve discipline in streaming form."""
+    import datetime as dt
+
+    from temporalscope_spark.operators.encoding import (
+        fit_top_categories,
+        hash_cross,
+        one_hot_top_k,
+    )
+    from temporalscope_spark.operators.impute import fit_impute, impute
+    from temporalscope_spark.operators.scaling import fit_scaler, scale_features
+    from temporalscope_spark.operators.tsfeatures import calendar_features
+    from temporalscope_spark.streaming.sessions import replay_static_as_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(hours=i),
+            ["a", "b", "c", "d"][i % 4],
+            float(i) if i % 5 else None,
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "eid int, ts timestamp, cat string, x double")
+    d = str(tmp_path / "feat_events")
+    df.write.parquet(d)
+
+    scaler = fit_scaler(df, ["x"])
+    filler = fit_impute(df, ["x"])
+    cats = fit_top_categories(df, "cat", 2)
+
+    def transform(s):
+        out = impute(s, ["x"], model=filler)
+        out = scale_features(out, ["x_filled"], model=scaler | {"x_filled": scaler["x"]})
+        out = one_hot_top_k(out, "cat", categories=cats)
+        out = hash_cross(out, ["cat", "eid"], n_buckets=32)
+        return calendar_features(out, "ts")
+
+    streamed = (
+        replay_static_as_stream(spark, d, df.schema, transform, "feat_out", "append")
+        .toPandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    batch = transform(df).toPandas().sort_values("eid").reset_index(drop=True)
+    assert list(streamed.columns) == list(batch.columns)
+    assert streamed.equals(batch)
