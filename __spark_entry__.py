@@ -2463,6 +2463,29 @@ def q_entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_profile(events, "user_id", "ts", "value")
 
 
+def q_trend_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend (slope/hour, start-level intercept, r²)
+    from ONE aggregation of OLS sufficient statistics; per-entity
+    time re-zeroing (epoch² would overflow double precision) via a
+    window min sharing the entity shuffle key — one exchange total."""
+    from temporalscope_spark.operators.tsfeatures import trend_features
+
+    events = _t(spark, sf_dir, "events")
+    return trend_features(events, "value", "ts", "user_id")
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value table of `event_type`
+    against the binary target (value > 30) — the scorecard encoder's
+    C-row summary from ONE map-side-combined aggregation."""
+    from temporalscope_spark.operators.encoding import woe_iv_table
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") > 30).cast("double").alias("y")
+    )
+    return woe_iv_table(events, "event_type", "y")
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -2602,6 +2625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_distances": q_centroid_distances,
         "recency_features": q_recency_features,
         "entity_profile": q_entity_profile,
+        "trend_features": q_trend_features,
+        "woe_iv": q_woe_iv,
     }
 
 
@@ -4877,6 +4902,54 @@ def oracle_sql() -> dict[str, str]:
                MAX(CASE WHEN idx = 7 THEN cd END) + 0.0 AS cdist_7,
                MAX(CASE WHEN idx = 8 THEN cd END) + 0.0 AS cdist_8
         FROM scored GROUP BY vec_id
+    """
+    # trend: identical re-zeroed hours axis + closed-form OLS sums;
+    # intercept uses the engine's (Σy − slope·Σt)/n evaluation order
+    sql["trend_features"] = """
+        WITH base AS (
+            SELECT user_id,
+                   (epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id))
+                       / 3600.0 AS t,
+                   CAST(value AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        s AS (
+            SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+                   sum(t) AS st, sum(y) AS sy, sum(t*t) AS stt,
+                   sum(y*y) AS syy, sum(t*y) AS sty
+            FROM base GROUP BY 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+               round(CASE WHEN n >= 2 AND n*stt - st*st > 0
+                          THEN (n*sty - st*sy) / (n*stt - st*st) END, 6)
+                   + 0.0 AS slope,
+               round(CASE WHEN n >= 2 AND n*stt - st*st > 0
+                          THEN (sy - ((n*sty - st*sy) / (n*stt - st*st)) * st)
+                               / n END, 6) + 0.0 AS intercept,
+               round(CASE WHEN n >= 2 AND n*stt - st*st > 0
+                               AND n*syy - sy*sy > 0
+                          THEN (n*sty - st*sy) * (n*sty - st*sy)
+                               / ((n*stt - st*st) * (n*syy - sy*sy)) END, 6)
+                   + 0.0 AS r2
+        FROM s
+    """
+    sql["woe_iv"] = """
+        WITH c AS (
+            SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS category,
+                   count(*) AS n,
+                   sum(CAST(CAST(value AS DOUBLE) > 30 AS DOUBLE)) AS pos,
+                   sum(1.0 - CAST(CAST(value AS DOUBLE) > 30 AS DOUBLE)) AS neg
+            FROM events GROUP BY 1
+        ),
+        t AS (SELECT sum(pos) AS pt, sum(neg) AS nt FROM c)
+        SELECT category, CAST(n AS BIGINT) AS n,
+               CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+               round(ln(((pos + 0.5) / t.pt) / ((neg + 0.5) / t.nt)), 6)
+                   + 0.0 AS woe,
+               round((pos / t.pt - neg / t.nt)
+                     * ln(((pos + 0.5) / t.pt) / ((neg + 0.5) / t.nt)), 6)
+                   + 0.0 AS iv
+        FROM c, t ORDER BY category
     """
     sql["recency_features"] = """
         SELECT event_id, user_id, event_type,

@@ -64,6 +64,8 @@ from temporalscope_spark.operators.cooccur import cooccurrence_pmi
 from temporalscope_spark.operators.encoding import (
     count_encode,
     target_encode_oof,
+    woe_encode,
+    woe_iv_table,
     fit_top_categories,
     hash_cross,
     one_hot_top_k,
@@ -93,6 +95,7 @@ from temporalscope_spark.operators.tsfeatures import (
     calendar_features,
     entity_profile,
     recency_features,
+    trend_features,
     fourier_time_features,
     seasonal_decompose,
 )
@@ -160,7 +163,7 @@ __all__ = [
     "score_stupid_backoff", "score_unigram", "unigram_counts",
     "pack_concat_chunks", "pack_greedy",
     "acf_features", "calendar_features", "entity_profile",
-    "fourier_time_features", "recency_features",
+    "fourier_time_features", "recency_features", "trend_features",
     "seasonal_decompose",
     "feature_relevance",
     "correlation_matrix", "cooccurrence_pmi",
@@ -171,7 +174,7 @@ __all__ = [
     "PCAModel", "fit_pca", "fit_pca_array", "pca_project", "pca_project_array",
     "tfidf_cosine_pairs", "tfidf_table",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
-    "rare_collapse", "target_encode_oof",
+    "rare_collapse", "target_encode_oof", "woe_encode", "woe_iv_table",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",
     "SlidingWindowPartitioner",
     "interpolate_linear", "resample",

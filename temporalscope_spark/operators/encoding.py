@@ -230,6 +230,97 @@ def target_encode_oof(
     )
 
 
+def woe_iv_table(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    adjust: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence / information-value table for a BINARY target —
+    the credit-scoring encoder and its univariate predictive-power
+    summary (IV rule of thumb: < 0.02 useless, > 0.3 strong):
+
+        woe_c = ln( ((pos_c + a)/pos_tot) / ((neg_c + a)/neg_tot) )
+        iv_c  = (pos_c/pos_tot − neg_c/neg_tot) · woe_c
+
+    with the standard ``a = 0.5`` zero-cell adjustment (the adjustment
+    enters WOE only — IV shares use raw counts). ONE map-side-combined
+    ``groupBy(category)`` aggregation; output is C rows (category,
+    n, pos, neg, woe, iv), floats rounded 6, ordered by category. NULL
+    categories participate via the sentinel; NULL targets are excluded;
+    a target with values outside {0, 1} raises.
+    """
+    if adjust <= 0.0:
+        raise DataFrameValidationError("woe_iv_table: adjust must be > 0")
+    for c in (cat_col, target_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"woe_iv_table: missing column {c!r}")
+    y = F.col(target_col).cast("double")
+    counts = (
+        df.filter(y.isNotNull())
+        .groupBy(_cat(cat_col).alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).alias("_pos"),
+            F.sum(F.lit(1.0) - y).alias("_neg"),
+            F.max(F.when((y != 0.0) & (y != 1.0), 1).otherwise(0)).alias("_bad"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("_pos").alias("_pt"),
+        F.sum("_neg").alias("_nt"),
+        F.max("_bad").alias("_anybad"),
+    )
+    trow = tot.collect()[0]
+    if trow["_anybad"]:
+        raise DataFrameValidationError(
+            f"woe_iv_table: target {target_col!r} must be 0/1"
+        )
+    pt, nt = float(trow["_pt"]), float(trow["_nt"])
+    if pt == 0.0 or nt == 0.0:
+        raise DataFrameValidationError(
+            "woe_iv_table: target needs both classes present"
+        )
+    a = float(adjust)
+    woe = F.log(
+        ((F.col("_pos") + F.lit(a)) / F.lit(pt))
+        / ((F.col("_neg") + F.lit(a)) / F.lit(nt))
+    )
+    iv = (F.col("_pos") / F.lit(pt) - F.col("_neg") / F.lit(nt)) * woe
+    return (
+        counts.select(
+            "category",
+            F.col("n").cast("long").alias("n"),
+            F.col("_pos").cast("long").alias("pos"),
+            F.col("_neg").cast("long").alias("neg"),
+            F.round(woe, 6).alias("woe"),
+            F.round(iv, 6).alias("iv"),
+        )
+        .orderBy("category")
+    )
+
+
+def woe_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    adjust: float = 0.5,
+) -> DataFrame:
+    """Append ``{cat}_woe`` by broadcast-joining the C-row
+    :func:`woe_iv_table` back onto the corpus — the fat side never
+    shuffles. (For leakage-sensitive training use
+    :func:`target_encode_oof`; WOE's aggregate-level leakage is the
+    standard accepted trade in scorecard practice.)"""
+    tab = woe_iv_table(df, cat_col, target_col, adjust).select(
+        F.col("category").alias("_k"), F.col("woe").alias(f"{cat_col}_woe")
+    )
+    return (
+        df.withColumn("_k", _cat(cat_col))
+        .join(F.broadcast(tab), "_k", "left")
+        .drop("_k")
+    )
+
+
 def hash_cross(
     df: DataFrame,
     cols: Sequence[str],

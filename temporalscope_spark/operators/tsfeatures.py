@@ -301,6 +301,81 @@ def entity_profile(
     return base.groupBy(id_col).agg(*aggs)
 
 
+def trend_features(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "event_time",
+    id_col: str = "doc_id",
+    time_unit_seconds: float = 3600.0,
+) -> DataFrame:
+    """Per-entity linear trend: OLS of the value on time — one row per
+    entity with ``(id, n_obs, slope, intercept, r2)``, the "is this
+    series drifting and how fast" descriptor next to
+    :func:`acf_features`.
+
+    Time is measured in ``time_unit_seconds`` units (default: hours)
+    FROM THE ENTITY'S FIRST EVENT — re-zeroing both conditions the
+    normal equations (epoch-seconds² overflows double precision's 15
+    digits) and makes the intercept "level at the series start", the
+    quantity a feature actually wants. Closed forms from ONE
+    map-side-combinable aggregation of (n, Σt, Σy, Σt², Σy², Σty):
+
+        slope = (nΣty − ΣtΣy) / (nΣt² − (Σt)²),  r² = corr²
+
+    NULL slope/r² on < 2 points or zero time variance; NULL r² also on
+    zero value variance. Floats round to 6. The per-entity min-time
+    re-zeroing needs the entity's min first — a window ``min`` sharing
+    the same entity key as the aggregation (one shuffle total).
+    """
+    for c in (value_col, time_col, id_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"trend_features: missing column {c!r}")
+    if time_unit_seconds <= 0:
+        raise DataFrameValidationError(
+            "trend_features: time_unit_seconds must be > 0"
+        )
+    y = F.col(value_col).cast("double")
+    t_us = _time_micros(df, time_col)
+    base = df.select(
+        F.col(id_col).alias("_id"), t_us.alias("_tu"), y.alias("_y")
+    ).filter(F.col("_y").isNotNull())
+    w = Window.partitionBy("_id")
+    base = base.withColumn(
+        "_t",
+        (F.col("_tu") - F.min("_tu").over(w))
+        / F.lit(1_000_000.0 * float(time_unit_seconds)),
+    )
+    agg = base.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_t").alias("_st"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_t") * F.col("_y")).alias("_sty"),
+    )
+    n = F.col("_n")
+    dt_ = n * F.col("_stt") - F.col("_st") * F.col("_st")
+    dy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    num = n * F.col("_sty") - F.col("_st") * F.col("_sy")
+    slope = F.when((n >= 2) & (dt_ > 0), num / dt_)
+    return agg.select(
+        F.col("_id").alias(id_col),
+        n.cast("long").alias("n_obs"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.when(
+                (n >= 2) & (dt_ > 0),
+                (F.col("_sy") - slope * F.col("_st")) / n,
+            ),
+            6,
+        ).alias("intercept"),
+        F.round(
+            F.when((n >= 2) & (dt_ > 0) & (dy > 0), num * num / (dt_ * dy)),
+            6,
+        ).alias("r2"),
+    )
+
+
 def calendar_features(
     df: DataFrame,
     time_col: str = "event_time",

@@ -362,3 +362,97 @@ class TestEntityProfile:
         df = spark.createDataFrame([("u", datetime(2024, 1, 1))], "uid string, t timestamp")
         with pytest.raises(DataFrameValidationError, match="missing column"):
             entity_profile(df, "uid", "nope")
+
+
+class TestTrendFeatures:
+    def test_matches_numpy_polyfit(self, spark):
+        import datetime as dt
+
+        import numpy as np
+
+        from temporalscope_spark.operators.tsfeatures import trend_features
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        rng = np.random.default_rng(5)
+        for u, (a, b) in enumerate([(2.0, 1.5), (-0.5, 10.0)]):
+            for i in range(50):
+                noise = float(rng.normal(scale=0.1))
+                rows.append((f"u{u}", base + dt.timedelta(hours=i), a * i + b + noise))
+        df = spark.createDataFrame(rows, "uid string, t timestamp, v double")
+        got = {r["uid"]: r for r in trend_features(df, "v", "t", "uid").collect()}
+        for u in ("u0", "u1"):
+            ts = np.arange(50.0)
+            vs = np.array([r[2] for r in rows if r[0] == u])
+            sl, ic = np.polyfit(ts, vs, 1)
+            r2 = float(np.corrcoef(ts, vs)[0, 1] ** 2)
+            assert got[u]["slope"] == pytest.approx(round(float(sl), 6), abs=1e-6)
+            assert got[u]["intercept"] == pytest.approx(round(float(ic), 6), abs=1e-6)
+            assert got[u]["r2"] == pytest.approx(r2, abs=1e-5)
+            assert got[u]["n_obs"] == 50
+
+    def test_degenerate_series(self, spark):
+        import datetime as dt
+
+        from temporalscope_spark.operators.tsfeatures import trend_features
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("single", base, 5.0),
+            ("flat", base, 3.0),
+            ("flat", base + dt.timedelta(hours=1), 3.0),
+        ]
+        df = spark.createDataFrame(rows, "uid string, t timestamp, v double")
+        got = {r["uid"]: r for r in trend_features(df, "v", "t", "uid").collect()}
+        assert got["single"]["slope"] is None
+        assert got["flat"]["slope"] == 0.0 and got["flat"]["r2"] is None
+
+    def test_one_shuffle_plan(self, spark):
+        import datetime as dt
+
+        from temporalscope_spark.operators.tsfeatures import trend_features
+
+        df = spark.createDataFrame(
+            [("u", dt.datetime(2024, 1, 1), 1.0)], "uid string, t timestamp, v double"
+        )
+        plan = trend_features(df, "v", "t", "uid")._jdf.queryExecution().executedPlan().toString()
+        # window min + groupBy share the entity hash partitioning: the agg
+        # reuses the window's exchange
+        assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestWoe:
+    def test_hand_computed(self, spark):
+        import math
+
+        from temporalscope_spark.operators.encoding import woe_encode, woe_iv_table
+
+        rows = (
+            [("a", 1.0)] * 8 + [("a", 0.0)] * 2
+            + [("b", 1.0)] * 3 + [("b", 0.0)] * 7
+            + [(None, 1.0)] * 1 + [(None, 0.0)] * 1
+        )
+        df = spark.createDataFrame(
+            [(i, c, y) for i, (c, y) in enumerate(rows)], ["rid", "cat", "y"]
+        )
+        pt, nt = 12.0, 10.0
+        tab = {r["category"]: r for r in woe_iv_table(df, "cat", "y").collect()}
+        for cat, pos, neg in (("a", 8, 2), ("b", 3, 7), ("__null__", 1, 1)):
+            woe = math.log(((pos + 0.5) / pt) / ((neg + 0.5) / nt))
+            iv = (pos / pt - neg / nt) * woe
+            assert tab[cat]["woe"] == pytest.approx(round(woe, 6), abs=1e-9)
+            assert tab[cat]["iv"] == pytest.approx(round(iv, 6), abs=1e-9)
+        enc = woe_encode(df, "cat", "y").collect()
+        for r in enc:
+            k = r["cat"] if r["cat"] is not None else "__null__"
+            assert r["cat_woe"] == tab[k]["woe"]
+
+    def test_validations(self, spark):
+        from temporalscope_spark.operators.encoding import woe_iv_table
+
+        df = spark.createDataFrame([(1, "a", 2.0)], ["rid", "cat", "y"])
+        with pytest.raises(DataFrameValidationError, match="0/1"):
+            woe_iv_table(df, "cat", "y")
+        one_class = spark.createDataFrame([(1, "a", 1.0)], ["rid", "cat", "y"])
+        with pytest.raises(DataFrameValidationError, match="both classes"):
+            woe_iv_table(one_class, "cat", "y")
