@@ -194,10 +194,16 @@ def target_encode_oof(
         ).cast("long")
         % F.lit(n_folds)
     ).cast("int")
+    from pyspark import StorageLevel
+
+    from temporalscope_spark.core.caching import hold
+
     base = df.withColumn("_fold", fold).withColumn("_k", _cat(cat_col))
+    # the ≤C·F-row fold table feeds BOTH the per-cat rollup and the join:
+    # persist it or the corpus-sized aggregation scan runs twice
     per_fold = base.groupBy("_k", "_fold").agg(
         F.sum(y).alias("_sf"), F.count(y).alias("_nf")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     per_cat = per_fold.groupBy("_k").agg(
         F.sum("_sf").alias("_sc"), F.sum("_nf").alias("_nc")
     )
@@ -222,11 +228,12 @@ def target_encode_oof(
         ),
         6,
     )
-    return (
+    return hold(
         base.join(F.broadcast(stats), ["_k", "_fold"], "left")
         .withColumn(f"{cat_col}_te", enc)
         .drop("_k", "_sf", "_nf", "_sc", "_nc")
-        .withColumnRenamed("_fold", f"{cat_col}_te_fold")
+        .withColumnRenamed("_fold", f"{cat_col}_te_fold"),
+        per_fold,
     )
 
 
@@ -255,7 +262,13 @@ def woe_iv_table(
     for c in (cat_col, target_col):
         if c not in df.columns:
             raise DataFrameValidationError(f"woe_iv_table: missing column {c!r}")
+    from pyspark import StorageLevel
+
+    from temporalscope_spark.core.caching import hold
+
     y = F.col(target_col).cast("double")
+    # the C-row count table feeds the totals collect AND the output
+    # projection: persist it or the corpus scan runs twice
     counts = (
         df.filter(y.isNotNull())
         .groupBy(_cat(cat_col).alias("category"))
@@ -265,6 +278,7 @@ def woe_iv_table(
             F.sum(F.lit(1.0) - y).alias("_neg"),
             F.max(F.when((y != 0.0) & (y != 1.0), 1).otherwise(0)).alias("_bad"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = counts.agg(
         F.sum("_pos").alias("_pt"),
@@ -287,7 +301,7 @@ def woe_iv_table(
         / ((F.col("_neg") + F.lit(a)) / F.lit(nt))
     )
     iv = (F.col("_pos") / F.lit(pt) - F.col("_neg") / F.lit(nt)) * woe
-    return (
+    return hold(
         counts.select(
             "category",
             F.col("n").cast("long").alias("n"),
@@ -295,8 +309,8 @@ def woe_iv_table(
             F.col("_neg").cast("long").alias("neg"),
             F.round(woe, 6).alias("woe"),
             F.round(iv, 6).alias("iv"),
-        )
-        .orderBy("category")
+        ).orderBy("category"),
+        counts,
     )
 
 

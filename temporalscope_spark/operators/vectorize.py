@@ -113,19 +113,29 @@ def tfidf_cosine_pairs(
     SURVIVING vocabulary, which is what you want for near-dup detection
     anyway (ubiquitous words carry no signal). Cosines round to 6.
     """
+    from pyspark import StorageLevel
+
+    from temporalscope_spark.core.caching import hold
+
     if not (0.0 <= min_sim <= 1.0):
         raise DataFrameValidationError("tfidf_cosine_pairs: min_sim must be in [0, 1]")
-    vec = tfidf_table(df, text_col, id_col, min_df, max_df_frac, l2_normalize=True)
+    # the vector table feeds BOTH sides of the word self-join: persist it
+    # or the whole explode→tf→df→idf→norm pipeline evaluates twice
+    # (release with core.caching.release after the terminal action)
+    vec = tfidf_table(df, text_col, id_col, min_df, max_df_frac, l2_normalize=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = vec.select(
         F.col("word"), F.col(id_col).alias("id_a"), F.col("tfidf").alias("_wa")
     )
     b = vec.select(
         F.col("word"), F.col(id_col).alias("id_b"), F.col("tfidf").alias("_wb")
     )
-    return (
+    return hold(
         a.join(b, "word")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.round(F.sum(F.col("_wa") * F.col("_wb")), 6).alias("cosine"))
-        .filter(F.col("cosine") >= float(min_sim))
+        .filter(F.col("cosine") >= float(min_sim)),
+        vec,
     )
