@@ -1921,6 +1921,54 @@ def _corr_matrix_oracle() -> str:
     )
 
 
+def _numeric_relevance_oracle() -> str:
+    """Generated from the same per-feature loop as the engine: six gated
+    moments in one aggregation, closed-form r (gated on n>=2 and positive
+    variances), t from the UNROUNDED r (gated on n>2 and |r|<1)."""
+    label = "CAST(value AS DOUBLE)"
+    cols = [
+        ("plen", "CAST(length(props) AS DOUBLE)"),
+        ("uvar", "CAST(user_id % 100 AS DOUBLE)"),
+    ]
+    sels, rs, rows = [], [], []
+    for i, (name, e) in enumerate(cols):
+        both = f"({e} IS NOT NULL AND {label} IS NOT NULL)"
+        gx = f"CASE WHEN {both} THEN {e} END"
+        gy = f"CASE WHEN {both} THEN {label} END"
+        sels += [
+            f"CAST(count({gx}) AS DOUBLE) AS n_{i}",
+            f"sum({gx}) AS sx_{i}",
+            f"sum({gy}) AS sy_{i}",
+            f"sum(({gx}) * ({gy})) AS sxy_{i}",
+            f"sum(({gx}) * ({gx})) AS sxx_{i}",
+            f"sum(({gy}) * ({gy})) AS syy_{i}",
+        ]
+        cov_num = f"(sxy_{i} - sx_{i} * sy_{i} / n_{i})"
+        varx = f"(sxx_{i} - sx_{i} * sx_{i} / n_{i})"
+        vary = f"(syy_{i} - sy_{i} * sy_{i} / n_{i})"
+        rs.append(
+            f"CASE WHEN n_{i} >= 2 AND {varx} > 0 AND {vary} > 0 "
+            f"THEN {cov_num} / sqrt({varx} * {vary}) END AS r_{i}"
+        )
+        rows.append(
+            f"SELECT '{name}' AS feature, CAST(n_{i} AS BIGINT) AS n, "
+            f"round(r_{i}, 6) + 0.0 AS pearson_r, "
+            f"round(CASE WHEN r_{i} IS NOT NULL AND n_{i} > 2 "
+            f"AND 1.0 - r_{i} * r_{i} > 0 "
+            f"THEN r_{i} * sqrt((n_{i} - 2) / (1.0 - r_{i} * r_{i})) "
+            f"END, 6) + 0.0 AS t_stat "
+            f"FROM r"
+        )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(sels)
+        + " FROM events), r AS (SELECT m.*, "
+        + ", ".join(rs)
+        + " FROM m) "
+        + " UNION ALL ".join(rows)
+    )
+
+
 def _gopher_oracle() -> str:
     """DuckDB replay of q_gopher_rules: grams via UNNEST(generate_series) +
     list_slice (the dup_span_stats idiom), top gram via ORDER BY cnt DESC,
@@ -2116,6 +2164,36 @@ def q_feature_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     return feature_relevance(events, ["vbin", "ubin"], "event_type")
+
+
+def q_numeric_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r + t-statistic of two numeric features against
+    `events.value` (the sklearn r_regression/f_regression screen): all
+    p·6 gated moments from ONE aggregation, per-feature rows exploded
+    from the 1-row result."""
+    from temporalscope_spark.operators.relevance import numeric_relevance
+
+    events = _t(spark, sf_dir, "events").select(
+        "value",
+        F.length("props").cast("double").alias("plen"),
+        (F.col("user_id") % 100).cast("double").alias("uvar"),
+    )
+    return numeric_relevance(events, ["plen", "uvar"], "value")
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F (sklearn f_classif) of two numeric features across
+    `events.event_type` classes: one corpus melt + one groupBy(feature,
+    class) moment aggregation; every statistic folds from the bounded
+    class-moment table, sorted by class."""
+    from temporalscope_spark.operators.relevance import anova_f
+
+    events = _t(spark, sf_dir, "events").select(
+        "value",
+        F.length("props").cast("double").alias("plen"),
+        "event_type",
+    )
+    return anova_f(events, ["value", "plen"], "event_type")
 
 
 def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2601,6 +2679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_features": q_acf_features,
         "fourier_time": q_fourier_time,
         "feature_relevance": q_feature_relevance,
+        "numeric_relevance": q_numeric_relevance,
+        "anova_f": q_anova_f,
         "correlation_matrix": q_correlation_matrix,
         "quantile_bin": q_quantile_bin,
         "winsorize": q_winsorize,
@@ -4324,6 +4404,50 @@ def oracle_sql() -> dict[str, str]:
     sql["dsir_select_approx"] = sql["dsir_select"]
     sql["gopher_rules"] = _gopher_oracle()
     sql["correlation_matrix"] = _corr_matrix_oracle()
+    sql["numeric_relevance"] = _numeric_relevance_oracle()
+    # anova_f: melt -> class-moment table -> totals + between/within SS;
+    # the same gates and evaluation order as the engine fold
+    sql["anova_f"] = """
+        WITH src AS (
+            SELECT CAST(value AS DOUBLE) AS v_value,
+                   CAST(length(props) AS DOUBLE) AS v_plen,
+                   CAST(event_type AS VARCHAR) AS y
+            FROM events
+        ),
+        mel AS (
+            SELECT 'value' AS feature, v_value AS x, y FROM src
+            UNION ALL
+            SELECT 'plen', v_plen, y FROM src
+        ),
+        g AS (
+            SELECT feature, y, CAST(count(*) AS DOUBLE) AS ng,
+                   sum(x) AS sg, sum(x * x) AS ssg
+            FROM mel WHERE x IS NOT NULL AND y IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT feature, sum(ng) AS n, CAST(count(*) AS DOUBLE) AS k,
+                   sum(sg) AS s_tot
+            FROM g GROUP BY 1
+        ),
+        ss AS (
+            SELECT g.feature,
+                   sum(ng * (sg / ng - s_tot / n) * (sg / ng - s_tot / n))
+                       AS ssb,
+                   sum(ssg - sg * sg / ng) AS ssw
+            FROM g JOIN tot USING (feature)
+            GROUP BY 1
+        )
+        SELECT tot.feature,
+               CAST(n AS BIGINT) AS n,
+               CAST(k AS BIGINT) AS k_classes,
+               round(CASE WHEN k >= 2 AND n > k AND ssw > 0
+                          THEN (ssb / (k - 1)) / (ssw / (n - k)) END, 6)
+                   + 0.0 AS f_stat,
+               CAST(k - 1 AS BIGINT) AS df_between,
+               CAST(n - k AS BIGINT) AS df_within
+        FROM tot JOIN ss USING (feature)
+    """
     # rolling corr: the oracle replays the ENGINE's closed form from its own
     # windowed sums (pairwise-complete gating, n-1 denominator) rather than
     # using covar_samp/corr builtins, whose incremental orders differ

@@ -89,7 +89,12 @@ from temporalscope_spark.operators.scaling import (
     scale_features,
 )
 from temporalscope_spark.operators.vectorize import tfidf_cosine_pairs, tfidf_table
-from temporalscope_spark.operators.relevance import correlation_matrix, feature_relevance
+from temporalscope_spark.operators.relevance import (
+    anova_f,
+    correlation_matrix,
+    feature_relevance,
+    numeric_relevance,
+)
 from temporalscope_spark.operators.tsfeatures import (
     acf_features,
     calendar_features,
@@ -165,7 +170,7 @@ __all__ = [
     "acf_features", "calendar_features", "entity_profile",
     "fourier_time_features", "recency_features", "trend_features",
     "seasonal_decompose",
-    "feature_relevance",
+    "feature_relevance", "numeric_relevance", "anova_f",
     "correlation_matrix", "cooccurrence_pmi",
     "fit_quantile_edges", "quantile_bin", "winsorize",
     "ecdf_feature", "fit_scaler", "mad_outliers", "moment_profile",

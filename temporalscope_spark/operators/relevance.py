@@ -149,6 +149,169 @@ def feature_relevance(
     ), cells)
 
 
+def numeric_relevance(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+) -> DataFrame:
+    """Pearson r + t-statistic of each numeric feature against a numeric
+    label — the univariate screen sklearn runs as ``r_regression`` /
+    ``f_regression`` (F = t²) before model fitting. Completes the
+    relevance battery: :func:`feature_relevance` covers categorical ×
+    categorical; this covers numeric × numeric.
+
+    Per feature, over the rows where BOTH the feature and the label are
+    non-null (pairwise-complete, matching :func:`correlation_matrix`):
+
+    * ``pearson_r`` — closed-form r from six gated moments; NULL when
+      either side has zero variance or fewer than 2 pairs.
+    * ``t_stat``   — r·√((n−2)/(1−r²)), the significance statistic
+      (t-distributed with n−2 dof under H0); NULL when r is NULL,
+      n ≤ 2, or |r| = 1 (infinite t).
+
+    Plan shape: ONE map-side-combinable aggregation computes all p·6
+    gated moments (one corpus scan, one 1-row result); the per-feature
+    rows explode from that single row — nothing downstream depends on
+    the data size.
+
+    Output: ``(feature, n, pearson_r, t_stat)`` in the given column
+    order, floats rounded to 6.
+    """
+    if not feature_cols:
+        raise DataFrameValidationError("feature_cols must be non-empty")
+    missing = [c for c in (*feature_cols, label_col) if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"numeric_relevance: missing columns {missing}")
+
+    y = F.col(label_col).cast("double")
+    aggs = []
+    for i, c in enumerate(feature_cols):
+        x = F.col(c).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        gx, gy = F.when(both, x), F.when(both, y)
+        aggs.extend(
+            [
+                F.count(gx).cast("double").alias(f"n_{i}"),
+                F.sum(gx).alias(f"sx_{i}"),
+                F.sum(gy).alias(f"sy_{i}"),
+                F.sum(gx * gy).alias(f"sxy_{i}"),
+                F.sum(gx * gx).alias(f"sxx_{i}"),
+                F.sum(gy * gy).alias(f"syy_{i}"),
+            ]
+        )
+    one = df.agg(*aggs)
+
+    structs = []
+    for i, c in enumerate(feature_cols):
+        n = F.col(f"n_{i}")
+        sx, sy = F.col(f"sx_{i}"), F.col(f"sy_{i}")
+        sxy, sxx, syy = (
+            F.col(f"sxy_{i}"),
+            F.col(f"sxx_{i}"),
+            F.col(f"syy_{i}"),
+        )
+        cov_num = sxy - sx * sy / n
+        varx = sxx - sx * sx / n
+        vary = syy - sy * sy / n
+        r = F.when(
+            (n >= 2) & (varx > 0) & (vary > 0),
+            cov_num / F.sqrt(varx * vary),
+        )
+        t = F.when(
+            r.isNotNull() & (n > 2) & (F.lit(1.0) - r * r > 0),
+            r * F.sqrt((n - 2) / (F.lit(1.0) - r * r)),
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("feature"),
+                n.cast("long").alias("n"),
+                (F.round(r, 6) + F.lit(0.0)).alias("pearson_r"),
+                (F.round(t, 6) + F.lit(0.0)).alias("t_stat"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+
+
+def anova_f(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+) -> DataFrame:
+    """One-way ANOVA F of each numeric feature across the classes of a
+    categorical label — sklearn's ``f_classif`` screen, the third quadrant
+    of the relevance battery (:func:`feature_relevance` = categorical ×
+    categorical, :func:`numeric_relevance` = numeric × numeric, this =
+    numeric × categorical).
+
+    Per feature, over rows where BOTH the feature and the label are
+    non-null (pairwise-complete):
+
+    * ``f_stat`` — (SSB/(k−1)) / (SSW/(n−k)) with SSB the between-class
+      and SSW the within-class sum of squares; NULL when k < 2, n ≤ k,
+      or SSW = 0 (all classes internally constant — infinite F).
+    * ``df_between`` = k−1, ``df_within`` = n−k.
+
+    Plan shape: ONE corpus melt (``stack``) + ONE map-side-combinable
+    ``groupBy(feature, class)`` aggregation of (count, Σx, Σx²) — the
+    class-moment table is bounded by p·|L|, and every statistic folds
+    from it. Folds run SORTED by class (the package's sorted-fold
+    contract), so an exact SQL oracle replays the float sums.
+
+    Output: ``(feature, n, k_classes, f_stat, df_between, df_within)``,
+    floats rounded to 6.
+    """
+    if not feature_cols:
+        raise DataFrameValidationError("feature_cols must be non-empty")
+    missing = [c for c in (*feature_cols, label_col) if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"anova_f: missing columns {missing}")
+
+    p = len(feature_cols)
+    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in feature_cols)
+    melted = (
+        df.select(
+            F.expr(f"stack({p}, {stack_args}) AS (feature, x)"),
+            F.col(label_col).cast("string").alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    groups = melted.groupBy("feature", "y").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x") * F.col("x")).alias("ssg"),
+    )
+    folded = groups.groupBy("feature").agg(
+        F.array_sort(F.collect_list(F.struct("y", "ng", "sg", "ssg"))).alias("_arr"),
+    )
+    n = F.aggregate("_arr", F.lit(0.0), lambda a, s: a + s["ng"])
+    k = F.size("_arr").cast("double")
+    s_tot = F.aggregate("_arr", F.lit(0.0), lambda a, s: a + s["sg"])
+    mean = s_tot / n
+    ssb = F.aggregate(
+        "_arr",
+        F.lit(0.0),
+        lambda a, s: a
+        + s["ng"] * (s["sg"] / s["ng"] - mean) * (s["sg"] / s["ng"] - mean),
+    )
+    ssw = F.aggregate(
+        "_arr",
+        F.lit(0.0),
+        lambda a, s: a + (s["ssg"] - s["sg"] * s["sg"] / s["ng"]),
+    )
+    fstat = F.when(
+        (k >= 2) & (n > k) & (ssw > 0),
+        (ssb / (k - 1)) / (ssw / (n - k)),
+    )
+    return folded.select(
+        "feature",
+        n.cast("long").alias("n"),
+        k.cast("long").alias("k_classes"),
+        (F.round(fstat, 6) + F.lit(0.0)).alias("f_stat"),
+        (k - 1).cast("long").alias("df_between"),
+        (n - k).cast("long").alias("df_within"),
+    )
+
+
 def correlation_matrix(
     df: DataFrame,
     cols: Sequence[str],

@@ -3,7 +3,9 @@
 import math
 from collections import Counter
 
+import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from temporalscope_spark.exceptions import DataFrameValidationError
 from temporalscope_spark.operators.relevance import (
@@ -219,3 +221,102 @@ class TestCorrelationMatrix:
             .toString()
         )
         assert plan.count("Aggregate") == 1
+
+
+class TestAnovaF:
+    """anova_f (operators/relevance.py): one-way ANOVA F vs a numpy
+    hand-fold, pairwise-complete gating, degenerate classes, t² identity."""
+
+    @pytest.fixture
+    def adf(self, spark):
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(300):
+            cls = ("a", "b", "c")[i % 3]
+            shift = {"a": 0.0, "b": 1.5, "c": -0.5}[cls]
+            rows.append(
+                (i, float(shift + rng.normal()), float(rng.normal()), cls)
+            )
+        return spark.createDataFrame(rows, ["rid", "strong", "weak", "cls"])
+
+    @staticmethod
+    def _f_oneway(groups):
+        allx = np.concatenate(groups)
+        n, k = len(allx), len(groups)
+        mean = allx.mean()
+        ssb = sum(len(g) * (g.mean() - mean) ** 2 for g in groups)
+        ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+        return (ssb / (k - 1)) / (ssw / (n - k))
+
+    def test_matches_numpy(self, spark, adf):
+        from temporalscope_spark.operators.relevance import anova_f
+
+        pdf = adf.toPandas()
+        got = {
+            r["feature"]: r for r in anova_f(adf, ["strong", "weak"], "cls").collect()
+        }
+        for c in ("strong", "weak"):
+            groups = [
+                pdf.loc[pdf.cls == v, c].to_numpy() for v in ("a", "b", "c")
+            ]
+            assert got[c]["f_stat"] == pytest.approx(self._f_oneway(groups), rel=1e-5)
+            assert got[c]["n"] == 300
+            assert got[c]["k_classes"] == 3
+            assert got[c]["df_between"] == 2
+            assert got[c]["df_within"] == 297
+        assert got["strong"]["f_stat"] > got["weak"]["f_stat"]
+
+    def test_binary_equals_t_squared(self, spark, adf):
+        """For 2 classes, ANOVA F == t² of the point-biserial correlation —
+        cross-checks anova_f against numeric_relevance on the same data."""
+        from temporalscope_spark.operators.relevance import (
+            anova_f,
+            numeric_relevance,
+        )
+
+        two = adf.filter(F.col("cls") != "c")
+        fv = anova_f(two, ["strong"], "cls").collect()[0]["f_stat"]
+        num = two.withColumn("ybin", (F.col("cls") == "b").cast("double"))
+        t = numeric_relevance(num, ["strong"], "ybin").collect()[0]["t_stat"]
+        assert fv == pytest.approx(t * t, rel=1e-4)
+
+    def test_null_pairs_excluded(self, spark, adf):
+        from temporalscope_spark.operators.relevance import anova_f
+
+        holey = adf.withColumn(
+            "strong", F.when(F.col("rid") % 3 != 0, F.col("strong"))
+        )
+        got = anova_f(holey, ["strong"], "cls").collect()[0]
+        assert got["n"] == 200
+
+    def test_degenerate(self, spark):
+        from temporalscope_spark.operators.relevance import anova_f
+
+        one_class = spark.createDataFrame(
+            [(1.0, "a"), (2.0, "a")], ["x", "cls"]
+        )
+        assert anova_f(one_class, ["x"], "cls").collect()[0]["f_stat"] is None
+        const_within = spark.createDataFrame(
+            [(1.0, "a"), (1.0, "a"), (5.0, "b"), (5.0, "b")], ["x", "cls"]
+        )
+        assert anova_f(const_within, ["x"], "cls").collect()[0]["f_stat"] is None
+
+    def test_errors(self, spark, adf):
+        from temporalscope_spark.operators.relevance import anova_f
+
+        with pytest.raises(DataFrameValidationError):
+            anova_f(adf, [], "cls")
+        with pytest.raises(DataFrameValidationError, match="missing columns"):
+            anova_f(adf, ["nope"], "cls")
+
+    def test_two_exchanges(self, spark, adf):
+        """One corpus melt+groupBy(feature, class), one bounded regroup."""
+        from temporalscope_spark.operators.relevance import anova_f
+
+        plan = (
+            anova_f(adf, ["strong", "weak"], "cls")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= 2
