@@ -1969,6 +1969,66 @@ def _numeric_relevance_oracle() -> str:
     )
 
 
+def _spearman_oracle() -> str:
+    """Generated from the same loops as the engine: per column, average
+    ranks from the distinct-value cumulative (min-rank identity
+    ``cum − c + (c+1)/2``), value-keyed joins back, then the identical
+    gated Pearson moments over the rank columns."""
+    cols = [
+        ("value", "CAST(value AS DOUBLE)"),
+        ("plen", "CAST(length(props) AS DOUBLE)"),
+        ("uvar", "CAST(user_id % 100 AS DOUBLE)"),
+    ]
+    base = ", ".join(f"{e} AS x{i}" for i, (_, e) in enumerate(cols))
+    ctes = [f"base AS (SELECT {base} FROM events)"]
+    joins = []
+    for i in range(len(cols)):
+        ctes.append(
+            f"v{i} AS (SELECT x{i} AS v, CAST(count(*) AS DOUBLE) AS c "
+            f"FROM base WHERE x{i} IS NOT NULL GROUP BY 1)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT v, sum(c) OVER (ORDER BY v) - c + (c + 1) / 2.0 "
+            f"AS r FROM v{i})"
+        )
+        joins.append(f"LEFT JOIN l{i} ON base.x{i} = l{i}.v")
+    ctes.append(
+        "j AS (SELECT "
+        + ", ".join(f"l{i}.r AS r{i}" for i in range(len(cols)))
+        + " FROM base "
+        + " ".join(joins)
+        + ")"
+    )
+    sels, rows = [], []
+    for i, (ni, _) in enumerate(cols):
+        for jdx in range(i, len(cols)):
+            nj = cols[jdx][0]
+            t = f"{i}_{jdx}"
+            both = f"(r{i} IS NOT NULL AND r{jdx} IS NOT NULL)"
+            gx = f"CASE WHEN {both} THEN r{i} END"
+            gy = f"CASE WHEN {both} THEN r{jdx} END"
+            sels += [
+                f"CAST(count({gx}) AS DOUBLE) AS n_{t}",
+                f"sum({gx}) AS sx_{t}",
+                f"sum({gy}) AS sy_{t}",
+                f"sum(({gx}) * ({gy})) AS sxy_{t}",
+                f"sum(({gx}) * ({gx})) AS sxx_{t}",
+                f"sum(({gy}) * ({gy})) AS syy_{t}",
+            ]
+            cov_num = f"(sxy_{t} - sx_{t} * sy_{t} / n_{t})"
+            varx = f"(sxx_{t} - sx_{t} * sx_{t} / n_{t})"
+            vary = f"(syy_{t} - sy_{t} * sy_{t} / n_{t})"
+            rows.append(
+                f"SELECT '{ni}' AS f1, '{nj}' AS f2, "
+                f"CAST(n_{t} AS BIGINT) AS n_pairs, "
+                f"round(CASE WHEN n_{t} >= 2 AND {varx} > 0 AND {vary} > 0 "
+                f"THEN {cov_num} / sqrt({varx} * {vary}) END, 6) + 0.0 AS rho "
+                f"FROM m"
+            )
+    ctes.append("m AS (SELECT " + ", ".join(sels) + " FROM j)")
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(rows)
+
+
 def _gopher_oracle() -> str:
     """DuckDB replay of q_gopher_rules: grams via UNNEST(generate_series) +
     list_slice (the dup_span_stats idiom), top gram via ORDER BY cnt DESC,
@@ -2179,6 +2239,21 @@ def q_numeric_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 100).cast("double").alias("uvar"),
     )
     return numeric_relevance(events, ["plen", "uvar"], "value")
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation matrix over three numeric columns:
+    average ranks per column via the quantile-bucket two-phase cumsum (no
+    single-partition window), value-keyed LUT joins back, then ONE
+    gated-moment aggregation over the rank columns."""
+    from temporalscope_spark.operators.relevance import spearman_matrix
+
+    events = _t(spark, sf_dir, "events").select(
+        "value",
+        F.length("props").cast("double").alias("plen"),
+        (F.col("user_id") % 100).cast("double").alias("uvar"),
+    )
+    return spearman_matrix(events, ["value", "plen", "uvar"])
 
 
 def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2681,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_relevance": q_feature_relevance,
         "numeric_relevance": q_numeric_relevance,
         "anova_f": q_anova_f,
+        "spearman_matrix": q_spearman,
         "correlation_matrix": q_correlation_matrix,
         "quantile_bin": q_quantile_bin,
         "winsorize": q_winsorize,
@@ -4405,6 +4481,7 @@ def oracle_sql() -> dict[str, str]:
     sql["gopher_rules"] = _gopher_oracle()
     sql["correlation_matrix"] = _corr_matrix_oracle()
     sql["numeric_relevance"] = _numeric_relevance_oracle()
+    sql["spearman_matrix"] = _spearman_oracle()
     # anova_f: melt -> class-moment table -> totals + between/within SS;
     # the same gates and evaluation order as the engine fold
     sql["anova_f"] = """

@@ -94,6 +94,7 @@ from temporalscope_spark.operators.relevance import (
     correlation_matrix,
     feature_relevance,
     numeric_relevance,
+    spearman_matrix,
 )
 from temporalscope_spark.operators.tsfeatures import (
     acf_features,
@@ -170,7 +171,7 @@ __all__ = [
     "acf_features", "calendar_features", "entity_profile",
     "fourier_time_features", "recency_features", "trend_features",
     "seasonal_decompose",
-    "feature_relevance", "numeric_relevance", "anova_f",
+    "feature_relevance", "numeric_relevance", "anova_f", "spearman_matrix",
     "correlation_matrix", "cooccurrence_pmi",
     "fit_quantile_edges", "quantile_bin", "winsorize",
     "ecdf_feature", "fit_scaler", "mad_outliers", "moment_profile",

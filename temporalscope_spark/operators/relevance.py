@@ -232,6 +232,72 @@ def numeric_relevance(
     return one.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
 
 
+def spearman_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    sample: bool = True,
+) -> DataFrame:
+    """Pairwise Spearman rank correlation over the given numeric columns,
+    long format — the monotone-robust twin of :func:`correlation_matrix`
+    (pandas ``df.corr(method="spearman")`` / scipy ``spearmanr``).
+
+    Each column's values map to AVERAGE (fractional) ranks over its
+    non-null values — the standard tie convention — and the result is
+    Pearson over the rank columns, pairwise-complete. On complete data
+    this equals scipy/pandas exactly; with missing values, ranks come
+    from each column's FULL non-null set (not re-ranked per pair), the
+    documented convention (pandas re-ranks per pair — an O(p²) corpus
+    re-sort this operator deliberately avoids at scale).
+
+    Global ranking WITHOUT a global sort (the :func:`~temporalscope_spark.
+    operators.scaling.ecdf_feature` machinery): per column, distinct-value
+    counts (one map-side-combinable aggregation) run through the
+    quantile-bucket two-phase running sum (``plans/rownum.
+    with_global_cumsum`` — no single-partition window at any size);
+    average rank for a value with count c and inclusive cumulative cum is
+    ``cum − c + (c+1)/2``. The V-row lookup joins back value-keyed, then
+    ONE gated-moment aggregation computes every pair (the
+    :func:`correlation_matrix` plan over the rank columns).
+
+    Output: ``(f1, f2, n_pairs, rho)`` for each ``f1 ≤ f2`` in the given
+    column order, rho rounded to 6.
+    """
+    if len(cols) < 2:
+        raise DataFrameValidationError("spearman_matrix needs >= 2 columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"spearman_matrix: missing columns {missing}")
+    from temporalscope_spark.plans.rownum import with_global_cumsum
+
+    work = df
+    rank_of = {}
+    for i, c in enumerate(cols):
+        x = F.col(c).cast("double")
+        vals = (
+            df.filter(x.isNotNull())
+            .groupBy(x.alias("_v"))
+            .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+        )
+        cum = with_global_cumsum(vals, ["_v"], ["_c"])
+        key, rc = f"_sv_{i}", f"_sr_{i}"
+        lut = cum.select(
+            F.col("_v").alias(key),
+            (F.col("_c_cum") - F.col("_c") + (F.col("_c") + 1) / 2.0).alias(rc),
+        )
+        work = work.withColumn(key, x).join(lut, key, "left").drop(key)
+        rank_of[rc] = c
+    out = correlation_matrix(work, list(rank_of), sample=sample)
+    name = F.create_map(
+        *[lit for rc, c in rank_of.items() for lit in (F.lit(rc), F.lit(c))]
+    )
+    return out.select(
+        name[F.col("f1")].alias("f1"),
+        name[F.col("f2")].alias("f2"),
+        "n_pairs",
+        F.col("corr").alias("rho"),
+    )
+
+
 def anova_f(
     df: DataFrame,
     feature_cols: Sequence[str],

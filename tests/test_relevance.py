@@ -320,3 +320,105 @@ class TestAnovaF:
             .toString()
         )
         assert plan.count("Exchange") <= 2
+
+
+class TestSpearman:
+    """spearman_matrix: pandas parity (ties included), monotone-invariance,
+    null convention, no single-partition window."""
+
+    def test_matches_pandas(self, spark):
+        from temporalscope_spark.operators.relevance import spearman_matrix
+
+        rng = np.random.default_rng(13)
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "a": rng.normal(size=200),
+                # ties: integer-valued column exercises average ranks
+                "b": rng.integers(0, 7, size=200).astype(float),
+                "c": rng.normal(size=200),
+            }
+        )
+        pdf["c"] = pdf["a"] ** 3 + 0.3 * pdf["c"]  # monotone-ish link
+        df = spark.createDataFrame(pdf)
+        want = pdf.corr(method="spearman")
+        got = {
+            (r["f1"], r["f2"]): r["rho"]
+            for r in spearman_matrix(df, ["a", "b", "c"]).collect()
+        }
+        for (i, j), rho in got.items():
+            assert rho == pytest.approx(want.loc[i, j], abs=2e-6)
+
+    def test_monotone_transform_invariant(self, spark):
+        """Spearman is invariant to strictly increasing transforms —
+        rho(x, exp(x)) == 1 exactly."""
+        from temporalscope_spark.operators.relevance import spearman_matrix
+
+        df = spark.range(100).select(
+            (F.col("id").cast("double") - 50).alias("x")
+        ).withColumn("ex", F.exp(F.col("x") / 10))
+        got = {
+            (r["f1"], r["f2"]): r["rho"]
+            for r in spearman_matrix(df, ["x", "ex"]).collect()
+        }
+        assert got[("x", "ex")] == pytest.approx(1.0, abs=2e-6)
+        assert got[("x", "x")] == pytest.approx(1.0, abs=2e-6)
+
+    def test_null_convention(self, spark):
+        """Ranks come from each column's FULL non-null set; pairs with a
+        NULL on either side drop from the moments."""
+        from temporalscope_spark.operators.relevance import spearman_matrix
+
+        rows = [(1.0, 10.0), (2.0, None), (3.0, 30.0), (4.0, 5.0), (5.0, 50.0)]
+        df = spark.createDataFrame(rows, ["x", "y"])
+        got = {
+            (r["f1"], r["f2"]): r
+            for r in spearman_matrix(df, ["x", "y"]).collect()
+        }
+        assert got[("x", "y")]["n_pairs"] == 4
+        # hand fold: x ranks 1..5; y ranks over {5,10,30,50} = 2,_,3,1,4
+        rx, ry = np.array([1, 3, 4, 5]), np.array([2.0, 3, 1, 4])
+        want = np.corrcoef(rx, ry)[0, 1]
+        assert got[("x", "y")]["rho"] == pytest.approx(want, abs=2e-6)
+
+    def test_partition_invariance(self, spark):
+        from temporalscope_spark.operators.relevance import spearman_matrix
+
+        df = spark.range(300).select(
+            (F.pmod(F.col("id") * 37, F.lit(101))).cast("double").alias("x"),
+            (F.pmod(F.col("id") * 11, F.lit(17))).cast("double").alias("y"),
+        )
+        a = sorted(map(tuple, spearman_matrix(df.repartition(1), ["x", "y"]).collect()))
+        b = sorted(map(tuple, spearman_matrix(df.repartition(8), ["x", "y"]).collect()))
+        assert a == b
+
+    def test_no_single_partition_window(self, spark):
+        from temporalscope_spark.operators.relevance import spearman_matrix
+
+        df = spark.range(100).select(
+            F.col("id").cast("double").alias("x"),
+            (F.col("id") * 2).cast("double").alias("y"),
+        )
+        plan = (
+            spearman_matrix(df, ["x", "y"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the ONLY single-partition exchange is the final 1-row moment
+        # aggregate (map-side partials -> one scalar row, size-independent);
+        # every Window is bucket-partitioned (the two-phase cumsum)
+        assert plan.count("SinglePartition") == 1
+        for line in plan.splitlines():
+            if "+- Window " in line:
+                assert "_rn_bucket" in line
+
+    def test_errors(self, spark):
+        from temporalscope_spark.operators.relevance import spearman_matrix
+
+        df = spark.createDataFrame([(1.0, 2.0)], ["x", "y"])
+        with pytest.raises(DataFrameValidationError, match=">= 2"):
+            spearman_matrix(df, ["x"])
+        with pytest.raises(DataFrameValidationError, match="missing columns"):
+            spearman_matrix(df, ["x", "nope"])
