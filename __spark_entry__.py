@@ -2157,6 +2157,20 @@ def q_acf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user tsfresh-style battery over `events.value` (abs energy,
+    mean abs/signed change, CID complexity, peak/direction-change counts,
+    longest increasing streak): one entity window for lags+run ids, one
+    (entity, run) window for streaks, ONE grouped fold — three exchanges,
+    no joins."""
+    from temporalscope_spark.operators.tsfeatures import series_features
+
+    events = _t(spark, sf_dir, "events")
+    return series_features(
+        events, "value", time_col="ts", id_col="user_id", tiebreak_col="event_id"
+    )
+
+
 def q_fourier_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-period sin/cos time encodings (2 harmonics) of `events.ts` —
     a pure narrow projection (plan-tested exchange-free) that folds into
@@ -2752,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_features": q_delta_features,
         "rolling_corr": q_rolling_corr,
         "acf_features": q_acf_features,
+        "series_features": q_series_features,
         "fourier_time": q_fourier_time,
         "feature_relevance": q_feature_relevance,
         "numeric_relevance": q_numeric_relevance,
@@ -4702,6 +4717,63 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN m3 >= 1 AND s2 - s1 * s1 / n > 0 THEN
                    (cxy3 - s1 / n * (ca3 + cb3) + m3 * (s1 / n) * (s1 / n))
                        / (s2 - s1 * s1 / n) END, 6) + 0.0 AS acf_3
+        FROM m
+    """
+    # series features: identical lag/lead/run-id/streak window chain;
+    # inc is 0 on the first row (NULL comparison), run increments on
+    # every non-increasing step — the engine's when/otherwise exactly
+    sql["series_features"] = """
+        WITH b0 AS (
+            SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x,
+                   lag(CAST(value AS DOUBLE), 1) OVER w AS l1,
+                   lag(CAST(value AS DOUBLE), 2) OVER w AS l2,
+                   lead(CAST(value AS DOUBLE), 1) OVER w AS f1
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        b1 AS (
+            SELECT b0.*,
+                   CASE WHEN x > l1 THEN 1 ELSE 0 END AS inc
+            FROM b0
+        ),
+        b2 AS (
+            SELECT b1.*,
+                   sum(1 - inc) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run
+            FROM b1
+        ),
+        s AS (
+            SELECT b2.*,
+                   sum(inc) OVER (PARTITION BY user_id, run) AS streak
+            FROM b2
+        ),
+        m AS (
+            SELECT user_id,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(x * x) AS s2,
+                   CAST(count(l1) AS DOUBLE) AS nd,
+                   sum(abs(x - l1)) AS sad,
+                   sum(x - l1) AS sd,
+                   sum((x - l1) * (x - l1)) AS sdd,
+                   sum(CASE WHEN l1 < x AND x > f1 THEN 1 ELSE 0 END)
+                       AS peaks,
+                   sum(CASE WHEN (x - l1) * (l1 - l2) < 0 THEN 1 ELSE 0 END)
+                       AS dirch,
+                   max(streak) AS maxrun
+            FROM s GROUP BY 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+               round(s2, 6) + 0.0 AS abs_energy,
+               round(CASE WHEN nd >= 1 THEN sad / nd END, 6) + 0.0
+                   AS mean_abs_change,
+               round(CASE WHEN nd >= 1 THEN sd / nd END, 6) + 0.0
+                   AS mean_change,
+               round(CASE WHEN nd >= 1 THEN sqrt(sdd) END, 6) + 0.0
+                   AS cid_ce,
+               CAST(peaks AS BIGINT) AS n_peaks,
+               CAST(dirch AS BIGINT) AS n_dir_changes,
+               CAST(maxrun AS BIGINT) AS longest_inc_run
         FROM m
     """
     # seasonal decomposition: same centered ±period/2 µs-RANGE trend

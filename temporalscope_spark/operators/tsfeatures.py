@@ -131,6 +131,116 @@ def acf_features(
     return mom.select(*out_cols)
 
 
+def series_features(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "event_time",
+    id_col: str = "doc_id",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-entity tsfresh-style series descriptors over the time-ordered
+    non-null values (the classic per-series feature battery — tsfresh's
+    ``abs_energy`` / ``mean_abs_change`` / ``mean_change`` / ``cid_ce``
+    / peak and direction-change counts, plus the longest strictly
+    increasing streak):
+
+    * ``abs_energy``       — Σ x² (tsfresh ``abs_energy``).
+    * ``mean_abs_change``  — mean |x_t − x_{t−1}|; NULL when n < 2.
+    * ``mean_change``      — mean (x_t − x_{t−1}) = (x_n − x_1)/(n−1);
+      NULL when n < 2.
+    * ``cid_ce``           — √Σ (x_t − x_{t−1})² (CID complexity,
+      unnormalized — tsfresh ``cid_ce(normalize=False)``); NULL when
+      n < 2.
+    * ``n_peaks``          — count of strict local maxima
+      (x_{t−1} < x_t > x_{t+1}).
+    * ``n_dir_changes``    — count of sign flips between consecutive
+      diffs ((x_t − x_{t−1})·(x_{t−1} − x_{t−2}) < 0).
+    * ``longest_inc_run``  — longest streak of consecutive strictly
+      increasing STEPS (0 when no step increases).
+
+    Pass ``tiebreak_col`` (a unique row id) for a fully deterministic
+    order on duplicate timestamps — the same contract as
+    :func:`acf_features`.
+
+    Plan shape: ONE entity-keyed window computes lag/lead/diffs AND the
+    run id (a cumulative count of non-increasing steps — the sessionize
+    idiom) in a single exchange+sort; a second window keyed by
+    (entity, run) turns runs into streak lengths; ONE ``groupBy(entity)``
+    folds everything. Three exchanges total, one corpus scan, no joins,
+    no duplicated subtree; output is entity-sized.
+
+    Output: ``(id, n_obs, abs_energy, mean_abs_change, mean_change,
+    cid_ce, n_peaks, n_dir_changes, longest_inc_run)``, floats rounded
+    to 6.
+    """
+    if value_col not in df.columns:
+        raise DataFrameValidationError(
+            f"series_features: missing column {value_col!r}"
+        )
+    x = F.col(value_col).cast("double")
+    tb = [F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []
+    base = df.filter(x.isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        _time_micros(df, time_col).alias("_t"),
+        *tb,
+        x.alias("_x"),
+    )
+    order = ["_t", "_tb"] if tiebreak_col else ["_t"]
+    w = Window.partitionBy("_id").orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inc = F.col("_x") > F.lag("_x", 1).over(w)  # NULL on the first row
+    lagged = base.select(
+        "_id",
+        "_x",
+        F.lag("_x", 1).over(w).alias("_l1"),
+        F.lag("_x", 2).over(w).alias("_l2"),
+        F.lead("_x", 1).over(w).alias("_f1"),
+        # run id increments on every non-increasing (or first) step, so
+        # consecutive increasing steps share an id
+        F.sum(F.when(inc, F.lit(0)).otherwise(F.lit(1)))
+        .over(wcum)
+        .alias("_run"),
+        F.when(inc, F.lit(1)).otherwise(F.lit(0)).alias("_inc"),
+    )
+    wrun = Window.partitionBy("_id", "_run")
+    streaked = lagged.withColumn("_streak", F.sum("_inc").over(wrun))
+
+    d1 = F.col("_x") - F.col("_l1")
+    d0 = F.col("_l1") - F.col("_l2")
+    mom = streaked.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_s2"),
+        F.count("_l1").cast("double").alias("_nd"),
+        F.sum(F.abs(d1)).alias("_sad"),
+        F.sum(d1).alias("_sd"),
+        F.sum(d1 * d1).alias("_sdd"),
+        F.sum(
+            F.when((F.col("_l1") < F.col("_x")) & (F.col("_x") > F.col("_f1")), 1)
+            .otherwise(0)
+        ).alias("_peaks"),
+        F.sum(F.when(d1 * d0 < 0, 1).otherwise(0)).alias("_dirch"),
+        F.max("_streak").alias("_maxrun"),
+    )
+    nd = F.col("_nd")
+    return mom.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").cast("long").alias("n_obs"),
+        (F.round(F.col("_s2"), 6) + F.lit(0.0)).alias("abs_energy"),
+        (F.round(F.when(nd >= 1, F.col("_sad") / nd), 6) + F.lit(0.0)).alias(
+            "mean_abs_change"
+        ),
+        (F.round(F.when(nd >= 1, F.col("_sd") / nd), 6) + F.lit(0.0)).alias(
+            "mean_change"
+        ),
+        (F.round(F.when(nd >= 1, F.sqrt(F.col("_sdd"))), 6) + F.lit(0.0)).alias(
+            "cid_ce"
+        ),
+        F.col("_peaks").cast("long").alias("n_peaks"),
+        F.col("_dirch").cast("long").alias("n_dir_changes"),
+        F.col("_maxrun").cast("long").alias("longest_inc_run"),
+    )
+
+
 def seasonal_decompose(
     df: DataFrame,
     value_col: str,

@@ -456,3 +456,114 @@ class TestWoe:
         one_class = spark.createDataFrame([(1, "a", 1.0)], ["rid", "cat", "y"])
         with pytest.raises(DataFrameValidationError, match="both classes"):
             woe_iv_table(one_class, "cat", "y")
+
+
+def _brute_series(xs):
+    n = len(xs)
+    diffs = [xs[i] - xs[i - 1] for i in range(1, n)]
+    best = cur = 0
+    for d in diffs:
+        cur = cur + 1 if d > 0 else 0
+        best = max(best, cur)
+    return {
+        "n_obs": n,
+        "abs_energy": sum(v * v for v in xs),
+        "mean_abs_change": sum(abs(d) for d in diffs) / len(diffs) if diffs else None,
+        "mean_change": sum(diffs) / len(diffs) if diffs else None,
+        "cid_ce": math.sqrt(sum(d * d for d in diffs)) if diffs else None,
+        "n_peaks": sum(
+            1 for i in range(1, n - 1) if xs[i - 1] < xs[i] > xs[i + 1]
+        ),
+        "n_dir_changes": sum(
+            1
+            for i in range(2, n)
+            if (xs[i] - xs[i - 1]) * (xs[i - 1] - xs[i - 2]) < 0
+        ),
+        "longest_inc_run": best,
+    }
+
+
+class TestSeriesFeatures:
+    """series_features (operators/tsfeatures.py): tsfresh-formula brute
+    parity per entity, null/short-series edges, 3-exchange plan."""
+
+    @pytest.fixture
+    def sdf(self, spark, series):
+        from pyspark.sql import functions as F
+
+        # add a single-point entity on top of the shared ACF fixture
+        extra = spark.createDataFrame([(6, 0.0, 7.0)], ["uid", "t", "x"])
+        return series.unionByName(extra)
+
+    def test_matches_bruteforce(self, spark, sdf):
+        from temporalscope_spark.operators.tsfeatures import series_features
+
+        raw = sdf.collect()
+        got = {
+            r["uid"]: r
+            for r in series_features(sdf, "x", time_col="t", id_col="uid").collect()
+        }
+        for uid in (1, 2, 3, 4, 5, 6):
+            xs = [
+                float(r["x"])
+                for r in sorted(raw, key=lambda r: (r["uid"], r["t"]))
+                if r["uid"] == uid and r["x"] is not None
+            ]
+            want = _brute_series(xs)
+            row = got[uid]
+            assert row["n_obs"] == want["n_obs"], uid
+            assert row["abs_energy"] == pytest.approx(want["abs_energy"], abs=2e-6)
+            for k in ("mean_abs_change", "mean_change", "cid_ce"):
+                if want[k] is None:
+                    assert row[k] is None, (uid, k)
+                else:
+                    assert row[k] == pytest.approx(want[k], abs=2e-6), (uid, k)
+            for k in ("n_peaks", "n_dir_changes", "longest_inc_run"):
+                assert row[k] == want[k], (uid, k)
+
+    def test_known_values(self, spark):
+        from temporalscope_spark.operators.tsfeatures import series_features
+
+        # 1,3,2,4,6,5: peaks at 3 and 6; dir changes at every turn;
+        # longest increasing streak = 2 steps (4->6 wait: 2,4,6)
+        xs = [1.0, 3.0, 2.0, 4.0, 6.0, 5.0]
+        df = spark.createDataFrame(
+            [(1, float(t), v) for t, v in enumerate(xs)], ["uid", "t", "x"]
+        )
+        row = series_features(df, "x", time_col="t", id_col="uid").collect()[0]
+        assert row["n_peaks"] == 2
+        assert row["longest_inc_run"] == 2
+        assert row["n_dir_changes"] == 3
+        assert row["mean_change"] == pytest.approx((5.0 - 1.0) / 5, abs=1e-6)
+
+    def test_tiebreak_determinism(self, spark):
+        from temporalscope_spark.operators.tsfeatures import series_features
+
+        rows = [(1, 0.0, 10, 1.0), (1, 0.0, 11, 5.0), (1, 0.0, 12, 2.0)]
+        df = spark.createDataFrame(rows, ["uid", "t", "rid", "x"])
+        a = series_features(
+            df.repartition(1), "x", time_col="t", id_col="uid", tiebreak_col="rid"
+        ).collect()[0]
+        b = series_features(
+            df.repartition(8), "x", time_col="t", id_col="uid", tiebreak_col="rid"
+        ).collect()[0]
+        assert a == b
+        assert a["n_peaks"] == 1  # 1 < 5 > 2 in rid order
+
+    def test_errors(self, spark, sdf):
+        from temporalscope_spark.operators.tsfeatures import series_features
+
+        with pytest.raises(DataFrameValidationError, match="missing column"):
+            series_features(sdf, "nope", time_col="t", id_col="uid")
+
+    def test_plan_three_exchanges(self, spark, sdf):
+        from temporalscope_spark.operators.tsfeatures import series_features
+
+        plan = (
+            series_features(sdf, "x", time_col="t", id_col="uid")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= 3
+        assert "SinglePartition" not in plan
