@@ -2352,6 +2352,24 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(events, "value", "ts", _DRIFT_SPLIT, bins=10)
 
 
+def q_psi_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→serve PSI: fit the reference (edges + floored shares) on the
+    pre-split slice of `events.value`, then score the post-split slice
+    PER event_type with the fitted model as plan literals — one
+    expression-only aggregation per group, no spine join (the streaming
+    drift monitor runs these exact expressions per window)."""
+    from temporalscope_spark.operators.drift import fit_psi_reference, psi_score
+
+    events = _t(spark, sf_dir, "events")
+    ref = fit_psi_reference(
+        events.filter(F.col("ts") < _DRIFT_SPLIT), "value", bins=5
+    )
+    cur = events.filter(
+        (F.col("ts") >= _DRIFT_SPLIT) & F.col("value").isNotNull()
+    )
+    return psi_score(cur, ref, group_cols=["event_type"])
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic of `events.value`
     across the same time split: per-distinct-value ref/cur counts, global
@@ -2762,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding": q_expanding,
         "target_encode": q_target_encode,
         "psi_drift": q_psi_drift,
+        "psi_score": q_psi_score,
         "ks_drift": q_ks_drift,
         "delta_features": q_delta_features,
         "rolling_corr": q_rolling_corr,
@@ -4775,6 +4794,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(dirch AS BIGINT) AS n_dir_changes,
                CAST(maxrun AS BIGINT) AS longest_inc_run
         FROM m
+    """
+    # psi_score: the fitted model replayed relationally — reference edges
+    # via quantile_cont (type-7 equivalence), reference shares floored at
+    # fit, per-group current shares floored at score; full bin spine so
+    # empty bins contribute their floored term
+    sql["psi_score"] = f"""
+        WITH ref AS (
+            SELECT CAST(value AS DOUBLE) AS v FROM events
+            WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}' AND value IS NOT NULL
+        ),
+        edges AS (
+            SELECT list_transform(
+                quantile_cont(v, {[i / 5 for i in range(1, 5)]}),
+                e -> round(e, 6)) AS e
+            FROM ref
+        ),
+        spine AS (SELECT unnest(generate_series(1, 5)) AS bin),
+        rb AS (
+            SELECT 1 + len(list_filter(edges.e, x -> v > x)) AS bin
+            FROM ref, edges
+        ),
+        reftot AS (SELECT CAST(count(*) AS DOUBLE) AS nr FROM rb),
+        p AS (
+            SELECT spine.bin,
+                   greatest(CAST(count(rb.bin) AS DOUBLE) / reftot.nr, 1e-6)
+                       AS p
+            FROM spine LEFT JOIN rb ON rb.bin = spine.bin, reftot
+            GROUP BY spine.bin, reftot.nr
+        ),
+        curb AS (
+            SELECT event_type AS g,
+                   1 + len(list_filter(edges.e, x -> CAST(value AS DOUBLE) > x))
+                       AS bin
+            FROM events, edges
+            WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}' AND value IS NOT NULL
+        ),
+        gn AS (SELECT g, CAST(count(*) AS DOUBLE) AS n FROM curb GROUP BY 1),
+        qc AS (SELECT g, bin, count(*) AS c FROM curb GROUP BY 1, 2),
+        grid AS (
+            SELECT gn.g, gn.n, p.bin, p.p,
+                   greatest(CAST(coalesce(qc.c, 0) AS DOUBLE) / gn.n, 1e-6)
+                       AS q
+            FROM gn CROSS JOIN p
+            LEFT JOIN qc ON qc.g = gn.g AND qc.bin = p.bin
+        )
+        SELECT g AS event_type, CAST(any_value(n) AS BIGINT) AS n,
+               round(sum((p - q) * ln(p / q)), 6) + 0.0 AS psi
+        FROM grid GROUP BY g
     """
     # seasonal decomposition: same centered ±period/2 µs-RANGE trend
     # (sum/count, not avg, to pin the closed form), per-(user, phase)

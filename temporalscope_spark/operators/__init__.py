@@ -38,7 +38,12 @@ from temporalscope_spark.operators.dedup import (
     simhash,
     simhash_near_pairs,
 )
-from temporalscope_spark.operators.drift import ks_drift, psi_drift
+from temporalscope_spark.operators.drift import (
+    fit_psi_reference,
+    ks_drift,
+    psi_drift,
+    psi_score,
+)
 from temporalscope_spark.operators.dsir import dsir_select, hashed_ngram_features
 from temporalscope_spark.operators.gopher import (
     gopher_quality_flags,
@@ -164,7 +169,7 @@ __all__ = [
     "learn_bpe_merges", "word_vocab", "apply_bpe", "bpe_compression_stats",
     "PostingsIndex", "bm25_topk", "bm25_topk_multi", "build_postings",
     "dsir_select", "hashed_ngram_features",
-    "ks_drift", "psi_drift",
+    "ks_drift", "psi_drift", "fit_psi_reference", "psi_score",
     "gopher_quality_flags", "gopher_repetition_features",
     "bigram_counts", "ppl_buckets", "score_kneser_ney",
     "score_stupid_backoff", "score_unigram", "unigram_counts",

@@ -228,3 +228,138 @@ def ks_drift(
     except Exception:
         per_value.unpersist()
         raise
+
+
+def fit_psi_reference(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    approx: bool = False,
+) -> dict:
+    """Fit a PSI reference on a TRAIN frame: quantized bin edges + the
+    reference bin shares, returned as a plain dict (the package's
+    fit/transform model convention — ``fit_scaler``-style) so scoring can
+    run batch OR streaming with the model as plan literals.
+
+    Edges are the ``i/bins`` interior percentiles (``approx=True`` =
+    ``percentile_approx``, the 100 TB lane), rounded to 6 like
+    :func:`psi_drift`; reference shares are floored at 1e-6 so a later
+    score never divides by zero (the same convention as the per-bin
+    terms in :func:`psi_drift`).
+
+    Two bounded actions: one 1-row edge aggregate, one 1-row
+    ``bins``-conditional-count aggregate. Model:
+    ``{"value_col", "bins", "edges", "ref_shares", "n_ref"}``.
+    """
+    if bins < 2:
+        raise DataFrameValidationError("bins must be >= 2")
+    if value_col not in df.columns:
+        raise DataFrameValidationError(
+            f"fit_psi_reference: missing column {value_col!r}"
+        )
+    nn = df.filter(F.col(value_col).isNotNull())
+    pfn = F.percentile_approx if approx else F.percentile
+    probs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+    edge_row = nn.agg(pfn(value_col, probs).alias("_e")).collect()[0]["_e"]
+    if edge_row is None:
+        raise DataFrameValidationError(
+            "fit_psi_reference: no non-null values to fit on"
+        )
+    edges = [round(float(e), 6) for e in edge_row]
+
+    bin_ix = _bin_expr(value_col, edges)
+    counts_row = nn.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        *[
+            F.sum((bin_ix == b).cast("long")).cast("double").alias(f"_b{b}")
+            for b in range(1, bins + 1)
+        ],
+    ).collect()[0]
+    n_ref = float(counts_row["_n"])
+    shares = [
+        max(float(counts_row[f"_b{b}"]) / n_ref, _EPS)
+        for b in range(1, bins + 1)
+    ]
+    return {
+        "value_col": value_col,
+        "bins": bins,
+        "edges": edges,
+        "ref_shares": shares,
+        "n_ref": int(n_ref),
+    }
+
+
+def _bin_expr(value_col: str, edges: list) -> F.Column:
+    """1-based bin index of ``value_col`` against literal edges — the
+    same fold as :func:`psi_drift` (count of edges strictly below)."""
+    v = F.col(value_col).cast("double")
+    earr = F.array(*[F.lit(float(e)) for e in edges])
+    return F.aggregate(earr, F.lit(1), lambda acc, e: acc + (v > e).cast("int"))
+
+
+def psi_aggs(ref: dict) -> tuple[list, list]:
+    """(aggregate expressions, final select expressions) for scoring a
+    slice against a fitted PSI reference — shared by the batch
+    :func:`psi_score` and the streaming windowed lane
+    (:func:`~temporalscope_spark.streaming.sessions.stream_psi_drift`),
+    which is what pins their parity."""
+    bins = ref["bins"]
+    bin_ix = _bin_expr(ref["value_col"], ref["edges"])
+    aggs = [
+        F.count(F.when(F.col(ref["value_col"]).isNotNull(), 1)).alias("_n"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(ref["value_col"]).isNotNull() & (bin_ix == b), 1
+                ).otherwise(0)
+            ).alias(f"_b{b}")
+            for b in range(1, bins + 1)
+        ],
+    ]
+    n = F.col("_n").cast("double")
+    terms = []
+    for b in range(1, bins + 1):
+        p = F.lit(float(ref["ref_shares"][b - 1]))
+        q = F.greatest(F.col(f"_b{b}").cast("double") / n, F.lit(_EPS))
+        terms.append((p - q) * F.log(p / q))
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = psi + t
+    finals = [
+        F.col("_n").cast("long").alias("n"),
+        (F.round(F.when(n > 0, psi), 6) + F.lit(0.0)).alias("psi"),
+    ]
+    return aggs, finals
+
+
+def psi_score(
+    df: DataFrame,
+    ref: dict,
+    group_cols: list | None = None,
+) -> DataFrame:
+    """PSI of each group (or the whole frame) against a reference fitted
+    with :func:`fit_psi_reference` — the serving half of the drift
+    monitor (``psi_drift`` fits and scores in one shot over a time
+    split; this scores ANY batch against a FROZEN train-time reference,
+    the production shape).
+
+    Expression-only binning against literal edges + ONE map-side-
+    combinable aggregation carrying ``bins`` conditional counts and the
+    closed-form PSI — no spine join, no second pass, and therefore
+    legal inside a Structured Streaming windowed aggregation (the
+    streaming lane wraps these exact expressions).
+
+    Output: ``(group_cols..., n, psi)`` — ``n`` counts the non-null
+    values scored; ``psi`` is NULL for a group with n = 0.
+    """
+    if ref["value_col"] not in df.columns:
+        raise DataFrameValidationError(
+            f"psi_score: missing column {ref['value_col']!r}"
+        )
+    missing = [c for c in (group_cols or []) if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"psi_score: missing columns {missing}")
+    aggs, finals = psi_aggs(ref)
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    out = grouped.agg(*aggs)
+    return out.select(*(group_cols or []), *finals)

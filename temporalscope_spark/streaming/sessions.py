@@ -439,3 +439,41 @@ def stream_near_dup_indexed(
         threshold=p["threshold"],
         hash_fn=p["hash_fn"],
     )
+
+
+def stream_psi_drift(
+    stream_df: DataFrame,
+    ref: dict,
+    time_col: str,
+    window_duration: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-event-time-window PSI drift monitor: score each tumbling
+    window of the stream against a TRAIN-fitted reference
+    (:func:`~temporalscope_spark.operators.drift.fit_psi_reference`) —
+    the production drift alarm (a window whose psi crosses 0.25 means
+    the serving distribution left the training distribution).
+
+    The aggregation is the EXACT expression set of the batch
+    :func:`~temporalscope_spark.operators.drift.psi_score`
+    (``psi_aggs`` — literal edges, conditional bin counts, closed-form
+    PSI), wrapped in a watermarked tumbling-window groupBy: bounded
+    state (bins+1 numbers per open window), append/complete both legal,
+    no joins. Batch/stream parity is therefore structural, and pinned
+    by the replay test.
+
+    Output: ``(window_start, window_end, n, psi)``.
+    """
+    from temporalscope_spark.operators.drift import psi_aggs
+
+    aggs, finals = psi_aggs(ref)
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window_duration).alias("_w"))
+        .agg(*aggs)
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            *finals,
+        )
+    )

@@ -151,3 +151,124 @@ class TestKsDrift:
         out = ks_drift(_events(spark, ref, cur), "value", "ts", SPLIT).collect()[0]
         # ECDFs: at v=1 ref=0.5 cur=0.25 -> D=0.25
         assert out["ks_stat"] == pytest.approx(0.25, abs=1e-9)
+
+
+class TestPsiScore:
+    """fit_psi_reference + psi_score (train→serve PSI): brute parity from
+    the fitted model, psi_drift composition equality, group lane,
+    degenerate groups."""
+
+    def _brute_psi(self, ref, vals):
+        counts = [0] * ref["bins"]
+        for v in vals:
+            b = 1 + sum(1 for e in ref["edges"] if v > e)
+            counts[b - 1] += 1
+        n = float(len(vals))
+        psi = 0.0
+        for b in range(ref["bins"]):
+            p = ref["ref_shares"][b]
+            q = max(counts[b] / n, EPS)
+            psi += (p - q) * math.log(p / q)
+        return psi
+
+    def test_fit_and_score_brute(self, spark):
+        from temporalscope_spark.operators.drift import (
+            fit_psi_reference,
+            psi_score,
+        )
+
+        ref_vals = [float(v) for v in range(100)]
+        cur_vals = [float(v) * 1.8 + 30 for v in range(50)]  # shifted
+        ref_df = _events(spark, ref_vals, [])
+        ref = fit_psi_reference(ref_df, "value", bins=5)
+        assert len(ref["edges"]) == 4 and ref["n_ref"] == 100
+        # uniform 0..99 into quintiles: every share 0.2
+        for s in ref["ref_shares"]:
+            assert s == pytest.approx(0.2, abs=1e-6)
+
+        cur_df = _events(spark, [], cur_vals)
+        row = psi_score(cur_df, ref).collect()[0]
+        assert row["n"] == 50
+        assert row["psi"] == pytest.approx(self._brute_psi(ref, cur_vals), abs=2e-6)
+
+    def test_identical_distribution_near_zero(self, spark):
+        from temporalscope_spark.operators.drift import (
+            fit_psi_reference,
+            psi_score,
+        )
+
+        vals = [float(v % 40) for v in range(200)]
+        df = _events(spark, vals, [])
+        ref = fit_psi_reference(df, "value", bins=4)
+        row = psi_score(df, ref).collect()[0]
+        assert abs(row["psi"]) < 1e-6
+
+    def test_composition_equals_psi_drift(self, spark):
+        """fit on the reference slice + score the current slice ==
+        psi_drift's psi_total on the same split (same edges, same floors,
+        same closed form) — the train→serve lane is the one-shot
+        diagnostic, factored."""
+        from temporalscope_spark.operators.drift import (
+            fit_psi_reference,
+            psi_drift,
+            psi_score,
+        )
+
+        ref_vals = [float(v % 37) for v in range(150)]
+        cur_vals = [float((v * 7) % 61) for v in range(90)]
+        df = _events(spark, ref_vals, cur_vals)
+        want = psi_drift(df, "value", "ts", SPLIT, bins=6).collect()[0]["psi_total"]
+        ref = fit_psi_reference(
+            df.filter(F.col("ts") < SPLIT), "value", bins=6
+        )
+        got = psi_score(df.filter(F.col("ts") >= SPLIT), ref).collect()[0]["psi"]
+        assert got == pytest.approx(want, abs=2e-6)
+
+    def test_group_lane_and_null_group(self, spark):
+        from temporalscope_spark.operators.drift import (
+            fit_psi_reference,
+            psi_score,
+        )
+
+        ref = fit_psi_reference(
+            _events(spark, [float(v) for v in range(50)], []), "value", bins=5
+        )
+        rows = [("a", float(v)) for v in range(25)] + [("b", None)] * 3
+        df = spark.createDataFrame(rows, ["g", "value"])
+        got = {r["g"]: r for r in psi_score(df, ref, group_cols=["g"]).collect()}
+        assert got["a"]["n"] == 25 and got["a"]["psi"] is not None
+        assert got["b"]["n"] == 0 and got["b"]["psi"] is None
+
+    def test_errors(self, spark):
+        from temporalscope_spark.operators.drift import (
+            fit_psi_reference,
+            psi_score,
+        )
+
+        df = _events(spark, [1.0, 2.0], [])
+        with pytest.raises(DataFrameValidationError, match=">= 2"):
+            fit_psi_reference(df, "value", bins=1)
+        with pytest.raises(DataFrameValidationError, match="missing column"):
+            fit_psi_reference(df, "nope")
+        ref = fit_psi_reference(df, "value", bins=2)
+        with pytest.raises(DataFrameValidationError, match="missing columns"):
+            psi_score(df, ref, group_cols=["nope"])
+        bad = df.select(F.col("value").alias("other"))
+        with pytest.raises(DataFrameValidationError, match="missing column"):
+            psi_score(bad, ref)
+
+    def test_single_aggregation_plan(self, spark):
+        from temporalscope_spark.operators.drift import (
+            fit_psi_reference,
+            psi_score,
+        )
+
+        df = _events(spark, [float(v) for v in range(30)], [])
+        ref = fit_psi_reference(df, "value", bins=5)
+        plan = (
+            psi_score(df, ref)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("Aggregate") == 1

@@ -439,3 +439,36 @@ def test_stream_feature_transforms_match_batch(spark, tmp_path):
     batch = transform(df).toPandas().sort_values("eid").reset_index(drop=True)
     assert list(streamed.columns) == list(batch.columns)
     assert streamed.equals(batch)
+
+
+def test_stream_psi_drift_matches_batch(spark, event_dir, tmp_path):
+    """Streaming windowed PSI == the same psi_aggs expressions grouped by
+    F.window on the static table — the drift monitor's parity contract."""
+    from temporalscope_spark.operators.drift import fit_psi_reference, psi_aggs
+    from temporalscope_spark.streaming.sessions import stream_psi_drift
+
+    d, df = event_dir
+    ref = fit_psi_reference(df, "v", bins=4)
+    streamed = replay_static_as_stream(
+        spark, d, df.schema,
+        lambda s: stream_psi_drift(
+            s, ref, "ts", window_duration="1 hour", watermark="0 seconds"
+        ),
+        "psi_out",
+    ).toPandas()
+    aggs, finals = psi_aggs(ref)
+    batch = (
+        df.groupBy(F.window("ts", "1 hour").alias("_w"))
+        .agg(*aggs)
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            *finals,
+        )
+        .toPandas()
+    )
+    a = streamed.sort_values("window_start").reset_index(drop=True)
+    b = batch.sort_values("window_start").reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 1
+    assert a["n"].equals(b["n"])
+    assert (a["psi"].fillna(-1) - b["psi"].fillna(-1)).abs().max() < 1e-9
