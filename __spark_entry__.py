@@ -2171,6 +2171,19 @@ def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dft_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user DFT magnitudes of `events.value` at the 3 lowest
+    frequencies (numpy fft convention, positions over the (ts, event_id)-
+    ordered non-null subsequence): one entity window for position+length,
+    one grouped trigonometric fold."""
+    from temporalscope_spark.operators.tsfeatures import dft_features
+
+    events = _t(spark, sf_dir, "events")
+    return dft_features(
+        events, "value", 3, time_col="ts", id_col="user_id", tiebreak_col="event_id"
+    )
+
+
 def q_fourier_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-period sin/cos time encodings (2 harmonics) of `events.ts` —
     a pure narrow projection (plan-tested exchange-free) that folds into
@@ -2786,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "acf_features": q_acf_features,
         "series_features": q_series_features,
+        "dft_features": q_dft_features,
         "fourier_time": q_fourier_time,
         "feature_relevance": q_feature_relevance,
         "numeric_relevance": q_numeric_relevance,
@@ -4736,6 +4750,33 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN m3 >= 1 AND s2 - s1 * s1 / n > 0 THEN
                    (cxy3 - s1 / n * (ca3 + cb3) + m3 * (s1 / n) * (s1 / n))
                        / (s2 - s1 * s1 / n) END, 6) + 0.0 AS acf_3
+        FROM m
+    """
+    # dft features: identical position/length windows + trig folds; the
+    # theta evaluation order (k * ((2π·pos)/n)) matches the engine
+    trig = ", ".join(
+        f"sum(x * cos({k} * (2 * pi() * pos / n))) AS re{k}, "
+        f"sum(-x * sin({k} * (2 * pi() * pos / n))) AS im{k}"
+        for k in (1, 2, 3)
+    )
+    mags = ", ".join(
+        f"round(CASE WHEN cnt > {k} THEN sqrt(re{k} * re{k} + im{k} * im{k}) "
+        f"END, 6) + 0.0 AS dft_mag_{k}"
+        for k in (1, 2, 3)
+    )
+    sql["dft_features"] = f"""
+        WITH b AS (
+            SELECT user_id, CAST(value AS DOUBLE) AS x,
+                   CAST(row_number() OVER w - 1 AS DOUBLE) AS pos,
+                   CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        m AS (
+            SELECT user_id, CAST(count(*) AS DOUBLE) AS cnt, {trig}
+            FROM b GROUP BY 1
+        )
+        SELECT user_id, CAST(cnt AS BIGINT) AS n_obs, {mags}
         FROM m
     """
     # series features: identical lag/lead/run-id/streak window chain;

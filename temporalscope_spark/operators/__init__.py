@@ -110,6 +110,7 @@ from temporalscope_spark.operators.tsfeatures import (
     fourier_time_features,
     seasonal_decompose,
     series_features,
+    dft_features,
 )
 from temporalscope_spark.operators.padding import (
     mean_fill_pad,
@@ -176,7 +177,7 @@ __all__ = [
     "pack_concat_chunks", "pack_greedy",
     "acf_features", "calendar_features", "entity_profile",
     "fourier_time_features", "recency_features", "trend_features",
-    "seasonal_decompose", "series_features",
+    "seasonal_decompose", "series_features", "dft_features",
     "feature_relevance", "numeric_relevance", "anova_f", "spearman_matrix",
     "correlation_matrix", "cooccurrence_pmi",
     "fit_quantile_edges", "quantile_bin", "winsorize",

@@ -24,6 +24,7 @@ Plan shapes (both 100 TB-safe):
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -239,6 +240,86 @@ def series_features(
         F.col("_dirch").cast("long").alias("n_dir_changes"),
         F.col("_maxrun").cast("long").alias("longest_inc_run"),
     )
+
+
+def dft_features(
+    df: DataFrame,
+    value_col: str,
+    n_coeffs: int = 3,
+    time_col: str = "event_time",
+    id_col: str = "doc_id",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-entity discrete-Fourier coefficients at the ``n_coeffs``
+    lowest positive frequencies over the time-ordered non-null series —
+    tsfresh's ``fft_coefficient`` / the periodogram screen a forecaster
+    runs to find dominant cycles. For frequency ``k``:
+
+        Re_k = Σ_t x_t · cos(2π·k·t/n),   Im_k = −Σ_t x_t · sin(2π·k·t/n)
+
+    with ``t`` the 0-based position in the entity's ordered series and
+    ``n`` its length (numpy ``fft.fft`` sign convention). Output per
+    frequency: magnitude ``|c_k| = √(Re²+Im²)``. ``dft_mag_k`` is NULL
+    when the series is shorter than ``k + 1`` points (the frequency is
+    not resolvable). Positions index the non-null SUBSEQUENCE — gaps
+    compress, the same convention as :func:`acf_features`; pass
+    ``tiebreak_col`` for determinism on duplicate timestamps.
+
+    Plan shape: ONE entity-keyed window computes the 0-based position
+    AND the series length (row_number + a whole-partition count sharing
+    the exchange), then ONE map-side-combinable ``groupBy(entity)``
+    folds all 2·K trigonometric sums. Output is entity-sized.
+
+    Output: ``(id, n_obs, dft_mag_1..dft_mag_K)``, floats rounded to 6.
+    """
+    if n_coeffs < 1:
+        raise DataFrameValidationError("n_coeffs must be >= 1")
+    if value_col not in df.columns:
+        raise DataFrameValidationError(f"dft_features: missing column {value_col!r}")
+    x = F.col(value_col).cast("double")
+    tb = [F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []
+    base = df.filter(x.isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        _time_micros(df, time_col).alias("_t"),
+        *tb,
+        x.alias("_x"),
+    )
+    order = ["_t", "_tb"] if tiebreak_col else ["_t"]
+    w = Window.partitionBy("_id").orderBy(*order)
+    wall = Window.partitionBy("_id")
+    pos = (F.row_number().over(w) - 1).cast("double")
+    n = F.count(F.lit(1)).over(wall).cast("double")
+    theta = F.lit(2.0 * math.pi) * pos / n
+    aggs = [F.count(F.lit(1)).cast("double").alias("_n")]
+    for k in range(1, n_coeffs + 1):
+        aggs += [
+            F.sum(F.col("_x") * F.cos(F.lit(float(k)) * F.col("_th"))).alias(
+                f"_re{k}"
+            ),
+            F.sum(-F.col("_x") * F.sin(F.lit(float(k)) * F.col("_th"))).alias(
+                f"_im{k}"
+            ),
+        ]
+    mom = (
+        base.select("_id", "_x", theta.alias("_th"))
+        .groupBy("_id")
+        .agg(*aggs)
+    )
+    out = [
+        F.col("_id").alias(id_col),
+        F.col("_n").cast("long").alias("n_obs"),
+    ]
+    for k in range(1, n_coeffs + 1):
+        mag = F.sqrt(
+            F.col(f"_re{k}") * F.col(f"_re{k}")
+            + F.col(f"_im{k}") * F.col(f"_im{k}")
+        )
+        out.append(
+            (F.round(F.when(F.col("_n") > k, mag), 6) + F.lit(0.0)).alias(
+                f"dft_mag_{k}"
+            )
+        )
+    return mom.select(*out)
 
 
 def seasonal_decompose(

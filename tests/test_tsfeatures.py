@@ -567,3 +567,96 @@ class TestSeriesFeatures:
         )
         assert plan.count("Exchange") <= 3
         assert "SinglePartition" not in plan
+
+
+class TestDftFeatures:
+    """dft_features: numpy fft parity, short-series gating, pure-tone
+    detection, determinism."""
+
+    def test_matches_numpy_fft(self, spark, series):
+        import numpy as np
+
+        from temporalscope_spark.operators.tsfeatures import dft_features
+
+        raw = series.collect()
+        got = {
+            r["uid"]: r
+            for r in dft_features(
+                series, "x", 3, time_col="t", id_col="uid"
+            ).collect()
+        }
+        for uid in (1, 2, 3, 5):
+            xs = np.array(
+                [
+                    float(r["x"])
+                    for r in sorted(raw, key=lambda r: (r["uid"], r["t"]))
+                    if r["uid"] == uid and r["x"] is not None
+                ]
+            )
+            want = np.abs(np.fft.fft(xs))
+            row = got[uid]
+            assert row["n_obs"] == len(xs)
+            for k in (1, 2, 3):
+                if len(xs) > k:
+                    assert row[f"dft_mag_{k}"] == pytest.approx(
+                        want[k], abs=2e-5
+                    ), (uid, k)
+                else:
+                    assert row[f"dft_mag_{k}"] is None, (uid, k)
+
+    def test_pure_tone_peaks_at_its_frequency(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.tsfeatures import dft_features
+
+        n = 32
+        xs = [math.sin(2 * math.pi * 2 * t / n) for t in range(n)]
+        df = spark.createDataFrame(
+            [(1, float(t), v) for t, v in enumerate(xs)], ["uid", "t", "x"]
+        )
+        row = dft_features(df, "x", 3, time_col="t", id_col="uid").collect()[0]
+        # a k=2 tone: |c_2| = n/2, other coefficients ~ 0
+        assert row["dft_mag_2"] == pytest.approx(n / 2, abs=1e-4)
+        assert row["dft_mag_1"] == pytest.approx(0.0, abs=1e-4)
+        assert row["dft_mag_3"] == pytest.approx(0.0, abs=1e-4)
+
+    def test_partition_invariance(self, spark, series):
+        from temporalscope_spark.operators.tsfeatures import dft_features
+
+        a = sorted(
+            map(
+                tuple,
+                dft_features(
+                    series.repartition(1), "x", 2, time_col="t", id_col="uid"
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                dft_features(
+                    series.repartition(8), "x", 2, time_col="t", id_col="uid"
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_errors(self, spark, series):
+        from temporalscope_spark.operators.tsfeatures import dft_features
+
+        with pytest.raises(DataFrameValidationError, match="n_coeffs"):
+            dft_features(series, "x", 0, time_col="t", id_col="uid")
+        with pytest.raises(DataFrameValidationError, match="missing column"):
+            dft_features(series, "nope", 2, time_col="t", id_col="uid")
+
+    def test_plan_shape(self, spark, series):
+        from temporalscope_spark.operators.tsfeatures import dft_features
+
+        plan = (
+            dft_features(series, "x", 3, time_col="t", id_col="uid")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= 2
+        assert "SinglePartition" not in plan
