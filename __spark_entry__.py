@@ -2029,6 +2029,88 @@ def _spearman_oracle() -> str:
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(rows)
 
 
+def _mrmr_oracle() -> str:
+    """Three greedy mRMR rounds unrolled as CTEs over the SAME rounded
+    moments the engine collects: `rel` = |rounded Pearson r| per feature,
+    `sym` = symmetric |rounded corr| pairs; each round is an argmax
+    (score DESC, feature ASC) over the not-yet-selected set."""
+    label = "CAST(value AS DOUBLE)"
+    cols = [
+        ("plen", "CAST(length(props) AS DOUBLE)"),
+        ("uvar", "CAST(user_id % 100 AS DOUBLE)"),
+        ("hod", "CAST(hour(ts) AS DOUBLE)"),
+        ("dow", "CAST(dayofweek(ts) + 1 AS DOUBLE)"),
+    ]
+
+    def moments(tag: str, ex: str, ey: str) -> tuple[list, str]:
+        both = f"({ex} IS NOT NULL AND {ey} IS NOT NULL)"
+        gx = f"CASE WHEN {both} THEN {ex} END"
+        gy = f"CASE WHEN {both} THEN {ey} END"
+        sels = [
+            f"CAST(count({gx}) AS DOUBLE) AS n_{tag}",
+            f"sum({gx}) AS sx_{tag}",
+            f"sum({gy}) AS sy_{tag}",
+            f"sum(({gx}) * ({gy})) AS sxy_{tag}",
+            f"sum(({gx}) * ({gx})) AS sxx_{tag}",
+            f"sum(({gy}) * ({gy})) AS syy_{tag}",
+        ]
+        cov = f"(sxy_{tag} - sx_{tag} * sy_{tag} / n_{tag})"
+        vx = f"(sxx_{tag} - sx_{tag} * sx_{tag} / n_{tag})"
+        vy = f"(syy_{tag} - sy_{tag} * sy_{tag} / n_{tag})"
+        r = (
+            f"round(CASE WHEN n_{tag} >= 2 AND {vx} > 0 AND {vy} > 0 "
+            f"THEN {cov} / sqrt({vx} * {vy}) END, 6)"
+        )
+        return sels, r
+
+    sels, rel_rows, pair_rows = [], [], []
+    for i, (ni, ei) in enumerate(cols):
+        s, r = moments(f"y{i}", ei, label)
+        sels += s
+        rel_rows.append(
+            f"SELECT '{ni}' AS feature, abs({r}) AS rel FROM m "
+            f"WHERE {r} IS NOT NULL"
+        )
+        for jdx in range(i + 1, len(cols)):
+            nj, ej = cols[jdx]
+            s, r = moments(f"p{i}_{jdx}", ei, ej)
+            sels += s
+            pair_rows.append(
+                f"SELECT '{ni}' AS a, '{nj}' AS b, "
+                f"coalesce(abs({r}), 0.0) AS c FROM m"
+            )
+    return f"""
+        WITH m AS (SELECT {", ".join(sels)} FROM events),
+        rel AS ({" UNION ALL ".join(rel_rows)}),
+        half AS ({" UNION ALL ".join(pair_rows)}),
+        sym AS (SELECT a, b, c FROM half
+                UNION ALL SELECT b, a, c FROM half),
+        s1 AS (SELECT feature AS f, rel, 0.0 AS red, rel AS score
+               FROM rel ORDER BY rel DESC, feature LIMIT 1),
+        c2 AS (SELECT r.feature, r.rel, coalesce(y.c, 0.0) AS red
+               FROM rel r
+               LEFT JOIN sym y ON y.a = r.feature AND y.b = (SELECT f FROM s1)
+               WHERE r.feature != (SELECT f FROM s1)),
+        s2 AS (SELECT feature AS f, rel, red, rel - red AS score
+               FROM c2 ORDER BY (rel - red) DESC, feature LIMIT 1),
+        c3 AS (SELECT r.feature, r.rel,
+                      (coalesce(y1.c, 0.0) + coalesce(y2.c, 0.0)) / 2 AS red
+               FROM rel r
+               LEFT JOIN sym y1 ON y1.a = r.feature AND y1.b = (SELECT f FROM s1)
+               LEFT JOIN sym y2 ON y2.a = r.feature AND y2.b = (SELECT f FROM s2)
+               WHERE r.feature != (SELECT f FROM s1)
+                 AND r.feature != (SELECT f FROM s2)),
+        s3 AS (SELECT feature AS f, rel, red, rel - red AS score
+               FROM c3 ORDER BY (rel - red) DESC, feature LIMIT 1)
+        SELECT 1 AS rank, f AS feature, round(rel, 6) AS relevance,
+               round(red, 6) AS redundancy, round(score, 6) AS score FROM s1
+        UNION ALL
+        SELECT 2, f, round(rel, 6), round(red, 6), round(score, 6) FROM s2
+        UNION ALL
+        SELECT 3, f, round(rel, 6), round(red, 6), round(score, 6) FROM s3
+    """
+
+
 def _gopher_oracle() -> str:
     """DuckDB replay of q_gopher_rules: grams via UNNEST(generate_series) +
     list_slice (the dup_span_stats idiom), top gram via ORDER BY cnt DESC,
@@ -2296,6 +2378,26 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     return anova_f(events, ["value", "plen"], "event_type")
+
+
+def q_mrmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy mRMR selection of 3 of 4 numeric features against
+    `events.value`: relevance + p×p redundancy each from ONE bounded
+    aggregation, the greedy loop driver-side over those tables. Oracle =
+    the three rounds unrolled as CTEs (argmax with the same name
+    tie-break) over the identical rounded moments."""
+    from temporalscope_spark.operators.relevance import select_features_mrmr
+
+    events = _t(spark, sf_dir, "events").select(
+        "value",
+        F.length("props").cast("double").alias("plen"),
+        (F.col("user_id") % 100).cast("double").alias("uvar"),
+        F.hour("ts").cast("double").alias("hod"),
+        F.dayofweek("ts").cast("double").alias("dow"),
+    )
+    return select_features_mrmr(
+        events, ["plen", "uvar", "hod", "dow"], "value", k=3
+    )
 
 
 def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2805,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_relevance": q_numeric_relevance,
         "anova_f": q_anova_f,
         "spearman_matrix": q_spearman,
+        "mrmr_select": q_mrmr_select,
         "correlation_matrix": q_correlation_matrix,
         "quantile_bin": q_quantile_bin,
         "winsorize": q_winsorize,
@@ -4530,6 +4633,7 @@ def oracle_sql() -> dict[str, str]:
     sql["correlation_matrix"] = _corr_matrix_oracle()
     sql["numeric_relevance"] = _numeric_relevance_oracle()
     sql["spearman_matrix"] = _spearman_oracle()
+    sql["mrmr_select"] = _mrmr_oracle()
     # anova_f: melt -> class-moment table -> totals + between/within SS;
     # the same gates and evaluation order as the engine fold
     sql["anova_f"] = """

@@ -99,6 +99,7 @@ from temporalscope_spark.operators.relevance import (
     correlation_matrix,
     feature_relevance,
     numeric_relevance,
+    select_features_mrmr,
     spearman_matrix,
 )
 from temporalscope_spark.operators.tsfeatures import (
@@ -179,6 +180,7 @@ __all__ = [
     "fourier_time_features", "recency_features", "trend_features",
     "seasonal_decompose", "series_features", "dft_features",
     "feature_relevance", "numeric_relevance", "anova_f", "spearman_matrix",
+    "select_features_mrmr",
     "correlation_matrix", "cooccurrence_pmi",
     "fit_quantile_edges", "quantile_bin", "winsorize",
     "ecdf_feature", "fit_scaler", "mad_outliers", "moment_profile",

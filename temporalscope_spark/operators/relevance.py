@@ -469,3 +469,75 @@ def correlation_matrix(
             )
         )
     return one.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+
+
+def select_features_mrmr(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    k: int,
+) -> DataFrame:
+    """Greedy mRMR feature selection (Peng et al. 2005, the
+    max-relevance / min-redundancy screen): rank ``k`` features where
+    round ``i`` picks the unselected feature maximizing
+
+        score(f) = relevance(f) − mean_{s ∈ selected} |corr(f, s)|
+
+    with relevance = |Pearson r to the label| (:func:`numeric_relevance`)
+    and redundancy from the pairwise matrix (:func:`correlation_matrix`).
+    Ties break on the feature name ascending. Features with NULL
+    relevance (constant columns) are excluded up front; a NULL pairwise
+    correlation contributes 0 redundancy. Scores compose the two
+    operators' ROUNDED (1e-6) outputs, so the selection is
+    engine-portable and exactly replayable in SQL.
+
+    Plan shape: the corpus is touched exactly TWICE (one gated-moment
+    aggregation each for relevance and the p×p matrix — both 1-row
+    results); the greedy loop runs on the driver over those bounded
+    tables (p ≤ tens), never over rows.
+
+    Output: ``(rank, feature, relevance, redundancy, score)`` for the
+    ``min(k, viable)`` selected features, floats rounded to 6.
+    """
+    if k < 1:
+        raise DataFrameValidationError("select_features_mrmr: k must be >= 1")
+    rel_rows = numeric_relevance(df, feature_cols, label_col).collect()
+    rel = {
+        r["feature"]: abs(r["pearson_r"])
+        for r in rel_rows
+        if r["pearson_r"] is not None
+    }
+    if len(feature_cols) >= 2:
+        corr_rows = correlation_matrix(df, feature_cols).collect()
+        sym = {}
+        for r in corr_rows:
+            c = abs(r["corr"]) if r["corr"] is not None else 0.0
+            sym[(r["f1"], r["f2"])] = c
+            sym[(r["f2"], r["f1"])] = c
+    else:
+        sym = {}
+
+    selected: list[tuple[str, float, float, float]] = []
+    remaining = sorted(rel)
+    while remaining and len(selected) < k:
+        best = None
+        for f in remaining:  # ascending name = deterministic tie-break
+            red = (
+                sum(sym.get((f, s[0]), 0.0) for s in selected) / len(selected)
+                if selected
+                else 0.0
+            )
+            score = rel[f] - red
+            if best is None or score > best[3]:
+                best = (f, rel[f], red, score)
+        selected.append(best)
+        remaining.remove(best[0])
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (i + 1, f, round(r, 6), round(red, 6), round(sc, 6))
+            for i, (f, r, red, sc) in enumerate(selected)
+        ],
+        "rank INT, feature STRING, relevance DOUBLE, redundancy DOUBLE, score DOUBLE",
+    )

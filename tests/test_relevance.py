@@ -422,3 +422,98 @@ class TestSpearman:
             spearman_matrix(df, ["x"])
         with pytest.raises(DataFrameValidationError, match="missing columns"):
             spearman_matrix(df, ["x", "nope"])
+
+
+class TestMrmr:
+    """select_features_mrmr: redundancy beats raw relevance (the mRMR
+    signature), viability gating, determinism."""
+
+    @pytest.fixture
+    def mdf(self, spark):
+        rng = np.random.default_rng(5)
+        n = 400
+        y = rng.normal(size=n)
+        x1 = y + rng.normal(scale=0.3, size=n)         # strong
+        x2 = x1 + rng.normal(scale=0.05, size=n)       # near-duplicate of x1
+        x3 = 0.5 * y + rng.normal(scale=1.0, size=n)   # moderate, independent
+        return spark.createDataFrame(
+            [
+                (float(a), float(b), float(c), 5.0, float(t))
+                for a, b, c, t in zip(x1, x2, x3, y)
+            ],
+            ["x1", "x2", "x3", "xconst", "y"],
+        )
+
+    def test_redundancy_penalty(self, spark, mdf):
+        from temporalscope_spark.operators.relevance import select_features_mrmr
+
+        got = select_features_mrmr(mdf, ["x1", "x2", "x3"], "y", k=2).collect()
+        assert [r["feature"] for r in got] == ["x1", "x3"]
+        assert got[0]["rank"] == 1 and got[0]["redundancy"] == 0.0
+        assert got[0]["score"] == got[0]["relevance"]
+        # x2 (near-dup) individually outranks x3 — the penalty flipped it
+        from temporalscope_spark.operators.relevance import numeric_relevance
+
+        rel = {
+            r["feature"]: abs(r["pearson_r"])
+            for r in numeric_relevance(mdf, ["x2", "x3"], "y").collect()
+        }
+        assert rel["x2"] > rel["x3"]
+
+    def test_constant_excluded_and_k_capped(self, spark, mdf):
+        from temporalscope_spark.operators.relevance import select_features_mrmr
+
+        got = select_features_mrmr(
+            mdf, ["x1", "x2", "x3", "xconst"], "y", k=10
+        ).collect()
+        names = [r["feature"] for r in got]
+        assert "xconst" not in names and len(names) == 3
+        assert [r["rank"] for r in got] == [1, 2, 3]
+
+    def test_greedy_replay(self, spark, mdf):
+        """The selection replays exactly from the two collected tables."""
+        from temporalscope_spark.operators.relevance import (
+            correlation_matrix,
+            numeric_relevance,
+            select_features_mrmr,
+        )
+
+        cols = ["x1", "x2", "x3"]
+        rel = {
+            r["feature"]: abs(r["pearson_r"])
+            for r in numeric_relevance(mdf, cols, "y").collect()
+        }
+        sym = {}
+        for r in correlation_matrix(mdf, cols).collect():
+            sym[(r["f1"], r["f2"])] = abs(r["corr"])
+            sym[(r["f2"], r["f1"])] = abs(r["corr"])
+        sel = []
+        remaining = sorted(rel)
+        while remaining:
+            best = max(
+                remaining,
+                key=lambda f: (
+                    rel[f]
+                    - (
+                        sum(sym.get((f, s), 0.0) for s in sel) / len(sel)
+                        if sel
+                        else 0.0
+                    ),
+                    # max() keeps the FIRST of ties; remaining is sorted asc
+                ),
+            )
+            sel.append(best)
+            remaining.remove(best)
+        got = [
+            r["feature"]
+            for r in select_features_mrmr(mdf, cols, "y", k=3).collect()
+        ]
+        assert got == sel
+
+    def test_errors(self, spark, mdf):
+        from temporalscope_spark.operators.relevance import select_features_mrmr
+
+        with pytest.raises(DataFrameValidationError, match="k must be"):
+            select_features_mrmr(mdf, ["x1"], "y", k=0)
+        with pytest.raises(DataFrameValidationError, match="missing columns"):
+            select_features_mrmr(mdf, ["nope"], "y", k=1)
