@@ -135,6 +135,36 @@ def main() -> None:
     assert lag24 > 0.8, lag24
     print(f"mean per-user acf_24 = {lag24:.3f} (daily cycle confirmed)")
 
+    # 6c. tsfresh battery + DFT periodogram over each user's first 24
+    # observations: the daily sine sampled at this cadence completes two
+    # cycles in that window, so the k=2 DFT magnitude dominates k=1/k=3
+    # and the battery sees roughly one peak per cycle
+    from temporalscope_spark.operators.tsfeatures import (
+        dft_features,
+        series_features,
+    )
+
+    head = ev.filter(F.col("event_id") < 24 * users)
+    drow = dft_features(
+        head, "value", 3, time_col="ts", id_col="user_id",
+        tiebreak_col="event_id",
+    ).agg(
+        F.avg("dft_mag_1").alias("m1"),
+        F.avg("dft_mag_2").alias("m2"),
+        F.avg("dft_mag_3").alias("m3"),
+    ).collect()[0]
+    assert drow["m2"] > 3 * max(drow["m1"], drow["m3"]), drow
+    print(
+        f"DFT periodogram: |c2| {drow['m2']:.1f} >> |c1| {drow['m1']:.1f}, "
+        f"|c3| {drow['m3']:.1f} (two cycles per window)"
+    )
+    battery = series_features(
+        head, "value", time_col="ts", id_col="user_id", tiebreak_col="event_id"
+    )
+    peaks = battery.agg(F.avg("n_peaks")).collect()[0][0]
+    assert 1.5 <= peaks <= 6.0, peaks
+    print(f"series battery: mean n_peaks per user = {peaks:.2f}")
+
     # 6b. out-of-fold target encoding of the hour-of-day: each row's
     # encoding comes from the OTHER folds, so it carries the hour→label
     # signal without the row seeing its own label
@@ -186,6 +216,40 @@ def main() -> None:
         round(cm[("value", "value_wins")], 3),
     )
 
+    # 8b. monotone-robust screen: value vs its exponential is a nonlinear
+    # but strictly monotone pair — Spearman calls it 1.0 (identical
+    # ranks), Pearson visibly less (curvature costs linear correlation)
+    from temporalscope_spark.operators.relevance import (
+        select_features_mrmr,
+        spearman_matrix,
+    )
+
+    mono = ev.withColumn("vexp", F.exp(F.col("value_wins") / 10.0))
+    sp = {
+        (r["f1"], r["f2"]): r["rho"]
+        for r in spearman_matrix(mono, ["value_wins", "vexp"]).collect()
+    }
+    assert sp[("value_wins", "vexp")] > 0.999999, sp
+    assert cm[("value", "value_wins")] < sp[("value_wins", "vexp")]
+    print(
+        "monotone screen: spearman(value_wins, exp) =",
+        round(sp[("value_wins", "vexp")], 6),
+    )
+
+    # 8c. mRMR selection: the unit twin carries the same relevance as its
+    # source, so whichever of the pair goes first, the OTHER must not be
+    # picked second — the redundancy penalty forces the weaker-but-novel
+    # hour feature in between
+    mr = ev.withColumn("hod_d", F.hour("ts").cast("double"))
+    picked = [
+        r["feature"]
+        for r in select_features_mrmr(
+            mr, ["value_wins", "value_pct", "hod_d"], "y", k=2
+        ).collect()
+    ]
+    assert set(picked) != {"value_wins", "value_pct"}, picked
+    print(f"mRMR: picked {picked} (unit twin excluded at rank 2)")
+
     # 9. drift gate: the planted level shift starts at row 0.8·n — split
     # the PSI windows at that boundary (reference = clean history,
     # current = the shifted tail; a mid-history split would dilute the
@@ -196,6 +260,17 @@ def main() -> None:
     psi = psi_drift(ev, "value_wins", "ts", drift_ts).collect()[0]["psi_total"]
     assert psi > 0.1, psi
     print(f"drift gate: PSI across {drift_ts} = {psi:.3f} (> 0.1, shift caught)")
+
+    # 9b. the SERVE lane of the same gate: freeze the reference on the
+    # clean history, score the tail against the frozen model — identical
+    # verdict to the one-shot diagnostic (this is what the streaming
+    # monitor runs per window)
+    from temporalscope_spark.operators.drift import fit_psi_reference, psi_score
+
+    refm = fit_psi_reference(ev.filter(F.col("ts") < drift_ts), "value_wins")
+    served = psi_score(ev.filter(F.col("ts") >= drift_ts), refm).collect()[0]
+    assert abs(served["psi"] - psi) < 1e-6, (served["psi"], psi)
+    print(f"serve-lane PSI (frozen reference) = {served['psi']:.3f} (== one-shot)")
 
     # 10. standard-scale the surviving features on the TRAIN slice, then
     # IRLS logistic on the engineered features (sin/cos + rolling mean)
