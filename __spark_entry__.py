@@ -2467,6 +2467,78 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(events, "value", "ts", _DRIFT_SPLIT, bins=10)
 
 
+def _scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (score, label) pair over events for the metric
+    queries: label = value > 35 (its median ≈ 34.6, so both classes are
+    populated), score = a logistic transform of value plus md5-portable
+    noise, quantized to the 0.01 grid so the tie handling is exercised."""
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#7"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("value") - 35.0) / 30.0))
+    score = F.round(
+        F.least(
+            F.greatest(sig + (u - 0.5) * 0.4, F.lit(0.0)), F.lit(1.0)
+        ),
+        2,
+    )
+    return ev.select(
+        score.alias("score"), (F.col("value") > 35.0).cast("int").alias("y")
+    )
+
+
+_SCORED_SQL = """
+        scored AS (
+            SELECT round(least(greatest(
+                       1.0 / (1.0 + exp(-(CAST(value AS DOUBLE) - 35.0) / 30.0))
+                       + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                              || '#7'), 1, 8)) AS BIGINT) / 4294967296.0
+                          - 0.5) * 0.4,
+                   0.0), 1.0), 2) AS score,
+                   CAST(CAST(value AS DOUBLE) > 35.0 AS INT) AS y
+            FROM events
+        )"""
+
+
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the deterministic score vs its label: Mann-Whitney
+    rank-sum over AVERAGE ranks from the two-phase global cumsum — no
+    global sort, no score collection; ties (the 0.01 score grid) get the
+    trapezoidal correction."""
+    from temporalscope_spark.metrics.classification import auc_roc
+
+    return auc_roc(_scored_events(spark, sf_dir), "score", "y")
+
+
+def q_reliability_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration bins of the score: fixed-width probability bins, one
+    map-side-combinable aggregation, per-bin mean score vs positive rate."""
+    from temporalscope_spark.metrics.classification import reliability_curve
+
+    return reliability_curve(_scored_events(spark, sf_dir), "score", "y")
+
+
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gain table on exact score-percentile bands: one edge
+    aggregate (driver literals), one conditional-count pass, cumulative
+    capture over the bounded 10-row band table."""
+    from temporalscope_spark.metrics.classification import lift_table
+
+    return lift_table(_scored_events(spark, sf_dir), "score", "y")
+
+
 def q_psi_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train→serve PSI: fit the reference (edges + floored shares) on the
     pre-split slice of `events.value`, then score the post-split slice
@@ -2896,6 +2968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "psi_drift": q_psi_drift,
         "psi_score": q_psi_score,
+        "auc_roc": q_auc_roc,
+        "reliability_curve": q_reliability_curve,
+        "lift_table": q_lift_table,
         "ks_drift": q_ks_drift,
         "delta_features": q_delta_features,
         "rolling_corr": q_rolling_corr,
@@ -4939,6 +5014,83 @@ def oracle_sql() -> dict[str, str]:
                CAST(dirch AS BIGINT) AS n_dir_changes,
                CAST(maxrun AS BIGINT) AS longest_inc_run
         FROM m
+    """
+    # classification metrics over the deterministic (score, label) pair:
+    # AUC via avg-rank cumulative (python round = half-even = DuckDB),
+    # reliability via fixed-width bins, lift via quantile_cont bands
+    sql["auc_roc"] = f"""
+        WITH {_SCORED_SQL},
+        vals AS (
+            SELECT score AS v, CAST(count(*) AS DOUBLE) AS c,
+                   sum(CAST(y AS DOUBLE)) AS p
+            FROM scored GROUP BY 1
+        ),
+        cum AS (
+            SELECT v, c, p, sum(c) OVER (ORDER BY v) AS cc FROM vals
+        ),
+        agg AS (
+            SELECT sum(p) AS np, sum(c - p) AS nn,
+                   sum(p * (cc - c + (c + 1) / 2.0)) AS rp
+            FROM cum
+        )
+        SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+               round((rp - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+        FROM agg
+    """
+    sql["reliability_curve"] = f"""
+        WITH {_SCORED_SQL},
+        b AS (
+            SELECT least(greatest(CAST(floor(score * 10) AS INT) + 1, 1), 10)
+                       AS bin,
+                   count(*) AS n, avg(score) AS ms,
+                   avg(CAST(y AS DOUBLE)) AS fp
+            FROM scored GROUP BY 1
+        )
+        SELECT bin, CAST(bin - 1 AS DOUBLE) / 10 AS lo,
+               CAST(bin AS DOUBLE) / 10 AS hi, n,
+               round(ms, 6) + 0.0 AS mean_score,
+               round(fp, 6) + 0.0 AS frac_pos,
+               round(fp - ms, 6) + 0.0 AS gap
+        FROM b
+    """
+    sql["lift_table"] = f"""
+        WITH {_SCORED_SQL},
+        edges AS (
+            SELECT list_transform(
+                quantile_cont(score, {[i / 10 for i in range(1, 10)]}),
+                e -> round(e, 6)) AS e
+            FROM scored
+        ),
+        banded AS (
+            SELECT 11 - (1 + len(list_filter(edges.e, x -> score > x)))
+                       AS decile,
+                   CAST(y AS DOUBLE) AS y
+            FROM scored, edges
+        ),
+        bands AS (
+            SELECT decile, count(*) AS n, sum(y) AS pos
+            FROM banded GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(n) AS DOUBLE) AS tn, sum(pos) AS tp FROM bands
+        ),
+        cum AS (
+            SELECT decile, n, pos,
+                   sum(pos) OVER (ORDER BY decile) AS cpos,
+                   CAST(sum(n) OVER (ORDER BY decile) AS DOUBLE) AS cn
+            FROM bands
+        )
+        SELECT c.decile,
+               CASE WHEN c.decile <= 9 THEN edges.e[10 - c.decile] END AS lo,
+               CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS n_pos,
+               round(pos / n, 6) + 0.0 AS pos_rate,
+               round(CASE WHEN tp / tn > 0 THEN (pos / n) / (tp / tn) END, 6)
+                   + 0.0 AS lift,
+               round(CASE WHEN tp > 0 THEN cpos / tp END, 6) + 0.0
+                   AS cum_capture,
+               round(CASE WHEN tp / tn > 0 THEN (cpos / cn) / (tp / tn)
+                     END, 6) + 0.0 AS cum_lift
+        FROM cum c, edges, tot
     """
     # psi_score: the fitted model replayed relationally — reference edges
     # via quantile_cont (type-7 equivalence), reference shares floored at

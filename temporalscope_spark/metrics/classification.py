@@ -1,0 +1,226 @@
+"""Classification evaluation metrics: exact ROC AUC, reliability curve,
+decile lift/gain table.
+
+The engine trains gate models (modeling/logistic.py IRLS, the quality
+classifier) and scores corpora with them; evaluating those scores at corpus
+scale needs the standard metric battery WITHOUT collecting scores to the
+driver (sklearn's ``roc_auc_score`` sorts the whole array in memory — a
+non-starter at 100 TB). The reference has no model-evaluation surface
+(its trainer modules are commented out); this module is the engine's
+completion of that story.
+
+Plan shapes (all 100 TB-safe):
+
+* ``auc_roc`` — the Mann–Whitney rank-sum identity
+  ``AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` with ``R⁺`` the sum of the
+  positives' AVERAGE ranks. Ranks come from the distinct-score table via
+  the quantile-bucket two-phase running sum
+  (``plans/rownum.with_global_cumsum`` — the Spearman machinery, NO
+  single-partition window, NO global sort), and average ranks make the
+  tie handling exactly the trapezoidal correction sklearn applies.
+* ``reliability_curve`` — fixed-width probability bins, ONE map-side-
+  combinable aggregation (the calibration diagnostic for a trained gate).
+* ``lift_table`` — exact score-percentile edges (driver literals), one
+  conditional-count aggregation, cumulative capture over the BOUNDED
+  ``deciles``-row table (the one window in this module runs over ≤ B
+  rows by construction — never data-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+
+
+def _checked(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    for c in (score_col, label_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"missing column {c!r}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    return df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("_s"), y.alias("_y")
+    )
+
+
+def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC of a score column against a 0/1 label.
+
+    Mann–Whitney identity over AVERAGE ranks of the score (ties get the
+    mean of their positions — identical to sklearn's trapezoidal ROC).
+    Rows where either side is NULL are excluded; a label outside {0, 1},
+    or a single-class label, raises.
+
+    The distinct-score table (one map-side-combinable aggregation)
+    carries (count, positive count) per value; average ranks come from
+    the two-phase global running sum, and ONE bounded fold produces the
+    scalar — two bounded driver actions, no global sort, no
+    score-vector collection.
+
+    Output: one row ``(n_pos, n_neg, auc)``, auc rounded to 6.
+    """
+    from temporalscope_spark.plans.rownum import with_global_cumsum
+
+    base = _checked(df, score_col, label_col)
+    vals = base.groupBy(F.col("_s").alias("_v")).agg(
+        F.count(F.lit(1)).cast("double").alias("_c"),
+        F.sum("_y").alias("_p"),
+        F.max(
+            F.when((F.col("_y") != 0.0) & (F.col("_y") != 1.0), 1).otherwise(0)
+        ).alias("_bad"),
+    )
+    cum = with_global_cumsum(vals, ["_v"], ["_c"])
+    avg_rank = F.col("_c_cum") - F.col("_c") + (F.col("_c") + 1) / 2.0
+    row = cum.agg(
+        F.sum("_p").alias("_np"),
+        F.sum(F.col("_c") - F.col("_p")).alias("_nn"),
+        F.sum(F.col("_p") * avg_rank).alias("_rp"),
+        F.max("_bad").alias("_anybad"),
+    ).collect()[0]
+    if row["_anybad"] is None:
+        raise DataFrameValidationError("auc_roc: no scorable rows")
+    if row["_anybad"]:
+        raise DataFrameValidationError(f"auc_roc: label {label_col!r} must be 0/1")
+    n_pos, n_neg = float(row["_np"]), float(row["_nn"])
+    if n_pos == 0.0 or n_neg == 0.0:
+        raise DataFrameValidationError("auc_roc: label needs both classes present")
+    auc = (float(row["_rp"]) - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    return df.sparkSession.createDataFrame(
+        [(int(n_pos), int(n_neg), round(auc, 6))],
+        "n_pos LONG, n_neg LONG, auc DOUBLE",
+    )
+
+
+def reliability_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Calibration (reliability) curve of a probability score in [0, 1]
+    against a 0/1 label: fixed-width bins ``[(b−1)/B, b/B)`` (scores of
+    exactly 1.0 land in the top bin), per bin the mean predicted
+    probability vs the observed positive rate, and their gap — the
+    per-bin view of expected calibration error. A perfectly calibrated
+    model has ``gap ≈ 0`` everywhere.
+
+    ONE map-side-combinable aggregation over a narrow projection; empty
+    bins are simply absent (a bounded spine join adds nothing a caller
+    can't see from the bin ids). Rows with a NULL on either side are
+    excluded; scores outside [0, 1] are clamped into the edge bins
+    (documented — a probability column that needs clamping is the
+    caller's bug, not silently hidden: ``mean_score`` will sit outside
+    the bin range and the gap exposes it).
+
+    Output: ``(bin, lo, hi, n, mean_score, frac_pos, gap)`` per
+    non-empty bin, floats rounded to 6.
+    """
+    if bins < 2:
+        raise DataFrameValidationError("reliability_curve: bins must be >= 2")
+    base = _checked(df, score_col, label_col)
+    b = F.least(
+        F.greatest(F.floor(F.col("_s") * bins).cast("int") + 1, F.lit(1)),
+        F.lit(bins),
+    )
+    out = (
+        base.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("_s").alias("_ms"),
+            F.avg("_y").alias("_fp"),
+        )
+        .select(
+            "bin",
+            ((F.col("bin") - 1).cast("double") / bins).alias("lo"),
+            (F.col("bin").cast("double") / bins).alias("hi"),
+            "n",
+            (F.round("_ms", 6) + F.lit(0.0)).alias("mean_score"),
+            (F.round("_fp", 6) + F.lit(0.0)).alias("frac_pos"),
+            (F.round(F.col("_fp") - F.col("_ms"), 6) + F.lit(0.0)).alias("gap"),
+        )
+    )
+    return out
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    deciles: int = 10,
+) -> DataFrame:
+    """Decile lift/gain table — the scorecard view of a ranking model:
+    rows are score bands from the TOP (decile 1 = highest scores) built
+    on exact score percentiles; per band the positive rate, its lift
+    over the base rate, the cumulative capture of all positives, and
+    cumulative lift.
+
+    Edges are exact ``percentile`` values quantized to 1e-6 (the
+    ``psi_drift`` convention; heavy ties can collapse a band — the
+    collapsed decile is absent, documented). One edge aggregate (driver
+    literals), ONE conditional-count aggregation over the corpus, then
+    the cumulative pass runs over the BOUNDED ``deciles``-row band
+    table — the single ordered window in this module, over ≤ B rows by
+    construction.
+
+    Output: ``(decile, lo, n, n_pos, pos_rate, lift, cum_capture,
+    cum_lift)`` per non-empty band, floats rounded to 6.
+    """
+    if deciles < 2:
+        raise DataFrameValidationError("lift_table: deciles must be >= 2")
+    base = _checked(df, score_col, label_col)
+    probs = F.array(*[F.lit(i / deciles) for i in range(1, deciles)])
+    edge_row = base.agg(F.percentile("_s", probs).alias("_e")).collect()[0]["_e"]
+    if edge_row is None:
+        raise DataFrameValidationError("lift_table: no scorable rows")
+    edges = [round(float(e), 6) for e in edge_row]
+    earr = F.array(*[F.lit(e) for e in edges])
+    # ascending bin 1..B, then flip so decile 1 = top scores
+    asc = F.aggregate(
+        earr, F.lit(1), lambda acc, e: acc + (F.col("_s") > e).cast("int")
+    )
+    bands = (
+        base.groupBy((F.lit(deciles + 1) - asc).alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("_pos"),
+        )
+    )
+    # edges[i] is the (i+1)/B percentile = the lower edge of ascending
+    # bin i+2 = the lower edge of decile B−1−i; decile B is open below
+    lo_map = F.create_map(
+        *[F.lit(x) for i, e in enumerate(edges) for x in (deciles - 1 - i, e)]
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n = F.col("n").cast("double")
+    pos = F.col("_pos")
+    tot_n = F.sum("n").over(tot).cast("double")
+    tot_pos = F.sum("_pos").over(tot)
+    rate = pos / n
+    base_rate = tot_pos / tot_n
+    cum_pos = F.sum("_pos").over(w)
+    cum_n = F.sum("n").over(w).cast("double")
+    return bands.select(
+        "decile",
+        F.element_at(lo_map, F.col("decile")).alias("lo"),
+        "n",
+        pos.cast("long").alias("n_pos"),
+        (F.round(rate, 6) + F.lit(0.0)).alias("pos_rate"),
+        (
+            F.round(F.when(base_rate > 0, rate / base_rate), 6) + F.lit(0.0)
+        ).alias("lift"),
+        (
+            F.round(F.when(tot_pos > 0, cum_pos / tot_pos), 6) + F.lit(0.0)
+        ).alias("cum_capture"),
+        (
+            F.round(
+                F.when(base_rate > 0, (cum_pos / cum_n) / base_rate), 6
+            )
+            + F.lit(0.0)
+        ).alias("cum_lift"),
+    )
