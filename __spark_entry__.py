@@ -2253,6 +2253,24 @@ def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival/churn label: per event, seconds until the user's NEXT
+    purchase (strictly forward, NULL = right-censored after the last
+    one) — a reverse running min of the gated timestamp over one
+    entity-keyed window, tie order pinned by event_id."""
+    from temporalscope_spark.operators.shift import time_to_event
+
+    events = _t(spark, sf_dir, "events")
+    out = time_to_event(
+        events,
+        "ts",
+        F.col("event_type") == "purchase",
+        id_col="user_id",
+        order_cols=["event_id"],
+    )
+    return out.select("event_id", "tte_seconds")
+
+
 def q_dft_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user DFT magnitudes of `events.value` at the 3 lowest
     frequencies (numpy fft convention, positions over the (ts, event_id)-
@@ -2977,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_features": q_acf_features,
         "series_features": q_series_features,
         "dft_features": q_dft_features,
+        "time_to_event": q_time_to_event,
         "fourier_time": q_fourier_time,
         "feature_relevance": q_feature_relevance,
         "numeric_relevance": q_numeric_relevance,
@@ -4930,6 +4949,24 @@ def oracle_sql() -> dict[str, str]:
                    (cxy3 - s1 / n * (ca3 + cb3) + m3 * (s1 / n) * (s1 / n))
                        / (s2 - s1 * s1 / n) END, 6) + 0.0 AS acf_3
         FROM m
+    """
+    # time-to-event: the same gated reverse running min (strictly-after
+    # frame), epoch seconds = µs/1e6 in both engines
+    sql["time_to_event"] = """
+        WITH b AS (
+            SELECT event_id, user_id, ts, event_type,
+                   CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t
+            FROM events
+        ),
+        w AS (
+            SELECT event_id, t,
+                   min(CASE WHEN event_type = 'purchase' THEN t END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS nt
+            FROM b
+        )
+        SELECT event_id, round(nt - t, 6) + 0.0 AS tte_seconds FROM w
     """
     # dft features: identical position/length windows + trig folds; the
     # theta evaluation order (k * ((2π·pos)/n)) matches the engine

@@ -147,6 +147,7 @@ from temporalscope_spark.operators.shift import (
     multi_step_targets,
     shift_target,
     shift_target_chunked,
+    time_to_event,
 )
 from temporalscope_spark.operators.similarity import (
     ann_topk,
@@ -200,7 +201,7 @@ __all__ = [
     "temperature_sample", "top_k_per_group",
     "session_bounds", "sessionize", "sessionize_builtin",
     "TargetShifter", "delta_features", "lag_features", "multi_step_targets",
-    "shift_target", "shift_target_chunked",
+    "shift_target", "shift_target_chunked", "time_to_event",
     "ann_topk", "centroid_distance_features", "cosine_self_join_pairs",
     "cosine_topk", "ivf_centroids",
     "ivf_topk", "semdedup", "with_ivf_cell", "with_lsh_bucket",

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from temporalscope_spark.exceptions import DataFrameValidationError
 from temporalscope_spark.frame import TemporalFrame
 
 
@@ -424,3 +425,56 @@ def multi_step_targets(
         # complete horizons only: no null slot in the array
         out = out.filter(~F.array_contains(F.transform(F.col(name), F.isnull), True))
     return out
+
+
+def time_to_event(
+    df: DataFrame,
+    time_col: str,
+    event_expr,
+    id_col: str | None = None,
+    out_col: str = "tte_seconds",
+    order_cols: list[str] | None = None,
+    include_current: bool = False,
+) -> DataFrame:
+    """Seconds until the entity's NEXT qualifying event — the
+    survival/churn label builder (the time-to-event target a hazard or
+    churn model trains on; rows after an entity's last qualifying event
+    get NULL = right-censored, exactly the semantics a survival loss
+    expects).
+
+    ``event_expr`` is a boolean Column marking qualifying rows (e.g.
+    ``F.col("event_type") == "purchase"``). For each row, ``out_col`` is
+    the gap to the MINIMUM qualifying timestamp strictly after it in the
+    entity's time order (``include_current=True`` lets a qualifying row
+    label itself 0 — the "already converted" convention).
+
+    Strictly-forward semantics mirror the strictly-past contract of the
+    rolling features: the label looks only FORWARD (it is a target, so
+    it must leak the future — that is its job), computed as a reverse
+    running ``min`` of the gated timestamp over ONE entity-keyed window
+    (``rowsBetween(1, unbounded)``), the frame twin of the expanding
+    features. One exchange; pass ``order_cols`` (e.g. a unique id) to
+    pin tie order on duplicate timestamps.
+
+    Output: the input columns + ``out_col`` (double seconds, NULL when
+    censored).
+    """
+    from temporalscope_spark.core.convert import epoch_seconds
+
+    if time_col not in df.columns:
+        raise DataFrameValidationError(f"time_to_event: missing column {time_col!r}")
+    if out_col in df.columns:
+        raise DataFrameValidationError(
+            f"time_to_event: output column {out_col!r} already exists"
+        )
+    t = epoch_seconds(F.col(time_col), df.schema[time_col].dataType)
+    order = [F.col(time_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.orderBy(*order)
+    if id_col:
+        w = Window.partitionBy(id_col).orderBy(*order)
+    start = 0 if include_current else 1
+    frame = w.rowsBetween(start, Window.unboundedFollowing)
+    next_t = F.min(F.when(event_expr, t)).over(frame)
+    return df.withColumn(
+        out_col, F.round(next_t - t, 6) + F.lit(0.0)
+    )

@@ -191,3 +191,90 @@ def test_delta_features_tiebreak_determinism(spark):
     assert got[5] is None        # first in (t, k) order
     assert got[9] == 50.0        # 100 - 50
     assert got[7] == -30.0       # 70 - 100
+
+
+class TestTimeToEvent:
+    """time_to_event (operators/shift.py): gap to the next qualifying
+    event per entity, right-censoring, include_current, tie order."""
+
+    @pytest.fixture
+    def tte_df(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # user 1: events at minute 0,5,10,20; purchases at 10 and 20
+        for m, et in [(0, "view"), (5, "view"), (10, "buy"), (20, "buy")]:
+            rows.append((1, base + dt.timedelta(minutes=m), et, m))
+        # user 2: never buys -> all censored
+        for m in (0, 7):
+            rows.append((2, base + dt.timedelta(minutes=m), "view", 100 + m))
+        return spark.createDataFrame(rows, ["uid", "ts", "etype", "rid"])
+
+    def test_gaps_and_censoring(self, spark, tte_df):
+        from temporalscope_spark.operators.shift import time_to_event
+
+        out = {
+            r["rid"]: r["tte_seconds"]
+            for r in time_to_event(
+                tte_df, "ts", F.col("etype") == "buy", id_col="uid",
+                order_cols=["rid"],
+            ).collect()
+        }
+        assert out[0] == 600.0      # 0 -> buy@10min
+        assert out[5] == 300.0      # 5 -> buy@10min
+        assert out[10] == 600.0     # strictly-after: next buy is @20min
+        assert out[20] is None      # last buy: censored
+        assert out[100] is None and out[107] is None  # user 2 censored
+
+    def test_include_current(self, spark, tte_df):
+        from temporalscope_spark.operators.shift import time_to_event
+
+        out = {
+            r["rid"]: r["tte_seconds"]
+            for r in time_to_event(
+                tte_df, "ts", F.col("etype") == "buy", id_col="uid",
+                order_cols=["rid"], include_current=True,
+            ).collect()
+        }
+        assert out[10] == 0.0 and out[20] == 0.0
+        assert out[0] == 600.0
+
+    def test_entity_isolation(self, spark, tte_df):
+        """user 2 must not see user 1's purchases."""
+        from temporalscope_spark.operators.shift import time_to_event
+
+        no_id = {
+            r["rid"]: r["tte_seconds"]
+            for r in time_to_event(
+                tte_df, "ts", F.col("etype") == "buy", order_cols=["rid"]
+            ).collect()
+        }
+        # without the entity key, user 2's minute-0 row sees the global buy
+        assert no_id[100] == 600.0
+
+    def test_errors(self, spark, tte_df):
+        from temporalscope_spark.operators.shift import time_to_event
+        from temporalscope_spark.exceptions import DataFrameValidationError
+
+        with pytest.raises(DataFrameValidationError, match="missing column"):
+            time_to_event(tte_df, "nope", F.col("etype") == "buy")
+        with pytest.raises(DataFrameValidationError, match="already exists"):
+            time_to_event(
+                tte_df.withColumn("tte_seconds", F.lit(1.0)), "ts",
+                F.col("etype") == "buy",
+            )
+
+    def test_one_exchange(self, spark, tte_df):
+        from temporalscope_spark.operators.shift import time_to_event
+
+        plan = (
+            time_to_event(
+                tte_df, "ts", F.col("etype") == "buy", id_col="uid",
+                order_cols=["rid"],
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") <= 1
