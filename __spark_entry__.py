@@ -2253,6 +2253,25 @@ def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over TPC-H: positives = distinct
+    (supplier, part) pairs from a lineitem slice, candidates = the part
+    universe indexed by the md5-ordered two-phase row number, 2 draws per
+    positive, accidental positives anti-joined away."""
+    from temporalscope_spark.operators.sampling import negative_samples
+
+    li = _t(spark, sf_dir, "lineitem")
+    pos = (
+        li.filter(F.col("l_orderkey") % 37 == 0)
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    items = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    return negative_samples(pos, items, "l_suppkey", "l_partkey", k=2)
+
+
 def q_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survival/churn label: per event, seconds until the user's NEXT
     purchase (strictly forward, NULL = right-censored after the last
@@ -2996,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_features": q_series_features,
         "dft_features": q_dft_features,
         "time_to_event": q_time_to_event,
+        "negative_samples": q_negative_samples,
         "fourier_time": q_fourier_time,
         "feature_relevance": q_feature_relevance,
         "numeric_relevance": q_numeric_relevance,
@@ -4949,6 +4969,45 @@ def oracle_sql() -> dict[str, str]:
                    (cxy3 - s1 / n * (ca3 + cb3) + m3 * (s1 / n) * (s1 / n))
                        / (s2 - s1 * s1 / n) END, 6) + 0.0 AS acf_3
         FROM m
+    """
+    # negative sampling: identical md5 index order, md5 slot hash, mod-M
+    # candidate, anti-join exclusion; chr(31) = the concat_ws separator
+    sql["negative_samples"] = """
+        WITH pos AS (
+            SELECT DISTINCT l_suppkey AS u, l_partkey AS it
+            FROM lineitem WHERE l_orderkey % 37 = 0
+        ),
+        uni AS (SELECT DISTINCT p_partkey AS it FROM part),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS m FROM uni),
+        idx AS (
+            SELECT it,
+                   row_number() OVER (
+                       ORDER BY CAST(('0x' || substr(md5(CAST(it AS VARCHAR)),
+                                      1, 15)) AS BIGINT), it) - 1 AS six
+            FROM uni
+        ),
+        slots AS (
+            SELECT u, it, s AS slot
+            FROM pos, (SELECT unnest([0, 1]) AS s)
+        ),
+        cand AS (
+            SELECT u, it, slot,
+                   CAST(('0x' || substr(md5(
+                       CAST(u AS VARCHAR) || chr(31) ||
+                       CAST(it AS VARCHAR) || chr(31) ||
+                       CAST(slot AS VARCHAR) || chr(31) || '42'),
+                       1, 8)) AS BIGINT) % n.m AS six
+            FROM slots, n
+        ),
+        joined AS (
+            SELECT c.u, c.it, c.slot, i.it AS neg
+            FROM cand c JOIN idx i USING (six)
+        )
+        SELECT j.u AS l_suppkey, j.it AS l_partkey, j.slot,
+               j.neg AS neg_l_partkey
+        FROM joined j
+        LEFT JOIN pos p ON p.u = j.u AND p.it = j.neg
+        WHERE p.u IS NULL
     """
     # time-to-event: the same gated reverse running min (strictly-after
     # frame), epoch seconds = µs/1e6 in both engines

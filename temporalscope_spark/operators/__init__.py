@@ -130,6 +130,7 @@ from temporalscope_spark.operators.rolling import (
 )
 from temporalscope_spark.operators.sampling import (
     assign_shards,
+    negative_samples,
     deterministic_sample,
     stratified_sample,
     temperature_sample,
@@ -197,7 +198,7 @@ __all__ = [
     "ewma", "expanding_features", "rolling_corr", "rolling_features",
     "rolling_row_features",
     "target_encode_expanding",
-    "assign_shards", "deterministic_sample", "stratified_sample",
+    "assign_shards", "deterministic_sample", "negative_samples", "stratified_sample",
     "temperature_sample", "top_k_per_group",
     "session_bounds", "sessionize", "sessionize_builtin",
     "TargetShifter", "delta_features", "lag_features", "multi_step_targets",

@@ -276,3 +276,96 @@ def assign_shards(
         )
         .drop("_ok")
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    items: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic negative sampling for ranking / embedding /
+    sampled-softmax training: for every positive (user, item) pair, draw
+    ``k`` pseudo-random candidates from the item universe and drop the
+    ones that are actually positives for that user — word2vec's negative
+    sampling (uniform lane) at corpus scale, replayable run-to-run.
+
+    ``items`` is the candidate table (one row per distinct ``item_col``
+    value). Candidates come from an md5 hash of
+    ``(user, item, slot, seed)`` mod |items| against a GLOBAL item index
+    built with the quantile-bucket two-phase row number
+    (``plans/rownum.with_global_row_number`` — no single-partition
+    window; the index orders by the item id, so it is a pure function of
+    the item set). Accidental hits on a true positive are dropped by an
+    anti-join, so a pair yields ≤ k negatives (the standard
+    collision-drop convention — re-draw loops don't exist relationally
+    and the loss is ~|positives per user| / |items| per slot).
+
+    Plan shape: one narrow ``k``-slot explode over the positives, one
+    equi-join on the item index (broadcast when the item table is small,
+    AQE decides), one anti-join on (user, candidate). Positives×k rows,
+    no per-row Python.
+
+    Output: ``(user_col, item_col, slot, neg_<item_col>)``.
+    """
+    from temporalscope_spark.plans.rownum import with_global_row_number
+
+    if k < 1:
+        raise DataFrameValidationError("negative_samples: k must be >= 1")
+    for c, d in ((user_col, positives), (item_col, positives), (item_col, items)):
+        if c not in d.columns:
+            raise DataFrameValidationError(
+                f"negative_samples: missing column {c!r}"
+            )
+    n_items = items.select(item_col).distinct().count()
+    if n_items < 2:
+        raise DataFrameValidationError(
+            "negative_samples: need >= 2 distinct items"
+        )
+    # the index orders by an md5-derived numeric key (+ the id as tie
+    # suffix), so it works for ANY item id type and stays a pure function
+    # of the item set — with_global_row_number needs a numeric primary
+    ordk = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    idx = (
+        with_global_row_number(
+            items.select(item_col).distinct().withColumn("_ord", ordk),
+            ["_ord", item_col],
+            rn_col="_ni",
+        )
+        .select((F.col("_ni") - 1).alias("_slot_ix"), F.col(item_col).alias("_neg"))
+    )
+    slots = positives.select(user_col, item_col).withColumn(
+        "slot", F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col(user_col).cast("string"),
+                    F.col(item_col).cast("string"),
+                    F.col("slot").cast("string"),
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = slots.withColumn("_slot_ix", h % n_items)
+    joined = cand.join(idx, "_slot_ix").drop("_slot_ix")
+    truth = positives.select(
+        F.col(user_col).alias("_tu"), F.col(item_col).alias("_ti")
+    ).distinct()
+    out = joined.join(
+        truth,
+        (joined[user_col] == truth["_tu"]) & (joined["_neg"] == truth["_ti"]),
+        "left_anti",
+    )
+    return out.select(user_col, item_col, "slot", F.col("_neg").alias(f"neg_{item_col}"))

@@ -243,3 +243,77 @@ class TestManyStrataCodegen:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestNegativeSamples:
+    """negative_samples: determinism, positive exclusion, slot counts,
+    index independence from partitioning."""
+
+    @pytest.fixture
+    def pos_items(self, spark):
+        pos = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "a"), (3, "c")], ["uid", "item"]
+        )
+        items = spark.createDataFrame(
+            [(x,) for x in "abcdefgh"], ["item"]
+        )
+        return pos, items
+
+    def test_shape_and_exclusion(self, spark, pos_items):
+        from temporalscope_spark.operators.sampling import negative_samples
+
+        pos, items = pos_items
+        out = negative_samples(pos, items, "uid", "item", k=3).collect()
+        # <= k negatives per positive pair
+        from collections import Counter
+
+        per_pair = Counter((r["uid"], r["item"]) for r in out)
+        assert all(v <= 3 for v in per_pair.values())
+        # no negative is a true positive for that user
+        truth = {(1, "a"), (1, "b"), (2, "a"), (3, "c")}
+        assert all((r["uid"], r["neg_item"]) not in truth for r in out)
+        # all negatives come from the item universe
+        assert all(r["neg_item"] in set("abcdefgh") for r in out)
+
+    def test_deterministic_and_partition_invariant(self, spark, pos_items):
+        from temporalscope_spark.operators.sampling import negative_samples
+
+        pos, items = pos_items
+        a = sorted(
+            map(tuple, negative_samples(pos.repartition(1), items, "uid", "item", k=4).collect())
+        )
+        b = sorted(
+            map(tuple, negative_samples(pos.repartition(5), items.repartition(3), "uid", "item", k=4).collect())
+        )
+        assert a == b and len(a) > 0
+
+    def test_seed_changes_draws(self, spark, pos_items):
+        from temporalscope_spark.operators.sampling import negative_samples
+
+        pos, items = pos_items
+        a = sorted(map(tuple, negative_samples(pos, items, "uid", "item", k=4, seed=1).collect()))
+        b = sorted(map(tuple, negative_samples(pos, items, "uid", "item", k=4, seed=2).collect()))
+        assert a != b
+
+    def test_draws_roughly_uniform(self, spark):
+        from temporalscope_spark.operators.sampling import negative_samples
+
+        pos = spark.createDataFrame([(u, -1) for u in range(500)], ["uid", "item"])
+        items = spark.createDataFrame([(i,) for i in range(10)], ["item"])
+        out = negative_samples(pos, items, "uid", "item", k=4).toPandas()
+        counts = out["neg_item"].value_counts()
+        assert len(counts) == 10
+        assert counts.min() > 0.5 * counts.max()
+
+    def test_errors(self, spark, pos_items):
+        from temporalscope_spark.operators.sampling import negative_samples
+        from temporalscope_spark.exceptions import DataFrameValidationError
+
+        pos, items = pos_items
+        with pytest.raises(DataFrameValidationError, match="k must be"):
+            negative_samples(pos, items, "uid", "item", k=0)
+        with pytest.raises(DataFrameValidationError, match="missing column"):
+            negative_samples(pos, items, "nope", "item")
+        one = spark.createDataFrame([("a",)], ["item"])
+        with pytest.raises(DataFrameValidationError, match=">= 2 distinct"):
+            negative_samples(pos, one, "uid", "item")
