@@ -2253,6 +2253,41 @@ def q_series_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_serve_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time serve: for every click, attach the
+    latest prior purchase amount (expiring after a 2-day TTL) and the
+    latest prior signup value — two chained backward as-of joins, zero
+    leakage by construction; feature tables pre-aggregated to unique
+    (user, ts)."""
+    from temporalscope_spark.operators.asof import serve_features
+
+    ev = _t(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("amount"))
+    )
+    sig = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("sval"))
+    )
+    out = serve_features(
+        spine,
+        [
+            {"df": purch, "time_col": "ts", "prefix": "purch_",
+             "ttl": 2 * 86400.0},
+            {"df": sig, "time_col": "ts", "prefix": "sig_"},
+        ],
+        on="user_id",
+        spine_time="ts",
+    )
+    return out.select("event_id", "purch_amount", "sig_sval")
+
+
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling over TPC-H: positives = distinct
     (supplier, part) pairs from a lineitem slice, candidates = the part
@@ -3016,6 +3051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dft_features": q_dft_features,
         "time_to_event": q_time_to_event,
         "negative_samples": q_negative_samples,
+        "serve_features": q_serve_features,
         "fourier_time": q_fourier_time,
         "feature_relevance": q_feature_relevance,
         "numeric_relevance": q_numeric_relevance,
@@ -4969,6 +5005,33 @@ def oracle_sql() -> dict[str, str]:
                    (cxy3 - s1 / n * (ca3 + cb3) + m3 * (s1 / n) * (s1 / n))
                        / (s2 - s1 * s1 / n) END, 6) + 0.0 AS acf_3
         FROM m
+    """
+    # serve_features: DuckDB ASOF joins + the engine's TTL gate (gap in
+    # epoch seconds <= ttl, matched values nulled when stale)
+    sql["serve_features"] = """
+        WITH spine AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT user_id, ts, max(value) AS amount FROM events
+            WHERE event_type = 'purchase' GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT user_id, ts, max(value) AS sval FROM events
+            WHERE event_type = 'signup' GROUP BY 1, 2
+        ),
+        j1 AS (
+            SELECT sp.event_id, sp.user_id, sp.ts,
+                   CASE WHEN CAST(epoch_us(sp.ts) - epoch_us(p.ts)
+                             AS DOUBLE) / 1000000.0 <= 172800.0
+                        THEN p.amount END AS purch_amount
+            FROM spine sp ASOF LEFT JOIN p
+              ON sp.user_id = p.user_id AND sp.ts >= p.ts
+        )
+        SELECT j1.event_id, j1.purch_amount, s2.sval AS sig_sval
+        FROM j1 ASOF LEFT JOIN s s2
+          ON j1.user_id = s2.user_id AND j1.ts >= s2.ts
     """
     # negative sampling: identical md5 index order, md5 slot hash, mod-M
     # candidate, anti-join exclusion; chr(31) = the concat_ws separator

@@ -7,6 +7,7 @@ only, no logic.
 
 from temporalscope_spark.operators.asof import (
     asof_join,
+    serve_features,
     backward_fill,
     forward_fill,
     range_join,
@@ -163,7 +164,7 @@ from temporalscope_spark.operators.similarity import (
 )
 
 __all__ = [
-    "asof_join", "backward_fill", "forward_fill", "range_join",
+    "asof_join", "backward_fill", "forward_fill", "range_join", "serve_features",
     "contaminated_ids", "decontaminate", "token_ngrams",
     "entity_split", "fit_fold_bounds", "purged_fold_summary",
     "purged_time_series_splits",

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from temporalscope_spark.exceptions import DataFrameValidationError
+
 
 def asof_join(
     left: DataFrame,
@@ -192,3 +194,73 @@ def range_join(
         cond = c if cond is None else (cond & c)
     cond = cond & (left[point_col] >= right[lo_col]) & (left[point_col] < right[hi_col])
     return left.hint("RANGE_JOIN", point_col, 1).join(right, cond, how)
+
+
+def serve_features(
+    spine: DataFrame,
+    specs: list[dict],
+    on: str | list[str],
+    spine_time: str,
+) -> DataFrame:
+    """Point-in-time feature serving — the feature-store
+    "get historical features" operation (Feast/Tecton semantics): for
+    every entity-time row of the SPINE, attach the LATEST value of each
+    feature table at or before that time, optionally expiring values
+    older than a per-table TTL. Zero leakage by construction: every
+    attach is a backward as-of join, so a spine row can never see a
+    feature written after its own timestamp.
+
+    Each spec is ``{"df": DataFrame, "time_col": str,
+    "value_cols": [...] (default: all non-key/non-time),
+    "ttl": seconds | None, "prefix": str (default "")}``. Prefixes
+    namespace the attached columns; a name that would collide with a
+    spine column (or an earlier table's output) raises rather than
+    silently suffixing.
+
+    Feature tables should be unique per (key, time) — pre-aggregate
+    first (duplicate timestamps tie-break arbitrarily, the
+    ``asof_join`` contract).
+
+    Plan shape: one :func:`asof_join` per table = one union + one
+    entity-keyed window pass each (T tables → T passes over
+    spine+table, never a cross product). With the bucketed layout all
+    passes share the entity shuffle key.
+    """
+    if not specs:
+        raise DataFrameValidationError("serve_features: specs must be non-empty")
+    keys = [on] if isinstance(on, str) else list(on)
+    missing = [c for c in (*keys, spine_time) if c not in spine.columns]
+    if missing:
+        raise DataFrameValidationError(f"serve_features: spine missing {missing}")
+    out = spine
+    for i, spec in enumerate(specs):
+        df, tc = spec["df"], spec["time_col"]
+        miss = [c for c in (*keys, tc) if c not in df.columns]
+        if miss:
+            raise DataFrameValidationError(
+                f"serve_features: table {i} missing {miss}"
+            )
+        vcs = spec.get("value_cols") or [
+            c for c in df.columns if c not in keys and c != tc
+        ]
+        prefix = spec.get("prefix", "")
+        if prefix:
+            df = df.select(
+                *keys, tc, *[F.col(c).alias(prefix + c) for c in vcs]
+            )
+            vcs = [prefix + c for c in vcs]
+        clash = [c for c in vcs if c in out.columns]
+        if clash:
+            raise DataFrameValidationError(
+                f"serve_features: output columns {clash} collide — set a prefix"
+            )
+        out = asof_join(
+            out,
+            df,
+            on=on,
+            left_time=spine_time,
+            right_time=tc,
+            value_cols=vcs,
+            tolerance=spec.get("ttl"),
+        )
+    return out

@@ -167,3 +167,99 @@ def test_asof_join_forward_direction(spark):
                     tolerance=2 * 3600.0)
     got3 = {r["t"].hour: r["price"] for r in tol.collect()}
     assert got3 == {0: 20.0, 2: 20.0, 5: None, 9: None}
+
+
+class TestServeFeatures:
+    """serve_features (operators/asof.py): multi-table point-in-time
+    serving, TTL expiry, prefixes, leakage, collision guard."""
+
+    @pytest.fixture
+    def store(self, spark):
+        base = dt.datetime(2024, 1, 1)
+        spine = spark.createDataFrame(
+            [("u1", base + dt.timedelta(hours=h), h) for h in [2, 6, 30]]
+            + [("u2", base + dt.timedelta(hours=3), 99)],
+            ["uid", "t", "rid"],
+        )
+        purchases = spark.createDataFrame(
+            [
+                ("u1", base + dt.timedelta(hours=1), 10.0),
+                ("u1", base + dt.timedelta(hours=5), 20.0),
+                ("u1", base + dt.timedelta(hours=40), 99.0),  # future for all
+            ],
+            ["uid", "pt", "amount"],
+        )
+        profile = spark.createDataFrame(
+            [("u1", base, 3), ("u2", base + dt.timedelta(hours=2), 7)],
+            ["uid", "ut", "segment"],
+        )
+        return spine, purchases, profile
+
+    def test_point_in_time_values(self, spark, store):
+        from temporalscope_spark.operators.asof import serve_features
+
+        spine, purchases, profile = store
+        out = {
+            r["rid"]: r
+            for r in serve_features(
+                spine,
+                [
+                    {"df": purchases, "time_col": "pt", "prefix": "purch_"},
+                    {"df": profile, "time_col": "ut", "prefix": "prof_"},
+                ],
+                on="uid",
+                spine_time="t",
+            ).collect()
+        }
+        assert out[2]["purch_amount"] == 10.0   # hour 2 sees the hour-1 buy
+        assert out[6]["purch_amount"] == 20.0   # hour 6 sees hour-5
+        assert out[30]["purch_amount"] == 20.0  # hour-40 buy is the future
+        assert out[99]["purch_amount"] is None  # u2 never bought
+        assert out[2]["prof_segment"] == 3
+        assert out[99]["prof_segment"] == 7     # u2's profile from hour 2
+
+    def test_ttl_expires_stale_features(self, spark, store):
+        from temporalscope_spark.operators.asof import serve_features
+
+        spine, purchases, _ = store
+        out = {
+            r["rid"]: r["purch_amount"]
+            for r in serve_features(
+                spine,
+                [{"df": purchases, "time_col": "pt", "prefix": "purch_",
+                  "ttl": 6 * 3600.0}],
+                on="uid", spine_time="t",
+            ).collect()
+        }
+        assert out[2] == 10.0 and out[6] == 20.0
+        assert out[30] is None  # hour-5 buy is 25h stale > 6h TTL
+
+    def test_collision_raises(self, spark, store):
+        from temporalscope_spark.operators.asof import serve_features
+        from temporalscope_spark.exceptions import DataFrameValidationError
+
+        spine, purchases, _ = store
+        specs = [
+            {"df": purchases, "time_col": "pt", "prefix": "x_"},
+            {"df": purchases, "time_col": "pt", "prefix": "x_"},
+        ]
+        with pytest.raises(DataFrameValidationError, match="collide"):
+            serve_features(spine, specs, on="uid", spine_time="t")
+
+    def test_errors(self, spark, store):
+        from temporalscope_spark.operators.asof import serve_features
+        from temporalscope_spark.exceptions import DataFrameValidationError
+
+        spine, purchases, _ = store
+        with pytest.raises(DataFrameValidationError, match="non-empty"):
+            serve_features(spine, [], on="uid", spine_time="t")
+        with pytest.raises(DataFrameValidationError, match="spine missing"):
+            serve_features(
+                spine, [{"df": purchases, "time_col": "pt"}],
+                on="nope", spine_time="t",
+            )
+        with pytest.raises(DataFrameValidationError, match="table 0 missing"):
+            serve_features(
+                spine, [{"df": purchases, "time_col": "nope"}],
+                on="uid", spine_time="t",
+            )
