@@ -2611,6 +2611,21 @@ def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lift_table(_scored_events(spark, sf_dir), "score", "y")
 
 
+def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration map fitted on the deterministic score's
+    fixed-width bins: driver-side pool-adjacent-violators over the
+    bounded bin table. Oracle = the minimax closed form
+    fit(i) = max_{j<=i} min_{k>=i} avg(y over bins j..k) — PAV's exact
+    solution, replayed as a B³ grid join (B = 10)."""
+    from temporalscope_spark.metrics.classification import fit_isotonic_bins
+
+    sc = _scored_events(spark, sf_dir)
+    model = fit_isotonic_bins(sc, "score", "y", bins=10)
+    return spark.createDataFrame(
+        list(zip(model["bin_ids"], model["values"])), "bin INT, fitted DOUBLE"
+    )
+
+
 def q_psi_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train→serve PSI: fit the reference (edges + floored shares) on the
     pre-split slice of `events.value`, then score the post-split slice
@@ -3043,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_roc": q_auc_roc,
         "reliability_curve": q_reliability_curve,
         "lift_table": q_lift_table,
+        "isotonic_fit": q_isotonic_fit,
         "ks_drift": q_ks_drift,
         "delta_features": q_delta_features,
         "rolling_corr": q_rolling_corr,
@@ -5250,6 +5266,42 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN tp / tn > 0 THEN (cpos / cn) / (tp / tn)
                      END, 6) + 0.0 AS cum_lift
         FROM cum c, edges, tot
+    """
+    # isotonic fit: PAV's solution via the minimax identity over interval
+    # averages; a(j,k) from prefix sums (cp[j-1] = cp[j] - p[j])
+    sql["isotonic_fit"] = f"""
+        WITH {_SCORED_SQL},
+        b AS (
+            SELECT least(greatest(CAST(floor(score * 10) AS INT) + 1, 1), 10)
+                       AS bin,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(CAST(y AS DOUBLE)) AS p
+            FROM scored GROUP BY 1
+        ),
+        ord AS (
+            SELECT bin, n, p, row_number() OVER (ORDER BY bin) AS i FROM b
+        ),
+        pre AS (
+            SELECT i, sum(n) OVER (ORDER BY i) AS cn,
+                   sum(p) OVER (ORDER BY i) AS cp
+            FROM ord
+        ),
+        iv AS (
+            SELECT pj.i AS j, pk.i AS k,
+                   (pk.cp - pj.cp + oj.p) / (pk.cn - pj.cn + oj.n) AS a
+            FROM pre pj
+            JOIN pre pk ON pk.i >= pj.i
+            JOIN ord oj ON oj.i = pj.i
+        ),
+        minx AS (
+            SELECT t.i, iv.j, min(iv.a) AS mn
+            FROM (SELECT i FROM ord) t
+            JOIN iv ON iv.j <= t.i AND iv.k >= t.i
+            GROUP BY 1, 2
+        ),
+        fit AS (SELECT i, max(mn) AS v FROM minx GROUP BY 1)
+        SELECT o.bin, round(fit.v, 6) AS fitted
+        FROM fit JOIN ord o USING (i)
     """
     # psi_score: the fitted model replayed relationally — reference edges
     # via quantile_cont (type-7 equivalence), reference shares floored at

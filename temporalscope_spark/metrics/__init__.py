@@ -1,5 +1,7 @@
 from temporalscope_spark.metrics.classification import (
     auc_roc,
+    calibrate_scores,
+    fit_isotonic_bins,
     lift_table,
     reliability_curve,
 )
@@ -8,4 +10,5 @@ from temporalscope_spark.metrics.masv import abs_deviation_importance, calculate
 __all__ = [
     "abs_deviation_importance", "calculate_masv",
     "auc_roc", "reliability_curve", "lift_table",
+    "fit_isotonic_bins", "calibrate_scores",
 ]

@@ -224,3 +224,105 @@ def lift_table(
             + F.lit(0.0)
         ).alias("cum_lift"),
     )
+
+
+def fit_isotonic_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 50,
+) -> dict:
+    """Fit an isotonic (monotone non-decreasing) calibration map on
+    fixed-width score bins — sklearn's ``IsotonicRegression`` /
+    ``CalibratedClassifierCV(method="isotonic")``, made scale-safe by
+    fitting on the BOUNDED bin table instead of the raw scores (the
+    standard large-scale calibration recipe; resolution is ``1/bins``).
+
+    One map-side-combinable aggregation produces (n, Σy) per occupied
+    bin; the pool-adjacent-violators solve runs on the driver over ≤
+    ``bins`` weighted points. PAV's solution equals the minimax closed
+    form ``fit(i) = max_{j≤i} min_{k≥i} avg(y over bins j..k)`` — which
+    is how the SQL oracle replays it without iteration.
+
+    Model: ``{"bins", "bin_ids", "values"}`` — fitted probability per
+    occupied bin, monotone across bin ids.
+    """
+    if bins < 2:
+        raise DataFrameValidationError("fit_isotonic_bins: bins must be >= 2")
+    base = _checked(df, score_col, label_col)
+    b = F.least(
+        F.greatest(F.floor(F.col("_s") * bins).cast("int") + 1, F.lit(1)),
+        F.lit(bins),
+    )
+    rows = (
+        base.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("_y").alias("p"),
+            F.max(
+                F.when(
+                    (F.col("_y") != 0.0) & (F.col("_y") != 1.0), 1
+                ).otherwise(0)
+            ).alias("bad"),
+        )
+        .collect()
+    )
+    if not rows:
+        raise DataFrameValidationError("fit_isotonic_bins: no scorable rows")
+    if any(r["bad"] for r in rows):
+        raise DataFrameValidationError(
+            f"fit_isotonic_bins: label {label_col!r} must be 0/1"
+        )
+    rows.sort(key=lambda r: r["bin"])
+    # pool-adjacent-violators over (weight, mean) blocks
+    blocks = [[r["bin"], r["bin"], float(r["n"]), float(r["p"])] for r in rows]
+    i = 0
+    while i < len(blocks) - 1:
+        a, c = blocks[i], blocks[i + 1]
+        if a[3] / a[2] > c[3] / c[2] + 1e-15:
+            blocks[i] = [a[0], c[1], a[2] + c[2], a[3] + c[3]]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    fitted = {}
+    for lo, hi, w, p in blocks:
+        for r in rows:
+            if lo <= r["bin"] <= hi:
+                fitted[r["bin"]] = p / w
+    return {
+        "bins": bins,
+        "bin_ids": [r["bin"] for r in rows],
+        "values": [round(fitted[r["bin"]], 6) for r in rows],
+    }
+
+
+def calibrate_scores(
+    df: DataFrame,
+    model: dict,
+    score_col: str,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Apply a fitted isotonic bin map: each score lands in its fixed-width
+    bin and takes the fitted monotone probability; a score whose bin was
+    EMPTY at fit time takes the nearest occupied bin's value (the
+    piecewise-constant extension). Pure expression — a literal map lookup,
+    no join, no shuffle.
+    """
+    if score_col not in df.columns:
+        raise DataFrameValidationError(f"calibrate_scores: missing column {score_col!r}")
+    bins = model["bins"]
+    ids, vals = model["bin_ids"], model["values"]
+    # nearest-occupied extension precomputed driver-side for all bins
+    full = {}
+    for b in range(1, bins + 1):
+        nearest = min(ids, key=lambda i: (abs(i - b), i))
+        full[b] = vals[ids.index(nearest)]
+    m = F.create_map(*[F.lit(x) for b in range(1, bins + 1) for x in (b, full[b])])
+    s = F.col(score_col).cast("double")
+    bexp = F.least(
+        F.greatest(F.floor(s * bins).cast("int") + 1, F.lit(1)), F.lit(bins)
+    )
+    return df.withColumn(
+        out_col, F.when(s.isNotNull(), F.element_at(m, bexp))
+    )

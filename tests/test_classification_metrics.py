@@ -152,3 +152,129 @@ class TestLift:
         df = spark.createDataFrame([(0.5, 1)], ["s", "y"])
         with pytest.raises(DataFrameValidationError, match="deciles"):
             lift_table(df, "s", "y", 1)
+
+
+class TestIsotonic:
+    """fit_isotonic_bins + calibrate_scores: PAV == the minimax closed
+    form, monotonicity, empty-bin extension, calibration improvement."""
+
+    @staticmethod
+    def _minimax(ns, ps):
+        """fit(i) = max_{j<=i} min_{k>=i} sum(p[j..k]) / sum(n[j..k])."""
+        out = []
+        B = len(ns)
+        for i in range(B):
+            best = -1.0
+            for j in range(i + 1):
+                worst = min(
+                    sum(ps[j:k + 1]) / sum(ns[j:k + 1]) for k in range(i, B)
+                )
+                best = max(best, worst)
+            out.append(best)
+        return out
+
+    def test_pav_equals_minimax(self, spark):
+        from temporalscope_spark.metrics.classification import fit_isotonic_bins
+
+        rng = np.random.default_rng(21)
+        n = 2000
+        s = rng.random(n)
+        y = (rng.random(n) < np.clip(0.2 + 0.9 * s - 0.4 * s * s, 0, 1)).astype(int)
+        df = spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(s, y)], ["p", "y"]
+        )
+        model = fit_isotonic_bins(df, "p", "y", bins=8)
+        pdf = df.toPandas()
+        pdf["bin"] = np.clip(np.floor(pdf.p * 8).astype(int) + 1, 1, 8)
+        ns, ps = [], []
+        for b in model["bin_ids"]:
+            sub = pdf[pdf.bin == b]
+            ns.append(len(sub))
+            ps.append(float(sub.y.sum()))
+        want = self._minimax(ns, ps)
+        assert model["values"] == pytest.approx(want, abs=2e-6)
+        assert model["values"] == sorted(model["values"])  # monotone
+
+    def test_calibrate_and_extension(self, spark):
+        from temporalscope_spark.metrics.classification import (
+            calibrate_scores,
+            fit_isotonic_bins,
+        )
+
+        # occupied bins 1 and 10 only; bins 2-5 extend from 1, 6-10 from 10
+        rows = [(0.05, 0)] * 8 + [(0.05, 1)] * 2 + [(0.95, 1)] * 9 + [(0.95, 0)]
+        df = spark.createDataFrame(rows, ["p", "y"])
+        model = fit_isotonic_bins(df, "p", "y", bins=10)
+        assert model["bin_ids"] == [1, 10]
+        assert model["values"] == pytest.approx([0.2, 0.9], abs=1e-6)
+        probe = spark.createDataFrame(
+            [(0.0,), (0.45,), (0.55,), (1.0,), (None,)], "p double"
+        )
+        got = [
+            r["calibrated"]
+            for r in calibrate_scores(probe, model, "p").collect()
+        ]
+        assert got[0] == pytest.approx(0.2)
+        assert got[1] == pytest.approx(0.2)   # bin 5 -> nearest occupied 1
+        assert got[2] == pytest.approx(0.9)   # bin 6 -> nearest occupied 10
+        assert got[3] == pytest.approx(0.9)
+        assert got[4] is None
+
+    def test_violator_pooling(self, spark):
+        """A non-monotone middle bin gets pooled with its neighbor."""
+        from temporalscope_spark.metrics.classification import fit_isotonic_bins
+
+        # bin rates: 0.2, 0.8, 0.4 -> PAV pools bins 2+3 to 0.6
+        rows = (
+            [(0.1, 1)] * 2 + [(0.1, 0)] * 8
+            + [(0.5, 1)] * 8 + [(0.5, 0)] * 2
+            + [(0.9, 1)] * 4 + [(0.9, 0)] * 6
+        )
+        df = spark.createDataFrame(rows, ["p", "y"])
+        model = fit_isotonic_bins(df, "p", "y", bins=3)
+        assert model["values"] == pytest.approx([0.2, 0.6, 0.6], abs=1e-6)
+
+    def test_calibration_improves(self, spark):
+        """Overconfident scores: isotonic recalibration shrinks the worst
+        reliability gap."""
+        from temporalscope_spark.metrics.classification import (
+            calibrate_scores,
+            fit_isotonic_bins,
+            reliability_curve,
+        )
+
+        rng = np.random.default_rng(33)
+        n = 5000
+        true_p = rng.random(n) * 0.5 + 0.25
+        over = np.clip((true_p - 0.5) * 3 + 0.5, 0.001, 0.999)  # overconfident
+        y = (rng.random(n) < true_p).astype(int)
+        df = spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(over, y)], ["p", "y"]
+        )
+        model = fit_isotonic_bins(df, "p", "y", bins=20)
+        cal = calibrate_scores(df, model, "p")
+        gap_raw = (
+            reliability_curve(df, "p", "y", 5)
+            .agg(F.max(F.abs(F.col("gap")))).collect()[0][0]
+        )
+        gap_cal = (
+            reliability_curve(cal, "calibrated", "y", 5)
+            .agg(F.max(F.abs(F.col("gap")))).collect()[0][0]
+        )
+        assert gap_cal < gap_raw / 2, (gap_raw, gap_cal)
+
+    def test_errors(self, spark):
+        from temporalscope_spark.metrics.classification import (
+            calibrate_scores,
+            fit_isotonic_bins,
+        )
+
+        df = spark.createDataFrame([(0.5, 2)], ["p", "y"])
+        with pytest.raises(DataFrameValidationError, match="0/1"):
+            fit_isotonic_bins(df, "p", "y")
+        ok = spark.createDataFrame([(0.5, 1), (0.2, 0)], ["p", "y"])
+        with pytest.raises(DataFrameValidationError, match="bins"):
+            fit_isotonic_bins(ok, "p", "y", bins=1)
+        model = fit_isotonic_bins(ok, "p", "y", bins=4)
+        with pytest.raises(DataFrameValidationError, match="missing column"):
+            calibrate_scores(ok, model, "nope")
