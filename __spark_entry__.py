@@ -2611,6 +2611,41 @@ def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lift_table(_scored_events(spark, sf_dir), "score", "y")
 
 
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1/accuracy at the 0.1..0.9 threshold sweep over
+    the deterministic score: all 9 operating points from ONE aggregation
+    (36 conditional counts), rows exploded from the 1-row result."""
+    from temporalscope_spark.metrics.classification import pr_curve
+
+    return pr_curve(_scored_events(spark, sf_dir), "score", "y")
+
+
+def q_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSE/MAE/bias/R² of a deterministic noisy predictor of
+    `events.value`, per event_type — one gated-moment aggregation per
+    group, pairwise-complete."""
+    from temporalscope_spark.metrics.classification import regression_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#11"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+    pred = 0.8 * F.col("value") + (u - 0.5) * 20.0 + 5.0
+    df = ev.select(pred.alias("pred"), F.col("value").alias("y"), "event_type")
+    return regression_metrics(df, "pred", "y", ["event_type"])
+
+
 def q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic calibration map fitted on the deterministic score's
     fixed-width bins: driver-side pool-adjacent-violators over the
@@ -3059,6 +3094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reliability_curve": q_reliability_curve,
         "lift_table": q_lift_table,
         "isotonic_fit": q_isotonic_fit,
+        "pr_curve": q_pr_curve,
+        "regression_metrics": q_regression_metrics,
         "ks_drift": q_ks_drift,
         "delta_features": q_delta_features,
         "rolling_corr": q_rolling_corr,
@@ -5266,6 +5303,67 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN tp / tn > 0 THEN (cpos / cn) / (tp / tn)
                      END, 6) + 0.0 AS cum_lift
         FROM cum c, edges, tot
+    """
+    # pr_curve: per-threshold conditional counts from one pass, the same
+    # NULL gates (0/0 precision, F1 needs both)
+    pr_rows = []
+    for t in [round(i / 10, 6) for i in range(1, 10)]:
+        tp = f"sum(CASE WHEN score >= {t} AND y = 1 THEN 1 ELSE 0 END)"
+        fp = f"sum(CASE WHEN score >= {t} AND y = 0 THEN 1 ELSE 0 END)"
+        fn = f"sum(CASE WHEN score < {t} AND y = 1 THEN 1 ELSE 0 END)"
+        tn = f"sum(CASE WHEN score < {t} AND y = 0 THEN 1 ELSE 0 END)"
+        pr_rows.append(f"""
+            SELECT {t} AS threshold,
+                   CAST({tp} AS BIGINT) AS tp, CAST({fp} AS BIGINT) AS fp,
+                   CAST({fn} AS BIGINT) AS fn, CAST({tn} AS BIGINT) AS tn,
+                   round(CASE WHEN {tp} + {fp} > 0
+                         THEN CAST({tp} AS DOUBLE) / ({tp} + {fp}) END, 6)
+                       + 0.0 AS precision,
+                   round(CASE WHEN {tp} + {fn} > 0
+                         THEN CAST({tp} AS DOUBLE) / ({tp} + {fn}) END, 6)
+                       + 0.0 AS recall,
+                   round(CASE WHEN {tp} + {fp} > 0 AND {tp} + {fn} > 0
+                              AND CAST({tp} AS DOUBLE) / ({tp} + {fp})
+                                  + CAST({tp} AS DOUBLE) / ({tp} + {fn}) > 0
+                         THEN 2 * (CAST({tp} AS DOUBLE) / ({tp} + {fp}))
+                                * (CAST({tp} AS DOUBLE) / ({tp} + {fn}))
+                              / (CAST({tp} AS DOUBLE) / ({tp} + {fp})
+                                 + CAST({tp} AS DOUBLE) / ({tp} + {fn}))
+                         END, 6) + 0.0 AS f1,
+                   round(CAST({tp} + {tn} AS DOUBLE)
+                         / ({tp} + {fp} + {fn} + {tn}), 6) + 0.0 AS accuracy
+            FROM scored""")
+    sql["pr_curve"] = (
+        "WITH " + _SCORED_SQL + " " + " UNION ALL ".join(pr_rows)
+    )
+    # regression metrics: gated moments per group, same closed forms
+    sql["regression_metrics"] = """
+        WITH s AS (
+            SELECT event_type,
+                   0.8 * CAST(value AS DOUBLE)
+                   + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                          || '#11'), 1, 8)) AS BIGINT) / 4294967296.0
+                      - 0.5) * 20.0 + 5.0 AS pred,
+                   CAST(value AS DOUBLE) AS y
+            FROM events
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(count(CASE WHEN pred IS NOT NULL AND y IS NOT NULL
+                              THEN 1 END) AS DOUBLE) AS n,
+                   sum((pred - y) * (pred - y)) AS se,
+                   sum(abs(pred - y)) AS ae,
+                   sum(pred - y) AS be,
+                   sum(y) AS sy, sum(y * y) AS syy
+            FROM s GROUP BY 1
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               round(CASE WHEN n > 0 THEN sqrt(se / n) END, 6) + 0.0 AS rmse,
+               round(CASE WHEN n > 0 THEN ae / n END, 6) + 0.0 AS mae,
+               round(CASE WHEN n > 0 THEN be / n END, 6) + 0.0 AS bias,
+               round(CASE WHEN n >= 2 AND syy - sy * sy / n > 0
+                     THEN 1 - se / (syy - sy * sy / n) END, 6) + 0.0 AS r2
+        FROM m
     """
     # isotonic fit: PAV's solution via the minimax identity over interval
     # averages; a(j,k) from prefix sums (cp[j-1] = cp[j] - p[j])

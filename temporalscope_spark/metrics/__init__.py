@@ -3,6 +3,8 @@ from temporalscope_spark.metrics.classification import (
     calibrate_scores,
     fit_isotonic_bins,
     lift_table,
+    pr_curve,
+    regression_metrics,
     reliability_curve,
 )
 from temporalscope_spark.metrics.masv import abs_deviation_importance, calculate_masv
@@ -10,5 +12,5 @@ from temporalscope_spark.metrics.masv import abs_deviation_importance, calculate
 __all__ = [
     "abs_deviation_importance", "calculate_masv",
     "auc_roc", "reliability_curve", "lift_table",
-    "fit_isotonic_bins", "calibrate_scores",
+    "fit_isotonic_bins", "calibrate_scores", "pr_curve", "regression_metrics",
 ]

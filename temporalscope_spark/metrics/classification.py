@@ -326,3 +326,123 @@ def calibrate_scores(
     return df.withColumn(
         out_col, F.when(s.isNotNull(), F.element_at(m, bexp))
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list | None = None,
+) -> DataFrame:
+    """Precision / recall / F1 / accuracy at a sweep of decision
+    thresholds (score ≥ t ⇒ predicted positive) — the PR-curve points and
+    the operating-point table a gate deployment reads.
+
+    All T thresholds evaluate in ONE map-side-combinable aggregation
+    (4·T conditional counts as expressions — T is tens, the corpus is
+    scanned once); the per-threshold rows explode from the 1-row result.
+    Default thresholds: 0.1 .. 0.9. Precision is NULL when nothing is
+    predicted positive (0/0); F1 is NULL when precision or recall is.
+
+    Output: ``(threshold, tp, fp, fn, tn, precision, recall, f1,
+    accuracy)``, floats rounded to 6.
+    """
+    if thresholds is not None and not thresholds:
+        raise DataFrameValidationError("pr_curve: thresholds must be non-empty")
+    ts = [
+        round(t, 6)
+        for t in (
+            thresholds if thresholds is not None else [i / 10 for i in range(1, 10)]
+        )
+    ]
+    base = _checked(df, score_col, label_col)
+    aggs = []
+    for i, t in enumerate(ts):
+        pred = F.col("_s") >= t
+        y = F.col("_y") == 1.0
+        aggs += [
+            F.sum((pred & y).cast("long")).alias(f"tp_{i}"),
+            F.sum((pred & ~y).cast("long")).alias(f"fp_{i}"),
+            F.sum((~pred & y).cast("long")).alias(f"fn_{i}"),
+            F.sum((~pred & ~y).cast("long")).alias(f"tn_{i}"),
+        ]
+    one = base.agg(*aggs)
+    structs = []
+    for i, t in enumerate(ts):
+        tp = F.col(f"tp_{i}").cast("double")
+        fp = F.col(f"fp_{i}").cast("double")
+        fn = F.col(f"fn_{i}").cast("double")
+        tn = F.col(f"tn_{i}").cast("double")
+        prec = F.when(tp + fp > 0, tp / (tp + fp))
+        rec = F.when(tp + fn > 0, tp / (tp + fn))
+        f1 = F.when(
+            prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+            2 * prec * rec / (prec + rec),
+        )
+        acc = F.when(tp + fp + fn + tn > 0, (tp + tn) / (tp + fp + fn + tn))
+        structs.append(
+            F.struct(
+                F.lit(t).alias("threshold"),
+                tp.cast("long").alias("tp"),
+                fp.cast("long").alias("fp"),
+                fn.cast("long").alias("fn"),
+                tn.cast("long").alias("tn"),
+                (F.round(prec, 6) + F.lit(0.0)).alias("precision"),
+                (F.round(rec, 6) + F.lit(0.0)).alias("recall"),
+                (F.round(f1, 6) + F.lit(0.0)).alias("f1"),
+                (F.round(acc, 6) + F.lit(0.0)).alias("accuracy"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+
+
+def regression_metrics(
+    df: DataFrame,
+    pred_col: str,
+    target_col: str,
+    group_cols: list | None = None,
+) -> DataFrame:
+    """RMSE / MAE / bias / R² per group (or globally) from ONE
+    map-side-combinable aggregation of gated moments — the evaluation
+    twin of the linear trainer's in-aggregation metrics, exposed for ANY
+    prediction column (pairwise-complete over rows where both sides are
+    non-null). R² is NULL when the target has zero variance or < 2
+    pairs.
+
+    Output: ``(group_cols..., n, rmse, mae, bias, r2)``, floats rounded
+    to 6.
+    """
+    for c in (pred_col, target_col, *(group_cols or [])):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"regression_metrics: missing column {c!r}")
+    p = F.col(pred_col).cast("double")
+    y = F.col(target_col).cast("double")
+    both = p.isNotNull() & y.isNotNull()
+    gp, gy = F.when(both, p), F.when(both, y)
+    e = gp - gy
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    one = grouped.agg(
+        F.count(gp).cast("double").alias("_n"),
+        F.sum(e * e).alias("_se"),
+        F.sum(F.abs(e)).alias("_ae"),
+        F.sum(e).alias("_be"),
+        F.sum(gy).alias("_sy"),
+        F.sum(gy * gy).alias("_syy"),
+    )
+    n = F.col("_n")
+    sst = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    return one.select(
+        *(group_cols or []),
+        n.cast("long").alias("n"),
+        (F.round(F.when(n > 0, F.sqrt(F.col("_se") / n)), 6) + F.lit(0.0)).alias(
+            "rmse"
+        ),
+        (F.round(F.when(n > 0, F.col("_ae") / n), 6) + F.lit(0.0)).alias("mae"),
+        (F.round(F.when(n > 0, F.col("_be") / n), 6) + F.lit(0.0)).alias("bias"),
+        (
+            F.round(
+                F.when((n >= 2) & (sst > 0), 1 - F.col("_se") / sst), 6
+            )
+            + F.lit(0.0)
+        ).alias("r2"),
+    )

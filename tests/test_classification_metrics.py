@@ -278,3 +278,103 @@ class TestIsotonic:
         model = fit_isotonic_bins(ok, "p", "y", bins=4)
         with pytest.raises(DataFrameValidationError, match="missing column"):
             calibrate_scores(ok, model, "nope")
+
+
+class TestPrCurve:
+    def test_hand_confusion(self, spark):
+        from temporalscope_spark.metrics.classification import pr_curve
+
+        rows = [(0.9, 1), (0.8, 0), (0.6, 1), (0.4, 0), (0.2, 1)]
+        df = spark.createDataFrame(rows, ["p", "y"])
+        got = {r["threshold"]: r for r in pr_curve(df, "p", "y", [0.5]).collect()}
+        r = got[0.5]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 1)
+        assert r["precision"] == pytest.approx(2 / 3, abs=1e-6)
+        assert r["recall"] == pytest.approx(2 / 3, abs=1e-6)
+        assert r["f1"] == pytest.approx(2 / 3, abs=1e-6)
+        assert r["accuracy"] == pytest.approx(0.6, abs=1e-6)
+
+    def test_degenerate_thresholds(self, spark):
+        from temporalscope_spark.metrics.classification import pr_curve
+
+        df = spark.createDataFrame([(0.3, 1), (0.2, 0)], ["p", "y"])
+        got = {r["threshold"]: r for r in pr_curve(df, "p", "y", [0.9]).collect()}
+        r = got[0.9]  # nothing predicted positive
+        assert r["tp"] == 0 and r["precision"] is None and r["f1"] is None
+        assert r["recall"] == 0.0
+
+    def test_monotone_recall(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.metrics.classification import pr_curve
+
+        rng = np.random.default_rng(4)
+        rows = [
+            (float(rng.random()), int(rng.random() < 0.5)) for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, ["p", "y"])
+        recs = [
+            r["recall"]
+            for r in sorted(pr_curve(df, "p", "y").collect(), key=lambda r: r["threshold"])
+        ]
+        assert recs == sorted(recs, reverse=True)  # recall falls with t
+
+    def test_one_aggregation(self, spark):
+        from temporalscope_spark.metrics.classification import pr_curve
+
+        df = spark.createDataFrame([(0.3, 1), (0.2, 0)], ["p", "y"])
+        plan = pr_curve(df, "p", "y")._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Aggregate") == 1
+
+    def test_errors(self, spark):
+        from temporalscope_spark.metrics.classification import pr_curve
+
+        df = spark.createDataFrame([(0.3, 1)], ["p", "y"])
+        with pytest.raises(DataFrameValidationError, match="non-empty"):
+            pr_curve(df, "p", "y", [])
+
+
+class TestRegressionMetrics:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.metrics.classification import regression_metrics
+
+        rng = np.random.default_rng(8)
+        y = rng.normal(size=200)
+        p = y + rng.normal(scale=0.5, size=200) + 0.1
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(p, y)], ["pred", "y"]
+        )
+        r = regression_metrics(df, "pred", "y").collect()[0]
+        e = p - y
+        assert r["n"] == 200
+        assert r["rmse"] == pytest.approx(float(np.sqrt((e ** 2).mean())), abs=2e-6)
+        assert r["mae"] == pytest.approx(float(np.abs(e).mean()), abs=2e-6)
+        assert r["bias"] == pytest.approx(float(e.mean()), abs=2e-6)
+        sst = ((y - y.mean()) ** 2).sum()
+        assert r["r2"] == pytest.approx(1 - (e ** 2).sum() / sst, abs=2e-5)
+
+    def test_groups_and_nulls(self, spark):
+        from temporalscope_spark.metrics.classification import regression_metrics
+
+        rows = [
+            ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", None, 5.0),
+            ("b", 3.0, 3.0), ("b", 5.0, 5.0),
+        ]
+        df = spark.createDataFrame(rows, ["g", "pred", "y"])
+        got = {
+            r["g"]: r
+            for r in regression_metrics(df, "pred", "y", ["g"]).collect()
+        }
+        assert got["a"]["n"] == 2  # null pred row excluded
+        assert got["a"]["mae"] == pytest.approx(0.5, abs=1e-6)
+        assert got["a"]["r2"] is None  # zero target variance in 'a'
+        assert got["b"]["rmse"] == 0.0 and got["b"]["r2"] == 1.0
+
+    def test_errors(self, spark):
+        from temporalscope_spark.metrics.classification import regression_metrics
+
+        df = spark.createDataFrame([(1.0, 1.0)], ["pred", "y"])
+        with pytest.raises(DataFrameValidationError, match="missing column"):
+            regression_metrics(df, "nope", "y")
