@@ -303,6 +303,38 @@ def main() -> None:
     assert acc > base_acc + 0.05, (acc, base_acc)
     print(f"IRLS on engineered features: accuracy {acc:.3f} vs base rate {base_acc:.3f}")
 
+    # 11. evaluate the trained gate with the metric battery: exact
+    # rank-sum AUC (no score collection), the 0.5 operating point, and
+    # isotonic recalibration of the sigmoid scores on train bins
+    from temporalscope_spark.metrics.classification import (
+        auc_roc,
+        fit_isotonic_bins,
+        pr_curve,
+        reliability_curve,
+    )
+
+    scored = model_in.select(
+        model.predict_proba_col().alias("score"),
+        F.col("y").cast("int").alias("yy"),
+    )
+    auc = auc_roc(scored, "score", "yy").collect()[0]["auc"]
+    assert auc > 0.9, auc
+    op = {
+        r["threshold"]: r for r in pr_curve(scored, "score", "yy", [0.5]).collect()
+    }[0.5]
+    assert op["f1"] is not None and op["f1"] > 0.85, op
+    iso = fit_isotonic_bins(scored, "score", "yy", bins=20)
+    assert iso["values"] == sorted(iso["values"])  # monotone map
+    worst = (
+        reliability_curve(scored, "score", "yy", 5)
+        .agg(F.max(F.abs(F.col("gap")))).collect()[0][0]
+    )
+    print(
+        f"model eval: AUC {auc:.3f}, F1@0.5 {op['f1']:.3f}, "
+        f"worst calibration gap {worst:.3f}, isotonic map monotone "
+        f"over {len(iso['bin_ids'])} bins"
+    )
+
     print("feature pipeline complete.")
     spark.stop()
 
