@@ -2567,7 +2567,9 @@ def _scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         2,
     )
     return ev.select(
-        score.alias("score"), (F.col("value") > 35.0).cast("int").alias("y")
+        score.alias("score"),
+        (F.col("value") > 35.0).cast("int").alias("y"),
+        "event_type",
     )
 
 
@@ -2579,7 +2581,8 @@ _SCORED_SQL = """
                               || '#7'), 1, 8)) AS BIGINT) / 4294967296.0
                           - 0.5) * 0.4,
                    0.0), 1.0), 2) AS score,
-                   CAST(CAST(value AS DOUBLE) > 35.0 AS INT) AS y
+                   CAST(CAST(value AS DOUBLE) > 35.0 AS INT) AS y,
+                   event_type
             FROM events
         )"""
 
@@ -2609,6 +2612,18 @@ def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from temporalscope_spark.metrics.classification import lift_table
 
     return lift_table(_scored_events(spark, sf_dir), "score", "y")
+
+
+def q_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type exact AUC of the deterministic score — the
+    model-quality drift twin of psi_score: per-group average ranks from a
+    group-partitioned window over the DISTINCT-score table, one grouped
+    fold."""
+    from temporalscope_spark.metrics.classification import auc_by_group
+
+    return auc_by_group(
+        _scored_events(spark, sf_dir), "score", "y", ["event_type"]
+    )
 
 
 def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3095,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lift_table": q_lift_table,
         "isotonic_fit": q_isotonic_fit,
         "pr_curve": q_pr_curve,
+        "auc_by_group": q_auc_by_group,
         "regression_metrics": q_regression_metrics,
         "ks_drift": q_ks_drift,
         "delta_features": q_delta_features,
@@ -5303,6 +5319,32 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN tp / tn > 0 THEN (cpos / cn) / (tp / tn)
                      END, 6) + 0.0 AS cum_lift
         FROM cum c, edges, tot
+    """
+    # auc_by_group: group-partitioned rank cumulative over distinct
+    # scores, same average-rank identity; single-class groups NULL
+    sql["auc_by_group"] = f"""
+        WITH {_SCORED_SQL},
+        vals AS (
+            SELECT event_type, score AS v, CAST(count(*) AS DOUBLE) AS c,
+                   sum(CAST(y AS DOUBLE)) AS p
+            FROM scored GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT *, sum(c) OVER (
+                PARTITION BY event_type ORDER BY v) AS cc
+            FROM vals
+        ),
+        agg AS (
+            SELECT event_type, sum(p) AS np, sum(c - p) AS nn,
+                   sum(p * (cc - c + (c + 1) / 2.0)) AS rp
+            FROM cum GROUP BY 1
+        )
+        SELECT event_type, CAST(np AS BIGINT) AS n_pos,
+               CAST(nn AS BIGINT) AS n_neg,
+               round(CASE WHEN np > 0 AND nn > 0
+                     THEN (rp - np * (np + 1) / 2.0) / (np * nn) END, 6)
+                   + 0.0 AS auc
+        FROM agg
     """
     # pr_curve: per-threshold conditional counts from one pass, the same
     # NULL gates (0/0 precision, F1 needs both)

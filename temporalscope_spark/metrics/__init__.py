@@ -1,4 +1,5 @@
 from temporalscope_spark.metrics.classification import (
+    auc_by_group,
     auc_roc,
     calibrate_scores,
     fit_isotonic_bins,
@@ -11,6 +12,6 @@ from temporalscope_spark.metrics.masv import abs_deviation_importance, calculate
 
 __all__ = [
     "abs_deviation_importance", "calculate_masv",
-    "auc_roc", "reliability_curve", "lift_table",
+    "auc_roc", "auc_by_group", "reliability_curve", "lift_table",
     "fit_isotonic_bins", "calibrate_scores", "pr_curve", "regression_metrics",
 ]

@@ -446,3 +446,70 @@ def regression_metrics(
             + F.lit(0.0)
         ).alias("r2"),
     )
+
+
+def auc_by_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list,
+) -> DataFrame:
+    """Exact ROC AUC per group — model-quality tracking over segments or
+    time windows (the AUC twin of the PSI drift monitor: score the gate
+    per day/source and alarm when discrimination decays).
+
+    Same Mann–Whitney average-rank identity as :func:`auc_roc`, but
+    ranks come from a window over the per-group DISTINCT-SCORE table
+    (``partitionBy(group)`` — each partition holds one group's distinct
+    score values, bounded by the score resolution, never the group's
+    row count), then ONE ``groupBy(group)`` fold. Groups missing a class
+    report NULL auc (n_pos/n_neg say why); labels outside {0, 1} raise.
+
+    Output: ``(group_cols..., n_pos, n_neg, auc)``, auc rounded to 6.
+    """
+    if not group_cols:
+        raise DataFrameValidationError("auc_by_group: group_cols must be non-empty")
+    for c in (score_col, label_col, *group_cols):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"auc_by_group: missing column {c!r}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        *group_cols, s.alias("_s"), y.alias("_y")
+    )
+    vals = base.groupBy(*group_cols, F.col("_s").alias("_v")).agg(
+        F.count(F.lit(1)).cast("double").alias("_c"),
+        F.sum("_y").alias("_p"),
+        F.max(
+            F.when((F.col("_y") != 0.0) & (F.col("_y") != 1.0), 1).otherwise(0)
+        ).alias("_bad"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vals.withColumn("_cc", F.sum("_c").over(w))
+    avg_rank = F.col("_cc") - F.col("_c") + (F.col("_c") + 1) / 2.0
+    agg = cum.groupBy(*group_cols).agg(
+        F.sum("_p").alias("_np"),
+        F.sum(F.col("_c") - F.col("_p")).alias("_nn"),
+        F.sum(F.col("_p") * avg_rank).alias("_rp"),
+        F.max("_bad").alias("_anybad"),
+    )
+    bad = agg.agg(F.max("_anybad")).collect()[0][0]
+    if bad:
+        raise DataFrameValidationError(
+            f"auc_by_group: label {label_col!r} must be 0/1"
+        )
+    np_, nn_ = F.col("_np"), F.col("_nn")
+    auc = F.when(
+        (np_ > 0) & (nn_ > 0),
+        (F.col("_rp") - np_ * (np_ + 1) / 2.0) / (np_ * nn_),
+    )
+    return agg.select(
+        *group_cols,
+        np_.cast("long").alias("n_pos"),
+        nn_.cast("long").alias("n_neg"),
+        (F.round(auc, 6) + F.lit(0.0)).alias("auc"),
+    )

@@ -378,3 +378,43 @@ class TestRegressionMetrics:
         df = spark.createDataFrame([(1.0, 1.0)], ["pred", "y"])
         with pytest.raises(DataFrameValidationError, match="missing column"):
             regression_metrics(df, "nope", "y")
+
+
+class TestAucByGroup:
+    def test_equals_per_slice_auc(self, spark, scored):
+        from temporalscope_spark.metrics.classification import (
+            auc_by_group,
+            auc_roc,
+        )
+
+        rows, df = scored
+        g = df.withColumn("g", (F.col("score") * 100).cast("int") % 3)
+        got = {r["g"]: r for r in auc_by_group(g, "score", "y", ["g"]).collect()}
+        for k in got:
+            want = auc_roc(
+                g.filter(F.col("g") == k), "score", "y"
+            ).collect()[0]
+            assert got[k]["auc"] == pytest.approx(want["auc"], abs=1e-6)
+            assert (got[k]["n_pos"], got[k]["n_neg"]) == (
+                want["n_pos"], want["n_neg"],
+            )
+
+    def test_single_class_group_null(self, spark):
+        from temporalscope_spark.metrics.classification import auc_by_group
+
+        df = spark.createDataFrame(
+            [("a", 0.9, 1), ("a", 0.1, 0), ("b", 0.5, 1), ("b", 0.6, 1)],
+            ["g", "score", "y"],
+        )
+        got = {r["g"]: r for r in auc_by_group(df, "score", "y", ["g"]).collect()}
+        assert got["a"]["auc"] == 1.0
+        assert got["b"]["auc"] is None and got["b"]["n_neg"] == 0
+
+    def test_errors(self, spark):
+        from temporalscope_spark.metrics.classification import auc_by_group
+
+        df = spark.createDataFrame([("a", 0.5, 2)], ["g", "score", "y"])
+        with pytest.raises(DataFrameValidationError, match="0/1"):
+            auc_by_group(df, "score", "y", ["g"])
+        with pytest.raises(DataFrameValidationError, match="non-empty"):
+            auc_by_group(df, "score", "y", [])
