@@ -2995,6 +2995,81 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return woe_iv_table(events, "event_type", "y")
 
 
+def q_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-token-prediction example builder: ctx=3/stride=1 windows over
+    the deterministic token arrays (lengths 1..5, so only length-4/5
+    sequences emit — 1 or 2 windows each). Zero-shuffle map-only plan."""
+    from temporalscope_spark.operators.packing import training_windows
+
+    seqs = _synthetic_token_events(spark, sf_dir)
+    out = training_windows(
+        seqs.select("event_id", "tokens"), ctx_len=3, stride=1, id_col="event_id"
+    )
+    return out.select(
+        "event_id",
+        F.col("win_id").cast("long").alias("win_id"),
+        F.array_join("context", ",").alias("context"),
+        F.col("target").cast("long").alias("target"),
+    )
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (k=2 md5 bit positions mod m=4096):
+    the bounded-broadcast scale lane of `decontaminate` — removal is a
+    superset of exact (false positives only drop extra rows), and the
+    oracle replays the identical bit arithmetic."""
+    from temporalscope_spark.operators.contamination import decontaminate_bloom
+
+    seqs = _synthetic_token_events(spark, sf_dir)
+    train = seqs.filter(F.col("user_id") % 7 != 0)
+    ev = seqs.filter(F.col("user_id") % 7 == 0)
+    clean = decontaminate_bloom(train, ev, n=3, k=2, m=4096, seed=7, id_col="event_id")
+    return clean.select("event_id", "user_id")
+
+
+def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 3 x width 256) point estimates for the
+    exact top-10 words: (word, exact, CMS estimate >= exact). The sketch
+    is d*w rows whatever the corpus size — the bounded-state frequency
+    summary."""
+    from temporalscope_spark.operators.corpus_stats import (
+        countmin_estimate,
+        countmin_sketch,
+        heavy_hitters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = countmin_sketch(docs, "text", depth=3, width=256, seed=5)
+    top = heavy_hitters(docs, "text", k=10)
+    est = countmin_estimate(sk, top.select("word"), depth=3, width=256, seed=5)
+    return top.join(est, "word").select(
+        "word",
+        F.col("n").cast("long").alias("n_exact"),
+        F.col("est").cast("long").alias("n_est"),
+    )
+
+
+def q_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional upsampling (the r > 1 half of temperature
+    mixing): purchases x2.5 (2 copies + md5-selected half get a third
+    epoch), clicks x1, everything else dropped."""
+    from temporalscope_spark.operators.sampling import upsample_repeat
+
+    events = _t(spark, sf_dir, "events")
+    out = upsample_repeat(
+        events,
+        "event_type",
+        {"purchase": 2.5, "click": 1.0},
+        key_col="event_id",
+        seed=3,
+        default_factor=0.0,
+        portable=True,
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", F.col("epoch").cast("int").alias("epoch")
+    )
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -3096,7 +3171,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_split": q_entity_split,
         "pack_chunks": q_pack_chunks,
         "pack_greedy": q_pack_greedy,
+        "training_windows": q_training_windows,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
+        "countmin_freq": q_countmin_freq,
+        "upsample_repeat": q_upsample_repeat,
         "stratified_sample": q_stratified_sample,
         "token_budget_sample": q_token_budget_sample,
         "chunk_documents": q_chunk_documents,
@@ -4667,6 +4746,109 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, user_id FROM tr
             WHERE event_id NOT IN (SELECT DISTINCT event_id FROM tg JOIN eg USING (g))
+        """,
+        "training_windows": """
+            WITH seqs AS (
+                SELECT event_id,
+                       generate_series(event_id % 100,
+                                       event_id % 100 + event_id % 5) AS toks
+                FROM events
+            ),
+            w AS (
+                SELECT event_id, toks,
+                       unnest(generate_series(0, len(toks) - 4)) AS w
+                FROM seqs WHERE len(toks) > 3
+            )
+            SELECT event_id,
+                   CAST(w AS BIGINT) AS win_id,
+                   array_to_string(list_slice(toks, CAST(w + 1 AS INT),
+                                              CAST(w + 3 AS INT)), ',') AS context,
+                   CAST(toks[CAST(w + 4 AS INT)] AS BIGINT) AS target
+            FROM w
+        """,
+        "decontaminate_bloom": """
+            WITH seqs AS (
+                SELECT event_id, user_id,
+                       generate_series(event_id % 100,
+                                       event_id % 100 + event_id % 5) AS toks
+                FROM events
+            ),
+            tr AS (SELECT * FROM seqs WHERE user_id % 7 <> 0),
+            ev AS (SELECT * FROM seqs WHERE user_id % 7 = 0),
+            eg AS (
+                SELECT DISTINCT
+                       array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2),
+                                       chr(31)) AS g
+                FROM ev, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+            ),
+            bits AS (
+                SELECT DISTINCT
+                       CAST(('0x' || substr(md5(g || '#7#' || CAST(j AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 4096 AS pos
+                FROM eg, UNNEST([0, 1]) AS jj(j)
+            ),
+            tg AS (
+                SELECT event_id,
+                       array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2),
+                                       chr(31)) AS g
+                FROM tr, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+            ),
+            bad AS (
+                SELECT DISTINCT event_id FROM tg
+                WHERE CAST(('0x' || substr(md5(g || '#7#0'), 1, 8)) AS BIGINT) % 4096
+                          IN (SELECT pos FROM bits)
+                  AND CAST(('0x' || substr(md5(g || '#7#1'), 1, 8)) AS BIGINT) % 4096
+                          IN (SELECT pos FROM bits)
+            )
+            SELECT event_id, user_id FROM tr
+            WHERE event_id NOT IN (SELECT event_id FROM bad)
+        """,
+        "countmin_freq": f"""
+            WITH words AS (
+                SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+            ),
+            wc AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS n
+                FROM words WHERE word <> '' GROUP BY word
+            ),
+            top AS (SELECT * FROM wc ORDER BY n DESC, word LIMIT 10),
+            sketch AS (
+                SELECT j,
+                       CAST(('0x' || substr(md5(word || '#5#' || CAST(j AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 256 AS bucket,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM words, UNNEST([0, 1, 2]) AS jj(j)
+                WHERE word <> ''
+                GROUP BY 1, 2
+            ),
+            probes AS (
+                SELECT t.word, t.n, jj.j,
+                       CAST(('0x' || substr(md5(t.word || '#5#' || CAST(jj.j AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 256 AS bucket
+                FROM top t, UNNEST([0, 1, 2]) AS jj(j)
+            )
+            SELECT p.word, p.n AS n_exact,
+                   CAST(min(COALESCE(s.c, 0)) AS BIGINT) AS n_est
+            FROM probes p LEFT JOIN sketch s USING (j, bucket)
+            GROUP BY p.word, p.n
+        """,
+        "upsample_repeat": """
+            WITH f AS (
+                SELECT event_id, user_id, event_type,
+                       CASE event_type WHEN 'purchase' THEN 2.5
+                                       WHEN 'click' THEN 1.0 ELSE 0.0 END AS r,
+                       CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#3'), 1, 8))
+                            AS BIGINT) / 4294967296.0 AS u
+                FROM events
+            ),
+            n AS (
+                SELECT *, CAST(floor(r) AS INT)
+                          + CASE WHEN u < r - floor(r) THEN 1 ELSE 0 END AS nc
+                FROM f
+            )
+            SELECT event_id, user_id, event_type, CAST(e AS INT) AS epoch
+            FROM n, UNNEST(generate_series(1, nc)) AS ee(e)
+            WHERE nc > 0
         """,
         "stratified_sample": """
             SELECT event_id, user_id, event_type FROM events

@@ -13,8 +13,11 @@ from temporalscope_spark.operators.asof import (
     range_join,
 )
 from temporalscope_spark.operators.contamination import (
+    bloom_bits,
+    bloom_contaminated_ids,
     contaminated_ids,
     decontaminate,
+    decontaminate_bloom,
     token_ngrams,
 )
 from temporalscope_spark.operators.cv import (
@@ -64,7 +67,11 @@ from temporalscope_spark.operators.lm import (
     score_unigram,
     unigram_counts,
 )
-from temporalscope_spark.operators.packing import pack_concat_chunks, pack_greedy
+from temporalscope_spark.operators.packing import (
+    pack_concat_chunks,
+    pack_greedy,
+    training_windows,
+)
 from temporalscope_spark.operators.binning import fit_quantile_edges, quantile_bin, winsorize
 from temporalscope_spark.operators.cooccur import cooccurrence_pmi
 from temporalscope_spark.operators.encoding import (
@@ -136,6 +143,7 @@ from temporalscope_spark.operators.sampling import (
     stratified_sample,
     temperature_sample,
     top_k_per_group,
+    upsample_repeat,
 )
 from temporalscope_spark.operators.sessionize import (
     session_bounds,
@@ -165,7 +173,8 @@ from temporalscope_spark.operators.similarity import (
 
 __all__ = [
     "asof_join", "backward_fill", "forward_fill", "range_join", "serve_features",
-    "contaminated_ids", "decontaminate", "token_ngrams",
+    "bloom_bits", "bloom_contaminated_ids", "contaminated_ids",
+    "decontaminate", "decontaminate_bloom", "token_ngrams",
     "entity_split", "fit_fold_bounds", "purged_fold_summary",
     "purged_time_series_splits",
     "dedup_exact", "dup_span_stats", "minhash_lsh_pairs",
@@ -178,7 +187,7 @@ __all__ = [
     "gopher_quality_flags", "gopher_repetition_features",
     "bigram_counts", "ppl_buckets", "score_kneser_ney",
     "score_stupid_backoff", "score_unigram", "unigram_counts",
-    "pack_concat_chunks", "pack_greedy",
+    "pack_concat_chunks", "pack_greedy", "training_windows",
     "acf_features", "calendar_features", "entity_profile",
     "fourier_time_features", "recency_features", "trend_features",
     "seasonal_decompose", "series_features", "dft_features",
@@ -200,7 +209,7 @@ __all__ = [
     "rolling_row_features",
     "target_encode_expanding",
     "assign_shards", "deterministic_sample", "negative_samples", "stratified_sample",
-    "temperature_sample", "top_k_per_group",
+    "temperature_sample", "top_k_per_group", "upsample_repeat",
     "session_bounds", "sessionize", "sessionize_builtin",
     "TargetShifter", "delta_features", "lag_features", "multi_step_targets",
     "shift_target", "shift_target_chunked", "time_to_event",

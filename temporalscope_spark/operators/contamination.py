@@ -114,3 +114,120 @@ def decontaminate(
     (LEFT ANTI join against :func:`contaminated_ids`)."""
     bad = contaminated_ids(train, eval_df, n, id_col, tokens_col, key)
     return train.join(bad, id_col, "left_anti")
+
+
+def _bloom_pos(gram: Column, j: int, m: int, seed: int) -> Column:
+    """Deterministic bloom bit position for hash function ``j``: first 8 hex
+    chars of md5(gram + '#seed#j') mod m — bit-reproducible in any SQL
+    engine (DuckDB: ``CAST('0x' || substr(md5(...), 1, 8) AS BIGINT) % m``)."""
+    h = F.md5(F.concat(gram, F.lit(f"#{seed}#{j}")))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(m))
+
+
+def bloom_bits(
+    eval_df: DataFrame,
+    n: int,
+    k: int = 3,
+    m: int = 1 << 20,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """The SET-BIT table of a bloom filter over the eval set's token
+    n-grams: distinct ``pos`` values (``k`` md5-derived positions per gram,
+    modulo ``m`` bits).
+
+    This is the bloom filter expressed relationally: membership of a probe
+    gram = ALL ``k`` of its positions appear in this table. Row count is
+    bounded by ``min(k * |eval grams|, m)`` — at most ``m`` rows no matter
+    how large the benchmark suite grows, which is the bloom compression
+    argument: the broadcast side saturates at ``m`` longs (8 MB at the
+    default 2^20) instead of growing with the eval corpus, at the price of
+    a controlled false-positive rate ~ (1 - e^(-kn/m))^k (over-removal
+    only — never under-removal, the safe direction for decontamination).
+    """
+    if k < 1:
+        raise DataFrameValidationError("k must be >= 1")
+    if m < 2:
+        raise DataFrameValidationError("m must be >= 2")
+    eg = token_ngrams(eval_df, n, id_col, tokens_col, key="string").select("ngram_key").distinct()
+    g = F.col("ngram_key")
+    return (
+        eg.select(F.explode(F.array(*[_bloom_pos(g, j, m, seed) for j in range(k)])).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_contaminated_ids(
+    train: DataFrame,
+    bits: DataFrame,
+    n: int,
+    k: int = 3,
+    m: int = 1 << 20,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Train ids whose SOME token n-gram tests positive against the bloom
+    bit table (a superset of :func:`contaminated_ids` — bloom false
+    positives over-remove, never under-remove).
+
+    Plan shape at scale: the corpus side is ONE scan — each of the ``k``
+    position tests is a chained **broadcast LEFT-SEMI join** against the
+    bounded ``bits`` table (map-side, no shuffle of the training grams); a
+    gram survives all ``k`` semi-joins iff every bit is set. Only the
+    surviving (contaminated) ids hit the final small ``distinct``. The
+    training corpus is never exchanged.
+    """
+    if k < 1:
+        raise DataFrameValidationError("k must be >= 1")
+    # distinct=False: existence is all the semi-join chain needs, and the
+    # (id, gram) dedup would shuffle the training corpus — duplicate grams
+    # only mean duplicate map-side probes, removed by the final tiny distinct
+    tg = token_ngrams(train, n, id_col, tokens_col, key="string", distinct=False)
+    bad = tg
+    for j in range(k):
+        pc = f"_p{j}"
+        bad = bad.withColumn(pc, _bloom_pos(F.col("ngram_key"), j, m, seed)).join(
+            F.broadcast(bits.withColumnRenamed("pos", pc)), pc, "left_semi"
+        )
+    return bad.select(F.col("_id").alias(id_col)).distinct()
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int,
+    k: int = 3,
+    m: int = 1 << 20,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Bloom-filter decontamination: training rows with NO bloom-positive
+    token n-gram vs the eval set (LEFT ANTI against
+    :func:`bloom_contaminated_ids`).
+
+    The 100-TB lane of :func:`decontaminate`: the exact lane broadcasts the
+    eval set's full distinct-gram table (fine for benchmark-sized eval
+    sets; unbounded if the "eval" side is itself a corpus), while this lane
+    broadcasts at most ``m`` bit positions regardless of eval size and
+    keeps the training side shuffle-free. Removal is a SUPERSET of the
+    exact lane's (false positives drop extra rows at rate ~(1-e^(-kn/m))^k;
+    tune ``m`` up for large eval sets).
+
+    The bit table is persisted here because the ``k`` chained semi-joins
+    each broadcast it (without the persist the eval gram pipeline would be
+    rebuilt ``k`` times); the handle is bounded (≤ ``m`` longs) and freed
+    with the session or ``spark.catalog.clearCache()``. To manage the
+    lifecycle yourself — or to reuse one bit table across many batches, the
+    decontamination twin of the incremental-dedup index — build it once
+    with :func:`bloom_bits` and call :func:`bloom_contaminated_ids`.
+    """
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    bits = bloom_bits(eval_df, n, k, m, seed, id_col, tokens_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bad = bloom_contaminated_ids(train, bits, n, k, m, seed, id_col, tokens_col)
+    return train.join(bad, id_col, "left_anti")

@@ -173,3 +173,105 @@ def tokenizer_fertility(
             6,
         ),
     )
+
+
+def _cms_bucket(word, j: int, width: int, seed: int):
+    """Row ``j``'s counter index for ``word``: first 8 hex chars of
+    md5(word + '#seed#j') mod width — engine-portable (DuckDB:
+    ``CAST('0x' || substr(md5(...), 1, 8) AS BIGINT) % width``)."""
+    h = F.md5(F.concat(word, F.lit(f"#{seed}#{j}")))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(width))
+
+
+def countmin_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 5,
+) -> DataFrame:
+    """Count-min sketch of corpus word frequencies (Cormode & Muthukrishnan
+    2005): ``depth`` hash rows × ``width`` counters.
+
+    Output: (``j`` hash-row index, ``bucket``, ``c`` count) — at most
+    ``depth * width`` rows REGARDLESS of corpus or vocabulary size, the
+    bounded-state summary that makes frequency estimation broadcastable at
+    any scale (a 100-TB corpus with a 10^9-word vocabulary still sketches
+    to ``d*w`` longs).
+
+    Plan shape: explode words → per-word ``depth`` (j, bucket) pairs
+    (expression array, no UDF) → ONE hash aggregation with map-side
+    partial combine (each task emits at most ``d*w`` partial rows, so the
+    shuffle is sketch-sized, not corpus-sized).
+    """
+    if depth < 1:
+        raise DataFrameValidationError("depth must be >= 1")
+    if width < 2:
+        raise DataFrameValidationError("width must be >= 2")
+    words = df.select(F.explode(_norm_words(text_col)).alias("word")).filter(
+        F.col("word") != ""
+    )
+    pairs = words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("word"), j, width, seed).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_jb")
+    )
+    return (
+        pairs.select(F.col("_jb.j").alias("j"), F.col("_jb.bucket").alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    word_col: str = "word",
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 5,
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch: for each probe
+    word, ``est = min over j of counter[j][bucket_j(word)]`` (``depth``,
+    ``width``, ``seed`` must match the sketch build).
+
+    Guarantees: ``est >= true count`` always (collisions only ADD);
+    ``est <= true + eps * N`` with probability 1 - delta at
+    ``width = ceil(e / eps)``, ``depth = ceil(ln 1/delta)``.
+
+    Plan shape: probes × depth position rows joined against the BROADCAST
+    sketch (≤ d*w rows by construction) → per-word ``min`` — the probe
+    side never shuffles wide, and the sketch side is a fixed-size
+    broadcast however big the corpus was.
+    """
+    if depth < 1:
+        raise DataFrameValidationError("depth must be >= 1")
+    if width < 2:
+        raise DataFrameValidationError("width must be >= 2")
+    pr = probes.select(F.col(word_col).alias("word")).distinct()
+    pos = pr.select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col("word"), j, width, seed).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_jb"),
+    ).select("word", F.col("_jb.j").alias("j"), F.col("_jb.bucket").alias("bucket"))
+    joined = pos.join(F.broadcast(sketch), ["j", "bucket"], "left").withColumn(
+        "c", F.coalesce("c", F.lit(0))
+    )
+    return joined.groupBy("word").agg(F.min("c").alias("est"))

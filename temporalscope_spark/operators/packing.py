@@ -153,3 +153,62 @@ def pack_greedy(
     return df.select(id_col, order_col, tokens_col).groupBy(id_col).applyInPandas(
         kernel, out_schema
     )
+
+
+def training_windows(
+    df: DataFrame,
+    ctx_len: int,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Next-token-prediction example builder: slide a ``ctx_len``-token
+    context over each row's token array and pair it with the following
+    token as the target.
+
+    Output: one row per window — (id, ``win_id`` 0-based, ``context``
+    array of exactly ``ctx_len`` tokens, ``target`` the next token).
+    Window ``w`` starts at token index ``w * stride`` (0-based); rows with
+    ``size(tokens) <= ctx_len`` emit nothing (no partial contexts — a
+    partial-context lane is what padding + :func:`pack_concat_chunks`
+    are for).
+
+    Plan shape at scale: pure per-row expressions (``sequence`` over the
+    window starts, ``transform`` + ``slice`` + ``element_at``) followed by
+    one ``explode`` — a single narrow map stage, ZERO shuffles, so it
+    pipelines into whatever partitioning the source already has and scales
+    embarrassingly at any corpus size. Row inflation is
+    ``~(n_tok - ctx_len) / stride`` per sequence; at 10^12-sequence scale
+    pick ``stride >= ctx_len`` (non-overlapping) unless the training
+    recipe demands overlap — the plan is identical either way.
+    """
+    if ctx_len <= 0:
+        raise DataFrameValidationError("ctx_len must be > 0")
+    if stride <= 0:
+        raise DataFrameValidationError("stride must be > 0")
+
+    toks = F.col(tokens_col)
+    # last valid 0-based window index: (L - ctx_len - 1) // stride
+    last_w = F.floor((F.size(toks) - F.lit(ctx_len + 1)) / F.lit(stride)).cast("int")
+    wins = F.when(
+        F.size(toks) > F.lit(ctx_len),
+        F.transform(
+            F.sequence(F.lit(0), last_w),
+            lambda w: F.struct(
+                w.cast("long").alias("win_id"),
+                F.slice(toks, w * F.lit(stride) + F.lit(1), ctx_len).alias("context"),
+                F.element_at(toks, (w * F.lit(stride) + F.lit(ctx_len + 1)).cast("int")).alias(
+                    "target"
+                ),
+            ),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(wins).alias("_w"))
+        .select(
+            id_col,
+            F.col("_w.win_id").alias("win_id"),
+            F.col("_w.context").alias("context"),
+            F.col("_w.target").alias("target"),
+        )
+    )

@@ -369,3 +369,52 @@ def negative_samples(
         "left_anti",
     )
     return out.select(user_col, item_col, "slot", F.col("_neg").alias(f"neg_{item_col}"))
+
+
+def upsample_repeat(
+    df: DataFrame,
+    strata_col: str,
+    factors: Mapping[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_factor: float = 1.0,
+    portable: bool = False,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic fractional UPSAMPLING by stratum — the r > 1 half of
+    corpus mixing that :func:`temperature_sample` (keep-rate <= 1) cannot
+    express: low-resource sources in an mT5-style temperature mix need
+    repeat factors, not keep rates.
+
+    Each row is emitted ``floor(r)`` times, plus one more copy iff its
+    deterministic hash-uniform < ``frac(r)`` — so a stratum with factor
+    2.5 averages exactly 2.5 copies per row, and the SAME rows get the
+    extra epoch on every run, engine, and partitioning (md5 membership
+    when ``portable=True``). The copy index lands in ``epoch_col``
+    (1-based); downstream shuffles should key on (row key, epoch) so
+    repeats don't co-locate. Factor 0 drops the stratum.
+
+    Plan shape at scale: one narrow map over the corpus (literal
+    ``create_map`` rate lookup below the codegen bound, broadcast rate
+    join above it — see ``_with_rate``) + ``explode(sequence(1, n))``:
+    NO shuffle, row inflation exactly the requested factor.
+    """
+    for k, v in factors.items():
+        if float(v) < 0.0:
+            raise DataFrameValidationError(f"factor for stratum '{k}' must be >= 0")
+    if float(default_factor) < 0.0:
+        raise DataFrameValidationError("default_factor must be >= 0")
+    base = _with_rate(df, strata_col, factors, float(default_factor))
+    n_copies = (
+        F.floor("_rate").cast("int")
+        + F.when(
+            _uniform01(key_col, seed, portable) < (F.col("_rate") - F.floor("_rate")),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    return (
+        base.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_rate", "_n_copies")
+    )

@@ -117,3 +117,87 @@ def test_comma_tokens_do_not_alias(spark, key):
     )
     hit = {r["doc_id"] for r in contaminated_ids(train, eval2, n=2, key=key).collect()}
     assert hit == {1}
+
+
+class TestBloomDecontaminate:
+    def _corpora(self, spark):
+        train = spark.createDataFrame(
+            [(i, [i % 5, i % 5 + 1, i % 5 + 2, i % 7]) for i in range(40)],
+            "doc_id long, tokens array<int>",
+        )
+        eval_df = spark.createDataFrame(
+            [(100, [2, 3, 4]), (101, [9, 9, 9])], "doc_id long, tokens array<int>"
+        )
+        return train, eval_df
+
+    def test_superset_of_exact_removal(self, spark):
+        """Bloom false positives only ever REMOVE extra rows: the bloom
+        survivor set is a subset of the exact survivor set, at any m."""
+        from temporalscope_spark.operators.contamination import (
+            decontaminate,
+            decontaminate_bloom,
+        )
+
+        train, eval_df = self._corpora(spark)
+        exact = {r["doc_id"] for r in decontaminate(train, eval_df, 3, key="string").collect()}
+        for m in (64, 1 << 16):
+            bloom = {
+                r["doc_id"]
+                for r in decontaminate_bloom(train, eval_df, 3, m=m).collect()
+            }
+            assert bloom <= exact
+        # at a roomy m the toy example has no false positives at all
+        big = {
+            r["doc_id"]
+            for r in decontaminate_bloom(train, eval_df, 3, m=1 << 20).collect()
+        }
+        assert big == exact
+
+    def test_bit_position_matches_hashlib(self, spark):
+        """One gram's k bit positions replayed with python hashlib — pins the
+        md5(gram + '#seed#j') % m arithmetic the DuckDB oracle relies on."""
+        import hashlib
+
+        from temporalscope_spark.operators.contamination import bloom_bits
+
+        eval_df = spark.createDataFrame(
+            [(1, [7, 8, 9])], "doc_id long, tokens array<int>"
+        )
+        m, k, seed = 4096, 3, 7
+        got = sorted(r["pos"] for r in bloom_bits(eval_df, 3, k=k, m=m, seed=seed).collect())
+        gram = "7\x1f8\x1f9"
+        want = sorted(
+            {
+                int(hashlib.md5(f"{gram}#{seed}#{j}".encode()).hexdigest()[:8], 16) % m
+                for j in range(k)
+            }
+        )
+        assert got == want
+
+    def test_bits_bounded_and_corpus_unshuffled(self, spark):
+        """bits row count <= min(k * grams, m); the probe chain is k
+        broadcast LEFT-SEMI joins with no Exchange of the training side."""
+        from temporalscope_spark.operators.contamination import (
+            bloom_bits,
+            bloom_contaminated_ids,
+        )
+
+        train, eval_df = self._corpora(spark)
+        built = bloom_bits(eval_df, 3, k=3, m=16).collect()
+        assert len(built) <= 16
+        # materialize bits so every exchange left in the plan is train-side
+        bits = spark.createDataFrame([(r["pos"],) for r in built], "pos long")
+        plan = (
+            bloom_contaminated_ids(train, bits, 3, k=3, m=16)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("BroadcastHashJoin") == 3
+        assert "LeftSemi" in plan
+        # the training side is never exchanged: the only shuffle is the
+        # final tiny ids distinct
+        import re
+
+        shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert all("_id" in s for s in shuffles) and len(shuffles) <= 2

@@ -133,3 +133,71 @@ class TestTokenizerFertility:
         out = tokenizer_fertility(df, "text", group_col="source").toPandas()
         assert out["ws_tokens"].iloc[0] == 0
         assert out["fertility"].isna().iloc[0]
+
+
+class TestCountMinSketch:
+    def test_overestimate_never_under(self, spark, docs):
+        """CMS guarantee: est >= exact for every word, est == exact when the
+        width is roomy enough that no buckets collide."""
+        from temporalscope_spark.operators.corpus_stats import (
+            countmin_estimate,
+            countmin_sketch,
+            heavy_hitters,
+        )
+
+        exact = {r["word"]: r["n"] for r in heavy_hitters(docs, k=1000).collect()}
+        probes = spark.createDataFrame([(w,) for w in exact], "word string")
+        for width in (8, 4096):
+            sk = countmin_sketch(docs, depth=3, width=width)
+            est = {
+                r["word"]: r["est"]
+                for r in countmin_estimate(sk, probes, depth=3, width=width).collect()
+            }
+            assert set(est) == set(exact)
+            assert all(est[w] >= exact[w] for w in exact)
+        # roomy width: no collisions among this tiny vocabulary
+        assert est == exact
+
+    def test_unseen_word_can_be_zero(self, spark, docs):
+        from temporalscope_spark.operators.corpus_stats import (
+            countmin_estimate,
+            countmin_sketch,
+        )
+
+        sk = countmin_sketch(docs, depth=4, width=4096)
+        probes = spark.createDataFrame([("qqzebra",)], "word string")
+        [row] = countmin_estimate(sk, probes, depth=4, width=4096).collect()
+        assert row["est"] == 0
+
+    def test_bucket_matches_hashlib_and_bounded(self, spark, docs):
+        """Replay one word's buckets with python hashlib (pins the oracle
+        arithmetic); the sketch never exceeds depth*width rows."""
+        import hashlib
+
+        from temporalscope_spark.operators.corpus_stats import countmin_sketch
+
+        depth, width, seed = 3, 32, 5
+        sk = countmin_sketch(docs, depth=depth, width=width, seed=seed)
+        assert sk.count() <= depth * width
+        one = spark.createDataFrame([(1, "hello")], "doc_id int, text string")
+        rows = countmin_sketch(one, depth=depth, width=width, seed=seed).collect()
+        got = {(r["j"], r["bucket"]) for r in rows}
+        want = {
+            (j, int(hashlib.md5(f"hello#{seed}#{j}".encode()).hexdigest()[:8], 16) % width)
+            for j in range(depth)
+        }
+        assert got == want
+
+    def test_validation(self, spark, docs):
+        from temporalscope_spark.exceptions import DataFrameValidationError
+        from temporalscope_spark.operators.corpus_stats import (
+            countmin_estimate,
+            countmin_sketch,
+        )
+
+        with pytest.raises(DataFrameValidationError):
+            countmin_sketch(docs, depth=0)
+        with pytest.raises(DataFrameValidationError):
+            countmin_sketch(docs, width=1)
+        with pytest.raises(DataFrameValidationError):
+            countmin_estimate(docs, docs, depth=0)

@@ -102,3 +102,75 @@ class TestGreedy:
             .toPandas().sort_values(["doc_id", "bin_id"]).reset_index(drop=True)
         )
         assert a["tokens"].map(tuple).equals(b["tokens"].map(tuple))
+
+
+class TestTrainingWindows:
+    def test_hand_example(self, spark):
+        from temporalscope_spark.operators.packing import training_windows
+
+        df = spark.createDataFrame(
+            [("a", list(range(10)))], "doc_id string, tokens array<int>"
+        )
+        rows = sorted(
+            training_windows(df, ctx_len=3, stride=2).collect(),
+            key=lambda r: r["win_id"],
+        )
+        # starts 0,2,4,6: context = 3 tokens, target = the next one
+        assert [(r["win_id"], r["context"], r["target"]) for r in rows] == [
+            (0, [0, 1, 2], 3),
+            (1, [2, 3, 4], 5),
+            (2, [4, 5, 6], 7),
+            (3, [6, 7, 8], 9),
+        ]
+
+    def test_short_sequences_emit_nothing(self, spark):
+        from temporalscope_spark.operators.packing import training_windows
+
+        df = spark.createDataFrame(
+            [("eq", [1, 2, 3]), ("plus1", [1, 2, 3, 4]), ("empty", [])],
+            "doc_id string, tokens array<int>",
+        )
+        rows = training_windows(df, ctx_len=3).collect()
+        # len == ctx_len -> nothing; len == ctx_len + 1 -> exactly one window
+        assert len(rows) == 1
+        assert rows[0]["doc_id"] == "plus1"
+        assert rows[0]["context"] == [1, 2, 3] and rows[0]["target"] == 4
+
+    def test_nonoverlapping_stride(self, spark):
+        from temporalscope_spark.operators.packing import training_windows
+
+        df = spark.createDataFrame(
+            [("a", list(range(9)))], "doc_id string, tokens array<int>"
+        )
+        rows = sorted(
+            training_windows(df, ctx_len=2, stride=2).collect(),
+            key=lambda r: r["win_id"],
+        )
+        assert [(r["context"], r["target"]) for r in rows] == [
+            ([0, 1], 2), ([2, 3], 4), ([4, 5], 6), ([6, 7], 8),
+        ]
+
+    def test_validation(self, spark):
+        from temporalscope_spark.exceptions import DataFrameValidationError
+        from temporalscope_spark.operators.packing import training_windows
+
+        df = spark.createDataFrame([("a", [1])], "doc_id string, tokens array<int>")
+        with pytest.raises(DataFrameValidationError):
+            training_windows(df, ctx_len=0)
+        with pytest.raises(DataFrameValidationError):
+            training_windows(df, ctx_len=2, stride=0)
+
+    def test_zero_shuffle_plan(self, spark):
+        from temporalscope_spark.operators.packing import training_windows
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.sequence(F.lit(0), (F.col("id") % 20).cast("int")).alias("tokens"),
+        )
+        plan = (
+            training_windows(df, ctx_len=4, stride=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan

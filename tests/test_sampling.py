@@ -317,3 +317,86 @@ class TestNegativeSamples:
         one = spark.createDataFrame([("a",)], ["item"])
         with pytest.raises(DataFrameValidationError, match=">= 2 distinct"):
             negative_samples(pos, one, "uid", "item")
+
+
+class TestUpsampleRepeat:
+    @pytest.fixture()
+    def events(self, spark):
+        return spark.createDataFrame(
+            [(i, "low" if i % 2 else "hi") for i in range(50)],
+            "event_id long, src string",
+        )
+
+    def test_integer_factor_exact(self, spark, events):
+        from temporalscope_spark.operators.sampling import upsample_repeat
+
+        out = upsample_repeat(
+            events, "src", {"low": 3.0, "hi": 1.0}, key_col="event_id", portable=True
+        )
+        counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"low": 75, "hi": 25}
+        # epochs are 1..3 for every low row
+        eps = {r["epoch"] for r in out.filter("src = 'low'").collect()}
+        assert eps == {1, 2, 3}
+
+    def test_factor_zero_drops_and_validation(self, spark, events):
+        from temporalscope_spark.exceptions import DataFrameValidationError
+        from temporalscope_spark.operators.sampling import upsample_repeat
+
+        out = upsample_repeat(
+            events, "src", {"low": 0.0}, key_col="event_id", default_factor=1.0
+        )
+        assert out.filter("src = 'low'").count() == 0
+        assert out.filter("src = 'hi'").count() == 25
+        with pytest.raises(DataFrameValidationError):
+            upsample_repeat(events, "src", {"low": -1.0}, key_col="event_id")
+        with pytest.raises(DataFrameValidationError):
+            upsample_repeat(events, "src", {}, key_col="event_id", default_factor=-0.5)
+
+    def test_fractional_matches_hashlib_and_partition_invariant(self, spark, events):
+        """factor 2.5: every row gets 2 copies + 1 more iff its md5-uniform
+        < 0.5 — replayed row-by-row with hashlib, and invariant to input
+        partitioning."""
+        import hashlib
+
+        from temporalscope_spark.operators.sampling import upsample_repeat
+
+        def u01(key, seed=42):
+            return int(hashlib.md5(f"{key}#{seed}".encode()).hexdigest()[:8], 16) / 2**32
+
+        out = upsample_repeat(
+            events, "src", {"low": 2.5, "hi": 1.0}, key_col="event_id", portable=True
+        )
+        got = {
+            r["event_id"]: r["n"]
+            for r in out.filter("src = 'low'")
+            .groupBy("event_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        want = {i: 2 + (1 if u01(i) < 0.5 else 0) for i in range(50) if i % 2}
+        assert got == want
+
+        re32 = upsample_repeat(
+            events.repartition(32), "src", {"low": 2.5, "hi": 1.0},
+            key_col="event_id", portable=True,
+        )
+        got32 = {
+            r["event_id"]: r["n"]
+            for r in re32.filter("src = 'low'")
+            .groupBy("event_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got32 == want
+
+    def test_no_shuffle_plan(self, spark, events):
+        from temporalscope_spark.operators.sampling import upsample_repeat
+
+        plan = (
+            upsample_repeat(events, "src", {"low": 2.5}, key_col="event_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
