@@ -215,6 +215,21 @@ def dsir_pass(spark, exact: bool) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
+def training_windows_pass(spark) -> None:
+    """Next-token training-window builder over the FULL scaling table
+    (SCALE_ROWS sequences, ctx=32/stride=32 — the non-overlapping setting
+    the operator's docstring recommends at scale). The plan is a single
+    narrow map stage (scan → generate → project, zero exchanges), so this
+    leg isolates pure scan+expression throughput on the tokens axis — the
+    embarrassingly-parallel regime where N→4N should be ~1.0."""
+    from temporalscope_spark.operators.packing import training_windows
+
+    df = spark.read.parquet(SCALE_PATH).select("doc_id", "tokens")
+    training_windows(df, ctx_len=32, stride=32).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def components_pass(spark) -> None:
     """Connected components — the ITERATIVE dedup-clustering op, most
     exposed to per-round overhead (each round = one join + one min-agg +
@@ -665,7 +680,7 @@ def main():
         # window pass)
         pair_times: dict[str, dict[int, float]] = {
             "dedup_exact": {}, "minhash_lsh": {}, "components": {},
-            "dup_span": {}, "dsir_approx": {},
+            "dup_span": {}, "dsir_approx": {}, "training_windows": {},
         }
         dsir_exact_8 = None
         for c in (2, 8):
@@ -685,6 +700,9 @@ def main():
             pair_times["dsir_approx"][c] = reps_min(
                 s, lambda sp: dsir_pass(sp, exact=False),
                 max_reps=3, min_reps=2,
+            )
+            pair_times["training_windows"][c] = reps_min(
+                s, training_windows_pass, max_reps=3, min_reps=2
             )
             if c == 8:
                 # lane comparison at the same core count: the exact lane's
@@ -718,6 +736,16 @@ def main():
             "sec_32": round(times[32], 3),
             "seq_per_sec_32": round(SCALE_ROWS / times[32], 1),
             "pair_ops": {
+                "training_windows": {
+                    "rows": SCALE_ROWS,
+                    "sec_n": round(pair_times["training_windows"][2], 3),
+                    "sec_4n": round(pair_times["training_windows"][8], 3),
+                    "efficiency": round(
+                        pair_times["training_windows"][2]
+                        / (4 * pair_times["training_windows"][8]),
+                        3,
+                    ),
+                },
                 "dedup_exact": {
                     "rows": DOCS_ROWS,
                     "sec_n": round(pair_times["dedup_exact"][2], 3),

@@ -180,8 +180,23 @@ def main() -> None:
         )
         assert bad == 0, "positions must be contiguous per shard"
 
+    # 8. next-token training examples: whitespace-tokenize the surviving
+    #    docs (stand-in for the BPE apply lane) and slide a ctx-8 window —
+    #    the map-only transform a dataloader would otherwise do per batch,
+    #    done once here so the shards store (context, target) pairs directly.
+    from temporalscope_spark.operators.packing import training_windows
+
+    tokenized = final.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("tokens")
+    )
+    examples = training_windows(tokenized, ctx_len=8, stride=4, id_col="doc_id")
+    n_examples = examples.count()
+    assert examples.filter(F.size("context") != 8).count() == 0
+    print(f"built {n_examples} ctx-8 next-token examples from {n_final} docs")
+
     print("pretraining-data pipeline complete: "
-          f"{n_docs} raw -> {n_gated} gated -> {n_sel} DSIR -> {n_final} mixed+sharded")
+          f"{n_docs} raw -> {n_gated} gated -> {n_sel} DSIR -> {n_final} mixed+sharded "
+          f"-> {n_examples} training windows")
 
 
 if __name__ == "__main__":
