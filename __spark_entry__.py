@@ -3070,6 +3070,127 @@ def q_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-level dedup (Wenzek et al. 2020): the documents table is
+    given a line structure by breaking each word pair onto its own line (a
+    deterministic rewrite both engines express identically), then lines
+    duplicated corpus-wide collapse to their first (doc, position)
+    occurrence. The two-word-line corpus is heavily duplicated by
+    construction (~30-word vocabulary), so the pass is non-vacuous."""
+    from temporalscope_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+            r"(\S+ \S+) ",
+            "$1\n",
+        ).alias("text"),
+    )
+    return dedup_lines(lined, "text", "doc_id", sep="\n", min_count=2)
+
+
+def q_dedup_lines_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-resident incremental line dedup: even doc_ids are the landed
+    CORPUS (reduced to its line index — counts + first occurrences), odd
+    doc_ids are the NEW batch deduped against that index without touching
+    the corpus text. The oracle runs the ONE-SHOT pass over the full union
+    and keeps the batch rows — the equivalence proof, the same shape the
+    incremental_dedup capstone uses."""
+    from temporalscope_spark.operators.dedup import (
+        dedup_lines_incremental,
+        line_index,
+    )
+
+    lined = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+            r"(\S+ \S+) ",
+            "$1\n",
+        ).alias("text"),
+    )
+    corpus = lined.filter(F.col("doc_id") % 2 == 0)
+    batch = lined.filter(F.col("doc_id") % 2 == 1)
+    idx = line_index(corpus, "text", "doc_id", "\n")
+    return dedup_lines_incremental(batch, idx, "text", "doc_id", sep="\n", min_count=2)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic md5-derived link graph on the
+    documents table (3 out-links per doc, targets = md5(doc, k) mod N) —
+    the link-graph quality prior a web-curation pipeline consumes
+    (CommonCrawl publishes exactly this ranking). 5 synchronous power
+    rounds; the oracle unrolls the same rounds as CTEs."""
+    from temporalscope_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    k = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    edges = docs.select(F.col("doc_id").alias("src"), k).select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f", F.col("src").cast("string"), F.col("k").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(n)
+        ).alias("dst"),
+    )
+    out = pagerank(edges, iters=5)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        (F.round("rank", 9) + F.lit(0.0)).alias("rank"),
+    )
+
+
+def _pagerank_oracle(iters: int, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain replaying q_pagerank: same
+    md5-mod edges, same dangling-free update (every node has out-degree 3
+    by construction, so the dangling term is identically zero here — the
+    unit suite covers the dangling branch)."""
+    rounds = []
+    for i in range(iters):
+        rounds.append(f"""
+            r{i + 1} AS (
+                SELECT n.src AS id,
+                       (CAST(1 AS DOUBLE) - CAST({damping} AS DOUBLE)) / nn.n
+                       + CAST({damping} AS DOUBLE) * coalesce(c.s, 0.0) AS r
+                FROM (SELECT DISTINCT src FROM e) n
+                CROSS JOIN nn
+                LEFT JOIN (
+                    SELECT e.dst AS id, sum(r{i}.r / 3.0) AS s
+                    FROM e JOIN r{i} ON e.src = r{i}.id
+                    GROUP BY e.dst
+                ) c ON c.id = n.src
+            )""")
+    return f"""
+        WITH e AS (
+            SELECT d.doc_id AS src,
+                   CAST('0x' || substr(
+                        md5(CAST(d.doc_id AS VARCHAR) || chr(31)
+                            || CAST(t.k AS VARCHAR)), 1, 8) AS BIGINT)
+                   % (SELECT count(*) FROM documents) AS dst
+            FROM documents d, UNNEST([0, 1, 2]) AS t(k)
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        r0 AS (
+            SELECT DISTINCT src AS id, 1.0 / nn.n AS r FROM e CROSS JOIN nn
+        ),{",".join(rounds)}
+        SELECT id AS doc_id, round(r, 9) + 0.0 AS rank FROM r{iters}
+    """
+
+
 def _shingle_cte(n: int) -> str:
     return f"""
         shingles AS (
@@ -3176,6 +3297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "countmin_freq": q_countmin_freq,
         "upsample_repeat": q_upsample_repeat,
+        "dedup_lines": q_dedup_lines,
+        "dedup_lines_incremental": q_dedup_lines_incremental,
+        "pagerank": q_pagerank,
         "stratified_sample": q_stratified_sample,
         "token_budget_sample": q_token_budget_sample,
         "chunk_documents": q_chunk_documents,
@@ -4850,6 +4974,75 @@ def oracle_sql() -> dict[str, str]:
             FROM n, UNNEST(generate_series(1, nc)) AS ee(e)
             WHERE nc > 0
         """,
+        # line dedup: the window rank replays the operator's min-struct
+        # survivor pick ((doc, pos)-lexicographic first occurrence); lines
+        # grouped on their raw string where Spark groups md5(line)
+        # (count-invariant)
+        "dedup_lines": f"""
+            WITH lined AS (
+                SELECT doc_id,
+                       regexp_replace({_NORM}, '(\\S+ \\S+) ',
+                                      '\\1' || chr(10), 'g') AS text
+                FROM documents
+            ),
+            d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+            l AS (
+                SELECT d.doc_id, CAST(i AS INT) AS pos,
+                       d.ls[CAST(i AS INT)] AS line
+                FROM d, UNNEST(generate_series(1, len(d.ls))) AS t(i)
+            ),
+            m AS (
+                SELECT doc_id, pos, line,
+                       count(*) OVER (PARTITION BY line) AS c,
+                       row_number() OVER (
+                           PARTITION BY line ORDER BY doc_id, pos
+                       ) AS rn
+                FROM l
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN c < 2 OR rn = 1 THEN line END,
+                       chr(10) ORDER BY pos), '') AS cleaned_text,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN c < 2 OR rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM m GROUP BY doc_id
+        """,
+        # equivalence oracle: the incremental pass must equal the one-shot
+        # union pass restricted to the batch (odd) docs
+        "dedup_lines_incremental": f"""
+            WITH lined AS (
+                SELECT doc_id,
+                       regexp_replace({_NORM}, '(\\S+ \\S+) ',
+                                      '\\1' || chr(10), 'g') AS text
+                FROM documents
+            ),
+            d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+            l AS (
+                SELECT d.doc_id, CAST(i AS INT) AS pos,
+                       d.ls[CAST(i AS INT)] AS line
+                FROM d, UNNEST(generate_series(1, len(d.ls))) AS t(i)
+            ),
+            m AS (
+                SELECT doc_id, pos, line,
+                       count(*) OVER (PARTITION BY line) AS c,
+                       row_number() OVER (
+                           PARTITION BY line ORDER BY doc_id, pos
+                       ) AS rn
+                FROM l
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN c < 2 OR rn = 1 THEN line END,
+                       chr(10) ORDER BY pos), '') AS cleaned_text,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN c < 2 OR rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM m
+            WHERE doc_id % 2 = 1
+            GROUP BY doc_id
+        """,
+        "pagerank": _pagerank_oracle(5),
         "stratified_sample": """
             SELECT event_id, user_id, event_type FROM events
             WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#3'), 1, 8))

@@ -34,7 +34,11 @@ from temporalscope_spark.operators.bpe import (
 )
 from temporalscope_spark.operators.dedup import (
     dedup_exact,
+    dedup_lines,
+    dedup_lines_incremental,
     dup_span_stats,
+    line_index,
+    merge_line_index,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -53,6 +57,7 @@ from temporalscope_spark.operators.gopher import (
     gopher_quality_flags,
     gopher_repetition_features,
 )
+from temporalscope_spark.operators.graph import pagerank
 from temporalscope_spark.operators.retrieval import (
     PostingsIndex,
     bm25_topk,
@@ -177,9 +182,10 @@ __all__ = [
     "decontaminate", "decontaminate_bloom", "token_ngrams",
     "entity_split", "fit_fold_bounds", "purged_fold_summary",
     "purged_time_series_splits",
-    "dedup_exact", "dup_span_stats", "minhash_lsh_pairs",
+    "dedup_exact", "dedup_lines", "dedup_lines_incremental", "line_index",
+    "merge_line_index", "dup_span_stats", "minhash_lsh_pairs",
     "minhash_signatures", "ngram_jaccard_pairs", "remove_dup_spans",
-    "simhash", "simhash_near_pairs",
+    "simhash", "simhash_near_pairs", "pagerank",
     "learn_bpe_merges", "word_vocab", "apply_bpe", "bpe_compression_stats",
     "PostingsIndex", "bm25_topk", "bm25_topk_multi", "build_postings",
     "dsir_select", "hashed_ngram_features",

@@ -879,6 +879,231 @@ def remove_dup_spans(
     )
 
 
+# ------------------------------------------------------ line-level dedup
+def _line_table(
+    df: DataFrame, text_col: str, id_col: str, sep: str
+) -> DataFrame:
+    """(id, _p, _line, _key): every line of every document with its
+    1-based position and md5 key — the shared input of the one-shot and
+    incremental line-dedup lanes."""
+    import re as _re
+
+    base = _parallelize_before_explode(
+        df.select(
+            F.col(id_col),
+            F.split(F.col(text_col), _re.escape(sep)).alias("_ls"),
+        )
+    )
+    return base.select(
+        id_col, F.posexplode("_ls").alias("_p0", "_line")
+    ).select(
+        id_col,
+        (F.col("_p0") + 1).alias("_p"),
+        "_line",
+        F.md5(F.col("_line")).alias("_key"),
+    )
+
+
+def _reassemble_lines(
+    lines_with_keep: DataFrame, id_col: str, sep: str
+) -> DataFrame:
+    """Per-doc ordered rebuild of the kept lines (bounded by document
+    length): (id, cleaned_text, n_lines, n_kept)."""
+    return lines_with_keep.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_p", "_line"))
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Line/paragraph-level corpus dedup — the CCNet pass (Wenzek et al.
+    2020 §3.1): hash every LINE of every document, count occurrences
+    corpus-wide, and drop lines that appear ``>= min_count`` times. With
+    ``keep_first=True`` (CCNet's shard behavior) the globally first
+    occurrence — minimum ``(doc id, position)`` — survives; with False all
+    duplicated occurrences are stripped (the symmetric convention
+    ``remove_dup_spans`` uses for n-gram spans). This is the boilerplate
+    killer for web corpora: navigation bars, cookie banners and license
+    footers repeat verbatim across millions of pages and dominate naive
+    token counts.
+
+    The reference engine has no corpus operators; this extends its
+    single-table design (``/root/reference/src/temporalscope/core/
+    temporal_data_loader.py``) to the documents table the way the rest of
+    the dedup family does.
+
+    Plan shape (all equi-keyed, never all-pairs): split → posexplode (one
+    narrow map over the corpus) → ONE map-side-combinable groupBy on the
+    md5 line key emitting ``(count, min struct(doc, pos))`` → the
+    DUPLICATED-key subset (tiny relative to the line table, the
+    dup_span_stats lesson) joins back on the key → per-doc ordered rebuild
+    via sorted struct collect_list (bounded by document length). Unlike a
+    global "first occurrence" SORT, the min-struct aggregation needs no
+    ordering guarantee — it is partition-invariant by construction. At 100
+    TB the md5 key can be swapped for ``xxhash64`` (shorter shuffle rows,
+    no cross-engine oracle requirement in production).
+
+    Empty text splits to one empty line, which dedups like any other line
+    (identical in DuckDB ``string_split``). Output:
+    ``(id, cleaned_text, n_lines, n_kept)`` — ``cleaned_text`` re-joins the
+    surviving lines with ``sep`` in original order.
+    """
+    if min_count < 2:
+        raise DataFrameValidationError(
+            "min_count must be >= 2 (1 would drop every line)"
+        )
+    if not sep:
+        raise DataFrameValidationError("sep must be a non-empty string")
+    lines = _line_table(df, text_col, id_col, sep)
+    # duplicated-key table: (key, first doc, first pos) — only keys at or
+    # above min_count survive the filter, so the join build side is the
+    # duplicate set, not the full line table
+    dup = (
+        lines.groupBy("_key")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct(F.col(id_col).alias("_d"), F.col("_p").alias("_q"))).alias(
+                "_first"
+            ),
+        )
+        .filter(F.col("_c") >= min_count)
+        .select("_key", "_first")
+    )
+    keep = F.col("_first").isNull()
+    if keep_first:
+        keep = keep | (
+            (F.col("_first._d") == F.col(id_col)) & (F.col("_first._q") == F.col("_p"))
+        )
+    joined = lines.join(dup, "_key", "left").withColumn("_keep", keep)
+    return _reassemble_lines(joined, id_col, sep)
+
+
+def line_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Build the corpus LINE INDEX for incremental line dedup:
+    ``(_key, _c, _first)`` — per md5 line key, its corpus occurrence count
+    and the minimum ``(doc, pos)`` occurrence. One map-side-combinable
+    aggregation; the index is line-scale but never needs the corpus text
+    again. Persist it (or land it as an append-only snapshot table) and
+    feed :func:`dedup_lines_incremental` / :func:`merge_line_index`.
+    """
+    return (
+        _line_table(df, text_col, id_col, sep)
+        .groupBy("_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_c"),
+            F.min(F.struct(F.col(id_col).alias("_d"), F.col("_p").alias("_q"))).alias(
+                "_first"
+            ),
+        )
+    )
+
+
+def merge_line_index(index: DataFrame, batch_index: DataFrame) -> DataFrame:
+    """Fold a batch's :func:`line_index` into the corpus index: counts add,
+    first-occurrence structs take the min. A full outer union+groupBy on
+    the key — batch-index-sized new rows, one shuffle keyed on the line
+    key. Associative and commutative, so batches may land in any order."""
+    return (
+        index.unionByName(batch_index)
+        .groupBy("_key")
+        .agg(
+            F.sum("_c").cast("long").alias("_c"),
+            F.min("_first").alias("_first"),
+        )
+    )
+
+
+def dedup_lines_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Incremental CCNet line dedup: dedup a NEW batch of documents against
+    a persisted corpus :func:`line_index` WITHOUT rescanning the corpus —
+    the shard reality of web-crawl curation (each new crawl dedups against
+    all previous crawls). Exactly equivalent to running
+    :func:`dedup_lines` over corpus ∪ batch and keeping the batch rows
+    (pinned by test and by the driver oracle): combined counts are
+    ``batch + index``, the survivor is the global minimum ``(doc, pos)``
+    across both sides.
+
+    Plan shape: the batch's line table aggregates once (batch-sized); the
+    corpus index joins on the line key AFTER a LEFT SEMI against the
+    batch's key set — so the corpus-scale index contributes only the keys
+    this batch actually touches, and the corpus text never moves. Output
+    matches :func:`dedup_lines` (batch docs only). Note a batch line whose
+    key is already in the index is a duplicate even at batch count 1 —
+    its first occurrence lives in the corpus, so with ``keep_first`` it
+    survives only if the index's first is somehow larger (never, for
+    id-ordered crawls) — exactly the one-shot semantics.
+    """
+    if min_count < 2:
+        raise DataFrameValidationError(
+            "min_count must be >= 2 (1 would drop every line)"
+        )
+    if not sep:
+        raise DataFrameValidationError("sep must be a non-empty string")
+    from pyspark import StorageLevel
+
+    lines = _line_table(batch, text_col, id_col, sep).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        batch_idx = lines.groupBy("_key").agg(
+            F.count(F.lit(1)).cast("long").alias("_c"),
+            F.min(F.struct(F.col(id_col).alias("_d"), F.col("_p").alias("_q"))).alias(
+                "_first"
+            ),
+        )
+        touched = index.join(
+            lines.select("_key").distinct(), "_key", "left_semi"
+        )
+        dup = (
+            merge_line_index(touched, batch_idx)
+            .filter(F.col("_c") >= min_count)
+            .select("_key", "_first")
+        )
+        keep = F.col("_first").isNull()
+        if keep_first:
+            keep = keep | (
+                (F.col("_first._d") == F.col(id_col))
+                & (F.col("_first._q") == F.col("_p"))
+            )
+        joined = lines.join(dup, "_key", "left").withColumn("_keep", keep)
+        out = _reassemble_lines(joined, id_col, sep)
+        # materialize before releasing the shared line table
+        return out.localCheckpoint()
+    finally:
+        lines.unpersist()
+
+
 # ------------------------------------------------- winnowing fingerprints
 def winnowing_fingerprints(
     df: DataFrame,

@@ -1,0 +1,118 @@
+"""Link-graph operators for corpus curation.
+
+Web-scale training-data pipelines weight and filter pages by link-graph
+quality signals — CommonCrawl itself publishes host-level harmonic
+centrality / PageRank ranks, and curation stacks in the CCNet/RefinedWeb
+lineage consume them as quality priors. The reference engine
+(``/root/reference/src/temporalscope/``) has no graph operators; this
+module extends its single-table design with the one graph primitive such a
+pipeline needs, built the way ``operators.dedup.connected_components``
+builds min-label propagation: a fixed number of join+aggregate rounds with
+per-round ``localCheckpoint`` lineage truncation.
+
+Scale notes:
+  * every round is ONE equi-join (edges × ranks on the source key) plus ONE
+    map-side-combinable groupBy(dst) sum — no all-pairs stage, no global
+    sort, no driver-side collection of data-sized results;
+  * the dangling-mass term is a 1-row aggregate broadcast-crossed into the
+    update expression (the ``ppl_buckets`` cut-point shape), NOT a driver
+    collect, so the loop submits no extra actions beyond the eager
+    ``localCheckpoint`` per round;
+  * iterative DataFrame self-reference grows the logical plan exponentially
+    — ``localCheckpoint`` per round truncates lineage (at cluster scale use
+    a reliable ``checkpoint`` dir so executor loss stays recoverable);
+  * edges and the out-degree table are persisted once and reused by every
+    round; both are released before returning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """PageRank (Page et al. 1999) over an edge list by synchronous power
+    iteration: ``iters`` rounds of
+
+        r[v] = (1 - d) / N  +  d * ( sum_{u -> v} r[u] / outdeg(u)
+                                      + dangling_mass / N )
+
+    where ``dangling_mass`` is the total rank sitting on nodes with no
+    out-edges (redistributed uniformly — the standard stochastic-matrix
+    fix) and N is the node count. Parallel edges are honored as
+    multi-edges: a source with the same target twice sends it twice the
+    share, and its out-degree counts both. Self-loops are legal.
+
+    Fixed iteration count (not an epsilon test) keeps the result exactly
+    reproducible in any engine — the DuckDB oracle replays the same rounds
+    as unrolled CTEs. Returns ``(id, rank)`` with full-precision doubles;
+    ranks sum to 1 up to float error.
+    """
+    if not (0.0 < damping < 1.0):
+        raise DataFrameValidationError("damping must be in (0, 1)")
+    if iters < 1:
+        raise DataFrameValidationError("iters must be >= 1")
+    for c in (src, dst):
+        if c not in edges.columns:
+            raise DataFrameValidationError(f"edge column '{c}' not in DataFrame")
+
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("id"))
+        .unionByName(e.select(F.col("_d").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    # (src, dst, outdeg) resolved once; every round joins ranks against it
+    ew = e.join(deg, "_s").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = nodes.count()
+        base = F.lit((1.0 - damping) / n)
+        ranks = nodes.select(
+            "id", F.lit(1.0 / n).alias(rank_col)
+        ).localCheckpoint()
+        for _ in range(iters):
+            # 1-row dangling-mass aggregate, broadcast-crossed in (never a
+            # driver collect): nodes absent from the out-degree table
+            dm = (
+                ranks.join(deg, ranks["id"] == deg["_s"], "left_anti")
+                .agg(F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("_dm"))
+            )
+            contrib = (
+                ew.join(ranks, ew["_s"] == ranks["id"])
+                .groupBy("_d")
+                .agg(F.sum(F.col(rank_col) / F.col("_deg")).alias("_in"))
+            )
+            ranks = (
+                nodes.join(contrib, nodes["id"] == contrib["_d"], "left")
+                .join(F.broadcast(dm))
+                .select(
+                    "id",
+                    (
+                        base
+                        + F.lit(damping)
+                        * (
+                            F.coalesce("_in", F.lit(0.0))
+                            + F.col("_dm") / F.lit(float(n))
+                        )
+                    ).alias(rank_col),
+                )
+                .localCheckpoint()
+            )
+        return ranks
+    finally:
+        ew.unpersist()
+        nodes.unpersist()

@@ -1,0 +1,87 @@
+"""PageRank power iteration (operators/graph.py)."""
+
+import numpy as np
+import pytest
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.graph import pagerank
+
+
+def _brute(edges, damping, iters):
+    """Reference power iteration over an adjacency list with dangling-mass
+    redistribution and multi-edge out-degree counting."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / outdeg[idx[u]]
+        dangling = r[outdeg == 0].sum()
+        r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1),
+    # 5 is dangling (appears only as a destination)
+    (2, 5),
+    # parallel edge: 6 sends double share to 3, outdeg 3
+    (6, 3), (6, 3), (6, 7),
+    # self-loop
+    (7, 7),
+]
+
+
+class TestPageRank:
+    @pytest.mark.parametrize("iters", [1, 4, 10])
+    def test_numpy_parity(self, spark, iters):
+        df = spark.createDataFrame(EDGES, "src long, dst long")
+        got = {r["id"]: r["rank"] for r in pagerank(df, iters=iters).collect()}
+        want = _brute(EDGES, 0.85, iters)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    def test_ranks_sum_to_one(self, spark):
+        df = spark.createDataFrame(EDGES, "src long, dst long")
+        total = sum(r["rank"] for r in pagerank(df, iters=6).collect())
+        assert total == pytest.approx(1.0, abs=1e-9)
+
+    def test_dangling_node_holds_base_plus_mass(self, spark):
+        # one edge a->b: b is dangling; after 1 round
+        # r(a) = 0.15/2 + 0.85*(0.5/2), r(b) = 0.15/2 + 0.85*(0.5 + 0.5/2)
+        df = spark.createDataFrame([(10, 20)], "src long, dst long")
+        got = {r["id"]: r["rank"] for r in pagerank(df, iters=1).collect()}
+        assert got[10] == pytest.approx(0.15 / 2 + 0.85 * 0.25, abs=1e-12)
+        assert got[20] == pytest.approx(0.15 / 2 + 0.85 * 0.75, abs=1e-12)
+
+    def test_partition_invariance(self, spark):
+        df1 = spark.createDataFrame(EDGES, "src long, dst long").repartition(1)
+        df7 = spark.createDataFrame(EDGES, "src long, dst long").repartition(7)
+        r1 = {r["id"]: round(r["rank"], 12) for r in pagerank(df1, iters=5).collect()}
+        r7 = {r["id"]: round(r["rank"], 12) for r in pagerank(df7, iters=5).collect()}
+        assert r1 == r7
+
+    def test_damping_extremes_validated(self, spark):
+        df = spark.createDataFrame(EDGES, "src long, dst long")
+        with pytest.raises(DataFrameValidationError):
+            pagerank(df, damping=0.0)
+        with pytest.raises(DataFrameValidationError):
+            pagerank(df, damping=1.0)
+        with pytest.raises(DataFrameValidationError):
+            pagerank(df, iters=0)
+        with pytest.raises(DataFrameValidationError):
+            pagerank(df, src="nope")
+
+    def test_string_ids(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["id"]: r["rank"] for r in pagerank(df, iters=8).collect()}
+        # symmetric 3-cycle: all ranks equal 1/3
+        for v in ("a", "b", "c"):
+            assert got[v] == pytest.approx(1.0 / 3.0, abs=1e-12)

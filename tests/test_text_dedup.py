@@ -745,3 +745,180 @@ class TestRemoveDupSpans:
             remove_dup_spans(docs, min_total=1)
         with pytest.raises(DataFrameValidationError, match="n must"):
             remove_dup_spans(docs, n=0)
+
+
+class TestDedupLines:
+    """CCNet line-level dedup (operators/dedup.py:dedup_lines)."""
+
+    def _run(self, spark, rows, **kw):
+        from temporalscope_spark.operators.dedup import dedup_lines
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {r["doc_id"]: r for r in dedup_lines(df, **kw).collect()}
+
+    def test_keep_first_survivor_is_global_min_doc_pos(self, spark):
+        rows = [
+            (1, "nav bar\nunique one\nfooter"),
+            (2, "nav bar\nunique two\nfooter"),
+            (3, "footer\nnav bar\nunique three"),
+        ]
+        got = self._run(spark, rows)
+        # 'nav bar' first occurs at (1, 1); 'footer' at (1, 3)
+        assert got[1]["cleaned_text"] == "nav bar\nunique one\nfooter"
+        assert got[2]["cleaned_text"] == "unique two"
+        assert got[3]["cleaned_text"] == "unique three"
+        assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 3)
+        assert (got[2]["n_lines"], got[2]["n_kept"]) == (3, 1)
+        assert (got[3]["n_lines"], got[3]["n_kept"]) == (3, 1)
+
+    def test_drop_all_occurrences(self, spark):
+        rows = [(1, "dup\nkeep a"), (2, "dup\nkeep b")]
+        got = self._run(spark, rows, keep_first=False)
+        assert got[1]["cleaned_text"] == "keep a"
+        assert got[2]["cleaned_text"] == "keep b"
+        assert got[1]["n_kept"] == 1
+
+    def test_min_count_threshold(self, spark):
+        rows = [(1, "twice\nthrice"), (2, "twice\nthrice"), (3, "thrice")]
+        got = self._run(spark, rows, min_count=3, keep_first=False)
+        # 'twice' appears 2x < 3 -> survives everywhere; 'thrice' 3x -> dropped
+        assert got[1]["cleaned_text"] == "twice"
+        assert got[2]["cleaned_text"] == "twice"
+        assert got[3]["cleaned_text"] == ""
+        assert got[3]["n_kept"] == 0
+
+    def test_within_doc_duplicates_count(self, spark):
+        # the same line twice inside ONE doc is a corpus duplicate too
+        got = self._run(spark, [(1, "x\ny\nx")])
+        assert got[1]["cleaned_text"] == "x\ny"
+        assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 2)
+
+    def test_empty_text_and_custom_sep(self, spark):
+        got = self._run(spark, [(1, ""), (2, ""), (3, "a| b|c")], sep="|")
+        # empty text = one empty line, duplicated across docs 1 and 2
+        assert got[1]["n_lines"] == 1 and got[1]["n_kept"] == 1
+        assert got[2]["n_kept"] == 0 and got[2]["cleaned_text"] == ""
+        assert got[3]["cleaned_text"] == "a| b|c" and got[3]["n_kept"] == 3
+
+    def test_partition_invariance(self, spark):
+        rows = [(i, f"shared\nonly {i}\nshared") for i in range(20)]
+        from temporalscope_spark.operators.dedup import dedup_lines
+
+        a = {
+            r["doc_id"]: (r["cleaned_text"], r["n_kept"])
+            for r in dedup_lines(
+                spark.createDataFrame(rows, ["doc_id", "text"]).repartition(1)
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: (r["cleaned_text"], r["n_kept"])
+            for r in dedup_lines(
+                spark.createDataFrame(rows, ["doc_id", "text"]).repartition(9)
+            ).collect()
+        }
+        assert a == b
+        # global first = doc 0 position 1 keeps the first 'shared' only
+        assert a[0] == ("shared\nonly 0", 2)
+        assert a[5] == ("only 5", 1)
+
+    def test_param_validation(self, spark):
+        from temporalscope_spark.operators.dedup import dedup_lines
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(DataFrameValidationError, match="min_count"):
+            dedup_lines(df, min_count=1)
+        with pytest.raises(DataFrameValidationError, match="sep"):
+            dedup_lines(df, sep="")
+
+
+class TestDedupLinesIncremental:
+    """Index-resident incremental line dedup (dedup.py:dedup_lines_incremental)."""
+
+    CORPUS = [
+        (0, "nav bar\nold unique zero\nfooter"),
+        (1, "nav bar\nold unique one"),
+    ]
+    BATCH = [
+        (10, "nav bar\nnew unique ten\nfooter"),
+        (11, "fresh dup\nnew unique eleven"),
+        (12, "fresh dup\nnew unique twelve"),
+    ]
+
+    def _equiv(self, spark, corpus, batch, **kw):
+        from temporalscope_spark.operators.dedup import (
+            dedup_lines,
+            dedup_lines_incremental,
+            line_index,
+        )
+
+        cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+        bdf = spark.createDataFrame(batch, ["doc_id", "text"])
+        idx = line_index(cdf)
+        inc = {
+            r["doc_id"]: (r["cleaned_text"], r["n_lines"], r["n_kept"])
+            for r in dedup_lines_incremental(bdf, idx, **kw).collect()
+        }
+        batch_ids = {d for d, _ in batch}
+        full = {
+            r["doc_id"]: (r["cleaned_text"], r["n_lines"], r["n_kept"])
+            for r in dedup_lines(cdf.unionByName(bdf), **kw).collect()
+            if r["doc_id"] in batch_ids
+        }
+        return inc, full
+
+    def test_equivalent_to_full_union_pass(self, spark):
+        inc, full = self._equiv(spark, self.CORPUS, self.BATCH)
+        assert inc == full
+        # corpus-resident lines suppress batch occurrences...
+        assert inc[10][0] == "new unique ten"
+        # ...while batch-internal duplicates keep their batch-first
+        assert inc[11][0] == "fresh dup\nnew unique eleven"
+        assert inc[12][0] == "new unique twelve"
+
+    def test_equivalent_drop_all_and_threshold(self, spark):
+        inc, full = self._equiv(
+            spark, self.CORPUS, self.BATCH, keep_first=False, min_count=2
+        )
+        assert inc == full
+        assert inc[10][0] == "new unique ten"
+        assert inc[11][0] == "new unique eleven"
+
+    def test_merge_is_order_independent_and_matches_oneshot(self, spark):
+        from temporalscope_spark.operators.dedup import line_index, merge_line_index
+
+        cdf = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        bdf = spark.createDataFrame(self.BATCH, ["doc_id", "text"])
+        both = spark.createDataFrame(self.CORPUS + self.BATCH, ["doc_id", "text"])
+
+        def snap(df):
+            return {
+                r["_key"]: (r["_c"], (r["_first"]["_d"], r["_first"]["_q"]))
+                for r in df.collect()
+            }
+
+        ab = snap(merge_line_index(line_index(cdf), line_index(bdf)))
+        ba = snap(merge_line_index(line_index(bdf), line_index(cdf)))
+        oneshot = snap(line_index(both))
+        assert ab == ba == oneshot
+
+    def test_index_first_wins_over_batch(self, spark):
+        # index holds (0, 1) for 'shared'; a batch occurrence can never be
+        # the keep_first survivor
+        inc, full = self._equiv(
+            spark, [(0, "shared")], [(5, "shared\nmine")]
+        )
+        assert inc == full
+        assert inc[5] == ("mine", 2, 1)
+
+    def test_param_validation(self, spark):
+        from temporalscope_spark.operators.dedup import (
+            dedup_lines_incremental,
+            line_index,
+        )
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        idx = line_index(df)
+        with pytest.raises(DataFrameValidationError, match="min_count"):
+            dedup_lines_incremental(df, idx, min_count=1)
+        with pytest.raises(DataFrameValidationError, match="sep"):
+            dedup_lines_incremental(df, idx, sep="")
