@@ -33,6 +33,7 @@ from temporalscope_spark.operators.bpe import (
     word_vocab,
 )
 from temporalscope_spark.operators.dedup import (
+    LineDedupIndex,
     dedup_exact,
     dedup_lines,
     dedup_lines_incremental,
@@ -183,7 +184,7 @@ __all__ = [
     "entity_split", "fit_fold_bounds", "purged_fold_summary",
     "purged_time_series_splits",
     "dedup_exact", "dedup_lines", "dedup_lines_incremental", "line_index",
-    "merge_line_index", "dup_span_stats", "minhash_lsh_pairs",
+    "merge_line_index", "LineDedupIndex", "dup_span_stats", "minhash_lsh_pairs",
     "minhash_signatures", "ngram_jaccard_pairs", "remove_dup_spans",
     "simhash", "simhash_near_pairs", "pagerank",
     "learn_bpe_merges", "word_vocab", "apply_bpe", "bpe_compression_stats",

@@ -1104,6 +1104,111 @@ def dedup_lines_incremental(
         lines.unpersist()
 
 
+class LineDedupIndex:
+    """Persisted line-dedup index — the snapshot-table lifecycle applied to
+    CCNet line dedup (the ``DedupIndex``/``PostingsIndex`` pattern): the
+    index lives as APPEND-ONLY per-batch :func:`line_index` partials in a
+    :class:`~temporalscope_spark.datasets.snapshots.SnapshotTable`, folded
+    at read (counts sum, first-occurrence structs min — associative, so
+    fold order is irrelevant). Each arriving batch dedups against the
+    index state BEFORE it (corpus + all earlier batches) and lands its own
+    partial; corpus text is never rescanned and the index never rewrites.
+
+    Streaming: :meth:`stream_sink` is a ``foreachBatch`` sink running
+    :meth:`ingest_stream_batch` per micro-batch — idempotent under
+    Structured Streaming's replay-on-failure contract via the batch-id
+    manifest meta (a replayed commit is detected and skipped, so counts
+    are never double-added).
+
+    Online semantics (same as ``incremental_dedup``): a batch's survivors
+    are final when emitted — a line first seen in batch k does not
+    retroactively dedup batch k-1. This equals the one-shot
+    :func:`dedup_lines` over everything landed so far, restricted to the
+    newest batch (pinned by test).
+    """
+
+    _BKEY = "stream_batch_id"
+
+    def __init__(
+        self,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        sep: str = "\n",
+        min_count: int = 2,
+        keep_first: bool = True,
+    ):
+        import os as _os
+
+        from temporalscope_spark.datasets.snapshots import SnapshotTable
+
+        self.partials = SnapshotTable(_os.path.join(path, "line_partials"))
+        self.text_col = text_col
+        self.id_col = id_col
+        self.sep = sep
+        self.min_count = min_count
+        self.keep_first = keep_first
+
+    def build(self, corpus: DataFrame) -> int:
+        """Land the v0 corpus partial; returns the snapshot version."""
+        return self.partials.write(
+            line_index(corpus, self.text_col, self.id_col, self.sep),
+            mode="overwrite",
+        )
+
+    def index(self, spark) -> DataFrame:
+        """Fold all landed partials into the current (key, count, first)
+        index — ONE groupBy over the appended rows, the postings-index
+        fold-at-read shape."""
+        rows = self.partials.read(spark)
+        return rows.groupBy("_key").agg(
+            F.sum("_c").cast("long").alias("_c"),
+            F.min("_first").alias("_first"),
+        )
+
+    def dedup_batch(self, batch: DataFrame) -> DataFrame:
+        """Dedup a batch against the CURRENT index (does not land it)."""
+        return dedup_lines_incremental(
+            batch,
+            self.index(batch.sparkSession),
+            self.text_col,
+            self.id_col,
+            self.sep,
+            self.min_count,
+            self.keep_first,
+        )
+
+    def ingest_stream_batch(
+        self, batch_df: DataFrame, batch_id: int, out_table=None
+    ) -> DataFrame | None:
+        """One idempotent micro-batch step: dedup against the pre-batch
+        index, optionally land the cleaned output, then land this batch's
+        partial. A replayed ``batch_id`` is a no-op (both commits carry it
+        in manifest meta and are checked independently, so a crash BETWEEN
+        the two commits replays only the missing one)."""
+        if self.partials.version_with_meta(self._BKEY, batch_id) is not None:
+            return None
+        cleaned = self.dedup_batch(batch_df)
+        if out_table is not None and (
+            out_table.version_with_meta(self._BKEY, batch_id) is None
+        ):
+            out_table.write(cleaned, mode="append", meta={self._BKEY: batch_id})
+        self.partials.write(
+            line_index(batch_df, self.text_col, self.id_col, self.sep),
+            mode="append",
+            meta={self._BKEY: batch_id},
+        )
+        return cleaned
+
+    def stream_sink(self, out_table=None):
+        """``stream.writeStream.foreachBatch(idx.stream_sink(out)).start()``"""
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.ingest_stream_batch(batch_df, batch_id, out_table)
+
+        return sink
+
+
 # ------------------------------------------------- winnowing fingerprints
 def winnowing_fingerprints(
     df: DataFrame,

@@ -219,3 +219,95 @@ def test_matcher_reads_post_merge_labels(spark, tmp_path, seeded):
     ).toPandas()
     stale = {r for r in raw["component"]}
     assert stale and stale != {final[10]}
+
+
+class TestLineDedupIndex:
+    """Streaming/index lifecycle for CCNet line dedup
+    (dedup.py:LineDedupIndex) — the foreachBatch twin of
+    dedup_lines_incremental."""
+
+    CORPUS = [(0, "nav bar\nzero only\nfooter"), (1, "nav bar\none only")]
+    B1 = [(10, "nav bar\nten only\ncross batch")]
+    B2 = [(11, "cross batch\neleven only\nfooter")]
+
+    def _mk(self, spark, tmp_path):
+        from temporalscope_spark.operators.dedup import LineDedupIndex
+
+        idx = LineDedupIndex(str(tmp_path / "lidx"))
+        idx.build(spark.createDataFrame(self.CORPUS, "doc_id long, text string"))
+        return idx
+
+    def _expected(self, spark, landed, batch):
+        """One-shot dedup_lines over everything landed so far, restricted
+        to the batch — the online-semantics contract."""
+        from temporalscope_spark.operators.dedup import dedup_lines
+
+        full = spark.createDataFrame(landed + batch, "doc_id long, text string")
+        ids = {d for d, _ in batch}
+        return {
+            r["doc_id"]: (r["cleaned_text"], r["n_lines"], r["n_kept"])
+            for r in dedup_lines(full).collect()
+            if r["doc_id"] in ids
+        }
+
+    def test_sequential_batches_match_oneshot_prefixes(self, spark, tmp_path):
+        idx = self._mk(spark, tmp_path)
+        b1 = spark.createDataFrame(self.B1, "doc_id long, text string")
+        got1 = {
+            r["doc_id"]: (r["cleaned_text"], r["n_lines"], r["n_kept"])
+            for r in idx.ingest_stream_batch(b1, batch_id=0).collect()
+        }
+        assert got1 == self._expected(spark, self.CORPUS, self.B1)
+        # b1's 'cross batch' was fresh then -> kept
+        assert got1[10] == ("ten only\ncross batch", 3, 2)
+
+        b2 = spark.createDataFrame(self.B2, "doc_id long, text string")
+        got2 = {
+            r["doc_id"]: (r["cleaned_text"], r["n_lines"], r["n_kept"])
+            for r in idx.ingest_stream_batch(b2, batch_id=1).collect()
+        }
+        assert got2 == self._expected(spark, self.CORPUS + self.B1, self.B2)
+        # b2 sees 'cross batch' (landed by b1) and 'footer' (corpus) as dups
+        assert got2[11] == ("eleven only", 3, 1)
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        idx = self._mk(spark, tmp_path)
+        b1 = spark.createDataFrame(self.B1, "doc_id long, text string")
+        assert idx.ingest_stream_batch(b1, batch_id=0) is not None
+        v = idx.partials.current_version()
+        assert idx.ingest_stream_batch(b1, batch_id=0) is None
+        assert idx.partials.current_version() == v  # no double count
+
+    def test_foreachbatch_wiring(self, spark, tmp_path):
+        from temporalscope_spark.datasets.snapshots import SnapshotTable
+
+        idx = self._mk(spark, tmp_path)
+        src = str(tmp_path / "src")
+        b1 = spark.createDataFrame(self.B1, "doc_id long, text string")
+        b2 = spark.createDataFrame(self.B2, "doc_id long, text string")
+        b1.coalesce(1).write.mode("overwrite").parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        out = SnapshotTable(str(tmp_path / "out"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(idx.stream_sink(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["n_kept"] for r in out.read(spark).collect()
+        }
+        assert set(got) == {10, 11}
+        # whichever arrival order the two one-file micro-batches took, the
+        # cross-batch line survives exactly once across the two docs
+        assert sorted(got.values()) == [1, 2] or got == {10: 2, 11: 1}
+        # index now folds corpus + both batches
+        folded = idx.index(spark)
+        nav = folded.filter("_c >= 3").count()
+        assert nav >= 1  # 'nav bar' seen 3x (corpus x2 + b1)
