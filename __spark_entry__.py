@@ -1566,6 +1566,398 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM seed inventory (Kudo 2018): frequent-substring
+    candidates (top-24 by count×length plus all single characters) with
+    integer-exact normalized probabilities, computed over the bounded
+    distinct-word table only."""
+    from temporalscope_spark.operators.bpe import word_vocab
+    from temporalscope_spark.operators.unigram import piece_seed
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = word_vocab(docs, "text").select("word", "wc")
+    return piece_seed(vocab).select(
+        "piece", "cnt", (F.round("prob", 6) + F.lit(0.0)).alias("prob")
+    )
+
+
+def q_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two EM rounds of unigram-LM training: per-word forward/backward
+    over the vocabulary-bounded segmentation lattice as in-row folds,
+    expected piece counts via one explode + aggregation, M-step
+    normalization by a broadcast-crossed 1-row total. The oracle unrolls
+    the SAME two rounds as recursive-CTE blocks carrying the α/β arrays
+    (probabilities quantized to 1e-12 per round in both engines)."""
+    from temporalscope_spark.operators.unigram import train_unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    pieces = train_unigram(docs, "text", num_rounds=2)
+    return pieces.select(
+        "piece",
+        (F.round("e_cnt", 6) + F.lit(0.0)).alias("e_cnt"),
+        (F.round("prob", 6) + F.lit(0.0)).alias("prob"),
+    )
+
+
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply loop for the unigram tokenizer: Viterbi decode of the
+    2-round-EM model over the bounded distinct-word lattice (struct-min
+    tie-break on (−score, start, piece)), then the apply_bpe corpus
+    contract — one positional explode, one word→tokens mapping join, one
+    ordered reassembly. Discrete cross-engine equality holds because the
+    model is quantized per round (see operators/unigram.py)."""
+    from temporalscope_spark.operators.unigram import (
+        apply_unigram,
+        train_unigram,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pieces = train_unigram(docs, "text", num_rounds=2)
+    out = apply_unigram(docs, pieces, "text", "doc_id")
+    return out.select(
+        "doc_id", F.array_join("tokens", " ").alias("tokens_str"), "n_tok"
+    )
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning battery (Raffel et al. 2020 §2.2): the documents table
+    is given a line structure by breaking the normalized text into 5-word
+    lines with md5-parity-synthesized terminal punctuation (parity 0 → no
+    terminal mark, 3 → '?', else '.') — a deterministic rewrite both
+    engines express identically, so the terminal-punctuation rule is
+    non-vacuous. Then every C4 rule runs as a named flag: line retention
+    (terminal punctuation, ≥3 words, no 'slow' line-term), page drops
+    ('dup' page-term ≈ the bad-word list, lorem ipsum, braces, <5
+    sentences)."""
+    from temporalscope_spark.operators.c4 import c4_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    fw = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ),
+        lambda w: w != "",
+    )
+    docs = docs.select("doc_id", fw.alias("_fw"))
+    nl = F.ceil(F.size("_fw") / F.lit(5.0)).cast("int")
+    chunk = lambda k: F.concat_ws(" ", F.slice("_fw", k * 5 + 1, 5))  # noqa: E731
+    parity = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast(  # noqa: E731
+        "long"
+    ) % 4
+    lined = docs.select(
+        "doc_id",
+        F.when(F.size("_fw") == 0, F.lit("")).otherwise(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), nl - 1),
+                    lambda k: F.concat(
+                        chunk(k),
+                        F.when(parity(chunk(k)) == 0, F.lit(""))
+                        .when(parity(chunk(k)) == 3, F.lit("?"))
+                        .otherwise(F.lit(".")),
+                    ),
+                ),
+                "\n",
+            )
+        ).alias("text"),
+    )
+    return c4_clean(
+        lined,
+        "text",
+        "doc_id",
+        sep="\n",
+        min_line_words=3,
+        min_sentences=5,
+        line_drop_terms=("slow",),
+        page_drop_terms=("dup",),
+    )
+
+
+_C4_LINE_WORDS = (
+    "list_filter(string_split(trim(regexp_replace(lower({l}), '\\s+', ' ', "
+    "'g')), ' '), w -> w <> '')"
+)
+
+
+def _c4_oracle() -> str:
+    lw = _C4_LINE_WORDS.format(l="l")
+    return f"""
+        WITH d0 AS (
+            SELECT doc_id,
+                   list_filter(string_split({_NORM}, ' '), w -> w <> '')
+                       AS fw
+            FROM documents
+        ),
+        lined AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(0,
+                           CAST(ceil(len(fw) / 5.0) AS INT) - 1),
+                       k -> array_to_string(fw[k * 5 + 1 : k * 5 + 5], ' ')
+                   ) AS chunks
+            FROM d0
+        ),
+        lines AS (
+            SELECT doc_id,
+                   list_transform(chunks, c -> c ||
+                       CASE CAST('0x' || substr(md5(c), 1, 8) AS BIGINT) % 4
+                            WHEN 0 THEN '' WHEN 3 THEN '?' ELSE '.' END
+                   ) AS ls
+            FROM lined
+        ),
+        t2 AS (
+            SELECT doc_id, ls,
+                   array_to_string(ls, chr(10)) AS text2
+            FROM lines
+        ),
+        battery AS (
+            SELECT doc_id, text2,
+                   CAST(len(string_split(text2, chr(10))) AS INT)
+                       AS n_lines,
+                   list_filter(ls, l ->
+                       right(trim(l), 1) IN ('.', '!', '?', '"')
+                       AND len({lw}) >= 3
+                       AND NOT list_has_any(
+                           list_transform({lw},
+                               w -> regexp_replace(w, '[.!?"]+$', '')),
+                           ['slow'])
+                   ) AS kept,
+                   list_has_any(
+                       list_transform(
+                           {_C4_LINE_WORDS.format(l="replace(text2, chr(10), ' ')")},
+                           w -> regexp_replace(w, '[.!?"]+$', '')),
+                       ['dup']) AS flag_bad_term,
+                   contains(lower(text2), 'lorem ipsum')
+                       AS flag_lorem_ipsum,
+                   (contains(text2, '{{') OR contains(text2, '}}'))
+                       AS flag_brace
+            FROM t2
+        ),
+        scored AS (
+            SELECT doc_id, n_lines,
+                   CAST(len(kept) AS INT) AS n_kept_lines,
+                   CAST(coalesce(list_sum(list_transform(kept,
+                       l -> len(string_split_regex(l, '[.!?]')) - 1)), 0)
+                       AS INT) AS n_sentences,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                       AS clean_text,
+                   flag_bad_term, flag_lorem_ipsum, flag_brace
+            FROM battery
+        )
+        SELECT doc_id, n_lines, n_kept_lines, n_sentences, clean_text,
+               flag_bad_term, flag_lorem_ipsum, flag_brace,
+               (n_sentences < 5) AS flag_too_few_sentences,
+               (NOT flag_bad_term AND NOT flag_lorem_ipsum
+                AND NOT flag_brace AND NOT (n_sentences < 5)) AS c4_keep
+        FROM scored"""
+
+
+def _unigram_prefix(max_len: int = 4, top_k: int = 24) -> str:
+    """Shared oracle prefix: word vocab → substring counts → seed
+    inventory p0 → lattice edge table (0-based half-open spans)."""
+    return f"""
+            v0 AS MATERIALIZED (
+                SELECT word, CAST(count(*) AS BIGINT) AS wc,
+                       CAST(length(word) AS INT) AS len
+                FROM (SELECT unnest(string_split({_NORM}, ' ')) AS word
+                      FROM documents)
+                WHERE word <> '' GROUP BY word
+            ),
+            lens AS (
+                SELECT CAST(unnest(generate_series(1, {max_len})) AS INT) AS l
+            ),
+            cnts AS (
+                SELECT substr(word, CAST(i AS INT), l) AS piece,
+                       sum(wc) AS cnt
+                FROM v0 JOIN lens ON lens.l <= v0.len,
+                     UNNEST(generate_series(1, v0.len - lens.l + 1)) AS t(i)
+                GROUP BY 1
+            ),
+            scored AS (
+                SELECT piece, cnt, cnt * length(piece) AS score FROM cnts
+            ),
+            topk AS (
+                SELECT piece, cnt FROM scored
+                ORDER BY score DESC, piece LIMIT {top_k}
+            ),
+            sel AS (
+                SELECT DISTINCT piece, cnt FROM (
+                    SELECT piece, cnt FROM topk
+                    UNION ALL
+                    SELECT piece, cnt FROM scored WHERE length(piece) = 1
+                )
+            ),
+            p0 AS MATERIALIZED (
+                SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+                       round(CAST(cnt AS DOUBLE)
+                             / (SELECT sum(cnt) FROM sel), 12) AS prob
+                FROM sel
+            ),
+            uedges AS MATERIALIZED (
+                SELECT v0.word, v0.wc, v0.len,
+                       CAST(i - 1 AS INT) AS i,
+                       CAST(i - 1 + lens.l AS INT) AS j,
+                       substr(word, CAST(i AS INT), lens.l) AS piece
+                FROM v0 JOIN lens ON lens.l <= v0.len,
+                     UNNEST(generate_series(1, v0.len - lens.l + 1)) AS t(i)
+                WHERE substr(word, CAST(i AS INT), lens.l)
+                      IN (SELECT piece FROM p0)
+            )"""
+
+
+def _unigram_em_round_ctes(r: int) -> str:
+    """One unrolled EM round: probability-annotated lattice lists →
+    forward (a{r}) and backward (b{r}) recursions carrying the α/β
+    arrays → per-edge expected counts → renormalized p{r}."""
+    return f"""
+            lat{r} AS MATERIALIZED (
+                SELECT e.word, any_value(e.wc) AS wc,
+                       any_value(e.len) AS len,
+                       list(struct_pack(j := e.j, i := e.i, p := p.prob,
+                                        piece := e.piece)
+                            ORDER BY e.j, e.i) AS edges
+                FROM uedges e JOIN p{r - 1} p USING (piece) GROUP BY e.word
+            ),
+            a{r}(word, j, alphas) AS (
+                SELECT word, 0, [CAST(1.0 AS DOUBLE)] FROM lat{r}
+                UNION ALL
+                SELECT a.word, a.j + 1,
+                       list_append(a.alphas, coalesce(list_sum(
+                           list_transform(
+                               list_filter(l.edges, e -> e.j = a.j + 1),
+                               e -> a.alphas[e.i + 1] * e.p)), 0.0))
+                FROM a{r} a JOIN lat{r} l USING (word) WHERE a.j < l.len
+            ),
+            af{r} AS MATERIALIZED (
+                SELECT a.word, a.alphas
+                FROM a{r} a JOIN lat{r} l USING (word) WHERE a.j = l.len
+            ),
+            b{r}(word, j, betas) AS (
+                SELECT word, len, [CAST(1.0 AS DOUBLE)] FROM lat{r}
+                UNION ALL
+                SELECT b.word, b.j - 1,
+                       list_prepend(coalesce(list_sum(list_transform(
+                           list_filter(l.edges, e -> e.i = b.j - 1),
+                           e -> e.p * b.betas[e.j - b.j + 1])), 0.0),
+                           b.betas)
+                FROM b{r} b JOIN lat{r} l USING (word) WHERE b.j > 0
+            ),
+            bf{r} AS MATERIALIZED (
+                SELECT word, betas FROM b{r} WHERE j = 0
+            ),
+            e{r} AS MATERIALIZED (
+                SELECT u.piece,
+                       sum(l.wc * af.alphas[u.i + 1] * u.p
+                           * bf.betas[u.j + 1]
+                           / af.alphas[l.len + 1]) AS e_cnt
+                FROM (SELECT word, unnest(edges, recursive := true)
+                      FROM lat{r}) u
+                JOIN lat{r} l USING (word)
+                JOIN af{r} af USING (word)
+                JOIN bf{r} bf USING (word)
+                GROUP BY 1
+            ),
+            p{r} AS MATERIALIZED (
+                SELECT piece, e_cnt,
+                       round(e_cnt / (SELECT sum(e_cnt) FROM e{r}), 12)
+                           AS prob
+                FROM e{r}
+            )"""
+
+
+def _unigram_seed_oracle() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _unigram_prefix()
+        + """
+            SELECT piece, cnt, round(prob, 6) + 0.0 AS prob FROM p0"""
+    )
+
+
+def _unigram_em_oracle(rounds: int = 2) -> str:
+    body = ",".join(_unigram_em_round_ctes(r) for r in range(1, rounds + 1))
+    return (
+        "WITH RECURSIVE "
+        + _unigram_prefix()
+        + ","
+        + body
+        + f"""
+            SELECT piece, round(e_cnt, 6) + 0.0 AS e_cnt,
+                   round(prob, 6) + 0.0 AS prob
+            FROM p{rounds}"""
+    )
+
+
+def _unigram_tokenize_oracle(rounds: int = 2) -> str:
+    body = ",".join(_unigram_em_round_ctes(r) for r in range(1, rounds + 1))
+    return (
+        "WITH RECURSIVE "
+        + _unigram_prefix()
+        + ","
+        + body
+        + f""",
+            latv AS MATERIALIZED (
+                SELECT e.word, any_value(e.len) AS len,
+                       list(struct_pack(j := e.j, i := e.i, p := p.prob,
+                                        piece := e.piece)
+                            ORDER BY e.j, e.i) AS edges
+                FROM uedges e JOIN p{rounds} p USING (piece)
+                GROUP BY e.word
+            ),
+            vit(word, j, best) AS (
+                SELECT word, 0,
+                       [struct_pack(ns := CAST(-1.0 AS DOUBLE),
+                                    bi := CAST(-1 AS INT), piece := '')]
+                FROM latv
+                UNION ALL
+                SELECT v.word, v.j + 1,
+                       list_append(v.best, list_sort(list_transform(
+                           list_filter(l.edges, e -> e.j = v.j + 1),
+                           e -> struct_pack(
+                               ns := v.best[e.i + 1].ns * e.p,
+                               bi := e.i, piece := e.piece)))[1])
+                FROM vit v JOIN latv l USING (word) WHERE v.j < l.len
+            ),
+            vf AS MATERIALIZED (
+                SELECT v.word, v.best
+                FROM vit v JOIN latv l USING (word) WHERE v.j = l.len
+            ),
+            urec(word, pos, toks) AS (
+                SELECT word, len, CAST([] AS VARCHAR[]) FROM latv
+                UNION ALL
+                SELECT r.word, v.best[r.pos + 1].bi,
+                       list_prepend(v.best[r.pos + 1].piece, r.toks)
+                FROM urec r JOIN vf v USING (word) WHERE r.pos > 0
+            ),
+            uwt AS MATERIALIZED (
+                SELECT word, toks FROM urec WHERE pos = 0
+            ),
+            udw AS (
+                SELECT doc_id,
+                       CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split({_NORM}, ' ') END AS w
+                FROM documents
+            ),
+            upos AS (
+                SELECT doc_id, CAST(i AS INT) AS i,
+                       w[CAST(i AS INT)] AS word
+                FROM udw, UNNEST(generate_series(1, len(w))) AS t(i)
+                WHERE w[CAST(i AS INT)] <> ''
+            ),
+            uper AS (
+                SELECT p.doc_id,
+                       flatten(list(uwt.toks ORDER BY p.i)) AS toks
+                FROM upos p JOIN uwt USING (word) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   array_to_string(coalesce(uper.toks,
+                                            CAST([] AS VARCHAR[])), ' ')
+                       AS tokens_str,
+                   CAST(coalesce(len(uper.toks), 0) AS INT) AS n_tok
+            FROM documents d LEFT JOIN uper USING (doc_id)"""
+    )
+
+
 def _bpe_round_ctes(r: int) -> str:
     """One unrolled BPE round for the DuckDB oracle: pair counts over
     v{r-1} → 1-row argmax b{r} → islands+parity merge rewrite → v{r}."""
@@ -3281,6 +3673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_compression": q_bpe_compression,
         "bpe_tokenize": q_bpe_tokenize,
+        "c4_rules": q_c4_rules,
+        "unigram_seed": q_unigram_seed,
+        "unigram_em": q_unigram_em,
+        "unigram_tokenize": q_unigram_tokenize,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "dsir_select_approx": q_dsir_select_approx,
@@ -5223,6 +5619,10 @@ def oracle_sql() -> dict[str, str]:
     # construction (candidate set provably contains the top-k, same total
     # order) — sharing the oracle string IS the equivalence check
     sql["dsir_select_approx"] = sql["dsir_select"]
+    sql["c4_rules"] = _c4_oracle()
+    sql["unigram_seed"] = _unigram_seed_oracle()
+    sql["unigram_em"] = _unigram_em_oracle(2)
+    sql["unigram_tokenize"] = _unigram_tokenize_oracle(2)
     sql["gopher_rules"] = _gopher_oracle()
     sql["correlation_matrix"] = _corr_matrix_oracle()
     sql["numeric_relevance"] = _numeric_relevance_oracle()

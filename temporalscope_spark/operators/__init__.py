@@ -32,6 +32,15 @@ from temporalscope_spark.operators.bpe import (
     learn_bpe_merges,
     word_vocab,
 )
+from temporalscope_spark.operators.c4 import c4_clean
+from temporalscope_spark.operators.unigram import (
+    apply_unigram,
+    piece_seed,
+    train_unigram,
+    unigram_em_round,
+    viterbi_word_tokens,
+    word_lattice,
+)
 from temporalscope_spark.operators.dedup import (
     LineDedupIndex,
     dedup_exact,
@@ -188,6 +197,8 @@ __all__ = [
     "minhash_signatures", "ngram_jaccard_pairs", "remove_dup_spans",
     "simhash", "simhash_near_pairs", "pagerank",
     "learn_bpe_merges", "word_vocab", "apply_bpe", "bpe_compression_stats",
+    "piece_seed", "train_unigram", "unigram_em_round", "word_lattice",
+    "viterbi_word_tokens", "apply_unigram", "c4_clean",
     "PostingsIndex", "bm25_topk", "bm25_topk_multi", "build_postings",
     "dsir_select", "hashed_ngram_features",
     "ks_drift", "psi_drift", "fit_psi_reference", "psi_score",
