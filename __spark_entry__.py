@@ -1619,6 +1619,40 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge learning (Schuster & Nakajima 2012): 8 rounds of
+    likelihood-scored merges (freq/(sf_lhs*sf_rhs) argmax, total order
+    score DESC, lhs, rhs) over the bounded ##-marked word vocab. The
+    oracle unrolls the SAME rounds as CTE blocks — integer counts and
+    one IEEE division each, exact in both engines."""
+    from temporalscope_spark.operators.wordpiece import learn_wordpiece
+
+    docs = _t(spark, sf_dir, "documents")
+    return learn_wordpiece(docs, "text", num_merges=8)
+
+
+def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply loop for WordPiece: 8 learned merges build the final
+    piece vocabulary (alphabet + merge outputs), then BERT greedy
+    longest-match-first tokenization (##-marked continuations, [UNK] on
+    unmatchable or over-length words) runs as 12 fixed in-row rounds
+    over the bounded distinct-word table; the corpus sees one positional
+    explode + one word→tokens join (the apply_bpe contract)."""
+    from temporalscope_spark.operators.wordpiece import (
+        apply_wordpiece,
+        learn_wordpiece,
+        wordpiece_pieces,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_wordpiece(docs, "text", num_merges=8)
+    pieces = wordpiece_pieces(docs, "text", merges=merges)
+    out = apply_wordpiece(docs, pieces, "text", "doc_id", max_chars=12)
+    return out.select(
+        "doc_id", F.array_join("tokens", " ").alias("tokens_str"), "n_tok"
+    )
+
+
 def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning battery (Raffel et al. 2020 §2.2): the documents table
     is given a line structure by breaking the normalized text into 5-word
@@ -2010,6 +2044,182 @@ def _bpe_round_ctes(r: int) -> str:
                 WHERE NOT EXISTS (SELECT 1 FROM b{r})
             )"""
     return p
+
+
+def _wp_v0_cte() -> str:
+    """WordPiece initial vocab: distinct normalized words with ##-marked
+    continuation symbols."""
+    return f"""v0 AS MATERIALIZED (
+                SELECT word, count(*) AS wc,
+                       list_transform(generate_series(1, length(word)),
+                                      i -> CASE WHEN i = 1 THEN word[1]
+                                           ELSE '##' || word[CAST(i AS INT)]
+                                           END) AS syms
+                FROM (
+                    SELECT unnest(string_split({_NORM}, ' ')) AS word
+                    FROM documents
+                ) WHERE word <> '' GROUP BY word
+            )"""
+
+
+def _wp_round_ctes(r: int) -> str:
+    """One unrolled WordPiece training round: symbol freqs + pair counts
+    over v{r-1} → score argmax b{r} (score DESC, lhs, rhs) →
+    islands+parity merge rewrite with the ^## strip rule → v{r}."""
+    return f"""sc{r} AS (
+                SELECT s AS sym, sum(wc) AS sf
+                FROM v{r - 1}, UNNEST(syms) AS t(s) GROUP BY 1
+            ),
+            p{r} AS (
+                SELECT syms[CAST(i AS INT)] AS lhs,
+                       syms[CAST(i AS INT) + 1] AS rhs,
+                       sum(wc) AS freq
+                FROM v{r - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+                WHERE len(syms) >= 2 GROUP BY 1, 2
+            ),
+            b{r} AS MATERIALIZED (
+                SELECT p.lhs, p.rhs, p.freq,
+                       CAST(p.freq AS DOUBLE)
+                           / (CAST(a.sf AS DOUBLE) * CAST(c.sf AS DOUBLE))
+                           AS score
+                FROM p{r} p
+                JOIN sc{r} a ON a.sym = p.lhs
+                JOIN sc{r} c ON c.sym = p.rhs
+                ORDER BY score DESC, p.lhs, p.rhs LIMIT 1
+            ),
+            s{r} AS (
+                SELECT v.word, v.wc, CAST(i AS INT) AS i,
+                       v.syms[CAST(i AS INT)] AS s,
+                       v.syms[CAST(i AS INT) + 1] AS nxt
+                FROM v{r - 1} v, UNNEST(generate_series(1, len(v.syms))) AS t(i)
+            ),
+            m{r} AS (
+                SELECT s.*, (s.s = b.lhs AND s.nxt = b.rhs) AS m
+                FROM s{r} s, b{r} b
+            ),
+            g{r} AS (
+                SELECT *, CASE WHEN m THEN
+                    i - row_number() OVER (PARTITION BY word, m ORDER BY i)
+                END AS grp FROM m{r}
+            ),
+            mm{r} AS (
+                SELECT *, m AND
+                    ((i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0)
+                    AS merged
+                FROM g{r}
+            ),
+            d{r} AS (
+                SELECT *,
+                    coalesce(lag(merged) OVER (PARTITION BY word ORDER BY i),
+                             false) AS drp,
+                    CASE WHEN merged
+                         THEN s || regexp_replace(nxt, '^##', '')
+                         ELSE s END AS ns
+                FROM mm{r}
+            ),
+            v{r} AS MATERIALIZED (
+                SELECT word, wc, list(ns ORDER BY i) AS syms
+                FROM d{r} WHERE NOT drp GROUP BY 1, 2
+                UNION ALL
+                SELECT word, wc, syms FROM v{r - 1}
+                WHERE NOT EXISTS (SELECT 1 FROM b{r})
+            )"""
+
+
+def _wp_apply_round_ctes(k: int) -> str:
+    """One unrolled greedy longest-match round: candidate pieces
+    prefixing substr(word, pos), longest wins, ##-marked when pos > 1;
+    no candidate → [UNK]."""
+    return f"""c{k} AS (
+                SELECT a.*,
+                       list_filter(CASE WHEN a.pos = 1 THEN pl.starts
+                                        ELSE pl.conts END,
+                                   p -> substr(a.word, a.pos, length(p)) = p)
+                           AS cand
+                FROM a{k - 1} a, plist pl
+            ),
+            e{k} AS (
+                SELECT *, list_max(list_transform(cand, p -> length(p))) AS bl
+                FROM c{k}
+            ),
+            a{k} AS MATERIALIZED (
+                SELECT word,
+                    CASE WHEN done THEN toks
+                         WHEN bl IS NULL THEN ['[UNK]']
+                         ELSE list_append(toks,
+                             CASE WHEN pos = 1
+                                  THEN list_filter(cand, p -> length(p) = bl)[1]
+                                  ELSE '##' ||
+                                       list_filter(cand, p -> length(p) = bl)[1]
+                             END)
+                    END AS toks,
+                    CASE WHEN done OR bl IS NULL THEN pos
+                         ELSE pos + CAST(bl AS INT) END AS pos,
+                    CASE WHEN done OR bl IS NULL THEN true
+                         ELSE pos + bl > length(word) END AS done
+                FROM e{k}
+            )"""
+
+
+def _wordpiece_merges_oracle(rounds: int = 8) -> str:
+    return f"""
+        WITH {_wp_v0_cte()},
+        {', '.join(_wp_round_ctes(r) for r in range(1, rounds + 1))}
+        SELECT * FROM (
+            {' UNION ALL '.join(f"SELECT {r} AS rank, lhs, rhs, CAST(freq AS BIGINT) AS freq, round(score, 6) AS score FROM b{r}" for r in range(1, rounds + 1))}
+        )
+    """
+
+
+def _wordpiece_tokenize_oracle(rounds: int = 8, max_chars: int = 12) -> str:
+    return f"""
+        WITH {_wp_v0_cte()},
+        {', '.join(_wp_round_ctes(r) for r in range(1, rounds + 1))},
+        pc AS (
+            SELECT DISTINCT s AS piece FROM v0, UNNEST(syms) AS t(s)
+            UNION
+            SELECT lhs || regexp_replace(rhs, '^##', '') FROM (
+                {' UNION ALL '.join(f'SELECT lhs, rhs FROM b{r}' for r in range(1, rounds + 1))}
+            )
+        ),
+        plist AS MATERIALIZED (
+            SELECT list(piece ORDER BY piece)
+                       FILTER (WHERE piece NOT LIKE '##%') AS starts,
+                   list(substr(piece, 3) ORDER BY substr(piece, 3))
+                       FILTER (WHERE piece LIKE '##%') AS conts
+            FROM pc
+        ),
+        a0 AS (
+            SELECT word,
+                   CASE WHEN length(word) > {max_chars} THEN ['[UNK]']
+                        ELSE CAST([] AS VARCHAR[]) END AS toks,
+                   1 AS pos,
+                   length(word) > {max_chars} AS done
+            FROM (SELECT DISTINCT word FROM v0)
+        ),
+        {', '.join(_wp_apply_round_ctes(k) for k in range(1, max_chars + 1))},
+        wdw AS (
+            SELECT doc_id,
+                   CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split({_NORM}, ' ') END AS w
+            FROM documents
+        ),
+        wpos AS (
+            SELECT doc_id, CAST(i AS INT) AS i, w[CAST(i AS INT)] AS word
+            FROM wdw, UNNEST(generate_series(1, len(w))) AS t(i)
+            WHERE w[CAST(i AS INT)] <> ''
+        ),
+        wper AS (
+            SELECT p.doc_id,
+                   flatten(list(a.toks ORDER BY p.i)) AS toks
+            FROM wpos p JOIN a{max_chars} a USING (word) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               array_to_string(coalesce(wper.toks, CAST([] AS VARCHAR[])), ' ')
+                   AS tokens_str,
+               CAST(coalesce(len(wper.toks), 0) AS INT) AS n_tok
+        FROM documents d LEFT JOIN wper USING (doc_id)
+    """
 
 
 def _unigram_scored_ctes() -> str:
@@ -3677,6 +3887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_seed": q_unigram_seed,
         "unigram_em": q_unigram_em,
         "unigram_tokenize": q_unigram_tokenize,
+        "wordpiece_merges": q_wordpiece_merges,
+        "wordpiece_tokenize": q_wordpiece_tokenize,
         "semdedup": q_semdedup,
         "dsir_select": q_dsir_select,
         "dsir_select_approx": q_dsir_select_approx,
@@ -5623,6 +5835,8 @@ def oracle_sql() -> dict[str, str]:
     sql["unigram_seed"] = _unigram_seed_oracle()
     sql["unigram_em"] = _unigram_em_oracle(2)
     sql["unigram_tokenize"] = _unigram_tokenize_oracle(2)
+    sql["wordpiece_merges"] = _wordpiece_merges_oracle(8)
+    sql["wordpiece_tokenize"] = _wordpiece_tokenize_oracle(8, 12)
     sql["gopher_rules"] = _gopher_oracle()
     sql["correlation_matrix"] = _corr_matrix_oracle()
     sql["numeric_relevance"] = _numeric_relevance_oracle()

@@ -33,6 +33,12 @@ from temporalscope_spark.operators.bpe import (
     word_vocab,
 )
 from temporalscope_spark.operators.c4 import c4_clean
+from temporalscope_spark.operators.wordpiece import (
+    apply_wordpiece,
+    learn_wordpiece,
+    wordpiece_pieces,
+    wp_word_vocab,
+)
 from temporalscope_spark.operators.unigram import (
     apply_unigram,
     piece_seed,
@@ -199,6 +205,7 @@ __all__ = [
     "learn_bpe_merges", "word_vocab", "apply_bpe", "bpe_compression_stats",
     "piece_seed", "train_unigram", "unigram_em_round", "word_lattice",
     "viterbi_word_tokens", "apply_unigram", "c4_clean",
+    "learn_wordpiece", "wordpiece_pieces", "apply_wordpiece", "wp_word_vocab",
     "PostingsIndex", "bm25_topk", "bm25_topk_multi", "build_postings",
     "dsir_select", "hashed_ngram_features",
     "ks_drift", "psi_drift", "fit_psi_reference", "psi_score",

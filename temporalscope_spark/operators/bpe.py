@@ -66,9 +66,15 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
+def _apply_merge(
+    vocab: DataFrame, a: str, b: str, strip_prefix: str | None = None
+) -> DataFrame:
     """Rewrite every word's symbol array with (a, b) -> ab merged, greedy
-    left-to-right, via the islands+parity closed form."""
+    left-to-right, via the islands+parity closed form.
+
+    ``strip_prefix`` (a regex anchored by the caller, e.g. ``'^##'``)
+    is removed from the RIGHT symbol before concatenation — the
+    WordPiece continuation-marker rule; BPE passes None."""
     sym = vocab.select(
         "word", "wc", F.posexplode("syms").alias("_i0", "_s")
     ).withColumn("_i", F.col("_i0") + 1)
@@ -92,11 +98,12 @@ def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     sym = sym.withColumn("_drop", F.coalesce(F.lag("_merged", 1).over(w), F.lit(False)))
     # the merged token must concat the TRUE next symbol — computed before
     # the _drop filter, or the lead() window skips the dropped row
+    nxt = F.lead("_s", 1).over(w)
+    if strip_prefix is not None:
+        nxt = F.regexp_replace(nxt, strip_prefix, "")
     sym = sym.withColumn(
         "_ns",
-        F.when(F.col("_merged"), F.concat("_s", F.lead("_s", 1).over(w))).otherwise(
-            F.col("_s")
-        ),
+        F.when(F.col("_merged"), F.concat("_s", nxt)).otherwise(F.col("_s")),
     )
     rebuilt = (
         sym.filter(~F.col("_drop"))
