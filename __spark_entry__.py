@@ -3651,6 +3651,32 @@ def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct sketch (Beyer et al. 2007): per-source
+    trigram-shingle cardinality estimates from the 32 smallest md5
+    hashes — bounded, mergeable state whatever the corpus size; exact
+    below k, (k-1)/U_(k) above."""
+    from temporalscope_spark.operators.corpus_stats import kmv_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    return kmv_distinct(docs, "text", "source", k=32, seed=7, ngram=3)
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix from per-source KMV sketches:
+    union cardinality + bottom-k Jaccard for every source pair, computed
+    entirely from the bounded sketch table (the corpus is scanned once
+    to sketch, never again for the G^2/2 pair estimates)."""
+    from temporalscope_spark.operators.corpus_stats import (
+        kmv_sketch,
+        kmv_source_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = kmv_sketch(docs, "text", "source", k=32, seed=7, ngram=3)
+    return kmv_source_overlap(sk, "source", k=32)
+
+
 def q_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fractional upsampling (the r > 1 half of temperature
     mixing): purchases x2.5 (2 copies + md5-selected half get a third
@@ -3904,6 +3930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
         "countmin_freq": q_countmin_freq,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_overlap": q_kmv_overlap,
         "upsample_repeat": q_upsample_repeat,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
@@ -5563,6 +5591,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(COALESCE(s.c, 0)) AS BIGINT) AS n_est
             FROM probes p LEFT JOIN sketch s USING (j, bucket)
             GROUP BY p.word, p.n
+        """,
+        # KMV replay: the md5-first-8-hex hash lane is engine-portable, so
+        # both the bottom-32 hash sets and the (k-1)/U_(k) estimates are
+        # bit-identical; trigram shingles join with chr(31)
+        "kmv_distinct": f"""
+            WITH d AS (
+                SELECT source,
+                       CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split({_NORM}, ' ') END AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT source,
+                       w[CAST(i AS INT)] || chr(31) || w[CAST(i AS INT) + 1]
+                           || chr(31) || w[CAST(i AS INT) + 2] AS e
+                FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            ),
+            h AS (
+                SELECT DISTINCT source,
+                       CAST(('0x' || substr(md5(e || '#7'), 1, 8)) AS BIGINT) AS h
+                FROM g
+            ),
+            r AS (
+                SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM h
+            ),
+            s AS (
+                SELECT source, CAST(count(*) AS INT) AS n_hashes,
+                       max(CASE WHEN rn = 32 THEN h END) AS hk
+                FROM r WHERE rn <= 32 GROUP BY 1
+            )
+            SELECT source, n_hashes,
+                   round(CASE WHEN n_hashes < 32 THEN CAST(n_hashes AS DOUBLE)
+                              ELSE CAST(31 AS DOUBLE) * 4294967296.0
+                                   / (CAST(hk AS DOUBLE) + 1.0) END, 6)
+                       AS est_distinct
+            FROM s
+        """,
+        "kmv_overlap": f"""
+            WITH d AS (
+                SELECT source,
+                       CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split({_NORM}, ' ') END AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT source,
+                       w[CAST(i AS INT)] || chr(31) || w[CAST(i AS INT) + 1]
+                           || chr(31) || w[CAST(i AS INT) + 2] AS e
+                FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+            ),
+            h AS (
+                SELECT DISTINCT source,
+                       CAST(('0x' || substr(md5(e || '#7'), 1, 8)) AS BIGINT) AS h
+                FROM g
+            ),
+            r AS (
+                SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM h
+            ),
+            sk AS (
+                SELECT source, list(h ORDER BY h) AS ks
+                FROM r WHERE rn <= 32 GROUP BY 1
+            ),
+            pr AS (
+                SELECT a.source AS group_a, b.source AS group_b,
+                       (list_sort(list_distinct(a.ks || b.ks)))[1:32] AS m,
+                       len(list_intersect(a.ks, b.ks)) AS _ni,
+                       list_intersect(a.ks, b.ks) AS ib
+                FROM sk a JOIN sk b ON a.source < b.source
+            )
+            SELECT group_a, group_b,
+                   round(CASE WHEN len(m) < 32 THEN CAST(len(m) AS DOUBLE)
+                              ELSE CAST(31 AS DOUBLE) * 4294967296.0
+                                   / (CAST(m[32] AS DOUBLE) + 1.0) END, 6)
+                       AS union_est,
+                   round(CAST(len(list_intersect(m, ib)) AS DOUBLE)
+                         / CAST(len(m) AS DOUBLE), 6) AS jaccard_est
+            FROM pr
         """,
         "upsample_repeat": """
             WITH f AS (

@@ -15,10 +15,11 @@ Beyond the reference's scope (its tables are numeric-only); extends
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.dedup import _parallelize_before_explode
 from temporalscope_spark.operators.text import bpe_token_count, token_count
 
 
@@ -275,3 +276,152 @@ def countmin_estimate(
         "c", F.coalesce("c", F.lit(0))
     )
     return joined.groupBy("word").agg(F.min("c").alias("est"))
+
+
+def _kmv_hash(col, seed: int):
+    """Deterministic 32-bit hash in [0, 2^32) — the package's portable
+    md5-first-8-hex lane (DuckDB: CAST('0x' || substr(md5(...), 1, 8) AS
+    BIGINT)), so sketches replay exactly in any engine."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 64,
+    seed: int = 7,
+    ngram: int = 1,
+) -> DataFrame:
+    """KMV / bottom-k distinct sketch per group (Bar-Yossef et al. 2002;
+    Beyer et al. 2007): the ``k`` smallest distinct 32-bit hash values of
+    the group's words (``ngram > 1``: its word n-gram shingles, joined
+    with ``\\x1f``) — a bounded, MERGEABLE summary of set cardinality
+    (union = bottom-k of the concatenated sketches, no rescan).
+
+    Plan shape: word explode → ONE distinct on (group, hash) (map-side
+    combinable — the only corpus-sized exchange) → per-group rank with
+    ``rn <= k`` (Spark rewrites the filtered window to WindowGroupLimit:
+    each partition keeps k rows per group before the exchange) → one
+    bounded per-group array aggregate. Groups are data-parallel; no
+    global window anywhere.
+
+    Output: (group, ks array<long> ascending, n_hashes int) — ``ks`` has
+    at most k entries; ``n_hashes < k`` means the group's full distinct
+    hash set is in hand (estimates become exact).
+    """
+    if k < 2:
+        raise DataFrameValidationError("k must be >= 2")
+    if ngram < 1:
+        raise DataFrameValidationError("ngram must be >= 1")
+    base = _parallelize_before_explode(
+        df.select(F.col(group_col).alias("grp"), _norm_words(text_col).alias("_w"))
+    )
+    if ngram == 1:
+        elems = base.select("grp", F.explode("_w").alias("word")).filter(
+            F.col("word") != ""
+        )
+    else:
+        # guard: Spark's sequence(1, 0) descends to [1, 0] — short arrays
+        # must yield an EMPTY shingle list, not a reversed one
+        sh = F.when(
+            F.size("_w") >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - (ngram - 1)),
+                lambda i: F.concat_ws("\x1f", F.slice("_w", i, ngram)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        elems = base.select("grp", F.explode(sh).alias("word"))
+    hashes = elems.select("grp", _kmv_hash(F.col("word"), seed).alias("h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    topk = hashes.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return topk.groupBy("grp").agg(
+        F.array_sort(F.collect_list("h")).alias("ks"),
+        F.count(F.lit(1)).cast("int").alias("n_hashes"),
+    ).withColumnRenamed("grp", group_col)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 64,
+    seed: int = 7,
+    ngram: int = 1,
+) -> DataFrame:
+    """Per-group distinct-word estimates from the KMV sketch: exact when
+    the group yielded fewer than ``k`` distinct hashes, else the
+    unbiased bottom-k estimator ``(k-1) / U_(k)`` with
+    ``U_(k) = (h_k + 1) / 2^32`` (the +1 maps the integer hash onto
+    (0, 1], guarding h = 0).
+
+    Output: (group, n_hashes, est_distinct) — est rounded to 6.
+    """
+    sk = kmv_sketch(df, text_col, group_col, k, seed, ngram)
+    hk = F.element_at("ks", k).cast("double")
+    return sk.select(
+        group_col,
+        "n_hashes",
+        (
+            F.round(
+                F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+                .otherwise(F.lit(float(k - 1)) * F.lit(2.0**32) / (hk + F.lit(1.0))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("est_distinct"),
+    )
+
+
+def kmv_source_overlap(
+    sketch: DataFrame,
+    group_col: str = "source",
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise source-overlap matrix from per-group KMV sketches:
+    union cardinality and Jaccard estimates for every unordered group
+    pair, WITHOUT rescanning the corpus — the dataset-curation question
+    ("how much does source A overlap source B?") answered from bounded
+    state.
+
+    Estimators (Beyer et al. 2007): merged bottom-k = the k smallest of
+    the two sketches' union; union_est from the merged k-th value (exact
+    when the merged set has < k hashes); jaccard_est = |{merged bottom-k}
+    ∩ A ∩ B| / |merged bottom-k| — the standard bottom-k resemblance
+    estimator.
+
+    Plan shape: the sketch table has one bounded row per group, so the
+    pair join is a broadcast self-join of G rows and every estimator is
+    an in-row array expression; the corpus is never touched.
+
+    Output: (group_a, group_b, union_est, jaccard_est) for a < b.
+    """
+    a = sketch.select(
+        F.col(group_col).alias("group_a"), F.col("ks").alias("_ka")
+    )
+    b = sketch.select(
+        F.col(group_col).alias("group_b"), F.col("ks").alias("_kb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("_ka", "_kb"))), 1, k
+    )
+    pairs = pairs.withColumn("_m", merged)
+    mk = F.element_at("_m", k).cast("double")
+    union_est = F.when(
+        F.size("_m") < k, F.size("_m").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(2.0**32) / (mk + F.lit(1.0)))
+    inter = F.size(F.array_intersect("_m", F.array_intersect("_ka", "_kb")))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        (F.round(union_est, 6) + F.lit(0.0)).alias("union_est"),
+        (
+            F.round(inter.cast("double") / F.size("_m").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("jaccard_est"),
+    )
