@@ -3677,6 +3677,67 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_source_overlap(sk, "source", k=32)
 
 
+_RANK_QUERY_WORDS = [
+    "table", "row", "join", "scan", "fast", "slow", "key", "value",
+]
+
+
+def _ranking_runs(spark: SparkSession, sf_dir: str):
+    """(runs_lennorm, runs_rawtf, qrels) over documents for the fixed
+    8-word query set: score = tf/doc_len (length-normalized) vs raw tf;
+    graded relevance = min(tf, 3). The two scores rank differently, so
+    the metrics are non-vacuous."""
+    from temporalscope_spark.operators.corpus_stats import _norm_words
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _norm_words("text").alias("_w"))
+    n = base.select("doc_id", F.size("_w").alias("_nw"))
+    tf = (
+        base.select("doc_id", F.explode("_w").alias("word"))
+        .filter(F.col("word").isin(_RANK_QUERY_WORDS))
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    runs1 = tf.join(n, "doc_id").select(
+        F.col("word").alias("query"),
+        "doc_id",
+        (F.col("_tf").cast("double") / F.col("_nw").cast("double")).alias("score"),
+    )
+    runs2 = tf.select(
+        F.col("word").alias("query"),
+        "doc_id",
+        F.col("_tf").cast("double").alias("score"),
+    )
+    qrels = tf.select(
+        F.col("word").alias("query"),
+        "doc_id",
+        F.least(F.col("_tf"), F.lit(3)).alias("rel"),
+    )
+    return runs1, runs2, qrels
+
+
+def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 / MRR@10 / AP@10 per query: length-normalized tf runs
+    evaluated against capped-tf graded qrels (TREC conventions,
+    rank-ordered sorted folds for engine-exact float sums)."""
+    from temporalscope_spark.metrics.ranking import ranking_eval
+
+    runs1, _, qrels = _ranking_runs(spark, sf_dir)
+    return ranking_eval(runs1, qrels, k=10)
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (c=60) of the length-normalized and raw-tf
+    runs, top-5 per query — the calibration-free ranker merge, fold
+    ordered by run name for float determinism."""
+    from temporalscope_spark.metrics.ranking import rrf_fuse
+
+    runs1, runs2, _ = _ranking_runs(spark, sf_dir)
+    return rrf_fuse(
+        {"len_norm": runs1, "raw_tf": runs2}, c=60, k=5
+    )
+
+
 def q_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fractional upsampling (the r > 1 half of temperature
     mixing): purchases x2.5 (2 copies + md5-selected half get a third
@@ -3932,6 +3993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_freq": q_countmin_freq,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
+        "ranking_eval": q_ranking_eval,
+        "rrf_fusion": q_rrf_fusion,
         "upsample_repeat": q_upsample_repeat,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
@@ -5672,6 +5735,127 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(m, ib)) AS DOUBLE)
                          / CAST(len(m) AS DOUBLE), 6) AS jaccard_est
             FROM pr
+        """,
+        # ranking-metric replay: identical rank tie-breaks (score DESC,
+        # doc), rank-ordered list_reduce folds for the DCG/AP sums, and
+        # integer-ratio IEEE scores — bit-exact cross-engine
+        "ranking_eval": f"""
+            WITH d AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+            ),
+            n AS (SELECT doc_id, len(w) AS nw FROM d),
+            t AS (SELECT doc_id, unnest(w) AS word FROM d),
+            tf AS (
+                SELECT word, doc_id, count(*) AS tf FROM t
+                WHERE word IN ('table', 'row', 'join', 'scan', 'fast',
+                               'slow', 'key', 'value')
+                GROUP BY 1, 2
+            ),
+            runs AS (
+                SELECT tf.word AS q, tf.doc_id AS dd,
+                       CAST(tf.tf AS DOUBLE) / CAST(n.nw AS DOUBLE) AS s
+                FROM tf JOIN n USING (doc_id)
+            ),
+            qrels AS (
+                SELECT word AS q, doc_id AS dd, least(tf, 3) AS rel FROM tf
+            ),
+            rk0 AS (
+                SELECT q, dd, row_number() OVER (
+                    PARTITION BY q ORDER BY s DESC, dd) AS rank
+                FROM runs
+            ),
+            rk AS (
+                SELECT r.q, r.rank,
+                       CAST(coalesce(qr.rel, 0) AS DOUBLE) AS rel
+                FROM rk0 r LEFT JOIN qrels qr ON r.q = qr.q AND r.dd = qr.dd
+                WHERE r.rank <= 10
+            ),
+            rc AS (
+                SELECT *, sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY q ORDER BY rank) AS cum
+                FROM rk
+            ),
+            met AS (
+                SELECT q,
+                       list_reduce(list_prepend(0.0,
+                           list((power(2.0, rel) - 1.0) / log2(rank + 1.0)
+                                ORDER BY rank)),
+                           (a, x) -> a + x) AS dcg,
+                       list_reduce(list_prepend(0.0,
+                           list(CASE WHEN rel > 0
+                                     THEN CAST(cum AS DOUBLE) / rank
+                                     ELSE 0.0 END ORDER BY rank)),
+                           (a, x) -> a + x) AS apnum,
+                       min(CASE WHEN rel > 0 THEN rank END) AS frank
+                FROM rc GROUP BY q
+            ),
+            ir AS (
+                SELECT q, rel, row_number() OVER (
+                    PARTITION BY q ORDER BY rel DESC, dd) AS irank
+                FROM qrels
+            ),
+            ideal AS (
+                SELECT q,
+                       list_reduce(list_prepend(0.0,
+                           list((power(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                                / log2(irank + 1.0) ORDER BY irank)),
+                           (a, x) -> a + x) AS idcg
+                FROM ir WHERE irank <= 10 AND rel > 0 GROUP BY q
+            ),
+            np AS (
+                SELECT q, count(*) AS npos FROM qrels WHERE rel > 0 GROUP BY q
+            )
+            SELECT m.q AS query,
+                   round(CASE WHEN coalesce(i.idcg, 0.0) > 0
+                              THEN m.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg,
+                   round(coalesce(1.0 / m.frank, 0.0), 6) AS mrr,
+                   round(CASE WHEN coalesce(np.npos, 0) > 0
+                              THEN m.apnum
+                                   / CAST(least(np.npos, 10) AS DOUBLE)
+                              ELSE 0.0 END, 6) AS ap
+            FROM met m LEFT JOIN ideal i USING (q) LEFT JOIN np USING (q)
+        """,
+        "rrf_fusion": f"""
+            WITH d AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+            ),
+            n AS (SELECT doc_id, len(w) AS nw FROM d),
+            t AS (SELECT doc_id, unnest(w) AS word FROM d),
+            tf AS (
+                SELECT word, doc_id, count(*) AS tf FROM t
+                WHERE word IN ('table', 'row', 'join', 'scan', 'fast',
+                               'slow', 'key', 'value')
+                GROUP BY 1, 2
+            ),
+            u AS (
+                SELECT word AS q, doc_id AS dd, 'len_norm' AS run,
+                       row_number() OVER (
+                           PARTITION BY word ORDER BY
+                           CAST(tf AS DOUBLE) / CAST(n.nw AS DOUBLE) DESC,
+                           doc_id) AS rank
+                FROM tf JOIN n USING (doc_id)
+                UNION ALL
+                SELECT word, doc_id, 'raw_tf',
+                       row_number() OVER (
+                           PARTITION BY word
+                           ORDER BY CAST(tf AS DOUBLE) DESC, doc_id)
+                FROM tf
+            ),
+            fused AS (
+                SELECT q, dd,
+                       list_reduce(list_prepend(0.0,
+                           list(1.0 / (60.0 + rank) ORDER BY run)),
+                           (a, x) -> a + x) AS rrf
+                FROM u GROUP BY q, dd
+            ),
+            rk AS (
+                SELECT q, dd, rrf, row_number() OVER (
+                    PARTITION BY q ORDER BY rrf DESC, dd) AS rank
+                FROM fused
+            )
+            SELECT q AS query, dd AS doc_id, round(rrf, 6) AS rrf,
+                   CAST(rank AS INT) AS rank
+            FROM rk WHERE rank <= 5
         """,
         "upsample_repeat": """
             WITH f AS (

@@ -9,9 +9,11 @@ from temporalscope_spark.metrics.classification import (
     reliability_curve,
 )
 from temporalscope_spark.metrics.masv import abs_deviation_importance, calculate_masv
+from temporalscope_spark.metrics.ranking import ranking_eval, rrf_fuse
 
 __all__ = [
     "abs_deviation_importance", "calculate_masv",
     "auc_roc", "auc_by_group", "reliability_curve", "lift_table",
     "fit_isotonic_bins", "calibrate_scores", "pr_curve", "regression_metrics",
+    "ranking_eval", "rrf_fuse",
 ]
