@@ -2222,6 +2222,78 @@ def _wordpiece_tokenize_oracle(rounds: int = 8, max_chars: int = 12) -> str:
     """
 
 
+def _bt_round_ctes(r: int) -> str:
+    """One unrolled Bradley-Terry MM round: item-ordered fold of
+    n_ij/(w_i+w_j) per item -> W_i/denom -> sum-normalize -> quantize
+    1e-12."""
+    return f"""t{r} AS (
+                SELECT m.i,
+                       list_reduce(list_prepend(0.0,
+                           list(CAST(m.n AS DOUBLE) / (wi.w + wj.w)
+                                ORDER BY m.j)),
+                           (a, x) -> a + x) AS den
+                FROM m
+                JOIN w{r - 1} wi ON wi.item = m.i
+                JOIN w{r - 1} wj ON wj.item = m.j
+                GROUP BY m.i
+            ),
+            u{r} AS (
+                SELECT t.i AS item, CAST(wn.wins AS DOUBLE) / t.den AS u
+                FROM t{r} t JOIN wins wn ON wn.item = t.i
+            ),
+            s{r} AS (
+                SELECT list_reduce(list_prepend(0.0, list(u ORDER BY item)),
+                                   (a, x) -> a + x) AS tot
+                FROM u{r}
+            ),
+            w{r} AS MATERIALIZED (
+                SELECT item, round(u / s{r}.tot, 12) AS w FROM u{r}, s{r}
+            )"""
+
+
+def _bt_oracle(rounds: int, final: str) -> str:
+    """Shared BT replay: the doc-length preference log -> bounded matrix
+    + wins -> ``rounds`` unrolled MM rounds; ``final`` selects from
+    w{rounds}."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   len(string_split({_NORM}, ' ')) AS nw
+            FROM documents
+        ),
+        pr AS (
+            SELECT CASE WHEN x.nw > y.nw THEN x.source
+                        WHEN y.nw > x.nw THEN y.source
+                        ELSE least(x.source, y.source) END AS w,
+                   CASE WHEN x.nw > y.nw THEN y.source
+                        WHEN y.nw > x.nw THEN x.source
+                        ELSE greatest(x.source, y.source) END AS l
+            FROM d x JOIN d y ON y.doc_id = x.doc_id + 1
+            WHERE x.source <> y.source
+        ),
+        und AS (
+            SELECT least(w, l) AS a, greatest(w, l) AS b, count(*) AS n
+            FROM pr GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT a AS i, b AS j, n FROM und
+            UNION ALL SELECT b, a, n FROM und
+        ),
+        wins0 AS (SELECT w AS item, count(*) AS wins FROM pr GROUP BY 1),
+        it AS (SELECT DISTINCT i AS item FROM m),
+        wins AS (
+            SELECT it.item, coalesce(w0_.wins, 0) AS wins
+            FROM it LEFT JOIN wins0 w0_ USING (item)
+        ),
+        cnt AS (SELECT count(*) AS c FROM it),
+        w0 AS MATERIALIZED (
+            SELECT item, round(CAST(1 AS DOUBLE) / c, 12) AS w FROM it, cnt
+        ),
+        {', '.join(_bt_round_ctes(r) for r in range(1, rounds + 1))}
+        {final}
+    """
+
+
 def _unigram_scored_ctes() -> str:
     """Shared DuckDB replay of the unigram LM scoring pass (top-1000 vocab,
     sorted-word fold): CTE chain ending in ``final`` with columns
@@ -3738,6 +3810,56 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic preference log over sources: each consecutive doc
+    pair (doc_id, doc_id+1) with differing sources is one comparison;
+    the longer doc's source wins (ties -> lexicographically smaller
+    source) — 'which source produces longer documents' as Bradley-Terry
+    data."""
+    docs = _t(spark, sf_dir, "documents")
+    from temporalscope_spark.operators.corpus_stats import _norm_words
+
+    d = docs.select("doc_id", "source", F.size(_norm_words("text")).alias("nw"))
+    x, y = d.alias("x"), d.alias("y")
+    j = x.join(y, F.col("y.doc_id") == F.col("x.doc_id") + 1).filter(
+        F.col("x.source") != F.col("y.source")
+    )
+    return j.select(
+        F.when(F.col("x.nw") > F.col("y.nw"), F.col("x.source"))
+        .when(F.col("y.nw") > F.col("x.nw"), F.col("y.source"))
+        .otherwise(F.least("x.source", "y.source"))
+        .alias("winner"),
+        F.when(F.col("x.nw") > F.col("y.nw"), F.col("y.source"))
+        .when(F.col("y.nw") > F.col("x.nw"), F.col("x.source"))
+        .otherwise(F.greatest("x.source", "y.source"))
+        .alias("loser"),
+    )
+
+
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths via 5 MM rounds (Hunter 2004) over the
+    source-preference log: the log collapses ONCE to the bounded
+    comparison matrix + win totals; each round is two broadcast joins +
+    item-ordered folds on bounded tables, quantized 1e-12 — the oracle
+    unrolls the same rounds as CTEs."""
+    from temporalscope_spark.modeling.bt import fit_bradley_terry
+
+    return fit_bradley_terry(_bt_pairs(spark, sf_dir), num_rounds=5)
+
+
+def q_bt_win_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted pairwise win probabilities w_i/(w_i+w_j) from the
+    fitted strengths — the predict side of the preference model, a
+    broadcast self-join of the bounded strength table."""
+    from temporalscope_spark.modeling.bt import (
+        bt_win_probability,
+        fit_bradley_terry,
+    )
+
+    s = fit_bradley_terry(_bt_pairs(spark, sf_dir), num_rounds=5)
+    return bt_win_probability(s)
+
+
 def q_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fractional upsampling (the r > 1 half of temperature
     mixing): purchases x2.5 (2 copies + md5-selected half get a third
@@ -3995,6 +4117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "ranking_eval": q_ranking_eval,
         "rrf_fusion": q_rrf_fusion,
+        "bradley_terry": q_bradley_terry,
+        "bt_win_prob": q_bt_win_prob,
         "upsample_repeat": q_upsample_repeat,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
@@ -6130,6 +6254,18 @@ def oracle_sql() -> dict[str, str]:
     sql["unigram_tokenize"] = _unigram_tokenize_oracle(2)
     sql["wordpiece_merges"] = _wordpiece_merges_oracle(8)
     sql["wordpiece_tokenize"] = _wordpiece_tokenize_oracle(8, 12)
+    sql["bradley_terry"] = _bt_oracle(
+        5, "SELECT item, round(w, 6) AS strength FROM w5"
+    )
+    sql["bt_win_prob"] = _bt_oracle(
+        5,
+        """SELECT a.item AS item_a, b.item AS item_b,
+                  round(a.w / (a.w + b.w), 6) AS p_win
+           FROM (SELECT item, round(w, 6) AS w FROM w5) a
+           JOIN (SELECT item, round(w, 6) AS w FROM w5) b
+             ON a.item <> b.item
+           WHERE (a.w + b.w) > 0""",
+    )
     sql["gopher_rules"] = _gopher_oracle()
     sql["correlation_matrix"] = _corr_matrix_oracle()
     sql["numeric_relevance"] = _numeric_relevance_oracle()

@@ -17,6 +17,11 @@ from temporalscope_spark.modeling.linear import (
     fit_linear,
     linear_shap_importance,
 )
+from temporalscope_spark.modeling.bt import (
+    bt_comparison_matrix,
+    bt_win_probability,
+    fit_bradley_terry,
+)
 from temporalscope_spark.modeling.logistic import (
     LogisticModel,
     fit_logistic,
@@ -24,6 +29,7 @@ from temporalscope_spark.modeling.logistic import (
 )
 
 __all__ = [
+    "bt_comparison_matrix", "fit_bradley_terry", "bt_win_probability",
     "LinearModel",
     "LogisticModel",
     "TemporalModelTrainer",
