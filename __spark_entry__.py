@@ -3965,6 +3965,106 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the same md5 link
+    graph as q_pagerank: 4 synchronous rounds of the a/h mutual update,
+    L1-normalized and 1e-12-quantized per half-round with
+    endpoint-ordered folds — the oracle unrolls identical rounds."""
+    from temporalscope_spark.operators.graph import hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    k = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    edges = docs.select(F.col("doc_id").alias("src"), k).select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f", F.col("src").cast("string"), F.col("k").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(n)
+        ).alias("dst"),
+    )
+    out = hits(edges, iters=4)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        (F.round("hub", 6) + F.lit(0.0)).alias("hub"),
+        (F.round("authority", 6) + F.lit(0.0)).alias("authority"),
+    )
+
+
+def _hits_round_ctes(i: int) -> str:
+    """One unrolled HITS round: per-dst fold of hub scores -> L1
+    normalize + quantize -> per-src fold of authority scores -> same."""
+    return f"""ac{i} AS (
+                SELECT e.dst AS id,
+                       list_reduce(list_prepend(0.0, list(hh.h ORDER BY e.src)),
+                                   (x, y) -> x + y) AS a
+                FROM e JOIN h{i - 1} hh ON e.src = hh.id GROUP BY e.dst
+            ),
+            ar{i} AS (
+                SELECT n.id, coalesce(ac.a, 0.0) AS a
+                FROM nodes n LEFT JOIN ac{i} ac USING (id)
+            ),
+            at{i} AS (
+                SELECT list_reduce(list_prepend(0.0, list(a ORDER BY id)),
+                                   (x, y) -> x + y) AS tot
+                FROM ar{i}
+            ),
+            a{i} AS MATERIALIZED (
+                SELECT id, round(a / at{i}.tot, 12) AS a FROM ar{i}, at{i}
+            ),
+            hc{i} AS (
+                SELECT e.src AS id,
+                       list_reduce(list_prepend(0.0, list(aa.a ORDER BY e.dst)),
+                                   (x, y) -> x + y) AS h
+                FROM e JOIN a{i} aa ON e.dst = aa.id GROUP BY e.src
+            ),
+            hr{i} AS (
+                SELECT n.id, coalesce(hc.h, 0.0) AS h
+                FROM nodes n LEFT JOIN hc{i} hc USING (id)
+            ),
+            ht{i} AS (
+                SELECT list_reduce(list_prepend(0.0, list(h ORDER BY id)),
+                                   (x, y) -> x + y) AS tot
+                FROM hr{i}
+            ),
+            h{i} AS MATERIALIZED (
+                SELECT id, round(h / ht{i}.tot, 12) AS h FROM hr{i}, ht{i}
+            )"""
+
+
+def _hits_oracle(iters: int) -> str:
+    return f"""
+        WITH e AS (
+            SELECT d.doc_id AS src,
+                   CAST('0x' || substr(
+                        md5(CAST(d.doc_id AS VARCHAR) || chr(31)
+                            || CAST(t.k AS VARCHAR)), 1, 8) AS BIGINT)
+                   % (SELECT count(*) FROM documents) AS dst
+            FROM documents d, UNNEST([0, 1, 2]) AS t(k)
+        ),
+        nodes AS (
+            SELECT src AS id FROM e UNION SELECT dst FROM e
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        h0 AS (SELECT id, 1.0 / nn.n AS h FROM nodes CROSS JOIN nn),
+        {', '.join(_hits_round_ctes(i) for i in range(1, iters + 1))}
+        SELECT h.id AS doc_id, round(h.h, 6) + 0.0 AS hub,
+               round(a.a, 6) + 0.0 AS authority
+        FROM h{iters} h JOIN a{iters} a USING (id)
+    """
+
+
 def _pagerank_oracle(iters: int, damping: float = 0.85) -> str:
     """Unrolled power-iteration CTE chain replaying q_pagerank: same
     md5-mod edges, same dangling-free update (every node has out-degree 3
@@ -4119,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "bradley_terry": q_bradley_terry,
         "bt_win_prob": q_bt_win_prob,
+        "hits_scores": q_hits_scores,
         "upsample_repeat": q_upsample_repeat,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
@@ -6068,6 +6169,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "pagerank": _pagerank_oracle(5),
+        "hits_scores": _hits_oracle(4),
         "stratified_sample": """
             SELECT event_id, user_id, event_type FROM events
             WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#3'), 1, 8))

@@ -116,3 +116,106 @@ def pagerank(
     finally:
         ew.unpersist()
         nodes.unpersist()
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) by synchronous power
+    iteration: per round
+
+        a[v] = Σ_{u → v} h[u]     then L1-normalize,
+        h[u] = Σ_{u → v} a[v]     then L1-normalize,
+
+    quantized to 1e-12 per half-round — the fixed-round + sorted-fold +
+    quantization contract (the Bradley-Terry precedent) that makes the
+    DuckDB oracle an exact unrolled-CTE replay. Multi-edges contribute
+    once per copy; self-loops are legal.
+
+    Scale shape mirrors :func:`pagerank`: each half-round is ONE
+    edges × scores equi-join plus ONE per-node fold aggregation (terms
+    ordered by the opposite endpoint, so float accumulation is
+    deterministic), the L1 total is a 1-row broadcast-crossed
+    aggregate, and ``localCheckpoint`` truncates lineage per round.
+
+    Returns ``(id, hub, authority)`` full-precision; each column sums
+    to 1 up to float error.
+    """
+    if iters < 1:
+        raise DataFrameValidationError("iters must be >= 1")
+    for c in (src, dst):
+        if c not in edges.columns:
+            raise DataFrameValidationError(f"edge column '{c}' not in DataFrame")
+
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nodes = (
+        e.select(F.col("_s").alias("id"))
+        .unionByName(e.select(F.col("_d").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _fold(ord_col: str, term_col: str):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ord_col), F.col(term_col).alias("_t"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_t"],
+        )
+
+    def _l1_normalize(df: DataFrame, col: str) -> DataFrame:
+        tot = df.select(F.col("id").alias("_o"), F.col(col).alias("_t")).agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_o", "_t"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_t"],
+            ).alias("_tot")
+        )
+        return df.crossJoin(F.broadcast(tot)).select(
+            "id", F.round(F.col(col) / F.col("_tot"), 12).alias(col)
+        )
+
+    try:
+        n = nodes.count()
+        if n < 1:
+            raise DataFrameValidationError("edge list is empty")
+        hubs = nodes.select("id", F.lit(1.0 / n).alias("h")).localCheckpoint()
+        auths = nodes.select("id", F.lit(1.0 / n).alias("a")).localCheckpoint()
+        for _ in range(iters):
+            a_new = (
+                e.join(hubs, e["_s"] == hubs["id"])
+                .groupBy("_d")
+                .agg(_fold("_s", "h").alias("a"))
+            )
+            auths = _l1_normalize(
+                nodes.join(a_new, nodes["id"] == a_new["_d"], "left")
+                .select("id", F.coalesce("a", F.lit(0.0)).alias("a")),
+                "a",
+            ).localCheckpoint()
+            h_new = (
+                e.join(auths, e["_d"] == auths["id"])
+                .groupBy("_s")
+                .agg(_fold("_d", "a").alias("h"))
+            )
+            hubs = _l1_normalize(
+                nodes.join(h_new, nodes["id"] == h_new["_s"], "left")
+                .select("id", F.coalesce("h", F.lit(0.0)).alias("h")),
+                "h",
+            ).localCheckpoint()
+        return (
+            hubs.join(auths, "id")
+            .select("id", F.col("h").alias("hub"), F.col("a").alias("authority"))
+        )
+    finally:
+        e.unpersist()
+        nodes.unpersist()

@@ -85,3 +85,82 @@ class TestPageRank:
         # symmetric 3-cycle: all ranks equal 1/3
         for v in ("a", "b", "c"):
             assert got[v] == pytest.approx(1.0 / 3.0, abs=1e-12)
+
+
+def _brute_hits(edges, iters):
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    h = {v: 1.0 / n for v in nodes}
+    a = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        an = {v: sum(h[u] for u, d in sorted(edges) if d == v) for v in nodes}
+        tot = 0.0
+        for v in nodes:
+            tot += an[v]
+        a = {v: round(an[v] / tot, 12) for v in nodes}
+        hn = {
+            u: sum(a[d] for uu, d in sorted(edges, key=lambda e: (e[1], e[0])) if uu == u)
+            for u in nodes
+        }
+        tot = 0.0
+        for v in nodes:
+            tot += hn[v]
+        h = {v: round(hn[v] / tot, 12) for v in nodes}
+    return h, a
+
+
+class TestHits:
+    EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+
+    def test_reference_parity(self, spark):
+        from temporalscope_spark.operators.graph import hits
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            r["id"]: (round(r["hub"], 10), round(r["authority"], 10))
+            for r in hits(df, iters=5).collect()
+        }
+        h, a = _brute_hits(self.EDGES, 5)
+        for v in h:
+            assert got[v] == (round(h[v], 10), round(a[v], 10)), v
+
+    def test_sink_has_zero_hub_and_source_zero_authority(self, spark):
+        from temporalscope_spark.operators.graph import hits
+
+        # 4 only points in (pure hub); nothing points at 4 or at 1's
+        # unlinked side
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {r["id"]: r for r in hits(df, iters=5).collect()}
+        assert got[4]["authority"] == 0.0
+        # node 3 is the dominant authority
+        assert got[3]["authority"] == max(r["authority"] for r in got.values())
+
+    def test_multi_edge_counts_twice(self, spark):
+        from temporalscope_spark.operators.graph import hits
+
+        single = spark.createDataFrame(
+            [(1, 2), (3, 2), (3, 4)], "src long, dst long"
+        )
+        doubled = spark.createDataFrame(
+            [(1, 2), (1, 2), (3, 2), (3, 4)], "src long, dst long"
+        )
+        s1 = {r["id"]: r["hub"] for r in hits(single, iters=3).collect()}
+        s2 = {r["id"]: r["hub"] for r in hits(doubled, iters=3).collect()}
+        assert s2[1] > s1[1]
+
+    def test_scores_sum_to_one(self, spark):
+        from temporalscope_spark.operators.graph import hits
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        rows = hits(df, iters=4).collect()
+        assert sum(r["hub"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+        assert sum(r["authority"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+
+    def test_validation(self, spark):
+        from temporalscope_spark.operators.graph import hits
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        with pytest.raises(DataFrameValidationError):
+            hits(df, iters=0)
+        with pytest.raises(DataFrameValidationError):
+            hits(df, src="nope")
