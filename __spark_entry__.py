@@ -3860,6 +3860,16 @@ def q_bt_win_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt_win_probability(s)
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS of ln(freq) on ln(rank) over the word-frequency
+    spectrum (corpus-quality smell test): ranks from the two-phase
+    global row number (no single-partition window), one aggregation of
+    the five OLS sums, closed form on the 1-row result."""
+    from temporalscope_spark.operators.corpus_stats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), "text")
+
+
 def q_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fractional upsampling (the r > 1 half of temperature
     mixing): purchases x2.5 (2 copies + md5-selected half get a third
@@ -4220,6 +4230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bradley_terry": q_bradley_terry,
         "bt_win_prob": q_bt_win_prob,
         "hits_scores": q_hits_scores,
+        "zipf_fit": q_zipf_fit,
         "upsample_repeat": q_upsample_repeat,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
@@ -6170,6 +6181,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle(5),
         "hits_scores": _hits_oracle(4),
+        "zipf_fit": f"""
+            WITH w AS (
+                SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+            ),
+            v AS (
+                SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY 1
+            ),
+            rk AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, word) AS r FROM v
+            ),
+            p AS (
+                SELECT ln(CAST(r AS DOUBLE)) AS x,
+                       ln(CAST(n AS DOUBLE)) AS y
+                FROM rk
+            ),
+            a AS (
+                SELECT CAST(count(*) AS DOUBLE) AS c,
+                       sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy
+                FROM p
+            )
+            SELECT CAST(c AS BIGINT) AS n_vocab,
+                   round(CASE WHEN c * sxx - sx * sx > 0
+                              THEN (c * sxy - sx * sy) / (c * sxx - sx * sx)
+                              ELSE 0.0 END, 6) AS slope,
+                   round(CASE WHEN c * sxx - sx * sx > 0
+                              THEN (sy - ((c * sxy - sx * sy)
+                                          / (c * sxx - sx * sx)) * sx) / c
+                              ELSE 0.0 END, 6) AS intercept,
+                   round(CASE WHEN c * sxx - sx * sx > 0
+                              AND c * syy - sy * sy > 0
+                              THEN (c * sxy - sx * sy) * (c * sxy - sx * sy)
+                                   / ((c * sxx - sx * sx) * (c * syy - sy * sy))
+                              ELSE 0.0 END, 6) AS r2
+            FROM a
+        """,
         "stratified_sample": """
             SELECT event_id, user_id, event_type FROM events
             WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#3'), 1, 8))

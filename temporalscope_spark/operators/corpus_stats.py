@@ -425,3 +425,67 @@ def kmv_source_overlap(
             + F.lit(0.0)
         ).alias("jaccard_est"),
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum: OLS of
+    ``ln(freq)`` on ``ln(rank)`` over the word-frequency table (Zipf
+    1949; natural text slopes near -1; a far-off slope is a corpus-
+    quality smell — boilerplate, templated spam, or synthetic text).
+
+    Plan shape: one map-side-combinable word count, ranks from the
+    quantile-bucket two-phase global row number (freq DESC, word —
+    NO single-partition window however large the vocabulary), then ONE
+    aggregation of the five OLS sufficient sums. The closed form runs
+    on the driver side of that single 1-row result.
+
+    Output (1 row): (n_vocab, slope, intercept, r2) — rounded to 6;
+    slope/intercept/r2 are 0.0 for degenerate (<2-word) vocabularies.
+    """
+    from temporalscope_spark.plans.rownum import with_global_row_number
+
+    words = _parallelize_before_explode(
+        df.select(_norm_words(text_col).alias("_w"))
+    ).select(F.explode("_w").alias("word")).filter(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    ranked = with_global_row_number(
+        vocab.withColumn("_negf", -F.col("n")), ["_negf", "word"], rn_col="_rank"
+    )
+    pts = ranked.select(
+        F.log(F.col("_rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("_c"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+    )
+    xvar = F.col("_c") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    yvar = F.col("_c") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = F.col("_c") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = F.when(xvar > 0, cov / xvar).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("_c").cast("long").alias("n_vocab"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (
+            F.round(
+                F.when(
+                    xvar > 0, (F.col("_sy") - slope * F.col("_sx")) / F.col("_c")
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("intercept"),
+        (
+            F.round(
+                F.when((xvar > 0) & (yvar > 0), cov * cov / (xvar * yvar)).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("r2"),
+    )
