@@ -28,6 +28,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "examples/incremental_ingest.py",
         "examples/pretrain_data_pipeline.py",
         "examples/feature_pipeline.py",
+        "examples/tokenizer_lab.py",
     ],
 )
 def test_example_runs_clean(script):
