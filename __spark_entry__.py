@@ -3870,6 +3870,37 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"), "text")
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split exact-duplicate leakage check (Lee et al. 2022 §6):
+    the corpus is given planted duplicates (every 7th doc re-appears
+    under a shifted id — a deterministic rewrite both engines express
+    identically, since sf0.01 documents are duplicate-free), split by
+    the portable md5 entity rule, and every fingerprint group spanning
+    ≥ 2 splits is reported."""
+    from temporalscope_spark.operators.cv import entity_split, split_leakage_check
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    corpus = docs.unionByName(dup)
+    d = entity_split(corpus, "doc_id", 0.3, seed=11)
+    return split_leakage_check(d, "split", "text", "doc_id")
+
+
+def q_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size per source for a word-count importance
+    weight — the health check for any weighted corpus (ESS << n means a
+    few documents dominate). Integer weights make the two sums exact
+    LONG-in-DOUBLE arithmetic, bit-identical cross-engine."""
+    from temporalscope_spark.operators.corpus_stats import _norm_words
+    from temporalscope_spark.operators.sampling import weight_diagnostics
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("w", F.size(_norm_words("text")))
+    return weight_diagnostics(d, "w", "source")
+
+
 def q_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fractional upsampling (the r > 1 half of temperature
     mixing): purchases x2.5 (2 copies + md5-selected half get a third
@@ -4231,6 +4262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_win_prob": q_bt_win_prob,
         "hits_scores": q_hits_scores,
         "zipf_fit": q_zipf_fit,
+        "split_leakage": q_split_leakage,
+        "weight_ess": q_weight_ess,
         "upsample_repeat": q_upsample_repeat,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
@@ -6092,6 +6125,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT q AS query, dd AS doc_id, round(rrf, 6) AS rrf,
                    CAST(rank AS INT) AS rank
             FROM rk WHERE rank <= 5
+        """,
+        "split_leakage": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents
+                WHERE doc_id % 7 = 0
+            ),
+            sp AS (
+                SELECT md5({_NORM}) AS fingerprint,
+                       CASE WHEN CAST(('0x' || substr(
+                                md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 8))
+                                AS BIGINT) / 4294967296.0 < 0.3
+                            THEN 'test' ELSE 'train' END AS split
+                FROM corpus
+            ),
+            g AS (
+                SELECT fingerprint, count(*) AS n_docs,
+                       list_sort(list(DISTINCT split)) AS spl
+                FROM sp GROUP BY 1
+            )
+            SELECT fingerprint, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(len(spl) AS INT) AS n_splits,
+                   array_to_string(spl, ',') AS splits
+            FROM g WHERE len(spl) >= 2
+        """,
+        "weight_ess": f"""
+            WITH d AS (
+                SELECT source,
+                       CAST(len(string_split({_NORM}, ' ')) AS DOUBLE) AS w
+                FROM documents
+            ),
+            a AS (
+                SELECT source, count(*) AS n, sum(w) AS sw, sum(w * w) AS sww
+                FROM d GROUP BY 1
+            )
+            SELECT source, CAST(n AS BIGINT) AS n, round(sw, 6) AS sum_w,
+                   round(CASE WHEN sww > 0 THEN sw * sw / sww
+                              ELSE 0.0 END, 6) AS ess,
+                   round((CASE WHEN sww > 0 THEN sw * sw / sww
+                               ELSE 0.0 END) / n, 6) AS ess_ratio
+            FROM a
         """,
         "upsample_repeat": """
             WITH f AS (

@@ -203,3 +203,48 @@ def entity_split(
         raise DataFrameValidationError("test_frac must be between 0.0 and 1.0")
     is_test = _uniform01(id_col, seed, portable=True) < F.lit(float(test_frac))
     return df.withColumn(out_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
+
+
+def split_leakage_check(
+    df: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-duplicate leakage across train/test splits: fingerprint
+    groups whose identical normalized content appears in MORE THAN ONE
+    split — the evaluation-integrity check a corpus split must pass
+    (a test document whose exact duplicate sits in train is memorized,
+    not generalized; Lee et al. 2022 §6 measure precisely this effect).
+
+    Plan shape: one narrow fingerprint projection (md5 of normalized
+    text — the `dedup_exact` key) and ONE map-side-combinable groupBy on
+    the fingerprint; no joins, no windows. The near-dup extension is a
+    composition, not a new operator: run `minhash_lsh_pairs` and filter
+    pairs whose endpoints' splits differ.
+
+    Output: one row per leaking fingerprint —
+    (fingerprint, n_docs, n_splits, splits) with ``splits`` the sorted
+    distinct split labels joined with ','; only groups spanning ≥ 2
+    splits are returned.
+    """
+    from temporalscope_spark.operators.text import with_fingerprint
+
+    for c in (split_col, text_col, id_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"missing column {c!r}")
+    fp = with_fingerprint(df, text_col)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_set(split_col)).alias("_sp"),
+        )
+        .filter(F.size("_sp") >= 2)
+        .select(
+            "fingerprint",
+            "n_docs",
+            F.size("_sp").alias("n_splits"),
+            F.array_join("_sp", ",").alias("splits"),
+        )
+    )

@@ -418,3 +418,44 @@ def upsample_repeat(
         .withColumn(epoch_col, F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
         .drop("_rate", "_n_copies")
     )
+
+
+def weight_diagnostics(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kish effective sample size of an importance-weight column:
+    ``ESS = (Σw)² / Σw²`` (Kish 1965) — the health check for any
+    weighted corpus (DSIR selection scores, temperature-mix rates,
+    per-epoch repeat factors). ESS ≪ n means a handful of documents
+    dominate the weighted objective.
+
+    ONE map-side-combinable aggregation (optionally per group); with
+    integer weights the two sums are exact LONG arithmetic, so the
+    derived doubles are bit-identical in any engine.
+
+    Output: (group?, n, sum_w, ess, ess_ratio) — ess = (Σw)²/Σw²
+    rounded to 6, ess_ratio = ess/n; weight-less (all-zero) groups
+    return ess 0.
+    """
+    if weight_col not in df.columns:
+        raise DataFrameValidationError(f"missing column {weight_col!r}")
+    w = F.col(weight_col).cast("double")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("_sw"),
+        F.sum(w * w).alias("_sww"),
+    ]
+    base = df.groupBy(group_col) if group_col is not None else df.groupBy()
+    out = base.agg(*aggs)
+    ess = F.when(
+        F.col("_sww") > 0, F.col("_sw") * F.col("_sw") / F.col("_sww")
+    ).otherwise(F.lit(0.0))
+    cols = ([group_col] if group_col is not None else []) + [
+        "n",
+        (F.round("_sw", 6) + F.lit(0.0)).alias("sum_w"),
+        (F.round(ess, 6) + F.lit(0.0)).alias("ess"),
+        (F.round(ess / F.col("n"), 6) + F.lit(0.0)).alias("ess_ratio"),
+    ]
+    return out.select(*cols)
