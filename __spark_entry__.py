@@ -3870,6 +3870,30 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"), "text")
 
 
+def q_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KMV lane (the dedup-index pattern applied to
+    cardinality): the corpus sketch (doc_id % 5 != 0) is MERGED with a
+    batch sketch (doc_id % 5 == 0) group-by-group without rescanning
+    either side — the oracle is the ONE-SHOT sketch over the union, so
+    a values-match is the equivalence proof."""
+    from temporalscope_spark.operators.corpus_stats import (
+        kmv_estimates,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    merged = kmv_merge(
+        kmv_sketch(corpus, "text", "source", k=32, seed=7, ngram=3),
+        kmv_sketch(batch, "text", "source", k=32, seed=7, ngram=3),
+        "source",
+        k=32,
+    )
+    return kmv_estimates(merged, "source", k=32)
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split exact-duplicate leakage check (Lee et al. 2022 §6):
     the corpus is given planted duplicates (every 7th doc re-appears
@@ -4264,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "split_leakage": q_split_leakage,
         "weight_ess": q_weight_ess,
+        "kmv_incremental": q_kmv_incremental,
         "upsample_repeat": q_upsample_repeat,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
@@ -6478,6 +6503,10 @@ def oracle_sql() -> dict[str, str]:
     sql["unigram_tokenize"] = _unigram_tokenize_oracle(2)
     sql["wordpiece_merges"] = _wordpiece_merges_oracle(8)
     sql["wordpiece_tokenize"] = _wordpiece_tokenize_oracle(8, 12)
+    # incremental KMV: the oracle IS the one-shot sketch over the union —
+    # a values-match proves merge(sketch(corpus), sketch(batch)) ==
+    # sketch(corpus ∪ batch) (the incremental-equivalence convention)
+    sql["kmv_incremental"] = sql["kmv_distinct"]
     sql["bradley_terry"] = _bt_oracle(
         5, "SELECT item, round(w, 6) AS strength FROM w5"
     )

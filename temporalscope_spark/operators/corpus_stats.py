@@ -362,8 +362,19 @@ def kmv_distinct(
     Output: (group, n_hashes, est_distinct) — est rounded to 6.
     """
     sk = kmv_sketch(df, text_col, group_col, k, seed, ngram)
+    return kmv_estimates(sk, group_col, k)
+
+
+def kmv_estimates(
+    sketch: DataFrame,
+    group_col: str = "source",
+    k: int = 64,
+) -> DataFrame:
+    """Cardinality estimates from a KMV sketch table (the shared output
+    lane of :func:`kmv_distinct` and :func:`kmv_merge`): exact below k,
+    ``(k-1)/U_(k)`` above. Output: (group, n_hashes, est_distinct)."""
     hk = F.element_at("ks", k).cast("double")
-    return sk.select(
+    return sketch.select(
         group_col,
         "n_hashes",
         (
@@ -374,6 +385,51 @@ def kmv_distinct(
             )
             + F.lit(0.0)
         ).alias("est_distinct"),
+    )
+
+
+def kmv_merge(
+    a: DataFrame,
+    b: DataFrame,
+    group_col: str = "source",
+    k: int = 64,
+) -> DataFrame:
+    """Merge two KMV sketch tables group-by-group WITHOUT rescanning
+    either corpus — the incremental-index lane of the sketch family
+    (the dedup-index pattern applied to cardinality): the merged
+    bottom-k of a group is exactly the bottom-k of the concatenated
+    hash sets, because each side's sketch already retains its k
+    smallest. Groups present on only one side pass through.
+
+    Plan shape: ONE full-outer join on the group key of two bounded
+    sketch tables, then pure in-row array expressions — the corpora
+    never move. Output: the sketch schema (group, ks, n_hashes), so
+    estimates come from :func:`kmv_estimates` and further merges
+    compose associatively.
+    """
+    if k < 2:
+        raise DataFrameValidationError("k must be >= 2")
+    empty = F.array().cast("array<long>")
+    left = a.select(
+        F.col(group_col).alias("_g"), F.col("ks").alias("_ka")
+    )
+    right = b.select(
+        F.col(group_col).alias("_g"), F.col("ks").alias("_kb")
+    )
+    j = left.join(right, "_g", "full_outer")
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.concat(F.coalesce("_ka", empty), F.coalesce("_kb", empty))
+            )
+        ),
+        1,
+        k,
+    )
+    return j.select(
+        F.col("_g").alias(group_col),
+        merged.alias("ks"),
+        F.size(merged).cast("int").alias("n_hashes"),
     )
 
 

@@ -130,3 +130,29 @@ def test_validation_errors(spark):
         kmv_sketch(docs, k=1)
     with pytest.raises(DataFrameValidationError):
         kmv_sketch(docs, ngram=0)
+
+
+def test_merge_equals_one_shot_sketch(spark):
+    """Incremental lane equivalence: merge(sketch(A), sketch(B)) is
+    EXACTLY sketch(A ∪ B), per group."""
+    rows_a = [(0, "a", GA[0]), (1, "b", GB[0])]
+    rows_b = [(2, "a", GA[1]), (3, "b", GB[1]), (4, "c", "new words here")]
+    schema = "doc_id long, source string, text string"
+    from temporalscope_spark.operators.corpus_stats import kmv_merge
+
+    da = spark.createDataFrame(rows_a, schema)
+    db = spark.createDataFrame(rows_b, schema)
+    union = spark.createDataFrame(rows_a + rows_b, schema)
+    k = 4
+    merged = kmv_merge(
+        kmv_sketch(da, "text", "source", k=k),
+        kmv_sketch(db, "text", "source", k=k),
+        "source",
+        k=k,
+    )
+    one_shot = kmv_sketch(union, "text", "source", k=k)
+    m = {r["source"]: (r["ks"], r["n_hashes"]) for r in merged.collect()}
+    o = {r["source"]: (r["ks"], r["n_hashes"]) for r in one_shot.collect()}
+    assert m == o
+    # group 'c' exists only in batch B and passes through
+    assert "c" in m
