@@ -3894,6 +3894,26 @@ def q_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimates(merged, "source", k=32)
 
 
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon word entropy (nats) — the information-
+    theoretic repetitiveness scalar; word-ordered sorted fold makes the
+    float sum engine-exact."""
+    from temporalscope_spark.operators.lm import doc_entropy
+
+    return doc_entropy(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus word distribution over
+    the bounded top-1000 vocabulary — the source-drift diagnostic read
+    before setting mixture weights."""
+    from temporalscope_spark.operators.lm import source_divergence
+
+    return source_divergence(
+        _t(spark, sf_dir, "documents"), "text", "source", vocab_size=1000
+    )
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split exact-duplicate leakage check (Lee et al. 2022 §6):
     the corpus is given planted duplicates (every 7th doc re-appears
@@ -4289,6 +4309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "weight_ess": q_weight_ess,
         "kmv_incremental": q_kmv_incremental,
+        "doc_entropy": q_doc_entropy,
+        "source_kl": q_source_kl,
         "upsample_repeat": q_upsample_repeat,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
@@ -6150,6 +6172,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT q AS query, dd AS doc_id, round(rrf, 6) AS rrf,
                    CAST(rank AS INT) AS rank
             FROM rk WHERE rank <= 5
+        """,
+        # entropy/KL replay: L is an exact integer sum, fold order pinned
+        # by the word-sorted term list; 0-a-b == -(a+b) exactly in IEEE,
+        # so the negated-sum form matches Spark's subtraction fold
+        "doc_entropy": f"""
+            WITH w AS (
+                SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, word, count(*) AS tf FROM w
+                WHERE word <> '' GROUP BY 1, 2
+            ),
+            per AS (
+                SELECT doc_id, sum(tf) AS L,
+                       list(CAST(tf AS DOUBLE) ORDER BY word) AS terms
+                FROM tf GROUP BY 1
+            ),
+            sc AS (
+                SELECT doc_id, L,
+                       -list_reduce(list_prepend(0.0,
+                           list_transform(terms,
+                               t -> (t / CAST(L AS DOUBLE))
+                                    * ln(t / CAST(L AS DOUBLE)))),
+                           (a, x) -> a + x) AS ent
+                FROM per
+            )
+            SELECT d.doc_id, CAST(coalesce(s.L, 0) AS BIGINT) AS n_words,
+                   round(coalesce(s.ent, 0.0), 6) + 0.0 AS entropy
+            FROM documents d LEFT JOIN sc s USING (doc_id)
+        """,
+        "source_kl": f"""
+            WITH w AS (
+                SELECT source, unnest(string_split({_NORM}, ' ')) AS word
+                FROM documents
+            ),
+            wf AS (SELECT source, word FROM w WHERE word <> ''),
+            lm AS (
+                SELECT word, count(*) AS n FROM wf
+                GROUP BY 1 ORDER BY n DESC, word LIMIT 1000
+            ),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM lm),
+            pc AS (
+                SELECT word, CAST(n AS DOUBLE) / tot.t AS pc
+                FROM lm, tot
+            ),
+            gtf AS (
+                SELECT wf.source, wf.word, count(*) AS tf,
+                       any_value(pc.pc) AS pc
+                FROM wf JOIN pc USING (word)
+                GROUP BY 1, 2
+            ),
+            per AS (
+                SELECT source, sum(tf) AS L,
+                       list(struct_pack(t := CAST(tf AS DOUBLE), p := pc)
+                            ORDER BY word) AS terms
+                FROM gtf GROUP BY 1
+            )
+            SELECT source, CAST(L AS BIGINT) AS n_tokens,
+                   round(list_reduce(list_prepend(0.0,
+                       list_transform(terms,
+                           s -> (s.t / CAST(L AS DOUBLE))
+                                * ln((s.t / CAST(L AS DOUBLE)) / s.p))),
+                       (a, x) -> a + x), 6) + 0.0 AS kl
+            FROM per
         """,
         "split_leakage": f"""
             WITH corpus AS (

@@ -445,3 +445,120 @@ def ppl_buckets(
         .alias("bucket"),
     )
     return hold(out, scored)
+
+
+def doc_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution:
+    ``H = −Σ_w (tf/L)·ln(tf/L)`` in nats — the classic repetitiveness /
+    diversity signal (low entropy = templated or repetitive text; high
+    entropy relative to length = natural prose). Complements the Gopher
+    repetition ratios with an information-theoretic scalar.
+
+    Plan shape: one positional word explode, one (doc, word) count
+    aggregation, one per-doc word-ordered fold (the sorted-fold idiom —
+    float accumulation is engine-deterministic). Empty docs score 0.
+
+    Output: (id, n_words, entropy) — entropy rounded to 6.
+    """
+    words = _parallelize_before_explode(
+        df.select(F.col(id_col), _norm_words(text_col).alias("_w"))
+    ).select(F.col(id_col), F.explode("_w").alias("word")).filter(
+        F.col("word") != ""
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("_tf"))
+    per = (
+        tf.withColumn("_ord", F.col("word"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").alias("_L"),
+            F.array_sort(
+                F.collect_list(F.struct("_ord", F.col("_tf").alias("_t")))
+            ).alias("_terms"),
+        )
+    )
+    # L is an exact integer sum, so the double is engine-identical; the
+    # fold order is pinned by the word-sorted term list
+    ent = F.aggregate(
+        "_terms",
+        F.lit(0.0),
+        lambda acc, x: acc
+        - (x["_t"].cast("double") / F.col("_L").cast("double"))
+        * F.log(x["_t"].cast("double") / F.col("_L").cast("double")),
+    )
+    out = per.select(
+        F.col(id_col),
+        F.col("_L").cast("long").alias("n_words"),
+        (F.round(ent, 6) + F.lit(0.0)).alias("entropy"),
+    )
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
+def source_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-group KL divergence from the corpus word distribution,
+    ``KL(P_group ‖ P_corpus) = Σ_w P_g(w)·ln(P_g(w)/P_c(w))`` over the
+    bounded top-V corpus vocabulary — the source-drift diagnostic a
+    mixture-curation pass reads before setting mixing weights (a source
+    far from the corpus in KL is either a distinct domain or junk).
+
+    Both distributions restrict to the SAME top-V vocabulary (corpus
+    frequency order), so ``P_c(w) > 0`` everywhere and zero-count group
+    terms contribute 0 — no smoothing needed. Plan shape: the corpus
+    vocab aggregation (bounded, broadcast), one (group, word) count
+    aggregation, one broadcast join, one per-group word-ordered fold.
+
+    Output: (group, n_tokens, kl) — n_tokens = the group's in-vocab
+    token count; kl rounded to 6.
+    """
+    if vocab_size <= 0:
+        raise DataFrameValidationError("vocab_size must be > 0")
+    vocab = unigram_counts(df, text_col, vocab_size=vocab_size)
+    vt = vocab.agg(F.sum("n").alias("_T"))
+    pc = vocab.crossJoin(F.broadcast(vt)).select(
+        "word",
+        (F.col("n").cast("double") / F.col("_T").cast("double")).alias("_pc"),
+    )
+    words = _parallelize_before_explode(
+        df.select(F.col(group_col).alias("_g"), _norm_words(text_col).alias("_w"))
+    ).select("_g", F.explode("_w").alias("word")).filter(F.col("word") != "")
+    gtf = (
+        words.join(F.broadcast(pc), "word")
+        .groupBy("_g", "word")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_pc").alias("_pc"))
+    )
+    per = gtf.groupBy("_g").agg(
+        F.sum("_tf").alias("_L"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("word").alias("_ord"), "_tf", "_pc"))
+        ).alias("_terms"),
+    )
+    kl = F.aggregate(
+        "_terms",
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (x["_tf"].cast("double") / F.col("_L").cast("double"))
+        * F.log(
+            (x["_tf"].cast("double") / F.col("_L").cast("double")) / x["_pc"]
+        ),
+    )
+    return per.select(
+        F.col("_g").alias(group_col),
+        F.col("_L").cast("long").alias("n_tokens"),
+        (F.round(kl, 6) + F.lit(0.0)).alias("kl"),
+    )
