@@ -654,6 +654,24 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@10 of the SRP multi-probe and IVF lanes
+    against the exact brute-force top-10, computed relationally
+    (left-semi overlap counts — a million-query eval would never
+    collect). The oracle composes the three existing exact pipeline
+    replays as nested-WITH subqueries."""
+    from temporalscope_spark.operators.similarity import topk_recall
+
+    exact = q_cosine_topk(spark, sf_dir)
+    srp = topk_recall(exact, q_ann_topk(spark, sf_dir)).select(
+        F.lit("srp").alias("method"), "n_exact", "n_overlap", "recall"
+    )
+    ivf = topk_recall(exact, q_ivf_topk(spark, sf_dir)).select(
+        F.lit("ivf").alias("method"), "n_exact", "n_overlap", "recall"
+    )
+    return srp.unionByName(ivf)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) local fingerprints — md5-60bit lane, exact oracle."""
     from temporalscope_spark.operators.dedup import winnowing_fingerprints
@@ -4311,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_incremental": q_kmv_incremental,
         "doc_entropy": q_doc_entropy,
         "source_kl": q_source_kl,
+        "ann_recall": q_ann_recall,
         "upsample_repeat": q_upsample_repeat,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
@@ -6594,6 +6613,29 @@ def oracle_sql() -> dict[str, str]:
     # a values-match proves merge(sketch(corpus), sketch(batch)) ==
     # sketch(corpus ∪ batch) (the incremental-equivalence convention)
     sql["kmv_incremental"] = sql["kmv_distinct"]
+    # ANN recall: the three exact pipeline replays compose as nested-WITH
+    # subqueries; recall is an exact integer ratio
+    sql["ann_recall"] = f"""
+        WITH ex AS ({sql['cosine_topk']}),
+        ap AS ({sql['ann_topk']}),
+        iv AS ({sql['ivf_topk']}),
+        u AS (
+            SELECT 'srp' AS method,
+                   (SELECT count(*) FROM ex) AS n_exact,
+                   (SELECT count(*) FROM ex
+                    WHERE vec_id IN (SELECT vec_id FROM ap)) AS n_overlap
+            UNION ALL
+            SELECT 'ivf',
+                   (SELECT count(*) FROM ex),
+                   (SELECT count(*) FROM ex
+                    WHERE vec_id IN (SELECT vec_id FROM iv))
+        )
+        SELECT method, CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_overlap AS BIGINT) AS n_overlap,
+               round(CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+                   AS recall
+        FROM u
+    """
     sql["bradley_terry"] = _bt_oracle(
         5, "SELECT item, round(w, 6) AS strength FROM w5"
     )

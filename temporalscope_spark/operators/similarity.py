@@ -575,3 +575,64 @@ def semdedup(
         ),
         a,
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    id_col: str = "vec_id",
+    query_col: str | None = None,
+) -> DataFrame:
+    """Recall of an approximate top-k result against the exact top-k —
+    the standard ANN quality gate (recall@k = |exact ∩ approx| /
+    |exact|), computed relationally so a million-query eval never
+    collects to the driver.
+
+    With ``query_col`` the recall is per query (inner-join on
+    (query, id), counts grouped by query); without it the two inputs
+    are single ranked lists and ONE 1-row aggregate comes back.
+
+    Output: (query?, n_exact, n_overlap, recall) — recall rounded to 6
+    (an exact ratio of two integers, engine-identical).
+    """
+    from temporalscope_spark.exceptions import DataFrameValidationError
+
+    for c in ((query_col,) if query_col else ()) + (id_col,):
+        for df_, name in ((exact, "exact"), (approx, "approx")):
+            if c not in df_.columns:
+                raise DataFrameValidationError(
+                    f"missing column {c!r} in {name}"
+                )
+    keys = ([query_col] if query_col else []) + [id_col]
+    e = exact.select(*keys)
+    hit = e.join(approx.select(*keys), keys, "left_semi")
+    if query_col is None:
+        ne = e.agg(F.count(F.lit(1)).alias("n_exact"))
+        nh = hit.agg(F.count(F.lit(1)).alias("n_overlap"))
+        return ne.crossJoin(nh).select(
+            "n_exact",
+            "n_overlap",
+            (
+                F.round(
+                    F.col("n_overlap").cast("double")
+                    / F.col("n_exact").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("recall"),
+        )
+    ne = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    nh = hit.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_overlap"))
+    return ne.join(nh, query_col, "left").select(
+        query_col,
+        "n_exact",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        (
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("recall"),
+    )

@@ -121,3 +121,25 @@ def test_validation_errors(spark):
         rrf_fuse({})
     with pytest.raises(DataFrameValidationError):
         rrf_fuse({"a": runs}, c=0)
+
+
+def test_topk_recall_modes(spark):
+    from temporalscope_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [("q1", 1), ("q1", 2), ("q2", 3), ("q2", 4)], "q string, vec_id long"
+    )
+    approx = spark.createDataFrame(
+        [("q1", 1), ("q1", 9), ("q2", 3), ("q2", 4)], "q string, vec_id long"
+    )
+    per = {
+        r["q"]: (r["n_exact"], r["n_overlap"], r["recall"])
+        for r in topk_recall(exact, approx, "vec_id", "q").collect()
+    }
+    assert per == {"q1": (2, 1, 0.5), "q2": (2, 2, 1.0)}
+    glob = topk_recall(
+        exact.filter("q = 'q1'"), approx.filter("q = 'q1'")
+    ).collect()[0]
+    assert (glob["n_exact"], glob["n_overlap"], glob["recall"]) == (2, 1, 0.5)
+    with pytest.raises(DataFrameValidationError):
+        topk_recall(exact.drop("vec_id"), approx)
