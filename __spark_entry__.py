@@ -3932,6 +3932,23 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax waterfilling allocation (Chung et al. 2023): a 40k-token
+    budget spread as uniformly as possible across sources with at most
+    1.5 epochs per source — the α-free mixture successor to temperature
+    sampling. One corpus-sized count; the closed-form waterline runs on
+    the bounded C-row source table."""
+    from temporalscope_spark.operators.sampling import unimax_allocation
+
+    return unimax_allocation(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "source",
+        budget_tokens=40_000.0,
+        max_epochs=1.5,
+    )
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split exact-duplicate leakage check (Lee et al. 2022 §6):
     the corpus is given planted duplicates (every 7th doc re-appears
@@ -4330,6 +4347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entropy": q_doc_entropy,
         "source_kl": q_source_kl,
         "ann_recall": q_ann_recall,
+        "unimax": q_unimax,
         "upsample_repeat": q_upsample_repeat,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
@@ -6256,6 +6274,55 @@ def oracle_sql() -> dict[str, str]:
                                 * ln((s.t / CAST(L AS DOUBLE)) / s.p))),
                        (a, x) -> a + x), 6) + 0.0 AS kl
             FROM per
+        """,
+        # UniMax replay: same (cap, source)-ordered prefix sums, same
+        # saturation predicate and waterline — all doubles derived from
+        # exact integer counts in the same order
+        "unimax": f"""
+            WITH w AS (
+                SELECT source, unnest(string_split({_NORM}, ' ')) AS word
+                FROM documents
+            ),
+            c AS (
+                SELECT source, count(*) AS n FROM w
+                WHERE word <> '' GROUP BY 1
+            ),
+            r AS (
+                SELECT source, n, CAST(n AS DOUBLE) * CAST(1.5 AS DOUBLE) AS cap,
+                       row_number() OVER (
+                           ORDER BY CAST(n AS DOUBLE) * CAST(1.5 AS DOUBLE),
+                                    source) AS j,
+                       coalesce(sum(CAST(n AS DOUBLE) * CAST(1.5 AS DOUBLE))
+                           OVER (ORDER BY
+                                     CAST(n AS DOUBLE) * CAST(1.5 AS DOUBLE),
+                                     source
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0.0) AS P,
+                       count(*) OVER () AS C
+                FROM c
+            ),
+            s AS (
+                SELECT *, (P + cap * (C - j + 1)) <= CAST(40000 AS DOUBLE)
+                          AS sat
+                FROM r
+            ),
+            a AS (
+                SELECT sum(CASE WHEN sat THEN 1 ELSE 0 END) AS k,
+                       sum(CASE WHEN sat THEN cap ELSE 0.0 END) AS pk,
+                       count(*) AS call
+                FROM s
+            ),
+            wl AS (
+                SELECT CASE WHEN k < call
+                            THEN (CAST(40000 AS DOUBLE) - pk) / (call - k)
+                            ELSE CAST('infinity' AS DOUBLE) END AS w
+                FROM a
+            )
+            SELECT source, CAST(n AS BIGINT) AS n_tokens,
+                   round(cap, 6) AS cap,
+                   round(least(cap, wl.w), 6) AS alloc,
+                   round(least(cap, wl.w) / CAST(n AS DOUBLE), 6) AS epochs
+            FROM s, wl
         """,
         "split_leakage": f"""
             WITH corpus AS (

@@ -459,3 +459,90 @@ def weight_diagnostics(
         (F.round(ess / F.col("n"), 6) + F.lit(0.0)).alias("ess_ratio"),
     ]
     return out.select(*cols)
+
+
+def unimax_allocation(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    budget_tokens: float = 1_000_000.0,
+    max_epochs: float = 2.0,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): spread a token budget as UNIFORMLY as possible
+    across sources, subject to no source being repeated more than
+    ``max_epochs`` times — the principled successor to temperature
+    mixing (:func:`temperature_sample`) that removes the α knob.
+
+    Waterfilling closed form (no iteration): with per-source capacities
+    ``cap_i = n_i · max_epochs`` sorted ascending and prefix sums
+    ``P_j``, a source is saturated iff even a uniform waterline at its
+    own capacity fits the budget (``P_{j-1} + cap_j·(C−j+1) ≤ B``);
+    with ``k`` saturated sources the waterline is
+    ``w = (B − P_k)/(C − k)`` and ``alloc_i = min(cap_i, w)``.
+
+    Plan shape: ONE map-side-combinable token-count aggregation is the
+    only corpus-sized job; everything after runs on the bounded C-row
+    source table (its ordered windows are bounded by construction —
+    documented, never data-sized). Applying the allocation composes
+    with existing operators: rates ≤ 1 via `deterministic_sample`,
+    epochs > 1 via `upsample_repeat`.
+
+    Output: (group, n_tokens, cap, alloc, epochs) — alloc/epochs
+    rounded to 6; epochs = alloc/n_tokens.
+    """
+    from temporalscope_spark.operators.corpus_stats import _norm_words
+    from temporalscope_spark.operators.dedup import _parallelize_before_explode
+
+    if budget_tokens <= 0:
+        raise DataFrameValidationError("budget_tokens must be > 0")
+    if max_epochs <= 0:
+        raise DataFrameValidationError("max_epochs must be > 0")
+    words = _parallelize_before_explode(
+        df.select(F.col(group_col).alias("_g"), _norm_words(text_col).alias("_w"))
+    ).select("_g", F.explode("_w").alias("word")).filter(F.col("word") != "")
+    counts = words.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    counts = counts.withColumn(
+        "_cap", F.col("_n").cast("double") * F.lit(float(max_epochs))
+    )
+    w_ord = Window.orderBy("_cap", "_g")
+    c_tot = Window.partitionBy()
+    ranked = (
+        counts.withColumn("_j", F.row_number().over(w_ord))
+        .withColumn(
+            "_P",
+            F.sum("_cap").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn("_C", F.count(F.lit(1)).over(c_tot))
+    )
+    B = F.lit(float(budget_tokens))
+    ranked = ranked.withColumn(
+        "_sat",
+        (F.coalesce("_P", F.lit(0.0)) + F.col("_cap") * (F.col("_C") - F.col("_j") + 1))
+        <= B,
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("_sat"), 1).otherwise(0)).alias("_k"),
+        F.sum(F.when(F.col("_sat"), F.col("_cap")).otherwise(F.lit(0.0))).alias(
+            "_Pk"
+        ),
+        F.count(F.lit(1)).alias("_Call"),
+    )
+    waterline = F.when(
+        F.col("_k") < F.col("_Call"),
+        (B - F.col("_Pk")) / (F.col("_Call") - F.col("_k")),
+    ).otherwise(F.lit(float("inf")))
+    alloc = F.least(F.col("_cap"), F.col("_w"))
+    return (
+        ranked.crossJoin(F.broadcast(agg.select(waterline.alias("_w"))))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            (F.round("_cap", 6) + F.lit(0.0)).alias("cap"),
+            (F.round(alloc, 6) + F.lit(0.0)).alias("alloc"),
+            (
+                F.round(alloc / F.col("_n").cast("double"), 6) + F.lit(0.0)
+            ).alias("epochs"),
+        )
+    )
