@@ -3854,6 +3854,17 @@ def _bt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated base form,
+    p=0.9, k=10) between the length-normalized and raw-tf rankings —
+    the qrel-free top-weighted ranker-agreement metric; shared-doc
+    entry depths fold over the k depths per query."""
+    from temporalscope_spark.metrics.ranking import rank_biased_overlap
+
+    runs1, runs2, _ = _ranking_runs(spark, sf_dir)
+    return rank_biased_overlap(runs1, runs2, p=0.9, k=10)
+
+
 def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry strengths via 5 MM rounds (Hunter 2004) over the
     source-preference log: the log collapses ONCE to the bounded
@@ -4348,6 +4359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl": q_source_kl,
         "ann_recall": q_ann_recall,
         "unimax": q_unimax,
+        "rbo": q_rbo,
         "upsample_repeat": q_upsample_repeat,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
@@ -6365,6 +6377,59 @@ def oracle_sql() -> dict[str, str]:
                    round((CASE WHEN sww > 0 THEN sw * sw / sww
                                ELSE 0.0 END) / n, 6) AS ess_ratio
             FROM a
+        """,
+        # RBO replay: same ranked runs as rrf_fusion; a shared doc enters
+        # the prefix intersection at depth max(ra, rb); the per-query fold
+        # over d = 1..10 runs in ascending-depth order in both engines
+        "rbo": f"""
+            WITH d AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+            ),
+            n AS (SELECT doc_id, len(w) AS nw FROM d),
+            t AS (SELECT doc_id, unnest(w) AS word FROM d),
+            tf AS (
+                SELECT word, doc_id, count(*) AS tf FROM t
+                WHERE word IN ('table', 'row', 'join', 'scan', 'fast',
+                               'slow', 'key', 'value')
+                GROUP BY 1, 2
+            ),
+            ra AS (
+                SELECT word AS q, doc_id AS dd,
+                       row_number() OVER (
+                           PARTITION BY word ORDER BY
+                           CAST(tf AS DOUBLE) / CAST(n.nw AS DOUBLE) DESC,
+                           doc_id) AS r
+                FROM tf JOIN n USING (doc_id)
+                QUALIFY r <= 10
+            ),
+            rb AS (
+                SELECT word AS q, doc_id AS dd,
+                       row_number() OVER (
+                           PARTITION BY word
+                           ORDER BY CAST(tf AS DOUBLE) DESC, doc_id) AS r
+                FROM tf
+                QUALIFY r <= 10
+            ),
+            ent AS (
+                SELECT a.q, greatest(a.r, b.r) AS e
+                FROM ra a JOIN rb b ON a.q = b.q AND a.dd = b.dd
+            ),
+            per AS (
+                SELECT q, list(e ORDER BY e) AS es FROM ent GROUP BY q
+            ),
+            qs AS (SELECT DISTINCT q FROM ra)
+            SELECT qs.q AS query,
+                   round((CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE)) *
+                       list_reduce(list_prepend(0.0,
+                           list_transform(generate_series(1, 10),
+                               dd -> power(CAST(0.9 AS DOUBLE),
+                                           CAST(dd AS DOUBLE) - 1.0)
+                                     * CAST(len(list_filter(
+                                           coalesce(per.es, CAST([] AS BIGINT[])),
+                                           e -> e <= dd)) AS DOUBLE)
+                                     / CAST(dd AS DOUBLE))),
+                           (a, x) -> a + x), 6) + 0.0 AS rbo
+            FROM qs LEFT JOIN per USING (q)
         """,
         "upsample_repeat": """
             WITH f AS (

@@ -230,3 +230,88 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def rank_biased_overlap(
+    runs_a: DataFrame,
+    runs_b: DataFrame,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    p: float = 0.9,
+    k: int = 10,
+) -> DataFrame:
+    """Rank-biased overlap of two ranked lists per query (Webber,
+    Moffat & Zobel 2010): the top-weighted, qrel-free similarity
+    ``RBO@k = (1−p) Σ_{d=1..k} p^{d−1} · |A_{1..d} ∩ B_{1..d}| / d``
+    — how much two rankers agree, emphasising early ranks (p≈0.9 puts
+    ~86% of the weight in the top 10). This is the truncated base form
+    (no extrapolation residual), in [0, 1 − p^k·…]; identical prefixes
+    of length ≥ k score the maximal truncated value.
+
+    Plan shape: rank both runs inside per-query windows, inner-join on
+    (query, doc) to get each shared doc's entry depth
+    ``max(rank_a, rank_b)`` (a doc enters the prefix intersection
+    exactly at that depth), then ONE per-query fold over the k depths
+    accumulates ``p^{d-1}·X_d/d`` with the overlap counts recovered from
+    the sorted entry-depth list — all bounded by k per query, windows
+    partitioned BY QUERY only.
+
+    Output: (query, rbo) — rounded to 6.
+    """
+    if not (0.0 < p < 1.0):
+        raise DataFrameValidationError("p must be in (0, 1)")
+    if k < 1:
+        raise DataFrameValidationError("k must be >= 1")
+
+    def _ranked(df_: DataFrame, rank_name: str) -> DataFrame:
+        for c in (query_col, doc_col, score_col):
+            if c not in df_.columns:
+                raise DataFrameValidationError(f"missing column {c!r}")
+        w = Window.partitionBy("q").orderBy(F.col("s").desc(), F.col("d"))
+        return (
+            df_.select(
+                F.col(query_col).alias("q"),
+                F.col(doc_col).alias("d"),
+                F.col(score_col).cast("double").alias("s"),
+            )
+            .withColumn(rank_name, F.row_number().over(w))
+            .filter(F.col(rank_name) <= k)
+            .select("q", "d", rank_name)
+        )
+
+    a = _ranked(runs_a, "ra")
+    b = _ranked(runs_b, "rb")
+    # entry depth of each shared doc; queries present in A keep a row
+    # even with zero overlap (rbo 0)
+    entries = a.join(b, ["q", "d"]).select(
+        "q", F.greatest("ra", "rb").alias("e")
+    )
+    depths = F.sequence(F.lit(1), F.lit(k))
+    per = (
+        a.select("q")
+        .distinct()
+        .join(
+            entries.groupBy("q").agg(
+                F.array_sort(F.collect_list("e")).alias("_es")
+            ),
+            "q",
+            "left",
+        )
+        .withColumn(
+            "_es", F.coalesce("_es", F.array().cast("array<int>"))
+        )
+    )
+    # X_d = number of entry depths <= d; fold over d = 1..k
+    rbo = F.aggregate(
+        depths,
+        F.lit(0.0),
+        lambda acc, d: acc
+        + F.pow(F.lit(float(p)), d.cast("double") - 1.0)
+        * F.size(F.filter("_es", lambda e: e <= d)).cast("double")
+        / d.cast("double"),
+    ) * F.lit(1.0 - p)
+    return per.select(
+        F.col("q").alias(query_col),
+        (F.round(rbo, 6) + F.lit(0.0)).alias("rbo"),
+    )

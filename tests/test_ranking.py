@@ -143,3 +143,41 @@ def test_topk_recall_modes(spark):
     assert (glob["n_exact"], glob["n_overlap"], glob["recall"]) == (2, 1, 0.5)
     with pytest.raises(DataFrameValidationError):
         topk_recall(exact.drop("vec_id"), approx)
+
+
+def _ref_rbo(list_a, list_b, p, k):
+    a = [d for d, _ in sorted(list_a, key=lambda x: (-x[1], x[0]))][:k]
+    b = [d for d, _ in sorted(list_b, key=lambda x: (-x[1], x[0]))][:k]
+    s = 0.0
+    for d in range(1, k + 1):
+        x = len(set(a[:d]) & set(b[:d]))
+        s += p ** (d - 1) * x / d
+    return round((1 - p) * s, 6)
+
+
+def test_rbo_matches_reference(spark):
+    from temporalscope_spark.metrics.ranking import rank_biased_overlap
+
+    la = [("a", 5.0), ("b", 4.0), ("c", 3.0), ("d", 2.0)]
+    lb = [("b", 9.0), ("a", 8.0), ("e", 7.0), ("c", 6.0)]
+    ra = spark.createDataFrame(
+        [("q", d, s) for d, s in la], "query string, doc_id string, score double"
+    )
+    rb = spark.createDataFrame(
+        [("q", d, s) for d, s in lb], "query string, doc_id string, score double"
+    )
+    got = rank_biased_overlap(ra, rb, p=0.9, k=4).collect()[0]["rbo"]
+    assert got == pytest.approx(_ref_rbo(la, lb, 0.9, 4), abs=2e-6)
+    # identical lists reach the maximal truncated value (X_d = d)
+    same = rank_biased_overlap(ra, ra, p=0.9, k=4).collect()[0]["rbo"]
+    assert same == pytest.approx(round((1 - 0.9) * sum(0.9 ** (d - 1) for d in range(1, 5)), 6))
+    # disjoint lists -> 0 (and the query still appears)
+    rz = spark.createDataFrame(
+        [("q", "z", 1.0)], "query string, doc_id string, score double"
+    )
+    zero = rank_biased_overlap(ra, rz, p=0.9, k=4).collect()[0]["rbo"]
+    assert zero == 0.0
+    with pytest.raises(DataFrameValidationError):
+        rank_biased_overlap(ra, rb, p=1.0)
+    with pytest.raises(DataFrameValidationError):
+        rank_biased_overlap(ra, rb, k=0)
