@@ -1504,6 +1504,52 @@ def q_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_terms(docs, terms, "text", "doc_id")
 
 
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically append synthetic PII (email on doc_id%5, IPv4 on
+    %7, phone on %3) — the synthetic corpus has none, so the scan would
+    be vacuous otherwise; the SAME rewrite runs in the DuckDB oracle."""
+    did = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" reach user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" dial 415-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-family PII hit counts (email/IPv4/phone) per doc over the
+    deterministically-planted corpus — dialect-portable patterns (Java
+    regex ∩ RE2), one narrow codegen'd projection, no shuffle."""
+    from temporalscope_spark.operators.pii import pii_scan
+
+    return pii_scan(_plant_pii(_t(spark, sf_dir, "documents")), "text", "doc_id")
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential family-token redaction ([EMAIL]/[IPV4]/[PHONE]) with
+    counts taken on the progressively-redacted text — the output text and
+    count are a pure function of the input string, engine-invariant."""
+    from temporalscope_spark.operators.pii import redact_pii
+
+    return redact_pii(_plant_pii(_t(spark, sf_dir, "documents")), "text", "doc_id")
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source BPE-per-word fertility — ratio of two long sums, exact
     in any engine."""
@@ -2567,6 +2613,27 @@ def _irls_step_ctes() -> str:
 
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# single source of truth for the PII patterns (Java regex ∩ RE2 — safe to
+# interpolate into DuckDB single-quoted literals: no quotes in the patterns)
+from temporalscope_spark.operators.pii import PII_PATTERNS as _PII_RE  # noqa: E402
+
+# the same deterministic PII plant as _plant_pii(), in DuckDB SQL
+_PII_PLANT = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                   ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' dial 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           AS text
+    FROM documents
+"""
 
 
 def _corr_matrix_oracle() -> str:
@@ -4308,6 +4375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "masv_linear": q_masv_linear,
         "heavy_hitters": q_heavy_hitters,
         "redact_terms": q_redact_terms,
+        "pii_scan": q_pii_scan,
+        "redact_pii": q_redact_pii,
         "skew_profile": q_skew_profile,
         "bm25_topk": q_bm25_topk,
         "bm25_multi_topk": q_bm25_multi_topk,
@@ -5035,6 +5104,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(d.w, x -> list_contains(tl.ts, lower(x))))
                         AS BIGINT) AS n_redacted
             FROM d, tl
+        """,
+        # PII scan: same planted corpus, same dialect-portable patterns
+        # (Java regex ∩ RE2), families counted independently on raw text
+        "pii_scan": f"""
+            WITH d AS ({_PII_PLANT})
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '{_PII_RE["email"]}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '{_PII_RE["ipv4"]}')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                       '{_PII_RE["phone"]}')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '{_PII_RE["email"]}'))
+                      + len(regexp_extract_all(text, '{_PII_RE["ipv4"]}'))
+                      + len(regexp_extract_all(text, '{_PII_RE["phone"]}'))
+                      AS BIGINT) AS n_pii
+            FROM d
+        """,
+        # sequential redaction in sorted-family order; each step counts on
+        # the text as redacted so far (no double counting)
+        "redact_pii": f"""
+            WITH d AS ({_PII_PLANT}),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_PII_RE["email"]}')) AS c1,
+                       regexp_replace(text, '{_PII_RE["email"]}', '[EMAIL]', 'g') AS t1
+                FROM d
+            ),
+            s2 AS (
+                SELECT doc_id, c1,
+                       len(regexp_extract_all(t1, '{_PII_RE["ipv4"]}')) AS c2,
+                       regexp_replace(t1, '{_PII_RE["ipv4"]}', '[IPV4]', 'g') AS t2
+                FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '{_PII_RE["phone"]}', '[PHONE]', 'g')
+                       AS redacted_text,
+                   CAST(c1 + c2 + len(regexp_extract_all(t2,
+                       '{_PII_RE["phone"]}')) AS BIGINT) AS n_redacted
+            FROM s2
         """,
         # full relational replay: top-3 heavy-hitter terms -> one-pass corpus
         # stats -> per-term idf -> matching-(doc, term) tf -> per-doc BM25 sum,

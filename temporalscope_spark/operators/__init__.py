@@ -180,6 +180,7 @@ from temporalscope_spark.operators.shift import (
     shift_target_chunked,
     time_to_event,
 )
+from temporalscope_spark.operators.pii import PII_PATTERNS, pii_scan, redact_pii
 from temporalscope_spark.operators.similarity import (
     ann_topk,
     centroid_distance_features,
@@ -202,6 +203,7 @@ __all__ = [
     "merge_line_index", "LineDedupIndex", "dup_span_stats", "minhash_lsh_pairs",
     "minhash_signatures", "ngram_jaccard_pairs", "remove_dup_spans",
     "simhash", "simhash_near_pairs", "pagerank",
+    "PII_PATTERNS", "pii_scan", "redact_pii",
     "learn_bpe_merges", "word_vocab", "apply_bpe", "bpe_compression_stats",
     "piece_seed", "train_unigram", "unigram_em_round", "word_lattice",
     "viterbi_word_tokens", "apply_unigram", "c4_clean",

@@ -1,0 +1,119 @@
+"""Regex-family PII detection and redaction for training corpora.
+
+The term-list lane (`text.redact_terms`) handles known blocklists; this
+module handles the SHAPE-based PII classes every pretraining pipeline
+scrubs before the tokenizer sees the text — emails, IPv4 addresses,
+phone numbers (see e.g. the C4 and Gopher data cards, which both report
+regex PII filtering as a preprocessing stage).
+
+Design constraints:
+
+- **Expression-only**: `regexp_extract_all` / `regexp_replace` are JVM
+  built-ins inside whole-stage codegen — zero Python, narrow plan (no
+  shuffle), so the pass costs one projection over the corpus regardless
+  of scale.
+- **Dialect-portable patterns**: every default pattern restricts itself
+  to the regex intersection of Java `java.util.regex` (Spark) and RE2
+  (DuckDB/Go): ASCII character classes, bounded quantifiers, ``\\d``,
+  ``\\b`` word boundaries. No backreferences, no lookaround — those
+  diverge across engines and are banned here so the DuckDB oracle can
+  run the *same* pattern strings and match byte-for-byte.
+- **Deterministic multi-pattern order**: patterns apply in sorted-name
+  order, and per-step match counts are taken on the *current* (already
+  partially redacted) text, so the (text, counts) output is a pure
+  function of the input string — engine- and partition-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+
+# Dialect-portable defaults (Java regex ∩ RE2 — see module docstring).
+# Keys double as output column suffixes (n_<key>) and redaction tokens
+# ([<KEY>]); keep them lowercase identifiers.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def _check(patterns: dict[str, str] | None) -> dict[str, str]:
+    pats = PII_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise DataFrameValidationError("patterns must be a non-empty mapping")
+    for name in pats:
+        if not name.isidentifier():
+            raise DataFrameValidationError(
+                f"pattern name {name!r} must be a lowercase identifier "
+                "(it becomes a column suffix and redaction token)"
+            )
+    return dict(sorted(pats.items()))
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-document PII hit counts, one column per pattern family.
+
+    Output: ``(id, n_<name> per pattern sorted by name, n_pii)`` — each
+    count is ``size(regexp_extract_all(text, pattern))`` on the RAW
+    text (families count independently; an email's digits may also
+    count as a phone if the patterns overlap — the scan reports what
+    each family alone would flag). One narrow projection, no shuffle;
+    the downstream gate (`filter(n_pii == 0)` or route-to-redaction)
+    stays a plain predicate Catalyst can push into the scan.
+    """
+    pats = _check(patterns)
+    if text_col not in df.columns or id_col not in df.columns:
+        raise DataFrameValidationError(f"need columns {text_col!r}, {id_col!r}")
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, p in pats.items()
+    ]
+    out = df.select(F.col(id_col), *counts)
+    total = sum((F.col(f"n_{name}") for name in pats), F.lit(0).cast("long"))
+    return out.withColumn("n_pii", total.cast("long"))
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Replace every PII match with its family token (``[EMAIL]`` …).
+
+    Patterns apply sequentially in sorted-name order; each step counts
+    its matches on the text AS REDACTED SO FAR (so a digit run consumed
+    by the email step is not double-counted by the phone step — the
+    reported ``n_redacted`` equals the number of replacement tokens in
+    the output). Expression-only: k chained ``regexp_replace`` calls in
+    one codegen'd projection.
+
+    Output: ``(id, redacted_text, n_redacted)``.
+    """
+    pats = _check(patterns)
+    if text_col not in df.columns or id_col not in df.columns:
+        raise DataFrameValidationError(f"need columns {text_col!r}, {id_col!r}")
+    cur = F.col(text_col)
+    n_redacted = F.lit(0).cast("long")
+    for name, p in pats.items():
+        n_redacted = n_redacted + F.size(
+            F.regexp_extract_all(cur, F.lit(p), F.lit(0))
+        ).cast("long")
+        cur = F.regexp_replace(cur, F.lit(p), F.lit(f"[{name.upper()}]"))
+    return df.select(
+        F.col(id_col),
+        cur.alias("redacted_text"),
+        n_redacted.alias("n_redacted"),
+    )
