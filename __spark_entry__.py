@@ -4079,6 +4079,48 @@ def q_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP MAD robust z-score gate (Iglewicz & Hoaglin 1993) on
+    event values per event type — the grouped sibling of the global
+    `scaling.mad_outliers` (each event type gets its own median/MAD, a
+    broadcast-joined C-row fit table instead of two 1-row literals).
+    Median and MAD are rounded to 6 before the score (fit-then-literal),
+    so the +-*-/ arithmetic after them is IEEE-exact in any engine."""
+    from temporalscope_spark.operators.binning import mad_outliers_grouped
+
+    events = _t(spark, sf_dir, "events")
+    return mad_outliers_grouped(events, "value", "event_type").select(
+        "event_id", "event_type", "value", "value_rz", "value_outlier"
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement: top-20
+    docs per source by u^(1/n_chars) with the md5-portable uniform —
+    longer docs proportionally likelier, selection engine-invariant."""
+    from temporalscope_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, "n_chars", 20, "doc_id", strata_col="source", seed=11, portable=True
+    ).select("doc_id", "source", "wkey")
+
+
+def q_doremi_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain-weight update (Xie et al. 2023) over deterministic
+    planted proxy/reference losses (integer-derived doubles — exact in
+    any engine); domain = source, eta=0.5, 10% uniform smoothing."""
+    from temporalscope_spark.operators.sampling import doremi_round
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") % 17).cast("double") / F.lit(10.0)).alias("loss"),
+        ((F.col("doc_id") % 13).cast("double") / F.lit(10.0)).alias("ref"),
+    )
+    return doremi_round(docs, "source", "loss", "ref", eta=0.5, smoothing=0.1)
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet line-level dedup (Wenzek et al. 2020): the documents table is
     given a line structure by breaking each word pair onto its own line (a
@@ -4430,6 +4472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax": q_unimax,
         "rbo": q_rbo,
         "upsample_repeat": q_upsample_repeat,
+        "mad_outliers_grouped": q_mad_outliers_grouped,
+        "weighted_sample": q_weighted_sample,
+        "doremi_round": q_doremi_round,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
         "pagerank": q_pagerank,
@@ -6557,6 +6602,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, CAST(e AS INT) AS epoch
             FROM n, UNNEST(generate_series(1, nc)) AS ee(e)
             WHERE nc > 0
+        """,
+        # grouped MAD gate: per-type med and MAD rounded to 6 BEFORE the
+        # score (fit-then-literal) so the remaining +-*-/ chain is
+        # IEEE-exact in both engines; quantile_cont == Spark percentile
+        "mad_outliers_grouped": """
+            WITH med AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.5), 6) AS m
+                FROM events GROUP BY event_type
+            ),
+            mad AS (
+                SELECT e.event_type,
+                       round(quantile_cont(abs(e.value - m.m), 0.5), 6) AS md,
+                       min(m.m) AS m
+                FROM events e JOIN med m USING (event_type)
+                GROUP BY e.event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN a.md > 0
+                        THEN round(0.6745 * (e.value - a.m) / a.md, 6) + 0.0
+                        END AS value_rz,
+                   coalesce(
+                       CASE WHEN a.md > 0
+                            THEN abs(round(0.6745 * (e.value - a.m) / a.md, 6)
+                                     + 0.0) > 3.5
+                            END, FALSE) AS value_outlier
+            FROM events e JOIN mad a USING (event_type)
+        """,
+        # Efraimidis-Spirakis: rank on the RAW pow key (ties by doc_id),
+        # emit the rounded key; md5 uniform is bit-identical cross-engine
+        "weighted_sample": """
+            WITH k AS (
+                SELECT doc_id, source,
+                       pow(
+                           CAST(('0x' || substr(
+                               md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 8))
+                               AS BIGINT) / 4294967296.0,
+                           1.0 / CAST(n_chars AS DOUBLE)
+                       ) AS wk
+                FROM documents
+                WHERE CAST(n_chars AS DOUBLE) > 0
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY wk DESC, doc_id
+                ) AS rn
+                FROM k
+            )
+            SELECT doc_id, source, round(wk, 6) + 0.0 AS wkey
+            FROM r WHERE rn <= 20
+        """,
+        # DoReMi EG update on the bounded domain table; planted losses are
+        # integer-derived doubles, excess clipped at 0 before the mean
+        "doremi_round": """
+            WITH dom AS (
+                SELECT source AS domain,
+                       CAST(count(*) AS BIGINT) AS n_examples,
+                       avg(greatest(
+                           CAST(doc_id % 17 AS DOUBLE) / 10.0
+                           - CAST(doc_id % 13 AS DOUBLE) / 10.0, 0.0)) AS lam
+                FROM documents GROUP BY source
+            ),
+            c AS (SELECT CAST(count(*) AS DOUBLE) AS cn FROM dom),
+            raw AS (
+                SELECT d.*, c.cn,
+                       (1.0 / c.cn) * exp(CAST(0.5 AS DOUBLE) * d.lam) AS rw
+                FROM dom d CROSS JOIN c
+            ),
+            z AS (SELECT sum(rw) AS zz FROM raw)
+            SELECT domain, n_examples,
+                   round(lam, 6) + 0.0 AS excess_loss,
+                   round(1.0 / cn, 6) + 0.0 AS weight_in,
+                   round(rw / z.zz, 6) + 0.0 AS weight_out,
+                   round(CAST(0.9 AS DOUBLE) * rw / z.zz
+                         + CAST(0.1 AS DOUBLE) / cn, 6) + 0.0 AS mix_alpha
+            FROM raw CROSS JOIN z
         """,
         # line dedup: the window rank replays the operator's min-struct
         # survivor pick ((doc, pos)-lexicographic first occurrence); lines

@@ -93,7 +93,7 @@ from temporalscope_spark.operators.packing import (
     pack_greedy,
     training_windows,
 )
-from temporalscope_spark.operators.binning import fit_quantile_edges, quantile_bin, winsorize
+from temporalscope_spark.operators.binning import fit_quantile_edges, mad_outliers_grouped, quantile_bin, winsorize
 from temporalscope_spark.operators.cooccur import cooccurrence_pmi
 from temporalscope_spark.operators.encoding import (
     count_encode,
@@ -161,10 +161,12 @@ from temporalscope_spark.operators.sampling import (
     assign_shards,
     negative_samples,
     deterministic_sample,
+    doremi_round,
     stratified_sample,
     temperature_sample,
     top_k_per_group,
     upsample_repeat,
+    weighted_sample,
 )
 from temporalscope_spark.operators.sessionize import (
     session_bounds,
@@ -221,7 +223,7 @@ __all__ = [
     "feature_relevance", "numeric_relevance", "anova_f", "spearman_matrix",
     "select_features_mrmr",
     "correlation_matrix", "cooccurrence_pmi",
-    "fit_quantile_edges", "quantile_bin", "winsorize",
+    "fit_quantile_edges", "mad_outliers_grouped", "quantile_bin", "winsorize",
     "ecdf_feature", "fit_scaler", "mad_outliers", "moment_profile",
     "polynomial_features", "scale_by_group",
     "scale_features", "fit_impute", "impute",
@@ -237,6 +239,7 @@ __all__ = [
     "target_encode_expanding",
     "assign_shards", "deterministic_sample", "negative_samples", "stratified_sample",
     "temperature_sample", "top_k_per_group", "upsample_repeat",
+    "weighted_sample", "doremi_round",
     "session_bounds", "sessionize", "sessionize_builtin",
     "TargetShifter", "delta_features", "lag_features", "multi_step_targets",
     "shift_target", "shift_target_chunked", "time_to_event",

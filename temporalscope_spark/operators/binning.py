@@ -80,6 +80,64 @@ def quantile_bin(
     )
 
 
+def mad_outliers_grouped(
+    df: DataFrame,
+    col: str,
+    group_col: str | None = None,
+    z: float = 3.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Append a robust z-score (``{col}_rz``) and outlier flag
+    (``{col}_outlier``) via the median-absolute-deviation rule
+    (Iglewicz & Hoaglin 1993: ``0.6745·(x − med) / MAD``, flag when
+    ``|rz| > z``).
+
+    The mean/std z-score breaks exactly when you need it (outliers
+    inflate the std); the MAD version has a 50% breakdown point — the
+    standard robust gate on heavy-tailed quality scores before
+    winsorizing or filtering.
+
+    Two bounded aggregations (median, then MAD of the residuals — MAD
+    depends on the median, so one pass cannot fuse them), each a
+    map-side-combinable groupBy over the group key; the per-group
+    (median, MAD) table is broadcast back (group cardinality =
+    sources/langs, always tiny next to the corpus), so the corpus
+    itself is scanned twice and never shuffled. Both statistics are
+    rounded to 6 before use (the fit-then-literal convention — the
+    fitted gate replays bit-identically in any engine). ``approx=True``
+    swaps exact ``percentile`` for the constant-memory
+    ``percentile_approx`` sketch (the 100 TB lane; the exact lane
+    executor-buffers each group's column — fine to ~10⁸ rows/group).
+    A zero-MAD group (over half the values identical) yields NULL rz
+    and flags nothing — no rule can rank within it.
+    """
+    if col not in df.columns:
+        raise DataFrameValidationError(f"mad_outliers_grouped: missing column {col!r}")
+    if group_col is not None and group_col not in df.columns:
+        raise DataFrameValidationError(f"mad_outliers_grouped: missing column {group_col!r}")
+    if z <= 0:
+        raise DataFrameValidationError("mad_outliers_grouped: z must be > 0")
+    pfn = F.percentile_approx if approx else F.percentile
+    keys = [group_col] if group_col else []
+    x = F.col(col).cast("double")
+    meds = df.groupBy(*keys).agg(F.round(pfn(x, F.lit(0.5)), 6).alias("_med"))
+    j1 = df.join(F.broadcast(meds), keys) if keys else df.crossJoin(F.broadcast(meds))
+    mads = j1.groupBy(*keys).agg(
+        F.round(pfn(F.abs(x - F.col("_med")), F.lit(0.5)), 6).alias("_mad"),
+        F.first("_med").alias("_med2"),
+    )
+    j2 = df.join(F.broadcast(mads), keys) if keys else df.crossJoin(F.broadcast(mads))
+    rz = F.when(
+        F.col("_mad") > 0,
+        F.round(F.lit(0.6745) * (x - F.col("_med2")) / F.col("_mad"), 6) + F.lit(0.0),
+    )
+    return (
+        j2.withColumn(f"{col}_rz", rz)
+        .withColumn(f"{col}_outlier", F.coalesce(F.abs(rz) > F.lit(float(z)), F.lit(False)))
+        .drop("_med2", "_mad")
+    )
+
+
 def winsorize(
     df: DataFrame,
     cols: Sequence[str],

@@ -546,3 +546,127 @@ def unimax_allocation(
             ).alias("epochs"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    strata_col: str | None = None,
+    seed: int = 42,
+    portable: bool = False,
+    wkey_col: str = "wkey",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row gets the key ``u^(1/w)`` for a hash-uniform
+    ``u`` and weight ``w``; the ``k`` largest keys are exactly a
+    w-proportional sample without replacement. The hash lane replaces
+    RNG state, so the SAME rows are drawn on every run, engine, and
+    partitioning (md5 when ``portable=True``) — replayable corpus
+    subsampling where plain ``deterministic_sample`` cannot honor a
+    quality/length weight.
+
+    Rows with NULL or non-positive weight are excluded (they carry no
+    sampling mass). Plan shape: one narrow map computes the key, then
+    per-stratum ``row_number <= k`` compiles to WindowGroupLimit
+    (per-partition top-k before the per-stratum merge); without strata
+    the global sort+limit executes as TakeOrderedAndProject (per-
+    partition top-k, k-row driver merge — never a full sort). The
+    selection is ranked on the RAW key (ties broken by the row key);
+    the emitted ``wkey_col`` is rounded to 6 for replay comparison.
+    """
+    if k < 1:
+        raise DataFrameValidationError("weighted_sample: k must be >= 1")
+    for c in (weight_col, key_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"weighted_sample: missing column {c!r}")
+    if strata_col is not None and strata_col not in df.columns:
+        raise DataFrameValidationError(
+            f"weighted_sample: missing column {strata_col!r}"
+        )
+    w = F.col(weight_col).cast("double")
+    key = F.pow(_uniform01(key_col, seed, portable), F.lit(1.0) / w)
+    base = df.filter(w > 0).withColumn("_wk", key)
+    if strata_col is None:
+        out = base.orderBy(F.col("_wk").desc(), F.col(key_col)).limit(k)
+    else:
+        rn = F.row_number().over(
+            Window.partitionBy(strata_col).orderBy(F.col("_wk").desc(), F.col(key_col))
+        )
+        out = base.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
+    return out.withColumn(wkey_col, F.round("_wk", 6) + F.lit(0.0)).drop("_wk")
+
+
+def doremi_round(
+    df: DataFrame,
+    domain_col: str,
+    loss_col: str,
+    ref_loss_col: str,
+    weights: Mapping[str, float] | None = None,
+    eta: float = 1.0,
+    smoothing: float = 0.0,
+) -> DataFrame:
+    """One DoReMi domain-weight update (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    given per-example proxy- and reference-model losses, re-weight each
+    domain by its clipped excess loss
+
+        ``λ_i = avg_i(max(loss − ref_loss, 0))``
+        ``w'_i ∝ w_i · exp(η · λ_i)``  (normalized over domains)
+        ``α_i = (1 − s) · w'_i + s / C``  (uniform smoothing)
+
+    — domains where the proxy still trails the reference get more
+    weight. The output α feeds directly into :func:`temperature_sample`
+    / :func:`upsample_repeat` as the next mixture. ``weights`` carries
+    the incoming w (uniform ``1/C`` when None; missing domains also
+    default to uniform).
+
+    Plan shape: ONE map-side-combinable aggregation over the corpus
+    (per-domain sum/count of the clipped excess) — the corpus never
+    shuffles on anything else; the exp/normalize/smooth algebra runs on
+    the bounded C-row domain table (its total via a broadcast-crossed
+    1-row aggregate, never a driver collect).
+
+    Output: (domain, n_examples, excess_loss, weight_in, weight_out,
+    mix_alpha) — floats rounded to 6.
+    """
+    for c in (domain_col, loss_col, ref_loss_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"doremi_round: missing column {c!r}")
+    if eta <= 0:
+        raise DataFrameValidationError("doremi_round: eta must be > 0")
+    if not 0.0 <= smoothing <= 1.0:
+        raise DataFrameValidationError("doremi_round: smoothing must be in [0, 1]")
+    excess = F.greatest(
+        F.col(loss_col).cast("double") - F.col(ref_loss_col).cast("double"),
+        F.lit(0.0),
+    )
+    per_dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        F.avg(excess).alias("_lam"),
+    )
+    if weights is None:
+        w_in = F.lit(None).cast("double")
+    else:
+        per_dom = _with_rate(per_dom, "domain", weights, None)
+        w_in = F.col("_rate")
+    tot_c = per_dom.agg(F.count(F.lit(1)).alias("_Cn"))
+    per_dom = per_dom.crossJoin(F.broadcast(tot_c))
+    w0 = F.coalesce(w_in, F.lit(1.0) / F.col("_Cn").cast("double"))
+    per_dom = per_dom.withColumn(
+        "_raw", w0 * F.exp(F.lit(float(eta)) * F.col("_lam"))
+    ).withColumn("_w0", w0)
+    tot = per_dom.agg(F.sum("_raw").alias("_Z"))
+    s = F.lit(float(smoothing))
+    per_dom = per_dom.crossJoin(F.broadcast(tot))
+    w_out = F.col("_raw") / F.col("_Z")
+    alpha = (F.lit(1.0) - s) * w_out + s / F.col("_Cn").cast("double")
+    return per_dom.select(
+        "domain",
+        F.col("n_examples").cast("long").alias("n_examples"),
+        (F.round("_lam", 6) + F.lit(0.0)).alias("excess_loss"),
+        (F.round(F.col("_w0"), 6) + F.lit(0.0)).alias("weight_in"),
+        (F.round(w_out, 6) + F.lit(0.0)).alias("weight_out"),
+        (F.round(alpha, 6) + F.lit(0.0)).alias("mix_alpha"),
+    )
