@@ -4121,6 +4121,32 @@ def q_doremi_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doremi_round(docs, "source", "loss", "ref", eta=0.5, smoothing=0.1)
 
 
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction (Rafailov et al. 2023) treating
+    each user's events as scored candidate responses: chosen/rejected =
+    max/min of struct(reward, id) per prompt (partition-invariant tie
+    rule), pairs kept only above a 0.05 reward margin."""
+    from temporalscope_spark.operators.preference import dpo_pairs
+
+    events = _t(spark, sf_dir, "events")
+    return dpo_pairs(events, "user_id", "event_id", "value", min_margin=0.05)
+
+
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype pruning (Sorscher et al. 2022): md5-seeded IVF
+    quantizer (the semdedup/ivf_topk quantizer, refine_iters=0), score =
+    cosine to own centroid rounded 6, keep the hardest 70% of each cell
+    (exact per-cell rank lane; same float-boundary fragility class as
+    ivf_topk)."""
+    from temporalscope_spark.operators.similarity import ivf_centroids, prototype_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(
+        emb, num_centroids=8, seed=42, refine_iters=0, seed_hash="md5"
+    )
+    return prototype_prune(emb, cents, keep_frac=0.7)
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet line-level dedup (Wenzek et al. 2020): the documents table is
     given a line structure by breaking each word pair onto its own line (a
@@ -4475,6 +4501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_grouped": q_mad_outliers_grouped,
         "weighted_sample": q_weighted_sample,
         "doremi_round": q_doremi_round,
+        "dpo_pairs": q_dpo_pairs,
+        "prototype_prune": q_prototype_prune,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
         "pagerank": q_pagerank,
@@ -6602,6 +6630,90 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, CAST(e AS INT) AS epoch
             FROM n, UNNEST(generate_series(1, nc)) AS ee(e)
             WHERE nc > 0
+        """,
+        # DPO pairs: chosen/rejected replayed as lexicographic-extreme
+        # row_numbers over (reward, id); margin filtered RAW, rounded in
+        # the projection (both sides strict > on IEEE-exact subtraction)
+        "dpo_pairs": """
+            WITH s AS (
+                SELECT user_id AS prompt, event_id AS resp,
+                       CAST(value AS DOUBLE) AS r
+                FROM events WHERE value IS NOT NULL
+            ),
+            hi AS (
+                SELECT prompt, r, resp, row_number() OVER (
+                    PARTITION BY prompt ORDER BY r DESC, resp DESC) AS rn
+                FROM s
+            ),
+            lo AS (
+                SELECT prompt, r, resp, row_number() OVER (
+                    PARTITION BY prompt ORDER BY r ASC, resp ASC) AS rn
+                FROM s
+            ),
+            n AS (SELECT prompt, count(*) AS c FROM s GROUP BY prompt)
+            SELECT h.prompt, h.resp AS chosen, l.resp AS rejected,
+                   round(h.r, 6) + 0.0 AS reward_chosen,
+                   round(l.r, 6) + 0.0 AS reward_rejected,
+                   round(h.r - l.r, 6) + 0.0 AS margin
+            FROM hi h
+            JOIN lo l ON h.prompt = l.prompt AND l.rn = 1
+            JOIN n ON n.prompt = h.prompt
+            WHERE h.rn = 1 AND n.c >= 2
+              AND h.r - l.r > CAST(0.05 AS DOUBLE)
+        """,
+        # prototype pruning: the _ivf_sql quantizer replay (md5 seeds,
+        # dot/|c| argmax with idx-DESC tie), prototypicality = winning
+        # score / |v| rounded 6, per-cell rank over the SAME window Spark
+        # uses (nulls first, id tie-break, count includes null-proto rows)
+        "prototype_prune": """
+            WITH vecs AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ),
+            seeds AS (
+                SELECT e AS c,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')
+                       ) - 1 AS idx
+                FROM vecs
+                ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')
+                LIMIT 8
+            ),
+            cents AS (
+                SELECT idx, c,
+                       CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN 1.0
+                            ELSE sqrt(list_dot_product(c, c)) END AS cn
+                FROM seeds
+            ),
+            assigned AS (
+                SELECT v.vec_id, v.e, ct.idx,
+                       list_dot_product(v.e, ct.c) / ct.cn AS score,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(v.e, ct.c) / ct.cn DESC,
+                                    ct.idx DESC
+                       ) AS rnk
+                FROM vecs v CROSS JOIN cents ct
+            ),
+            scored AS (
+                SELECT vec_id, idx AS ivf_cell,
+                       CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN NULL
+                            ELSE round(score / sqrt(list_dot_product(e, e)), 6)
+                                 + 0.0 END AS proto_cos
+                FROM assigned WHERE rnk = 1
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY ivf_cell
+                           ORDER BY proto_cos ASC NULLS FIRST, vec_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY ivf_cell) AS nc
+                FROM scored
+            )
+            SELECT vec_id, ivf_cell, proto_cos
+            FROM ranked
+            WHERE proto_cos IS NULL
+               OR rn <= ceil(nc * CAST(0.7 AS DOUBLE))
         """,
         # grouped MAD gate: per-type med and MAD rounded to 6 BEFORE the
         # score (fit-then-literal) so the remaining +-*-/ chain is

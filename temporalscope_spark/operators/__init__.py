@@ -183,6 +183,7 @@ from temporalscope_spark.operators.shift import (
     time_to_event,
 )
 from temporalscope_spark.operators.pii import PII_PATTERNS, pii_scan, redact_pii
+from temporalscope_spark.operators.preference import dpo_pairs
 from temporalscope_spark.operators.similarity import (
     ann_topk,
     centroid_distance_features,
@@ -190,6 +191,7 @@ from temporalscope_spark.operators.similarity import (
     cosine_topk,
     ivf_centroids,
     ivf_topk,
+    prototype_prune,
     semdedup,
     with_ivf_cell,
     with_lsh_bucket,
@@ -245,5 +247,6 @@ __all__ = [
     "shift_target", "shift_target_chunked", "time_to_event",
     "ann_topk", "centroid_distance_features", "cosine_self_join_pairs",
     "cosine_topk", "ivf_centroids",
-    "ivf_topk", "semdedup", "with_ivf_cell", "with_lsh_bucket",
+    "ivf_topk", "prototype_prune", "semdedup", "with_ivf_cell", "with_lsh_bucket",
+    "dpo_pairs",
 ]

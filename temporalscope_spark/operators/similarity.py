@@ -636,3 +636,97 @@ def topk_recall(
             + F.lit(0.0)
         ).alias("recall"),
     )
+
+
+def prototype_prune(
+    df: DataFrame,
+    centroids: list[list[float]],
+    keep_frac: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = True,
+) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws: beating power law scaling via data pruning"): assign
+    each vector to its nearest k-means centroid, score it by cosine to
+    that centroid (its "prototypicality"), and KEEP only the hardest
+    ``keep_frac`` of each cell — the most prototypical (easiest)
+    examples are the ones large-data training can afford to drop.
+
+    Cell assignment replays :func:`with_ivf_cell`'s argmax struct
+    (centroids as plan literals, expression-only; the winning struct also
+    carries the score, so prototypicality is one extra division — no
+    second pass over the centroid list). The per-cell rank runs on the
+    ROUNDED-6 prototypicality with id tie-break, so the kept set is a
+    pure function of (vectors, centroids) — same float-boundary
+    fragility class as ``ivf_topk`` (cell argmax ties at the last ulp).
+
+    ``exact=True`` (oracle lane): per-cell ``row_number <= ceil(frac·n)``
+    — compiles to WindowGroupLimit; each cell's rows pass through one
+    window partition, fine while cells stay ~corpus/C sized and C scales
+    with the corpus (the paper's regime — C grows with n). ``exact=False``
+    (100 TB lane): per-cell ``percentile_approx`` threshold on the score,
+    keep ``proto <= thr`` — constant memory, no window at all; the kept
+    fraction moves within the sketch's rank error at the boundary.
+
+    Zero-norm vectors carry no direction — they get NULL prototypicality
+    and are always kept (nothing can rank them).
+
+    Output: the kept rows as (id, ivf_cell, proto_cos).
+    """
+    from temporalscope_spark.exceptions import DataFrameValidationError
+
+    if not centroids:
+        raise DataFrameValidationError("prototype_prune: empty centroid list")
+    if not 0.0 < keep_frac <= 1.0:
+        raise DataFrameValidationError("prototype_prune: keep_frac must be in (0, 1]")
+    if id_col not in df.columns or vec_col not in df.columns:
+        raise DataFrameValidationError(
+            f"prototype_prune: need columns {id_col!r}, {vec_col!r}"
+        )
+    # one argmax struct serves both the cell id and the prototypicality:
+    # with_ivf_cell scores dot(v,c)/|c| (argmax-equivalent to cosine since
+    # |v| is common across cells), so cosine-to-own-centroid is just the
+    # winning score divided by |v| — no per-centroid when-chain (the 64 KB
+    # codegen class), C only appears once in the plan
+    v = F.col(vec_col).cast("array<double>")
+    structs = []
+    for i, c in enumerate(centroids):
+        cnorm = math.sqrt(sum(x * x for x in c)) or 1.0
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        structs.append(
+            F.struct(
+                (_dot(v, lit) / F.lit(cnorm)).alias("score"),
+                F.lit(i).alias("idx"),
+            )
+        )
+    best = F.array_max(F.array(*structs))
+    proto = F.round(F.try_divide(best["score"], _norm(v)), 6) + F.lit(0.0)
+    scored = df.select(
+        F.col(id_col), best["idx"].alias("ivf_cell"), proto.alias("proto_cos")
+    )
+    ranked_cols = [id_col, "ivf_cell", "proto_cos"]
+    if exact:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("ivf_cell").orderBy(
+            F.col("proto_cos").asc_nulls_first(), F.col(id_col)
+        )
+        wc = Window.partitionBy("ivf_cell")
+        keep = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_nc", F.count(F.lit(1)).over(wc))
+            .filter(
+                F.col("proto_cos").isNull()
+                | (F.col("_rn") <= F.ceil(F.col("_nc") * F.lit(float(keep_frac))))
+            )
+        )
+        return keep.select(*ranked_cols)
+    thr = scored.filter(F.col("proto_cos").isNotNull()).groupBy("ivf_cell").agg(
+        F.percentile_approx("proto_cos", F.lit(float(keep_frac))).alias("_thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "ivf_cell", "left")
+        .filter(F.col("proto_cos").isNull() | (F.col("proto_cos") <= F.col("_thr")))
+        .select(*ranked_cols)
+    )
