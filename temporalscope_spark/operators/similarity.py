@@ -730,3 +730,85 @@ def prototype_prune(
         .filter(F.col("proto_cos").isNull() | (F.col("proto_cos") <= F.col("_thr")))
         .select(*ranked_cols)
     )
+
+
+def margin_mining(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    knn_k: int = 4,
+    margin_threshold: float = 1.05,
+    candidate_threshold: float = 0.2,
+    method: str = "gemm",
+    **pair_kwargs,
+) -> DataFrame:
+    """Margin-based nearest-neighbor pair mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings" — the CCMatrix/LASER bitext-mining criterion): score each
+    candidate pair by its cosine RELATIVE to both endpoints' neighborhood
+    densities,
+
+        ``margin(a, b) = cos(a, b) / (½·(avgTopK(a) + avgTopK(b)))``
+
+    — a pair is interesting when it is closer than each side's *typical*
+    nearest neighbors, which kills the hub vectors that plain
+    cosine-threshold mining drowns in.
+
+    Candidates come from :func:`cosine_self_join_pairs`
+    (``method='gemm'`` = exact triangular block-GEMM; ``'lsh'`` = SRP
+    multi-probe blocking, the corpus-scale path), and each side's top-k
+    average is computed over that same candidate set — exactly the
+    approximation the paper makes by reading kNN from a FAISS index.
+    ``candidate_threshold`` must sit low enough that true top-k
+    neighbors are candidates (it bounds the mined margin from below by
+    roughly ``threshold / avgTopK``).
+
+    Plan shape: one pair generation (bucketed — never all-pairs under
+    ``'lsh'``), one per-id WindowGroupLimit top-k + bounded avg over the
+    symmetrized pair list, then two equi-joins of the pair table against
+    the n-row kNN-average table. No window ever spans more than one id's
+    candidate list.
+
+    Output: (id_a, id_b, cosine, margin) rounded to 4 (the pair-query
+    convention — GEMM's BLAS summation order differs from expression
+    folds at ~1e-15), filtered to ``margin >= margin_threshold``.
+    """
+    from temporalscope_spark.exceptions import DataFrameValidationError
+    from pyspark.sql.window import Window
+
+    if knn_k < 1:
+        raise DataFrameValidationError("margin_mining: knn_k must be >= 1")
+    if margin_threshold < 0:
+        raise DataFrameValidationError("margin_mining: margin_threshold must be >= 0")
+    pairs = cosine_self_join_pairs(
+        df, vec_col, id_col, threshold=candidate_threshold, method=method,
+        **pair_kwargs,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("_id"), F.col("id_b").alias("_other"), F.col("cosine")
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("_id"), F.col("id_a").alias("_other"), F.col("cosine")
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("cosine").desc(), F.col("_other"))
+    knn = (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= knn_k)
+        .groupBy("_id")
+        .agg(F.avg("cosine").alias("_knn"))
+    )
+    ka = knn.select(F.col("_id").alias("id_a"), F.col("_knn").alias("_ka"))
+    kb = knn.select(F.col("_id").alias("id_b"), F.col("_knn").alias("_kb"))
+    margin = F.col("cosine") / (F.lit(0.5) * (F.col("_ka") + F.col("_kb")))
+    return (
+        pairs.join(ka, "id_a")
+        .join(kb, "id_b")
+        .filter(margin >= F.lit(float(margin_threshold)))
+        .select(
+            "id_a",
+            "id_b",
+            (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"),
+            (F.round(margin, 4) + F.lit(0.0)).alias("margin"),
+        )
+    )
