@@ -1118,6 +1118,32 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("event_id", "user_id")
 
 
+def q_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded memorization risk: per eval doc, the fraction of its
+    distinct token 3-grams found anywhere in training (the GPT-3
+    appendix-C / PaLM analysis behind the binary decontamination gate).
+    Same train/eval split and gram lane as `decontaminate`."""
+    from temporalscope_spark.operators.contamination import contamination_rate
+
+    seqs = _synthetic_token_events(spark, sf_dir)
+    train = seqs.filter(F.col("user_id") % 7 != 0)
+    ev = seqs.filter(F.col("user_id") % 7 == 0)
+    return contamination_rate(train, ev, n=3, id_col="event_id", key="string")
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group rank-to-uniform calibration of event values within each
+    event type (average ranks; two-phase cumsum — no per-group sort).
+    After the exact integer counts the score is two IEEE divisions —
+    bit-identical cross-engine."""
+    from temporalscope_spark.operators.scaling import quantile_normalize
+
+    events = _t(spark, sf_dir, "events")
+    return quantile_normalize(events, "value", "event_type").select(
+        "event_id", "event_type", "value", "value_qn"
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-mixing primitive: keep 100% of purchases, 20% of clicks, drop
     the rest — deterministic md5 membership, partition-invariant."""
@@ -4519,6 +4545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpo_pairs": q_dpo_pairs,
         "prototype_prune": q_prototype_prune,
         "margin_mining": q_margin_mining,
+        "contamination_rate": q_contamination_rate,
+        "quantile_normalize": q_quantile_normalize,
         "dedup_lines": q_dedup_lines,
         "dedup_lines_incremental": q_dedup_lines_incremental,
         "pagerank": q_pagerank,
@@ -6132,6 +6160,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, user_id FROM tr
             WHERE event_id NOT IN (SELECT DISTINCT event_id FROM tg JOIN eg USING (g))
+        """,
+        # contamination rate: per-eval-doc distinct grams LEFT JOIN the
+        # (train ∩ eval) gram set; counts are exact ints, rate = one IEEE
+        # division rounded 6
+        "contamination_rate": """
+            WITH seqs AS (
+                SELECT event_id, user_id,
+                       generate_series(event_id % 100,
+                                       event_id % 100 + event_id % 5) AS toks
+                FROM events
+            ),
+            tr AS (SELECT * FROM seqs WHERE user_id % 7 <> 0),
+            ev AS (SELECT * FROM seqs WHERE user_id % 7 = 0),
+            eg AS (
+                SELECT DISTINCT event_id,
+                       array_to_string(list_slice(toks, CAST(i AS INT),
+                                                  CAST(i AS INT) + 2), ',') AS g
+                FROM ev, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+            ),
+            tg AS (
+                SELECT DISTINCT
+                       array_to_string(list_slice(toks, CAST(i AS INT),
+                                                  CAST(i AS INT) + 2), ',') AS g
+                FROM tr, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+            ),
+            hit AS (SELECT DISTINCT g FROM tg JOIN (SELECT DISTINCT g FROM eg) e2 USING (g))
+            SELECT eg.event_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hit,
+                   round(CAST(sum(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) + 0.0 AS rate
+            FROM eg LEFT JOIN hit h USING (g)
+            GROUP BY eg.event_id
+        """,
+        # per-group rank-to-uniform: avg rank from per-type cumulative
+        # counts over the distinct-value table (NULLs pass through, don't
+        # count toward n)
+        "quantile_normalize": """
+            WITH v AS (
+                SELECT event_type, value, count(*) AS c
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type, value
+            ),
+            r AS (
+                SELECT event_type, value, c,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY value) AS cum,
+                       sum(c) OVER (PARTITION BY event_type) AS n
+                FROM v
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round((CAST(r.cum AS DOUBLE) - CAST(r.c AS DOUBLE)
+                          + (CAST(r.c AS DOUBLE) + 1.0) / 2.0 - 0.5)
+                         / CAST(r.n AS DOUBLE), 6) + 0.0 AS value_qn
+            FROM events e
+            LEFT JOIN r ON r.event_type = e.event_type AND r.value = e.value
         """,
         "training_windows": """
             WITH seqs AS (

@@ -16,6 +16,7 @@ from temporalscope_spark.operators.contamination import (
     bloom_bits,
     bloom_contaminated_ids,
     contaminated_ids,
+    contamination_rate,
     decontaminate,
     decontaminate_bloom,
     token_ngrams,
@@ -119,6 +120,7 @@ from temporalscope_spark.operators.scaling import (
     mad_outliers,
     moment_profile,
     polynomial_features,
+    quantile_normalize,
     scale_by_group,
     scale_features,
 )
@@ -201,7 +203,7 @@ from temporalscope_spark.operators.similarity import (
 __all__ = [
     "asof_join", "backward_fill", "forward_fill", "range_join", "serve_features",
     "bloom_bits", "bloom_contaminated_ids", "contaminated_ids",
-    "decontaminate", "decontaminate_bloom", "token_ngrams",
+    "contamination_rate", "decontaminate", "decontaminate_bloom", "token_ngrams",
     "entity_split", "fit_fold_bounds", "purged_fold_summary",
     "purged_time_series_splits",
     "dedup_exact", "dedup_lines", "dedup_lines_incremental", "line_index",
@@ -227,7 +229,7 @@ __all__ = [
     "select_features_mrmr",
     "correlation_matrix", "cooccurrence_pmi",
     "fit_quantile_edges", "mad_outliers_grouped", "quantile_bin", "winsorize",
-    "ecdf_feature", "fit_scaler", "mad_outliers", "moment_profile",
+    "ecdf_feature", "fit_scaler", "mad_outliers", "moment_profile", "quantile_normalize",
     "polynomial_features", "scale_by_group",
     "scale_features", "fit_impute", "impute",
     "PCAModel", "fit_pca", "fit_pca_array", "pca_project", "pca_project_array",

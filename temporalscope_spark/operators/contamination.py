@@ -231,3 +231,55 @@ def decontaminate_bloom(
     )
     bad = bloom_contaminated_ids(train, bits, n, k, m, seed, id_col, tokens_col)
     return train.join(bad, id_col, "left_anti")
+
+
+def contamination_rate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    key: str = "hash",
+) -> DataFrame:
+    """Per-EVAL-document n-gram overlap against the training corpus — the
+    graded memorization-risk report behind the binary
+    :func:`contaminated_ids` gate (the convention of GPT-3's appendix-C /
+    PaLM's contamination analyses: % of an eval example's n-grams also
+    found in training data, not just any-hit).
+
+    Output: (id, n_grams, n_hit, rate) per eval doc with at least one
+    n-gram — ``rate = n_hit / n_grams`` over the doc's DISTINCT grams,
+    rounded 6. Docs shorter than ``n`` tokens have no grams and are
+    omitted (no denominator exists).
+
+    Plan shape at 100 TB: the eval gram set is benchmark-sized by
+    assumption — it broadcasts; the training corpus is scanned ONCE,
+    filtered down to only the grams the eval set mentions (a tiny
+    semi-join result), and distinct-ed. The corpus never shuffles on
+    anything else, and the per-doc counting happens entirely on the
+    bounded eval side.
+    """
+    eg = token_ngrams(eval_df, n, id_col, tokens_col, key)
+    tg = token_ngrams(train, n, id_col, tokens_col, key).select("ngram_key")
+    hit = (
+        tg.join(F.broadcast(eg.select("ngram_key").distinct()), "ngram_key")
+        .select("ngram_key")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        eg.join(F.broadcast(hit), "ngram_key", "left")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_hit",
+        (
+            F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6) + F.lit(0.0)
+        ).alias("rate"),
+    )

@@ -351,3 +351,90 @@ def scale_features(
             f"{c}_scaled", F.round((x - F.lit(float(a))) / F.lit(float(b)), 6)
         )
     return out
+
+
+def quantile_normalize(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Append ``{col}_qn``: the PER-GROUP rank-to-uniform transform
+    ``(avg_rank − 0.5) / n_g`` — cross-source score calibration. Quality
+    scores from different domains live on incomparable scales (web
+    perplexities vs code heuristics); rank-normalizing within each
+    source makes one global threshold meaningful across all of them
+    (the grouped sibling of :func:`ecdf_feature`, with AVERAGE ranks so
+    tied values map identically — partition-invariant by construction).
+
+    Global ranking without a per-group sort: distinct (group, value)
+    counts (one map-side-combinable aggregation) run through the
+    quantile-bucket two-phase running sum ordered by (group index,
+    value) — ``plans/rownum.with_global_cumsum``, no single-partition
+    window at any size; the group index and each group's starting
+    offset/total are driver literals (group cardinality = sources/langs,
+    bounded by convention). The V-row lookup table joins back
+    (group, value)-keyed. NULL in, NULL out; NULLs don't count toward
+    ``n_g``. All arithmetic after the exact integer counts is two IEEE
+    divisions — bit-identical in any engine.
+    """
+    if col not in df.columns:
+        raise DataFrameValidationError(f"quantile_normalize: missing column {col!r}")
+    if group_col not in df.columns:
+        raise DataFrameValidationError(
+            f"quantile_normalize: missing column {group_col!r}"
+        )
+    from temporalscope_spark.plans.rownum import with_global_cumsum
+
+    out_col = out_col or f"{col}_qn"
+    x = F.col(col).cast("double")
+    g = F.col(group_col).cast("string")
+    vals = (
+        df.filter(x.isNotNull())
+        .groupBy(g.alias("_g"), x.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = {
+        r["_g"]: r["_n"]
+        for r in vals.groupBy("_g").agg(F.sum("_c").alias("_n")).collect()
+    }
+    if not totals:
+        raise DataFrameValidationError(
+            f"quantile_normalize: column {col!r} has no non-null values"
+        )
+    names = sorted(totals)
+    gidx = {s: float(i) for i, s in enumerate(names)}
+    starts, acc = {}, 0
+    for s in names:
+        starts[s] = float(acc)
+        acc += totals[s]
+    idx_map = F.create_map(*[F.lit(v) for s in names for v in (s, gidx[s])])
+    start_map = F.create_map(*[F.lit(v) for s in names for v in (s, starts[s])])
+    n_map = F.create_map(*[F.lit(v) for s in names for v in (s, float(totals[s]))])
+    cum = with_global_cumsum(
+        vals.withColumn("_gord", F.element_at(idx_map, F.col("_g"))),
+        ["_gord", "_v"],
+        ["_c"],
+    )
+    avg_rank = (
+        F.col("_c_cum").cast("double")
+        - F.element_at(start_map, F.col("_g"))
+        - F.col("_c").cast("double")
+        + (F.col("_c").cast("double") + F.lit(1.0)) / F.lit(2.0)
+    )
+    lut = cum.select(
+        "_g",
+        "_v",
+        (
+            F.round(
+                (avg_rank - F.lit(0.5)) / F.element_at(n_map, F.col("_g")), 6
+            )
+            + F.lit(0.0)
+        ).alias(out_col),
+    )
+    return (
+        df.withColumn("_g", g)
+        .withColumn("_v", x)
+        .join(lut, ["_g", "_v"], "left")
+        .drop("_g", "_v")
+    )
