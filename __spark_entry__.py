@@ -4162,6 +4162,43 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (Carbonell & Goldstein 1998): queries = vecs
+    0 and 1, candidates = each query's top-15 exact-cosine hits among
+    vec_id >= 10 (rel rounded 6), k=5 at lambda=0.7. The oracle unrolls
+    the same 5 greedy rounds as a CTE chain (the BPE-loop convention)."""
+    from temporalscope_spark.operators.similarity import cosine_similarity, mmr_rerank
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(0, 1)).collect()
+    }
+    branches = []
+    for qid in sorted(qs):
+        qlit = F.array(*[F.lit(x) for x in qs[qid]])
+        branches.append(
+            emb.filter(F.col("vec_id") >= 10).select(
+                F.lit(qid).alias("query_id"),
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding"),
+                cosine_similarity(F.col("embedding"), qlit).alias("_cos"),
+            )
+        )
+    cand = branches[0].unionByName(branches[1])
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("doc_id"))
+    cand = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 15)
+        .select(
+            "query_id", "doc_id", "embedding",
+            (F.round("_cos", 6) + F.lit(0.0)).alias("score"),
+        )
+    )
+    return mmr_rerank(cand, k=5, lam=0.7)
+
+
 def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPO preference-pair construction (Rafailov et al. 2023) treating
     each user's events as scored candidate responses: chosen/rejected =
@@ -4545,6 +4582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpo_pairs": q_dpo_pairs,
         "prototype_prune": q_prototype_prune,
         "margin_mining": q_margin_mining,
+        "mmr_rerank": q_mmr_rerank,
         "contamination_rate": q_contamination_rate,
         "quantile_normalize": q_quantile_normalize,
         "dedup_lines": q_dedup_lines,
@@ -4607,6 +4645,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_features": q_trend_features,
         "woe_iv": q_woe_iv,
     }
+
+
+def _mmr_oracle(k: int, lam: float) -> str:
+    """Unrolled greedy-MMR CTE chain replaying q_mmr_rerank: same
+    candidate generation (top-15 exact cosine per query, rel rounded 6),
+    same per-round argmax on the ROUNDED score with id tie-break, and the
+    same IEEE mu = 1.0 - lam (the SQL subtraction reproduces Python's
+    0.30000000000000004 bit-for-bit)."""
+    mu = "(CAST(1.0 AS DOUBLE) - CAST({l} AS DOUBLE))".format(l=lam)
+    rounds = ["""
+        sc1 AS (
+            SELECT qid, vec_id,
+                   round(CAST({l} AS DOUBLE) * rel, 6) + 0.0 AS score
+            FROM cand
+        ),
+        pk1 AS (
+            SELECT qid, vec_id, score, 1 AS rnk FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM sc1
+            ) WHERE rn = 1
+        ),
+        sel1 AS (SELECT * FROM pk1)""".format(l=lam)]
+    for i in range(2, k + 1):
+        rounds.append("""
+        ms{i} AS (
+            SELECT c.qid, c.vec_id,
+                   max(list_cosine_similarity(c.e, cd.e)) AS ms
+            FROM cand c
+            JOIN sel{p} s ON s.qid = c.qid
+            JOIN cand cd ON cd.qid = s.qid AND cd.vec_id = s.vec_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sel{p} x
+                WHERE x.qid = c.qid AND x.vec_id = c.vec_id
+            )
+            GROUP BY c.qid, c.vec_id
+        ),
+        sc{i} AS (
+            SELECT m.qid, m.vec_id,
+                   round(CAST({l} AS DOUBLE) * c.rel - {mu} * m.ms, 6) + 0.0
+                       AS score
+            FROM ms{i} m JOIN cand c
+              ON c.qid = m.qid AND c.vec_id = m.vec_id
+        ),
+        pk{i} AS (
+            SELECT qid, vec_id, score, {i} AS rnk FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                FROM sc{i}
+            ) WHERE rn = 1
+        ),
+        sel{i} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM pk{i})""".format(
+            i=i, p=i - 1, l=lam, mu=mu))
+    return """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        qv AS (SELECT vec_id AS qid, e AS qe FROM vecs WHERE vec_id IN (0, 1)),
+        c0 AS (
+            SELECT qv.qid, v.vec_id, v.e,
+                   list_cosine_similarity(v.e, qv.qe) AS rc,
+                   row_number() OVER (
+                       PARTITION BY qv.qid
+                       ORDER BY list_cosine_similarity(v.e, qv.qe) DESC,
+                                v.vec_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN qv WHERE v.vec_id >= 10
+        ),
+        cand AS (
+            SELECT qid, vec_id, e, round(rc, 6) + 0.0 AS rel
+            FROM c0 WHERE rn <= 15
+        ),{rounds}
+        SELECT qid AS query_id, vec_id AS doc_id,
+               CAST(rnk AS INT) AS rank, score AS mmr_score
+        FROM sel{k}
+    """.format(rounds=",".join(rounds), k=k)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8218,6 +8332,7 @@ def oracle_sql() -> dict[str, str]:
                END + 0.0 AS value_gz
         FROM events
     """
+    sql["mmr_rerank"] = _mmr_oracle(5, 0.7)
     sql["mad_outliers"] = """
         WITH m1 AS (
             SELECT round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS med

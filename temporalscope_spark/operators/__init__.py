@@ -194,6 +194,7 @@ from temporalscope_spark.operators.similarity import (
     ivf_centroids,
     ivf_topk,
     margin_mining,
+    mmr_rerank,
     prototype_prune,
     semdedup,
     with_ivf_cell,
@@ -250,6 +251,6 @@ __all__ = [
     "shift_target", "shift_target_chunked", "time_to_event",
     "ann_topk", "centroid_distance_features", "cosine_self_join_pairs",
     "cosine_topk", "ivf_centroids",
-    "ivf_topk", "margin_mining", "prototype_prune", "semdedup", "with_ivf_cell", "with_lsh_bucket",
+    "ivf_topk", "margin_mining", "mmr_rerank", "prototype_prune", "semdedup", "with_ivf_cell", "with_lsh_bucket",
     "dpo_pairs",
 ]

@@ -812,3 +812,97 @@ def margin_mining(
             (F.round(margin, 4) + F.lit(0.0)).alias("margin"),
         )
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    from each query's candidate list, greedily select ``k`` documents
+    maximizing ``λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)`` — relevance
+    traded against redundancy with what is already picked, the standard
+    diversity pass over a retriever's top-N (and the candidate-selection
+    rule RAG pipelines use verbatim).
+
+    Input is the CANDIDATE table (query, doc, vector, relevance score) —
+    bounded per query by the upstream retriever's N. Selection is
+    inherently sequential in k, so the operator unrolls k rounds, each
+    ALL-QUERIES-AT-ONCE: one equi-join of candidates against the selected
+    set (≤ r rows per query), a per-(query, doc) max, and a per-query
+    argmax via ``min(struct(−score, id))`` — partition-invariant, no
+    window over more than one query's candidates, no driver collect
+    (per-round ``localCheckpoint`` on the Q·r-row selected table truncates
+    the growing lineage, the BPE-loop convention). Scores are rounded to
+    6 before each argmax so the greedy trajectory replays identically in
+    any engine (same float-boundary fragility class as ``ivf_topk``).
+
+    Output: (query, doc, rank 1..k, mmr_score). Queries with fewer than
+    k candidates simply exhaust early.
+    """
+    from temporalscope_spark.exceptions import DataFrameValidationError
+
+    for c in (query_col, id_col, vec_col, score_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"mmr_rerank: missing column {c!r}")
+    if k < 1:
+        raise DataFrameValidationError("mmr_rerank: k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise DataFrameValidationError("mmr_rerank: lam must be in [0, 1]")
+    cand = df.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col(vec_col).cast("array<double>").alias("_e"),
+        (F.round(F.col(score_col).cast("double"), 6) + F.lit(0.0)).alias("_rel"),
+    ).persist()
+    lam_l, mu_l = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    selected = None
+    for r in range(1, k + 1):
+        if selected is None:
+            scored = cand.withColumn("_ms", F.lit(0.0))
+        else:
+            remaining = cand.join(
+                selected.select("_q", "_d"), ["_q", "_d"], "left_anti"
+            )
+            sel_v = selected.select("_q", F.col("_e").alias("_se"))
+            scored = (
+                remaining.join(sel_v, "_q")
+                .withColumn("_s", cosine_similarity(F.col("_e"), F.col("_se")))
+                .groupBy("_q", "_d")
+                .agg(
+                    F.max("_s").alias("_ms"),
+                    F.first("_rel").alias("_rel"),
+                    F.first("_e").alias("_e"),
+                )
+            )
+        scored = scored.withColumn(
+            "_score",
+            F.round(lam_l * F.col("_rel") - mu_l * F.col("_ms"), 6) + F.lit(0.0),
+        )
+        pick = (
+            scored.groupBy("_q")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_score")).alias("n"), F.col("_d").alias("d"))
+                ).alias("_p")
+            )
+            .select("_q", F.col("_p.d").alias("_d"))
+        )
+        pick_full = pick.join(scored, ["_q", "_d"]).select(
+            "_q", "_d", "_e", F.lit(r).alias("_rank"), F.col("_score")
+        )
+        selected = (
+            pick_full if selected is None else selected.unionByName(pick_full)
+        ).localCheckpoint()
+    cand.unpersist()
+    return selected.select(
+        F.col("_q").alias(query_col),
+        F.col("_d").alias(id_col),
+        F.col("_rank").cast("int").alias("rank"),
+        F.col("_score").alias("mmr_score"),
+    )
