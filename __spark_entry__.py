@@ -4199,6 +4199,34 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cand, k=5, lam=0.7)
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAUVE-style embedding drift (Pillutla et al. 2021 reduced to its
+    quantized-histogram core): even vs odd vec_ids assigned to the shared
+    md5-seeded 8-cell quantizer, per-cell shares + JS divergence (log2,
+    Laplace 0.5). The JS total is a sorted fold over the bounded cell
+    table — engine-exact."""
+    from temporalscope_spark.operators.drift import embedding_drift
+    from temporalscope_spark.operators.similarity import ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(
+        emb, num_centroids=8, seed=42, refine_iters=0, seed_hash="md5"
+    )
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift(ref, cur, cents)
+
+
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-2 diversity per source (Li et al. 2016): distinct word
+    bigrams over total bigram occurrences — the generation-diversity /
+    template-collapse report."""
+    from temporalscope_spark.operators.corpus_stats import distinct_ngram_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return distinct_ngram_ratio(docs, n=2, group_col="source")
+
+
 def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPO preference-pair construction (Rafailov et al. 2023) treating
     each user's events as scored candidate responses: chosen/rejected =
@@ -4583,6 +4611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prototype_prune": q_prototype_prune,
         "margin_mining": q_margin_mining,
         "mmr_rerank": q_mmr_rerank,
+        "embedding_drift": q_embedding_drift,
+        "distinct_ngrams": q_distinct_ngrams,
         "contamination_rate": q_contamination_rate,
         "quantile_normalize": q_quantile_normalize,
         "dedup_lines": q_dedup_lines,
@@ -8331,6 +8361,99 @@ def oracle_sql() -> dict[str, str]:
                                        OVER (PARTITION BY user_id), 6), 6)
                END + 0.0 AS value_gz
         FROM events
+    """
+    # embedding drift: the _ivf_sql quantizer replay, even/odd split
+    # histograms over all 8 cells, Laplace-0.5 shares, JS total as the
+    # ordered list_reduce fold (== Spark's array_sort aggregate fold)
+    sql["embedding_drift"] = """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        seeds AS (
+            SELECT e AS c,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')
+                   ) - 1 AS idx
+            FROM vecs
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')
+            LIMIT 8
+        ),
+        cents AS (
+            SELECT idx, c,
+                   CASE WHEN sqrt(list_dot_product(c, c)) = 0 THEN 1.0
+                        ELSE sqrt(list_dot_product(c, c)) END AS cn
+            FROM seeds
+        ),
+        assigned AS (
+            SELECT v.vec_id, ct.idx,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.e, ct.c) / ct.cn DESC,
+                                ct.idx DESC
+                   ) AS rnk
+            FROM vecs v CROSS JOIN cents ct
+        ),
+        cells AS (SELECT vec_id, idx FROM assigned WHERE rnk = 1),
+        rf AS (SELECT idx AS cell, count(*) AS n_ref FROM cells
+               WHERE vec_id % 2 = 0 GROUP BY idx),
+        cr AS (SELECT idx AS cell, count(*) AS n_cur FROM cells
+               WHERE vec_id % 2 = 1 GROUP BY idx),
+        allc AS (SELECT CAST(UNNEST(generate_series(0, 7)) AS INT) AS cell),
+        h AS (
+            SELECT a.cell,
+                   coalesce(rf.n_ref, 0) AS n_ref,
+                   coalesce(cr.n_cur, 0) AS n_cur
+            FROM allc a LEFT JOIN rf USING (cell) LEFT JOIN cr USING (cell)
+        ),
+        t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM h),
+        x AS (
+            SELECT h.cell, h.n_ref, h.n_cur,
+                   (CAST(h.n_ref AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / (CAST(t.tr AS DOUBLE) + CAST(0.5 AS DOUBLE) * 8.0) AS p,
+                   (CAST(h.n_cur AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / (CAST(t.tc AS DOUBLE) + CAST(0.5 AS DOUBLE) * 8.0) AS q
+            FROM h, t
+        ),
+        z AS (
+            SELECT *,
+                   p * log2(p / ((p + q) / 2.0)) / 2.0
+                   + q * log2(q / ((p + q) / 2.0)) / 2.0 AS term
+            FROM x
+        ),
+        tot AS (
+            SELECT list_reduce(
+                       list_prepend(0.0, list(term ORDER BY cell)),
+                       (a, b) -> a + b) AS js
+            FROM z
+        )
+        SELECT z.cell,
+               CAST(z.n_ref AS BIGINT) AS n_ref,
+               CAST(z.n_cur AS BIGINT) AS n_cur,
+               round(z.p, 6) + 0.0 AS share_ref,
+               round(z.q, 6) + 0.0 AS share_cur,
+               round(z.term, 6) + 0.0 AS js_term,
+               round(tot.js, 6) + 0.0 AS js_total
+        FROM z, tot
+    """
+    # distinct-n diversity: positional bigrams (chr(31) join), one
+    # count + count-distinct aggregation per source
+    sql["distinct_ngrams"] = f"""
+        WITH w AS (
+            SELECT source, string_split({_NORM}, ' ') AS ws FROM documents
+        ),
+        g AS (
+            SELECT source,
+                   array_to_string(
+                       list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 1),
+                       chr(31)) AS gram
+            FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+               round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
+                   + 0.0 AS ratio
+        FROM g GROUP BY source
     """
     sql["mmr_rerank"] = _mmr_oracle(5, 0.7)
     sql["mad_outliers"] = """

@@ -64,6 +64,7 @@ from temporalscope_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from temporalscope_spark.operators.drift import (
+    embedding_drift,
     fit_psi_reference,
     ks_drift,
     psi_drift,
@@ -218,7 +219,7 @@ __all__ = [
     "learn_wordpiece", "wordpiece_pieces", "apply_wordpiece", "wp_word_vocab",
     "PostingsIndex", "bm25_topk", "bm25_topk_multi", "build_postings",
     "dsir_select", "hashed_ngram_features",
-    "ks_drift", "psi_drift", "fit_psi_reference", "psi_score",
+    "ks_drift", "psi_drift", "fit_psi_reference", "psi_score", "embedding_drift",
     "gopher_quality_flags", "gopher_repetition_features",
     "bigram_counts", "ppl_buckets", "score_kneser_ney",
     "score_stupid_backoff", "score_unigram", "unigram_counts",

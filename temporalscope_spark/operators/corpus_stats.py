@@ -545,3 +545,62 @@ def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
             + F.lit(0.0)
         ).alias("r2"),
     )
+
+
+def distinct_ngram_ratio(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Distinct-n diversity (Li et al. 2016, "A Diversity-Promoting
+    Objective Function for Neural Conversation Models"): per group, the
+    ratio of DISTINCT word n-grams to total n-gram occurrences — the
+    standard corpus-diversity report (a synthetic/templated source shows
+    a collapsed ratio long before eyeballing does; near-1 means almost
+    every n-gram appears once).
+
+    One positional-gram explode (pre-repartitioned — the dedup-pipeline
+    lesson) into one aggregation: total count is map-side combinable;
+    the distinct count shuffles once on (group, gram). Output:
+    (group, n_grams, n_distinct, ratio) with ratio rounded 6.
+    """
+    from temporalscope_spark.operators.dedup import _parallelize_before_explode
+
+    if n < 1:
+        raise DataFrameValidationError("distinct_ngram_ratio: n must be >= 1")
+    if text_col not in df.columns or group_col not in df.columns:
+        raise DataFrameValidationError(
+            f"distinct_ngram_ratio: need columns {text_col!r}, {group_col!r}"
+        )
+    words = df.select(
+        F.col(group_col).alias("_g"), _norm_words(text_col).alias("_w")
+    )
+    cnt = F.size("_w") - F.lit(n - 1)
+    grams = _parallelize_before_explode(words).select(
+        "_g",
+        F.explode(
+            F.when(
+                cnt > 0,
+                F.transform(
+                    F.sequence(F.lit(1), cnt),
+                    lambda i: F.array_join(F.slice("_w", i, n), "\x1f"),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_gram"),
+    )
+    out = grams.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("_gram").alias("n_distinct"),
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        "n_grams",
+        "n_distinct",
+        (
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_grams"), 6
+            )
+            + F.lit(0.0)
+        ).alias("ratio"),
+    )

@@ -363,3 +363,87 @@ def psi_score(
     grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
     out = grouped.agg(*aggs)
     return out.select(*(group_cols or []), *finals)
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Two-sample embedding-distribution divergence over a shared coarse
+    quantization — the MAUVE idea (Pillutla et al. 2021: compare two text
+    distributions through cluster-histogram divergences in embedding
+    space) reduced to its scalable core: assign BOTH corpora to the same
+    k-means cells (:func:`operators.similarity.with_ivf_cell` — centroids
+    as plan literals, expression-only), build the two C-bin histograms in
+    one aggregation each, and report per-cell shares plus the
+    Jensen–Shannon divergence (log2, bits — 0 = identical, 1 = disjoint).
+
+    Laplace ``smoothing`` keeps empty cells finite (the PSI convention);
+    shares use (count + s) / (n + s·C). Everything after the two
+    map-only assignment scans runs on the bounded C-row cell table; the
+    JS total is a sorted fold over cells so the sum replays bit-identically
+    cross-engine.
+
+    Output: one row per cell (cell, n_ref, n_cur, share_ref, share_cur,
+    js_term) + the `js_total` repeated per row (rounded 6) — the same
+    wide-report convention as `psi_drift`.
+    """
+    from temporalscope_spark.operators.similarity import with_ivf_cell
+
+    if not centroids:
+        raise DataFrameValidationError("embedding_drift: empty centroid list")
+    if smoothing <= 0:
+        raise DataFrameValidationError("embedding_drift: smoothing must be > 0")
+    c_n = len(centroids)
+    cells = (
+        ref.sparkSession.range(c_n).select(F.col("id").cast("int").alias("cell"))
+    )
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        a = with_ivf_cell(df, centroids, vec_col=vec_col, out_col="cell")
+        return a.groupBy("cell").agg(F.count(F.lit(1)).alias(name))
+
+    h = (
+        cells.join(hist(ref, "n_ref"), "cell", "left")
+        .join(hist(cur, "n_cur"), "cell", "left")
+        .na.fill({"n_ref": 0, "n_cur": 0})
+    )
+    tot = h.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    s = F.lit(float(smoothing))
+    h = h.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref").cast("double") + s) / (
+        F.col("_tr").cast("double") + s * F.lit(float(c_n))
+    )
+    q = (F.col("n_cur").cast("double") + s) / (
+        F.col("_tc").cast("double") + s * F.lit(float(c_n))
+    )
+    m = (p + q) / F.lit(2.0)
+    js_term = (
+        p * F.log2(p / m) / F.lit(2.0) + q * F.log2(q / m) / F.lit(2.0)
+    )
+    h = h.withColumn("_p", p).withColumn("_q", q).withColumn("_t", js_term)
+    # sorted fold over the bounded C-row table: engine-exact total
+    total = h.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("cell"), F.col("_t")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_t"],
+        ).alias("_js")
+    )
+    return (
+        h.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            (F.round("_p", 6) + F.lit(0.0)).alias("share_ref"),
+            (F.round("_q", 6) + F.lit(0.0)).alias("share_cur"),
+            (F.round("_t", 6) + F.lit(0.0)).alias("js_term"),
+            (F.round("_js", 6) + F.lit(0.0)).alias("js_total"),
+        )
+    )
