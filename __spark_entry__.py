@@ -4227,6 +4227,42 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_ngram_ratio(docs, n=2, group_col="source")
 
 
+def q_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with keep-BEST-quality survivors (canonical =
+    the component member with max (n_chars, id)) — the production dedup
+    policy, vs `dedup_clusters`' keep-first. Same pair generation."""
+    from temporalscope_spark.operators.dedup import (
+        dedup_cluster_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=12, threshold=0.2, max_shingle_df=100
+    )
+    out = dedup_cluster_survivors(
+        docs, pairs, "doc_id", keep="score", score_col="n_chars"
+    )
+    return out.select("doc_id", "canonical_id")
+
+
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment (sortish batching) over the
+    synthetic token sequences, reported as per-batch padding stats —
+    the global order comes from the two-phase row number (no global
+    sort), ties broken by event_id."""
+    from temporalscope_spark.operators.packing import (
+        batch_padding_stats,
+        length_bucket_batches,
+    )
+
+    seqs = _synthetic_token_events(spark, sf_dir).select(
+        "event_id", F.size("tokens").cast("long").alias("n_tok")
+    )
+    batched = length_bucket_batches(seqs, "n_tok", 64, id_col="event_id")
+    return batch_padding_stats(batched, "n_tok")
+
+
 def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPO preference-pair construction (Rafailov et al. 2023) treating
     each user's events as scored candidate responses: chosen/rejected =
@@ -4613,6 +4649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "embedding_drift": q_embedding_drift,
         "distinct_ngrams": q_distinct_ngrams,
+        "cluster_best": q_cluster_best,
+        "length_batches": q_length_batches,
         "contamination_rate": q_contamination_rate,
         "quantile_normalize": q_quantile_normalize,
         "dedup_lines": q_dedup_lines,
@@ -5126,6 +5164,73 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT id, MIN(r) AS rep FROM walk GROUP BY id)
             SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS canonical_id
             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        """,
+        "cluster_best": f"""
+            WITH RECURSIVE {_shingle_cte(12)},
+            kept AS (SELECT sh FROM shingles GROUP BY sh HAVING COUNT(*) <= 100),
+            fsh AS (SELECT s.doc_id, s.sh FROM shingles s JOIN kept k ON s.sh = k.sh),
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN counts ca ON ca.doc_id = id_a
+                JOIN counts cb ON cb.doc_id = id_b
+                WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            walk(id, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT w.id, e.d FROM walk w JOIN edges e ON e.s = w.r
+            ),
+            best AS (
+                SELECT id, rep FROM (
+                    SELECT w.id, d2.doc_id AS rep,
+                           row_number() OVER (
+                               PARTITION BY w.id
+                               ORDER BY d2.n_chars DESC, d2.doc_id DESC
+                           ) AS rn
+                    FROM walk w JOIN documents d2 ON d2.doc_id = w.r
+                ) WHERE rn = 1
+            )
+            SELECT d.doc_id, COALESCE(b.rep, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN best b ON b.id = d.doc_id
+        """,
+        # sortish batching: global (len, id) row number -> fixed-size cuts
+        # -> per-batch padding stats (all-integer arithmetic except the
+        # final waste division)
+        "length_batches": """
+            WITH seqs AS (
+                SELECT event_id,
+                       CAST(len(generate_series(event_id % 100,
+                                event_id % 100 + event_id % 5)) AS BIGINT)
+                           AS n_tok
+                FROM events
+            ),
+            r AS (
+                SELECT event_id, n_tok,
+                       row_number() OVER (ORDER BY n_tok, event_id) AS rn
+                FROM seqs
+            ),
+            -- // is integer division: CAST(x/64 AS BIGINT) would ROUND
+            b AS (SELECT *, CAST((rn - 1) // 64 AS BIGINT) AS batch_id FROM r)
+            SELECT batch_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(max(n_tok) AS BIGINT) AS max_len,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_len,
+                   CASE WHEN max(n_tok) > 0
+                        THEN round(1.0 - CAST(sum(n_tok) AS DOUBLE)
+                                   / (CAST(count(*) AS DOUBLE)
+                                      * CAST(max(n_tok) AS DOUBLE)), 6) + 0.0
+                        ELSE 0.0 END AS pad_waste
+            FROM b GROUP BY batch_id
         """,
         "repetition": f"""
             WITH n AS (

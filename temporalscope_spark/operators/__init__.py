@@ -91,6 +91,8 @@ from temporalscope_spark.operators.lm import (
     unigram_counts,
 )
 from temporalscope_spark.operators.packing import (
+    batch_padding_stats,
+    length_bucket_batches,
     pack_concat_chunks,
     pack_greedy,
     training_windows,
@@ -224,6 +226,7 @@ __all__ = [
     "bigram_counts", "ppl_buckets", "score_kneser_ney",
     "score_stupid_backoff", "score_unigram", "unigram_counts",
     "pack_concat_chunks", "pack_greedy", "training_windows",
+    "length_bucket_batches", "batch_padding_stats",
     "acf_features", "calendar_features", "entity_profile",
     "fourier_time_features", "recency_features", "trend_features",
     "seasonal_decompose", "series_features", "dft_features",

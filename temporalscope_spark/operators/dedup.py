@@ -645,17 +645,43 @@ def dedup_cluster_survivors(
     pairs: DataFrame,
     id_col: str = "doc_id",
     keep: str = "min",
+    score_col: str | None = None,
 ) -> DataFrame:
-    """Survivor set after clustering: every doc keeps its component's min
-    (or max) id as the canonical representative; docs in no pair survive as
-    themselves. LEFT join against the (small relative to the corpus)
-    component table — broadcast when it fits, else sort-merge via AQE."""
+    """Survivor set after clustering: every doc keeps its component's
+    canonical representative; docs in no pair survive as themselves.
+    ``keep='min'``/``'max'`` picks by id; ``keep='score'`` picks the
+    component member with the HIGHEST ``score_col`` (id-desc tie-break)
+    — "keep the best-quality duplicate, not the first-crawled one", the
+    policy production dedup actually wants (a canonical page beats a
+    mirror even when the mirror has the smaller id). The score pick is
+    one ``max(struct(score, id))`` aggregate over the component table —
+    partition-invariant, no window. LEFT join against the (small
+    relative to the corpus) component table — broadcast when it fits,
+    else sort-merge via AQE."""
+    if keep not in ("min", "max", "score"):
+        raise ValueError("keep must be 'min', 'max' or 'score'")
     comp = connected_components(pairs, "id_a", "id_b")
     if keep == "min":
         # the component label IS the min node id — no extra aggregate
         lbl = comp.select(F.col("node").alias(id_col), F.col("component").alias("_rep"))
-    else:
+    elif keep == "max":
         rep = comp.groupBy("component").agg(F.max("node").alias("_rep"))
+        lbl = comp.join(rep, "component").select(F.col("node").alias(id_col), "_rep")
+    else:
+        if score_col is None or score_col not in df.columns:
+            from temporalscope_spark.exceptions import DataFrameValidationError
+
+            raise DataFrameValidationError(
+                "dedup_cluster_survivors: keep='score' needs a score_col "
+                f"present in df (got {score_col!r})"
+            )
+        scored = comp.join(
+            df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_sc")),
+            "node",
+        )
+        rep = scored.groupBy("component").agg(
+            F.max(F.struct(F.col("_sc"), F.col("node"))).alias("_b")
+        ).select("component", F.col("_b.node").alias("_rep"))
         lbl = comp.join(rep, "component").select(F.col("node").alias(id_col), "_rep")
     return df.join(lbl, id_col, "left").withColumn(
         "canonical_id", F.coalesce(F.col("_rep"), F.col(id_col))

@@ -212,3 +212,67 @@ def training_windows(
             F.col("_w.target").alias("target"),
         )
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    length_col: str,
+    batch_size: int,
+    id_col: str = "doc_id",
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """Length-bucketed batch assignment for padded training (the
+    "sortish" batching every SFT/seq2seq loader uses, cf. fairseq /
+    torchtext BucketIterator): order sequences by (length, id), cut the
+    order into fixed-size batches — every batch holds near-equal lengths,
+    so padding waste ``1 − Σlen/(batch·max_len)`` collapses versus random
+    batching.
+
+    The global order comes from the quantile-bucket two-phase row number
+    (``plans/rownum.with_global_row_number`` — no single-partition window
+    or global sort at any size); the id suffix makes the assignment a
+    pure function of the input set. Output: the input rows +
+    ``batch_col`` (0-based). Downstream shuffles should key on the batch
+    id — batches are contiguous length ranges by construction.
+    """
+    from temporalscope_spark.plans.rownum import with_global_row_number
+
+    if batch_size < 1:
+        raise DataFrameValidationError("length_bucket_batches: batch_size must be >= 1")
+    for c in (length_col, id_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(
+                f"length_bucket_batches: missing column {c!r}"
+            )
+    ranked = with_global_row_number(df, [length_col, id_col], rn_col="_rn")
+    return ranked.withColumn(
+        batch_col, ((F.col("_rn") - 1) / F.lit(int(batch_size))).cast("long")
+    ).drop("_rn")
+
+
+def batch_padding_stats(
+    df: DataFrame,
+    length_col: str,
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """Per-batch padding report for a batch assignment: (batch, n,
+    max_len, sum_len, pad_waste) where ``pad_waste = 1 − sum/(n·max)`` —
+    the fraction of a padded batch tensor that is padding. ONE
+    map-side-combinable aggregation keyed on the batch id."""
+    for c in (length_col, batch_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"batch_padding_stats: missing column {c!r}")
+    g = df.groupBy(batch_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col(length_col).cast("long")).alias("max_len"),
+        F.sum(F.col(length_col).cast("long")).alias("sum_len"),
+    )
+    waste = F.lit(1.0) - F.col("sum_len").cast("double") / (
+        F.col("n").cast("double") * F.col("max_len").cast("double")
+    )
+    return g.withColumn(
+        "pad_waste",
+        F.when(F.col("max_len") > 0, F.round(waste, 6) + F.lit(0.0)).otherwise(
+            F.lit(0.0)
+        ),
+    )
