@@ -4336,18 +4336,14 @@ def q_dedup_lines_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_incremental(batch, idx, "text", "doc_id", sep="\n", min_count=2)
 
 
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over a deterministic md5-derived link graph on the
-    documents table (3 out-links per doc, targets = md5(doc, k) mod N) —
-    the link-graph quality prior a web-curation pipeline consumes
-    (CommonCrawl publishes exactly this ranking). 5 synchronous power
-    rounds; the oracle unrolls the same rounds as CTEs."""
-    from temporalscope_spark.operators.graph import pagerank
-
+def _doc_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic md5-derived link graph shared by the pagerank /
+    hits / label-propagation queries: 3 out-links per doc, targets =
+    md5(doc, k) mod N."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
     k = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
-    edges = docs.select(F.col("doc_id").alias("src"), k).select(
+    return docs.select(F.col("doc_id").alias("src"), k).select(
         "src",
         (
             F.conv(
@@ -4366,7 +4362,42 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             % F.lit(n)
         ).alias("dst"),
     )
-    out = pagerank(edges, iters=5)
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the shared md5 link graph — 4 rounds of in-neighbor
+    majority vote with (count DESC, label ASC) ties; oracle unrolls the
+    same rounds as CTEs."""
+    from temporalscope_spark.operators.graph import label_propagation
+
+    edges = _doc_link_edges(spark, sf_dir)
+    out = label_propagation(edges, iters=4)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the (source, lang)
+    quasi-identifier pair at k=30 — one aggregation; non-vacuous at both
+    SFs (79 violating groups at sf0.01, 6 at sf0.1)."""
+    from temporalscope_spark.operators.pii import k_anonymity
+
+    docs = _t(spark, sf_dir, "documents")
+    return k_anonymity(docs, ["source", "lang"], k=30)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic md5-derived link graph on the
+    documents table (3 out-links per doc, targets = md5(doc, k) mod N) —
+    the link-graph quality prior a web-curation pipeline consumes
+    (CommonCrawl publishes exactly this ranking). 5 synchronous power
+    rounds; the oracle unrolls the same rounds as CTEs."""
+    from temporalscope_spark.operators.graph import pagerank
+
+    out = pagerank(_doc_link_edges(spark, sf_dir), iters=5)
     return out.select(
         F.col("id").cast("long").alias("doc_id"),
         (F.round("rank", 9) + F.lit(0.0)).alias("rank"),
@@ -4380,29 +4411,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoint-ordered folds — the oracle unrolls identical rounds."""
     from temporalscope_spark.operators.graph import hits
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    k = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
-    edges = docs.select(F.col("doc_id").alias("src"), k).select(
-        "src",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "\x1f", F.col("src").cast("string"), F.col("k").cast("string")
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % F.lit(n)
-        ).alias("dst"),
-    )
-    out = hits(edges, iters=4)
+    out = hits(_doc_link_edges(spark, sf_dir), iters=4)
     return out.select(
         F.col("id").alias("doc_id"),
         (F.round("hub", 6) + F.lit(0.0)).alias("hub"),
@@ -4651,6 +4660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_ngrams": q_distinct_ngrams,
         "cluster_best": q_cluster_best,
         "length_batches": q_length_batches,
+        "label_propagation": q_label_propagation,
+        "k_anonymity": q_k_anonymity,
         "contamination_rate": q_contamination_rate,
         "quantile_normalize": q_quantile_normalize,
         "dedup_lines": q_dedup_lines,
@@ -4713,6 +4724,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_features": q_trend_features,
         "woe_iv": q_woe_iv,
     }
+
+
+def _lpa_oracle(iters: int) -> str:
+    """Unrolled label-propagation CTE chain over the shared md5 link
+    graph: per round, in-neighbor majority with (count DESC, label ASC)
+    ties; nodes with no in-edges keep their label."""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+        v{i} AS (
+            SELECT e.dst AS id, l.lab, count(*) AS c
+            FROM e JOIN l{i - 1} l ON l.id = e.src
+            GROUP BY e.dst, l.lab
+        ),
+        b{i} AS (
+            SELECT id, lab AS newl FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+                FROM v{i}
+            ) WHERE rn = 1
+        ),
+        l{i} AS (
+            SELECT l.id, coalesce(b.newl, l.lab) AS lab
+            FROM l{i - 1} l LEFT JOIN b{i} b USING (id)
+        )""")
+    return f"""
+        WITH e AS (
+            SELECT d.doc_id AS src,
+                   CAST('0x' || substr(
+                        md5(CAST(d.doc_id AS VARCHAR) || chr(31)
+                            || CAST(t.k AS VARCHAR)), 1, 8) AS BIGINT)
+                   % (SELECT count(*) FROM documents) AS dst
+            FROM documents d, UNNEST([0, 1, 2]) AS t(k)
+        ),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        l0 AS (SELECT id, id AS lab FROM nodes),{",".join(rounds)}
+        SELECT id AS doc_id, lab AS label FROM l{iters}
+    """
 
 
 def _mmr_oracle(k: int, lam: float) -> str:
@@ -8559,6 +8608,15 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6)
                    + 0.0 AS ratio
         FROM g GROUP BY source
+    """
+    sql["label_propagation"] = _lpa_oracle(4)
+    sql["k_anonymity"] = """
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS group_size,
+               CAST(30 - count(*) AS BIGINT) AS deficit
+        FROM documents
+        GROUP BY source, lang
+        HAVING count(*) < 30
     """
     sql["mmr_rerank"] = _mmr_oracle(5, 0.7)
     sql["mad_outliers"] = """

@@ -75,7 +75,7 @@ from temporalscope_spark.operators.gopher import (
     gopher_quality_flags,
     gopher_repetition_features,
 )
-from temporalscope_spark.operators.graph import pagerank
+from temporalscope_spark.operators.graph import label_propagation, pagerank
 from temporalscope_spark.operators.retrieval import (
     PostingsIndex,
     bm25_topk,
@@ -187,7 +187,7 @@ from temporalscope_spark.operators.shift import (
     shift_target_chunked,
     time_to_event,
 )
-from temporalscope_spark.operators.pii import PII_PATTERNS, pii_scan, redact_pii
+from temporalscope_spark.operators.pii import PII_PATTERNS, k_anonymity, pii_scan, redact_pii
 from temporalscope_spark.operators.preference import dpo_pairs
 from temporalscope_spark.operators.similarity import (
     ann_topk,
@@ -213,8 +213,8 @@ __all__ = [
     "dedup_exact", "dedup_lines", "dedup_lines_incremental", "line_index",
     "merge_line_index", "LineDedupIndex", "dup_span_stats", "minhash_lsh_pairs",
     "minhash_signatures", "ngram_jaccard_pairs", "remove_dup_spans",
-    "simhash", "simhash_near_pairs", "pagerank",
-    "PII_PATTERNS", "pii_scan", "redact_pii",
+    "simhash", "simhash_near_pairs", "pagerank", "label_propagation",
+    "PII_PATTERNS", "k_anonymity", "pii_scan", "redact_pii",
     "learn_bpe_merges", "word_vocab", "apply_bpe", "bpe_compression_stats",
     "piece_seed", "train_unigram", "unigram_em_round", "word_lattice",
     "viterbi_word_tokens", "apply_unigram", "c4_clean",

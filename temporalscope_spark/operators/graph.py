@@ -219,3 +219,73 @@ def hits(
     finally:
         e.unpersist()
         nodes.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    label_col: str = "label",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, "Near linear
+    time algorithm to detect community structures in large-scale
+    networks"): every node starts as its own community; each round it
+    adopts the most frequent label among its IN-neighbors (the
+    undirected variant passes both edge orientations), ties broken by
+    the SMALLEST label — nodes with no in-edges keep their label. The
+    community detector of web-curation stacks (host clustering, mirror
+    farms) where connected components over-merge.
+
+    Deterministic by construction: the fixed round count plus the
+    (count DESC, label ASC) argmax — realized as one
+    ``max(struct(count, -label))`` aggregate — make the result a pure
+    function of the edge set, so the DuckDB oracle replays the same
+    rounds as unrolled CTEs. Each round is ONE equi-join (edges ×
+    labels on the source key) + ONE map-side-combinable
+    groupBy(dst, label) count + one argmax aggregate; per-round
+    ``localCheckpoint`` truncates the growing lineage (the pagerank
+    convention). Returns ``(id, label)`` — label = min community member
+    under the dynamics, NOT necessarily the component min.
+    """
+    if iters < 1:
+        raise DataFrameValidationError("label_propagation: iters must be >= 1")
+    for c in (src, dst):
+        if c not in edges.columns:
+            raise DataFrameValidationError(f"label_propagation: missing column {c!r}")
+    e = edges.select(
+        F.col(src).cast("long").alias("_s"), F.col(dst).cast("long").alias("_d")
+    ).persist()
+    nodes = (
+        e.select(F.col("_s").alias("id"))
+        .unionByName(e.select(F.col("_d").alias("id")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.withColumn(label_col, F.col("id")).localCheckpoint()
+    for _ in range(iters):
+        votes = (
+            e.join(labels.select(F.col("id").alias("_s"), F.col(label_col)), "_s")
+            .groupBy(F.col("_d").alias("id"), F.col(label_col))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        best = (
+            votes.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("_c"), (-F.col(label_col)).alias("_nl"))
+                ).alias("_b")
+            )
+            .select("id", (-F.col("_b._nl")).alias("_new"))
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_new"), F.col(label_col)).alias(label_col),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return labels

@@ -117,3 +117,33 @@ def redact_pii(
         cur.alias("redacted_text"),
         n_redacted.alias("n_redacted"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns (Sweeney
+    2002): every row must share its quasi-identifier combination with at
+    least ``k − 1`` others, or the combination re-identifies. The
+    pre-release privacy gate on any metadata table shipped next to a
+    training corpus.
+
+    ONE map-side-combinable groupBy over the quasi-identifier tuple.
+    Output: one row per violating combination (the quasi columns,
+    group_size, deficit = k − size), ordered nowhere — empty output
+    means the table IS k-anonymous at this k. NULL is treated as a
+    value (two NULL zips match — the standard audit convention).
+    """
+    if k < 2:
+        raise DataFrameValidationError("k_anonymity: k must be >= 2")
+    if not quasi_cols:
+        raise DataFrameValidationError("k_anonymity: quasi_cols must be non-empty")
+    missing = [c for c in quasi_cols if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"k_anonymity: missing columns {missing}")
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("group_size"))
+    return g.filter(F.col("group_size") < k).withColumn(
+        "deficit", (F.lit(int(k)) - F.col("group_size")).cast("long")
+    ).withColumn("group_size", F.col("group_size").cast("long"))
