@@ -669,8 +669,6 @@ def dedup_cluster_survivors(
         lbl = comp.join(rep, "component").select(F.col("node").alias(id_col), "_rep")
     else:
         if score_col is None or score_col not in df.columns:
-            from temporalscope_spark.exceptions import DataFrameValidationError
-
             raise DataFrameValidationError(
                 "dedup_cluster_survivors: keep='score' needs a score_col "
                 f"present in df (got {score_col!r})"
