@@ -659,7 +659,7 @@ def dedup_cluster_survivors(
     relative to the corpus) component table — broadcast when it fits,
     else sort-merge via AQE."""
     if keep not in ("min", "max", "score"):
-        raise ValueError("keep must be 'min', 'max' or 'score'")
+        raise DataFrameValidationError("keep must be 'min', 'max' or 'score'")
     comp = connected_components(pairs, "id_a", "id_b")
     if keep == "min":
         # the component label IS the min node id — no extra aggregate

@@ -88,5 +88,5 @@ class TestScoreSurvivors:
         pairs = spark.createDataFrame([(1, 1)], "id_a long, id_b long")
         with pytest.raises(DataFrameValidationError):
             dedup_cluster_survivors(docs, pairs, keep="score")
-        with pytest.raises(ValueError):
+        with pytest.raises(DataFrameValidationError):
             dedup_cluster_survivors(docs, pairs, keep="bogus")
