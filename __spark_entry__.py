@@ -4016,6 +4016,42 @@ def q_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimates(merged, "source", k=32)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per-source distinct-trigram estimates (Flajolet et
+    al. 2007): m = 2^8 max-rank registers on the md5 lane, rho from the
+    EXACT integer identity length(bin(w)) — the sketch and the estimate
+    replay bit-for-bit in DuckDB (the only floats are 2^-M sums, exact
+    under 53 bits, and two single-op ln corrections)."""
+    from temporalscope_spark.operators.corpus_stats import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_distinct(docs, "text", "source", p=8, seed=7, ngram=3)
+
+
+def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HLL lane: the corpus register table (doc_id % 5 != 0)
+    is merged with a batch's registers (doc_id % 5 == 0) by a bounded
+    per-(source, bucket) max — neither side is rescanned, and max's
+    associativity makes merge-of-sketches ≡ sketch-of-union EXACTLY.
+    Oracle = the one-shot sketch over the full corpus (equivalence
+    proof, same pattern as kmv_incremental / incremental_dedup)."""
+    from temporalscope_spark.operators.corpus_stats import (
+        hll_estimates,
+        hll_merge,
+        hll_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    merged = hll_merge(
+        hll_sketch(corpus, "text", "source", p=8, seed=7, ngram=3),
+        hll_sketch(batch, "text", "source", p=8, seed=7, ngram=3),
+        "source",
+    )
+    return hll_estimates(merged, "source", p=8)
+
+
 def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon word entropy (nats) — the information-
     theoretic repetitiveness scalar; word-ordered sorted fold makes the
@@ -4643,6 +4679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "weight_ess": q_weight_ess,
         "kmv_incremental": q_kmv_incremental,
+        "hll_distinct": q_hll_distinct,
+        "hll_incremental": q_hll_incremental,
         "doc_entropy": q_doc_entropy,
         "source_kl": q_source_kl,
         "ann_recall": q_ann_recall,
@@ -7518,6 +7556,57 @@ def oracle_sql() -> dict[str, str]:
     # a values-match proves merge(sketch(corpus), sketch(batch)) ==
     # sketch(corpus ∪ batch) (the incremental-equivalence convention)
     sql["kmv_incremental"] = sql["kmv_distinct"]
+    # HLL: same trigram element stream as kmv_distinct; bucket = top 8
+    # bits of the 32-bit md5 hash, rho via the exact bin()-length
+    # identity; alpha(m=256) = 0.7213/(1 + 1.079/256) inlined as the
+    # repr of the Python double (both engines read the same literal)
+    sql["hll_distinct"] = f"""
+        WITH d AS (
+            SELECT source,
+                   CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split({_NORM}, ' ') END AS w
+            FROM documents
+        ),
+        g AS (
+            SELECT source,
+                   w[CAST(i AS INT)] || chr(31) || w[CAST(i AS INT) + 1]
+                       || chr(31) || w[CAST(i AS INT) + 2] AS e
+            FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        ),
+        h AS (
+            SELECT DISTINCT source,
+                   CAST(('0x' || substr(md5(e || '#7'), 1, 8)) AS BIGINT) AS h
+            FROM g
+        ),
+        b AS (
+            SELECT source, h >> 24 AS j, h & 16777215 AS w32 FROM h
+        ),
+        reg AS (
+            SELECT source, j,
+                   max(CASE WHEN w32 = 0 THEN 25
+                            ELSE 25 - length(bin(w32)) END) AS m_j
+            FROM b GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT source, CAST(count(*) AS INT) AS nonempty,
+                   sum(power(CAST(2 AS DOUBLE), -m_j)) AS hsum,
+                   CAST(256 AS DOUBLE) - count(*) AS zeros
+            FROM reg GROUP BY 1
+        ),
+        r AS (
+            SELECT source, nonempty, zeros,
+                   CAST(0.7182725932495458 AS DOUBLE) * 65536.0 / (hsum + zeros) AS raw
+            FROM s
+        )
+        SELECT source, nonempty,
+               round(CASE WHEN raw <= 640.0 AND zeros > 0
+                          THEN 256.0 * ln(256.0 / zeros)
+                          WHEN raw > 4294967296.0 / 30.0
+                          THEN -4294967296.0 * ln(1.0 - raw / 4294967296.0)
+                          ELSE raw END, 6) + 0.0 AS est_distinct
+        FROM r
+    """
+    sql["hll_incremental"] = sql["hll_distinct"]
     # ANN recall: the three exact pipeline replays compose as nested-WITH
     # subqueries; recall is an exact integer ratio
     sql["ann_recall"] = f"""

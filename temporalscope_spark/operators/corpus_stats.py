@@ -278,6 +278,32 @@ def countmin_estimate(
     return joined.groupBy("word").agg(F.min("c").alias("est"))
 
 
+def _grp_elements(
+    df: DataFrame, text_col: str, group_col: str, ngram: int
+) -> DataFrame:
+    """(grp, word) element stream for set-cardinality sketches: the
+    group's normalized words, or (``ngram > 1``) its word n-gram
+    shingles joined with ``\\x1f``. Shared by the KMV and HLL lanes so
+    both sketch families summarize the SAME ground set."""
+    base = _parallelize_before_explode(
+        df.select(F.col(group_col).alias("grp"), _norm_words(text_col).alias("_w"))
+    )
+    if ngram == 1:
+        return base.select("grp", F.explode("_w").alias("word")).filter(
+            F.col("word") != ""
+        )
+    # guard: Spark's sequence(1, 0) descends to [1, 0] — short arrays
+    # must yield an EMPTY shingle list, not a reversed one
+    sh = F.when(
+        F.size("_w") >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (ngram - 1)),
+            lambda i: F.concat_ws("\x1f", F.slice("_w", i, ngram)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select("grp", F.explode(sh).alias("word"))
+
+
 def _kmv_hash(col, seed: int):
     """Deterministic 32-bit hash in [0, 2^32) — the package's portable
     md5-first-8-hex lane (DuckDB: CAST('0x' || substr(md5(...), 1, 8) AS
@@ -316,24 +342,7 @@ def kmv_sketch(
         raise DataFrameValidationError("k must be >= 2")
     if ngram < 1:
         raise DataFrameValidationError("ngram must be >= 1")
-    base = _parallelize_before_explode(
-        df.select(F.col(group_col).alias("grp"), _norm_words(text_col).alias("_w"))
-    )
-    if ngram == 1:
-        elems = base.select("grp", F.explode("_w").alias("word")).filter(
-            F.col("word") != ""
-        )
-    else:
-        # guard: Spark's sequence(1, 0) descends to [1, 0] — short arrays
-        # must yield an EMPTY shingle list, not a reversed one
-        sh = F.when(
-            F.size("_w") >= ngram,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_w") - (ngram - 1)),
-                lambda i: F.concat_ws("\x1f", F.slice("_w", i, ngram)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        elems = base.select("grp", F.explode(sh).alias("word"))
+    elems = _grp_elements(df, text_col, group_col, ngram)
     hashes = elems.select("grp", _kmv_hash(F.col("word"), seed).alias("h")).distinct()
     w = Window.partitionBy("grp").orderBy("h")
     topk = hashes.withColumn("_rn", F.row_number().over(w)).filter(
@@ -604,3 +613,134 @@ def distinct_ngram_ratio(
             + F.lit(0.0)
         ).alias("ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct sketch (Flajolet, Fusy, Gandouet & Meunier 2007)
+# --------------------------------------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    """The standard bias-correction constant from the HLL paper."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    p: int = 10,
+    seed: int = 7,
+    ngram: int = 1,
+) -> DataFrame:
+    """HyperLogLog register table per group (Flajolet et al. 2007): for
+    each of ``m = 2^p`` buckets, the maximum leading-zero rank ``rho``
+    of the bucket's hashed elements. The deterministic md5 lane (shared
+    with the KMV sketch via :func:`_kmv_hash`) makes the SKETCH itself
+    engine-replayable: bucket ``j`` is the hash's top ``p`` bits
+    (``h >> (32-p)``), and ``rho`` comes from the EXACT integer identity
+    ``floor(log2(w)) = length(bin(w)) - 1`` on the low ``32-p`` bits —
+    string length of the binary rendering, no float log anywhere.
+
+    Plan shape: element explode → ONE map-side-combinable max aggregate
+    on (group, bucket). Output (group, j, m_j) holds only NONEMPTY
+    registers — at most ``m`` rows per group however large the corpus,
+    and mergeable across shards / batches by ``max`` (:func:`hll_merge`).
+    """
+    if not 4 <= p <= 18:
+        raise DataFrameValidationError("p must be in [4, 18]")
+    if ngram < 1:
+        raise DataFrameValidationError("ngram must be >= 1")
+    elems = _grp_elements(df, text_col, group_col, ngram)
+    rem_bits = 32 - p
+    h = _kmv_hash(F.col("word"), seed)
+    hashed = elems.select(
+        "grp",
+        F.shiftright(h, rem_bits).cast("int").alias("j"),
+        h.bitwiseAND(F.lit((1 << rem_bits) - 1)).alias("_w32"),
+    )
+    rho = F.when(F.col("_w32") == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin("_w32"))
+    )
+    return (
+        hashed.select("grp", "j", rho.cast("int").alias("_rho"))
+        .groupBy("grp", "j")
+        .agg(F.max("_rho").alias("m_j"))
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_col: str = "source") -> DataFrame:
+    """Merge two HLL register tables: union + per-(group, bucket) max.
+    Exactly the sketch of the concatenated corpora — max is associative
+    and commutative, so shard/batch order never matters and the merge
+    cost is register-table-sized (bounded), never corpus-sized."""
+    return (
+        a.unionByName(b)
+        .groupBy(group_col, "j")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+
+
+def hll_estimates(
+    registers: DataFrame, group_col: str = "source", p: int = 10
+) -> DataFrame:
+    """Cardinality estimates from an HLL register table, with the
+    paper's small-range (linear counting when ``E <= 2.5m`` and empty
+    registers exist) and large-range (32-bit hash-collision) corrections.
+
+    Determinism note: the harmonic sum ``sum(2^-M_j)`` adds dyadic
+    rationals spanning at most ``(32-p+1) + p = 33`` bits — under the 53
+    bits of an IEEE double, so the sum is EXACT in any aggregation
+    order; no sorted fold is needed. The ``ln`` corrections are single
+    IEEE ops on exact inputs, replayed identically by the oracle.
+
+    Output: (group, nonempty, est_distinct rounded to 6).
+    """
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    agg = registers.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("int").alias("nonempty"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("_s"),
+    )
+    zeros = F.lit(float(m)) - F.col("nonempty").cast("double")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros)
+    two32 = float(1 << 32)
+    est = (
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+        )
+        .when(
+            raw > F.lit(two32 / 30.0),
+            F.lit(-two32) * F.log(F.lit(1.0) - raw / F.lit(two32)),
+        )
+        .otherwise(raw)
+    )
+    return agg.select(
+        group_col,
+        "nonempty",
+        (F.round(est, 6) + F.lit(0.0)).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    p: int = 10,
+    seed: int = 7,
+    ngram: int = 1,
+) -> DataFrame:
+    """Per-group distinct-element estimate via HyperLogLog: sketch +
+    estimate in one call. Complements :func:`kmv_distinct` (bottom-k):
+    HLL state is ``m`` small integers per group (vs ``k`` hashes) and
+    merges by max, which is what a 1000-executor union-of-shards wants;
+    KMV additionally supports intersection/Jaccard estimates."""
+    return hll_estimates(hll_sketch(df, text_col, group_col, p, seed, ngram), group_col, p)
