@@ -4052,6 +4052,37 @@ def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimates(merged, "source", p=8)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping word chunks (size 16, overlap 4) — the
+    RAG / long-context segmentation layer. Pure posexplode over a
+    per-row offset sequence: zero exchange, scan-speed at 100 TB; the
+    n_chunks formula guarantees full coverage with no pure-overlap
+    tail chunk."""
+    from temporalscope_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", size=16, overlap=4)
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document paragraph dedup (first occurrence kept, order
+    preserved) — the in-page half of CCNet boilerplate removal, as a
+    pure array expression with no explode and no shuffle. The corpus
+    has no newlines, so paragraphs are PLANTED deterministically
+    (head-words || text || head-words, identically in the oracle): the
+    repeated head paragraph must collapse."""
+    from temporalscope_spark.operators.chunking import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    head = F.array_join(F.slice(F.split(norm, " "), 1, 6), " ")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws("\n", head, norm, head).alias("text"),
+    )
+    return dedup_paragraphs(planted, "text", "doc_id")
+
+
 def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon word entropy (nats) — the information-
     theoretic repetitiveness scalar; word-ordered sorted fold makes the
@@ -4681,6 +4712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_incremental": q_kmv_incremental,
         "hll_distinct": q_hll_distinct,
         "hll_incremental": q_hll_incremental,
+        "chunk_documents": q_chunk_documents,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "doc_entropy": q_doc_entropy,
         "source_kl": q_source_kl,
         "ann_recall": q_ann_recall,
@@ -7607,6 +7640,56 @@ def oracle_sql() -> dict[str, str]:
         FROM r
     """
     sql["hll_incremental"] = sql["hll_distinct"]
+    # chunking: same n_chunks formula (1 + ceil(max(0, n-16)/12)), DuckDB
+    # list slice is INCLUSIVE [a:b] and clamps past the end like F.slice
+    sql["chunk_documents"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split({_NORM}, ' ') END AS w
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, w,
+                   1 + CAST(ceil(CAST(greatest(len(w) - 16, 0) AS DOUBLE)
+                                 / 12.0) AS INT) AS nc
+            FROM d
+        ),
+        e AS (
+            SELECT doc_id, nc, CAST(i AS INT) AS chunk_id,
+                   w[CAST(i AS INT) * 12 + 1 : CAST(i AS INT) * 12 + 16]
+                       AS piece
+            FROM c, UNNEST(generate_series(0, nc - 1)) AS t(i)
+        )
+        SELECT doc_id, chunk_id, nc AS n_chunks,
+               array_to_string(piece, ' ') AS chunk_text,
+               CAST(len(piece) AS INT) AS n_words
+        FROM e
+    """
+    sql["dedup_paragraphs"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_NORM} AS norm,
+                   CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split({_NORM}, ' ') END AS w
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id,
+                   [array_to_string(w[1:6], ' '), norm,
+                    array_to_string(w[1:6], ' ')] AS paras
+            FROM d
+        ),
+        k AS (
+            SELECT doc_id, paras,
+                   list_filter(paras,
+                               (x, i) -> list_position(paras, x) = i) AS kept
+            FROM p
+        )
+        SELECT doc_id, CAST(len(paras) AS INT) AS n_paras,
+               CAST(len(kept) AS INT) AS n_kept,
+               array_to_string(kept, chr(10)) AS text
+        FROM k
+    """
     # ANN recall: the three exact pipeline replays compose as nested-WITH
     # subqueries; recall is an exact integer ratio
     sql["ann_recall"] = f"""
