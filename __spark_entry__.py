@@ -4083,6 +4083,28 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(planted, "text", "doc_id")
 
 
+def q_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU (Papineni et al. 2002) of each document against a
+    PLANTED paraphrase (every 5th word dropped — the deterministic
+    rewrite done identically in the oracle). Row-local clipped-match
+    counting: no gram explode, no join; the only exchange is the final
+    one-row LONG-sum aggregate, so the doubles replay exactly."""
+    from temporalscope_spark.metrics.translation import bleu_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = F.split(norm, " ")
+    ref = F.array_join(
+        F.filter(w, lambda x, i: (i + 1) % 5 != 0), " "
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.col("text").alias("candidate"),
+        ref.alias("reference"),
+    )
+    return bleu_corpus(pairs, "candidate", "reference", max_n=4)
+
+
 def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon word entropy (nats) — the information-
     theoretic repetitiveness scalar; word-ordered sorted fold makes the
@@ -4714,6 +4736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_incremental": q_hll_incremental,
         "chunk_documents": q_chunk_documents,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "bleu_corpus": q_bleu_corpus,
         "doc_entropy": q_doc_entropy,
         "source_kl": q_source_kl,
         "ann_recall": q_ann_recall,
@@ -7665,6 +7688,77 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(piece, ' ') AS chunk_text,
                CAST(len(piece) AS INT) AS n_words
         FROM e
+    """
+    # corpus BLEU: per-n gram lists + clipped matches as pure list
+    # lambdas (DuckDB list_filter's index is 1-BASED, Spark's is
+    # 0-based — the %5 drop rule is written per engine accordingly)
+    def _bleu_gram(src: str, n: int) -> str:
+        if n == 1:
+            return src
+        return (
+            f"CASE WHEN len({src}) >= {n} THEN list_transform("
+            f"generate_series(1, len({src}) - {n - 1}), "
+            f"i -> array_to_string({src}[CAST(i AS INT):CAST(i AS INT) + {n - 1}],"
+            f" chr(31))) ELSE CAST([] AS VARCHAR[]) END"
+        )
+
+    def _bleu_match(cg: str, rg: str) -> str:
+        return (
+            f"coalesce(CAST(list_sum(list_transform(list_distinct({cg}), "
+            f"g -> least(len(list_filter({cg}, x -> x = g)), "
+            f"len(list_filter({rg}, x -> x = g))))) AS BIGINT), 0)"
+        )
+
+    _g_cols = ", ".join(
+        f"{_bleu_gram('cw', n)} AS cg{n}, {_bleu_gram('rw', n)} AS rg{n}"
+        for n in range(2, 5)
+    )
+    _s_cols = ", ".join(
+        f"{_bleu_match('cw' if n == 1 else f'cg{n}', 'rw' if n == 1 else f'rg{n}')}"
+        f" AS m{n}, greatest(len(cw) - {n - 1}, 0) AS t{n}"
+        for n in range(1, 5)
+    )
+    _a_cols = ", ".join(
+        f"CAST(sum(m{n}) AS BIGINT) AS m{n}, CAST(sum(t{n}) AS BIGINT) AS t{n}"
+        for n in range(1, 5)
+    )
+    _p_cols = ", ".join(
+        f"CAST(m{n} AS DOUBLE) / CAST(t{n} AS DOUBLE) AS p{n}"
+        for n in range(1, 5)
+    )
+    _p_out = ", ".join(f"round(p{n}, 6) + 0.0 AS p_{n}" for n in range(1, 5))
+    _zero = " OR ".join(f"p{n} <= 0" for n in range(1, 5))
+    _lns = " + ".join(f"ln(p{n})" for n in range(1, 5))
+    sql["bleu_corpus"] = f"""
+        WITH d AS (
+            SELECT CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split({_NORM}, ' ') END AS cw
+            FROM documents
+        ),
+        p AS (
+            SELECT cw, list_filter(cw, (x, i) -> i % 5 != 0) AS rw FROM d
+        ),
+        g AS (SELECT cw, rw, {_g_cols} FROM p),
+        s AS (SELECT len(cw) AS cl, len(rw) AS rl, {_s_cols} FROM g),
+        a AS (
+            SELECT count(*) AS n_pairs,
+                   CAST(sum(cl) AS BIGINT) AS cand_len,
+                   CAST(sum(rl) AS BIGINT) AS ref_len, {_a_cols}
+            FROM s
+        ),
+        pr AS (
+            SELECT *, {_p_cols},
+                   CASE WHEN cand_len >= ref_len THEN CAST(1 AS DOUBLE)
+                        ELSE exp(CAST(1 AS DOUBLE)
+                                 - CAST(ref_len AS DOUBLE)
+                                 / CAST(cand_len AS DOUBLE)) END AS bp
+            FROM a
+        )
+        SELECT n_pairs, cand_len, ref_len, {_p_out},
+               round(bp, 6) + 0.0 AS bp,
+               round(CASE WHEN {_zero} THEN CAST(0 AS DOUBLE)
+                          ELSE bp * exp(({_lns}) / 4.0) END, 6) + 0.0 AS bleu
+        FROM pr
     """
     sql["dedup_paragraphs"] = f"""
         WITH d AS (

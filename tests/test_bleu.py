@@ -1,0 +1,95 @@
+"""Corpus BLEU (metrics/translation.py) vs a pure-Python reference:
+clipping semantics (the paper's 'the the the' case), brevity penalty,
+zero-precision gating, corpus pooling vs per-pair averaging, and the
+zero-exchange pair stage."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.metrics.translation import bleu_corpus, bleu_pair_counts
+
+
+def _toks(t):
+    return [x for x in " ".join(t.lower().split()).split(" ") if x != ""]
+
+
+def _grams(w, n):
+    return ["\x1f".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+
+def _ref_bleu(pairs, max_n=4):
+    m = Counter()
+    t = Counter()
+    clen = rlen = 0
+    for c, r in pairs:
+        cw, rw = _toks(c), _toks(r)
+        clen += len(cw)
+        rlen += len(rw)
+        for n in range(1, max_n + 1):
+            cg, rg = Counter(_grams(cw, n)), Counter(_grams(rw, n))
+            m[n] += sum(min(v, rg[g]) for g, v in cg.items())
+            t[n] += max(0, len(cw) - n + 1)
+    ps = [m[n] / t[n] if t[n] else 0.0 for n in range(1, max_n + 1)]
+    bp = 1.0 if clen >= rlen else math.exp(1 - rlen / clen)
+    if any(p <= 0 for p in ps):
+        return ps, bp, 0.0
+    return ps, bp, bp * math.exp(sum(math.log(p) for p in ps) / max_n)
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(
+        [(i, c, r) for i, (c, r) in enumerate(pairs)],
+        "pair_id long, candidate string, reference string",
+    )
+
+
+class TestBleu:
+    def test_identical_is_one(self, spark):
+        pairs = [("the quick brown fox jumps over it", "the quick brown fox jumps over it")]
+        r = bleu_corpus(_df(spark, pairs)).collect()[0]
+        assert r["bleu"] == 1.0 and r["bp"] == 1.0
+        assert all(r[f"p_{n}"] == 1.0 for n in range(1, 5))
+
+    def test_clipping_the_the_the(self, spark):
+        # Papineni et al. §2.1: candidate 'the'*7 vs ref with 2 'the' ->
+        # clipped unigram precision 2/7
+        pairs = [("the the the the the the the", "the cat is on the mat")]
+        r = bleu_corpus(_df(spark, pairs), max_n=1).collect()[0]
+        assert r["p_1"] == round(2 / 7, 6)
+
+    def test_matches_reference_multi_pair(self, spark):
+        pairs = [
+            ("a b c d e f", "a b c d x f"),
+            ("one two three four", "one two three four five"),
+            ("zz", "a b"),
+        ]
+        ps, bp, bleu = _ref_bleu(pairs)
+        r = bleu_corpus(_df(spark, pairs)).collect()[0]
+        for n in range(1, 5):
+            assert r[f"p_{n}"] == pytest.approx(round(ps[n - 1], 6), abs=1e-9)
+        assert r["bp"] == pytest.approx(round(bp, 6), abs=1e-9)
+        assert r["bleu"] == pytest.approx(round(bleu, 6), abs=1e-9)
+
+    def test_zero_ngram_precision_gates_to_zero(self, spark):
+        pairs = [("a b", "a c")]  # no bigram match -> bleu 0
+        r = bleu_corpus(_df(spark, pairs), max_n=2).collect()[0]
+        assert r["p_2"] == 0.0 and r["bleu"] == 0.0
+
+    def test_brevity_penalty(self, spark):
+        pairs = [("a b c", "a b c d e f")]  # clen 3 < rlen 6
+        r = bleu_corpus(_df(spark, pairs), max_n=1).collect()[0]
+        assert r["bp"] == pytest.approx(round(math.exp(1 - 6 / 3), 6))
+
+    def test_pair_counts_stage_has_no_exchange(self, spark):
+        df = _df(spark, [("a b", "a b")])
+        plan = (
+            bleu_pair_counts(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_param_validation(self, spark):
+        with pytest.raises(DataFrameValidationError):
+            bleu_corpus(_df(spark, [("a", "a")]), max_n=0)
