@@ -4052,16 +4052,16 @@ def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimates(merged, "source", p=8)
 
 
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size overlapping word chunks (size 16, overlap 4) — the
     RAG / long-context segmentation layer. Pure posexplode over a
     per-row offset sequence: zero exchange, scan-speed at 100 TB; the
     n_chunks formula guarantees full coverage with no pure-overlap
     tail chunk."""
-    from temporalscope_spark.operators.chunking import chunk_documents
+    from temporalscope_spark.operators.chunking import chunk_words
 
     docs = _t(spark, sf_dir, "documents")
-    return chunk_documents(docs, "text", "doc_id", size=16, overlap=4)
+    return chunk_words(docs, "text", "doc_id", size=16, overlap=4)
 
 
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4734,7 +4734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_incremental": q_kmv_incremental,
         "hll_distinct": q_hll_distinct,
         "hll_incremental": q_hll_incremental,
-        "chunk_documents": q_chunk_documents,
+        "chunk_words": q_chunk_words,
         "dedup_paragraphs": q_dedup_paragraphs,
         "bleu_corpus": q_bleu_corpus,
         "doc_entropy": q_doc_entropy,
@@ -7665,7 +7665,7 @@ def oracle_sql() -> dict[str, str]:
     sql["hll_incremental"] = sql["hll_distinct"]
     # chunking: same n_chunks formula (1 + ceil(max(0, n-16)/12)), DuckDB
     # list slice is INCLUSIVE [a:b] and clamps past the end like F.slice
-    sql["chunk_documents"] = f"""
+    sql["chunk_words"] = f"""
         WITH d AS (
             SELECT doc_id,
                    CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from temporalscope_spark.exceptions import DataFrameValidationError
 
 
-def chunk_documents(
+def chunk_words(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",

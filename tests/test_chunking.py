@@ -8,7 +8,7 @@ import math
 import pytest
 
 from temporalscope_spark.exceptions import DataFrameValidationError
-from temporalscope_spark.operators.chunking import chunk_documents, dedup_paragraphs
+from temporalscope_spark.operators.chunking import chunk_words, dedup_paragraphs
 
 
 def _ref_chunks(text, size, overlap):
@@ -41,7 +41,7 @@ def _docs(spark):
 class TestChunk:
     @pytest.mark.parametrize("size,overlap", [(5, 0), (5, 2), (8, 3), (1, 0)])
     def test_matches_reference(self, spark, size, overlap):
-        out = chunk_documents(_docs(spark), "text", "doc_id", size, overlap)
+        out = chunk_words(_docs(spark), "text", "doc_id", size, overlap)
         got = {}
         for r in out.collect():
             got.setdefault(r["doc_id"], []).append(
@@ -57,7 +57,7 @@ class TestChunk:
                 assert rows[cid] == (cid, ct, nw, len(want))
 
     def test_every_word_covered_no_pure_overlap_chunk(self, spark):
-        out = chunk_documents(_docs(spark), "text", "doc_id", 5, 2).collect()
+        out = chunk_words(_docs(spark), "text", "doc_id", 5, 2).collect()
         by_doc = {}
         for r in out:
             by_doc.setdefault(r["doc_id"], []).append(r)
@@ -72,16 +72,16 @@ class TestChunk:
         assert words == set(full.split(" "))
 
     def test_keep_cols_and_params(self, spark):
-        out = chunk_documents(_docs(spark), "text", "doc_id", 5, 0,
+        out = chunk_words(_docs(spark), "text", "doc_id", 5, 0,
                               keep_cols=("source",))
         assert out.columns[-1] == "source"
         with pytest.raises(DataFrameValidationError):
-            chunk_documents(_docs(spark), size=0)
+            chunk_words(_docs(spark), size=0)
         with pytest.raises(DataFrameValidationError):
-            chunk_documents(_docs(spark), size=5, overlap=5)
+            chunk_words(_docs(spark), size=5, overlap=5)
 
     def test_no_exchange_in_plan(self, spark):
-        out = chunk_documents(_docs(spark), "text", "doc_id", 5, 2)
+        out = chunk_words(_docs(spark), "text", "doc_id", 5, 2)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
