@@ -4105,6 +4105,20 @@ def q_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bleu_corpus(pairs, "candidate", "reference", max_n=4)
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document (Kincaid
+    et al. 1975): vowel-run syllable heuristic, sentence-run count
+    floored at 1 — three exact integer counts, two single-expression
+    doubles, zero exchange."""
+    from temporalscope_spark.operators.text import with_readability
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_readability(docs, "text").select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        "flesch_ease", "fk_grade",
+    )
+
+
 def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon word entropy (nats) — the information-
     theoretic repetitiveness scalar; word-ordered sorted fold makes the
@@ -4737,6 +4751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_words": q_chunk_words,
         "dedup_paragraphs": q_dedup_paragraphs,
         "bleu_corpus": q_bleu_corpus,
+        "readability": q_readability,
         "doc_entropy": q_doc_entropy,
         "source_kl": q_source_kl,
         "ann_recall": q_ann_recall,
@@ -7759,6 +7774,39 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN {_zero} THEN CAST(0 AS DOUBLE)
                           ELSE bp * exp(({_lns}) / 4.0) END, 6) + 0.0 AS bleu
         FROM pr
+    """
+    sql["readability"] = """
+        WITH c AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_words,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sentences,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               round(CAST(206.835 AS DOUBLE)
+                     - CAST(1.015 AS DOUBLE)
+                       * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                     - CAST(84.6 AS DOUBLE)
+                       * (CAST(n_syllables AS DOUBLE)
+                          / CAST(CASE WHEN n_words = 0 THEN 1
+                                      ELSE n_words END AS DOUBLE)), 6) + 0.0
+                   AS flesch_ease,
+               round(CAST(0.39 AS DOUBLE)
+                     * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                     + CAST(11.8 AS DOUBLE)
+                       * (CAST(n_syllables AS DOUBLE)
+                          / CAST(CASE WHEN n_words = 0 THEN 1
+                                      ELSE n_words END AS DOUBLE))
+                     - CAST(15.59 AS DOUBLE), 6) + 0.0 AS fk_grade
+        FROM c
     """
     sql["dedup_paragraphs"] = f"""
         WITH d AS (

@@ -276,6 +276,47 @@ def quality_filter(
     return out.filter(cond)
 
 
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade level (Kincaid et al.
+    1975) — the classic readability gate a curation funnel runs next to
+    the C4/Gopher batteries (too-hard and too-trivial pages both signal
+    low training value).
+
+    Heuristic syllable counter: vowel-group runs ``[aeiouy]+`` over the
+    lowercased text (spaces break runs, so whole-text counting equals
+    per-word counting — one regexp_count, no explode). Sentences:
+    ``[.!?]+`` runs, floored at 1. All three inputs are exact integer
+    counts, so the two score doubles replay bit-for-bit in any engine;
+    scores are rounded to 6 and NOT clamped (the standard formulas can
+    exceed [0, 100] on degenerate text — callers gate, we report).
+
+    Plan: row-local expressions only — zero exchange, scan-speed.
+    Output adds ``n_words``, ``n_sentences``, ``n_syllables``,
+    ``flesch_ease``, ``fk_grade``.
+    """
+    t = F.col(text_col)
+    low = F.lower(t)
+    n_words = token_count(t)
+    n_syll = F.regexp_count(low, F.lit("[aeiouy]+")).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count(t, F.lit("[.!?]+")).cast("long"), F.lit(1).cast("long")
+    )
+    wz = F.when(n_words == 0, F.lit(1)).otherwise(n_words).cast("double")
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syll.cast("double") / wz
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_sentences", n_sent)
+        .withColumn("n_syllables", n_syll)
+        .withColumn("flesch_ease", F.round(ease, 6) + F.lit(0.0))
+        .withColumn("fk_grade", F.round(grade, 6) + F.lit(0.0))
+    )
+
+
 def redact_terms(
     df: DataFrame,
     terms: list[str],
