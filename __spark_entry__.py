@@ -4119,6 +4119,31 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash/LSH) decontamination: train docs near-duplicate to
+    a PLANTED eval set (every 13th doc, normalized text minus its last
+    character — a paraphrase-ish rewrite that defeats exact 13-gram
+    matching but keeps char-shingle Jaccard ≈ 0.9). The oracle replays
+    the FULL algorithm — 16 min-md5 signatures, 8 two-row bands, the
+    candidate join, exact-Jaccard verification — so equality is
+    structural, with no banding-recall assumption."""
+    from temporalscope_spark.operators.contamination import (
+        neardup_contaminated_ids,
+    )
+    from temporalscope_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    ev = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10000000).alias("eval_id"),
+        F.substring(norm, 1, F.length(norm) - 1).alias("text"),
+    )
+    return neardup_contaminated_ids(
+        docs, ev, id_col="doc_id", text_col="text", eval_id_col="eval_id",
+        num_hashes=16, bands=8, shingle_n=12, threshold=0.5, hash_fn="md5",
+    )
+
+
 def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon word entropy (nats) — the information-
     theoretic repetitiveness scalar; word-ordered sorted fold makes the
@@ -4752,6 +4777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "bleu_corpus": q_bleu_corpus,
         "readability": q_readability,
+        "neardup_decontam": q_neardup_decontam,
         "doc_entropy": q_doc_entropy,
         "source_kl": q_source_kl,
         "ann_recall": q_ann_recall,
@@ -7807,6 +7833,57 @@ def oracle_sql() -> dict[str, str]:
                                       ELSE n_words END AS DOUBLE))
                      - CAST(15.59 AS DOUBLE), 6) + 0.0 AS fk_grade
         FROM c
+    """
+    sql["neardup_decontam"] = f"""
+        WITH base AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+        tr AS (
+            SELECT DISTINCT doc_id, substr(norm, CAST(i AS INT), 12) AS sh
+            FROM base,
+                 UNNEST(generate_series(1, greatest(length(norm) - 11, 1))) AS t(i)
+        ),
+        ev0 AS (
+            SELECT doc_id + 10000000 AS eval_id,
+                   trim(substr(norm, 1, length(norm) - 1)) AS norm
+            FROM base WHERE doc_id % 13 = 0
+        ),
+        ev AS (
+            SELECT DISTINCT eval_id, substr(norm, CAST(i AS INT), 12) AS sh
+            FROM ev0,
+                 UNNEST(generate_series(1, greatest(length(norm) - 11, 1))) AS t(i)
+        ),
+        sig_t AS (SELECT doc_id, min(md5(sh || '#0')) AS m0, min(md5(sh || '#1')) AS m1, min(md5(sh || '#2')) AS m2, min(md5(sh || '#3')) AS m3, min(md5(sh || '#4')) AS m4, min(md5(sh || '#5')) AS m5, min(md5(sh || '#6')) AS m6, min(md5(sh || '#7')) AS m7, min(md5(sh || '#8')) AS m8, min(md5(sh || '#9')) AS m9, min(md5(sh || '#10')) AS m10, min(md5(sh || '#11')) AS m11, min(md5(sh || '#12')) AS m12, min(md5(sh || '#13')) AS m13, min(md5(sh || '#14')) AS m14, min(md5(sh || '#15')) AS m15 FROM tr GROUP BY doc_id),
+        sig_e AS (SELECT eval_id, min(md5(sh || '#0')) AS m0, min(md5(sh || '#1')) AS m1, min(md5(sh || '#2')) AS m2, min(md5(sh || '#3')) AS m3, min(md5(sh || '#4')) AS m4, min(md5(sh || '#5')) AS m5, min(md5(sh || '#6')) AS m6, min(md5(sh || '#7')) AS m7, min(md5(sh || '#8')) AS m8, min(md5(sh || '#9')) AS m9, min(md5(sh || '#10')) AS m10, min(md5(sh || '#11')) AS m11, min(md5(sh || '#12')) AS m12, min(md5(sh || '#13')) AS m13, min(md5(sh || '#14')) AS m14, min(md5(sh || '#15')) AS m15 FROM ev GROUP BY eval_id),
+        bt AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM sig_t UNION ALL SELECT doc_id, 1 AS band, md5(m2 || '|' || m3) AS bh FROM sig_t UNION ALL SELECT doc_id, 2 AS band, md5(m4 || '|' || m5) AS bh FROM sig_t UNION ALL SELECT doc_id, 3 AS band, md5(m6 || '|' || m7) AS bh FROM sig_t UNION ALL SELECT doc_id, 4 AS band, md5(m8 || '|' || m9) AS bh FROM sig_t UNION ALL SELECT doc_id, 5 AS band, md5(m10 || '|' || m11) AS bh FROM sig_t UNION ALL SELECT doc_id, 6 AS band, md5(m12 || '|' || m13) AS bh FROM sig_t UNION ALL SELECT doc_id, 7 AS band, md5(m14 || '|' || m15) AS bh FROM sig_t),
+        be AS (SELECT eval_id, 0 AS band, md5(m0 || '|' || m1) AS bh FROM sig_e UNION ALL SELECT eval_id, 1 AS band, md5(m2 || '|' || m3) AS bh FROM sig_e UNION ALL SELECT eval_id, 2 AS band, md5(m4 || '|' || m5) AS bh FROM sig_e UNION ALL SELECT eval_id, 3 AS band, md5(m6 || '|' || m7) AS bh FROM sig_e UNION ALL SELECT eval_id, 4 AS band, md5(m8 || '|' || m9) AS bh FROM sig_e UNION ALL SELECT eval_id, 5 AS band, md5(m10 || '|' || m11) AS bh FROM sig_e UNION ALL SELECT eval_id, 6 AS band, md5(m12 || '|' || m13) AS bh FROM sig_e UNION ALL SELECT eval_id, 7 AS band, md5(m14 || '|' || m15) AS bh FROM sig_e),
+        cand AS (
+            SELECT DISTINCT bt.doc_id, be.eval_id
+            FROM bt JOIN be ON bt.band = be.band AND bt.bh = be.bh
+        ),
+        na AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY 1),
+        nb AS (SELECT eval_id, count(*) AS n FROM ev GROUP BY 1),
+        inter AS (
+            SELECT c.doc_id, c.eval_id, count(*) AS i
+            FROM cand c
+            JOIN tr ON tr.doc_id = c.doc_id
+            JOIN ev ON ev.eval_id = c.eval_id AND ev.sh = tr.sh
+            GROUP BY 1, 2
+        ),
+        jac AS (
+            SELECT i.doc_id, i.eval_id,
+                   CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS j
+            FROM inter i
+            JOIN na ON na.doc_id = i.doc_id
+            JOIN nb ON nb.eval_id = i.eval_id
+            WHERE CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) >= 0.5
+        ),
+        best AS (
+            SELECT doc_id, eval_id, j,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY j DESC, eval_id DESC) AS rn
+            FROM jac
+        )
+        SELECT doc_id, eval_id, round(j, 6) + 0.0 AS jaccard
+        FROM best WHERE rn = 1
     """
     sql["dedup_paragraphs"] = f"""
         WITH d AS (

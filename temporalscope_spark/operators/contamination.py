@@ -283,3 +283,111 @@ def contamination_rate(
             F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6) + F.lit(0.0)
         ).alias("rate"),
     )
+
+
+def neardup_contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 12,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """FUZZY decontamination: training docs that are NEAR-duplicates of
+    an evaluation doc (MinHash/LSH candidates, exact-Jaccard verified) —
+    the paraphrase-robust complement to the exact n-gram overlap gate
+    (light rewording defeats 13-gram matching; it barely moves a
+    char-shingle Jaccard).
+
+    Plan shape at 100 TB: the EVAL side is benchmark-sized — its band
+    index AND shingle table broadcast; the training corpus is shingled
+    once (one persisted explode), signed in one aggregate, banded
+    map-only, and probed against the broadcast index. The train side
+    never self-joins and never shuffles on anything but its own id.
+    Verification computes exact Jaccard only on candidates.
+
+    Output: one row per contaminated train doc — (``id_col``,
+    ``eval_id_col`` of the BEST match, ``jaccard``), best = max
+    (jaccard, eval_id) struct (partition-invariant, no window).
+    ``hash_fn='md5'`` is the engine-replayable oracle lane.
+    """
+    from temporalscope_spark.operators.dedup import (
+        _shingle_table,
+        _signatures_from_shingles,
+        band_structs,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise DataFrameValidationError("threshold must be in (0, 1]")
+    if num_hashes % bands != 0:
+        raise DataFrameValidationError("bands must divide num_hashes")
+    sh_t = _shingle_table(train, id_col, text_col, shingle_n, None, persist=True)
+    sh_e = _shingle_table(
+        eval_df, eval_id_col, text_col, shingle_n, None, persist=True
+    )
+    sig_t = _signatures_from_shingles(sh_t, num_hashes, hash_fn)
+    sig_e = _signatures_from_shingles(sh_e, num_hashes, hash_fn)
+    bb = F.explode(F.array(*band_structs(num_hashes, bands))).alias("bb")
+    bt = sig_t.select("_id", bb).select(
+        F.col("_id").alias("_tid"),
+        F.col("bb.band").alias("_band"),
+        F.col("bb.bh").alias("_bh"),
+    )
+    be = sig_e.select("_id", bb).select(
+        F.col("_id").alias("_eid"),
+        F.col("bb.band").alias("_band"),
+        F.col("bb.bh").alias("_bh"),
+    )
+    cand = (
+        bt.join(F.broadcast(be), ["_band", "_bh"])
+        .select("_tid", "_eid")
+        .distinct()
+    )
+    counts_t = sh_t.groupBy("_id").agg(F.count(F.lit(1)).alias("_na"))
+    counts_e = sh_e.groupBy("_id").agg(F.count(F.lit(1)).alias("_nb"))
+    a = sh_t.select(F.col("_id").alias("_tid"), "_shk")
+    b = sh_e.select(F.col("_id").alias("_eid"), "_shk")
+    inter = (
+        cand.join(a, "_tid")
+        .join(F.broadcast(b), ["_eid", "_shk"])
+        .groupBy("_tid", "_eid")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    jac = (
+        inter.join(counts_t.select(F.col("_id").alias("_tid"), "_na"), "_tid")
+        .join(F.broadcast(counts_e.select(F.col("_id").alias("_eid"), "_nb")), "_eid")
+        .withColumn(
+            "_j",
+            F.col("_i").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_i")).cast("double"),
+        )
+        .filter(F.col("_j") >= threshold)
+    )
+    best = jac.groupBy("_tid").agg(
+        F.max(F.struct(F.col("_j").alias("j"), F.col("_eid").alias("e"))).alias("_m")
+    )
+    return best.select(
+        F.col("_tid").alias(id_col),
+        F.col("_m.e").alias(eval_id_col),
+        (F.round(F.col("_m.j"), 6) + F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def decontaminate_neardup(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Training corpus minus near-duplicates of the eval set: LEFT ANTI
+    against :func:`neardup_contaminated_ids` (a small id set — broadcast
+    anti, the train side streams through unshuffled)."""
+    bad = neardup_contaminated_ids(
+        train, eval_df, id_col=id_col, text_col=text_col, **kwargs
+    ).select(id_col)
+    return train.join(F.broadcast(bad), id_col, "left_anti")
