@@ -4144,6 +4144,51 @@ def q_neardup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rouge_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ROUGE-1/2 (Lin 2004, micro-averaged) over the same
+    planted every-5th-word-drop pairs as bleu_corpus — recall,
+    precision and F1 from pooled LONG counts; zero exchange before the
+    one-row aggregate."""
+    from temporalscope_spark.metrics.translation import rouge_n_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = F.split(norm, " ")
+    ref = F.array_join(F.filter(w, lambda x, i: (i + 1) % 5 != 0), " ")
+    pairs = docs.select(
+        F.col("text").alias("candidate"), ref.alias("reference")
+    )
+    return rouge_n_corpus(pairs, "candidate", "reference", ns=(1, 2))
+
+
+def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair ROUGE-L: word-level LCS as a row-local nested fold (the
+    DP row carried through ``aggregate``) — zero exchange. Reference =
+    the doc with adjacent word pairs SWAPPED (a planted rewrite with a
+    non-trivial LCS ≈ n/2, done identically in the oracle); every 13th
+    doc to bound the O(n·m²) per-row fold cost."""
+    from temporalscope_spark.metrics.translation import rouge_l_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = F.split(norm, " ")
+    # 0-based i: even takes its right neighbor (if any), odd its left
+    swapped = F.transform(
+        w,
+        lambda x, i: F.when(
+            (i % 2 == 0) & (i + 2 <= F.size(w)), F.element_at(w, i + 2)
+        )
+        .when(i % 2 == 1, F.element_at(w, i))
+        .otherwise(x),
+    )
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("candidate"),
+        F.array_join(swapped, " ").alias("reference"),
+    )
+    return rouge_l_pairs(pairs, "candidate", "reference", id_cols=("pair_id",))
+
+
 def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon word entropy (nats) — the information-
     theoretic repetitiveness scalar; word-ordered sorted fold makes the
@@ -4778,6 +4823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_corpus": q_bleu_corpus,
         "readability": q_readability,
         "neardup_decontam": q_neardup_decontam,
+        "rouge_corpus": q_rouge_corpus,
+        "rouge_l": q_rouge_l,
         "doc_entropy": q_doc_entropy,
         "source_kl": q_source_kl,
         "ann_recall": q_ann_recall,
@@ -7884,6 +7931,106 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, eval_id, round(j, 6) + 0.0 AS jaccard
         FROM best WHERE rn = 1
+    """
+    sql["rouge_corpus"] = f"""
+        WITH d AS (
+            SELECT CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split({_NORM}, ' ') END AS cw
+            FROM documents
+        ),
+        p AS (
+            SELECT cw, list_filter(cw, (x, i) -> i % 5 != 0) AS rw FROM d
+        ),
+        g AS (SELECT cw, rw, {_bleu_gram('cw', 2)} AS cg2,
+                     {_bleu_gram('rw', 2)} AS rg2 FROM p),
+        s AS (
+            SELECT {_bleu_match('cw', 'rw')} AS m1,
+                   len(cw) AS tc1, len(rw) AS tr1,
+                   {_bleu_match('cg2', 'rg2')} AS m2,
+                   greatest(len(cw) - 1, 0) AS tc2,
+                   greatest(len(rw) - 1, 0) AS tr2
+            FROM g
+        ),
+        a AS (
+            SELECT count(*) AS n_pairs,
+                   CAST(sum(m1) AS BIGINT) AS m1, CAST(sum(tc1) AS BIGINT) AS tc1,
+                   CAST(sum(tr1) AS BIGINT) AS tr1,
+                   CAST(sum(m2) AS BIGINT) AS m2, CAST(sum(tc2) AS BIGINT) AS tc2,
+                   CAST(sum(tr2) AS BIGINT) AS tr2
+            FROM s
+        ),
+        pr AS (
+            SELECT n_pairs,
+                   CAST(m1 AS DOUBLE) / CAST(tc1 AS DOUBLE) AS p1,
+                   CAST(m1 AS DOUBLE) / CAST(tr1 AS DOUBLE) AS r1,
+                   CAST(m2 AS DOUBLE) / CAST(tc2 AS DOUBLE) AS p2,
+                   CAST(m2 AS DOUBLE) / CAST(tr2 AS DOUBLE) AS r2,
+                   m1, m2
+            FROM a
+        )
+        SELECT n_pairs,
+               round(p1, 6) + 0.0 AS rouge1_p, round(r1, 6) + 0.0 AS rouge1_r,
+               round(CASE WHEN m1 = 0 THEN CAST(0 AS DOUBLE)
+                          ELSE CAST(2 AS DOUBLE) * p1 * r1 / (p1 + r1) END, 6)
+                   + 0.0 AS rouge1_f,
+               round(p2, 6) + 0.0 AS rouge2_p, round(r2, 6) + 0.0 AS rouge2_r,
+               round(CASE WHEN m2 = 0 THEN CAST(0 AS DOUBLE)
+                          ELSE CAST(2 AS DOUBLE) * p2 * r2 / (p2 + r2) END, 6)
+                   + 0.0 AS rouge2_f
+        FROM pr
+    """
+    sql["rouge_l"] = f"""
+        WITH d AS (
+            SELECT doc_id AS pair_id,
+                   CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split({_NORM}, ' ') END AS cw
+            FROM documents WHERE doc_id % 13 = 0
+        ),
+        p AS (
+            SELECT pair_id, cw,
+                   list_transform(cw, (x, i) -> CASE
+                       WHEN i % 2 = 1 AND i + 1 <= len(cw) THEN cw[i + 1]
+                       WHEN i % 2 = 0 THEN cw[i - 1]
+                       ELSE x END) AS rw
+            FROM d
+        ),
+        l AS (
+            SELECT pair_id, CAST(len(cw) AS BIGINT) AS cand_len,
+                   CAST(len(rw) AS BIGINT) AS ref_len,
+                   CASE WHEN len(cw) = 0 OR len(rw) = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(list_reduce(
+                  list_prepend(
+                      list_transform(generate_series(0, len(rw)), x -> 0),
+                      list_transform(generate_series(1, len(cw)),
+                                     i -> [CAST(i AS INT)])),
+                  (prev, il) -> list_reduce(
+                      list_prepend(CAST([0] AS INT[]),
+                                   list_transform(generate_series(1, len(rw)),
+                                                  j -> [CAST(j AS INT)])),
+                      (row, jl) -> list_append(row,
+                          CASE WHEN cw[il[1]] = rw[jl[1]]
+                               THEN prev[jl[1]] + 1
+                               ELSE greatest(row[-1], prev[jl[1] + 1]) END))
+              )[-1] AS BIGINT) END AS lcs
+            FROM p
+        )
+        SELECT pair_id, cand_len, ref_len, lcs,
+               round(CASE WHEN lcs = 0 THEN CAST(0 AS DOUBLE)
+                          ELSE CAST(lcs AS DOUBLE)
+                               / CAST(greatest(cand_len, 1) AS DOUBLE) END, 6)
+                   + 0.0 AS rougeL_p,
+               round(CASE WHEN lcs = 0 THEN CAST(0 AS DOUBLE)
+                          ELSE CAST(lcs AS DOUBLE)
+                               / CAST(greatest(ref_len, 1) AS DOUBLE) END, 6)
+                   + 0.0 AS rougeL_r,
+               round(CASE WHEN lcs = 0 THEN CAST(0 AS DOUBLE)
+                          ELSE CAST(2 AS DOUBLE)
+                               * (CAST(lcs AS DOUBLE) / CAST(cand_len AS DOUBLE))
+                               * (CAST(lcs AS DOUBLE) / CAST(ref_len AS DOUBLE))
+                               / (CAST(lcs AS DOUBLE) / CAST(cand_len AS DOUBLE)
+                                  + CAST(lcs AS DOUBLE) / CAST(ref_len AS DOUBLE))
+                          END, 6) + 0.0 AS rougeL_f
+        FROM l
     """
     sql["dedup_paragraphs"] = f"""
         WITH d AS (

@@ -154,3 +154,148 @@ def bleu_corpus(
     sel.append((F.round(bp, 6) + F.lit(0.0)).alias("bp"))
     sel.append((F.round(bleu, 6) + F.lit(0.0)).alias("bleu"))
     return agg.select(*sel)
+
+
+def rouge_n_corpus(
+    df: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Corpus ROUGE-N (Lin 2004): clipped n-gram matches pooled over
+    pairs, reported as recall (the ROUGE orientation), precision and F1
+    — ``R = Σ match / Σ ref grams``, ``P = Σ match / Σ cand grams``.
+    Corpus-SUM pooling (micro-average) rather than Lin's per-sentence
+    macro-average — documented, deterministic, and the right thing when
+    pair lengths vary wildly.
+
+    Same row-local clipped-match counting as :func:`bleu_corpus` — no
+    gram explode, no join; one map-side-combinable LONG-sum aggregate.
+    Output: ``n_pairs`` + ``rouge{n}_p / rouge{n}_r / rouge{n}_f`` per n.
+    """
+    for n in ns:
+        if not 1 <= n <= 8:
+            raise DataFrameValidationError("each n must be in [1, 8]")
+    base = df.select(
+        _words(F.col(cand_col)).alias("_cw"),
+        _words(F.col(ref_col)).alias("_rw"),
+    )
+    cols = []
+    for n in ns:
+        cg = _grams(F.col("_cw"), n)
+        rg = _grams(F.col("_rw"), n)
+        cols.append(_clipped_matches(cg, rg).alias(f"_m{n}"))
+        cols.append(
+            F.greatest(F.size("_cw") - (n - 1), F.lit(0)).cast("long").alias(f"_tc{n}")
+        )
+        cols.append(
+            F.greatest(F.size("_rw") - (n - 1), F.lit(0)).cast("long").alias(f"_tr{n}")
+        )
+    stats = base.select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    for n in ns:
+        aggs += [
+            F.sum(f"_m{n}").alias(f"_m{n}"),
+            F.sum(f"_tc{n}").alias(f"_tc{n}"),
+            F.sum(f"_tr{n}").alias(f"_tr{n}"),
+        ]
+    agg = stats.agg(*aggs)
+    sel = [F.col("n_pairs")]
+    for n in ns:
+        p = F.col(f"_m{n}").cast("double") / F.col(f"_tc{n}").cast("double")
+        r = F.col(f"_m{n}").cast("double") / F.col(f"_tr{n}").cast("double")
+        f1 = F.when(
+            (F.col(f"_m{n}") == 0), F.lit(0.0)
+        ).otherwise(F.lit(2.0) * p * r / (p + r))
+        sel.append((F.round(p, 6) + F.lit(0.0)).alias(f"rouge{n}_p"))
+        sel.append((F.round(r, 6) + F.lit(0.0)).alias(f"rouge{n}_r"))
+        sel.append((F.round(f1, 6) + F.lit(0.0)).alias(f"rouge{n}_f"))
+    return agg.select(*sel)
+
+
+def _lcs_len(cw: Column, rw: Column) -> Column:
+    """Word-level LCS length as a row-local nested fold: the classic DP
+    where the outer ``aggregate`` carries the previous row and the inner
+    ``aggregate`` builds the next row left-to-right (the left-neighbor
+    dependency forces sequential construction — ``transform`` can't see
+    its own earlier outputs). O(n·m) cells with array-append copying →
+    O(n·m²) work per row: document-length texts are fine (30 words ≈
+    30k ops); for long texts chunk or truncate FIRST. Exact integer
+    arithmetic end to end."""
+    zero_row = F.transform(
+        F.sequence(F.lit(0), F.size(rw)), lambda _: F.lit(0)
+    )
+    return F.element_at(
+        F.aggregate(
+            F.sequence(F.lit(1), F.size(cw)),
+            zero_row,
+            lambda prev, i: F.aggregate(
+                F.sequence(F.lit(1), F.size(rw)),
+                F.array(F.lit(0)),
+                lambda row, j: F.concat(
+                    row,
+                    F.array(
+                        F.when(
+                            F.element_at(cw, i) == F.element_at(rw, j),
+                            F.element_at(prev, j) + 1,
+                        ).otherwise(
+                            F.greatest(
+                                F.element_at(row, -1), F.element_at(prev, j + 1)
+                            )
+                        )
+                    ),
+                ),
+            ),
+        ),
+        -1,
+    )
+
+
+def rouge_l_pairs(
+    df: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    id_cols: tuple[str, ...] = ("pair_id",),
+) -> DataFrame:
+    """Per-pair ROUGE-L (Lin 2004): word-level LCS with
+    ``P = LCS/len(cand)``, ``R = LCS/len(ref)``, ``F1 = 2PR/(P+R)``
+    (0 when LCS is 0). Row-local fold — zero exchange; all doubles are
+    single-op divisions of exact ints.
+
+    Guard rail: Spark's ``sequence(1, 0)`` DESCENDS, so the fold is
+    only entered when BOTH sides are non-empty; either side empty means
+    LCS = 0 by definition.
+    """
+    cw, rw = F.col("_cw"), F.col("_rw")
+    base = df.select(
+        *id_cols,
+        _words(F.col(cand_col)).alias("_cw"),
+        _words(F.col(ref_col)).alias("_rw"),
+    )
+    lcs = F.when(
+        (F.size(cw) == 0) | (F.size(rw) == 0), F.lit(0)
+    ).otherwise(_lcs_len(cw, rw))
+    out = base.select(
+        *id_cols,
+        F.size("_cw").cast("long").alias("cand_len"),
+        F.size("_rw").cast("long").alias("ref_len"),
+        lcs.cast("long").alias("lcs"),
+    )
+    # greatest(len, 1): empty side => lcs = 0 => P/R/F = 0 without an
+    # ANSI divide-by-zero (the when() branch does not guard codegen)
+    p = F.col("lcs").cast("double") / F.greatest(F.col("cand_len"), F.lit(1)).cast("double")
+    r = F.col("lcs").cast("double") / F.greatest(F.col("ref_len"), F.lit(1)).cast("double")
+    f1 = F.when(F.col("lcs") == 0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * p * r / (p + r)
+    )
+    p = F.when(F.col("lcs") == 0, F.lit(0.0)).otherwise(p)
+    r = F.when(F.col("lcs") == 0, F.lit(0.0)).otherwise(r)
+    return out.select(
+        *id_cols,
+        "cand_len",
+        "ref_len",
+        "lcs",
+        (F.round(p, 6) + F.lit(0.0)).alias("rougeL_p"),
+        (F.round(r, 6) + F.lit(0.0)).alias("rougeL_r"),
+        (F.round(f1, 6) + F.lit(0.0)).alias("rougeL_f"),
+    )

@@ -93,3 +93,71 @@ class TestBleu:
     def test_param_validation(self, spark):
         with pytest.raises(DataFrameValidationError):
             bleu_corpus(_df(spark, [("a", "a")]), max_n=0)
+
+
+def _ref_lcs(a, b):
+    ca, cb = _toks(a), _toks(b)
+    dp = [[0] * (len(cb) + 1) for _ in range(len(ca) + 1)]
+    for i in range(1, len(ca) + 1):
+        for j in range(1, len(cb) + 1):
+            dp[i][j] = (dp[i - 1][j - 1] + 1 if ca[i - 1] == cb[j - 1]
+                        else max(dp[i - 1][j], dp[i][j - 1]))
+    return dp[-1][-1]
+
+
+class TestRouge:
+    def test_rouge_n_matches_reference(self, spark):
+        from temporalscope_spark.metrics.translation import rouge_n_corpus
+
+        pairs = [
+            ("the cat sat on the mat", "the cat was on the mat"),
+            ("a b c", "a b c d"),
+        ]
+        m = t_c = t_r = 0
+        m2 = tc2 = tr2 = 0
+        for c, r in pairs:
+            cw, rw = _toks(c), _toks(r)
+            cg, rg = Counter(cw), Counter(rw)
+            m += sum(min(v, rg[g]) for g, v in cg.items())
+            t_c += len(cw)
+            t_r += len(rw)
+            cg2, rg2 = Counter(_grams(cw, 2)), Counter(_grams(rw, 2))
+            m2 += sum(min(v, rg2[g]) for g, v in cg2.items())
+            tc2 += max(0, len(cw) - 1)
+            tr2 += max(0, len(rw) - 1)
+        out = rouge_n_corpus(_df(spark, pairs)).collect()[0]
+        assert out["rouge1_r"] == round(m / t_r, 6)
+        assert out["rouge1_p"] == round(m / t_c, 6)
+        p1, r1 = m / t_c, m / t_r
+        assert out["rouge1_f"] == pytest.approx(
+            round(2 * p1 * r1 / (p1 + r1), 6), abs=1e-9)
+        assert out["rouge2_r"] == round(m2 / tr2, 6)
+
+    def test_rouge_l_matches_dp(self, spark):
+        from temporalscope_spark.metrics.translation import rouge_l_pairs
+
+        pairs = [
+            ("a b c d e", "a x c e"),          # LCS 3
+            ("one two three", "three two one"),  # LCS 1
+            ("same same", "same same"),          # LCS 2
+            ("", "a b"),                          # LCS 0
+        ]
+        out = {r["pair_id"]: r for r in
+               rouge_l_pairs(_df(spark, pairs)).collect()}
+        for i, (c, r) in enumerate(pairs):
+            want = _ref_lcs(c, r)
+            assert out[i]["lcs"] == want
+            if want:
+                p = want / len(_toks(c))
+                rr = want / len(_toks(r))
+                assert out[i]["rougeL_f"] == pytest.approx(
+                    round(2 * p * rr / (p + rr), 6), abs=1e-9)
+            else:
+                assert out[i]["rougeL_f"] == 0.0
+
+    def test_rouge_l_no_exchange(self, spark):
+        from temporalscope_spark.metrics.translation import rouge_l_pairs
+
+        df = _df(spark, [("a b", "a b")])
+        plan = rouge_l_pairs(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
