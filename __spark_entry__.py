@@ -4189,6 +4189,21 @@ def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rouge_l_pairs(pairs, "candidate", "reference", id_cols=("pair_id",))
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rates (token- and type-level) against the corpus
+    top-25 word vocab — the coverage report that pairs with tokenizer
+    fertility. Vocab side broadcasts; one fused aggregation on the
+    group key."""
+    from temporalscope_spark.operators.corpus_stats import (
+        heavy_hitters,
+        vocab_coverage,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = heavy_hitters(docs, "text", k=25).select("word")
+    return vocab_coverage(docs, vocab, "text", "source")
+
+
 def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon word entropy (nats) — the information-
     theoretic repetitiveness scalar; word-ordered sorted fold makes the
@@ -4825,6 +4840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_decontam": q_neardup_decontam,
         "rouge_corpus": q_rouge_corpus,
         "rouge_l": q_rouge_l,
+        "vocab_coverage": q_vocab_coverage,
         "doc_entropy": q_doc_entropy,
         "source_kl": q_source_kl,
         "ann_recall": q_ann_recall,
@@ -8031,6 +8047,35 @@ def oracle_sql() -> dict[str, str]:
                                   + CAST(lcs AS DOUBLE) / CAST(ref_len AS DOUBLE))
                           END, 6) + 0.0 AS rougeL_f
         FROM l
+    """
+    sql["vocab_coverage"] = f"""
+        WITH words AS (
+            SELECT source, unnest(string_split({_NORM}, ' ')) AS word
+            FROM documents
+        ),
+        w AS (SELECT source, word FROM words WHERE word <> ''),
+        vocab AS (
+            SELECT word FROM w GROUP BY word
+            ORDER BY count(*) DESC, word LIMIT 25
+        ),
+        hit AS (
+            SELECT w.source, w.word,
+                   CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+            FROM w LEFT JOIN vocab v ON v.word = w.word
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   + 0.0 AS oov_rate,
+               CAST(count(DISTINCT word) AS BIGINT) AS n_types,
+               CAST(count(DISTINCT CASE WHEN oov = 1 THEN word END) AS BIGINT)
+                   AS n_oov_types,
+               round(CAST(count(DISTINCT CASE WHEN oov = 1 THEN word END)
+                          AS DOUBLE)
+                     / CAST(count(DISTINCT word) AS DOUBLE), 6) + 0.0
+                   AS type_oov_rate
+        FROM hit GROUP BY source
     """
     sql["dedup_paragraphs"] = f"""
         WITH d AS (

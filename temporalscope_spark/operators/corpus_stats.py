@@ -744,3 +744,55 @@ def hll_distinct(
     merges by max, which is what a 1000-executor union-of-shards wants;
     KMV additionally supports intersection/Jaccard estimates."""
     return hll_estimates(hll_sketch(df, text_col, group_col, p, seed, ngram), group_col, p)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    word_col: str = "word",
+) -> DataFrame:
+    """Per-group vocabulary coverage against a learned vocab table: the
+    OOV-rate report that pairs with the tokenizer families (a vocab
+    trained on one source mix degrades on another — this quantifies
+    where, before fertility blows up downstream).
+
+    Token-level (``oov_rate``: OOV occurrences / all occurrences) and
+    type-level (``type_oov_rate``: distinct OOV words / distinct words)
+    in ONE fused aggregation. The vocab side is vocabulary-sized by
+    construction — BROADCAST left join, so the corpus scan never
+    shuffles on anything but the group key.
+
+    Output: (group, n_tokens, n_oov, oov_rate, n_types, n_oov_types,
+    type_oov_rate), rates rounded to 6.
+    """
+    marker = vocab.select(
+        F.col(word_col).alias("word"), F.lit(1).alias("_in_vocab")
+    ).distinct()
+    words = _grp_elements(df, text_col, group_col, ngram=1)
+    hit = words.join(F.broadcast(marker), "word", "left")
+    oov = F.col("_in_vocab").isNull()
+    agg = hit.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(oov, 1).otherwise(0)).alias("n_oov"),
+        F.countDistinct("word").alias("n_types"),
+        F.countDistinct(F.when(oov, F.col("word"))).alias("n_oov_types"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_oov",
+        (
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("oov_rate"),
+        "n_types",
+        "n_oov_types",
+        (
+            F.round(
+                F.col("n_oov_types").cast("double") / F.col("n_types").cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("type_oov_rate"),
+    )

@@ -201,3 +201,37 @@ class TestCountMinSketch:
             countmin_sketch(docs, width=1)
         with pytest.raises(DataFrameValidationError):
             countmin_estimate(docs, docs, depth=0)
+
+
+class TestVocabCoverage:
+    def test_counts_and_rates(self, spark):
+        from temporalscope_spark.operators.corpus_stats import vocab_coverage
+
+        docs = spark.createDataFrame(
+            [(1, "a", "cat dog cat bird"), (2, "b", "cat cat fish")],
+            "doc_id long, source string, text string",
+        )
+        vocab = spark.createDataFrame([("cat",), ("dog",)], "word string")
+        out = {r["source"]: r for r in vocab_coverage(docs, vocab).collect()}
+        a = out["a"]
+        assert (a["n_tokens"], a["n_oov"], a["n_types"], a["n_oov_types"]) == (
+            4, 1, 3, 1,
+        )
+        assert a["oov_rate"] == 0.25
+        assert a["type_oov_rate"] == round(1 / 3, 6)
+        b = out["b"]
+        assert (b["n_tokens"], b["n_oov"]) == (3, 1)
+        assert b["type_oov_rate"] == 0.5
+
+    def test_vocab_join_is_broadcast(self, spark):
+        from temporalscope_spark.operators.corpus_stats import vocab_coverage
+
+        docs = spark.createDataFrame(
+            [(1, "a", "x y")], "doc_id long, source string, text string"
+        )
+        vocab = spark.createDataFrame([("x",)], "word string")
+        plan = (
+            vocab_coverage(docs, vocab)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
