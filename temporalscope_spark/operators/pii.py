@@ -147,3 +147,45 @@ def k_anonymity(
     return g.filter(F.col("group_size") < k).withColumn(
         "deficit", (F.lit(int(k)) - F.col("group_size")).cast("long")
     ).withColumn("group_size", F.col("group_size").cast("long"))
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007): every
+    quasi-identifier equivalence class must contain at least ``l``
+    DISTINCT values of the sensitive attribute, or the class leaks the
+    sensitive value even when it is k-anonymous (the homogeneity
+    attack). The companion gate to :func:`k_anonymity` on any metadata
+    table released next to a training corpus.
+
+    ONE aggregation over the quasi tuple; ``countDistinct`` plans as a
+    two-stage partial-distinct aggregate (expand + map-side combine),
+    so no per-group state ever exceeds the distinct-sensitive count.
+    Output: one row per VIOLATING class (quasi columns, group_size,
+    n_sensitive, deficit = l − n_sensitive); empty output means the
+    table is distinct-l-diverse at this l. NULL sensitive values count
+    as one value (count_distinct skips NULLs; a NULL-only class shows
+    n_sensitive = 0 and always violates for l ≥ 1).
+    """
+    if l < 2:
+        raise DataFrameValidationError("l_diversity: l must be >= 2")
+    if not quasi_cols:
+        raise DataFrameValidationError("l_diversity: quasi_cols must be non-empty")
+    missing = [c for c in [*quasi_cols, sensitive_col] if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"l_diversity: missing columns {missing}")
+    if sensitive_col in quasi_cols:
+        raise DataFrameValidationError(
+            "l_diversity: sensitive_col must not be a quasi column"
+        )
+    g = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.count_distinct(F.col(sensitive_col)).cast("long").alias("n_sensitive"),
+    )
+    return g.filter(F.col("n_sensitive") < l).withColumn(
+        "deficit", (F.lit(int(l)) - F.col("n_sensitive")).cast("long")
+    )

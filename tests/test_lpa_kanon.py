@@ -84,3 +84,49 @@ class TestKAnonymity:
             k_anonymity(people, ["zip"], k=1)
         with pytest.raises(DataFrameValidationError):
             k_anonymity(people, ["nope"], k=3)
+
+
+class TestLDiversity:
+    @pytest.fixture(scope="class")
+    def people(self, spark):
+        # zip 10001: 6 rows, 3 distinct diagnoses -> diverse at l=3
+        rows = [(i, "10001", ["flu", "cold", "ok"][i % 3]) for i in range(6)]
+        # zip 94110: 4 rows but ONE diagnosis -> homogeneity leak
+        rows += [(100 + i, "94110", "flu") for i in range(4)]
+        # zip 60601: 3 rows, 2 distinct -> violates l=3 with deficit 1
+        rows += [(200, "60601", "flu"), (201, "60601", "cold"),
+                 (202, "60601", "flu")]
+        # zip 70001: sensitive all NULL -> n_sensitive 0, deficit l
+        rows += [(300, "70001", None), (301, "70001", None)]
+        return spark.createDataFrame(rows, "uid long, zip string, diag string")
+
+    def test_violations(self, people):
+        from temporalscope_spark.operators.pii import l_diversity
+
+        out = {r["zip"]: r for r in
+               l_diversity(people, ["zip"], "diag", l=3).collect()}
+        assert "10001" not in out                       # 3 distinct >= 3
+        assert out["94110"]["n_sensitive"] == 1
+        assert out["94110"]["deficit"] == 2
+        assert out["94110"]["group_size"] == 4          # k-anonymous, leaks
+        assert out["60601"]["deficit"] == 1
+        assert out["70001"]["n_sensitive"] == 0
+        assert out["70001"]["deficit"] == 3
+
+    def test_diverse_table_empty(self, people):
+        from temporalscope_spark.operators.pii import l_diversity
+
+        ok = people.filter(people.zip == "10001")
+        assert l_diversity(ok, ["zip"], "diag", l=3).count() == 0
+
+    def test_errors(self, people):
+        from temporalscope_spark.operators.pii import l_diversity
+
+        with pytest.raises(DataFrameValidationError):
+            l_diversity(people, [], "diag", l=3)
+        with pytest.raises(DataFrameValidationError):
+            l_diversity(people, ["zip"], "diag", l=1)
+        with pytest.raises(DataFrameValidationError):
+            l_diversity(people, ["zip"], "nope", l=3)
+        with pytest.raises(DataFrameValidationError):
+            l_diversity(people, ["zip", "diag"], "diag", l=3)
