@@ -4105,6 +4105,26 @@ def q_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bleu_corpus(pairs, "candidate", "reference", max_n=4)
 
 
+def q_chrf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus chrF (Popović 2015) over the same planted
+    every-5th-word-drop pairs as bleu_corpus, both sides capped at 200
+    normalized chars (the clipped char-gram count is O(L²) per row —
+    the cap bounds the per-row cost identically in both engines; the
+    operator itself is uncapped). Row-local counting, one LONG-sum
+    aggregate; β=2, orders 1..6."""
+    from temporalscope_spark.metrics.translation import chrf_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = F.split(norm, " ")
+    ref = F.array_join(F.filter(w, lambda x, i: (i + 1) % 5 != 0), " ")
+    pairs = docs.select(
+        F.substring(norm, 1, 200).alias("candidate"),
+        F.substring(ref, 1, 200).alias("reference"),
+    )
+    return chrf_corpus(pairs, "candidate", "reference", max_n=6, beta=2.0)
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading ease + Flesch-Kincaid grade per document (Kincaid
     et al. 1975): vowel-run syllable heuristic, sentence-run count
@@ -4853,6 +4873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_words": q_chunk_words,
         "dedup_paragraphs": q_dedup_paragraphs,
         "bleu_corpus": q_bleu_corpus,
+        "chrf_corpus": q_chrf_corpus,
         "readability": q_readability,
         "neardup_decontam": q_neardup_decontam,
         "rouge_corpus": q_rouge_corpus,
@@ -7880,6 +7901,98 @@ def oracle_sql() -> dict[str, str]:
                round(bp, 6) + 0.0 AS bp,
                round(CASE WHEN {_zero} THEN CAST(0 AS DOUBLE)
                           ELSE bp * exp(({_lns}) / 4.0) END, 6) + 0.0 AS bleu
+        FROM pr
+    """
+    def _chrf_gram(src: str, n: int) -> str:
+        if n == 1:
+            return (
+                f"list_transform(generate_series(1, greatest(length({src}), 0)),"
+                f" i -> substr({src}, CAST(i AS INT), 1))"
+            )
+        return (
+            f"CASE WHEN length({src}) >= {n} THEN list_transform("
+            f"generate_series(1, length({src}) - {n - 1}), "
+            f"i -> substr({src}, CAST(i AS INT), {n})) "
+            f"ELSE CAST([] AS VARCHAR[]) END"
+        )
+
+    _cf_g = ", ".join(
+        f"{_chrf_gram('cs', n)} AS cg{n}, {_chrf_gram('rs', n)} AS rg{n}"
+        for n in range(1, 7)
+    )
+    _cf_s = ", ".join(
+        f"{_bleu_match(f'cg{n}', f'rg{n}')} AS m{n}, "
+        f"greatest(length(cs) - {n - 1}, 0) AS tc{n}, "
+        f"greatest(length(rs) - {n - 1}, 0) AS tr{n}"
+        for n in range(1, 7)
+    )
+    _cf_a = ", ".join(
+        f"CAST(sum(m{n}) AS BIGINT) AS m{n}, "
+        f"CAST(sum(tc{n}) AS BIGINT) AS tc{n}, "
+        f"CAST(sum(tr{n}) AS BIGINT) AS tr{n}"
+        for n in range(1, 7)
+    )
+    _cf_psum = " + ".join(
+        f"CASE WHEN tc{n} > 0 THEN CAST(m{n} AS DOUBLE) / CAST(tc{n} AS DOUBLE)"
+        f" ELSE CAST(0 AS DOUBLE) END"
+        for n in range(1, 7)
+    )
+    _cf_pcnt = " + ".join(
+        f"CASE WHEN tc{n} > 0 THEN 1 ELSE 0 END" for n in range(1, 7)
+    )
+    _cf_rsum = " + ".join(
+        f"CASE WHEN tr{n} > 0 THEN CAST(m{n} AS DOUBLE) / CAST(tr{n} AS DOUBLE)"
+        f" ELSE CAST(0 AS DOUBLE) END"
+        for n in range(1, 7)
+    )
+    _cf_rcnt = " + ".join(
+        f"CASE WHEN tr{n} > 0 THEN 1 ELSE 0 END" for n in range(1, 7)
+    )
+    _cf_pr_out = ", ".join(
+        f"round(CASE WHEN tc{n} > 0 THEN CAST(m{n} AS DOUBLE)"
+        f" / CAST(tc{n} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END, 6) + 0.0 AS p_{n},"
+        f" round(CASE WHEN tr{n} > 0 THEN CAST(m{n} AS DOUBLE)"
+        f" / CAST(tr{n} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END, 6) + 0.0 AS r_{n}"
+        for n in range(1, 7)
+    )
+    sql["chrf_corpus"] = f"""
+        WITH d AS (
+            SELECT CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split({_NORM}, ' ') END AS cw
+            FROM documents
+        ),
+        p0 AS (
+            SELECT substr(array_to_string(cw, ' '), 1, 200) AS cand,
+                   substr(array_to_string(
+                       list_filter(cw, (x, i) -> i % 5 != 0), ' '), 1, 200)
+                       AS ref
+            FROM d
+        ),
+        s0 AS (
+            SELECT regexp_replace(cand, '\\s+', '', 'g') AS cs,
+                   regexp_replace(ref, '\\s+', '', 'g') AS rs
+            FROM p0
+        ),
+        g AS (SELECT cs, rs, {_cf_g} FROM s0),
+        s AS (SELECT {_cf_s} FROM g),
+        a AS (SELECT count(*) AS n_pairs, {_cf_a} FROM s),
+        pr AS (
+            SELECT *,
+                   CASE WHEN ({_cf_pcnt}) > 0
+                        THEN ({_cf_psum}) / CAST(({_cf_pcnt}) AS DOUBLE)
+                        ELSE CAST(0 AS DOUBLE) END AS prec,
+                   CASE WHEN ({_cf_rcnt}) > 0
+                        THEN ({_cf_rsum}) / CAST(({_cf_rcnt}) AS DOUBLE)
+                        ELSE CAST(0 AS DOUBLE) END AS rec
+            FROM a
+        )
+        SELECT n_pairs, {_cf_pr_out},
+               round(prec, 6) + 0.0 AS chrf_precision,
+               round(rec, 6) + 0.0 AS chrf_recall,
+               round(CASE WHEN prec + rec <= 0 THEN CAST(0 AS DOUBLE)
+                          ELSE CAST(5.0 AS DOUBLE) * prec * rec
+                               / (CAST(4.0 AS DOUBLE) * prec + rec) END, 6)
+                   + 0.0 AS chrf
         FROM pr
     """
     sql["readability"] = """

@@ -299,3 +299,114 @@ def rouge_l_pairs(
         (F.round(r, 6) + F.lit(0.0)).alias("rougeL_r"),
         (F.round(f1, 6) + F.lit(0.0)).alias("rougeL_f"),
     )
+
+
+def _nospace(col: Column) -> Column:
+    """Whitespace-stripped string — chrF operates on the character
+    stream with ALL whitespace removed (Popović 2015 §2)."""
+    return F.regexp_replace(col, r"\s+", "")
+
+
+def _char_grams(s: Column, n: int) -> Column:
+    """Character n-grams of an (already whitespace-stripped) string;
+    empty array when the string has < n characters."""
+    return F.when(
+        F.length(s) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - (n - 1)),
+            lambda i: F.substring(s, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def chrf_corpus(
+    df: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Corpus chrF (Popović 2015): character n-gram F-score, the
+    tokenization-free generation metric that is robust to morphology
+    and segmentation differences — the standard companion to BLEU for
+    round-trip and distillation-output checks.
+
+    Counts are pooled over the corpus per order (micro), then averaged
+    across orders 1..max_n (default 6, the paper's setting):
+    ``P = mean_n(Σmatch_n / Σcand_n)``, ``R = mean_n(Σmatch_n /
+    Σref_n)``, ``chrF_β = (1+β²)·P·R / (β²·P + R)`` with β=2 (recall-
+    weighted, the paper's recommendation). Orders whose pooled
+    candidate (resp. reference) gram total is 0 are skipped from the
+    P (resp. R) mean — the corpus-level effective-order rule; chrF is
+    0 when P + R = 0.
+
+    Spark-first: candidate and reference share a row, so every clipped
+    char-gram match is computed ROW-LOCALLY with array expressions —
+    no gram explode, no join; the only exchange is the final one-row
+    LONG-sum aggregate (map-side combinable), and every double derives
+    from exact integer sums so the oracle replays bit-for-bit.
+    Output: ``n_pairs``, ``p_1..p_max_n``, ``r_1..r_max_n`` (rounded
+    6), ``chrf_precision``, ``chrf_recall``, ``chrf``.
+    """
+    if not 1 <= max_n <= 8:
+        raise DataFrameValidationError("max_n must be in [1, 8]")
+    if beta <= 0:
+        raise DataFrameValidationError("beta must be > 0")
+    base = df.select(
+        _nospace(F.col(cand_col)).alias("_cs"),
+        _nospace(F.col(ref_col)).alias("_rs"),
+    )
+    cols = []
+    for n in range(1, max_n + 1):
+        cg = _char_grams(F.col("_cs"), n)
+        rg = _char_grams(F.col("_rs"), n)
+        cols.append(_clipped_matches(cg, rg).alias(f"_m{n}"))
+        cols.append(
+            F.greatest(F.length("_cs") - (n - 1), F.lit(0))
+            .cast("long")
+            .alias(f"_tc{n}")
+        )
+        cols.append(
+            F.greatest(F.length("_rs") - (n - 1), F.lit(0))
+            .cast("long")
+            .alias(f"_tr{n}")
+        )
+    stats = base.select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    for n in range(1, max_n + 1):
+        aggs += [
+            F.sum(f"_m{n}").alias(f"_m{n}"),
+            F.sum(f"_tc{n}").alias(f"_tc{n}"),
+            F.sum(f"_tr{n}").alias(f"_tr{n}"),
+        ]
+    agg = stats.agg(*aggs)
+    # effective-order means: sum the defined per-order ratios, divide by
+    # the count of orders whose denominator is non-zero
+    p_sum, p_cnt, r_sum, r_cnt = (F.lit(0.0), F.lit(0), F.lit(0.0), F.lit(0))
+    for n in range(1, max_n + 1):
+        tc, tr, m = F.col(f"_tc{n}"), F.col(f"_tr{n}"), F.col(f"_m{n}")
+        p_sum = p_sum + F.when(tc > 0, m.cast("double") / tc.cast("double")).otherwise(F.lit(0.0))
+        p_cnt = p_cnt + F.when(tc > 0, F.lit(1)).otherwise(F.lit(0))
+        r_sum = r_sum + F.when(tr > 0, m.cast("double") / tr.cast("double")).otherwise(F.lit(0.0))
+        r_cnt = r_cnt + F.when(tr > 0, F.lit(1)).otherwise(F.lit(0))
+    prec = F.when(p_cnt > 0, p_sum / p_cnt.cast("double")).otherwise(F.lit(0.0))
+    rec = F.when(r_cnt > 0, r_sum / r_cnt.cast("double")).otherwise(F.lit(0.0))
+    b2 = float(beta) * float(beta)
+    chrf = F.when(prec + rec <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0 + b2) * prec * rec / (F.lit(b2) * prec + rec)
+    )
+    sel = [F.col("n_pairs")]
+    for n in range(1, max_n + 1):
+        tc, tr, m = F.col(f"_tc{n}"), F.col(f"_tr{n}"), F.col(f"_m{n}")
+        sel.append(
+            (F.round(F.when(tc > 0, m.cast("double") / tc.cast("double"))
+                     .otherwise(F.lit(0.0)), 6) + F.lit(0.0)).alias(f"p_{n}")
+        )
+        sel.append(
+            (F.round(F.when(tr > 0, m.cast("double") / tr.cast("double"))
+                     .otherwise(F.lit(0.0)), 6) + F.lit(0.0)).alias(f"r_{n}")
+        )
+    sel.append((F.round(prec, 6) + F.lit(0.0)).alias("chrf_precision"))
+    sel.append((F.round(rec, 6) + F.lit(0.0)).alias("chrf_recall"))
+    sel.append((F.round(chrf, 6) + F.lit(0.0)).alias("chrf"))
+    return agg.select(*sel)

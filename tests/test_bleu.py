@@ -161,3 +161,88 @@ class TestRouge:
         df = _df(spark, [("a b", "a b")])
         plan = rouge_l_pairs(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def _ref_chrf(pairs, max_n=6, beta=2.0):
+    """Pure-Python chrF reference (Popović 2015): whitespace-stripped
+    char n-grams, corpus-pooled clipped counts, effective-order means."""
+    import re
+
+    m, tc, tr = Counter(), Counter(), Counter()
+    for c, r in pairs:
+        cs = re.sub(r"\s+", "", c)
+        rs = re.sub(r"\s+", "", r)
+        for n in range(1, max_n + 1):
+            cg = Counter(cs[i : i + n] for i in range(len(cs) - n + 1))
+            rg = Counter(rs[i : i + n] for i in range(len(rs) - n + 1))
+            m[n] += sum(min(v, rg[g]) for g, v in cg.items())
+            tc[n] += max(0, len(cs) - n + 1)
+            tr[n] += max(0, len(rs) - n + 1)
+    pn = [m[n] / tc[n] for n in range(1, max_n + 1) if tc[n] > 0]
+    rn = [m[n] / tr[n] for n in range(1, max_n + 1) if tr[n] > 0]
+    p = sum(pn) / len(pn) if pn else 0.0
+    r = sum(rn) / len(rn) if rn else 0.0
+    b2 = beta * beta
+    f = 0.0 if p + r <= 0 else (1 + b2) * p * r / (b2 * p + r)
+    return p, r, f
+
+
+class TestChrf:
+    def _run(self, spark, pairs, **kw):
+        from temporalscope_spark.metrics.translation import chrf_corpus
+
+        df = spark.createDataFrame(pairs, "candidate string, reference string")
+        return chrf_corpus(df, **kw).collect()[0]
+
+    def test_identical_is_one(self, spark):
+        row = self._run(spark, [("the cat sat on the mat", "the cat sat on the mat")])
+        assert row["chrf"] == 1.0
+        assert row["chrf_precision"] == 1.0 and row["chrf_recall"] == 1.0
+
+    def test_disjoint_is_zero(self, spark):
+        row = self._run(spark, [("aaaa", "bbbb")])
+        assert row["chrf"] == 0.0
+
+    def test_reference_parity(self, spark):
+        pairs = [
+            ("the quick brown fox jumps", "the quick brown fox jumped"),
+            ("hello world", "hello there world"),
+            ("a b c d e f g", "a b c d e f"),
+            ("completely different text", "nothing shared here at all"),
+            ("", "nonempty"),
+        ]
+        row = self._run(spark, pairs)
+        p, r, f = _ref_chrf(pairs)
+        assert row["chrf_precision"] == pytest.approx(p, abs=1e-6)
+        assert row["chrf_recall"] == pytest.approx(r, abs=1e-6)
+        assert row["chrf"] == pytest.approx(f, abs=1e-6)
+
+    def test_beta_weights_recall(self, spark):
+        # candidate is a prefix of the reference: recall < precision, so
+        # beta=2 (recall-weighted) must score LOWER than beta=0.5
+        pairs = [("the cat sat", "the cat sat on the mat by the door")]
+        f2 = self._run(spark, pairs, beta=2.0)["chrf"]
+        fh = self._run(spark, pairs, beta=0.5)["chrf"]
+        assert f2 < fh
+        p, r, f = _ref_chrf(pairs, beta=2.0)
+        assert f2 == pytest.approx(f, abs=1e-6)
+
+    def test_whitespace_invisible(self, spark):
+        # chrF strips ALL whitespace: respacing must not change the score
+        a = self._run(spark, [("the cat sat", "thecatsat")])
+        assert a["chrf"] == 1.0
+
+    def test_effective_order_short_strings(self, spark):
+        # 3-char strings have no 4..6-grams: those orders must be skipped
+        # from the means, not counted as zeros
+        row = self._run(spark, [("abc", "abc")])
+        assert row["chrf"] == 1.0
+
+    def test_errors(self, spark):
+        df = spark.createDataFrame([("a", "b")], "candidate string, reference string")
+        from temporalscope_spark.metrics.translation import chrf_corpus
+
+        with pytest.raises(DataFrameValidationError):
+            chrf_corpus(df, max_n=0)
+        with pytest.raises(DataFrameValidationError):
+            chrf_corpus(df, beta=0.0)
