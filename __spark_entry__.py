@@ -4597,6 +4597,49 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity(docs, ["source", "lang"], k=30)
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, value) at 8 bits
+    per dimension — the multi-column layout key a 100-TB table is
+    range-partitioned on so file min/max statistics prune on EITHER
+    column (Delta OPTIMIZE ZORDER / Iceberg rewrite semantics).
+    Expression-only bit interleave above one fused min/max aggregation;
+    NULL value rows keep a NULL key (the nulls bucket). The oracle
+    replays the same affine scaling and bit positions; every double op
+    has identical operand order, so floor() replays bit-for-bit."""
+    from temporalscope_spark.operators.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    return zorder_key(ev, ["user_id", "value"], bits=8).select(
+        "event_id", "zkey"
+    )
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (ED-Join prefix filter + banded
+    levenshtein verify) at d=2, q=3 over 40-char normalized doc
+    prefixes, with PLANTED typo twins (every 7th doc gets a copy with
+    one character substituted, id + 10M). Candidate generation is
+    COMPLETE for the threshold (see operators/edjoin.py), so the
+    output equals the brute-force join; the oracle replays the same
+    (gram, occurrence) prefix pipeline — DuckDB's levenshtein and
+    Spark's agree on the standard definition."""
+    from temporalscope_spark.operators.edjoin import edit_distance_pairs
+    from temporalscope_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    s = F.substring(normalize_text(F.col("text")), 1, 40)
+    base = docs.select(F.col("doc_id").alias("id"), s.alias("text"))
+    twins = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000000).alias("id"),
+        F.concat(
+            F.substring(s, 1, 6), F.lit("z"), F.substring(s, 8, 33)
+        ).alias("text"),
+    )
+    return edit_distance_pairs(
+        base.unionByName(twins), "id", "text", max_dist=2, q=3
+    )
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct l-diversity audit (Machanavajjhala et al. 2007) over the
     (source, lang, length-bucket) quasi tuple with a deterministic
@@ -4899,6 +4942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "zorder_key": q_zorder_key,
         "contamination_rate": q_contamination_rate,
         "quantile_normalize": q_quantile_normalize,
         "dedup_lines": q_dedup_lines,
@@ -9331,6 +9376,84 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         GROUP BY source, lang
         HAVING count(*) < 30
+    """
+    _zx = ("CASE WHEN user_id IS NULL THEN NULL ELSE least(greatest("
+           "CAST(floor((CAST(user_id AS DOUBLE) - mnx) * 255.0 / (mxx - mnx))"
+           " AS BIGINT), 0), 255) END")
+    _zy = ("CASE WHEN value IS NULL THEN NULL ELSE least(greatest("
+           "CAST(floor((CAST(value AS DOUBLE) - mny) * 255.0 / (mxy - mny))"
+           " AS BIGINT), 0), 255) END")
+    _zterms = " + ".join(
+        f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+        for b in range(8)
+    )
+    sql["zorder_key"] = f"""
+        WITH b AS (
+            SELECT min(CAST(user_id AS DOUBLE)) AS mnx,
+                   max(CAST(user_id AS DOUBLE)) AS mxx,
+                   min(CAST(value AS DOUBLE)) AS mny,
+                   max(CAST(value AS DOUBLE)) AS mxy
+            FROM events
+        ),
+        s AS (
+            SELECT event_id, {_zx} AS x, {_zy} AS y
+            FROM events, b
+        )
+        SELECT event_id, CAST({_zterms} AS BIGINT) AS zkey FROM s
+    """
+    sql["edit_distance_pairs"] = f"""
+        WITH s0 AS (
+            SELECT doc_id AS id, substr({_NORM}, 1, 40) AS s FROM documents
+        ),
+        tw AS (
+            SELECT id + 10000000 AS id,
+                   substr(s, 1, 6) || 'z' || substr(s, 8, 33) AS s
+            FROM s0 WHERE id % 7 = 0
+        ),
+        allr AS (
+            SELECT id, s, length(s) AS len
+            FROM (SELECT * FROM s0 UNION ALL SELECT * FROM tw)
+        ),
+        toks AS (
+            SELECT id, len, CAST(i AS INT) AS pos,
+                   substr(s, CAST(i AS INT), 3) AS g
+            FROM allr, UNNEST(generate_series(1, len - 2)) t(i)
+            WHERE len >= 9
+        ),
+        tk AS (
+            SELECT *, row_number() OVER (PARTITION BY id, g ORDER BY pos) AS k
+            FROM toks
+        ),
+        freq AS (SELECT g, count(*) AS f FROM tk GROUP BY g),
+        pref AS (
+            SELECT tk.id, tk.len, tk.g, tk.k,
+                   row_number() OVER (PARTITION BY tk.id
+                                      ORDER BY f, tk.g, tk.k) AS r
+            FROM tk JOIN freq USING (g)
+        ),
+        p AS (SELECT * FROM pref WHERE r <= 7),
+        lc AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM p a JOIN p b
+              ON a.g = b.g AND a.k = b.k AND a.id < b.id
+             AND abs(a.len - b.len) <= 2
+        ),
+        sh AS (SELECT id, len FROM allr WHERE len < 9),
+        shish AS (SELECT id, len FROM allr WHERE len < 11),
+        sc AS (
+            SELECT DISTINCT least(s.id, t.id) AS id_a,
+                   greatest(s.id, t.id) AS id_b
+            FROM sh s JOIN shish t
+              ON t.len BETWEEN s.len AND s.len + 2 AND s.id != t.id
+        ),
+        cand AS (SELECT * FROM lc UNION SELECT * FROM sc),
+        v AS (
+            SELECT c.id_a, c.id_b, levenshtein(a.s, b.s) AS dist
+            FROM cand c
+            JOIN allr a ON a.id = c.id_a
+            JOIN allr b ON b.id = c.id_b
+        )
+        SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM v WHERE dist <= 2
     """
     sql["l_diversity"] = """
         SELECT source, lang,
