@@ -4597,6 +4597,51 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity(docs, ["source", "lang"], k=30)
 
 
+def _pq_books(spark: SparkSession, sf_dir: str):
+    from temporalscope_spark.operators.pq import pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb, pq_codebooks(
+        emb, dim=64, m=4, ksub=8, seed=42, refine_iters=0, seed_hash="md5"
+    )
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011): md5-seeded
+    codebooks (refine_iters=0 keeps the seeds SQL-expressible — Lloyd
+    refinement is pinned by test_pq.py), expression-only per-subspace
+    argmin. 64-dim float vectors compress to 4 bytes. The oracle
+    re-derives the same seed rows and replays every squared-L2 argmin;
+    same float-tie fragility class as the IVF/SRP replays."""
+    from temporalscope_spark.operators.pq import pq_encode
+
+    emb, books = _pq_books(spark, sf_dir)
+    out = pq_encode(emb, books)
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), ","
+        ).alias("codes"),
+    )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 for vec_id 0's vector over the PQ codes: the m×ksub
+    LUT enters the plan as literals, each row costs m array lookups —
+    the decode-free scan that makes PQ the 100-TB ANN storage format.
+    (adc, vec_id) tiebreak keeps the cut deterministic."""
+    from temporalscope_spark.operators.pq import pq_encode, pq_topk
+
+    emb, books = _pq_books(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    coded = pq_encode(emb, books)
+    out = pq_topk(coded, qvec, books, k=10)
+    return out.select("vec_id", (F.round("adc", 6) + F.lit(0.0)).alias("adc"))
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over (user_id, value) at 8 bits
     per dimension — the multi-column layout key a 100-TB table is
@@ -4944,6 +4989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "edit_distance_pairs": q_edit_distance_pairs,
         "zorder_key": q_zorder_key,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
         "contamination_rate": q_contamination_rate,
         "quantile_normalize": q_quantile_normalize,
         "dedup_lines": q_dedup_lines,
@@ -9376,6 +9423,66 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         GROUP BY source, lang
         HAVING count(*) < 30
+    """
+    _pq_common = """
+        seeds AS (
+            SELECT embedding AS cv,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')) - 1
+                       AS code
+            FROM embeddings
+            QUALIFY code < 8
+        ),
+        subs AS (SELECT unnest(generate_series(0, 3)) AS j),
+        dists AS (
+            SELECT e.vec_id, s.j, c.code,
+                   list_sum(list_transform(generate_series(1, 16), i ->
+                       (CAST(e.embedding[s.j * 16 + CAST(i AS INT)] AS DOUBLE)
+                        - CAST(c.cv[s.j * 16 + CAST(i AS INT)] AS DOUBLE))
+                       * (CAST(e.embedding[s.j * 16 + CAST(i AS INT)] AS DOUBLE)
+                        - CAST(c.cv[s.j * 16 + CAST(i AS INT)] AS DOUBLE))))
+                       AS d
+            FROM embeddings e, seeds c, subs s
+        ),
+        best AS (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d, code) AS rn
+            FROM dists
+        ),
+        codes AS (
+            SELECT vec_id,
+                   array_agg(CAST(code AS INT) ORDER BY j) AS codes
+            FROM best WHERE rn = 1 GROUP BY vec_id
+        )
+    """
+    sql["pq_encode"] = f"""
+        WITH {_pq_common}
+        SELECT vec_id, array_to_string(codes, ',') AS codes FROM codes
+    """
+    sql["pq_topk"] = f"""
+        WITH {_pq_common},
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        lut AS (
+            SELECT s.j, c.code,
+                   list_sum(list_transform(generate_series(1, 16), i ->
+                       (CAST(q.qv[s.j * 16 + CAST(i AS INT)] AS DOUBLE)
+                        - CAST(c.cv[s.j * 16 + CAST(i AS INT)] AS DOUBLE))
+                       * (CAST(q.qv[s.j * 16 + CAST(i AS INT)] AS DOUBLE)
+                        - CAST(c.cv[s.j * 16 + CAST(i AS INT)] AS DOUBLE))))
+                       AS d
+            FROM q, seeds c, subs s
+        ),
+        percode AS (
+            SELECT b.vec_id, b.j, b.code FROM best b WHERE b.rn = 1
+        ),
+        adc AS (
+            SELECT p.vec_id, sum(l.d) AS adc
+            FROM percode p JOIN lut l ON l.j = p.j AND l.code = p.code
+            GROUP BY p.vec_id
+        )
+        SELECT vec_id, round(adc, 6) + 0.0 AS adc
+        FROM adc ORDER BY adc, vec_id LIMIT 10
     """
     _zx = ("CASE WHEN user_id IS NULL THEN NULL ELSE least(greatest("
            "CAST(floor((CAST(user_id AS DOUBLE) - mnx) * 255.0 / (mxx - mnx))"

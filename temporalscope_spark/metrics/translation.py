@@ -77,21 +77,28 @@ def bleu_pair_counts(
         _words(F.col(cand_col)).alias("_cw"),
         _words(F.col(ref_col)).alias("_rw"),
     )
+    # materialize gram arrays as columns first — an expression inside a
+    # higher-order-function lambda re-evaluates PER ELEMENT (dedup.py:119)
+    keep0 = [c for c in df.columns if c not in (cand_col, ref_col)]
+    gram_cols = []
+    for n in range(2, max_n + 1):
+        gram_cols.append(_grams(F.col("_cw"), n).alias(f"_cg{n}"))
+        gram_cols.append(_grams(F.col("_rw"), n).alias(f"_rg{n}"))
+    base = base.select(*keep0, "_cw", "_rw", *gram_cols)
     cols = [
         F.size("_cw").cast("long").alias("cand_len"),
         F.size("_rw").cast("long").alias("ref_len"),
     ]
     for n in range(1, max_n + 1):
-        cg = _grams(F.col("_cw"), n)
-        rg = _grams(F.col("_rw"), n)
+        cg = F.col("_cw") if n == 1 else F.col(f"_cg{n}")
+        rg = F.col("_rw") if n == 1 else F.col(f"_rg{n}")
         cols.append(_clipped_matches(cg, rg).alias(f"match_{n}"))
         cols.append(
             F.greatest(F.size("_cw") - (n - 1), F.lit(0))
             .cast("long")
             .alias(f"total_{n}")
         )
-    keep = [c for c in df.columns if c not in (cand_col, ref_col)]
-    return base.select(*keep, *cols)
+    return base.select(*keep0, *cols)
 
 
 def bleu_corpus(
@@ -180,10 +187,17 @@ def rouge_n_corpus(
         _words(F.col(cand_col)).alias("_cw"),
         _words(F.col(ref_col)).alias("_rw"),
     )
+    # materialize gram arrays before the per-element fold (dedup.py:119)
+    gram_cols = []
+    for n in ns:
+        if n > 1:
+            gram_cols.append(_grams(F.col("_cw"), n).alias(f"_cg{n}"))
+            gram_cols.append(_grams(F.col("_rw"), n).alias(f"_rg{n}"))
+    base = base.select("_cw", "_rw", *gram_cols)
     cols = []
     for n in ns:
-        cg = _grams(F.col("_cw"), n)
-        rg = _grams(F.col("_rw"), n)
+        cg = F.col("_cw") if n == 1 else F.col(f"_cg{n}")
+        rg = F.col("_rw") if n == 1 else F.col(f"_rg{n}")
         cols.append(_clipped_matches(cg, rg).alias(f"_m{n}"))
         cols.append(
             F.greatest(F.size("_cw") - (n - 1), F.lit(0)).cast("long").alias(f"_tc{n}")
@@ -356,10 +370,19 @@ def chrf_corpus(
         _nospace(F.col(cand_col)).alias("_cs"),
         _nospace(F.col(ref_col)).alias("_rs"),
     )
+    # PITFALL (dedup.py:119, measured 25x here): expressions referenced
+    # inside a higher-order-function lambda re-evaluate PER ELEMENT —
+    # materialize the gram arrays as columns BEFORE the clipped-match
+    # fold so each array is built once per row, not once per gram.
+    gram_cols = []
+    for n in range(1, max_n + 1):
+        gram_cols.append(_char_grams(F.col("_cs"), n).alias(f"_cg{n}"))
+        gram_cols.append(_char_grams(F.col("_rs"), n).alias(f"_rg{n}"))
+    base = base.select("_cs", "_rs", *gram_cols)
     cols = []
     for n in range(1, max_n + 1):
-        cg = _char_grams(F.col("_cs"), n)
-        rg = _char_grams(F.col("_rs"), n)
+        cg = F.col(f"_cg{n}")
+        rg = F.col(f"_rg{n}")
         cols.append(_clipped_matches(cg, rg).alias(f"_m{n}"))
         cols.append(
             F.greatest(F.length("_cs") - (n - 1), F.lit(0))

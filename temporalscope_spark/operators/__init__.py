@@ -188,7 +188,19 @@ from temporalscope_spark.operators.shift import (
     shift_target_chunked,
     time_to_event,
 )
-from temporalscope_spark.operators.pii import PII_PATTERNS, k_anonymity, pii_scan, redact_pii
+from temporalscope_spark.operators.layout import (
+    column_bounds,
+    zorder_key,
+    zorder_layout,
+)
+from temporalscope_spark.operators.pii import (
+    PII_PATTERNS,
+    k_anonymity,
+    l_diversity,
+    pii_scan,
+    redact_pii,
+)
+from temporalscope_spark.operators.pq import pq_codebooks, pq_encode, pq_topk
 from temporalscope_spark.operators.preference import dpo_pairs
 from temporalscope_spark.operators.similarity import (
     ann_topk,
