@@ -4597,6 +4597,31 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity(docs, ["source", "lang"], k=30)
 
 
+# planted typographic mess, shared verbatim with the oracle (explicit
+# escapes — editors/heredocs silently mangle raw zero-width characters)
+_DIRTY_PREFIX = "\u201cquoted\u201d\u00a0\u2014 "
+_DIRTY_SUFFIX = "\u2026\u200bdone"
+
+
+def q_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level unicode cleanup (smart quotes/dashes → ASCII,
+    zero-width/control strip, ellipsis expansion, space folding) over
+    documents with PLANTED typographic mess — the pre-tokenizer
+    normalization pass. Expression-only; every regex stays in the
+    Java∩RE2 dialect so the oracle runs the same pattern strings."""
+    from temporalscope_spark.operators.text import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit(_DIRTY_PREFIX),
+        F.substring(F.col("text"), 1, 120),
+        F.lit(_DIRTY_SUFFIX),
+    )
+    return normalize_unicode(
+        docs.select("doc_id", dirty.alias("text")), "text"
+    ).select("doc_id", "clean_text", "changed")
+
+
 def _pq_books(spark: SparkSession, sf_dir: str):
     from temporalscope_spark.operators.pq import pq_codebooks
 
@@ -4990,6 +5015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "zorder_key": q_zorder_key,
         "pq_encode": q_pq_encode,
+        "normalize_unicode": q_normalize_unicode,
         "pq_topk": q_pq_topk,
         "contamination_rate": q_contamination_rate,
         "quantile_normalize": q_quantile_normalize,
@@ -9423,6 +9449,39 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         GROUP BY source, lang
         HAVING count(*) < 30
+    """
+    from temporalscope_spark.operators.text import (
+        _STRIP_CLASS,
+        _TRANSLATE_FROM,
+        _TRANSLATE_TO,
+    )
+
+    def _sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    sql["normalize_unicode"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   '{_sq(_DIRTY_PREFIX)}' || substr(text, 1, 120)
+                       || '{_sq(_DIRTY_SUFFIX)}' AS dirty
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, dirty,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           translate(
+                               regexp_replace(dirty, '{_sq(_STRIP_CLASS)}',
+                                              '', 'g'),
+                               '{_sq(_TRANSLATE_FROM)}',
+                               '{_sq(_TRANSLATE_TO)}'),
+                           '\\x{{2026}}', '...', 'g'),
+                       '\\s+', ' ', 'g')) AS clean_text
+            FROM d
+        )
+        SELECT doc_id, clean_text,
+               coalesce(clean_text != dirty, FALSE) AS changed
+        FROM c
     """
     _pq_common = """
         seeds AS (

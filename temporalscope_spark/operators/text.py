@@ -401,3 +401,52 @@ def chunk_documents(
         F.col("_c.chunk_text").alias("chunk_text"),
         F.length("_c.chunk_text").cast("long").alias("n_chunk_chars"),
     )
+
+
+# -- unicode normalization ------------------------------------------------
+# Every pattern stays inside the Java-regex ∩ RE2 dialect (\x{..} escapes,
+# no \uXXXX — RE2 rejects those), so the DuckDB oracle runs the SAME
+# strings byte-for-byte; 1:1 character maps use translate(), which both
+# engines implement with Postgres semantics.
+_STRIP_CLASS = (
+    r"[\x{00}-\x{08}\x{0b}\x{0c}\x{0e}-\x{1f}\x{7f}"
+    r"\x{ad}\x{200b}-\x{200d}\x{feff}]"
+)
+_TRANSLATE_FROM = (
+    "\u2018\u2019\u201a\u201b"  # single smart quotes
+    "\u201c\u201d\u201e\u201f"  # double smart quotes
+    "\u2013\u2014\u2015"          # en/em/horizontal-bar dashes
+    "\u00a0\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u3000"                        # nbsp + typographic/ideographic spaces
+)
+_TRANSLATE_TO = "\'\'\'\'" + '""""' + "---" + " " * 11
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    collapse_whitespace: bool = True,
+) -> DataFrame:
+    """Character-level unicode cleanup — the normalization pass a web
+    corpus gets BEFORE tokenizer training (CCNet/C4-style): drop control
+    and zero-width characters and soft hyphens, fold smart quotes /
+    typographic dashes / exotic spaces to their ASCII forms, expand the
+    ellipsis character, optionally collapse whitespace runs.
+
+    Expression-only (two regexp_replace + one translate inside
+    whole-stage codegen — narrow plan, scan-speed at any corpus size).
+    Adds ``out_col`` plus ``changed`` (True when normalization altered
+    the text). NULL text stays NULL.
+    """
+    if text_col not in df.columns:
+        raise DataFrameValidationError(f"normalize_unicode: missing {text_col!r}")
+    t = F.col(text_col)
+    cur = F.regexp_replace(t, _STRIP_CLASS, "")
+    cur = F.translate(cur, _TRANSLATE_FROM, _TRANSLATE_TO)
+    cur = F.regexp_replace(cur, r"\x{2026}", "...")
+    if collapse_whitespace:
+        cur = F.trim(F.regexp_replace(cur, r"\s+", " "))
+    return df.withColumn(out_col, cur).withColumn(
+        "changed", F.coalesce(cur != t, F.lit(False))
+    )

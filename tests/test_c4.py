@@ -97,3 +97,51 @@ class TestC4Clean:
             c4_clean(df, min_line_words=0)
         with pytest.raises(DataFrameValidationError):
             c4_clean(df, line_drop_terms=("Upper",))
+
+
+class TestNormalizeUnicode:
+    def _one(self, spark, s, **kw):
+        from temporalscope_spark.operators.text import normalize_unicode
+
+        df = spark.createDataFrame([(1, s)], "id long, text string")
+        return normalize_unicode(df, "text", **kw).collect()[0]
+
+    def test_smart_quotes_and_dashes(self, spark):
+        r = self._one(spark, "“Hi” — it’s fine – ok")
+        assert r["clean_text"] == '"Hi" - it\'s fine - ok'
+        assert r["changed"] is True
+
+    def test_strip_zero_width_controls_softhyphen(self, spark):
+        r = self._one(spark, "a​b‌c﻿d­e\x07f\x1fg")
+        assert r["clean_text"] == "abcdefg"
+
+    def test_ellipsis_and_spaces(self, spark):
+        r = self._one(spark, "wait… no way　really")
+        assert r["clean_text"] == "wait... no way really"
+
+    def test_collapse_flag(self, spark):
+        r = self._one(spark, "a  \t b", collapse_whitespace=False)
+        assert r["clean_text"] == "a  \t b"
+        assert r["changed"] is False
+        r2 = self._one(spark, "  a  \t b ")
+        assert r2["clean_text"] == "a b"
+
+    def test_null_and_clean_text_unchanged(self, spark):
+        from temporalscope_spark.operators.text import normalize_unicode
+
+        df = spark.createDataFrame([(1, None), (2, "plain ascii")],
+                                   "id long, text string")
+        out = {r["id"]: r for r in normalize_unicode(df, "text").collect()}
+        assert out[1]["clean_text"] is None and out[1]["changed"] is False
+        assert out[2]["clean_text"] == "plain ascii"
+        assert out[2]["changed"] is False
+
+    def test_errors(self, spark):
+        import pytest as _pt
+
+        from temporalscope_spark.exceptions import DataFrameValidationError
+        from temporalscope_spark.operators.text import normalize_unicode
+
+        df = spark.createDataFrame([(1, "x")], "id long, text string")
+        with _pt.raises(DataFrameValidationError):
+            normalize_unicode(df, "nope")
