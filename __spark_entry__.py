@@ -4667,6 +4667,57 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", (F.round("adc", 6) + F.lit(0.0)).alias("adc"))
 
 
+def _ivfpq_parts(spark: SparkSession, sf_dir: str):
+    from temporalscope_spark.operators.pq import ivfpq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells, books = ivfpq_train(
+        emb, dim=64, num_cells=8, m=4, ksub=8, seed=42, seed_hash="md5"
+    )
+    return emb, cells, books
+
+
+def q_ivfpq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite codes (Jégou et al. 2011 §IV, IVFADC): md5-seeded
+    coarse cells (seed 42) + residual PQ codebooks (seed 43), nearest-cell
+    assignment, residual, per-subspace argmin — all expression-only. The
+    oracle replays every stage (cells → assignment → residuals → seed
+    codebooks → argmin) in SQL; same last-ulp argmin fragility class as
+    the other vector replays."""
+    from temporalscope_spark.operators.pq import ivfpq_encode
+
+    emb, cells, books = _ivfpq_parts(spark, sf_dir)
+    out = ivfpq_encode(emb, cells, books)
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), ","
+        ).alias("codes"),
+    )
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC search for vec_id 0: probe the 4 nearest cells, score rows
+    by the cell-specific residual LUT (nprobe × m × ksub plan literals),
+    (adc, vec_id) deterministic cut. At scale the code table is
+    partitioned by cell, so the probe is partition pruning."""
+    from temporalscope_spark.operators.pq import ivfpq_encode, ivfpq_topk
+
+    emb, cells, books = _ivfpq_parts(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    coded = ivfpq_encode(emb, cells, books)
+    out = ivfpq_topk(coded, qvec, cells, books, k=10, nprobe=4)
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        (F.round("adc", 6) + F.lit(0.0)).alias("adc"),
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over (user_id, value) at 8 bits
     per dimension — the multi-column layout key a 100-TB table is
@@ -5016,6 +5067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "pq_encode": q_pq_encode,
         "normalize_unicode": q_normalize_unicode,
+        "ivfpq_encode": q_ivfpq_encode,
+        "ivfpq_topk": q_ivfpq_topk,
         "pq_topk": q_pq_topk,
         "contamination_rate": q_contamination_rate,
         "quantile_normalize": q_quantile_normalize,
@@ -9541,6 +9594,111 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.vec_id
         )
         SELECT vec_id, round(adc, 6) + 0.0 AS adc
+        FROM adc ORDER BY adc, vec_id LIMIT 10
+    """
+    def _l2sql(a: str, b: str, off: str, n: int) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {n}), i -> "
+            f"(CAST({a}[{off} + CAST(i AS INT)] AS DOUBLE)"
+            f" - CAST({b}[{off} + CAST(i AS INT)] AS DOUBLE))"
+            f" * (CAST({a}[{off} + CAST(i AS INT)] AS DOUBLE)"
+            f" - CAST({b}[{off} + CAST(i AS INT)] AS DOUBLE))))"
+        )
+
+    _ivfpq_common = f"""
+        cellseed AS (
+            SELECT embedding AS cv,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42')) - 1
+                       AS cell
+            FROM embeddings
+            QUALIFY cell < 8
+        ),
+        adist AS (
+            SELECT e.vec_id, c.cell,
+                   {_l2sql('e.embedding', 'c.cv', '0', 64)} AS d
+            FROM embeddings e, cellseed c
+        ),
+        abest AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cell) AS rn
+            FROM adist
+        ),
+        assign AS (SELECT vec_id, cell FROM abest WHERE rn = 1),
+        resid AS (
+            SELECT e.vec_id, a.cell,
+                   list_transform(generate_series(1, 64), i ->
+                       CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                       - CAST(c.cv[CAST(i AS INT)] AS DOUBLE)) AS rv
+            FROM embeddings e
+            JOIN assign a USING (vec_id)
+            JOIN cellseed c ON c.cell = a.cell
+        ),
+        pqseed AS (
+            SELECT rv,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR) || '#43')) - 1
+                       AS code
+            FROM resid
+            QUALIFY code < 8
+        ),
+        subs AS (SELECT unnest(generate_series(0, 3)) AS j),
+        edist AS (
+            SELECT r.vec_id, r.cell, s.j, p.code,
+                   {_l2sql('r.rv', 'p.rv', 's.j * 16', 16)} AS d
+            FROM resid r, pqseed p, subs s
+        ),
+        percode AS (
+            SELECT vec_id, cell, j, code
+            FROM (
+                SELECT vec_id, cell, j, code,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d, code) AS rn
+                FROM edist
+            ) WHERE rn = 1
+        )
+    """
+    sql["ivfpq_encode"] = f"""
+        WITH {_ivfpq_common}
+        SELECT vec_id,
+               CAST(any_value(cell) AS BIGINT) AS cell,
+               array_to_string(array_agg(CAST(code AS INT) ORDER BY j), ',')
+                   AS codes
+        FROM percode GROUP BY vec_id
+    """
+    sql["ivfpq_topk"] = f"""
+        WITH {_ivfpq_common},
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qcd AS (
+            SELECT c.cell, {_l2sql('q.qv', 'c.cv', '0', 64)} AS d
+            FROM q, cellseed c
+        ),
+        probe AS (
+            SELECT cell FROM qcd
+            QUALIFY row_number() OVER (ORDER BY d, cell) <= 4
+        ),
+        qres AS (
+            SELECT c.cell,
+                   list_transform(generate_series(1, 64), i ->
+                       CAST(q.qv[CAST(i AS INT)] AS DOUBLE)
+                       - CAST(c.cv[CAST(i AS INT)] AS DOUBLE)) AS qr
+            FROM q, cellseed c
+            WHERE c.cell IN (SELECT cell FROM probe)
+        ),
+        lut AS (
+            SELECT r.cell, s.j, p.code,
+                   {_l2sql('r.qr', 'p.rv', 's.j * 16', 16)} AS d
+            FROM qres r, pqseed p, subs s
+        ),
+        adc AS (
+            SELECT p.vec_id, p.cell, sum(l.d) AS adc
+            FROM percode p
+            JOIN lut l ON l.cell = p.cell AND l.j = p.j AND l.code = p.code
+            GROUP BY p.vec_id, p.cell
+        )
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+               round(adc, 6) + 0.0 AS adc
         FROM adc ORDER BY adc, vec_id LIMIT 10
     """
     _zx = ("CASE WHEN user_id IS NULL THEN NULL ELSE least(greatest("

@@ -193,3 +193,178 @@ def pq_topk(
         .orderBy(F.col("adc").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# -- IVF-PQ composite (coarse cells + PQ on residuals) ---------------------
+
+def _l2_argmin(vec: Column, cents: list[list[float]]) -> Column:
+    """(cell, centroid-array) struct for the nearest centroid by squared
+    L2 — array_min over (dist, idx) structs, ties to the smaller idx."""
+    cands = []
+    for i, c in enumerate(cents):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(
+                vec, lit,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*cands))["i"]
+
+
+def ivfpq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    num_cells: int = 8,
+    m: int = 4,
+    ksub: int = 8,
+    seed: int = 42,
+    seed_hash: str = "xxhash64",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVF-PQ composite (Jégou et al. 2011 §IV: IVFADC): a
+    coarse quantizer of ``num_cells`` md5/xxhash-seeded centroids plus
+    PQ codebooks trained on RESIDUALS (vector minus its cell centroid —
+    residuals are near zero-mean, so the same code budget quantizes
+    them far better than raw vectors). Seeds for both quantizers are
+    deterministic smallest-hash rows (``seed`` for cells, ``seed+1``
+    for the residual codebooks); the md5 lane replays in any SQL
+    engine. Returns ``(cells, codebooks)``."""
+    dsub = _check_mk(dim, m, ksub)
+    if num_cells < 1:
+        raise DataFrameValidationError("ivfpq: num_cells must be >= 1")
+
+    def _order(s: int):
+        if seed_hash == "md5":
+            return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{s}")))
+        return F.xxhash64(F.col(id_col), F.lit(s))
+
+    cell_rows = df.select(vec_col).orderBy(_order(seed)).limit(num_cells).collect()
+    if len(cell_rows) < num_cells:
+        raise DataFrameValidationError(
+            f"ivfpq: need at least num_cells={num_cells} rows"
+        )
+    cells = [[float(x) for x in r[0]] for r in cell_rows]
+
+    pq_rows = df.select(vec_col).orderBy(_order(seed + 1)).limit(ksub).collect()
+    if len(pq_rows) < ksub:
+        raise DataFrameValidationError(f"ivfpq: need at least ksub={ksub} rows")
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in pq_rows:
+        v = [float(x) for x in r[0]]
+        # assign in the driver with the same (dist, idx) tie rule as the
+        # engine expression: plain left-to-right float sums
+        best = min(
+            range(num_cells),
+            key=lambda i: (sum((a - b) * (a - b) for a, b in zip(v, cells[i])), i),
+        )
+        resid = [a - b for a, b in zip(v, cells[best])]
+        for j in range(m):
+            books[j].append(resid[j * dsub : (j + 1) * dsub])
+    return cells, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    cells: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id, cell, codes)`` — nearest-cell assignment, residual, and
+    per-subspace argmin over the residual codebooks, all expression-only
+    (cells and codebooks enter the plan as literals; no join, no UDF)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cell = _l2_argmin(F.col(vec_col), cells)
+    cent_lits = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cells]
+    )
+    base = df.select(
+        F.col(id_col),
+        cell.alias("cell"),
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(cent_lits, cell + 1),
+            lambda a, b: a.cast("double") - b,
+        ).alias("_resid"),
+    )
+    subs = []
+    for j in range(m):
+        cands = F.array(
+            *[
+                F.struct(
+                    _sub_l2(F.col("_resid"), j * dsub, codebooks[j][c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(len(codebooks[j]))
+            ]
+        )
+        subs.append(F.array_min(cands)["c"])
+    return base.select(
+        id_col, "cell", F.array(*subs).cast("array<int>").alias("codes")
+    )
+
+
+def ivfpq_topk(
+    coded: DataFrame,
+    qvec: list[float],
+    cells: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC search: probe the ``nprobe`` cells nearest the query, and
+    inside each probed cell score rows by the CELL-SPECIFIC ADC lookup
+    table of the query residual ``q - cell_centroid`` against the
+    residual codebooks. The cell filter prunes the scan (partition the
+    code table by ``cell`` at scale and this is partition pruning); the
+    per-cell LUTs are ``nprobe × m × ksub`` plan literals. Output
+    ``(id, cell, adc)`` with the (adc, id) deterministic cut."""
+    if k < 1:
+        raise DataFrameValidationError("ivfpq_topk: k must be >= 1")
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(qvec) != m * dsub:
+        raise DataFrameValidationError(
+            f"ivfpq_topk: query dim {len(qvec)} != m*dsub {m * dsub}"
+        )
+    if not 1 <= nprobe <= len(cells):
+        raise DataFrameValidationError("ivfpq_topk: nprobe out of range")
+    qd = [float(x) for x in qvec]
+    order = sorted(
+        range(len(cells)),
+        key=lambda i: (sum((a - b) * (a - b) for a, b in zip(qd, cells[i])), i),
+    )
+    probed = order[:nprobe]
+
+    adc = F.lit(None).cast("double")
+    expr = None
+    for cell_i in probed:
+        qr = [a - b for a, b in zip(qd, cells[cell_i])]
+        cell_sum = F.lit(0.0)
+        for j in range(m):
+            qs = qr[j * dsub : (j + 1) * dsub]
+            lut = F.array(
+                *[
+                    F.lit(float(sum((a - b) * (a - b) for a, b in zip(qs, cent))))
+                    for cent in codebooks[j]
+                ]
+            )
+            cell_sum = cell_sum + F.element_at(
+                lut, F.element_at(F.col("codes"), j + 1) + 1
+            )
+        cond = F.col("cell") == cell_i
+        expr = F.when(cond, cell_sum) if expr is None else expr.when(cond, cell_sum)
+    adc = expr.otherwise(F.lit(None))
+    return (
+        coded.filter(F.col("cell").isin([int(c) for c in probed]))
+        .select(F.col(id_col), F.col("cell"), adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -115,3 +115,89 @@ class TestPQ:
             pq_topk(coded, [0.0] * 7, books, k=5)  # wrong query dim
         with pytest.raises(DataFrameValidationError):
             pq_topk(coded, [0.0] * 8, books, k=0)
+
+
+class TestIVFPQ:
+    @pytest.fixture(scope="class")
+    def blobs(self, spark):
+        # 4 well-separated blobs so cell assignment is unambiguous and
+        # residuals are small relative to inter-cell distance
+        rng = np.random.RandomState(11)
+        centers = rng.randn(4, 8) * 10
+        vecs = np.vstack([c + 0.05 * rng.randn(40, 8) for c in centers]).astype(
+            "float32"
+        )
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        return df, vecs
+
+    def test_encode_matches_numpy(self, spark, blobs):
+        from temporalscope_spark.operators.pq import ivfpq_encode, ivfpq_train
+
+        df, vecs = blobs
+        cells, books = ivfpq_train(df, dim=8, num_cells=4, m=2, ksub=4, seed=3)
+        got = {r["vec_id"]: (r["cell"], list(r["codes"]))
+               for r in ivfpq_encode(df, cells, books).collect()}
+        C = np.array(cells)
+        for i, v in enumerate(vecs):
+            v64 = v.astype("float64")
+            cell = min(range(4), key=lambda c: (((v64 - C[c]) ** 2).sum(), c))
+            resid = v64 - C[cell]
+            codes = []
+            for j in range(2):
+                cents = np.array(books[j])
+                d = ((resid[j * 4 : (j + 1) * 4][None, :] - cents) ** 2).sum(axis=1)
+                codes.append(int(d.argmin()))
+            assert got[i] == (cell, codes)
+
+    def test_search_finds_query_blob(self, spark, blobs):
+        from temporalscope_spark.operators.pq import (
+            ivfpq_encode,
+            ivfpq_topk,
+            ivfpq_train,
+        )
+
+        df, vecs = blobs
+        cells, books = ivfpq_train(df, dim=8, num_cells=4, m=2, ksub=4, seed=3)
+        coded = ivfpq_encode(df, cells, books)
+        q = [float(x) for x in vecs[0]]
+        got = [r["vec_id"] for r in
+               ivfpq_topk(coded, q, cells, books, k=10, nprobe=1).collect()]
+        # nprobe=1 restricts to vec 0's blob: all hits share its cell
+        blob_of = {r["vec_id"]: r["cell"] for r in coded.collect()}
+        assert len(got) == 10
+        assert all(blob_of[i] == blob_of[0] for i in got)
+
+    def test_nprobe_full_covers_all_cells(self, spark, blobs):
+        from temporalscope_spark.operators.pq import (
+            ivfpq_encode,
+            ivfpq_topk,
+            ivfpq_train,
+        )
+
+        df, vecs = blobs
+        cells, books = ivfpq_train(df, dim=8, num_cells=4, m=2, ksub=4, seed=3)
+        coded = ivfpq_encode(df, cells, books)
+        q = [float(x) for x in vecs[0]]
+        out = ivfpq_topk(coded, q, cells, books, k=160, nprobe=4)
+        assert out.count() == 160  # every row scored at full probe
+
+    def test_errors(self, spark, blobs):
+        from temporalscope_spark.operators.pq import (
+            ivfpq_encode,
+            ivfpq_topk,
+            ivfpq_train,
+        )
+
+        df, vecs = blobs
+        with pytest.raises(DataFrameValidationError):
+            ivfpq_train(df, dim=8, num_cells=0)
+        cells, books = ivfpq_train(df, dim=8, num_cells=4, m=2, ksub=4, seed=3)
+        coded = ivfpq_encode(df, cells, books)
+        q = [0.0] * 8
+        with pytest.raises(DataFrameValidationError):
+            ivfpq_topk(coded, q, cells, books, nprobe=0)
+        with pytest.raises(DataFrameValidationError):
+            ivfpq_topk(coded, q, cells, books, nprobe=5)
+        with pytest.raises(DataFrameValidationError):
+            ivfpq_topk(coded, [0.0] * 7, cells, books)
