@@ -4667,6 +4667,15 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", (F.round("adc", 6) + F.lit(0.0)).alias("adc"))
 
 
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc type-token ratio, hapax ratio and Yule's K — vocabulary-
+    richness screens for boilerplate/gibberish. Row-local array folds,
+    zero exchange; exact integer counts with single-division doubles."""
+    from temporalscope_spark.operators.text import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 def _ivfpq_parts(spark: SparkSession, sf_dir: str):
     from temporalscope_spark.operators.pq import ivfpq_train
 
@@ -5068,6 +5077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "normalize_unicode": q_normalize_unicode,
         "ivfpq_encode": q_ivfpq_encode,
+        "lexical_diversity": q_lexical_diversity,
         "ivfpq_topk": q_ivfpq_topk,
         "pq_topk": q_pq_topk,
         "contamination_rate": q_contamination_rate,
@@ -9596,6 +9606,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, round(adc, 6) + 0.0 AS adc
         FROM adc ORDER BY adc, vec_id LIMIT 10
     """
+    sql["lexical_diversity"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split({_NORM}, ' ') END AS w
+            FROM documents
+        ),
+        cnt AS (
+            SELECT d.doc_id, t.word, count(*) AS c
+            FROM d, UNNEST(d.w) AS t(word)
+            GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST(sum(c * c) AS BIGINT) AS sum_c2
+            FROM cnt GROUP BY doc_id
+        ),
+        base AS (SELECT doc_id FROM d)
+        SELECT b.doc_id,
+               coalesce(a.n_words, 0) AS n_words,
+               coalesce(a.n_types, 0) AS n_types,
+               coalesce(a.n_hapax, 0) AS n_hapax,
+               round(CAST(coalesce(a.n_types, 0) AS DOUBLE)
+                     / CAST(greatest(coalesce(a.n_words, 0), 1) AS DOUBLE), 6)
+                   + 0.0 AS ttr,
+               round(CAST(coalesce(a.n_hapax, 0) AS DOUBLE)
+                     / CAST(greatest(coalesce(a.n_types, 0), 1) AS DOUBLE), 6)
+                   + 0.0 AS hapax_ratio,
+               round(CAST(10000.0 AS DOUBLE)
+                     * CAST(coalesce(a.sum_c2, 0) - coalesce(a.n_words, 0)
+                            AS DOUBLE)
+                     / (CAST(greatest(coalesce(a.n_words, 0), 1) AS DOUBLE)
+                        * CAST(greatest(coalesce(a.n_words, 0), 1) AS DOUBLE)),
+                     6) + 0.0 AS yule_k
+        FROM base b LEFT JOIN agg a USING (doc_id)
+    """
+
     def _l2sql(a: str, b: str, off: str, n: int) -> str:
         return (
             f"list_sum(list_transform(generate_series(1, {n}), i -> "

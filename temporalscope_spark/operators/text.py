@@ -450,3 +450,68 @@ def normalize_unicode(
     return df.withColumn(out_col, cur).withColumn(
         "changed", F.coalesce(cur != t, F.lit(False))
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document lexical-diversity diagnostics: type-token ratio,
+    hapax-legomena ratio, and Yule's K (Yule 1944) — the vocabulary-
+    richness screens that flag template/boilerplate pages (low TTR,
+    K >> 100) and gibberish (TTR ≈ 1) before tokenizer training.
+
+    ``K = 10^4 · (Σ_w c_w² − N) / N²`` over the document's word counts.
+    Entirely ROW-LOCAL array expressions: the word array and the
+    per-distinct-word count array are materialized as columns first
+    (the HOF-lambda re-evaluation pitfall, dedup.py:119), then every
+    statistic is a fold over those — no explode, no shuffle; at 100 TB
+    this is one narrow projection. Per-row cost is O(types × words),
+    fine for document-length text.
+
+    Output: ``(id, n_words, n_types, n_hapax, ttr, hapax_ratio,
+    yule_k)``; empty/NULL text rows report 0 counts and 0.0 ratios.
+    """
+    if text_col not in df.columns or id_col not in df.columns:
+        raise DataFrameValidationError(
+            f"lexical_diversity: need columns {text_col!r}, {id_col!r}"
+        )
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    w = F.split(norm, " ")
+    words = F.when(
+        F.coalesce(norm, F.lit("")) == "", F.array().cast("array<string>")
+    ).otherwise(w)
+    base = df.select(F.col(id_col), words.alias("_w"))
+    base = base.select(id_col, "_w", F.array_distinct("_w").alias("_d"))
+    base = base.select(
+        id_col,
+        "_w",
+        "_d",
+        F.transform(
+            F.col("_d"),
+            lambda g: F.size(F.filter(F.col("_w"), lambda x: x == g)).cast("long"),
+        ).alias("_c"),
+    )
+    n = F.size("_w").cast("long")
+    v = F.size("_d").cast("long")
+    hapax = F.size(F.filter(F.col("_c"), lambda c: c == 1)).cast("long")
+    sum_c2 = F.aggregate(
+        F.col("_c"), F.lit(0).cast("long"), lambda acc, c: acc + c * c
+    )
+    nz = F.greatest(n, F.lit(1)).cast("double")
+    vz = F.greatest(v, F.lit(1)).cast("double")
+    return base.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        v.alias("n_types"),
+        hapax.alias("n_hapax"),
+        (F.round(v.cast("double") / nz, 6) + F.lit(0.0)).alias("ttr"),
+        (F.round(hapax.cast("double") / vz, 6) + F.lit(0.0)).alias("hapax_ratio"),
+        (
+            F.round(
+                F.lit(10000.0) * (sum_c2 - n).cast("double") / (nz * nz), 6
+            )
+            + F.lit(0.0)
+        ).alias("yule_k"),
+    )

@@ -145,3 +145,37 @@ class TestNormalizeUnicode:
         df = spark.createDataFrame([(1, "x")], "id long, text string")
         with _pt.raises(DataFrameValidationError):
             normalize_unicode(df, "nope")
+
+
+class TestLexicalDiversity:
+    def _run(self, spark, rows):
+        from temporalscope_spark.operators.text import lexical_diversity
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+
+    def test_counts_and_ratios(self, spark):
+        out = self._run(spark, [(1, "the cat and the dog and the bird")])
+        r = out[1]
+        # counts: the=3, and=2, cat/dog/bird=1
+        assert r["n_words"] == 8 and r["n_types"] == 5 and r["n_hapax"] == 3
+        assert r["ttr"] == pytest.approx(5 / 8)
+        assert r["hapax_ratio"] == pytest.approx(3 / 5)
+        # K = 1e4 * (9 + 4 + 1 + 1 + 1 - 8) / 64
+        assert r["yule_k"] == pytest.approx(10000 * 8 / 64)
+
+    def test_all_distinct_and_all_same(self, spark):
+        out = self._run(spark, [(1, "a b c d"), (2, "x x x x")])
+        assert out[1]["ttr"] == 1.0 and out[1]["yule_k"] == 0.0
+        assert out[2]["n_types"] == 1 and out[2]["n_hapax"] == 0
+        assert out[2]["yule_k"] == pytest.approx(10000 * (16 - 4) / 16)
+
+    def test_empty_and_null(self, spark):
+        out = self._run(spark, [(1, ""), (2, None), (3, "   ")])
+        for i in (1, 2, 3):
+            r = out[i]
+            assert r["n_words"] == 0 and r["ttr"] == 0.0 and r["yule_k"] == 0.0
+
+    def test_case_and_whitespace_normalized(self, spark):
+        out = self._run(spark, [(1, "The  THE\tthe")])
+        assert out[1]["n_types"] == 1 and out[1]["n_words"] == 3
