@@ -4667,6 +4667,17 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", (F.round("adc", 6) + F.lit(0.0)).alias("adc"))
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + clustering coefficient over the shared
+    md5 link graph — the local-closure signal that separates organic
+    neighborhoods from link farms. Degree-ordered edge iterator
+    (O(m^1.5) wedges); the oracle counts the same triangles by the
+    canonical three-way join."""
+    from temporalscope_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_doc_link_edges(spark, sf_dir))
+
+
 def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc type-token ratio, hapax ratio and Yule's K — vocabulary-
     richness screens for boilerplate/gibberish. Row-local array folds,
@@ -5078,6 +5089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_unicode": q_normalize_unicode,
         "ivfpq_encode": q_ivfpq_encode,
         "lexical_diversity": q_lexical_diversity,
+        "triangle_counts": q_triangle_counts,
         "ivfpq_topk": q_ivfpq_topk,
         "pq_topk": q_pq_topk,
         "contamination_rate": q_contamination_rate,
@@ -9605,6 +9617,43 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, round(adc, 6) + 0.0 AS adc
         FROM adc ORDER BY adc, vec_id LIMIT 10
+    """
+    sql["triangle_counts"] = """
+        WITH e AS (
+            SELECT d.doc_id AS src,
+                   CAST('0x' || substr(
+                        md5(CAST(d.doc_id AS VARCHAR) || chr(31)
+                            || CAST(t.k AS VARCHAR)), 1, 8) AS BIGINT)
+                   % (SELECT count(*) FROM documents) AS dst
+            FROM documents d, UNNEST([0, 1, 2]) AS t(k)
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e WHERE src != dst
+        ),
+        deg AS (
+            SELECT id, count(*) AS degree
+            FROM (SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+            GROUP BY id
+        ),
+        tri AS (
+            SELECT a.u AS x, a.v AS y, b.v AS z
+            FROM und a
+            JOIN und b ON b.u = a.v
+            JOIN und c ON c.u = a.u AND c.v = b.v
+        ),
+        pern AS (
+            SELECT id, count(*) AS triangles
+            FROM (SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+                  UNION ALL SELECT z AS id FROM tri)
+            GROUP BY id
+        )
+        SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+               CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+               round(2.0 * CAST(coalesce(p.triangles, 0) AS DOUBLE)
+                     / CAST(greatest(d.degree * (d.degree - 1), 1) AS DOUBLE),
+                     6) + 0.0 AS clustering_coeff
+        FROM deg d LEFT JOIN pern p USING (id)
     """
     sql["lexical_diversity"] = f"""
         WITH d AS (

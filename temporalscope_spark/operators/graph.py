@@ -289,3 +289,99 @@ def label_propagation(
     e.unpersist()
     nodes.unpersist()
     return labels
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    UNDIRECTED simple graph induced by ``edges`` (direction, duplicate
+    edges and self-loops are dropped) — the local-density signal that
+    separates organic link neighborhoods from link farms (which show
+    near-zero closure) in web-graph curation.
+
+    Degree-ordered edge iterator (Cohen 2009, the MapReduce triangle
+    algorithm; Suri & Vassilvitskii 2011): orient every edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges by
+    self-joining oriented edges on the pivot, and close each wedge
+    against the oriented edge list. Every triangle is generated from
+    exactly one pivot (its minimum-order vertex), so the count is
+    exact; wedge fan-out is bounded by the ORDERED out-degree, giving
+    the classic O(m^{3/2}) work bound — no node ever enumerates its
+    full neighborhood squared, which is what makes this survive
+    power-law degree skew at web scale.
+
+    Output: ``(id, degree, triangles, clustering_coeff)`` for every
+    node with at least one edge; ``clustering_coeff = 2·T / (d·(d−1))``
+    (0.0 for degree-1 nodes).
+    """
+    for c in (src_col, dst_col):
+        if c not in edges.columns:
+            raise DataFrameValidationError(f"triangle_counts: missing {c!r}")
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # orient by (degree, id): lower order -> higher order
+    du = deg.select(F.col("id").alias("u"), F.col("degree").alias("_du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("degree").alias("_dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    lower_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(lower_first, F.col("_dv")).otherwise(F.col("_du")).alias("_dhi"),
+        F.when(lower_first, F.col("_du")).otherwise(F.col("_dv")).alias("_dlo"),
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("p"), F.col("hi").alias("x"),
+        F.col("_dhi").alias("_dx"),
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("p"), F.col("hi").alias("y"),
+        F.col("_dhi").alias("_dy"),
+    )
+    # wedge (p, x, y) with x before y in the SAME total order
+    wedges = e1.join(e2, "p").filter(
+        (F.col("_dx") < F.col("_dy"))
+        | ((F.col("_dx") == F.col("_dy")) & (F.col("x") < F.col("y")))
+    )
+    closer = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    tris = wedges.join(closer, ["x", "y"]).select("p", "x", "y")
+    per_node = (
+        tris.select(F.col("p").alias("id"))
+        .unionAll(tris.select(F.col("x").alias("id")))
+        .unionAll(tris.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    out = deg.join(per_node, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        (
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("triangles", F.lit(0)).cast("double")
+                / F.greatest(
+                    (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                    F.lit(1.0),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("clustering_coeff"),
+    )
+    return out

@@ -164,3 +164,62 @@ class TestHits:
             hits(df, iters=0)
         with pytest.raises(DataFrameValidationError):
             hits(df, src="nope")
+
+
+class TestTriangleCounts:
+    def _run(self, spark, pairs):
+        from temporalscope_spark.operators.graph import triangle_counts
+
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        return {r["id"]: r for r in triangle_counts(df).collect()}
+
+    def test_single_triangle(self, spark):
+        out = self._run(spark, [(1, 2), (2, 3), (3, 1)])
+        for i in (1, 2, 3):
+            assert out[i]["triangles"] == 1
+            assert out[i]["degree"] == 2
+            assert out[i]["clustering_coeff"] == 1.0
+
+    def test_k4_every_node_three(self, spark):
+        pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+        out = self._run(spark, pairs)
+        for i in range(4):
+            assert out[i]["triangles"] == 3
+            assert out[i]["clustering_coeff"] == 1.0
+
+    def test_path_has_none(self, spark):
+        out = self._run(spark, [(1, 2), (2, 3), (3, 4)])
+        assert all(r["triangles"] == 0 for r in out.values())
+        assert out[2]["clustering_coeff"] == 0.0
+
+    def test_direction_dups_selfloops_ignored(self, spark):
+        out = self._run(
+            spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (3, 1)]
+        )
+        assert all(r["triangles"] == 1 for r in out.values())
+
+    def test_bowtie(self, spark):
+        # two triangles sharing node 3: node 3 has 2 triangles, deg 4
+        out = self._run(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)])
+        assert out[3]["triangles"] == 2 and out[3]["degree"] == 4
+        assert out[3]["clustering_coeff"] == pytest.approx(2 * 2 / (4 * 3))
+        assert out[1]["triangles"] == 1
+
+    def test_partition_invariance(self, spark):
+        import random
+
+        rng = random.Random(5)
+        pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+        from temporalscope_spark.operators.graph import triangle_counts
+
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        a = sorted(map(tuple, triangle_counts(df.repartition(1)).collect()))
+        b = sorted(map(tuple, triangle_counts(df.repartition(16)).collect()))
+        assert a == b
+
+    def test_errors(self, spark):
+        from temporalscope_spark.operators.graph import triangle_counts
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(DataFrameValidationError):
+            triangle_counts(df, src_col="nope")
