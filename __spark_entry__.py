@@ -4667,6 +4667,21 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", (F.round("adc", 6) + F.lit(0.0)).alias("adc"))
 
 
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen: fraction of each vector's 10 cosine-nearest
+    neighbors sharing its label (deep-k-NN heuristic). Exact pairs via
+    the triangular block-GEMM lane; neighbors ranked by ROUNDED cosine
+    (rank_decimals=6) so the oracle's ranking is robust to last-ulp
+    summation differences — the tie then breaks on neighbor id in both
+    engines."""
+    from temporalscope_spark.operators.similarity import knn_label_agreement
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_label_agreement(emb, k=10, rank_decimals=6).withColumnRenamed(
+        "id", "vec_id"
+    )
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle count + clustering coefficient over the shared
     md5 link graph — the local-closure signal that separates organic
@@ -5090,6 +5105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_encode": q_ivfpq_encode,
         "lexical_diversity": q_lexical_diversity,
         "triangle_counts": q_triangle_counts,
+        "knn_label_agreement": q_knn_label_agreement,
         "ivfpq_topk": q_ivfpq_topk,
         "pq_topk": q_pq_topk,
         "contamination_rate": q_contamination_rate,
@@ -9617,6 +9633,30 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, round(adc, 6) + 0.0 AS adc
         FROM adc ORDER BY adc, vec_id LIMIT 10
+    """
+    sql["knn_label_agreement"] = """
+        WITH p AS (
+            SELECT a.vec_id AS id, a.label, b.vec_id AS nb,
+                   b.label AS nbl,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS c
+            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY id
+                                         ORDER BY c DESC, nb) AS rn
+            FROM p
+        )
+        SELECT id AS vec_id, label,
+               CAST(count(*) AS BIGINT) AS n_neighbors,
+               CAST(sum(CASE WHEN nbl = label THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree,
+               round(CAST(sum(CASE WHEN nbl = label THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     / CAST(greatest(count(*), 1) AS DOUBLE), 6) + 0.0
+                   AS agreement
+        FROM r WHERE rn <= 10 GROUP BY id, label
     """
     sql["triangle_counts"] = """
         WITH e AS (

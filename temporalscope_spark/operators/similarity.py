@@ -906,3 +906,97 @@ def mmr_rerank(
         F.col("_rank").cast("int").alias("rank"),
         F.col("_score").alias("mmr_score"),
     )
+
+
+def knn_label_agreement(
+    df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    method: str = "gemm",
+    num_blocks: int = 16,
+    rank_decimals: int | None = None,
+) -> DataFrame:
+    """Label-noise screen via k-NN label consistency (the confident-
+    learning / deep-k-NN heuristic, e.g. Bahri et al. 2020): for every
+    vector, the fraction of its k cosine-nearest neighbors that share
+    its label. Rows with agreement ≈ 0 in a dense neighborhood are
+    mislabeled-data candidates; a per-label mean flags systematically
+    noisy classes before the labels feed a quality classifier.
+
+    Pipeline: exact all-pairs cosine via the triangular block-GEMM lane
+    (no CartesianProduct node), symmetrized, then a per-id top-k window
+    (WindowGroupLimit pushes the rank filter below the sort) and two
+    label equi-joins. Exact by construction at this lane; at 100 TB
+    swap the pair source for the SRP/IVF candidate generators in this
+    module — the agreement stage is unchanged.
+
+    ``rank_decimals`` ranks neighbors by the ROUNDED cosine (ties then
+    break on neighbor id): near-equal similarities collapse to exact
+    ties with a deterministic order, which makes the ranking robust to
+    last-ulp float-summation differences across engines/hardware — the
+    cross-replay lane; ``None`` ranks on the raw double.
+
+    Output: ``(id, label, n_neighbors, n_agree, agreement)``;
+    ``n_neighbors`` < k only when the corpus has fewer than k+1 rows.
+    """
+    from pyspark.sql.window import Window
+
+    from temporalscope_spark.exceptions import DataFrameValidationError
+
+    if k < 1:
+        raise DataFrameValidationError("knn_label_agreement: k must be >= 1")
+    missing = [c for c in (vec_col, id_col, label_col) if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(
+            f"knn_label_agreement: missing columns {missing}"
+        )
+    pairs = cosine_self_join_pairs(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=-1.0,
+        method=method,
+        num_blocks=num_blocks,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nb"), "cosine"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("nb"), "cosine"
+        )
+    )
+    rank_key = (
+        F.col("cosine")
+        if rank_decimals is None
+        else F.round(F.col("cosine"), rank_decimals)
+    )
+    w = Window.partitionBy("id").orderBy(rank_key.desc(), F.col("nb"))
+    top = sym.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    own = df.select(F.col(id_col).alias("id"), F.col(label_col).alias("label"))
+    nbl = df.select(F.col(id_col).alias("nb"), F.col(label_col).alias("_nbl"))
+    joined = top.join(own, "id").join(nbl, "nb")
+    return (
+        joined.groupBy("id", "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("_nbl") == F.col("label"), 1).otherwise(0)
+            ).cast("long").alias("n_agree"),
+        )
+        .select(
+            "id",
+            "label",
+            "n_neighbors",
+            "n_agree",
+            (
+                F.round(
+                    F.col("n_agree").cast("double")
+                    / F.greatest(F.col("n_neighbors"), F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("agreement"),
+        )
+    )

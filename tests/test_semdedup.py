@@ -122,3 +122,72 @@ class TestSemDeDup:
     def test_threshold_validated(self, spark, vecs):
         with pytest.raises(DataFrameValidationError, match="threshold"):
             semdedup(vecs, threshold=0.0)
+
+
+class TestKnnLabelAgreement:
+    def _df(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        # two tight clusters with consistent labels + one planted
+        # mislabeled point inside cluster 0
+        c0 = rng.randn(12, 8) * 0.05 + np.array([5.0] * 8)
+        c1 = rng.randn(12, 8) * 0.05 - np.array([5.0] * 8)
+        rows = [(i, [float(x) for x in c0[i]], 0) for i in range(12)]
+        rows += [(100 + i, [float(x) for x in c1[i]], 1) for i in range(12)]
+        rows.append((999, [5.0] * 8, 1))  # mislabeled: sits in cluster 0
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_mislabeled_point_flagged(self, spark):
+        from temporalscope_spark.operators.similarity import knn_label_agreement
+
+        out = {r["id"]: r for r in
+               knn_label_agreement(self._df(spark), k=5).collect()}
+        assert out[999]["agreement"] == 0.0           # all neighbors label 0
+        clean = [out[i]["agreement"] for i in range(12)]
+        assert all(a >= 0.8 for a in clean)           # cluster 0 consistent
+        assert all(out[100 + i]["agreement"] == 1.0 for i in range(12))
+
+    def test_neighbor_count_capped(self, spark):
+        from temporalscope_spark.operators.similarity import knn_label_agreement
+
+        df = self._df(spark)
+        out = knn_label_agreement(df, k=5).collect()
+        assert all(r["n_neighbors"] == 5 for r in out)
+        # k larger than corpus: every other row is a neighbor
+        small = df.limit(4)
+        out2 = knn_label_agreement(small, k=10).collect()
+        assert all(r["n_neighbors"] == 3 for r in out2)
+
+    def test_brute_force_parity(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.similarity import knn_label_agreement
+
+        df = self._df(spark)
+        rows = df.collect()
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in rows}
+        labels = {r["vec_id"]: r["label"] for r in rows}
+
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        got = {r["id"]: (r["n_agree"], r["n_neighbors"])
+               for r in knn_label_agreement(df, k=4).collect()}
+        for i, v in vecs.items():
+            nbrs = sorted(
+                ((-(cos(v, u)), j) for j, u in vecs.items() if j != i)
+            )[:4]
+            agree = sum(1 for _, j in nbrs if labels[j] == labels[i])
+            assert got[i] == (agree, 4)
+
+    def test_errors(self, spark):
+        from temporalscope_spark.operators.similarity import knn_label_agreement
+
+        df = self._df(spark)
+        with pytest.raises(DataFrameValidationError):
+            knn_label_agreement(df, k=0)
+        with pytest.raises(DataFrameValidationError):
+            knn_label_agreement(df, label_col="nope")
