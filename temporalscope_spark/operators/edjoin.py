@@ -41,9 +41,11 @@ No stage is quadratic in the corpus.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from temporalscope_spark.core.caching import hold
 from temporalscope_spark.exceptions import DataFrameValidationError
 
 
@@ -95,6 +97,9 @@ def edit_distance_pairs(
         "_k", F.row_number().over(Window.partitionBy("_id", "_g").orderBy("_pos"))
     )
     freq = toks.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
+    # the prefix table feeds BOTH sides of the candidate self-join —
+    # persist it or the explode + two windows run twice (hold/release
+    # contract: caller releases after the terminal action)
     pref = (
         toks.join(freq, "_g")
         .withColumn(
@@ -105,6 +110,7 @@ def edit_distance_pairs(
         )
         .filter(F.col("_r") <= q * d + 1)
         .select("_id", "_len", "_g", "_k")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pa, pb = pref.alias("a"), pref.alias("b")
     long_cand = (
@@ -153,4 +159,4 @@ def edit_distance_pairs(
         .filter(F.col("dist") >= 0)  # banded levenshtein returns -1 above d
         .select("id_a", "id_b", "dist")
     )
-    return verified
+    return hold(verified, pref)

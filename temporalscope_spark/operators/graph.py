@@ -317,20 +317,29 @@ def triangle_counts(
     node with at least one edge; ``clustering_coeff = 2·T / (d·(d−1))``
     (0.0 for degree-1 nodes).
     """
+    from pyspark import StorageLevel
+
+    from temporalscope_spark.core.caching import hold
+
     for c in (src_col, dst_col):
         if c not in edges.columns:
             raise DataFrameValidationError(f"triangle_counts: missing {c!r}")
     a, b = F.col(src_col), F.col(dst_col)
+    # und/deg/oriented are each consumed by 2-3 downstream branches —
+    # persist at the branch points or the dedup+degree stages re-run per
+    # branch (measured: 91 Exchange nodes unpersisted vs 8 persisted)
     und = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         und.select(F.col("u").alias("id"))
         .unionAll(und.select(F.col("v").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # orient by (degree, id): lower order -> higher order
     du = deg.select(F.col("id").alias("u"), F.col("degree").alias("_du"))
@@ -344,7 +353,7 @@ def triangle_counts(
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
         F.when(lower_first, F.col("_dv")).otherwise(F.col("_du")).alias("_dhi"),
         F.when(lower_first, F.col("_du")).otherwise(F.col("_dv")).alias("_dlo"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     e1 = oriented.select(
         F.col("lo").alias("p"), F.col("hi").alias("x"),
         F.col("_dhi").alias("_dx"),
@@ -384,4 +393,4 @@ def triangle_counts(
             + F.lit(0.0)
         ).alias("clustering_coeff"),
     )
-    return out
+    return hold(out, und, deg, oriented)

@@ -952,6 +952,12 @@ def knn_label_agreement(
         raise DataFrameValidationError(
             f"knn_label_agreement: missing columns {missing}"
         )
+    from pyspark import StorageLevel
+
+    from temporalscope_spark.core.caching import hold
+
+    # the pair table feeds both directions of the symmetrized union —
+    # persist it or the block-GEMM runs twice (hold/release contract)
     pairs = cosine_self_join_pairs(
         df,
         vec_col=vec_col,
@@ -959,7 +965,7 @@ def knn_label_agreement(
         threshold=-1.0,
         method=method,
         num_blocks=num_blocks,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sym = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nb"), "cosine"
     ).unionAll(
@@ -977,7 +983,7 @@ def knn_label_agreement(
     own = df.select(F.col(id_col).alias("id"), F.col(label_col).alias("label"))
     nbl = df.select(F.col(id_col).alias("nb"), F.col(label_col).alias("_nbl"))
     joined = top.join(own, "id").join(nbl, "nb")
-    return (
+    out = (
         joined.groupBy("id", "label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_neighbors"),
@@ -1000,3 +1006,4 @@ def knn_label_agreement(
             ).alias("agreement"),
         )
     )
+    return hold(out, pairs)
