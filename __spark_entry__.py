@@ -4667,6 +4667,18 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", (F.round("adc", 6) + F.lit(0.0)).alias("adc"))
 
 
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985 farthest-point traversal,
+    k=5, md5-seeded): the diversity-first data-pruning selection. Each
+    round is one narrow map + a 1-row argmax on the ROUNDED min
+    distance (ties → smaller id — engine-stable); the oracle unrolls
+    the same rounds as CTEs."""
+    from temporalscope_spark.operators.coreset import kcenter_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=5, seed=42, seed_hash="md5")
+
+
 def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise screen: fraction of each vector's 10 cosine-nearest
     neighbors sharing its label (deep-k-NN heuristic). Exact pairs via
@@ -5106,6 +5118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "triangle_counts": q_triangle_counts,
         "knn_label_agreement": q_knn_label_agreement,
+        "kcenter_select": q_kcenter_select,
         "ivfpq_topk": q_ivfpq_topk,
         "pq_topk": q_pq_topk,
         "contamination_rate": q_contamination_rate,
@@ -9633,6 +9646,49 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, round(adc, 6) + 0.0 AS adc
         FROM adc ORDER BY adc, vec_id LIMIT 10
+    """
+    def _kc_l2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, 64), i -> "
+            f"({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)])"
+            f" * ({a}[CAST(i AS INT)] - {b}[CAST(i AS INT)])))"
+        )
+
+    _kc_rounds = []
+    _kc_sel = ["SELECT 1 AS rank, (SELECT vec_id FROM s1) AS vec_id, "
+               "CAST(0.0 AS DOUBLE) AS min_dist"]
+    _kc_excl = "(SELECT vec_id FROM s1)"
+    for _r in range(2, 6):
+        prev = f"m{_r - 1}"
+        _kc_rounds.append(f"""
+        p{_r} AS (
+            SELECT vec_id, v, mind FROM {prev}
+            WHERE vec_id NOT IN ({_kc_excl})
+            ORDER BY round(mind, 6) DESC, vec_id LIMIT 1
+        ),
+        m{_r} AS (
+            SELECT p.vec_id, p.v,
+                   least(p.mind, {_kc_l2('p.v', 'c.v')}) AS mind
+            FROM {prev} p, p{_r} c
+        )""")
+        _kc_sel.append(
+            f"SELECT {_r} AS rank, (SELECT vec_id FROM p{_r}) AS vec_id, "
+            f"(SELECT round(mind, 6) + 0.0 FROM p{_r}) AS min_dist"
+        )
+        _kc_excl += f", (SELECT vec_id FROM p{_r})"
+    sql["kcenter_select"] = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        s1 AS (
+            SELECT vec_id, v FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || '#42') LIMIT 1
+        ),
+        m1 AS (
+            SELECT e.vec_id, e.v, {_kc_l2('e.v', 's.v')} AS mind
+            FROM e, s1 s
+        ),{",".join(_kc_rounds)}
+        {" UNION ALL ".join(_kc_sel)}
     """
     sql["knn_label_agreement"] = """
         WITH p AS (

@@ -71,6 +71,7 @@ from temporalscope_spark.operators.drift import (
     psi_score,
 )
 from temporalscope_spark.operators.dsir import dsir_select, hashed_ngram_features
+from temporalscope_spark.operators.coreset import kcenter_select
 from temporalscope_spark.operators.edjoin import edit_distance_pairs
 from temporalscope_spark.operators.gopher import (
     gopher_quality_flags,
