@@ -4667,6 +4667,42 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", (F.round("adc", 6) + F.lit(0.0)).alias("adc"))
 
 
+def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (the production RAG shape): BM25 lexical
+    recall (top-20 over the postings math, stage 1) → embedding cosine
+    re-rank against the query vector (stage 2, top-10). Candidate doc
+    embeddings come from the deterministic doc_id % |vectors| mapping
+    (the tables are independently sized); ordering is (rounded cosine
+    DESC, doc_id) so the cut replays cross-engine. Stage 2 touches only
+    the k candidates — re-ranking cost is query-sized, never
+    corpus-sized."""
+    from temporalscope_spark.operators.similarity import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nv = emb.count()
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    bm = q_bm25_topk(spark, sf_dir)
+    cand = bm.join(
+        emb.select("vec_id", "embedding"),
+        (F.col("doc_id") % F.lit(int(nv))) == F.col("vec_id"),
+    )
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        cand.select(
+            "doc_id",
+            "score",
+            (F.round(cosine_similarity(F.col("embedding"), qlit), 6) + F.lit(0.0)).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
 def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset (Gonzalez 1985 farthest-point traversal,
     k=5, md5-seeded): the diversity-first data-pruning selection. Each
@@ -5119,6 +5155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "knn_label_agreement": q_knn_label_agreement,
         "kcenter_select": q_kcenter_select,
+        "hybrid_rerank": q_hybrid_rerank,
         "ivfpq_topk": q_ivfpq_topk,
         "pq_topk": q_pq_topk,
         "contamination_rate": q_contamination_rate,
@@ -9647,6 +9684,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, round(adc, 6) + 0.0 AS adc
         FROM adc ORDER BY adc, vec_id LIMIT 10
     """
+    sql["hybrid_rerank"] = f"""
+        WITH bm AS ({sql["bm25_topk"]}),
+        nv AS (SELECT count(*) AS n FROM embeddings),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT bm.doc_id, bm.score,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qv), 6) + 0.0 AS cosine
+        FROM bm, nv, q
+        JOIN embeddings e ON e.vec_id = bm.doc_id % nv.n
+        ORDER BY cosine DESC, bm.doc_id
+        LIMIT 10
+    """
+
     def _kc_l2(a: str, b: str) -> str:
         return (
             f"list_sum(list_transform(generate_series(1, 64), i -> "

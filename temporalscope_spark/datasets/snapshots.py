@@ -205,6 +205,43 @@ class SnapshotTable:
         base = set(self._load(from_version)["files"])
         return [f for f in self._load(to_version)["files"] if f not in base]
 
+    def compact(
+        self,
+        spark: SparkSession,
+        zorder_cols: Optional[list[str]] = None,
+        num_files: Optional[int] = None,
+        bits: int = 16,
+    ) -> int:
+        """Compaction rewrite (Iceberg/Delta ``OPTIMIZE [ZORDER BY]``): read
+        the current snapshot, rewrite it as ``num_files`` files — range-
+        partitioned by the Morton key of ``zorder_cols`` when given, so
+        each output file covers a small hyper-rectangle of the interleaved
+        columns and file-level min/max statistics prune on ANY of them —
+        and commit as an ``overwrite`` snapshot. Old snapshots stay
+        readable (time travel is untouched); the commit's ``meta`` records
+        the layout so downstream jobs can verify what they are scanning.
+
+        Small-file compaction is THE table-maintenance operation at 100 TB:
+        streaming/incremental commits accrete kilobyte files whose
+        per-file open cost dominates scans; one range-shuffled rewrite
+        restores scan bandwidth and adds multi-column pruning.
+        """
+        if self.current_version() is None:
+            raise ValueError("compact: table has no snapshots yet")
+        df = self.read(spark)
+        meta: dict = {"operation_detail": "compact"}
+        if zorder_cols:
+            from temporalscope_spark.operators.layout import zorder_layout
+
+            df = zorder_layout(df, zorder_cols, bits=bits, num_partitions=num_files)
+            meta["zorder"] = list(zorder_cols)
+            meta["zorder_bits"] = bits
+        elif num_files is not None:
+            df = df.repartition(num_files)
+        if num_files is not None:
+            meta["target_files"] = num_files
+        return self.write(df, mode="overwrite", meta=meta)
+
     def read_increment(
         self,
         spark: SparkSession,

@@ -196,3 +196,61 @@ class TestSnapshotPipeline:
             str(tmp_path / "ck1"), version=1, num_buckets=4,
         )
         assert s4["snapshot_version"] == 1 and s4["processed"] == 4
+
+
+class TestCompact:
+    def test_compact_zorder_layout(self, spark, tmp_path):
+        from temporalscope_spark.datasets.snapshots import SnapshotTable
+
+        st = SnapshotTable(str(tmp_path / "t"))
+        rows = [(i, i * 37 % 101, float(i % 13)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, a long, b double")
+        # simulate small-file accretion: 4 appends of 8 partitions each
+        for part in range(4):
+            st.write(df.filter(F.col("id") % 4 == part).repartition(8))
+        v_before = st.current_version()
+        n_files_before = st.snapshots()[-1]["n_files"]
+
+        v = st.compact(spark, zorder_cols=["a", "b"], num_files=4, bits=8)
+        man = st.snapshots()[-1]
+        assert v == st.current_version() and v == v_before + 1
+        assert man["operation"] == "overwrite"
+        assert man["meta"]["zorder"] == ["a", "b"]
+        assert man["n_files"] < n_files_before
+
+        # row parity with the pre-compaction snapshot (zkey column added)
+        out = st.read(spark)
+        assert out.count() == 2000
+        got = sorted((r["id"], r["a"], r["b"]) for r in out.collect())
+        assert got == sorted(rows)
+        # old snapshot still readable (time travel untouched)
+        assert st.read(spark, version=v_before).count() == 2000
+
+        # files cover DISJOINT zkey ranges (the pruning property)
+        per_file = (
+            out.groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("zkey").alias("lo"), F.max("zkey").alias("hi"))
+            .orderBy("lo")
+            .collect()
+        )
+        assert len(per_file) > 1
+        for x, y in zip(per_file, per_file[1:]):
+            assert x["hi"] <= y["lo"]
+
+    def test_compact_plain_repartition(self, spark, tmp_path):
+        from temporalscope_spark.datasets.snapshots import SnapshotTable
+
+        st = SnapshotTable(str(tmp_path / "t2"))
+        df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+        st.write(df.repartition(16))
+        v = st.compact(spark, num_files=2)
+        man = st.snapshots()[-1]
+        assert man["meta"]["target_files"] == 2 and "zorder" not in man["meta"]
+        assert st.read(spark, version=v).count() == 100
+
+    def test_compact_empty_table_raises(self, spark, tmp_path):
+        from temporalscope_spark.datasets.snapshots import SnapshotTable
+
+        st = SnapshotTable(str(tmp_path / "t3"))
+        with pytest.raises(ValueError):
+            st.compact(spark)
