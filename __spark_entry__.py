@@ -5002,6 +5002,160 @@ def _shingle_cte(n: int) -> str:
     """
 
 
+
+# --------------------------------------------------------------------------
+# privacy trio completion: t-closeness (Li, Li & Venkatasubramanian 2007)
+# --------------------------------------------------------------------------
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over a planted skew: buckets 0-2 of doc_id%20
+    carry a 'leaky' sensitive value (global mass 0.15), so their TVD to
+    the global lang distribution is ~0.85 while honest buckets sit near
+    0.13 - at t=0.3 exactly the three planted buckets violate at any SF.
+    Integer-exact EMD (see operators/pii.py:t_closeness)."""
+    from temporalscope_spark.operators.pii import t_closeness
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = docs.select(
+        (d % 20).alias("bucket"),
+        F.when(d % 20 < 3, F.lit("leaky")).otherwise(F.col("lang")).alias("sens"),
+    )
+    return t_closeness(base, ["bucket"], "sens", t=0.3)
+
+
+def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded confusion report + Brier over the deterministic
+    (score, label) pair shared with auc_roc - ONE aggregation, all eight
+    scalars from five exact integer sums (Brier via the 0.01-lattice
+    integer numerator)."""
+    from temporalscope_spark.metrics.classification import classification_report
+
+    return classification_report(_scored_events(spark, sf_dir), "score", "y")
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the shared md5 link graph by 4 bounded peel rounds
+    (Seidman 1983): iterative degree-filter over the surviving
+    undirected simple graph; oracle unrolls the same rounds."""
+    from temporalscope_spark.operators.graph import kcore
+
+    return kcore(_doc_link_edges(spark, sf_dir), k=3, max_rounds=4)
+
+
+# --------------------------------------------------------------------------
+# URL / domain curation family (C4 / RefinedWeb-style web-corpus keys)
+# --------------------------------------------------------------------------
+
+_URL_TRACK_TAIL = "&utm_source=feed&x=1&gclid=zz&UTM_campaign=c"
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL synthesis over documents: branch coverage
+    for scheme case, two-level country suffixes, default/explicit ports,
+    empty paths, tracking params (incl. an UPPERCASE utm key) and
+    fragments - the construction is replayed verbatim by the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    suffix = (
+        F.when(d % 4 == 0, F.lit(".Example.CO.UK"))
+        .when(d % 4 == 1, F.lit(".example.com"))
+        .when(d % 4 == 2, F.lit(".news.example.COM.AU"))
+        .otherwise(F.lit(".blog.example.org"))
+    )
+    port = (
+        F.when(d % 3 == 0, F.lit(":443"))
+        .when(d % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(d % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/"), F.col("lang"), F.lit("/page/"), d.cast("string"))
+    )
+    frag = F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, F.lit("://WWW."), F.col("source"), suffix, port, path,
+        F.lit("?id="), d.cast("string"), F.lit(_URL_TRACK_TAIL), frag,
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for URL-level dedup (C4/RefinedWeb): parse,
+    lowercase scheme+host, strip default ports / fragments / tracking
+    params (order-preserving), default empty paths, and attach the
+    registered domain (bounded-PSL regex). Expression-only - one
+    projection over the corpus."""
+    from temporalscope_spark.operators.urls import (
+        normalize_urls,
+        parse_urls,
+        registered_domain,
+    )
+
+    u = _messy_urls(spark, sf_dir)
+    out = registered_domain(parse_urls(normalize_urls(u, "url"), "url"), "host")
+    return out.select("doc_id", "url_norm", "host", "domain")
+
+
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (Gopher/RefinedWeb domain capping): keep
+    40 docs per synthesized domain by deterministic md5 rank - ONE
+    window partitioned by domain (WindowGroupLimit), no global sort."""
+    from temporalscope_spark.operators.urls import domain_caps
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    dom = F.concat(
+        F.col("source"),
+        F.when(d % 3 == 0, F.lit(".co.uk"))
+        .when(d % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".org")),
+    )
+    base = docs.select("doc_id", dom.alias("domain"))
+    out = domain_caps(base, "domain", cap=40, keep_rank=True)
+    return out.select("doc_id", "domain", "cap_rank")
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus profile (count, share, size totals) - the table
+    a curation run reads to pick its cap; ONE aggregation + 1-row total."""
+    from temporalscope_spark.operators.urls import domain_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    dom = F.concat(
+        F.col("source"),
+        F.when(d % 3 == 0, F.lit(".co.uk"))
+        .when(d % 3 == 1, F.lit(".com"))
+        .otherwise(F.lit(".org")),
+    )
+    base = docs.select("doc_id", dom.alias("domain"), "n_chars")
+    out = domain_stats(base, "domain", size_col="n_chars")
+    return out.select("domain", "n_docs", "total_size", "share", "mean_size")
+
+
+# planted mojibake sample (explicit escapes - editors mangle raw C1 bytes):
+# e-acute words, smart-quoted span, em dash, apostrophe, ellipsis, nbsp -
+# every entry class of MOJIBAKE_MAP fires at least once per row
+_MOJI_SAMPLE = (
+    "\u00c3\u00a9t\u00c3\u00a9 \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d "
+    "\u00e2\u20ac\u201d don\u00e2\u20ac\u2122t\u00e2\u20ac\u00a6\u00c2\u00a0 "
+)
+
+
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (ftfy's UTF-8-as-cp1252 case) over documents with
+    a PLANTED corrupted prefix - a fixed exact-string replace chain, no
+    regex, one codegen projection; the oracle replays the same chain."""
+    from temporalscope_spark.operators.text import fix_mojibake
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit(_MOJI_SAMPLE), F.substring(F.col("text"), 1, 80))
+    out = fix_mojibake(docs.select("doc_id", dirty.alias("text")), "text")
+    return out.select("doc_id", "fixed_text", "changed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "target_shift": q_target_shift,
@@ -5219,6 +5373,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_profile": q_entity_profile,
         "trend_features": q_trend_features,
         "woe_iv": q_woe_iv,
+        "t_closeness": q_t_closeness,
+        "classification_report": q_classification_report,
+        "kcore": q_kcore,
+        "url_normalize": q_url_normalize,
+        "domain_caps": q_domain_caps,
+        "domain_stats": q_domain_stats,
+        "fix_mojibake": q_fix_mojibake,
     }
 
 
@@ -5334,6 +5495,90 @@ def _mmr_oracle(k: int, lam: float) -> str:
                CAST(rnk AS INT) AS rank, score AS mmr_score
         FROM sel{k}
     """.format(rounds=",".join(rounds), k=k)
+
+
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-core peel over the shared md5 link graph: per round,
+    degree over the surviving undirected simple edges, drop nodes below
+    k, drop their edges; final selection = post-peel degree >= k."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        d{i} AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT u AS id FROM e{i - 1}
+                UNION ALL SELECT v FROM e{i - 1})
+            GROUP BY id
+        ),
+        k{i} AS (SELECT id FROM d{i} WHERE deg >= {k}),
+        e{i} AS (
+            SELECT e.u, e.v FROM e{i - 1} e
+            JOIN k{i} a ON a.id = e.u JOIN k{i} b ON b.id = e.v
+        )""")
+    return f"""
+        WITH raw AS (
+            SELECT d.doc_id AS src,
+                   CAST('0x' || substr(
+                        md5(CAST(d.doc_id AS VARCHAR) || chr(31)
+                            || CAST(t.k AS VARCHAR)), 1, 8) AS BIGINT)
+                   % (SELECT count(*) FROM documents) AS dst
+            FROM documents d, UNNEST([0, 1, 2]) AS t(k)
+        ),
+        e0 AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        ),{",".join(parts)},
+        dfin AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT u AS id FROM e{rounds}
+                UNION ALL SELECT v FROM e{rounds})
+            GROUP BY id
+        )
+        SELECT id, degree FROM dfin WHERE degree >= {k}
+    """
+
+
+def _sqlstr(s: str) -> str:
+    """Render a python string as a DuckDB string expression, spelling
+    non-printable characters (the C1 control in the mojibake table) as
+    chr(n) concatenations so no raw control byte enters the SQL text."""
+    out, lit = [], []
+
+    def flush():
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    for ch in s:
+        if ch.isprintable() or ch in (" ",):
+            lit.append(ch)
+        else:
+            flush()
+            out.append(f"chr({ord(ch)})")
+    flush()
+    return "(" + " || ".join(out) + ")" if out else "''"
+
+
+def _moji_oracle() -> str:
+    """Replay the fix_mojibake replace chain: identical planted prefix,
+    identical exact-string replaces in MOJIBAKE_MAP order."""
+    from temporalscope_spark.operators.text import MOJIBAKE_MAP
+
+    expr = "dirty"
+    for bad, good in MOJIBAKE_MAP:
+        expr = f"replace({expr}, {_sqlstr(bad)}, {_sqlstr(good)})"
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   {_sqlstr(_MOJI_SAMPLE)} || substr(text, 1, 80) AS dirty
+            FROM documents
+        )
+        SELECT doc_id, {expr} AS fixed_text,
+               CAST({expr} <> dirty AS BOOLEAN) AS changed
+        FROM d
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -10285,4 +10530,178 @@ def oracle_sql() -> dict[str, str]:
                     ), 1, 8)) AS BIGINT) % 256 AS INT) AS cross_ubkt_event_type
         FROM events
     """
+
+    sql["t_closeness"] = """
+        WITH base AS (
+            SELECT CAST(doc_id % 20 AS BIGINT) AS bucket,
+                   CASE WHEN doc_id % 20 < 3 THEN 'leaky' ELSE lang END AS v
+            FROM documents
+        ),
+        n AS (SELECT count(*) AS n FROM base),
+        vt AS (SELECT v, count(*) AS cv FROM base GROUP BY v),
+        gv AS (SELECT bucket, v, count(*) AS cgv FROM base GROUP BY bucket, v),
+        gt AS (SELECT bucket, sum(cgv) AS ng FROM gv GROUP BY bucket),
+        s AS (
+            SELECT gv.bucket, max(gt.ng) AS ng,
+                   sum(abs(gv.cgv * n.n - vt.cv * gt.ng)) AS abs_sum,
+                   sum(vt.cv) AS sum_cv
+            FROM gv JOIN vt USING (v) JOIN gt USING (bucket) CROSS JOIN n
+            GROUP BY gv.bucket
+        )
+        SELECT bucket, CAST(ng AS BIGINT) AS group_size,
+               round((abs_sum + ng * (n.n - sum_cv))
+                     / ((2.0 * ng) * n.n), 6) + 0.0 AS tvd,
+               round((abs_sum + ng * (n.n - sum_cv))
+                     / ((2.0 * ng) * n.n) - 0.3, 6) + 0.0 AS excess
+        FROM s CROSS JOIN n
+        WHERE round((abs_sum + ng * (n.n - sum_cv))
+                    / ((2.0 * ng) * n.n), 6) > 0.3
+    """
+    sql["classification_report"] = f"""
+        WITH {_SCORED_SQL},
+        agg AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN score >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+                   sum(CASE WHEN score >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+                   sum(CASE WHEN score < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS tn,
+                   sum(CASE WHEN score < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+                   sum((CAST(round(score * 100) AS BIGINT) - 100 * y)
+                       * (CAST(round(score * 100) AS BIGINT) - 100 * y)) AS sq
+            FROM scored
+        )
+        SELECT 0.5 AS threshold, CAST(n AS BIGINT) AS n,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+               round(CAST(tp + tn AS DOUBLE) / n, 6) + 0.0 AS accuracy,
+               CASE WHEN tp + fp = 0 THEN 0.0
+                    ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+                   + 0.0 AS "precision",
+               CASE WHEN tp + fn = 0 THEN 0.0
+                    ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END
+                   + 0.0 AS recall,
+               CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                    ELSE round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+               END + 0.0 AS f1,
+               round((CASE WHEN tp + fn = 0 THEN 0.0
+                           ELSE CAST(tp AS DOUBLE) / (tp + fn) END
+                      + CASE WHEN fp + tn = 0 THEN 0.0
+                             ELSE CAST(tn AS DOUBLE) / (fp + tn) END) / 2.0, 6)
+                   + 0.0 AS balanced_accuracy,
+               CASE WHEN tp + fn = 0 OR fp + tn = 0 OR tp + fp = 0
+                         OR fn + tn = 0 THEN 0.0
+                    ELSE round(CAST(tp * tn - fp * fn AS DOUBLE)
+                               / sqrt(((CAST(tp + fn AS DOUBLE)
+                                        * CAST(fp + tn AS DOUBLE))
+                                       * CAST(tp + fp AS DOUBLE))
+                                      * CAST(fn + tn AS DOUBLE)), 6)
+               END + 0.0 AS mcc,
+               round(sq / (10000.0 * n), 6) + 0.0 AS brier
+        FROM agg
+    """
+    sql["kcore"] = _kcore_oracle(3, 4)
+    _url_build = """
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+                   || '://WWW.' || source
+                   || (CASE WHEN doc_id % 4 = 0 THEN '.Example.CO.UK'
+                            WHEN doc_id % 4 = 1 THEN '.example.com'
+                            WHEN doc_id % 4 = 2 THEN '.news.example.COM.AU'
+                            ELSE '.blog.example.org' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN ':443'
+                            WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+                   || (CASE WHEN doc_id % 5 = 0 THEN ''
+                            ELSE '/' || lang || '/page/'
+                                 || CAST(doc_id AS VARCHAR) END)
+                   || '?id=' || CAST(doc_id AS VARCHAR)
+                   || '&utm_source=feed&x=1&gclid=zz&UTM_campaign=c'
+                   || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+                   AS url
+            FROM documents
+    """
+    _sld_re = (
+        "([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|gov\\.uk|co\\.jp|ne\\.jp"
+        "|or\\.jp|com\\.au|net\\.au|org\\.au|co\\.nz|com\\.br|com\\.cn"
+        "|com\\.mx|co\\.in|co\\.kr|com\\.tw|com\\.sg|com\\.hk"
+        "|co\\.za))$"
+    )
+    sql["url_normalize"] = f"""
+        WITH u AS ({_url_build}),
+        p AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+                   regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                   regexp_extract(url, '\\?([^#]*)', 1) AS query
+            FROM u
+        ),
+        p2 AS (
+            SELECT *, lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+                   regexp_extract(auth, ':([0-9]+)$', 1) AS port
+            FROM p
+        ),
+        p3 AS (
+            SELECT *,
+                   CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                             OR (scheme = 'https' AND port = '443')
+                        THEN '' ELSE ':' || port END AS port_part,
+                   CASE WHEN path = '' THEN '/' ELSE path END AS path_n,
+                   array_to_string(list_filter(str_split(query, '&'),
+                       x -> x <> '' AND NOT (
+                           substr(lower(split_part(x, '=', 1)), 1, 4) = 'utm_'
+                           OR lower(split_part(x, '=', 1)) IN
+                              ('fbclid', 'gclid', 'msclkid', 'mc_cid',
+                               'mc_eid'))), '&') AS query_n
+            FROM p2
+        )
+        SELECT doc_id,
+               CASE WHEN scheme = '' OR host = '' THEN NULL
+                    ELSE scheme || '://' || host || port_part || path_n
+                         || (CASE WHEN query_n = '' THEN ''
+                                  ELSE '?' || query_n END) END AS url_norm,
+               host,
+               CASE WHEN regexp_extract(host, '{_sld_re}', 1) <> ''
+                    THEN regexp_extract(host, '{_sld_re}', 1)
+                    WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
+                    THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                    ELSE host END AS domain
+        FROM p3
+    """
+    _dom_build = """
+            SELECT doc_id, n_chars,
+                   source || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+                                   WHEN doc_id % 3 = 1 THEN '.com'
+                                   ELSE '.org' END) AS domain
+            FROM documents
+    """
+    sql["domain_caps"] = f"""
+        WITH base AS ({_dom_build}),
+        r AS (
+            SELECT doc_id, domain,
+                   CAST(row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5('cap' || chr(31)
+                                    || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS INT) AS cap_rank
+            FROM base
+        )
+        SELECT doc_id, domain, cap_rank FROM r WHERE cap_rank <= 40
+    """
+    sql["domain_stats"] = f"""
+        WITH base AS ({_dom_build}),
+        g AS (
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_size
+            FROM base GROUP BY domain
+        )
+        SELECT domain, n_docs, total_size,
+               round(n_docs / CAST((SELECT count(*) FROM base) AS DOUBLE), 6)
+                   + 0.0 AS share,
+               round(total_size / CAST(n_docs AS DOUBLE), 6) + 0.0 AS mean_size
+        FROM g
+    """
+    sql["fix_mojibake"] = _moji_oracle()
+
     return sql

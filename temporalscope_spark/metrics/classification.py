@@ -513,3 +513,94 @@ def auc_by_group(
         nn_.cast("long").alias("n_neg"),
         (F.round(auc, 6) + F.lit(0.0)).alias("auc"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+    grid: int = 100,
+) -> DataFrame:
+    """Thresholded binary-classification report in ONE aggregation: the
+    confusion counts at ``score >= threshold`` plus the derived scalars
+    every model gate reads — accuracy, precision, recall, F1, balanced
+    accuracy, Matthews correlation, and the Brier score.
+
+    All eight scalars are functions of five exact integer sums (tp, fp,
+    tn, fn and the squared-error numerator), so the pass is ONE
+    map-side-combinable aggregation over the corpus with a closed-form
+    1-row projection on top — no sort, no second scan, and bit-identical
+    results across engines and partitionings.
+
+    Determinism of the Brier term: float mean((s − y)²) is
+    accumulation-order sensitive, so the score is snapped to the
+    ``1/grid`` lattice (default 0.01 — pass the lattice your scores
+    already live on) and the numerator is accumulated as the exact
+    integer ``Σ (grid·s − grid·y)²``; the single final division by
+    ``grid²·n`` restores the mean. Scores off-lattice are ROUNDED to it
+    (documented quantization, not an error).
+
+    Labels outside {0, 1} raise; NULL score/label rows are excluded.
+    Output: one row ``(threshold, n, tp, fp, tn, fn, accuracy,
+    precision, recall, f1, balanced_accuracy, mcc, brier)``; ratio
+    columns are rounded to 6, with 0-denominator conventions
+    precision = 0 when tp+fp = 0, recall = 0 when tp+fn = 0, mcc = 0
+    when any marginal is empty (the sklearn ``zero_division=0``
+    convention).
+    """
+    if grid < 1:
+        raise DataFrameValidationError("classification_report: grid must be >= 1")
+    base = _checked(df, score_col, label_col)
+    g = F.lit(int(grid))
+    si = F.round(F.col("_s") * g).cast("long")
+    yi = F.round(F.col("_y")).cast("long")
+    pred = (F.col("_s") >= F.lit(float(threshold))).cast("long")
+    row = base.select(
+        si.alias("_si"), yi.alias("_yi"), pred.alias("_p"), F.col("_y")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("_p") * F.col("_yi")).cast("long").alias("_tp"),
+        F.sum(F.col("_p") * (1 - F.col("_yi"))).cast("long").alias("_fp"),
+        F.sum((1 - F.col("_p")) * (1 - F.col("_yi"))).cast("long").alias("_tn"),
+        F.sum((1 - F.col("_p")) * F.col("_yi")).cast("long").alias("_fn"),
+        F.sum(
+            (F.col("_si") - g * F.col("_yi")) * (F.col("_si") - g * F.col("_yi"))
+        ).cast("long").alias("_sq"),
+        F.max(
+            F.when((F.col("_y") != 0.0) & (F.col("_y") != 1.0), 1).otherwise(0)
+        ).alias("_bad"),
+    ).collect()[0]
+    if row["_bad"] is None:
+        raise DataFrameValidationError("classification_report: no scorable rows")
+    if row["_bad"]:
+        raise DataFrameValidationError(
+            f"classification_report: label {label_col!r} must be 0/1"
+        )
+    n = int(row["_n"])
+    tp, fp, tn, fn = (int(row[k]) for k in ("_tp", "_fp", "_tn", "_fn"))
+    sq = int(row["_sq"])
+    pos, neg = tp + fn, fp + tn
+    ppos, pneg = tp + fp, fn + tn
+    prec = tp / ppos if ppos else 0.0
+    rec = tp / pos if pos else 0.0
+    f1 = 2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0
+    tnr = tn / neg if neg else 0.0
+    bal = (rec + tnr) / 2.0
+    # stepwise float product (not exact-int) so the expression is
+    # bit-identical to the oracle's CAST-to-DOUBLE chain at any n
+    mcc_den = float(pos) * float(neg) * float(ppos) * float(pneg)
+    mcc = float(tp * tn - fp * fn) / (mcc_den**0.5) if mcc_den else 0.0
+    brier = sq / (grid * grid * n)
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                float(threshold), n, tp, fp, tn, fn,
+                round((tp + tn) / n, 6), round(prec, 6), round(rec, 6),
+                round(f1, 6), round(bal, 6), round(mcc, 6), round(brier, 6),
+            )
+        ],
+        "threshold DOUBLE, n LONG, tp LONG, fp LONG, tn LONG, fn LONG, "
+        "accuracy DOUBLE, precision DOUBLE, recall DOUBLE, f1 DOUBLE, "
+        "balanced_accuracy DOUBLE, mcc DOUBLE, brier DOUBLE",
+    )

@@ -394,3 +394,87 @@ def triangle_counts(
         ).alias("clustering_coeff"),
     )
     return hold(out, und, deg, oriented)
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; the
+    distributed formulation of Montresor et al. 2013): repeatedly delete
+    every node whose degree in the SURVIVING undirected simple graph is
+    below ``k`` until no node qualifies (or ``max_rounds`` is reached —
+    the bounded-round convention shared with :func:`pagerank` /
+    :func:`label_propagation` that keeps the result a pure function of
+    the input for the cross-engine oracle). The k-core is the standard
+    link-spam / isolated-cluster screen in web-graph curation: pages
+    outside a small core are weakly embedded, link farms form dense
+    cores with anomalous k.
+
+    Each round is ONE map-side-combinable degree aggregation over the
+    surviving edge list plus two LEFT SEMI joins filtering the edge list
+    to surviving endpoints — no all-pairs stage, no global sort, no
+    driver-side data. Per-round ``localCheckpoint`` truncates the
+    growing lineage. Direction, duplicate edges and self-loops are
+    dropped up front (the :func:`triangle_counts` normalization).
+
+    Output: ``(id, degree)`` for every node in the k-core, degree =
+    its degree within the core. Empty output = the graph has no k-core
+    within ``max_rounds`` of peeling.
+    """
+    from pyspark import StorageLevel
+
+    if k < 1:
+        raise DataFrameValidationError("kcore: k must be >= 1")
+    if max_rounds < 1:
+        raise DataFrameValidationError("kcore: max_rounds must be >= 1")
+    for c in (src_col, dst_col):
+        if c not in edges.columns:
+            raise DataFrameValidationError(f"kcore: missing column {c!r}")
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    live = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = None
+    for _ in range(max_rounds):
+        deg = (
+            live.select(F.col("u").alias("id"))
+            .unionAll(live.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        keep = deg.filter(F.col("degree") >= k).select("id")
+        n_live = deg.count()
+        n_keep = keep.count()
+        if n_keep == n_live:
+            # fixed point: every surviving node already has core degree
+            break
+        live = (
+            live.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+            .localCheckpoint()
+        )
+        deg.unpersist()
+        deg = None
+        if n_keep == 0:
+            break
+    if deg is None:
+        return (
+            live.select(F.col("u").alias("id"))
+            .unionAll(live.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            .filter(F.col("degree") >= k)
+        )
+    # fixation break: deg is persisted (it fed the loop's two counts);
+    # hand the handle to the caller per the hold/release cache contract
+    from temporalscope_spark.core.caching import hold
+
+    return hold(deg.filter(F.col("degree") >= k), deg)

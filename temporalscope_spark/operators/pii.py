@@ -189,3 +189,103 @@ def l_diversity(
     return g.filter(F.col("n_sensitive") < l).withColumn(
         "deficit", (F.lit(int(l)) - F.col("n_sensitive")).cast("long")
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007): every
+    quasi-identifier equivalence class must keep the distribution of the
+    sensitive attribute within distance ``t`` of the table-wide
+    distribution, or the class leaks by *skewness* even when it is
+    k-anonymous and l-diverse (the third gate of the classic privacy
+    trio; see :func:`k_anonymity`, :func:`l_diversity`).
+
+    For a categorical sensitive attribute with the unit ground distance
+    the earth-mover distance reduces to total variation:
+    ``TVD(g) = ½ Σ_v |p_g(v) − p(v)|``, where the sum runs over ALL
+    sensitive values — including the ones absent from the class, each
+    contributing its full global mass ``p(v)``.
+
+    Plan: ONE (quasi, sensitive) aggregation (map-side-combinable) plus
+    two bounded side aggregates — the C-row global value distribution
+    (broadcast) and the per-class totals — then one per-class fold. The
+    absent-value mass never requires a join against the missing
+    combinations: ``Σ_{v∉g} p(v) = 1 − Σ_{v∈g} p(v)``, so the fold over
+    the PRESENT (class, value) rows is complete.
+
+    Determinism: the distance is computed in INTEGER arithmetic —
+    ``TVD = (Σ_v |c_gv·N − c_v·n_g| + n_g·(N − Σ_{v∈g} c_v)) / (2·n_g·N)``
+    — so every partial sum is an exact long and the single final
+    division is bit-identical across engines and partitionings (no
+    float-accumulation order sensitivity). NULL sensitive values are
+    treated as a value of their own (groupBy semantics), matching the
+    NULL convention of :func:`k_anonymity`.
+
+    Output: one row per VIOLATING class — the quasi columns,
+    ``group_size``, ``tvd`` (rounded to 6) and ``excess = tvd − t``
+    (rounded to 6); empty output means the table is t-close at this t.
+    """
+    if not (0.0 < t < 1.0):
+        raise DataFrameValidationError("t_closeness: t must be in (0, 1)")
+    if not quasi_cols:
+        raise DataFrameValidationError("t_closeness: quasi_cols must be non-empty")
+    missing = [c for c in [*quasi_cols, sensitive_col] if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"t_closeness: missing columns {missing}")
+    if sensitive_col in quasi_cols:
+        raise DataFrameValidationError(
+            "t_closeness: sensitive_col must not be a quasi column"
+        )
+    base = df.select(*quasi_cols, F.col(sensitive_col).alias("_v"))
+    # (class, value) counts — the only data-sized aggregation
+    gv = base.groupBy(*quasi_cols, "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_cgv")
+    )
+    # global value distribution: C rows, broadcastable at any scale
+    vtab = base.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_cv"))
+    n_total = base.count()
+    if n_total == 0:
+        raise DataFrameValidationError("t_closeness: input has no rows")
+    # null-safe join key: a plain equi-join on `_v` would DROP the NULL
+    # sensitive value (NULL never equals NULL), silently shrinking every
+    # class that contains one — eqNullSafe keeps the documented
+    # NULL-is-a-value semantics
+    vt = vtab.withColumnRenamed("_v", "_v2")
+    joined = gv.join(
+        F.broadcast(vt), F.col("_v").eqNullSafe(F.col("_v2"))
+    ).drop("_v2")
+    per_class = joined.groupBy(*quasi_cols).agg(
+        F.sum("_cgv").cast("long").alias("group_size"),
+        # Σ_v∈g |c_gv·N − c_v·n_g| needs n_g, which is itself Σ c_gv —
+        # two-pass shape folded into one: carry Σc_gv, Σc_v and the
+        # cross terms, finish in the projection below. n_g multiplies
+        # every |·| term, so compute the abs-sum with n_g factored via a
+        # second aggregation over the same shuffled data: instead, join
+        # the class totals back (C_class rows, broadcast).
+        F.sum("_cv").cast("long").alias("_sum_cv_present"),
+        F.collect_list(F.struct("_cgv", "_cv")).alias("_pairs"),
+    )
+    # per-class pair list is bounded by the sensitive cardinality C (the
+    # broadcastable side table), so the fold below is O(C) per class —
+    # never corpus-sized state
+    n_lit = F.lit(int(n_total))
+    ng = F.col("group_size")
+    abs_sum = F.aggregate(
+        "_pairs",
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.abs(p["_cgv"] * n_lit - p["_cv"] * ng).cast("long"),
+    )
+    tvd_num = abs_sum + ng * (n_lit - F.col("_sum_cv_present"))
+    tvd = tvd_num.cast("double") / (F.lit(2.0) * ng.cast("double") * n_lit.cast("double"))
+    out = per_class.select(
+        *quasi_cols,
+        "group_size",
+        F.round(tvd, 6).alias("tvd"),
+        F.round(tvd - F.lit(float(t)), 6).alias("excess"),
+    )
+    return out.filter(F.col("tvd") > F.lit(float(t)))

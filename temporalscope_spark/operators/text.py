@@ -515,3 +515,71 @@ def lexical_diversity(
             + F.lit(0.0)
         ).alias("yule_k"),
     )
+
+
+# Mojibake repair table: UTF-8 byte sequences decoded as cp1252/latin-1
+# once -- the dominant real-web encoding corruption (ftfy's core case).
+# Longest-first application order matters (three-byte punctuation
+# sequences contain the two-byte "\u00c3/\u00c2" prefixes); the table is
+# data so the oracle replays the exact replace chain. Keys and values are
+# plain BMP strings: exact-string replace(), NO regex, so there is no
+# dialect risk at all. Only UNAMBIGUOUS sequences are mapped (a lone
+# "\u00c3" is legal text; "\u00c3\u00a9" virtually never is); the right
+# double quote misread ends in the C1 control U+009D, spelled with an
+# explicit escape so editors cannot mangle it.
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = (
+    # three-char cp1252 misreads of UTF-8 punctuation (E2 80 xx)
+    ("\u00e2\u20ac\u2122", "\u2019"),  # a-circ euro tm   -> right single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # a-circ euro oe   -> left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # a-circ euro C1   -> right double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # a-circ euro ldq  -> en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # a-circ euro mdash-> em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # a-circ euro brvb -> ellipsis
+    # two-char misreads of UTF-8 Latin-1 letters (C3 xx)
+    ("\u00c3\u00a9", "\u00e9"),  # A-tilde copyright -> e-acute
+    ("\u00c3\u00a8", "\u00e8"),  # -> e-grave
+    ("\u00c3\u00a4", "\u00e4"),  # -> a-umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # -> o-umlaut
+    ("\u00c3\u00bc", "\u00fc"),  # -> u-umlaut
+    ("\u00c3\u00b1", "\u00f1"),  # -> n-tilde
+    ("\u00c3\u00a7", "\u00e7"),  # -> c-cedilla
+    ("\u00c3\u00a1", "\u00e1"),  # -> a-acute
+    ("\u00c3\u00b3", "\u00f3"),  # -> o-acute
+    ("\u00c3\u00ba", "\u00fa"),  # -> u-acute
+    # no-break space misread (C2 A0)
+    ("\u00c2\u00a0", "\u00a0"),  # A-circumflex nbsp -> nbsp
+)
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fixed_text",
+) -> DataFrame:
+    """Repair the classic web-corpus encoding corruption: UTF-8 bytes
+    that were decoded as cp1252/Latin-1 exactly once ("mojibake" --
+    ``\u00c3\u00a9`` for ``\u00e9``; ftfy's headline case, and a standard
+    cleanup stage before language ID, which mojibake systematically
+    skews toward the wrong language).
+
+    A fixed chain of EXACT-STRING ``replace`` calls over
+    :data:`MOJIBAKE_MAP`, applied longest-sequence-first so the
+    three-char punctuation misreads are repaired before any two-char
+    prefix could match. No regex anywhere -- byte-for-byte portable to
+    any engine, partition-invariant, one codegen projection at any
+    corpus size. Deliberately CONSERVATIVE: only unambiguous sequences
+    are mapped; double-encoded text needs two passes (the operator is
+    idempotent on repaired text, so running it twice is safe).
+
+    Adds ``out_col`` plus ``changed`` (True when a repair fired). NULL
+    text stays NULL.
+    """
+    if text_col not in df.columns:
+        raise DataFrameValidationError(f"fix_mojibake: missing {text_col!r}")
+    t = F.col(text_col)
+    cur = t
+    for bad, good in MOJIBAKE_MAP:
+        cur = F.replace(cur, F.lit(bad), F.lit(good))
+    return df.withColumn(out_col, cur).withColumn(
+        "changed", F.coalesce(cur != t, F.lit(False))
+    )

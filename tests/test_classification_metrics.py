@@ -418,3 +418,86 @@ class TestAucByGroup:
             auc_by_group(df, "score", "y", ["g"])
         with pytest.raises(DataFrameValidationError, match="non-empty"):
             auc_by_group(df, "score", "y", [])
+
+
+# ---------------------------------------------------------------------------
+# classification_report (thresholded confusion + derived scalars + Brier)
+# ---------------------------------------------------------------------------
+
+from temporalscope_spark.metrics.classification import classification_report  # noqa: E402
+
+
+def _brute_report(rows, threshold, grid):
+    tp = fp = tn = fn = 0
+    sq = 0
+    for s, y in rows:
+        si = round(s * grid)
+        p = 1 if s >= threshold else 0
+        if p and y:
+            tp += 1
+        elif p and not y:
+            fp += 1
+        elif not p and y:
+            fn += 1
+        else:
+            tn += 1
+        sq += (si - grid * y) ** 2
+    n = len(rows)
+    pos, neg, ppos, pneg = tp + fn, fp + tn, tp + fp, fn + tn
+    prec = tp / ppos if ppos else 0.0
+    rec = tp / pos if pos else 0.0
+    f1 = 2 * tp / (2 * tp + fp + fn) if (2 * tp + fp + fn) else 0.0
+    bal = (rec + (tn / neg if neg else 0.0)) / 2
+    den = float(pos) * float(neg) * float(ppos) * float(pneg)
+    mcc = float(tp * tn - fp * fn) / den ** 0.5 if den else 0.0
+    return dict(
+        n=n, tp=tp, fp=fp, tn=tn, fn=fn,
+        accuracy=round((tp + tn) / n, 6), precision=round(prec, 6),
+        recall=round(rec, 6), f1=round(f1, 6),
+        balanced_accuracy=round(bal, 6), mcc=round(mcc, 6),
+        brier=round(sq / (grid * grid * n), 6),
+    )
+
+
+class TestClassificationReport:
+    @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.7])
+    def test_matches_bruteforce(self, spark, scored, threshold):
+        rows, df = scored
+        got = classification_report(df, "score", "y", threshold=threshold).collect()[0]
+        want = _brute_report(rows, threshold, 100)
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert got[k] == pytest.approx(v, abs=2e-6), k
+            else:
+                assert got[k] == v, k
+
+    def test_all_positive_predictions(self, spark):
+        df = spark.createDataFrame(
+            [(0.9, 1), (0.8, 0), (0.7, 1)], ["score", "y"]
+        )
+        got = classification_report(df, "score", "y", threshold=0.0).collect()[0]
+        assert (got["tp"], got["fp"], got["tn"], got["fn"]) == (2, 1, 0, 0)
+        assert got["recall"] == 1.0
+        assert got["mcc"] == 0.0  # empty predicted-negative marginal
+
+    def test_degenerate_single_class(self, spark):
+        df = spark.createDataFrame([(0.2, 0), (0.9, 0)], ["score", "y"])
+        got = classification_report(df, "score", "y").collect()[0]
+        assert got["recall"] == 0.0 and got["precision"] == 0.0
+        assert got["accuracy"] == 0.5
+
+    def test_brier_known_value(self, spark):
+        # (0.25-1)^2 + (0.75-0)^2 over 2 rows = 0.5625
+        df = spark.createDataFrame([(0.25, 1), (0.75, 0)], ["score", "y"])
+        got = classification_report(df, "score", "y", grid=4).collect()[0]
+        assert got["brier"] == pytest.approx(0.5625, abs=1e-9)
+
+    def test_bad_label_raises(self, spark):
+        df = spark.createDataFrame([(0.5, 2)], ["score", "y"])
+        with pytest.raises(DataFrameValidationError):
+            classification_report(df, "score", "y")
+
+    def test_bad_grid_raises(self, spark):
+        df = spark.createDataFrame([(0.5, 1)], ["score", "y"])
+        with pytest.raises(DataFrameValidationError):
+            classification_report(df, "score", "y", grid=0)

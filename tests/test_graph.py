@@ -223,3 +223,75 @@ class TestTriangleCounts:
         df = spark.createDataFrame([(1, 2)], "src long, dst long")
         with pytest.raises(DataFrameValidationError):
             triangle_counts(df, src_col="nope")
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (kcore)
+# ---------------------------------------------------------------------------
+
+from temporalscope_spark.operators.graph import kcore  # noqa: E402
+
+
+def _brute_kcore(edges, k):
+    """Peel to fixed point over the undirected simple graph."""
+    simple = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {u for e in simple for u in e}
+    while True:
+        deg = {n: 0 for n in nodes}
+        for u, v in simple:
+            if u in nodes and v in nodes:
+                deg[u] += 1
+                deg[v] += 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return {n: deg[n] for n in nodes}
+        nodes -= drop
+        simple = {e for e in simple if e[0] in nodes and e[1] in nodes}
+
+
+class TestKCore:
+    # triangle 1-2-3 fused to a 4-clique 3-4-5-6, plus a tail 6-7-8
+    KEDGES = [
+        (1, 2), (2, 3), (1, 3),
+        (3, 4), (3, 5), (3, 6), (4, 5), (4, 6), (5, 6),
+        (6, 7), (7, 8),
+        (9, 9),          # self-loop: dropped
+        (4, 5),          # duplicate edge: dropped
+        (5, 4),          # reversed duplicate: dropped
+    ]
+
+    @pytest.mark.parametrize("k", [1, 2, 3, 4])
+    def test_matches_bruteforce_peel(self, spark, k):
+        df = spark.createDataFrame(self.KEDGES, "src long, dst long")
+        got = {r["id"]: r["degree"] for r in kcore(df, k).collect()}
+        assert got == _brute_kcore(self.KEDGES, k)
+
+    def test_3core_is_the_clique(self, spark):
+        df = spark.createDataFrame(self.KEDGES, "src long, dst long")
+        got = {r["id"]: r["degree"] for r in kcore(df, 3).collect()}
+        assert got == {3: 3, 4: 3, 5: 3, 6: 3}
+
+    def test_empty_core(self, spark):
+        df = spark.createDataFrame(self.KEDGES, "src long, dst long")
+        assert kcore(df, 5).count() == 0
+
+    def test_max_rounds_truncates(self, spark):
+        # a path 1-2-3-4-5 peels one endpoint-pair per round under k=2;
+        # with max_rounds=1 the first peel survives unfinished
+        path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        df = spark.createDataFrame(path, "src long, dst long")
+        one = {r["id"] for r in kcore(df, 2, max_rounds=1).collect()}
+        full = {r["id"] for r in kcore(df, 2, max_rounds=10).collect()}
+        assert full == set()  # a path has no 2-core
+        # after one peel the survivors are {2,3,4} with internal degrees
+        # 1,2,1; the final >=k filter on the surviving graph keeps only 3
+        assert one == {3}
+
+    def test_errors(self, spark):
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(DataFrameValidationError):
+            kcore(df, 0)
+        with pytest.raises(DataFrameValidationError):
+            kcore(df, 2, max_rounds=0)
+        with pytest.raises(DataFrameValidationError):
+            kcore(df, 2, src_col="nope")
