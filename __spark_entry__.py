@@ -5156,6 +5156,47 @@ def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fixed_text", "changed")
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curve over events: per user, duration = seconds
+    from first event to first 'purchase' (event) or to last observed
+    event (right-censored), in two odd/even-user cohorts - ONE corpus
+    aggregation to the bounded distinct-duration table, then
+    cohort-partitioned windows (no single-partition window)."""
+    from temporalscope_spark.core.convert import epoch_seconds
+    from temporalscope_spark.operators.survival import kaplan_meier
+
+    events = _t(spark, sf_dir, "events")
+    t = epoch_seconds(F.col("ts"), events.schema["ts"].dataType)
+    per_user = (
+        events.select("user_id", t.alias("_t"), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.min("_t").alias("_t0"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("_t"))).alias(
+                "_tp"
+            ),
+            F.max("_t").alias("_tl"),
+        )
+    )
+    durs = per_user.select(
+        (F.col("user_id") % 2).cast("string").alias("cohort"),
+        F.when(F.col("_tp").isNotNull(), F.col("_tp") - F.col("_t0"))
+        .otherwise(F.col("_tl") - F.col("_t0"))
+        .alias("dur"),
+        F.when(F.col("_tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    out = kaplan_meier(durs, "dur", "ev", group_col="cohort")
+    return out.select(
+        F.col("group").alias("cohort"),
+        "t",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        "survival",
+        "se",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "target_shift": q_target_shift,
@@ -5380,6 +5421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": q_domain_caps,
         "domain_stats": q_domain_stats,
         "fix_mojibake": q_fix_mojibake,
+        "kaplan_meier": q_kaplan_meier,
     }
 
 
@@ -10703,5 +10745,65 @@ def oracle_sql() -> dict[str, str]:
         FROM g
     """
     sql["fix_mojibake"] = _moji_oracle()
+    # kaplan-meier: identical duration construction, at-risk/step windows
+    # and ln-sum product folded in the same per-cohort duration order
+    sql["kaplan_meier"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(epoch_us(min(ts)) AS DOUBLE) / 1000000.0 AS t0,
+                   CAST(epoch_us(min(CASE WHEN event_type = 'purchase'
+                                          THEN ts END)) AS DOUBLE)
+                       / 1000000.0 AS tp,
+                   CAST(epoch_us(max(ts)) AS DOUBLE) / 1000000.0 AS tl
+            FROM events GROUP BY user_id
+        ),
+        durs AS (
+            SELECT CAST(user_id % 2 AS VARCHAR) AS cohort,
+                   CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE tl - t0 END AS t,
+                   CASE WHEN tp IS NOT NULL THEN 1.0 ELSE 0.0 END AS e
+            FROM per_user
+        ),
+        counts AS (
+            SELECT cohort, t, sum(e) AS d, sum(1.0 - e) AS c,
+                   count(*) AS m
+            FROM durs GROUP BY cohort, t
+        ),
+        stepped AS (
+            SELECT cohort, t,
+                   CAST(d AS BIGINT) AS n_event,
+                   CAST(c AS BIGINT) AS n_censored,
+                   CAST(sum(m) OVER (PARTITION BY cohort)
+                        - (sum(m) OVER wcum - m) AS BIGINT) AS n_risk,
+                   d
+            FROM counts
+            WINDOW wcum AS (PARTITION BY cohort ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        terms AS (
+            SELECT cohort, t, n_risk, n_event, n_censored,
+                   CASE WHEN d < n_risk THEN ln((n_risk - d) / n_risk)
+                        ELSE 0.0 END AS lnf,
+                   CASE WHEN d > 0 AND d < n_risk
+                        THEN d / (n_risk * (n_risk - d))
+                        ELSE 0.0 END AS gw,
+                   CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS z
+            FROM stepped
+        ),
+        curve AS (
+            SELECT cohort, t, n_risk, n_event, n_censored,
+                   max(z) OVER wcum AS zc,
+                   sum(lnf) OVER wcum AS sl,
+                   sum(gw) OVER wcum AS sg
+            FROM terms
+            WINDOW wcum AS (PARTITION BY cohort ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT cohort, t, n_risk, n_event, n_censored,
+               round(CASE WHEN zc = 1 THEN 0.0 ELSE exp(sl) END, 6)
+                   + 0.0 AS survival,
+               CASE WHEN zc = 0
+                    THEN round(exp(sl) * sqrt(sg), 6) + 0.0 END AS se
+        FROM curve
+    """
 
     return sql

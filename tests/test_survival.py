@@ -1,0 +1,102 @@
+"""Kaplan–Meier: pure-Python product-limit parity, censoring semantics,
+sticky zero, group isolation, validation contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.survival import kaplan_meier
+
+
+def _ref_km(pairs):
+    """lifelines-convention product-limit over (duration, event) pairs."""
+    times = sorted({t for t, _ in pairs})
+    out = []
+    s, gw, dead = 1.0, 0.0, False
+    for t in times:
+        n = sum(1 for d, _ in pairs if d >= t)
+        ev = sum(1 for d, e in pairs if d == t and e == 1)
+        ce = sum(1 for d, e in pairs if d == t and e == 0)
+        if ev >= n:
+            dead = True
+            s = 0.0
+        elif not dead:
+            s *= (n - ev) / n
+            if ev > 0:
+                gw += ev / (n * (n - ev))
+        se = None if dead else s * math.sqrt(gw)
+        out.append((t, n, ev, ce, round(s, 6), None if se is None else round(se, 6)))
+    return out
+
+
+def _df(spark, pairs, group=None):
+    if group is None:
+        rows = [(float(t), int(e)) for t, e in pairs]
+        return spark.createDataFrame(rows, "dur double, ev int")
+    rows = [(g, float(t), int(e)) for g, (t, e) in zip(group, pairs)]
+    return spark.createDataFrame(rows, "g string, dur double, ev int")
+
+
+class TestKaplanMeier:
+    def test_reference_parity_with_censoring(self, spark):
+        # the classic lifelines worked example shape: ties, mixed censoring
+        pairs = [
+            (6, 1), (6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1),
+            (10, 0), (11, 0), (13, 1), (16, 1), (17, 0), (19, 0), (20, 0),
+            (22, 1), (23, 1), (25, 0), (32, 0), (32, 0), (34, 0), (35, 0),
+        ]
+        got = kaplan_meier(_df(spark, pairs), "dur", "ev").collect()
+        ref = _ref_km(pairs)
+        assert [
+            (r["t"], r["n_risk"], r["n_event"], r["n_censored"], r["survival"], r["se"])
+            for r in got
+        ] == ref
+
+    def test_no_censoring_matches_empirical(self, spark):
+        pairs = [(t, 1) for t in [1, 2, 2, 3, 5, 5, 5, 8]]
+        got = kaplan_meier(_df(spark, pairs), "dur", "ev").collect()
+        n = len(pairs)
+        for r in got:
+            surv_frac = sum(1 for t, _ in pairs if t > r["t"]) / n
+            assert r["survival"] == pytest.approx(surv_frac, abs=1e-6)
+        # everyone eventually dies → S reaches exactly 0 and SE is NULL there
+        assert got[-1]["survival"] == 0.0
+        assert got[-1]["se"] is None
+
+    def test_censored_only_time_keeps_curve_flat(self, spark):
+        pairs = [(1, 1), (2, 0), (3, 1)]
+        got = {r["t"]: r for r in kaplan_meier(_df(spark, pairs), "dur", "ev").collect()}
+        assert got[2.0]["survival"] == got[1.0]["survival"]
+        assert got[2.0]["n_censored"] == 1 and got[2.0]["n_event"] == 0
+        # the censored subject reduces the at-risk set for t=3: S = 2/3 * 1 * 0
+        assert got[3.0]["survival"] == 0.0
+
+    def test_groups_are_isolated(self, spark):
+        pa = [(1, 1), (2, 1), (4, 0)]
+        pb = [(1, 0), (3, 1), (3, 1)]
+        df = _df(spark, pa + pb, group=["a"] * 3 + ["b"] * 3)
+        got = kaplan_meier(df, "dur", "ev", group_col="g").collect()
+        ra = [(r["t"], r["survival"]) for r in got if r["group"] == "a"]
+        rb = [(r["t"], r["survival"]) for r in got if r["group"] == "b"]
+        assert ra == [(t, s) for t, _, _, _, s, _ in _ref_km(pa)]
+        assert rb == [(t, s) for t, _, _, _, s, _ in _ref_km(pb)]
+
+    def test_null_rows_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 1), (None, 1), (2.0, None), (2.0, 0)], "dur double, ev int"
+        )
+        got = kaplan_meier(df, "dur", "ev").collect()
+        assert sum(r["n_risk"] for r in got if r["t"] == 1.0) == 2
+
+    def test_non_binary_event_raises(self, spark):
+        df = _df(spark, [(1, 1), (2, 2)])
+        with pytest.raises(Exception, match="must be 0/1"):
+            kaplan_meier(df, "dur", "ev").collect()
+
+    def test_missing_column_raises(self, spark):
+        df = _df(spark, [(1, 1)])
+        with pytest.raises(DataFrameValidationError, match="missing column"):
+            kaplan_meier(df, "nope", "ev")
