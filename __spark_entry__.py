@@ -5197,6 +5197,32 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix over events: cohort = period of the
+    user's first event on a fixed 86400s grid (engine-portable, no
+    calendar-week convention), ONE entity-keyed window min + distinct +
+    ONE groupBy; the denominator is a window over the bounded
+    (cohort, age) table."""
+    from temporalscope_spark.operators.lifecycle import cohort_retention
+
+    events = _t(spark, sf_dir, "events")
+    return cohort_retention(events, "ts", "user_id", period_seconds=86400)
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup->view->click->purchase funnel: per-user per-step
+    sorted timestamp arrays from ONE entity aggregation, a narrow
+    earliest-qualifying chain fold, and a 1-row summary exploded to step
+    rows (the only ordered window runs over the 4-row step table)."""
+    from temporalscope_spark.operators.lifecycle import funnel_conversion
+
+    events = _t(spark, sf_dir, "events")
+    return funnel_conversion(
+        events, "ts", "user_id", "event_type",
+        ["signup", "view", "click", "purchase"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "target_shift": q_target_shift,
@@ -5422,6 +5448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "fix_mojibake": q_fix_mojibake,
         "kaplan_meier": q_kaplan_meier,
+        "cohort_retention": q_cohort_retention,
+        "funnel_conversion": q_funnel_conversion,
     }
 
 
@@ -10804,6 +10832,84 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN zc = 0
                     THEN round(exp(sl) * sqrt(sg), 6) + 0.0 END AS se
         FROM curve
+    """
+
+    # cohort retention: same fixed-width period grid, window-min cohort,
+    # distinct activity, bounded-table denominator window
+    sql["cohort_retention"] = """
+        WITH base AS (
+            SELECT user_id AS id,
+                   CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+                              / 86400.0) AS BIGINT) AS p
+            FROM events
+        ),
+        aged AS (
+            SELECT DISTINCT id,
+                   min(p) OVER (PARTITION BY id) AS cohort_period,
+                   p - min(p) OVER (PARTITION BY id) AS age
+            FROM base
+        ),
+        counts AS (
+            SELECT cohort_period, age, CAST(count(*) AS BIGINT) AS n_active
+            FROM aged GROUP BY cohort_period, age
+        )
+        SELECT cohort_period, age, n_active,
+               round(n_active / CAST(max(CASE WHEN age = 0 THEN n_active END)
+                     OVER (PARTITION BY cohort_period) AS DOUBLE), 6)
+                   + 0.0 AS retention
+        FROM counts
+    """
+    # funnel: per-user sorted step lists, the same earliest-qualifying
+    # chain (empty-match lists aggregate to NULL — NULL chains propagate
+    # to NULL exactly like the engine's empty-array array_min)
+    sql["funnel_conversion"] = """
+        WITH base AS (
+            SELECT user_id AS id,
+                   CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t,
+                   event_type AS ty
+            FROM events
+        ),
+        arrs AS (
+            SELECT id,
+                   list(t ORDER BY t) FILTER (WHERE ty = 'signup') AS a0,
+                   list(t ORDER BY t) FILTER (WHERE ty = 'view') AS a1,
+                   list(t ORDER BY t) FILTER (WHERE ty = 'click') AS a2,
+                   list(t ORDER BY t) FILTER (WHERE ty = 'purchase') AS a3
+            FROM base GROUP BY id
+        ),
+        c0 AS (SELECT id, a1, a2, a3, a0[1] AS t0 FROM arrs),
+        c1 AS (SELECT id, a2, a3, t0,
+                      list_min(list_filter(a1, x -> x >= t0)) AS t1 FROM c0),
+        c2 AS (SELECT id, a3, t0, t1,
+                      list_min(list_filter(a2, x -> x >= t1)) AS t2 FROM c1),
+        c3 AS (SELECT id, t0, t1, t2,
+                      list_min(list_filter(a3, x -> x >= t2)) AS t3 FROM c2),
+        agg AS (
+            SELECT
+              CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+              CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+              CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3
+            FROM c3
+        ),
+        rows_ AS (
+            SELECT 1 AS step_idx, 'signup' AS step, n0 AS n_entities,
+                   n0 AS nf, CAST(NULL AS BIGINT) AS np FROM agg
+            UNION ALL
+            SELECT 2, 'view', n1, n0, n0 FROM agg
+            UNION ALL
+            SELECT 3, 'click', n2, n0, n1 FROM agg
+            UNION ALL
+            SELECT 4, 'purchase', n3, n0, n2 FROM agg
+        )
+        SELECT CAST(step_idx AS INTEGER) AS step_idx, step, n_entities,
+               round(CASE WHEN nf > 0
+                          THEN n_entities / CAST(nf AS DOUBLE) END, 6)
+                   + 0.0 AS pct_of_first,
+               round(CASE WHEN np > 0
+                          THEN n_entities / CAST(np AS DOUBLE) END, 6)
+                   + 0.0 AS pct_of_prev
+        FROM rows_
     """
 
     return sql
