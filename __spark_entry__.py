@@ -5223,6 +5223,33 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket rules over documents (basket = doc, items = its
+    distinct normalized words): Apriori item prune BEFORE the basket
+    self-join, pair counts map-side-combinable, C-row item counts join
+    back broadcast."""
+    from temporalscope_spark.operators.basket import association_rules
+    from temporalscope_spark.operators.corpus_stats import _norm_words
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id"), F.explode(_norm_words("text")).alias("word")
+    ).filter(F.col("word") != "")
+    return association_rules(pairs, "doc_id", "word", min_support=0.4)
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's
+    (ts, event_id)-ordered event stream: one entity-keyed lead window +
+    ONE groupBy; row normalization over the bounded C-squared table."""
+    from temporalscope_spark.operators.basket import transition_matrix
+
+    events = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        events, "ts", "user_id", "event_type", tiebreak_col="event_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "target_shift": q_target_shift,
@@ -5450,6 +5477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "cohort_retention": q_cohort_retention,
         "funnel_conversion": q_funnel_conversion,
+        "association_rules": q_association_rules,
+        "transition_matrix": q_transition_matrix,
     }
 
 
@@ -10910,6 +10939,65 @@ def oracle_sql() -> dict[str, str]:
                           THEN n_entities / CAST(np AS DOUBLE) END, 6)
                    + 0.0 AS pct_of_prev
         FROM rows_
+    """
+
+    # association rules: same distinct basket-item table, Apriori prune,
+    # pair self-join and both-direction rule expansion
+    sql["association_rules"] = f"""
+        WITH pairs0 AS (
+            SELECT DISTINCT doc_id AS b, word AS i FROM (
+                SELECT doc_id,
+                       unnest(string_split({_NORM}, ' ')) AS word
+                FROM documents
+            ) WHERE word <> ''
+        ),
+        nb AS (SELECT count(DISTINCT b) AS n FROM pairs0),
+        ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM pairs0 GROUP BY i),
+        minc AS (
+            SELECT greatest(1, CAST(ceil(0.4 * n) AS BIGINT)) AS mc, n FROM nb
+        ),
+        kept AS (
+            SELECT p.b, p.i
+            FROM pairs0 p JOIN ic ON ic.i = p.i, minc
+            WHERE ic.ni >= minc.mc
+        ),
+        pc AS (
+            SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS npair
+            FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+            GROUP BY a.i, c.i
+        ),
+        fp AS (SELECT ia, ib, npair, n FROM pc, minc WHERE npair >= mc),
+        rules AS (
+            SELECT ia AS antecedent, ib AS consequent, npair, n FROM fp
+            UNION ALL
+            SELECT ib, ia, npair, n FROM fp
+        )
+        SELECT antecedent, consequent, npair AS n_pair,
+               round(npair / CAST(n AS DOUBLE), 6) + 0.0 AS support,
+               round(npair / CAST(na.ni AS DOUBLE), 6) + 0.0 AS confidence,
+               round((npair / CAST(na.ni AS DOUBLE))
+                     / (nc.ni / CAST(n AS DOUBLE)), 6) + 0.0 AS lift
+        FROM rules
+        JOIN ic na ON na.i = antecedent
+        JOIN ic nc ON nc.i = consequent
+    """
+    # transition matrix: same lead window + row-normalizing window
+    sql["transition_matrix"] = """
+        WITH base AS (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        c AS (
+            SELECT event_type AS from_type, nxt AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM base WHERE nxt IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               round(n / CAST(sum(n) OVER (PARTITION BY from_type)
+                              AS DOUBLE), 6) + 0.0 AS prob
+        FROM c
     """
 
     return sql
