@@ -5250,6 +5250,41 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM mean-shift locator over events.value: mean + running
+    sum share ONE entity window; the argmax-by-(rounded |C|, earliest t)
+    and the moment stats are ONE grouped fold."""
+    from temporalscope_spark.operators.drift import cusum_changepoint
+
+    events = _t(spark, sf_dir, "events")
+    return cusum_changepoint(
+        events, "ts", "value", "user_id", tiebreak_col="event_id"
+    )
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of document sizes per source: distinct-value
+    counts, the ties-aware sorted-rank identity over a source-partitioned
+    cumulative window, one grouped fold."""
+    from temporalscope_spark.operators.corpus_stats import gini_concentration
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gini_concentration(docs, "n_chars", group_col="source")
+    return out.select(
+        F.col("group").alias("source"), "n", "total", "gini"
+    )
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of events.value vs Benford's
+    law with per-digit chi-square contributions: one 9-key aggregation +
+    a literal digit spine (digits with zero hits still appear)."""
+    from temporalscope_spark.operators.corpus_stats import benford_digits
+
+    events = _t(spark, sf_dir, "events")
+    return benford_digits(events, "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "target_shift": q_target_shift,
@@ -5479,6 +5514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "association_rules": q_association_rules,
         "transition_matrix": q_transition_matrix,
+        "cusum_changepoint": q_cusum_changepoint,
+        "gini_concentration": q_gini_concentration,
+        "benford_digits": q_benford_digits,
     }
 
 
@@ -10998,6 +11036,115 @@ def oracle_sql() -> dict[str, str]:
                round(n / CAST(sum(n) OVER (PARTITION BY from_type)
                               AS DOUBLE), 6) + 0.0 AS prob
         FROM c
+    """
+
+    # cusum: same explicit sum/count mean, sequential cumulative fold,
+    # rounded-|C| argmax with the earliest-time tie rule
+    sql["cusum_changepoint"] = """
+        WITH b AS (
+            SELECT user_id AS id,
+                   CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t,
+                   event_id,
+                   CAST(value AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+        ),
+        m AS (
+            SELECT id, t, x,
+                   sum(x) OVER wc
+                   - CAST(count(x) OVER wc AS DOUBLE)
+                     * (sum(x) OVER wf / CAST(count(x) OVER wf AS DOUBLE))
+                       AS c
+            FROM b
+            WINDOW wc AS (PARTITION BY id ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY id)
+        ),
+        r AS (
+            SELECT id, t, round(abs(c), 6) AS a,
+                   row_number() OVER (
+                       PARTITION BY id
+                       ORDER BY round(abs(c), 6) DESC, t ASC) AS rn
+            FROM m
+        ),
+        s AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS n_obs,
+                   max(c) AS cmax, min(c) AS cmin,
+                   sum(x) AS sx, sum(x * x) AS sxx
+            FROM m GROUP BY id
+        ),
+        v AS (
+            SELECT id, n_obs, cmax, cmin,
+                   (sxx - sx * sx / CAST(n_obs AS DOUBLE))
+                       / (CAST(n_obs AS DOUBLE) - 1.0) AS var
+            FROM s
+        )
+        SELECT v.id AS id, v.n_obs, r.t AS change_t,
+               r.a + 0.0 AS cusum_abs_max,
+               round(cmax - cmin, 6) + 0.0 AS s_range,
+               round(CASE WHEN n_obs > 1 AND var > 0
+                          THEN (cmax - cmin)
+                               / (sqrt(var) * sqrt(CAST(n_obs AS DOUBLE)))
+                     END, 6) + 0.0 AS stat
+        FROM v JOIN r ON r.id = v.id AND r.rn = 1
+    """
+    # gini: the same ties-aware sorted-rank identity over the
+    # source-partitioned distinct-value table
+    sql["gini_concentration"] = """
+        WITH counts AS (
+            SELECT source, CAST(n_chars AS DOUBLE) AS v_,
+                   CAST(count(*) AS DOUBLE) AS c
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars >= 0
+            GROUP BY source, CAST(n_chars AS DOUBLE)
+        ),
+        r AS (
+            SELECT source, v_, c,
+                   sum(c) OVER (PARTITION BY source ORDER BY v_
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - c AS rprev
+            FROM counts
+        ),
+        a AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                   sum(v_ * c) AS total,
+                   sum(v_ * (c * rprev + c * (c + 1.0) / 2.0)) AS rs
+            FROM r GROUP BY source
+        )
+        SELECT source, n, round(total, 6) + 0.0 AS total,
+               round(CASE WHEN total > 0
+                          THEN 2.0 * rs / (CAST(n AS DOUBLE) * total)
+                               - (CAST(n AS DOUBLE) + 1.0)
+                                 / CAST(n AS DOUBLE)
+                     END, 6) + 0.0 AS gini
+        FROM a
+    """
+    # benford: identical digit extraction, spine join, chi terms
+    sql["benford_digits"] = """
+        WITH vals AS (
+            SELECT abs(CAST(value AS DOUBLE)) AS a FROM events
+            WHERE value IS NOT NULL AND abs(CAST(value AS DOUBLE)) > 0
+        ),
+        d AS (
+            SELECT CAST(floor(a / power(10.0, floor(log10(a))))
+                        AS INTEGER) AS digit
+            FROM vals
+        ),
+        c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        spine AS (SELECT CAST(range AS INTEGER) AS digit FROM range(1, 10)),
+        j AS (
+            SELECT spine.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM spine LEFT JOIN c ON c.digit = spine.digit
+        ),
+        t AS (SELECT digit, n, CAST(sum(n) OVER () AS DOUBLE) AS tot FROM j),
+        f AS (
+            SELECT digit, n, n / tot AS sh,
+                   log10(1.0 + 1.0 / digit) AS e, tot
+            FROM t
+        )
+        SELECT digit, n, round(sh, 6) + 0.0 AS share,
+               round(e, 6) + 0.0 AS expected,
+               round(tot * (sh - e) * (sh - e) / e, 6) + 0.0 AS chi_term
+        FROM f
     """
 
     return sql

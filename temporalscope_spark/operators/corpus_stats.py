@@ -796,3 +796,143 @@ def vocab_coverage(
             + F.lit(0.0)
         ).alias("type_oov_rate"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Gini coefficient of a non-negative size column per group — the
+    standard corpus-concentration diagnostic ("what share of the corpus
+    do the biggest domains own?"; 0 = perfectly even, →1 = one key owns
+    everything). Uses the exact ties-aware rank identity over the
+    DISTINCT-value table: with ascending distinct values v (count c,
+    cumulative count R including the block), the sorted-rank sum of the
+    block is ``v·(c·R_prev + c(c+1)/2)``, so
+
+        G = 2·Σ_blocks v·ranksum / (n·Σx) − (n+1)/n .
+
+    Plan shape: ONE ``groupBy(group, value)`` count (map-side
+    combinable) → the running count over the distinct-value table — a
+    group-partitioned cumulative window when grouped, the quantile-bucket
+    two-phase global cumsum (``plans.rownum.with_global_cumsum``) when
+    ungrouped — → ONE ``groupBy(group)`` fold. No single-partition window
+    at any size in either lane. NULLs and negative values are excluded; a
+    group with total 0 reports NULL gini.
+
+    Output: ``(group?, n, total, gini)`` with gini rounded to 6, ordered
+    by group.
+    """
+    if value_col not in df.columns:
+        raise DataFrameValidationError(
+            f"gini_concentration: missing column {value_col!r}"
+        )
+    if group_col is not None and group_col not in df.columns:
+        raise DataFrameValidationError(
+            f"gini_concentration: missing column {group_col!r}"
+        )
+    v = F.col(value_col).cast("double")
+    gcols = [F.col(group_col).alias("group")] if group_col else []
+    gnames = ["group"] if group_col else []
+
+    counts = (
+        df.filter(v.isNotNull() & (v >= 0))
+        .select(*gcols, v.alias("_v"))
+        .groupBy(*gnames, "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    if gnames:
+        w = Window.partitionBy(*gnames).orderBy("_v")
+        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ranked = counts.select(
+            *gnames,
+            "_v",
+            "_c",
+            (F.sum("_c").over(cum) - F.col("_c")).alias("_rprev"),
+        )
+    else:
+        # ungrouped: the distinct-value table can itself be data-sized for
+        # continuous columns, so the running count goes through the
+        # quantile-bucket two-phase global cumsum (the ecdf_feature lane)
+        # instead of an empty-partition window
+        from temporalscope_spark.plans.rownum import with_global_cumsum
+
+        ranked = with_global_cumsum(counts, ["_v"], ["_c"]).select(
+            "_v", "_c", (F.col("_c_cum") - F.col("_c")).alias("_rprev")
+        )
+    c = F.col("_c").cast("double")
+    ranksum = c * F.col("_rprev").cast("double") + c * (c + F.lit(1.0)) / F.lit(
+        2.0
+    )
+    agg = ranked.groupBy(*gnames).agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.col("_v") * F.col("_c")).alias("total"),
+        F.sum(F.col("_v") * ranksum).alias("_rs"),
+    )
+    n = F.col("n").cast("double")
+    out = agg.select(
+        *gnames,
+        "n",
+        F.round(F.col("total"), 6).alias("total"),
+        F.round(
+            F.when(
+                F.col("total") > 0,
+                F.lit(2.0) * F.col("_rs") / (n * F.col("total"))
+                - (n + F.lit(1.0)) / n,
+            ),
+            6,
+        ).alias("gini"),
+    )
+    return out.orderBy(*gnames) if gnames else out
+
+
+def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law (Newcomb
+    1881; Benford 1938) — the classic anomaly screen for machine-
+    generated or tampered numeric columns. For each digit d ∈ 1..9:
+    observed share, Benford expectation ``log10(1 + 1/d)``, and the
+    chi-square contribution ``N·(share − exp)²/exp`` (sum the column for
+    the 8-df test statistic).
+
+    The first significant digit of ``|x| > 0`` is
+    ``floor(|x| / 10^floor(log10|x|))`` — expression-only, exact for the
+    double range. One map-side-combinable 9-key aggregation; zero/NULL
+    values are excluded.
+
+    Output: ``(digit, n, share, expected, chi_term)`` rounded to 6,
+    ordered by digit; digits that never occur still appear (n = 0) via
+    the literal digit spine so the chi-square is complete.
+    """
+    if value_col not in df.columns:
+        raise DataFrameValidationError(
+            f"benford_digits: missing column {value_col!r}"
+        )
+    v = F.abs(F.col(value_col).cast("double"))
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    counts = (
+        df.filter(v.isNotNull() & (v > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    joined = spine.join(F.broadcast(counts), "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )  # 9-row table: bounded by construction
+    tot = F.sum("n").over(wall).cast("double")
+    share = F.col("n").cast("double") / tot
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    out = joined.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("expected"),
+        F.round(tot * (share - expected) * (share - expected) / expected, 6)
+        .alias("chi_term"),
+    )
+    return out.orderBy("digit")

@@ -447,3 +447,96 @@ def embedding_drift(
             (F.round("_js", 6) + F.lit(0.0)).alias("js_total"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    id_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-entity CUSUM mean-shift locator (Page 1954; Taylor's
+    cumulative-sum changepoint chart): with x̄ the series mean,
+
+        C_t = Σ_{s ≤ t} (x_s − x̄)
+
+    the estimated change point is the timestamp of ``max_t |C_t|`` and
+    the shift magnitude indicator is ``S_range = max C − min C``,
+    reported alongside the Brownian-bridge-scaled statistic
+    ``S_range / (σ·√n)`` (the same normalization the KS family uses;
+    values ≫ 1 indicate a real level shift, σ = sample std).
+
+    Plan shape: the mean and the running sum are TWO frames of ONE
+    entity-keyed window (single exchange + sort, exchange-free on the
+    bucketed layout); the per-entity reduction — including the
+    argmax-by-(rounded |C|, earliest time) — is ONE map-side-combinable
+    ``groupBy(entity)`` max-struct fold. |C| is rounded to 6 BEFORE the
+    argmax so cross-engine last-ulp differences become deterministic
+    earliest-time ties. NULL values are excluded; entities with < 2
+    points report NULL stat.
+
+    Output: ``(id, n_obs, change_t, cusum_abs_max, s_range, stat)``
+    floats rounded to 6, ordered by id.
+    """
+    from pyspark.sql.window import Window
+
+    from temporalscope_spark.core.convert import epoch_seconds
+
+    for c in [time_col, value_col, id_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    ):
+        if c not in df.columns:
+            raise DataFrameValidationError(
+                f"cusum_changepoint: missing column {c!r}"
+            )
+
+    t = epoch_seconds(F.col(time_col), df.schema[time_col].dataType)
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & t.isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        t.alias("_t"),
+        x.alias("_x"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+    )
+    order = ["_t"] + (["_tb"] if tiebreak_col else [])
+    w = Window.partitionBy("_id").orderBy(*order)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    # C_t = cum_sum − cum_count · (total/n): the mean is spelled as an
+    # explicit sum/count division so the oracle replays the same operand
+    # order (built-in avg folds are engine-internal)
+    mu = F.sum("_x").over(full) / F.count("_x").over(full).cast("double")
+    cs = base.select(
+        "_id",
+        "_t",
+        "_x",
+        (F.sum("_x").over(cum) - F.count("_x").over(cum).cast("double") * mu)
+        .alias("_c"),
+    )
+    # argmax by (rounded |C| desc, earliest t): max of a (|C|, -t) struct
+    a6 = F.round(F.abs(F.col("_c")), 6)
+    agg = cs.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.max(F.struct(a6.alias("a"), (-F.col("_t")).alias("mt"))).alias("_am"),
+        F.max("_c").alias("_cmax"),
+        F.min("_c").alias("_cmin"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    n = F.col("n_obs").cast("double")
+    var = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n) / (n - F.lit(1.0))
+    sd = F.sqrt(var)
+    srange = F.col("_cmax") - F.col("_cmin")
+    out = agg.select(
+        F.col("_id").alias("id"),
+        "n_obs",
+        (-F.col("_am.mt")).alias("change_t"),
+        F.col("_am.a").alias("cusum_abs_max"),
+        F.round(srange, 6).alias("s_range"),
+        F.round(
+            F.when((n > 1) & (var > 0), srange / (sd * F.sqrt(n))), 6
+        ).alias("stat"),
+    )
+    return out.orderBy("id")
