@@ -5285,6 +5285,45 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digits(events, "value")
 
 
+def q_attribution_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of purchases to view/click touches within a
+    1-day lookback: deterministic per-(user, t) touch reduction, then the
+    entity-keyed as-of union window (operators/asof.py) - no range
+    explosion, unattributed conversions kept as NULL rows."""
+    from temporalscope_spark.operators.attribution import attribution
+
+    events = _t(spark, sf_dir, "events")
+    return attribution(
+        events, "ts", "user_id", "event_type",
+        ["purchase"], ["view", "click"],
+        tiebreak_col="event_id", window_seconds=86400.0, model="last",
+    )
+
+
+def q_attribution_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution (3-day window): the earliest touch in
+    [t_conv - W, t_conv] is the FORWARD as-of match of the shifted time
+    t_conv - W with tolerance W - same union-window machinery."""
+    from temporalscope_spark.operators.attribution import attribution
+
+    events = _t(spark, sf_dir, "events")
+    return attribution(
+        events, "ts", "user_id", "event_type",
+        ["purchase"], ["view", "click"],
+        tiebreak_col="event_id", window_seconds=259200.0, model="first",
+    )
+
+
+def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM block over events: ONE entity aggregation, ONE fused
+    1-row exact-quantile edge fit (rounded-6 plan literals), expression-
+    only quintile scoring with recency inverted."""
+    from temporalscope_spark.operators.tsfeatures import rfm_features
+
+    events = _t(spark, sf_dir, "events")
+    return rfm_features(events, "ts", "user_id", "value", n_bins=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "target_shift": q_target_shift,
@@ -5517,6 +5556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": q_cusum_changepoint,
         "gini_concentration": q_gini_concentration,
         "benford_digits": q_benford_digits,
+        "attribution_last": q_attribution_last,
+        "attribution_first": q_attribution_first,
+        "rfm_features": q_rfm_features,
     }
 
 
@@ -11145,6 +11187,85 @@ def oracle_sql() -> dict[str, str]:
                round(e, 6) + 0.0 AS expected,
                round(tot * (sh - e) * (sh - e) / e, 6) + 0.0 AS chi_term
         FROM f
+    """
+
+    # attribution: same per-(entity, t) max-eid touch reduction, bracket
+    # join + rank replay of the as-of pick
+    _attr = """
+        WITH base AS (
+            SELECT event_id AS k, user_id AS entity,
+                   CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t,
+                   event_type AS ty
+            FROM events
+        ),
+        conv AS (
+            SELECT k AS conversion_id, entity, t AS conv_t
+            FROM base WHERE ty = 'purchase'
+        ),
+        touch AS (
+            SELECT entity, touch_t, ty AS attr_type, k AS attr_id FROM (
+                SELECT entity, t AS touch_t, ty, k,
+                       row_number() OVER (PARTITION BY entity, t
+                                          ORDER BY k DESC) AS rn
+                FROM base WHERE ty IN ('view', 'click')
+            ) WHERE rn = 1
+        ),
+        cand AS (
+            SELECT c.conversion_id, t2.attr_type, t2.attr_id, t2.touch_t,
+                   row_number() OVER (PARTITION BY c.conversion_id
+                                      ORDER BY t2.touch_t {ord}) AS rn
+            FROM conv c JOIN touch t2
+              ON t2.entity = c.entity
+             AND t2.touch_t <= c.conv_t
+             AND t2.touch_t >= c.conv_t - {w}
+        )
+        SELECT c.conversion_id, c.entity, c.conv_t,
+               x.attr_type, x.attr_id, x.touch_t,
+               round(c.conv_t - x.touch_t, 6) + 0.0 AS gap_seconds
+        FROM conv c LEFT JOIN (SELECT * FROM cand WHERE rn = 1) x
+          ON x.conversion_id = c.conversion_id
+    """
+    sql["attribution_last"] = _attr.format(ord="DESC", w="86400.0")
+    sql["attribution_first"] = _attr.format(ord="ASC", w="259200.0")
+    # rfm: same entity aggregation, rounded exact-quantile edges,
+    # strictly-greater bin counting, inverted recency
+    sql["rfm_features"] = """
+        WITH base AS (
+            SELECT user_id AS id,
+                   CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t,
+                   CAST(value AS DOUBLE) AS v
+            FROM events
+        ),
+        ent AS (
+            SELECT id, max(t) AS last_t,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   coalesce(sum(v), 0.0) AS monetary0
+            FROM base GROUP BY id
+        ),
+        mx AS (SELECT max(last_t) AS asof_t FROM ent),
+        e2 AS (
+            SELECT id, round(asof_t - last_t, 6) AS recency_s, frequency,
+                   round(monetary0, 6) AS monetary
+            FROM ent, mx
+        ),
+        edges AS (
+            SELECT
+              list_transform(quantile_cont(recency_s,
+                  [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS re,
+              list_transform(quantile_cont(CAST(frequency AS DOUBLE),
+                  [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS fe,
+              list_transform(quantile_cont(monetary,
+                  [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS me
+            FROM e2
+        )
+        SELECT id, recency_s, frequency, monetary,
+               CAST(6 - (1 + len(list_filter(edges.re,
+                   x -> recency_s > x))) AS INT) AS r_score,
+               CAST(1 + len(list_filter(edges.fe,
+                   x -> CAST(frequency AS DOUBLE) > x)) AS INT) AS f_score,
+               CAST(1 + len(list_filter(edges.me,
+                   x -> monetary > x)) AS INT) AS m_score
+        FROM e2, edges
     """
 
     return sql

@@ -638,3 +638,94 @@ def fourier_time_features(
         cols.append((F.round(F.sin(ang), 6) + F.lit(0.0)).alias(f"{p}_sin_{h}"))
         cols.append((F.round(F.cos(ang), 6) + F.lit(0.0)).alias(f"{p}_cos_{h}"))
     return df.select("*", *cols)
+
+
+def rfm_features(
+    df: DataFrame,
+    time_col: str,
+    id_col: str,
+    value_col: str,
+    asof: float | None = None,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) entity features with quantile
+    scores — the classic customer-value segmentation (Hughes 1994) and a
+    staple entity-level feature block.
+
+    Per entity: ``recency_s`` = seconds from its last event to ``asof``
+    (default: the global max timestamp — one bounded 1-row aggregate),
+    ``frequency`` = event count, ``monetary`` = sum of ``value_col``
+    (0.0 when all-null). Scores bin each measure into ``1..n_bins`` by
+    EXACT quantile edges fitted on the entity table (edges rounded to 6
+    and inlined as plan literals — the ``quantile_bin`` convention; the
+    ``percentile_approx`` sketch is the 100 TB swap). Recency is
+    inverted (most recent → highest score), so ``r=f=m=n_bins`` is the
+    best segment.
+
+    Plan shape: ONE ``groupBy(entity)`` aggregation builds the entity
+    table (persisted — it feeds the edge fit AND the output), ONE fused
+    1-row aggregation fits all 3×(n_bins−1) edges, scoring is
+    expression-only. Output: ``(id, recency_s, frequency, monetary,
+    r_score, f_score, m_score)`` rounded to 6, ordered by id.
+    """
+    if n_bins < 2:
+        raise DataFrameValidationError("rfm_features: n_bins must be >= 2")
+    for c in (time_col, id_col, value_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"rfm_features: missing column {c!r}")
+
+    from pyspark import StorageLevel
+
+    t = _time_expr(df, time_col)
+    ent = (
+        df.filter(t.isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            t.alias("_t"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .groupBy("id")
+        .agg(
+            F.max("_t").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.coalesce(F.sum("_v"), F.lit(0.0)).alias("monetary"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if asof is None:
+        asof = ent.agg(F.max("_last").alias("m")).collect()[0]["m"]
+    ent2 = ent.select(
+        "id",
+        F.round(F.lit(float(asof)) - F.col("_last"), 6).alias("recency_s"),
+        "frequency",
+        F.round(F.col("monetary"), 6).alias("monetary"),
+    )
+
+    probs = [i / n_bins for i in range(1, n_bins)]
+    parr = F.array(*[F.lit(p) for p in probs])
+    fit = ent2.agg(
+        F.percentile(F.col("recency_s"), parr).alias("re"),
+        F.percentile(F.col("frequency").cast("double"), parr).alias("fe"),
+        F.percentile(F.col("monetary"), parr).alias("me"),
+    ).collect()[0]
+    edges = {
+        k: [round(float(e), 6) for e in fit[k]] for k in ("re", "fe", "me")
+    }
+
+    def _bin(col, es):
+        b = F.lit(1)
+        for e in es:
+            b = b + (col > F.lit(e)).cast("int")
+        return b
+
+    rec_bin = _bin(F.col("recency_s"), edges["re"])
+    out = ent2.select(
+        "id",
+        "recency_s",
+        "frequency",
+        "monetary",
+        (F.lit(n_bins + 1) - rec_bin).alias("r_score"),
+        _bin(F.col("frequency").cast("double"), edges["fe"]).alias("f_score"),
+        _bin(F.col("monetary"), edges["me"]).alias("m_score"),
+    )
+    return out.orderBy("id")
