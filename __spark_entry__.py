@@ -5324,6 +5324,45 @@ def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_features(events, "ts", "user_id", "value", n_bins=5)
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant conversion summary vs control: users hash into 3
+    deterministic variants (user_id % 3), metric = converted-ever flag;
+    ONE variant-keyed moment aggregation, control folded back via a
+    window over the bounded C-row table."""
+    from temporalscope_spark.operators.experiment import ab_test
+
+    events = _t(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("double")).alias(
+            "converted"
+        )
+    )
+    assigned = users.select(
+        (F.col("user_id") % 3).cast("string").alias("variant"), "converted"
+    )
+    return ab_test(assigned, "variant", "converted", control="0")
+
+
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction: per-user pre-period (before epoch day
+    19738 = 2024-01-16) value sum as the covariate, post-period sum as
+    the metric; one 1-row moment fit (theta, xbar as plan literals) +
+    expression-only adjustment."""
+    from temporalscope_spark.operators.experiment import cuped_adjust
+
+    events = _t(spark, sf_dir, "events")
+    from temporalscope_spark.core.convert import epoch_seconds
+
+    t = epoch_seconds(F.col("ts"), events.schema["ts"].dataType)
+    p = F.floor(t / F.lit(86400.0)).cast("long")
+    v = F.col("value").cast("double")
+    users = events.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(p < 19738, v)), F.lit(0.0)).alias("x"),
+        F.coalesce(F.sum(F.when(p >= 19738, v)), F.lit(0.0)).alias("y"),
+    )
+    return cuped_adjust(users, "y", "x", keep_cols=["user_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "target_shift": q_target_shift,
@@ -5559,6 +5598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last": q_attribution_last,
         "attribution_first": q_attribution_first,
         "rfm_features": q_rfm_features,
+        "ab_test": q_ab_test,
+        "cuped_adjust": q_cuped_adjust,
     }
 
 
@@ -11266,6 +11307,83 @@ def oracle_sql() -> dict[str, str]:
                CAST(1 + len(list_filter(edges.me,
                    x -> monetary > x)) AS INT) AS m_score
         FROM e2, edges
+    """
+
+    # ab test: same user-level conversion metric, moment table, window
+    # fold of the control row
+    sql["ab_test"] = """
+        WITH u AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN 1.0 ELSE 0.0 END) AS y
+            FROM events GROUP BY user_id
+        ),
+        g AS (
+            SELECT CAST(user_id % 3 AS VARCHAR) AS variant,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(y) AS s, sum(y * y) AS ss
+            FROM u GROUP BY 1
+        ),
+        st AS (
+            SELECT variant, n, s / CAST(n AS DOUBLE) AS m,
+                   CASE WHEN n > 1
+                        THEN (ss - s * s / CAST(n AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - 1.0) END AS v
+            FROM g
+        ),
+        ctl AS (
+            SELECT variant, n, m, v,
+                   max(CASE WHEN variant = '0' THEN m END) OVER () AS mc,
+                   max(CASE WHEN variant = '0' THEN v END) OVER () AS vc,
+                   max(CASE WHEN variant = '0' THEN n END) OVER () AS nc
+            FROM st
+        )
+        SELECT variant, n, round(m, 6) + 0.0 AS mean,
+               round(v, 6) + 0.0 AS "var",
+               round(CASE WHEN variant <> '0' THEN m - mc END, 6)
+                   + 0.0 AS diff,
+               round(CASE WHEN variant <> '0' AND mc <> 0
+                          THEN (m - mc) / mc END, 6) + 0.0 AS lift,
+               round(CASE WHEN variant <> '0'
+                           AND sqrt(v / CAST(n AS DOUBLE)
+                                    + vc / CAST(nc AS DOUBLE)) > 0
+                          THEN (m - mc)
+                               / sqrt(v / CAST(n AS DOUBLE)
+                                      + vc / CAST(nc AS DOUBLE))
+                     END, 6) + 0.0 AS z
+        FROM ctl
+    """
+    # cuped: same split sums, theta/xbar from the identical moment
+    # formulas, identical adjustment arithmetic
+    sql["cuped_adjust"] = """
+        WITH b AS (
+            SELECT user_id,
+                   CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+                              / 86400.0) AS BIGINT) AS p,
+                   CAST(value AS DOUBLE) AS v
+            FROM events
+        ),
+        u AS (
+            SELECT user_id,
+                   coalesce(sum(CASE WHEN p < 19738 THEN v END), 0.0) AS x,
+                   coalesce(sum(CASE WHEN p >= 19738 THEN v END), 0.0) AS y
+            FROM b GROUP BY user_id
+        ),
+        m AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM u
+        ),
+        t AS (
+            SELECT CASE WHEN n >= 2 AND (sxx - sx * sx / n) > 0
+                        THEN (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                        ELSE 0.0 END AS theta,
+                   CASE WHEN n >= 2 THEN sx / n ELSE 0.0 END AS xbar
+            FROM m
+        )
+        SELECT user_id, y, x,
+               round(y - theta * (x - xbar), 6) + 0.0 AS y_cuped
+        FROM u, t
     """
 
     return sql

@@ -1,0 +1,145 @@
+"""Experiment analysis: per-variant treatment-effect summaries and CUPED
+variance reduction.
+
+The engine's event spine (entity, timestamp, value) is exactly an
+experimentation log; the two passes every A/B platform runs over it are
+the per-variant effect summary (mean difference vs control with a Welch
+z statistic — the two-proportion z-test is the binary special case) and
+CUPED (Deng, Xu, Kohavi & Walker, WSDM 2013: regression-adjust the
+metric with a pre-experiment covariate, ``Y' = Y − θ(X − X̄)``, cutting
+variance by the squared correlation).
+
+Plan shapes (100 TB-safe): ``ab_test`` is ONE map-side-combinable
+``groupBy(variant)`` moment aggregation to a C-row table; the control
+row is folded back via a window over that bounded table (no join against
+the fat side). ``cuped_adjust`` is ONE 1-row moment aggregation (five
+doubles to the driver — the woe-totals convention) and an
+expression-only projection; the corpus is touched exactly twice and
+never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+
+
+def ab_test(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    control: str,
+) -> DataFrame:
+    """Per-variant effect summary vs a named control.
+
+    For each variant: ``n``, sample ``mean`` and variance of the metric;
+    against the control row: absolute effect ``diff = mean − mean_c``,
+    relative ``lift = diff / mean_c`` (NULL when the control mean is 0)
+    and the Welch z statistic
+
+        z = diff / sqrt(var/n + var_c/n_c)
+
+    (for a 0/1 metric this is the unpooled two-proportion z-test). The
+    control's own diff/lift/z are NULL. NULL metrics are excluded;
+    a missing control variant raises.
+
+    Output: ``(variant, n, mean, var, diff, lift, z)`` floats rounded to
+    6, ordered by variant.
+    """
+    for c in (variant_col, metric_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"ab_test: missing column {c!r}")
+    y = F.col(metric_col).cast("double")
+    agg = (
+        df.filter(y.isNotNull())
+        .groupBy(F.col(variant_col).cast("string").alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).alias("_s"),
+            F.sum(y * y).alias("_ss"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s") / n
+    var = (F.col("_ss") - F.col("_s") * F.col("_s") / n) / (n - F.lit(1.0))
+    stats = agg.select(
+        "variant",
+        "n",
+        mean.alias("_m"),
+        F.when(F.col("n") > 1, var).alias("_v"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )  # C-row variant table: bounded by construction
+    is_ctl = F.col("variant") == F.lit(control)
+    mc = F.max(F.when(is_ctl, F.col("_m"))).over(wall)
+    vc = F.max(F.when(is_ctl, F.col("_v"))).over(wall)
+    nc = F.max(F.when(is_ctl, F.col("n"))).over(wall)
+    seen = F.max(is_ctl.cast("int")).over(wall)
+    diff = F.col("_m") - mc
+    se = F.sqrt(F.col("_v") / F.col("n").cast("double") + vc / nc.cast("double"))
+    guard = F.when(
+        seen == 0,
+        F.raise_error(
+            F.lit(f"ab_test: control variant {control!r} not present")
+        ).cast("double"),
+    )
+    out = stats.select(
+        "variant",
+        "n",
+        F.coalesce(guard, F.round(F.col("_m"), 6)).alias("mean"),
+        F.round(F.col("_v"), 6).alias("var"),
+        F.round(F.when(~is_ctl, diff), 6).alias("diff"),
+        F.round(F.when(~is_ctl & (mc != 0), diff / mc), 6).alias("lift"),
+        F.round(F.when(~is_ctl & (se > 0), diff / se), 6).alias("z"),
+    )
+    return out.orderBy("variant")
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """CUPED adjustment: ``{metric}_cuped = y − θ(x − x̄)`` with
+    ``θ = cov(x, y) / var(x)`` fitted on this frame (one 1-row moment
+    aggregation; five bounded doubles to the driver as plan literals).
+    Rows with NULL metric or covariate pass through with a NULL adjusted
+    value; zero covariate variance ⇒ θ = 0 (adjustment is a no-op, the
+    standard degenerate-covariate convention).
+
+    Output: ``keep_cols`` + metric + covariate + ``{metric}_cuped``
+    (rounded to 6).
+    """
+    for c in (metric_col, covariate_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"cuped_adjust: missing column {c!r}")
+    keep = keep_cols or []
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    both = y.isNotNull() & x.isNotNull()
+    m = df.agg(
+        F.sum(F.when(both, F.lit(1.0))).alias("n"),
+        F.sum(F.when(both, x)).alias("sx"),
+        F.sum(F.when(both, y)).alias("sy"),
+        F.sum(F.when(both, x * x)).alias("sxx"),
+        F.sum(F.when(both, x * y)).alias("sxy"),
+    ).collect()[0]
+    n = float(m["n"] or 0.0)
+    if n < 2:
+        theta, xbar = 0.0, 0.0
+    else:
+        varx = m["sxx"] - m["sx"] * m["sx"] / n
+        covxy = m["sxy"] - m["sx"] * m["sy"] / n
+        theta = covxy / varx if varx > 0 else 0.0
+        xbar = m["sx"] / n
+    adj = F.when(both, y - F.lit(theta) * (x - F.lit(xbar)))
+    return df.select(
+        *keep,
+        F.col(metric_col),
+        F.col(covariate_col),
+        F.round(adj, 6).alias(f"{metric_col}_cuped"),
+    )
