@@ -5162,30 +5162,11 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     event (right-censored), in two odd/even-user cohorts - ONE corpus
     aggregation to the bounded distinct-duration table, then
     cohort-partitioned windows (no single-partition window)."""
-    from temporalscope_spark.core.convert import epoch_seconds
     from temporalscope_spark.operators.survival import kaplan_meier
 
-    events = _t(spark, sf_dir, "events")
-    t = epoch_seconds(F.col("ts"), events.schema["ts"].dataType)
-    per_user = (
-        events.select("user_id", t.alias("_t"), "event_type")
-        .groupBy("user_id")
-        .agg(
-            F.min("_t").alias("_t0"),
-            F.min(F.when(F.col("event_type") == "purchase", F.col("_t"))).alias(
-                "_tp"
-            ),
-            F.max("_t").alias("_tl"),
-        )
+    out = kaplan_meier(
+        _km_durations(spark, sf_dir), "dur", "ev", group_col="cohort"
     )
-    durs = per_user.select(
-        (F.col("user_id") % 2).cast("string").alias("cohort"),
-        F.when(F.col("_tp").isNotNull(), F.col("_tp") - F.col("_t0"))
-        .otherwise(F.col("_tl") - F.col("_t0"))
-        .alias("dur"),
-        F.when(F.col("_tp").isNotNull(), 1).otherwise(0).alias("ev"),
-    )
-    out = kaplan_meier(durs, "dur", "ev", group_col="cohort")
     return out.select(
         F.col("group").alias("cohort"),
         "t",
@@ -5361,6 +5342,59 @@ def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(p >= 19738, v)), F.lit(0.0)).alias("y"),
     )
     return cuped_adjust(users, "y", "x", keep_cols=["user_id"])
+
+
+def _km_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival-input construction: per user, seconds from first
+    event to first purchase (event=1) or to last observed event
+    (censored), in two odd/even-user cohorts."""
+    from temporalscope_spark.core.convert import epoch_seconds
+
+    events = _t(spark, sf_dir, "events")
+    t = epoch_seconds(F.col("ts"), events.schema["ts"].dataType)
+    per_user = (
+        events.select("user_id", t.alias("_t"), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.min("_t").alias("_t0"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("_t"))).alias(
+                "_tp"
+            ),
+            F.max("_t").alias("_tl"),
+        )
+    )
+    return per_user.select(
+        (F.col("user_id") % 2).cast("string").alias("cohort"),
+        F.when(F.col("_tp").isNotNull(), F.col("_tp") - F.col("_t0"))
+        .otherwise(F.col("_tl") - F.col("_t0"))
+        .alias("dur"),
+        F.when(F.col("_tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard per cohort over the same
+    duration/censor construction as kaplan_meier - identical bounded
+    stepped-table plan, hazard-scale outputs."""
+    from temporalscope_spark.operators.survival import nelson_aalen
+
+    out = nelson_aalen(_km_durations(spark, sf_dir), "dur", "ev", group_col="cohort")
+    return out.select(
+        F.col("group").alias("cohort"), "t", "n_risk", "n_event", "hazard", "se"
+    )
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the two user cohorts: grid-at-risk via a
+    strict backward as-of join against each cohort's cumulative-exit
+    steps, per-time totals over the bounded grid, ONE k-row reduction."""
+    from temporalscope_spark.operators.survival import logrank_test
+
+    out = logrank_test(_km_durations(spark, sf_dir), "dur", "ev", "cohort")
+    return out.select(
+        F.col("group").alias("cohort"), "n_subjects", "observed",
+        "expected", "chi2",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5600,6 +5634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_features": q_rfm_features,
         "ab_test": q_ab_test,
         "cuped_adjust": q_cuped_adjust,
+        "nelson_aalen": q_nelson_aalen,
+        "logrank_test": q_logrank_test,
     }
 
 
@@ -11384,6 +11420,126 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, y, x,
                round(y - theta * (x - xbar), 6) + 0.0 AS y_cuped
         FROM u, t
+    """
+
+    # nelson-aalen: the kaplan_meier stepped table with hazard-scale
+    # cumulative sums
+    sql["nelson_aalen"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(epoch_us(min(ts)) AS DOUBLE) / 1000000.0 AS t0,
+                   CAST(epoch_us(min(CASE WHEN event_type = 'purchase'
+                                          THEN ts END)) AS DOUBLE)
+                       / 1000000.0 AS tp,
+                   CAST(epoch_us(max(ts)) AS DOUBLE) / 1000000.0 AS tl
+            FROM events GROUP BY user_id
+        ),
+        durs AS (
+            SELECT CAST(user_id % 2 AS VARCHAR) AS cohort,
+                   CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE tl - t0 END AS t,
+                   CASE WHEN tp IS NOT NULL THEN 1.0 ELSE 0.0 END AS e
+            FROM per_user
+        ),
+        counts AS (
+            SELECT cohort, t, sum(e) AS d, count(*) AS m
+            FROM durs GROUP BY cohort, t
+        ),
+        stepped AS (
+            SELECT cohort, t,
+                   CAST(d AS BIGINT) AS n_event,
+                   CAST(sum(m) OVER (PARTITION BY cohort)
+                        - (sum(m) OVER wcum - m) AS BIGINT) AS n_risk,
+                   d
+            FROM counts
+            WINDOW wcum AS (PARTITION BY cohort ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        terms AS (
+            SELECT cohort, t, n_risk, n_event,
+                   CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h,
+                   CAST(n_event AS DOUBLE)
+                       / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)) AS v
+            FROM stepped
+        )
+        SELECT cohort, t, n_risk, n_event,
+               round(sum(h) OVER wcum, 6) + 0.0 AS hazard,
+               round(sqrt(sum(v) OVER wcum), 6) + 0.0 AS se
+        FROM terms
+        WINDOW wcum AS (PARTITION BY cohort ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    # log-rank: grid at-risk via strictly-before exit sums, identical
+    # E/V operand order
+    sql["logrank_test"] = """
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(epoch_us(min(ts)) AS DOUBLE) / 1000000.0 AS t0,
+                   CAST(epoch_us(min(CASE WHEN event_type = 'purchase'
+                                          THEN ts END)) AS DOUBLE)
+                       / 1000000.0 AS tp,
+                   CAST(epoch_us(max(ts)) AS DOUBLE) / 1000000.0 AS tl
+            FROM events GROUP BY user_id
+        ),
+        durs AS (
+            SELECT CAST(user_id % 2 AS VARCHAR) AS cohort,
+                   CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE tl - t0 END AS t,
+                   CASE WHEN tp IS NOT NULL THEN 1.0 ELSE 0.0 END AS e
+            FROM per_user
+        ),
+        counts AS (
+            SELECT cohort, t, CAST(sum(e) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM durs GROUP BY cohort, t
+        ),
+        cohorts AS (
+            SELECT cohort, CAST(sum(m) AS BIGINT) AS n_subjects
+            FROM counts GROUP BY cohort
+        ),
+        times AS (SELECT DISTINCT t FROM counts WHERE d > 0),
+        grid AS (SELECT c.cohort, c.n_subjects, ti.t FROM cohorts c, times ti),
+        exits AS (
+            SELECT g.cohort, g.t, g.n_subjects,
+                   coalesce(sum(c.m), 0) AS ex
+            FROM grid g LEFT JOIN counts c
+              ON c.cohort = g.cohort AND c.t < g.t
+            GROUP BY g.cohort, g.t, g.n_subjects
+        ),
+        att AS (
+            SELECT e2.cohort, e2.t, e2.n_subjects,
+                   e2.n_subjects - e2.ex AS ngt,
+                   coalesce(c.d, 0) AS dgt
+            FROM exits e2 LEFT JOIN counts c
+              ON c.cohort = e2.cohort AND c.t = e2.t
+        ),
+        per AS (
+            SELECT cohort, n_subjects, dgt AS obs,
+                   sum(dgt) OVER wt * CAST(ngt AS DOUBLE)
+                       / CAST(sum(ngt) OVER wt AS DOUBLE) AS expd,
+                   CASE WHEN sum(ngt) OVER wt > 1 THEN
+                       CAST(sum(dgt) OVER wt AS DOUBLE)
+                       * (CAST(ngt AS DOUBLE) / CAST(sum(ngt) OVER wt AS DOUBLE))
+                       * (1.0 - CAST(ngt AS DOUBLE)
+                                / CAST(sum(ngt) OVER wt AS DOUBLE))
+                       * (CAST(sum(ngt) OVER wt AS DOUBLE)
+                          - CAST(sum(dgt) OVER wt AS DOUBLE))
+                       / (CAST(sum(ngt) OVER wt AS DOUBLE) - 1.0)
+                   ELSE 0.0 END AS vterm
+            FROM att
+            WINDOW wt AS (PARTITION BY t)
+        ),
+        agg AS (
+            SELECT cohort, n_subjects,
+                   CAST(sum(obs) AS BIGINT) AS observed,
+                   sum(expd) AS e_, sum(vterm) AS v_
+            FROM per GROUP BY cohort, n_subjects
+        )
+        SELECT cohort, n_subjects, observed,
+               round(e_, 6) + 0.0 AS expected,
+               round(CASE WHEN count(*) OVER () = 2 AND v_ > 0 THEN
+                   (max(CAST(observed AS DOUBLE) - e_) OVER ())
+                   * (max(CAST(observed AS DOUBLE) - e_) OVER ()) / v_
+               END, 6) + 0.0 AS chi2
+        FROM agg
     """
 
     return sql

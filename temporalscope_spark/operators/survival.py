@@ -28,6 +28,64 @@ from pyspark.sql.window import Window
 from temporalscope_spark.exceptions import DataFrameValidationError
 
 
+def _stepped(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str | None,
+    caller: str,
+):
+    """Shared product-limit event table: ONE corpus aggregation to the
+    bounded distinct-duration grid with (n_event, n_censored, n_risk) per
+    (group,) time, 0/1 validation riding inside the aggregation. Returns
+    (stepped_df, group_name_list)."""
+    for c in [duration_col, event_col] + ([group_col] if group_col else []):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"{caller}: missing column {c!r}")
+
+    dur = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("double")
+    gcols = [F.col(group_col).alias("group")] if group_col else []
+    gnames = ["group"] if group_col else []
+
+    base = df.filter(dur.isNotNull() & ev.isNotNull()).select(
+        *gcols, dur.alias("t"), ev.alias("_e")
+    )
+    counts = base.groupBy(*gnames, "t").agg(
+        F.sum("_e").alias("n_event"),
+        F.sum(F.lit(1.0) - F.col("_e")).alias("n_censored"),
+        F.count(F.lit(1)).alias("_n"),
+        F.max(
+            F.when((F.col("_e") != 0.0) & (F.col("_e") != 1.0), 1).otherwise(0)
+        ).alias("_bad"),
+    )
+    w = Window.partitionBy(*gnames).orderBy("t")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stepped = counts.select(
+        *gnames,
+        "t",
+        F.col("n_event").cast("long").alias("n_event"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        (F.sum("_n").over(full) - (F.sum("_n").over(cum) - F.col("_n")))
+        .cast("long")
+        .alias("n_risk"),
+        F.max("_bad").over(full).alias("_bad"),
+    )
+    return stepped, gnames
+
+
+def _guarded(col, event_col: str, caller: str):
+    """Wrap an output expression with the 0/1 event-flag gate so column
+    pruning can never drop the check."""
+    return F.when(
+        F.col("_bad") == 1,
+        F.raise_error(F.lit(f"{caller}: event {event_col!r} must be 0/1")).cast(
+            "double"
+        ),
+    ).otherwise(col)
+
+
 def kaplan_meier(
     df: DataFrame,
     duration_col: str,
@@ -57,46 +115,9 @@ def kaplan_meier(
     ``(group?, t, n_risk, n_event, n_censored, survival, se)`` with
     ``survival``/``se`` rounded to 6, ordered by (group, t).
     """
-    for c in [duration_col, event_col] + ([group_col] if group_col else []):
-        if c not in df.columns:
-            raise DataFrameValidationError(f"kaplan_meier: missing column {c!r}")
-
-    dur = F.col(duration_col).cast("double")
-    ev = F.col(event_col).cast("double")
-    gcols = [F.col(group_col).alias("group")] if group_col else []
-    gnames = ["group"] if group_col else []
-
-    base = df.filter(dur.isNotNull() & ev.isNotNull()).select(
-        *gcols, dur.alias("t"), ev.alias("_e")
-    )
-
-    # ONE corpus aggregation → the bounded distinct-duration table; the
-    # 0/1 validation rides inside it (the woe_iv_table pattern) so the
-    # corpus is never scanned twice.
-    counts = base.groupBy(*gnames, "t").agg(
-        F.sum("_e").alias("n_event"),
-        F.sum(F.lit(1.0) - F.col("_e")).alias("n_censored"),
-        F.count(F.lit(1)).alias("_n"),
-        F.max(
-            F.when((F.col("_e") != 0.0) & (F.col("_e") != 1.0), 1).otherwise(0)
-        ).alias("_bad"),
-    )
-
+    stepped, gnames = _stepped(df, duration_col, event_col, group_col, "kaplan_meier")
     w = Window.partitionBy(*gnames).orderBy("t")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-
-    # at risk at t = group total − everyone who exited strictly before t
-    stepped = counts.select(
-        *gnames,
-        "t",
-        F.col("n_event").cast("long").alias("n_event"),
-        F.col("n_censored").cast("long").alias("n_censored"),
-        (F.sum("_n").over(full) - (F.sum("_n").over(cum) - F.col("_n")))
-        .cast("long")
-        .alias("n_risk"),
-        F.max("_bad").over(full).alias("_bad"),
-    )
 
     d = F.col("n_event").cast("double")
     n = F.col("n_risk").cast("double")
@@ -121,22 +142,193 @@ def kaplan_meier(
     # the 0/1 gate rides inside the survival expression itself so column
     # pruning can never drop it (a free-standing check column would be
     # dead code to Catalyst)
-    guarded = F.when(
-        F.col("_bad") == 1,
-        F.raise_error(F.lit(f"kaplan_meier: event {event_col!r} must be 0/1")).cast(
-            "double"
-        ),
-    ).otherwise(F.round(scurve, 6))
     out = terms.select(
         *gnames,
         "t",
         "n_risk",
         "n_event",
         "n_censored",
-        guarded.alias("survival"),
+        _guarded(F.round(scurve, 6), event_col, "kaplan_meier").alias("survival"),
         F.when(
             zcum == 0,
             F.round(scurve * F.sqrt(F.sum("_gw").over(cum)), 6),
         ).alias("se"),
     )
     return out.orderBy(*gnames, "t")
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator per group (Nelson 1972;
+    Aalen 1978) — the KM curve's hazard-scale twin and the standard input
+    to proportional-hazards eyeballing:
+
+        H(t) = Σ_{s ≤ t} d_s / n_s ,   Var = Σ_{s ≤ t} d_s / n_s²
+
+    over the same bounded distinct-duration grid as
+    :func:`kaplan_meier` (ONE corpus aggregation + group-partitioned
+    cumulative windows — identical plan shape, identical validation).
+
+    Output: ``(group?, t, n_risk, n_event, hazard, se)`` rounded to 6,
+    ordered by (group, t).
+    """
+    stepped, gnames = _stepped(df, duration_col, event_col, group_col, "nelson_aalen")
+    w = Window.partitionBy(*gnames).orderBy("t")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = F.col("n_event").cast("double")
+    n = F.col("n_risk").cast("double")
+    terms = stepped.select(
+        *gnames,
+        "t",
+        "n_risk",
+        "n_event",
+        "_bad",
+        (d / n).alias("_h"),
+        (d / (n * n)).alias("_v"),
+    )
+    out = terms.select(
+        *gnames,
+        "t",
+        "n_risk",
+        "n_event",
+        _guarded(F.round(F.sum("_h").over(cum), 6), event_col, "nelson_aalen").alias(
+            "hazard"
+        ),
+        F.round(F.sqrt(F.sum("_v").over(cum)), 6).alias("se"),
+    )
+    return out.orderBy(*gnames, "t")
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Log-rank test (Mantel 1966; Peto & Peto 1972): are the groups'
+    survival curves the same? Per group: observed events ``O_g = Σ_t
+    d_gt`` and expected-under-H0 ``E_g = Σ_t d_t·n_gt/n_t`` over the
+    pooled distinct EVENT-time grid; with exactly two groups the
+    chi-square statistic (1 df) is
+
+        χ² = (O_1 − E_1)² / V ,
+        V = Σ_t d_t·(n_1t/n_t)·(1 − n_1t/n_t)·(n_t − d_t)/(n_t − 1)
+
+    (the hypergeometric variance; times with n_t = 1 contribute 0). With
+    more than two groups O/E per group still come out (the k-sample
+    statistic needs the covariance matrix — out of scope) and ``chi2``
+    is NULL.
+
+    Plan shape: the per-(group, t) event table is ONE corpus
+    aggregation; the group-at-risk values on the pooled grid come from a
+    backward STRICT as-of join (``operators/asof.py``) of the
+    grid × group spine against each group's cumulative-exit steps —
+    entity-keyed union window, no time-range explosion; the per-time
+    totals are a window keyed BY TIME over the bounded grid×group table;
+    the final reduction is ONE k-row aggregation.
+
+    Output: one row per group — ``(group, n_subjects, observed,
+    expected, chi2)`` (chi2 repeated on both rows for k = 2), rounded to
+    6, ordered by group.
+    """
+    stepped, _ = _stepped(df, duration_col, event_col, group_col, "logrank_test")
+    # exits (event + censored) per (group, t), cumulative through t
+    w = Window.partitionBy("group").orderBy("t")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    steps = stepped.select(
+        "group",
+        "t",
+        "n_event",
+        "_bad",
+        F.sum(F.col("n_event") + F.col("n_censored")).over(cum).alias("_cumexit"),
+        F.max(F.col("n_risk") + F.lit(0)).over(
+            Window.partitionBy("group").orderBy("t").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_ng_total"),
+    )
+    from pyspark import StorageLevel
+
+    steps = steps.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # pooled event-time grid × group spine (bounded: |times| × k)
+    times = (
+        steps.filter(F.col("n_event") > 0).select("t").distinct()
+    )
+    groups = steps.select(
+        "group", F.col("_ng_total").alias("n_subjects"), "_bad"
+    ).distinct()
+    grid = times.crossJoin(F.broadcast(groups))
+
+    from temporalscope_spark.operators.asof import asof_join
+
+    # at risk in g at time t = N_g − exits strictly before t
+    att = asof_join(
+        grid,
+        steps.select("group", F.col("t").alias("_st"), "_cumexit"),
+        on="group",
+        left_time="t",
+        right_time="_st",
+        value_cols=["_cumexit"],
+        allow_exact_matches=False,
+        direction="backward",
+    ).select(
+        "group",
+        "t",
+        "n_subjects",
+        "_bad",
+        (F.col("n_subjects") - F.coalesce(F.col("_cumexit"), F.lit(0))).alias(
+            "_ngt"
+        ),
+    )
+    # events in g at t (0 where the group had none)
+    ev = steps.filter(F.col("n_event") > 0).select(
+        "group", "t", F.col("n_event").alias("_dgt")
+    )
+    att = att.join(ev, ["group", "t"], "left").fillna({"_dgt": 0})
+
+    wt = Window.partitionBy("t")  # bounded grid×group table
+    nt = F.sum("_ngt").over(wt).cast("double")
+    dt = F.sum("_dgt").over(wt).cast("double")
+    ngt = F.col("_ngt").cast("double")
+    per = att.select(
+        "group",
+        "n_subjects",
+        "_bad",
+        F.col("_dgt").alias("_obs"),
+        (dt * ngt / nt).alias("_exp"),
+        F.when(
+            nt > 1,
+            dt * (ngt / nt) * (F.lit(1.0) - ngt / nt) * (nt - dt) / (nt - F.lit(1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_var"),
+    )
+    agg = per.groupBy("group", "n_subjects", "_bad").agg(
+        F.sum("_obs").alias("_o"),
+        F.sum("_exp").alias("_e"),
+        F.sum("_var").alias("_v"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )  # k-row group table
+    k = F.count(F.lit(1)).over(wall)
+    # 2-group chi2: (O_g − E_g)² is the same for both groups (they are
+    # negatives of each other), and the per-group variance sum _v is the
+    # pair variance V by the symmetry of n_1t/n_t·(1 − n_1t/n_t)
+    dmax = F.max(F.col("_o").cast("double") - F.col("_e")).over(wall)
+    chi2 = F.when((k == 2) & (F.col("_v") > 0), (dmax * dmax) / F.col("_v"))
+    out = agg.select(
+        "group",
+        "n_subjects",
+        F.col("_o").cast("long").alias("observed"),
+        _guarded(F.round(F.col("_e"), 6), event_col, "logrank_test").alias(
+            "expected"
+        ),
+        F.round(chi2, 6).alias("chi2"),
+    )
+    return out.orderBy("group")

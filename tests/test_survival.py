@@ -100,3 +100,109 @@ class TestKaplanMeier:
         df = _df(spark, [(1, 1)])
         with pytest.raises(DataFrameValidationError, match="missing column"):
             kaplan_meier(df, "nope", "ev")
+
+
+def _ref_na(pairs):
+    times = sorted({t for t, _ in pairs})
+    out, h, v = [], 0.0, 0.0
+    for t in times:
+        n = sum(1 for d, _ in pairs if d >= t)
+        ev = sum(1 for d, e in pairs if d == t and e == 1)
+        h += ev / n
+        v += ev / (n * n)
+        out.append((t, round(h, 6), round(math.sqrt(v), 6)))
+    return out
+
+
+def _ref_logrank(groups):
+    """groups: {name: [(dur, event), ...]} -> (O, E per group, chi2)."""
+    times = sorted({t for ps in groups.values() for t, e in ps if e == 1})
+    O = {g: 0.0 for g in groups}
+    E = {g: 0.0 for g in groups}
+    V = 0.0
+    names = sorted(groups)
+    for t in times:
+        ngt = {g: sum(1 for d, _ in ps if d >= t) for g, ps in groups.items()}
+        dgt = {g: sum(1 for d, e in ps if d == t and e == 1)
+               for g, ps in groups.items()}
+        nt = sum(ngt.values())
+        dt = sum(dgt.values())
+        for g in groups:
+            O[g] += dgt[g]
+            E[g] += dt * ngt[g] / nt
+        if len(names) == 2 and nt > 1:
+            p = ngt[names[0]] / nt
+            V += dt * p * (1 - p) * (nt - dt) / (nt - 1)
+    chi2 = None
+    if len(names) == 2 and V > 0:
+        d = O[names[0]] - E[names[0]]
+        chi2 = d * d / V
+    return O, E, chi2
+
+
+class TestNelsonAalen:
+    def test_reference_parity(self, spark):
+        from temporalscope_spark.operators.survival import nelson_aalen
+
+        pairs = [(6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1), (13, 1),
+                 (16, 0), (22, 1), (23, 1)]
+        got = nelson_aalen(_df(spark, pairs), "dur", "ev").collect()
+        ref = _ref_na(pairs)
+        assert [(r["t"], r["hazard"], r["se"]) for r in got] == ref
+
+    def test_hazard_monotone_nondecreasing(self, spark):
+        from temporalscope_spark.operators.survival import nelson_aalen
+
+        pairs = [(t, t % 2) for t in range(1, 20)]
+        got = nelson_aalen(_df(spark, pairs), "dur", "ev").collect()
+        hz = [r["hazard"] for r in got]
+        assert hz == sorted(hz)
+
+
+class TestLogRank:
+    def test_two_group_reference_parity(self, spark):
+        from temporalscope_spark.operators.survival import logrank_test
+
+        ga = [(3, 1), (5, 1), (7, 0), (9, 1), (11, 1), (14, 0), (15, 1)]
+        gb = [(8, 1), (10, 0), (12, 1), (16, 1), (20, 0), (22, 1), (25, 1)]
+        df = _df(spark, ga + gb, group=["a"] * len(ga) + ["b"] * len(gb))
+        got = {r["group"]: r for r in
+               logrank_test(df, "dur", "ev", "g").collect()}
+        O, E, chi2 = _ref_logrank({"a": ga, "b": gb})
+        for g in ("a", "b"):
+            assert got[g]["observed"] == O[g]
+            assert got[g]["expected"] == pytest.approx(E[g], abs=1e-6)
+            assert got[g]["chi2"] == pytest.approx(chi2, abs=1e-5)
+        assert got["a"]["n_subjects"] == 7
+
+    def test_identical_groups_low_chi2(self, spark):
+        from temporalscope_spark.operators.survival import logrank_test
+
+        g = [(t, 1) for t in [2, 4, 6, 8, 10, 12]]
+        df = _df(spark, g + g, group=["a"] * 6 + ["b"] * 6)
+        got = logrank_test(df, "dur", "ev", "g").collect()
+        assert got[0]["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_separated_groups_high_chi2(self, spark):
+        from temporalscope_spark.operators.survival import logrank_test
+
+        ga = [(t, 1) for t in range(1, 15)]
+        gb = [(t + 50, 1) for t in range(1, 15)]
+        df = _df(spark, ga + gb, group=["a"] * 14 + ["b"] * 14)
+        got = logrank_test(df, "dur", "ev", "g").collect()
+        O, E, chi2 = _ref_logrank({"a": ga, "b": gb})
+        assert got[0]["chi2"] == pytest.approx(chi2, abs=1e-4)
+        assert got[0]["chi2"] > 10.0
+
+    def test_three_groups_null_chi2(self, spark):
+        from temporalscope_spark.operators.survival import logrank_test
+
+        rows = [(1, 1), (2, 1), (3, 1)]
+        df = _df(spark, rows * 3, group=["a"] * 3 + ["b"] * 3 + ["c"] * 3)
+        got = logrank_test(df, "dur", "ev", "g").collect()
+        O, E, _ = _ref_logrank(
+            {"a": rows, "b": rows, "c": rows}
+        )
+        for r in got:
+            assert r["chi2"] is None
+            assert r["expected"] == pytest.approx(E[r["group"]], abs=1e-6)
