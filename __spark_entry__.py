@@ -5397,6 +5397,24 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user forecast battery (MAE/RMSE/MAPE/sMAPE/MASE) scoring a
+    deterministic 2-lag-average forecast of events.value: one entity lag
+    window for the naive scale, ONE grouped moment fold."""
+    from pyspark.sql.window import Window
+
+    from temporalscope_spark.metrics.forecast import forecast_eval
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("double")
+    fc = (F.lag(v, 1).over(w) + F.lag(v, 2).over(w)) / F.lit(2.0)
+    scored = events.withColumn("fc", fc)
+    return forecast_eval(
+        scored, "value", "fc", "ts", "user_id", tiebreak_col="event_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "target_shift": q_target_shift,
@@ -5636,6 +5654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjust": q_cuped_adjust,
         "nelson_aalen": q_nelson_aalen,
         "logrank_test": q_logrank_test,
+        "forecast_eval": q_forecast_eval,
     }
 
 
@@ -11539,6 +11558,57 @@ def oracle_sql() -> dict[str, str]:
                    (max(CAST(observed AS DOUBLE) - e_) OVER ())
                    * (max(CAST(observed AS DOUBLE) - e_) OVER ()) / v_
                END, 6) + 0.0 AS chi2
+        FROM agg
+    """
+
+    # forecast eval: same 2-lag forecast construction, scored-subset lag,
+    # identical moment sums
+    sql["forecast_eval"] = """
+        WITH b AS (
+            SELECT user_id AS id,
+                   CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t,
+                   event_id,
+                   CAST(value AS DOUBLE) AS a,
+                   (lag(CAST(value AS DOUBLE), 1) OVER w
+                    + lag(CAST(value AS DOUBLE), 2) OVER w) / 2.0 AS f
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sc AS (
+            SELECT id, t, event_id, a, f FROM b
+            WHERE a IS NOT NULL AND f IS NOT NULL
+        ),
+        lg AS (
+            SELECT id, a, f,
+                   lag(a) OVER (PARTITION BY id ORDER BY t, event_id) AS pa
+            FROM sc
+        ),
+        agg AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS n,
+                   sum(abs(a - f)) AS se,
+                   sum(abs(a - f) * abs(a - f)) AS sq,
+                   sum(CASE WHEN a <> 0 THEN abs(a - f) / abs(a) END) AS sp,
+                   CAST(count(CASE WHEN a <> 0 THEN 1 END) AS BIGINT) AS np_,
+                   sum(CASE WHEN abs(a) + abs(f) > 0
+                            THEN 2.0 * abs(a - f) / (abs(a) + abs(f))
+                            ELSE 0.0 END) AS ss,
+                   CAST(count(CASE WHEN abs(a) + abs(f) > 0 THEN 1 END)
+                        AS BIGINT) AS ns,
+                   sum(abs(a - pa)) AS sn,
+                   CAST(count(pa) AS BIGINT) AS nn
+            FROM lg GROUP BY id
+        )
+        SELECT id, n,
+               round(se / CAST(n AS DOUBLE), 6) + 0.0 AS mae,
+               round(sqrt(sq / CAST(n AS DOUBLE)), 6) + 0.0 AS rmse,
+               round(CASE WHEN np_ > 0
+                          THEN sp / CAST(np_ AS DOUBLE) END, 6) + 0.0 AS mape,
+               round(CASE WHEN ns > 0
+                          THEN ss / CAST(ns AS DOUBLE) END, 6) + 0.0 AS smape,
+               round(CASE WHEN nn > 0 AND sn / CAST(nn AS DOUBLE) > 0
+                          THEN (se / CAST(n AS DOUBLE))
+                               / (sn / CAST(nn AS DOUBLE))
+                     END, 6) + 0.0 AS mase
         FROM agg
     """
 
