@@ -5415,6 +5415,38 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on events.value: treat = odd users,
+    post = epoch day >= 19738 (2024-01-16); all four cells' moments from
+    ONE map-side-combinable aggregation, no shuffle."""
+    from temporalscope_spark.core.convert import epoch_seconds
+    from temporalscope_spark.operators.experiment import did_estimate
+
+    events = _t(spark, sf_dir, "events")
+    t = epoch_seconds(F.col("ts"), events.schema["ts"].dataType)
+    cells = events.select(
+        (F.col("user_id") % 2).cast("int").alias("tr"),
+        (F.floor(t / F.lit(86400.0)).cast("long") >= 19738)
+        .cast("int")
+        .alias("po"),
+        F.col("value").alias("y"),
+    )
+    return did_estimate(cells, "y", "tr", "po")
+
+
+def q_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution divergence (KL both ways + JS) between two
+    document sources over the combined top-200 vocabulary: one word-count
+    aggregation with per-side conditional sums, top-k via
+    TakeOrderedAndProject, bounded folds."""
+    from temporalscope_spark.operators.drift import vocab_kl
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_kl(
+        docs, "text", "source", "src0", "src1", vocab_k=200, alpha=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "target_shift": q_target_shift,
@@ -5655,6 +5687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen": q_nelson_aalen,
         "logrank_test": q_logrank_test,
         "forecast_eval": q_forecast_eval,
+        "did_estimate": q_did_estimate,
+        "vocab_kl": q_vocab_kl,
     }
 
 
@@ -11610,6 +11644,83 @@ def oracle_sql() -> dict[str, str]:
                                / (sn / CAST(nn AS DOUBLE))
                      END, 6) + 0.0 AS mase
         FROM agg
+    """
+
+    # did: identical conditional cell moments and effect arithmetic
+    _cell = (
+        "sum(CASE WHEN tr = {t} AND po = {p} THEN 1.0 END) AS n{t}{p}, "
+        "sum(CASE WHEN tr = {t} AND po = {p} THEN y END) AS s{t}{p}, "
+        "sum(CASE WHEN tr = {t} AND po = {p} THEN y * y END) AS ss{t}{p}"
+    )
+    _cells = ", ".join(_cell.format(t=t, p=p) for t in (0, 1) for p in (0, 1))
+    _v = (
+        "(CASE WHEN n{t}{p} > 1 THEN (ss{t}{p} - s{t}{p} * s{t}{p} / n{t}{p})"
+        " / (n{t}{p} - 1.0) END) / n{t}{p}"
+    )
+    _sev = " + ".join(_v.format(t=t, p=p) for t in (0, 1) for p in (0, 1))
+    sql["did_estimate"] = f"""
+        WITH b AS (
+            SELECT CAST(user_id % 2 AS INT) AS tr,
+                   CASE WHEN CAST(floor(CAST(epoch_us(ts) AS DOUBLE)
+                                        / 1000000.0 / 86400.0) AS BIGINT)
+                             >= 19738 THEN 1 ELSE 0 END AS po,
+                   CAST(value AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        a AS (SELECT {_cells} FROM b),
+        d AS (
+            SELECT *,
+                   (s11 / n11 - s10 / n10) - (s01 / n01 - s00 / n00) AS did_,
+                   sqrt(0.0 + {_sev}) AS se_
+            FROM a
+        )
+        SELECT CAST(n00 + n01 + n10 + n11 AS BIGINT) AS n,
+               round(s00 / n00, 6) + 0.0 AS m_ctl_pre,
+               round(s01 / n01, 6) + 0.0 AS m_ctl_post,
+               round(s10 / n10, 6) + 0.0 AS m_treat_pre,
+               round(s11 / n11, 6) + 0.0 AS m_treat_post,
+               round(did_, 6) + 0.0 AS did,
+               round(se_, 6) + 0.0 AS se,
+               round(CASE WHEN se_ > 0 THEN did_ / se_ END, 6) + 0.0 AS z
+        FROM d
+    """
+    # vocab kl: same combined top-k vocab (n desc, word), add-alpha
+    # smoothing, identical log folds
+    sql["vocab_kl"] = f"""
+        WITH words AS (
+            SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS isa,
+                   unnest(string_split({_NORM}, ' ')) AS word
+            FROM documents WHERE source IN ('src0', 'src1')
+        ),
+        counts AS (
+            SELECT word, sum(isa) AS ca, sum(1 - isa) AS cb,
+                   count(*) AS n
+            FROM words WHERE word <> '' GROUP BY word
+        ),
+        vocab AS (
+            SELECT * FROM counts ORDER BY n DESC, word LIMIT 200
+        ),
+        tot AS (
+            SELECT sum(ca) AS na, sum(cb) AS nb,
+                   CAST(count(*) AS INT) AS v
+            FROM vocab
+        ),
+        p AS (
+            SELECT (CAST(ca AS DOUBLE) + 0.5)
+                       / (CAST(na AS DOUBLE) + 0.5 * v) AS pa,
+                   (CAST(cb AS DOUBLE) + 0.5)
+                       / (CAST(nb AS DOUBLE) + 0.5 * v) AS pb
+            FROM vocab, tot
+        )
+        SELECT CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b,
+               tot.v AS vocab_size,
+               round(sum(pa * ln(pa / pb)), 6) + 0.0 AS kl_ab,
+               round(sum(pb * ln(pb / pa)), 6) + 0.0 AS kl_ba,
+               round(0.5 * sum(pa * ln(pa / ((pa + pb) / 2.0)))
+                     + 0.5 * sum(pb * ln(pb / ((pa + pb) / 2.0))), 6)
+                   + 0.0 AS js
+        FROM p, tot
+        GROUP BY tot.na, tot.nb, tot.v
     """
 
     return sql

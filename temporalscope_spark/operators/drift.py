@@ -540,3 +540,89 @@ def cusum_changepoint(
         ).alias("stat"),
     )
     return out.orderBy("id")
+
+
+def vocab_kl(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    source_a: str,
+    source_b: str,
+    vocab_k: int = 1000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Vocabulary-distribution divergence between two sub-corpora — the
+    text twin of :func:`psi_drift` (CCNet/DSIR-style domain-shift
+    diagnostics measure exactly this): add-α-smoothed unigram
+    distributions over a shared bounded vocabulary, reporting KL(a‖b),
+    KL(b‖a) and the symmetric Jensen–Shannon divergence (nats).
+
+    The vocabulary is the top-``vocab_k`` words of the two sides
+    COMBINED (count desc, word asc — deterministic), so both
+    distributions live on the same support; each side's distribution is
+    ``p_w = (c_w + α) / (N_side + α·V)`` with ``N_side`` the side's
+    total count over the vocabulary (probabilities sum to 1 on the
+    support by construction, and α > 0 keeps every log finite).
+
+    Plan shape (100 TB-safe): ONE word-count aggregation with per-side
+    conditional sums (map-side combinable), the top-k vocab via
+    TakeOrderedAndProject (never a full sort), side totals as ONE 1-row
+    aggregate over the bounded vocab table, divergences as ONE bounded
+    fold. Output: one row ``(n_a, n_b, vocab_size, kl_ab, kl_ba, js)``
+    rounded to 6.
+    """
+    if vocab_k < 1:
+        raise DataFrameValidationError("vocab_kl: vocab_k must be >= 1")
+    if alpha <= 0:
+        raise DataFrameValidationError("vocab_kl: alpha must be > 0")
+    for c in (text_col, source_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"vocab_kl: missing column {c!r}")
+
+    from temporalscope_spark.operators.corpus_stats import _norm_words
+
+    side = F.col(source_col)
+    words = (
+        df.filter(side.isin([source_a, source_b]))
+        .select(
+            (side == source_a).cast("int").alias("_isa"),
+            F.explode(_norm_words(text_col)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    counts = words.groupBy("word").agg(
+        F.sum("_isa").alias("ca"),
+        F.sum(F.lit(1) - F.col("_isa")).alias("cb"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    vocab = counts.orderBy(F.col("n").desc(), F.col("word")).limit(vocab_k)
+
+    from pyspark import StorageLevel
+
+    vocab = vocab.persist(StorageLevel.MEMORY_AND_DISK)
+    tot = vocab.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    na, nb, v = float(tot["na"]), float(tot["nb"]), int(tot["v"])
+    al = float(alpha)
+    da = F.lit(na + al * v)
+    db = F.lit(nb + al * v)
+    pa = (F.col("ca").cast("double") + F.lit(al)) / da
+    pb = (F.col("cb").cast("double") + F.lit(al)) / db
+    pm = (pa + pb) / F.lit(2.0)
+    out = vocab.agg(
+        F.sum(pa * F.log(pa / pb)).alias("_klab"),
+        F.sum(pb * F.log(pb / pa)).alias("_klba"),
+        (
+            F.lit(0.5) * F.sum(pa * F.log(pa / pm))
+            + F.lit(0.5) * F.sum(pb * F.log(pb / pm))
+        ).alias("_js"),
+    )
+    return out.select(
+        F.lit(int(na)).cast("long").alias("n_a"),
+        F.lit(int(nb)).cast("long").alias("n_b"),
+        F.lit(v).cast("int").alias("vocab_size"),
+        F.round(F.col("_klab"), 6).alias("kl_ab"),
+        F.round(F.col("_klba"), 6).alias("kl_ba"),
+        F.round(F.col("_js"), 6).alias("js"),
+    )

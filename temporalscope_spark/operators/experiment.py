@@ -143,3 +143,106 @@ def cuped_adjust(
         F.col(covariate_col),
         F.round(adj, 6).alias(f"{metric_col}_cuped"),
     )
+
+
+def did_estimate(
+    df: DataFrame,
+    metric_col: str,
+    treat_col: str,
+    post_col: str,
+) -> DataFrame:
+    """Two-group × two-period difference-in-differences (the Card &
+    Krueger 1994 design):
+
+        DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctl,post − ȳ_ctl,pre)
+
+    with the standard independent-cell standard error
+    ``sqrt(Σ_cells var/n)`` and z = DiD/SE. ``treat_col`` / ``post_col``
+    must be 0/1 (validated inside the aggregation); any empty cell
+    raises — a DiD without all four cells is undefined.
+
+    Plan shape: ONE map-side-combinable aggregation computes all four
+    cells' (n, Σy, Σy²) — 12 numbers, no groupBy, no shuffle beyond the
+    final 1-row reduce. Output: one row ``(n, m_ctl_pre, m_ctl_post,
+    m_treat_pre, m_treat_post, did, se, z)`` rounded to 6.
+    """
+    for c in (metric_col, treat_col, post_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"did_estimate: missing column {c!r}")
+    y = F.col(metric_col).cast("double")
+    tr = F.col(treat_col).cast("double")
+    po = F.col(post_col).cast("double")
+    ok = y.isNotNull() & tr.isNotNull() & po.isNotNull()
+
+    aggs = []
+    for ti in (0, 1):
+        for pi in (0, 1):
+            cell = ok & (tr == float(ti)) & (po == float(pi))
+            aggs += [
+                F.sum(F.when(cell, F.lit(1.0))).alias(f"n{ti}{pi}"),
+                F.sum(F.when(cell, y)).alias(f"s{ti}{pi}"),
+                F.sum(F.when(cell, y * y)).alias(f"ss{ti}{pi}"),
+            ]
+    aggs.append(
+        F.max(
+            F.when(
+                ((tr != 0.0) & (tr != 1.0)) | ((po != 0.0) & (po != 1.0)), 1
+            ).otherwise(0)
+        ).alias("_bad")
+    )
+    row = df.agg(*aggs)
+
+    def _m(t, p):
+        return F.col(f"s{t}{p}") / F.col(f"n{t}{p}")
+
+    def _var(t, p):
+        # ANSI mode: guard the n = 1 division (variance undefined there)
+        n = F.col(f"n{t}{p}")
+        return F.when(
+            n > 1,
+            (F.col(f"ss{t}{p}") - F.col(f"s{t}{p}") * F.col(f"s{t}{p}") / n)
+            / (n - F.lit(1.0)),
+        )
+
+    did = (_m(1, 1) - _m(1, 0)) - (_m(0, 1) - _m(0, 0))
+    se = F.sqrt(
+        sum(
+            (_var(t, p) / F.col(f"n{t}{p}") for t in (0, 1) for p in (0, 1)),
+            F.lit(0.0),
+        )
+    )
+    ntot = sum(
+        (F.coalesce(F.col(f"n{t}{p}"), F.lit(0.0)) for t in (0, 1) for p in (0, 1)),
+        F.lit(0.0),
+    )
+    missing = (
+        F.col("n00").isNull()
+        | F.col("n01").isNull()
+        | F.col("n10").isNull()
+        | F.col("n11").isNull()
+    )
+    guarded_did = (
+        F.when(
+            F.col("_bad") == 1,
+            F.raise_error(
+                F.lit("did_estimate: treat/post columns must be 0/1")
+            ).cast("double"),
+        )
+        .when(
+            missing,
+            F.raise_error(
+                F.lit("did_estimate: all four treat x post cells must be non-empty")
+            ).cast("double"),
+        )
+        .otherwise(F.round(did, 6))
+    )
+    return row.select(
+        ntot.cast("long").alias("n"),
+        F.round(_m(0, 0), 6).alias("m_ctl_pre"),
+        F.round(_m(0, 1), 6).alias("m_ctl_post"),
+        F.round(_m(1, 0), 6).alias("m_treat_pre"),
+        F.round(_m(1, 1), 6).alias("m_treat_post"),
+        guarded_did.alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(F.when(se > 0, did / se), 6).alias("z"),
+    )

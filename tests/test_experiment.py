@@ -84,3 +84,63 @@ class TestCuped:
         df = spark.createDataFrame(rows, "id long, x double, y double")
         for r in cuped_adjust(df, "y", "x", keep_cols=["id"]).collect():
             assert r["y_cuped"] == pytest.approx(r["y"], abs=1e-9)
+
+
+class TestDiD:
+    def test_reference_arithmetic(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        cells = {
+            (0, 0): rng.randn(40) + 10.0,
+            (0, 1): rng.randn(45) + 10.5,
+            (1, 0): rng.randn(50) + 9.8,
+            (1, 1): rng.randn(55) + 12.0,
+        }
+        rows = [
+            (int(t), int(p), float(v))
+            for (t, p), vs in cells.items()
+            for v in vs
+        ]
+        from temporalscope_spark.operators.experiment import did_estimate
+
+        df = spark.createDataFrame(rows, "tr int, po int, y double")
+        r = did_estimate(df, "y", "tr", "po").collect()[0]
+        m = {k: v.mean() for k, v in cells.items()}
+        did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+        se = math.sqrt(
+            sum(v.var(ddof=1) / len(v) for v in cells.values())
+        )
+        assert r["did"] == pytest.approx(did, abs=1e-6)
+        assert r["se"] == pytest.approx(se, abs=1e-6)
+        assert r["z"] == pytest.approx(did / se, abs=1e-5)
+        assert r["n"] == 190
+        assert r["m_treat_post"] == pytest.approx(m[(1, 1)], abs=1e-6)
+
+    def test_parallel_trends_zero(self, spark):
+        from temporalscope_spark.operators.experiment import did_estimate
+
+        rows = []
+        for t in (0, 1):
+            for p in (0, 1):
+                base = 5.0 + 2.0 * t + 3.0 * p  # additive: DiD = 0
+                rows += [(t, p, base), (t, p, base + 1.0), (t, p, base - 1.0)]
+        df = spark.createDataFrame(rows, "tr int, po int, y double")
+        r = did_estimate(df, "y", "tr", "po").collect()[0]
+        assert r["did"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_empty_cell_raises(self, spark):
+        from temporalscope_spark.operators.experiment import did_estimate
+
+        rows = [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0)]  # no (1,1)
+        df = spark.createDataFrame(rows, "tr int, po int, y double")
+        with pytest.raises(Exception, match="four treat x post cells"):
+            did_estimate(df, "y", "tr", "po").collect()
+
+    def test_non_binary_raises(self, spark):
+        from temporalscope_spark.operators.experiment import did_estimate
+
+        rows = [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0), (2, 1, 4.0)]
+        df = spark.createDataFrame(rows, "tr int, po int, y double")
+        with pytest.raises(Exception, match="must be 0/1"):
+            did_estimate(df, "y", "tr", "po").collect()
