@@ -12,6 +12,11 @@ from temporalscope_spark.operators.asof import (
     forward_fill,
     range_join,
 )
+from temporalscope_spark.operators.attribution import attribution
+from temporalscope_spark.operators.basket import association_rules, transition_matrix
+from temporalscope_spark.operators.experiment import ab_test, cuped_adjust, did_estimate
+from temporalscope_spark.operators.lifecycle import cohort_retention, funnel_conversion
+from temporalscope_spark.operators.survival import kaplan_meier, logrank_test, nelson_aalen
 from temporalscope_spark.operators.contamination import (
     bloom_bits,
     bloom_contaminated_ids,
