@@ -5447,6 +5447,19 @@ def q_vocab_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 user-journey paths: 4h-gap sessionization, first 4 event
+    types per session in (ts, event_id) order joined with ' > ', counts
+    via map-side combine, top-k via TakeOrderedAndProject."""
+    from temporalscope_spark.operators.lifecycle import session_paths
+
+    events = _t(spark, sf_dir, "events")
+    return session_paths(
+        events, "ts", "user_id", "event_type",
+        gap_seconds=14400.0, max_steps=4, k=25, tiebreak_col="event_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "target_shift": q_target_shift,
@@ -5689,6 +5702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_eval": q_forecast_eval,
         "did_estimate": q_did_estimate,
         "vocab_kl": q_vocab_kl,
+        "session_paths": q_session_paths,
     }
 
 
@@ -11721,6 +11735,40 @@ def oracle_sql() -> dict[str, str]:
                    + 0.0 AS js
         FROM p, tot
         GROUP BY tot.na, tot.nb, tot.v
+    """
+
+    # session paths: same gap sessionization, ordered list slice, join
+    sql["session_paths"] = """
+        WITH b AS (
+            SELECT user_id AS id,
+                   CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t,
+                   event_id, event_type AS ty
+            FROM events
+        ),
+        s AS (
+            SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                            OR t - lag(t) OVER w > 14400.0
+                           THEN 1 ELSE 0 END AS isnew
+            FROM b
+            WINDOW w AS (PARTITION BY id ORDER BY t, event_id)
+        ),
+        s2 AS (
+            SELECT *, sum(isnew) OVER (
+                PARTITION BY id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM s
+        ),
+        p AS (
+            SELECT id, sid,
+                   array_to_string(
+                       list_slice(list(ty ORDER BY t, event_id), 1, 4),
+                       ' > ') AS path
+            FROM s2 GROUP BY id, sid
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY path
+        ORDER BY n DESC, path
+        LIMIT 25
     """
 
     return sql

@@ -185,3 +185,74 @@ def funnel_conversion(
         ).alias("pct_of_prev"),
     )
     return out.orderBy("step_idx")
+
+
+def session_paths(
+    df: DataFrame,
+    time_col: str,
+    id_col: str,
+    type_col: str,
+    gap_seconds: float,
+    max_steps: int = 5,
+    k: int = 20,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-k session paths: gap-sessionize each entity's stream
+    (:func:`operators.sessionize.sessionize` semantics — a new session
+    when the gap exceeds ``gap_seconds``), truncate each session to its
+    first ``max_steps`` event types in (time, tiebreak) order, join with
+    ``" > "``, and count identical paths — the standard user-journey
+    report.
+
+    Plan shape: the session id is one entity-keyed cumulative window;
+    the path is ONE ``groupBy(entity, session)`` aggregation collecting
+    a session-bounded sorted struct array (the funnel/packing
+    justification); path counts are map-side combinable and the top-k is
+    ``TakeOrderedAndProject`` (n desc, path asc — deterministic), never
+    a full sort.
+
+    Output: ``(path, n)`` ordered by (n desc, path), at most ``k`` rows.
+    """
+    if max_steps < 1 or k < 1:
+        raise DataFrameValidationError(
+            "session_paths: max_steps and k must be >= 1"
+        )
+    for c in [time_col, id_col, type_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    ):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"session_paths: missing column {c!r}")
+
+    from temporalscope_spark.operators.sessionize import sessionize
+
+    t = epoch_seconds(F.col(time_col), df.schema[time_col].dataType)
+    base = df.filter(t.isNotNull() & F.col(type_col).isNotNull())
+    sess = sessionize(base, time_col, id_col, gap_seconds, session_col="_sid")
+    tb = (
+        [F.col(tiebreak_col).alias("tb")]
+        if tiebreak_col
+        else [F.lit(0).alias("tb")]
+    )
+    arr = (
+        sess.select(
+            F.col(id_col).alias("_id"),
+            "_sid",
+            F.struct(
+                epoch_seconds(
+                    F.col(time_col), df.schema[time_col].dataType
+                ).alias("t"),
+                *tb,
+                F.col(type_col).alias("ty"),
+            ).alias("_s"),
+        )
+        .groupBy("_id", "_sid")
+        .agg(F.sort_array(F.collect_list("_s")).alias("_arr"))
+    )
+    path = F.concat_ws(
+        " > ",
+        F.transform(F.slice(F.col("_arr"), 1, max_steps), lambda x: x["ty"]),
+    )
+    counts = arr.select(path.alias("path")).groupBy("path").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("path")).limit(k)

@@ -111,3 +111,53 @@ class TestFunnelConversion:
             funnel_conversion(df, "ts", "user", "ty", ["a"])
         with pytest.raises(DataFrameValidationError, match="distinct"):
             funnel_conversion(df, "ts", "user", "ty", ["a", "a"])
+
+
+class TestSessionPaths:
+    def test_hand_paths(self, spark):
+        rows = [
+            ("u", _ts(0, 0), "a"), ("u", _ts(0, 10), "b"),      # session 1: a>b
+            ("u", _ts(1, 0), "c"),                               # session 2: c
+            ("v", _ts(0, 0), "a"), ("v", _ts(0, 5), "b"),        # a>b
+        ]
+        df = spark.createDataFrame(
+            [(u, t, i, y) for i, (u, t, y) in enumerate(rows)],
+            "user string, ts timestamp, k int, ty string",
+        )
+        from temporalscope_spark.operators.lifecycle import session_paths
+
+        got = session_paths(
+            df, "ts", "user", "ty", gap_seconds=1800, tiebreak_col="k"
+        ).collect()
+        assert [(r["path"], r["n"]) for r in got] == [("a > b", 2), ("c", 1)]
+
+    def test_max_steps_truncates(self, spark):
+        rows = [("u", _ts(0, i), i, t) for i, t in enumerate("abcdef")]
+        df = spark.createDataFrame(rows, "user string, ts timestamp, k int, ty string")
+        from temporalscope_spark.operators.lifecycle import session_paths
+
+        got = session_paths(
+            df, "ts", "user", "ty", gap_seconds=1800, max_steps=3,
+            tiebreak_col="k",
+        ).collect()
+        assert got[0]["path"] == "a > b > c"
+
+    def test_tiebreak_orders_equal_timestamps(self, spark):
+        rows = [("u", _ts(0), 2, "b"), ("u", _ts(0), 1, "a")]
+        df = spark.createDataFrame(rows, "user string, ts timestamp, k int, ty string")
+        from temporalscope_spark.operators.lifecycle import session_paths
+
+        got = session_paths(
+            df, "ts", "user", "ty", gap_seconds=60, tiebreak_col="k"
+        ).collect()
+        assert got[0]["path"] == "a > b"
+
+    def test_k_limits(self, spark):
+        rows = [(f"u{i}", _ts(0), i, t) for i, t in enumerate("abcdefgh")]
+        df = spark.createDataFrame(rows, "user string, ts timestamp, k int, ty string")
+        from temporalscope_spark.operators.lifecycle import session_paths
+
+        got = session_paths(
+            df, "ts", "user", "ty", gap_seconds=60, k=3, tiebreak_col="k"
+        ).collect()
+        assert len(got) == 3
