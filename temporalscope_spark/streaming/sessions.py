@@ -477,3 +477,75 @@ def stream_psi_drift(
             *finals,
         )
     )
+
+
+def stream_transition_pairs(
+    stream: DataFrame,
+    time_col: str,
+    id_col: str,
+    type_col: str,
+):
+    """Streaming twin of :func:`operators.basket.transition_matrix`'s
+    pair generation (``applyInPandasWithState``): per-entity last event
+    TYPE carried in group state across micro-batches, each arriving row
+    emits its (from_type, to_type) transition. Downstream the pairs
+    aggregate with an ordinary streaming ``groupBy(from, to).count()`` —
+    bounded C² state — or land in a sink for batch normalization.
+
+    Same ordering contract as :func:`stream_stateful_lag`: rows must
+    arrive in non-decreasing event-time order per entity across batches;
+    within a micro-batch they are sorted by event time. The first event
+    of an entity emits nothing (matching the batch operator's lead()).
+
+    Output columns: id, time, from_type, to_type.
+    """
+    import pandas as pd  # noqa: F401 (imported for executors)
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    t_field = next(f for f in stream.schema.fields if f.name == time_col)
+    if isinstance(t_field.dataType, T.TimestampNTZType):
+        stream = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+        t_type = T.TimestampType()
+    else:
+        t_type = t_field.dataType
+    id_type = next(f for f in stream.schema.fields if f.name == id_col).dataType
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField(time_col, t_type),
+            T.StructField("from_type", T.StringType()),
+            T.StructField("to_type", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last", T.StringType())])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (last,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            froms, keep = [], []
+            for ty in pdf[type_col]:
+                if ty is None:
+                    continue
+                froms.append(last)
+                keep.append(True)
+                last = str(ty)
+            sub = pdf[pdf[type_col].notna()]
+            out = pd.DataFrame(
+                {
+                    id_col: sub[id_col].values,
+                    time_col: sub[time_col].values,
+                    "from_type": pd.array(froms, dtype="object"),
+                    "to_type": sub[type_col].values,
+                }
+            )
+            yield out[out["from_type"].notna()]
+        state.update((last,))
+
+    return stream.groupBy(id_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -472,3 +472,39 @@ def test_stream_psi_drift_matches_batch(spark, event_dir, tmp_path):
     assert len(a) == len(b) and len(a) > 1
     assert a["n"].equals(b["n"])
     assert (a["psi"].fillna(-1) - b["psi"].fillna(-1)).abs().max() < 1e-9
+
+
+def test_stream_transition_pairs_matches_batch(spark, tmp_path_factory):
+    """Stateful streaming transition pairs == batch transition_matrix
+    counts after full replay (the streaming twin of basket.py)."""
+    from temporalscope_spark.operators.basket import transition_matrix
+    from temporalscope_spark.streaming.sessions import stream_transition_pairs
+
+    base = dt.datetime(2024, 3, 1)
+    types = ["view", "click", "buy"]
+    rows = []
+    for u in range(4):
+        t = base
+        for i in range(15):
+            t = t + dt.timedelta(minutes=3 + (u + i) % 5)
+            rows.append((f"u{u}", t, types[(u * 2 + i * i) % 3]))
+    df = spark.createDataFrame(rows, ["uid", "ts", "ty"])
+    d = str(tmp_path_factory.mktemp("stream_tp") / "events")
+    df.write.parquet(d)
+
+    streamed = replay_static_as_stream(
+        spark, d, df.schema,
+        lambda s: stream_transition_pairs(s, "ts", "uid", "ty"),
+        "tp_out", output_mode="append",
+    ).toPandas()
+
+    got = (
+        streamed.groupby(["from_type", "to_type"]).size().sort_index().to_dict()
+    )
+    batch = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in transition_matrix(df, "ts", "uid", "ty").collect()
+    }
+    assert got == batch
+    # first event of each entity emits nothing
+    assert len(streamed) == len(rows) - 4
