@@ -1376,6 +1376,21 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes lang-id loop (modeling/naive_bayes.py —
+    McCallum & Nigam 1998, the fastText-niche bag-of-words classifier of
+    CCNet-class curation): self-train on (text, lang) with a top-300
+    corpus vocabulary and add-1 smoothing, score every doc, argmax by
+    (rounded-6 joint log-prob, label). Training is ONE corpus aggregation;
+    everything joined back is the bounded C·V conditional table. The
+    per-(doc, label) sum is the sorted-word left fold every LM scorer
+    uses, so the oracle replays it with list_reduce."""
+    from temporalscope_spark.modeling.naive_bayes import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    return nb_classify(docs, vocab_size=300, alpha=1.0)
+
+
 def q_masv_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MASV with an EXACT SHAP explainer: per-phase mean |coef_f·(x_f −
     mean_f)| of the globally-fitted linear model over each phase's train
@@ -5521,6 +5536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_model": q_linear_model,
         "irls_step": q_irls_step,
         "quality_classifier": q_quality_classifier,
+        "naive_bayes": q_naive_bayes,
         "masv_linear": q_masv_linear,
         "heavy_hitters": q_heavy_hitters,
         "redact_terms": q_redact_terms,
@@ -8493,6 +8509,86 @@ def oracle_sql() -> dict[str, str]:
                round(1/(1+exp(-(beta.b0 + beta.b1*f.x1 + beta.b2*f.x2))), 6)
                    >= 0.5 AS gate
         FROM f, beta
+    """
+    # multinomial Naive Bayes replay: one (label, word) count table, top-300
+    # class-blind vocab (count desc, word asc), add-1 smoothing over the
+    # label x vocab cross (zero-count cells included), per-(doc, label)
+    # sorted-word list_reduce fold (the LM-family determinism contract),
+    # prior-only spine for zero-in-vocab docs, argmax by rounded-6 score
+    # with ties to the LARGER label (Spark max-struct order)
+    sql["naive_bayes"] = f"""
+        WITH w AS (
+            SELECT doc_id, lang AS label,
+                   unnest(string_split({_NORM}, ' ')) AS word
+            FROM documents
+        ),
+        wf AS (SELECT * FROM w WHERE word <> ''),
+        lw AS (SELECT label, word, count(*) AS n FROM wf GROUP BY 1, 2),
+        vocab AS (
+            SELECT word FROM (
+                SELECT word, sum(n) AS t FROM lw GROUP BY 1
+            ) ORDER BY t DESC, word LIMIT 300
+        ),
+        labels AS (SELECT lang AS label, count(*) AS n_docs
+                   FROM documents GROUP BY 1),
+        nt AS (SELECT sum(n_docs) AS nn FROM labels),
+        priors AS (
+            SELECT label, ln(CAST(n_docs AS DOUBLE) / nn) AS log_prior
+            FROM labels, nt
+        ),
+        cells AS (
+            SELECT l.label, v.word, coalesce(lw.n, 0) AS n
+            FROM labels l CROSS JOIN vocab v
+            LEFT JOIN lw ON lw.label = l.label AND lw.word = v.word
+        ),
+        tc AS (SELECT label, sum(n) AS tt, count(*) AS vv
+               FROM cells GROUP BY 1),
+        cond AS (
+            SELECT c.label, c.word,
+                   ln((c.n + 1.0) / (tc.tt + 1.0 * tc.vv)) AS log_cond
+            FROM cells c JOIN tc USING (label)
+        ),
+        tf AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY 1, 2
+        ),
+        perarr AS (
+            SELECT t.doc_id, c.label,
+                   list(struct_pack(tf := t.tf, lc := c.log_cond)
+                        ORDER BY t.word) AS arr,
+                   sum(t.tf) AS lw_n
+            FROM tf t JOIN cond c ON t.word = c.word
+            GROUP BY 1, 2
+        ),
+        wsum AS (
+            SELECT doc_id, label, lw_n,
+                   list_reduce(
+                       list_prepend(0.0,
+                           list_transform(arr,
+                               s -> CAST(s.tf AS DOUBLE) * s.lc)),
+                       (acc, x) -> acc + x) AS ws
+            FROM perarr
+        ),
+        spine AS (SELECT d.doc_id, p.label, p.log_prior
+                  FROM documents d CROSS JOIN priors p),
+        scored AS (
+            SELECT s.doc_id, s.label,
+                   CAST(coalesce(ws.lw_n, 0) AS BIGINT) AS lw_n,
+                   round(s.log_prior + coalesce(ws.ws, 0.0), 6) AS score
+            FROM spine s
+            LEFT JOIN wsum ws ON s.doc_id = ws.doc_id AND s.label = ws.label
+        ),
+        best AS (
+            SELECT doc_id, label AS pred, score, lw_n
+            FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, label DESC) = 1
+        )
+        SELECT b.doc_id, b.lw_n AS n_words, b.pred, b.score,
+               d.lang AS label, (b.pred = d.lang) AS correct
+        FROM best b JOIN documents d USING (doc_id)
     """
     # END-TO-END curation funnel: quality gate (train slice) → near-dup
     # transitive closure over the GATED docs only (the shingle-df cap must

@@ -27,6 +27,7 @@ from temporalscope_spark.modeling.logistic import (
     fit_logistic,
     irls_step,
 )
+from temporalscope_spark.modeling.naive_bayes import nb_classify, nb_fit, nb_score
 
 __all__ = [
     "bt_comparison_matrix", "fit_bradley_terry", "bt_win_probability",
@@ -37,4 +38,7 @@ __all__ = [
     "fit_logistic",
     "irls_step",
     "linear_shap_importance",
+    "nb_classify",
+    "nb_fit",
+    "nb_score",
 ]
