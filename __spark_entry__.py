@@ -1391,6 +1391,31 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_classify(docs, vocab_size=300, alpha=1.0)
 
 
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian split-conformal intervals (metrics/conformal.py — Vovk et
+    al. 2005, Lei et al. 2018) around a per-user naive forecast: yhat =
+    lag(value), even event_ids calibrate, odd ones are scored; per-
+    event_type k-th-order-statistic residual quantile at alpha=0.2. The
+    k-th order statistic is tie-invariant and ceil((n+1)·0.8) is the same
+    IEEE double op in both engines, so the oracle replays exactly."""
+    from temporalscope_spark.metrics.conformal import conformal_interval
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    base = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("yhat"),
+        (F.col("event_id") % 2 == 0).alias("is_calib"),
+    ).filter(F.col("yhat").isNotNull())
+    return conformal_interval(
+        base, "value", "yhat", "is_calib",
+        alpha=0.2, id_col="event_id", group_col="event_type",
+    )
+
+
 def q_masv_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MASV with an EXACT SHAP explainer: per-phase mean |coef_f·(x_f −
     mean_f)| of the globally-fitted linear model over each phase's train
@@ -5537,6 +5562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "irls_step": q_irls_step,
         "quality_classifier": q_quality_classifier,
         "naive_bayes": q_naive_bayes,
+        "conformal_interval": q_conformal_interval,
         "masv_linear": q_masv_linear,
         "heavy_hitters": q_heavy_hitters,
         "redact_terms": q_redact_terms,
@@ -8589,6 +8615,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT b.doc_id, b.lw_n AS n_words, b.pred, b.score,
                d.lang AS label, (b.pred = d.lang) AS correct
         FROM best b JOIN documents d USING (doc_id)
+    """
+    # Mondrian split-conformal replay: naive-forecast residuals on the even
+    # (calibration) event_ids, per-event_type row_number rank, k =
+    # ceil((n+1)*0.8) (the identical IEEE double multiply in both engines),
+    # q = the k-th residual; covered compares ROUNDED residual vs ROUNDED q
+    sql["conformal_interval"] = """
+        WITH base AS (
+            SELECT event_id, event_type, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS yhat,
+                   (event_id % 2 = 0) AS is_calib
+            FROM events
+        ),
+        f AS (SELECT * FROM base WHERE yhat IS NOT NULL),
+        calib AS (SELECT event_type, abs(value - yhat) AS r FROM f
+                  WHERE is_calib),
+        stats AS (SELECT event_type, count(*) AS n FROM calib GROUP BY 1),
+        want AS (
+            SELECT event_type,
+                   CASE WHEN ceil((n + 1) * 0.8) <= n
+                        THEN CAST(ceil((n + 1) * 0.8) AS BIGINT) END AS k
+            FROM stats
+        ),
+        ranked AS (
+            SELECT event_type, r,
+                   row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn
+            FROM calib
+        ),
+        qtab AS (
+            SELECT r.event_type, r.r AS q
+            FROM ranked r JOIN want w
+              ON r.event_type = w.event_type AND r.rn = w.k
+        )
+        SELECT f.event_id, f.event_type,
+               f.value AS y, f.yhat,
+               round(q.q, 6) AS qhat,
+               round(f.yhat - q.q, 6) AS lo,
+               round(f.yhat + q.q, 6) AS hi,
+               round(abs(f.value - f.yhat), 6) <= round(q.q, 6) AS covered
+        FROM f LEFT JOIN qtab q USING (event_type)
+        WHERE NOT f.is_calib
     """
     # END-TO-END curation funnel: quality gate (train slice) → near-dup
     # transitive closure over the GATED docs only (the shingle-df cap must

@@ -8,6 +8,7 @@ from temporalscope_spark.metrics.classification import (
     regression_metrics,
     reliability_curve,
 )
+from temporalscope_spark.metrics.conformal import conformal_interval
 from temporalscope_spark.metrics.forecast import forecast_eval
 from temporalscope_spark.metrics.masv import abs_deviation_importance, calculate_masv
 from temporalscope_spark.metrics.ranking import ranking_eval, rrf_fuse
@@ -16,5 +17,5 @@ __all__ = [
     "abs_deviation_importance", "calculate_masv",
     "auc_roc", "auc_by_group", "reliability_curve", "lift_table",
     "fit_isotonic_bins", "calibrate_scores", "pr_curve", "regression_metrics",
-    "ranking_eval", "rrf_fuse", "forecast_eval",
+    "ranking_eval", "rrf_fuse", "forecast_eval", "conformal_interval",
 ]
