@@ -1416,6 +1416,32 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write table maintenance on the snapshot lifecycle
+    (datasets/snapshots.py:merge/forget_keys — Iceberg CoW MERGE + the
+    right-to-be-forgotten purge): v0 = docs with doc_id % 3 != 0, MERGE an
+    updated batch (doc_id % 2 == 0, n_chars bumped +1000), then FORGET the
+    opt-out list doc_id % 7 == 0. Only files containing touched keys are
+    rewritten (batch-sized key sets broadcast; the table never shuffles);
+    the oracle replays the same anti/union/anti set algebra over the raw
+    documents table — equivalence of the file-level lifecycle with the
+    logical semantics IS the check."""
+    import tempfile
+
+    from temporalscope_spark.datasets.snapshots import SnapshotTable
+
+    docs = _t(spark, sf_dir, "documents")
+    tbl = SnapshotTable(tempfile.mkdtemp(prefix="mergetbl_"))
+    tbl.write(docs.filter(F.col("doc_id") % 3 != 0).repartition(4))
+    src = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    tbl.merge(spark, src, ["doc_id"])
+    optout = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    v = tbl.forget_keys(spark, optout, ["doc_id"])
+    return tbl.read(spark, v).select("doc_id", "text", "lang", "source", "n_chars")
+
+
 def q_masv_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MASV with an EXACT SHAP explainer: per-phase mean |coef_f·(x_f −
     mean_f)| of the globally-fitted linear model over each phase's train
@@ -5563,6 +5589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "naive_bayes": q_naive_bayes,
         "conformal_interval": q_conformal_interval,
+        "merge_forget": q_merge_forget,
         "masv_linear": q_masv_linear,
         "heavy_hitters": q_heavy_hitters,
         "redact_terms": q_redact_terms,
@@ -8655,6 +8682,24 @@ def oracle_sql() -> dict[str, str]:
                round(abs(f.value - f.yhat), 6) <= round(q.q, 6) AS covered
         FROM f LEFT JOIN qtab q USING (event_type)
         WHERE NOT f.is_calib
+    """
+    # copy-on-write merge+forget replay: the file-granular snapshot
+    # lifecycle must equal plain set algebra — base ANTI src UNION src,
+    # then ANTI the opt-out list
+    sql["merge_forget"] = """
+        WITH base AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        src AS (
+            SELECT doc_id, text, lang, source, n_chars + 1000 AS n_chars
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        merged AS (
+            SELECT * FROM base
+            WHERE doc_id NOT IN (SELECT doc_id FROM src)
+            UNION ALL
+            SELECT * FROM src
+        )
+        SELECT doc_id, text, lang, source, n_chars
+        FROM merged WHERE doc_id % 7 <> 0
     """
     # END-TO-END curation funnel: quality gate (train slice) → near-dup
     # transitive closure over the GATED docs only (the shingle-df cap must

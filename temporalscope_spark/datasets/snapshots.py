@@ -290,3 +290,197 @@ class SnapshotTable:
 
             return self.read(spark, to_version).filter(F.lit(False))
         return spark.read.parquet(*added)
+
+    # ------------------------------------------------------- copy-on-write
+    @staticmethod
+    def _norm_hit(files: list[str], rows) -> list[str]:
+        """Map collected ``input_file_name()`` URIs back onto manifest
+        paths (local ``file:`` URIs vs plain paths)."""
+        from urllib.parse import urlparse
+
+        norm = {os.path.abspath(urlparse(r["_file"]).path) for r in rows}
+        return [f for f in files if os.path.abspath(f) in norm]
+
+    def _hit_files(self, spark: SparkSession, files: list[str], marker) -> list[str]:
+        """Data files containing at least one row where ``marker`` (a
+        boolean Column) is true. One narrow scan (filter + distinct file
+        name — no shuffle of the fat side beyond the distinct on ≤n_files
+        values); returns manifest-normalized paths."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        hit = (
+            spark.read.parquet(*files)
+            .withColumn("_file", F.input_file_name())
+            .filter(marker)
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        return self._norm_hit(files, hit)
+
+    def _key_hit_files(
+        self, spark: SparkSession, files: list[str], keys: DataFrame, key_cols: list[str]
+    ) -> list[str]:
+        """Data files containing at least one row whose key appears in the
+        (batch-sized, broadcast) ``keys`` table — the planning set of a
+        copy-on-write merge/purge."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        hit = (
+            spark.read.parquet(*files)
+            .withColumn("_file", F.input_file_name())  # BEFORE the join —
+            # file provenance must bind to the scan, not the join output
+            .join(F.broadcast(keys), key_cols, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        return self._norm_hit(files, hit)
+
+    def _cow_commit(
+        self,
+        spark: SparkSession,
+        operation: str,
+        hit_files: list[str],
+        rewrite_df: Optional[DataFrame],
+        meta: Optional[dict] = None,
+    ) -> int:
+        """Publish a copy-on-write snapshot: untouched files carry over BY
+        REFERENCE; only ``hit_files`` are replaced by ``rewrite_df``'s
+        output files. The write cost is proportional to the files actually
+        touched — never to the table."""
+        parent = self.current_version()
+        files = [f for f in self._load(parent)["files"] if f not in set(hit_files)]
+        new_files: list[str] = []
+        if rewrite_df is not None:
+            commit_dir = os.path.join(
+                self._data_dir, f"commit-{parent}-{int(time.time() * 1e6)}"
+            )
+            rewrite_df.write.mode("error").parquet(commit_dir)
+            new_files = sorted(
+                os.path.join(commit_dir, f)
+                for f in os.listdir(commit_dir)
+                if f.endswith(".parquet")
+            )
+        files = files + new_files
+        fingerprint = hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()[:16]
+        manifest = {
+            "parent": parent,
+            "operation": operation,
+            "files": files,
+            "n_files": len(files),
+            "snapshot_id": f"snap-{fingerprint}",
+            "committed_at": time.time(),
+            "meta": dict(meta or {}, rewritten_files=len(hit_files), added_files=len(new_files)),
+        }
+        return self._publish(manifest)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        meta: Optional[dict] = None,
+    ) -> int:
+        """``MERGE INTO`` (upsert): rows of ``source`` REPLACE target rows
+        with the same key; unmatched source rows insert. File-granular
+        copy-on-write, Iceberg's CoW MERGE shape:
+
+        1. one narrow scan finds the data files containing matched keys
+           (the source's key set is batch-sized — it broadcasts; the
+           target side never shuffles);
+        2. ONLY those files are rewritten (their rows minus matched keys),
+           the source batch is appended into the same commit;
+        3. every untouched file carries into the new manifest by
+           reference — metadata only.
+
+        Cost scales with touched files × file size + the batch, never with
+        the table. Time travel is untouched: the pre-merge snapshot stays
+        readable. Keys must be unique in ``source`` (enforced — a
+        duplicate-key source would make "the" replacement row ambiguous).
+        """
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        if self.current_version() is None:
+            raise ValueError("merge: table has no snapshots yet")
+        if not key_cols:
+            raise ValueError("merge: key_cols must be non-empty")
+        dup = (
+            source.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError("merge: source has duplicate keys")
+        files = self._load(self.current_version())["files"]
+        keys = source.select(*key_cols).distinct()
+        hit_files = self._key_hit_files(spark, files, keys, key_cols)
+        survivors = None
+        if hit_files:
+            survivors = spark.read.parquet(*hit_files).join(
+                F.broadcast(keys), key_cols, "left_anti"
+            )
+        rewrite = (
+            source
+            if survivors is None
+            else survivors.unionByName(source.select(*survivors.columns))
+        )
+        return self._cow_commit(spark, "merge", hit_files, rewrite, meta)
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate,
+        meta: Optional[dict] = None,
+    ) -> int:
+        """``DELETE FROM ... WHERE predicate`` as a copy-on-write commit:
+        only the files that CONTAIN matching rows are rewritten (minus
+        those rows); everything else carries by reference. ``predicate``
+        is a Column or SQL string; rows where it is NULL are KEPT (SQL
+        DELETE semantics). A no-match delete still publishes a snapshot —
+        the audit trail a data-governance pass needs."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        if self.current_version() is None:
+            raise ValueError("delete_where: table has no snapshots yet")
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        files = self._load(self.current_version())["files"]
+        hit_files = self._hit_files(spark, files, pred)
+        rewrite = None
+        if hit_files:
+            rewrite = spark.read.parquet(*hit_files).filter(
+                ~F.coalesce(pred, F.lit(False))
+            )
+        return self._cow_commit(spark, "delete", hit_files, rewrite, meta)
+
+    def forget_keys(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        key_cols: list[str],
+        meta: Optional[dict] = None,
+    ) -> int:
+        """Right-to-be-forgotten pass: purge every row whose key appears in
+        ``keys`` (an opt-out/takedown list — batch-sized, it broadcasts).
+        Same file-granular copy-on-write as :meth:`delete_where`; the purge
+        cost is proportional to the files the listed keys actually live in
+        (bucketed/z-ordered layouts shrink that set to ~|keys| files).
+        NOTE: older snapshots still reference the pre-purge files — full
+        erasure = forget_keys + expiring the old snapshots' data files
+        (Iceberg's ``expire_snapshots`` contract, deliberately a separate
+        retention decision)."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        if self.current_version() is None:
+            raise ValueError("forget_keys: table has no snapshots yet")
+        klist = keys.select(*key_cols).distinct()
+        files = self._load(self.current_version())["files"]
+        hit_files = self._key_hit_files(spark, files, klist, key_cols)
+        rewrite = None
+        if hit_files:
+            rewrite = spark.read.parquet(*hit_files).join(
+                F.broadcast(klist), key_cols, "left_anti"
+            )
+        return self._cow_commit(spark, "forget", hit_files, rewrite, meta)
