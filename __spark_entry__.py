@@ -1442,6 +1442,36 @@ def q_merge_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(spark, v).select("doc_id", "text", "lang", "source", "n_chars")
 
 
+def q_suffix_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed generalized suffix array (operators/suffix.py — Manber &
+    Myers prefix doubling, the Flick & Aluru 2015 distributed recipe) over
+    a fifth of the corpus, truncated at 64 chars: per character position,
+    the DENSE lexicographic rank of its suffix. Every doubling round is an
+    equi-join + two-phase global rank — no sort, no single-partition
+    window; the oracle is one dense_rank window over the literal truncated
+    suffix strings."""
+    from temporalscope_spark.operators.suffix import suffix_ranks
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    out = suffix_ranks(docs, "text", "doc_id", cap=64)
+    return out.select("doc_id", "pos", F.col("srank").cast("long").alias("srank"))
+
+
+def q_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring mining (the Lee et al. 2022 ExactSubstr
+    lane — char-granular, no fixed n-gram grid): top-20 longest substrings
+    occurring 2+ times in a fifth of the corpus, with occurrence counts.
+    Witnesses are rank-adjacent suffix pairs; their LCP comes from the
+    stored doubling-round rank tables (Farach descent — zero character
+    comparisons), occurrence counts from one bounded probe per winning
+    length. The oracle replays adjacency and LCP over literal suffix
+    strings."""
+    from temporalscope_spark.operators.suffix import repeated_substrings
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return repeated_substrings(docs, "text", "doc_id", min_len=15, top_k=20, cap=64)
+
+
 def q_masv_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MASV with an EXACT SHAP explainer: per-phase mean |coef_f·(x_f −
     mean_f)| of the globally-fitted linear model over each phase's train
@@ -5590,6 +5620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes": q_naive_bayes,
         "conformal_interval": q_conformal_interval,
         "merge_forget": q_merge_forget,
+        "suffix_ranks": q_suffix_ranks,
+        "repeated_substrings": q_repeated_substrings,
         "masv_linear": q_masv_linear,
         "heavy_hitters": q_heavy_hitters,
         "redact_terms": q_redact_terms,
@@ -8700,6 +8732,84 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, text, lang, source, n_chars
         FROM merged WHERE doc_id % 7 <> 0
+    """
+    # suffix-array replay: dense rank over the literal 64-char-truncated
+    # suffix strings (DuckDB's default binary collation = codepoint order =
+    # the engine's rank convention; a shorter suffix sorts before its
+    # extensions in both)
+    sql["suffix_ranks"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_NORM} AS norm
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        p AS (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+                   substr(norm, CAST(i AS INT), 64) AS pre
+            FROM d, unnest(generate_series(1, length(norm))) AS t(i)
+            WHERE length(norm) >= 1
+        )
+        SELECT doc_id, pos,
+               CAST(dense_rank() OVER (ORDER BY pre) AS BIGINT) AS srank
+        FROM p
+    """
+    # repeated-substring replay: same adjacency as the engine (rank = the
+    # truncated suffix string; within-run order by (doc_id, pos)), LCP by
+    # direct prefix probe (monotone: prefix equality at k implies it at all
+    # j<k, so count() = max matching k), honest length = the clamped cut's
+    # length, occurrences = one probe per distinct winning length
+    sql["repeated_substrings"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_NORM} AS norm
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        p AS (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+                   substr(norm, CAST(i AS INT), 64) AS pre
+            FROM d, unnest(generate_series(1, length(norm))) AS t(i)
+            WHERE length(norm) >= 1
+        ),
+        r AS (
+            SELECT doc_id, pos, pre,
+                   row_number() OVER (ORDER BY pre, doc_id, pos) AS rn
+            FROM p
+        ),
+        pairs AS (
+            SELECT a.doc_id AS da, a.pos AS pa, a.pre AS sa, b.pre AS sb
+            FROM r a JOIN r b ON b.rn = a.rn + 1
+        ),
+        lcps AS (
+            SELECT da, pa,
+                   CASE WHEN sa = sb THEN 64
+                        ELSE CAST((
+                            SELECT count(*)
+                            FROM unnest(generate_series(1, 63)) AS t(k)
+                            WHERE substr(sa, 1, CAST(k AS INT))
+                                = substr(sb, 1, CAST(k AS INT))
+                        ) AS INT)
+                   END AS l
+            FROM pairs
+        ),
+        cand AS (
+            SELECT DISTINCT substr(d.norm, l2.pa, l2.l) AS substring,
+                   CAST(length(substr(d.norm, l2.pa, l2.l)) AS INT) AS length
+            FROM lcps l2 JOIN d ON d.doc_id = l2.da
+            WHERE l2.l >= 15
+        ),
+        top AS (
+            SELECT substring, length FROM cand
+            WHERE length >= 15
+            ORDER BY length DESC, substring LIMIT 20
+        ),
+        lens AS (SELECT DISTINCT length FROM top),
+        probe AS (
+            SELECT substr(d.norm, CAST(i AS INT), lens.length) AS substring,
+                   lens.length
+            FROM d, unnest(generate_series(1, length(norm))) AS t(i), lens
+        )
+        SELECT t.substring, t.length, count(*) AS n_occurrences
+        FROM probe pr
+        JOIN top t ON pr.substring = t.substring AND pr.length = t.length
+        GROUP BY 1, 2
     """
     # END-TO-END curation funnel: quality gate (train slice) → near-dup
     # transitive closure over the GATED docs only (the shingle-df cap must

@@ -16,6 +16,7 @@ from temporalscope_spark.operators.attribution import attribution
 from temporalscope_spark.operators.basket import association_rules, transition_matrix
 from temporalscope_spark.operators.experiment import ab_test, cuped_adjust, did_estimate
 from temporalscope_spark.operators.lifecycle import cohort_retention, funnel_conversion
+from temporalscope_spark.operators.suffix import repeated_substrings, suffix_ranks
 from temporalscope_spark.operators.survival import kaplan_meier, logrank_test, nelson_aalen
 from temporalscope_spark.operators.contamination import (
     bloom_bits,
@@ -276,4 +277,5 @@ __all__ = [
     "cosine_topk", "ivf_centroids",
     "ivf_topk", "margin_mining", "mmr_rerank", "prototype_prune", "semdedup", "with_ivf_cell", "with_lsh_bucket",
     "dpo_pairs",
+    "repeated_substrings", "suffix_ranks",
 ]
