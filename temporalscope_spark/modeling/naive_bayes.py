@@ -88,7 +88,15 @@ def nb_fit(
 
     # ONE corpus aggregate; the global vocab and the per-class counts both
     # derive from it (label-keyed counts roll up to word totals for free).
-    lw = words.groupBy("label", "word").agg(F.count(F.lit(1)).alias("n"))
+    # Persist the branch point — it feeds the vocab top-V AND the smoothing
+    # cross (release via caching.hold on the cond table).
+    from pyspark import StorageLevel
+
+    lw = (
+        words.groupBy("label", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     vocab = (
         lw.groupBy("word")
         .agg(F.sum("n").alias("_tot"))
@@ -131,7 +139,9 @@ def nb_fit(
             / (F.col("_T").cast("double") + F.lit(a) * F.col("_V").cast("double"))
         ).alias("log_cond"),
     )
-    return priors, cond
+    from temporalscope_spark.core.caching import hold
+
+    return priors, hold(cond, lw)
 
 
 def nb_score(
@@ -216,12 +226,14 @@ def nb_classify(
     priors, cond = nb_fit(df, text_col, label_col, vocab_size, alpha)
     from pyspark import StorageLevel
 
+    from temporalscope_spark.core.caching import held_handles, hold
+
     # cond feeds the broadcast scoring join; persist so the fit lineage
     # (corpus explode + agg) runs once under the broadcast re-evaluation
     cond = cond.persist(StorageLevel.MEMORY_AND_DISK)
     out = nb_score(df, priors, cond, text_col, id_col)
     truth = df.select(id_col, F.col(label_col).alias("label"))
-    return out.join(truth, id_col).select(
+    res = out.join(truth, id_col).select(
         id_col,
         "n_words",
         "pred",
@@ -229,3 +241,4 @@ def nb_classify(
         "label",
         (F.col("pred") == F.col("label")).alias("correct"),
     )
+    return hold(res, cond, *held_handles(cond))
