@@ -455,6 +455,44 @@ class SnapshotTable:
             )
         return self._cow_commit(spark, "delete", hit_files, rewrite, meta)
 
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg ``expire_snapshots``: drop all but the newest
+        ``keep_last`` manifests and PHYSICALLY DELETE every data file no
+        surviving manifest references. This is the retention half of true
+        erasure — :meth:`forget_keys` removes rows from the CURRENT
+        snapshot, ``expire_snapshots`` then destroys the historical files
+        still holding the purged bytes. Metadata-only planning (set algebra
+        over manifest file lists); deletion cost is the orphan count.
+
+        Returns ``{"kept_versions": [...], "expired_versions": [...],
+        "deleted_files": n}``. Time travel to expired versions is gone by
+        design; ``keep_last`` must be >= 1 (the current snapshot always
+        survives).
+        """
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        versions = self._versions()
+        if not versions:
+            raise ValueError("expire_snapshots: table has no snapshots yet")
+        kept = versions[-keep_last:]
+        expired = [v for v in versions if v not in kept]
+        live = set()
+        for v in kept:
+            live.update(self._load(v)["files"])
+        dead = set()
+        for v in expired:
+            dead.update(f for f in self._load(v)["files"] if f not in live)
+        for f in sorted(dead):
+            if os.path.exists(f):
+                os.remove(f)
+        for v in expired:
+            os.remove(os.path.join(self._manifest_dir, f"v{v}.json"))
+        return {
+            "kept_versions": kept,
+            "expired_versions": expired,
+            "deleted_files": len(dead),
+        }
+
     def forget_keys(
         self,
         spark: SparkSession,

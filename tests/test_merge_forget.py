@@ -125,6 +125,45 @@ class TestDeleteForget:
         with pytest.raises(ValueError, match="not an append"):
             table.read_increment(spark, v1)
 
+    def test_expire_snapshots_true_erasure(self, spark, table):
+        import os
+
+        table.write(_df(spark, 0, 10).coalesce(1))
+        optout = spark.createDataFrame([(3,), (7,)], "id long")
+        table.forget_keys(spark, optout, ["id"])
+        # pre-purge file still on disk (old snapshot references it)
+        old_files = table._load(1)["files"]
+        assert all(os.path.exists(f) for f in old_files)
+        rep = table.expire_snapshots(keep_last=1)
+        assert rep["expired_versions"] == [1]
+        assert rep["deleted_files"] >= 1
+        # the file holding the purged rows is physically gone
+        cur_files = set(table._load(table.current_version())["files"])
+        assert all(not os.path.exists(f) for f in old_files if f not in cur_files)
+        # current snapshot unharmed
+        ids = sorted(r["id"] for r in table.read(spark).collect())
+        assert ids == [i for i in range(10) if i not in (3, 7)]
+        # expired version unreadable by design
+        with pytest.raises(FileNotFoundError):
+            table._load(1)
+
+    def test_expire_keeps_shared_files(self, spark, table):
+        import os
+
+        table.write(_df(spark, 0, 10).coalesce(1))
+        table.write(_df(spark, 10, 20).coalesce(1))  # append: v2 shares v1's file
+        rep = table.expire_snapshots(keep_last=1)
+        assert rep["deleted_files"] == 0  # v1's file is live in v2
+        assert all(os.path.exists(f) for f in table._load(2)["files"])
+        assert table.read(spark).count() == 20
+
+    def test_expire_validation(self, spark, table):
+        with pytest.raises(ValueError):
+            table.expire_snapshots(keep_last=1)  # empty table
+        table.write(_df(spark, 0, 5))
+        with pytest.raises(ValueError):
+            table.expire_snapshots(keep_last=0)
+
     def test_full_recluster_equivalence(self, spark, table):
         # forget + merge composed == the same set ops on a plain DataFrame
         table.write(_df(spark, 0, 30))
