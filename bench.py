@@ -78,6 +78,12 @@ DUPSPAN_DOCS = int(os.environ.get("SPARK_GRAFT_DUPSPAN_DOCS", "1000000"))
 # bucket hash; big enough that the exact lane's single-partition final
 # rank is visibly serialized while the approx lane stays parallel
 DSIR_DOCS = int(os.environ.get("SPARK_GRAFT_DSIR_DOCS", "1000000"))
+# suffix-array scaling corpus: char-granular (one row per character,
+# ~200 chars/doc -> ~8M suffix rows at 40k docs); the 8-char initial rank
+# plus lead-window doubling rounds leave ~7s of serialized per-run cost
+# (driver collects + stage latency), so the leg is sized until the
+# rank/lead compute dominates — the heaviest per-byte op shipped
+SUFFIX_DOCS = int(os.environ.get("SPARK_GRAFT_SUFFIX_DOCS", "40000"))
 WAREHOUSE = os.path.join(CACHE, "warehouse")
 DERBY = os.path.join(CACHE, "derby")
 N_BUCKETS = 64
@@ -213,6 +219,22 @@ def dsir_pass(spark, exact: bool) -> None:
     dsir_select(
         docs, target, k=DSIR_DOCS // 10, n_buckets=4096, exact=exact
     ).write.format("noop").mode("overwrite").save()
+
+
+def suffix_pass(spark) -> None:
+    """Distributed suffix-array construction (prefix doubling, cap=64)
+    over a contiguous SUFFIX_DOCS prefix — the char-granular tokens-axis
+    leg: every doubling round is an equi-join plus a two-phase global
+    dense rank, so this measures the rank/join pipeline end to end with
+    zero single-partition windows."""
+    from pyspark.sql import functions as F
+
+    from temporalscope_spark.operators.suffix import suffix_ranks
+
+    docs = spark.read.parquet(DOCS_PATH).filter(F.col("doc_id") < SUFFIX_DOCS)
+    suffix_ranks(docs, "text", "doc_id", cap=64).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
 
 def training_windows_pass(spark) -> None:
@@ -681,6 +703,7 @@ def main():
         pair_times: dict[str, dict[int, float]] = {
             "dedup_exact": {}, "minhash_lsh": {}, "components": {},
             "dup_span": {}, "dsir_approx": {}, "training_windows": {},
+            "suffix": {},
         }
         dsir_exact_8 = None
         for c in (2, 8):
@@ -703,6 +726,9 @@ def main():
             )
             pair_times["training_windows"][c] = reps_min(
                 s, training_windows_pass, max_reps=3, min_reps=2
+            )
+            pair_times["suffix"][c] = reps_min(
+                s, suffix_pass, max_reps=3, min_reps=2
             )
             if c == 8:
                 # lane comparison at the same core count: the exact lane's
@@ -810,6 +836,21 @@ def main():
                     "efficiency": round(
                         pair_times["dup_span"][2]
                         / (4 * pair_times["dup_span"][8]),
+                        3,
+                    ),
+                },
+                "suffix_ranks": {
+                    "rows": SUFFIX_DOCS,
+                    "note": (
+                        "char-granular prefix doubling (cap=64, ~175 "
+                        "chars/doc -> ~3.5M suffix rows, 6 equi-join + "
+                        "two-phase-rank rounds)"
+                    ),
+                    "sec_n": round(pair_times["suffix"][2], 3),
+                    "sec_4n": round(pair_times["suffix"][8], 3),
+                    "efficiency": round(
+                        pair_times["suffix"][2]
+                        / (4 * pair_times["suffix"][8]),
                         3,
                     ),
                 },

@@ -8,20 +8,39 @@ every maximal repeat up to a cap, at character granularity, with no length
 grid. Construction is prefix doubling (Manber & Myers 1990), the standard
 DISTRIBUTED suffix-array recipe (Flick & Aluru 2015, "Parallel distributed
 memory construction of suffix and LCP arrays" — their algorithm is exactly
-a sequence of sort/rank/shift rounds, which in Spark become two-phase
-global ranks and equi-joins; no Python in the hot path, no single-partition
-window anywhere).
+a sequence of rank/shift rounds, which in Spark become bucketed dense
+ranks and per-document ``lead`` windows; no Python in the hot path, no
+single-partition window anywhere).
 
-Shape per doubling round (log₂(cap) rounds total):
+Shape per doubling round (``log2(cap / w0)`` rounds total):
 
-  1. ``R_{k+1}`` key = (rank of ``pos``, rank of ``pos + 2^k``): the shift
-     lookup is a self EQUI-join on ``(doc, pos)`` — never a sort;
-  2. new DENSE rank = two-phase global row number over the DISTINCT key
-     pairs (:func:`plans.rownum.with_global_row_number`), joined back;
-  3. ``localCheckpoint`` truncates the growing lineage (the BPE-round
-     idiom).
+  1. ``R_{2w}`` key = (rank at ``pos``, rank at ``pos + w``): positions
+     are DENSE 1..len(doc), so the shift lookup is ``lead(_r, w)`` over a
+     per-document window — one narrow exchange keyed on the doc id, never
+     a self-join and never a sort wider than one document;
+  2. new DENSE rank, computed IN PLACE by :func:`_bucketed_dense_rank`:
+     arithmetic buckets on the (already dense, already near-uniform)
+     previous rank, one tiny per-bucket ``countDistinct`` aggregate for
+     the offset prefix-sum, then ``dense_rank() + offset`` per bucket —
+     parallel across buckets, no global window, no distinct + join-back;
+  3. ``localCheckpoint`` on the pair table truncates the growing lineage
+     (the BPE-round idiom); the offsets collect forces a round-trip
+     anyway, so the materialization is shared, not extra;
+  4. EARLY EXIT: if the distinct-rank count did not grow, no rank class
+     split — and a class that survives one doubling unsplit can never
+     split again (its members agree pairwise on both halves of every
+     wider prefix, inductively). The remaining rounds are skipped and the
+     final table already carries the cap-width ranks.
 
-A suffix ending before ``pos + 2^k`` takes sentinel rank 0 (< every real
+:func:`suffix_ranks` additionally starts at ``w0 = min(8, cap)`` — the
+initial rank keys on the first ``w0`` CHARACTERS directly (string order
+equals the sentinel-pair order: a proper prefix compares before its
+extensions), replacing the first ``log2(w0)`` doubling rounds with one
+bucketed rank over short strings. :func:`repeated_substrings` keeps
+``w0 = 1``: its LCP descent needs rank tables at every power-of-two
+width for exact binary decomposition of the LCP.
+
+A suffix ending before ``pos + w`` takes sentinel rank 0 (< every real
 rank), giving the standard "a proper prefix sorts before its extensions"
 order — the same order ``ORDER BY suffix_string`` yields, which is what
 lets a DuckDB oracle replay the whole construction as one window function.
@@ -32,12 +51,15 @@ is what bounds the round count at any corpus size; repeats longer than the
 cap report ``cap``.
 
 LCP between rank-adjacent suffixes uses the per-round rank tables
-(Farach-style descent): from ``k = K−1`` down to 0, if both suffixes carry
-the same ``R_k`` rank at their current offsets, they share ``2^k`` more
-characters — ≤ ``2·log`` equi-joins of the (n−1)-row adjacency table, no
-character comparison at all. Determinism: adjacency is ordered by
-(rank, doc, pos), so equal-prefix runs have a pinned internal order and
-every reported LCP is engine-exact.
+(Farach-style descent): from the widest non-final table down to width 1,
+if both suffixes carry the same rank at their current offsets, they share
+that many more characters — ≤ ``2·log`` equi-joins of the (n−1)-row
+adjacency table, no character comparison at all. Determinism: adjacency
+is ordered by (rank, doc, pos), so equal-prefix runs have a pinned
+internal order and every reported LCP is engine-exact. Early exit is
+sound here too: pairs whose FINAL ranks tie are emitted with LCP = cap
+directly (stabilized classes stay equal through cap), and live pairs'
+LCP is < the stabilized width, which the remaining tables fully resolve.
 
 At 100 TB this is char-granular (≈ corpus bytes × log(cap) shuffled ints);
 run it on the suspect slice a cheaper screen (MinHash / n-gram) flags, not
@@ -48,9 +70,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from temporalscope_spark.exceptions import DataFrameValidationError
-from temporalscope_spark.operators.corpus_stats import _norm_words  # noqa: F401
 from temporalscope_spark.plans.rownum import with_global_row_number
 
 _NORM_EXPR = "trim(regexp_replace(lower({c}), '\\\\s+', ' '))"
@@ -60,9 +82,29 @@ def _norm_text(text_col: str) -> F.Column:
     return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
 
 
-def _positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, pos 1-based, first-char codepoint) for every character of the
-    normalized text; empty docs contribute nothing."""
+def _shuffle_partitions(df: DataFrame) -> int:
+    return max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+
+
+def _n_buckets(df: DataFrame) -> int:
+    # 4x the shuffle-partition count: rank classes are not perfectly
+    # uniform (duplicate text concentrates rows on shared ranks), and
+    # finer buckets let the scheduler smooth the stragglers; the offset
+    # collect stays a bounded ≤4B-row driver scalar
+    return 4 * _shuffle_partitions(df)
+
+
+def _char_positions(
+    df: DataFrame, text_col: str, id_col: str, w0: int
+) -> DataFrame:
+    """One row per character of the normalized text:
+    ``(_doc, _pos 1-based, _key = the suffix's first w0 characters)``;
+    empty documents contribute nothing. Short suffixes keep their short
+    remainder — string comparison already sorts a proper prefix before
+    every extension, matching the sentinel-rank order of the doubling
+    rounds."""
     base = df.select(
         F.col(id_col).alias("_doc"), _norm_text(text_col).alias("_txt")
     ).filter(F.length("_txt") >= 1)
@@ -73,34 +115,126 @@ def _positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).select(
         "_doc",
         F.col("_pos").cast("int").alias("_pos"),
-        F.ascii(F.substring(F.col("_txt"), F.col("_pos"), 1)).cast("long").alias("_r"),
+        F.substring(F.col("_txt"), F.col("_pos"), w0).alias("_key"),
     )
 
 
-def _doubling_rounds(pos_df: DataFrame, cap: int) -> list[DataFrame]:
-    """Rank tables ``R_0 .. R_K``: ``R_k`` ranks suffixes by their first
-    ``2^k`` characters (dense, 1-based; codepoints double as R_0's ranks —
-    any strictly monotone key works). Each table is localCheckpoint-ed:
-    the descent phase re-reads all of them."""
-    rounds = [pos_df.localCheckpoint()]
-    h = 1
-    while h < cap:
-        cur = rounds[-1]
-        shifted = cur.select(
-            "_doc", (F.col("_pos") - h).alias("_pos"), F.col("_r").alias("_r2")
+def _bucketed_dense_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    bucket: F.Column,
+    out: str,
+) -> tuple[DataFrame, int]:
+    """Exact global DENSE rank of ``order_cols`` computed in place (ties
+    share a rank; no distinct + join-back), returned with the total
+    distinct count.
+
+    ``bucket`` must be a MONOTONE coarsening of the order (rows in a
+    lower bucket order before every row of a higher bucket, and ties on
+    the full key never straddle buckets). One tiny aggregate collects the
+    ≤B per-bucket distinct counts for the offset prefix-sum (B = shuffle
+    partitions — bounded driver state), then ``dense_rank() + offset``
+    runs per bucket in parallel. Bucket balance is the caller's contract:
+    both call sites key on a previous DENSE rank (near-uniform by
+    construction), so arithmetic buckets need no quantile probe; a
+    pathological single-value skew degrades one task, never correctness.
+    """
+    bucketed = df.withColumn("_bk", bucket.cast("int"))
+    counts = {
+        r["_bk"]: r["_n"]
+        for r in bucketed.groupBy("_bk")
+        .agg(F.countDistinct(*order_cols).alias("_n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    if offsets:
+        omap = F.create_map(
+            *[x for k, v in offsets.items() for x in (F.lit(k), F.lit(v))]
         )
-        pairs = cur.join(shifted, ["_doc", "_pos"], "left").select(
-            "_doc", "_pos", "_r", F.coalesce("_r2", F.lit(0)).alias("_r2")
-        )
-        distinct = pairs.select("_r", "_r2").distinct()
-        ranked = with_global_row_number(distinct, ["_r", "_r2"], "_nr").select(
-            "_r", "_r2", F.col("_nr").alias("_nr")
-        )
-        nxt = pairs.join(ranked, ["_r", "_r2"]).select(
+        off = F.coalesce(F.element_at(omap, F.col("_bk")), F.lit(0))
+    else:  # empty input: any constant keeps the expression well-typed
+        off = F.lit(0)
+    w = Window.partitionBy("_bk").orderBy(*order_cols)
+    ranked = bucketed.withColumn(
+        out, (F.dense_rank().over(w) + off).cast("long")
+    ).drop("_bk")
+    return ranked, acc
+
+
+def _rank_rounds(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    cap: int,
+    w0: int,
+    materialize: bool,
+) -> list[tuple[int, DataFrame]]:
+    """``[(width, rank table), ...]``: each table is ``(_doc, _pos, _r)``
+    with ``_r`` the dense rank of the suffix's first ``width`` characters.
+    ``materialize=True`` localCheckpoints every round table — required
+    when the LCP descent re-reads all of them; ``False`` leaves each
+    round's rank window lazy on top of its checkpointed pair table (the
+    final consumer evaluates it once). The list may stop early (see
+    module docstring): a table whose doubling splits nothing already
+    carries the cap-width ranks."""
+    b = _n_buckets(df)
+    pos = _char_positions(df, text_col, id_col, w0).localCheckpoint()
+    # alphabet probe: the first-character map buckets the initial string
+    # rank arithmetically (dense 1..A literals, no quantile job); the
+    # alphabet is tiny and bounded, a legitimate driver scalar
+    alphabet = sorted(
+        r["_c"]
+        for r in pos.select(F.substring("_key", 1, 1).alias("_c"))
+        .distinct()
+        .collect()
+    )
+    if not alphabet:  # no non-empty documents
+        empty = pos.select("_doc", "_pos", F.lit(0).cast("long").alias("_r"))
+        return [(min(w0, cap), empty)]
+    amap = F.create_map(
+        *[
+            x
+            for ch, i in zip(alphabet, range(1, len(alphabet) + 1))
+            for x in (F.lit(ch), F.lit(i))
+        ]
+    )
+    a = len(alphabet)
+    b0 = F.floor(
+        F.element_at(amap, F.substring("_key", 1, 1)) * b / F.lit(a + 1)
+    )
+    ranked0, m = _bucketed_dense_rank(pos, ["_key"], b0, "_r")
+    cur = ranked0.select("_doc", "_pos", "_r")
+    width = w0
+    rounds = [(width, cur.localCheckpoint() if materialize else cur)]
+    if materialize:
+        cur = rounds[-1][1]
+    doc_w = Window.partitionBy("_doc").orderBy("_pos")
+    while width < cap:
+        # positions are dense 1..len(doc): the rank at pos+width is
+        # lead(width) rows ahead — sentinel 0 past the end
+        pairs = cur.select(
+            "_doc",
+            "_pos",
+            "_r",
+            F.coalesce(F.lead("_r", width).over(doc_w), F.lit(0)).alias(
+                "_r2"
+            ),
+        ).localCheckpoint()
+        prev_m = m
+        bexpr = F.floor(F.col("_r") * b / F.lit(m + 1))
+        ranked, m = _bucketed_dense_rank(pairs, ["_r", "_r2"], bexpr, "_nr")
+        cur = ranked.select(
             "_doc", "_pos", F.col("_nr").alias("_r")
         )
-        rounds.append(nxt.localCheckpoint())
-        h *= 2
+        width *= 2
+        rounds.append((width, cur.localCheckpoint() if materialize else cur))
+        if materialize:
+            cur = rounds[-1][1]
+        if m == prev_m:  # no class split: ranks are final through cap
+            break
     return rounds
 
 
@@ -119,9 +253,11 @@ def suffix_ranks(
     """
     if cap < 2 or (cap & (cap - 1)) != 0:
         raise DataFrameValidationError("cap must be a power of two >= 2")
-    pos_df = _positions(df, text_col, id_col)
-    final = _doubling_rounds(pos_df, cap)[-1]
-    # final _r values are dense ranks of distinct 2^K-prefixes already
+    # only the final table is consumed: start at an 8-char key (3 fewer
+    # rounds) and skip per-round materialization of intermediate tables
+    final = _rank_rounds(
+        df, text_col, id_col, cap, w0=min(8, cap), materialize=False
+    )[-1][1]
     return final.select(
         F.col("_doc").alias(id_col),
         F.col("_pos").alias("pos"),
@@ -154,9 +290,12 @@ def repeated_substrings(
         raise DataFrameValidationError("min_len must be in [1, cap]")
     if top_k < 1:
         raise DataFrameValidationError("top_k must be >= 1")
-    pos_df = _positions(df, text_col, id_col)
-    rounds = _doubling_rounds(pos_df, cap)
-    final = rounds[-1]
+    # w0=1: the descent's binary LCP decomposition needs every
+    # power-of-two width
+    rounds = _rank_rounds(
+        df, text_col, id_col, cap, w0=1, materialize=True
+    )
+    final = rounds[-1][1]
 
     ordered = with_global_row_number(final, ["_r", "_doc", "_pos"], "_rn")
     left = ordered.select(
@@ -173,19 +312,19 @@ def repeated_substrings(
     )
     pairs = left.join(right, "_rn").drop("_rn")
 
-    # equal final rank => first `cap` chars agree => LCP = cap (capped)
+    # equal final rank => first `cap` chars agree => LCP = cap (capped);
+    # sound under early exit too — stabilized classes stay equal to cap
     capped = pairs.filter(F.col("_ra") == F.col("_rb")).select(
         "_da", "_pa", F.lit(cap).alias("_lcp")
     )
     live = pairs.filter(F.col("_ra") != F.col("_rb")).select(
         "_da", "_pa", "_db", "_pb", F.lit(0).alias("_lcp")
     )
-    # Farach descent over the stored round tables: R_k agreement at the
-    # current offsets extends the common prefix by 2^k
-    h = cap // 2
-    k = len(rounds) - 2
-    while k >= 0:
-        rk = rounds[k]
+    # Farach descent over the stored round tables (widest non-final
+    # first): R_w agreement at the current offsets extends the common
+    # prefix by w. Live pairs disagree at the final width, so their LCP
+    # is below it and the remaining widths decompose it exactly.
+    for w_width, rk in reversed(rounds[:-1]):
         a = rk.select(
             F.col("_doc").alias("_da"),
             F.col("_pos").alias("_qa"),
@@ -207,14 +346,12 @@ def repeated_substrings(
                 + F.when(
                     F.col("_rka").isNotNull()
                     & (F.col("_rka") == F.col("_rkb")),
-                    F.lit(h),
+                    F.lit(w_width),
                 ).otherwise(F.lit(0)),
             )
             .drop("_qa", "_qb", "_rka", "_rkb")
             .localCheckpoint()
         )
-        h //= 2
-        k -= 1
 
     witnesses = capped.unionByName(
         live.select("_da", "_pa", "_lcp")
