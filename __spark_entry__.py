@@ -1472,6 +1472,57 @@ def q_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_substrings(docs, "text", "doc_id", min_len=15, top_k=20, cap=64)
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption example builder (Raffel et al. 2020 §3.1.4,
+    operators/corruption.py): ~15% of each document's words deleted in
+    mean-3 spans chosen by a deterministic md5 hash of (doc, seed, span),
+    inputs carrying sentinels, targets carrying the deleted spans. Pure
+    per-row expressions — zero shuffle; the oracle replays the identical
+    per-position segment/offset arithmetic."""
+    from temporalscope_spark.operators.corruption import span_corruption
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("tokens"),
+    )
+    out = span_corruption(words, rate=0.15, mean_span=3, seed=42)
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.array_join("input_tokens", " ").alias("input_tokens"),
+        F.array_join("target_tokens", " ").alias("target_tokens"),
+    )
+
+
+def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle splits (Bavarian et al. 2022,
+    operators/corruption.py): half the corpus (deterministic md5 gate)
+    split at two hash cut points into prefix/middle/suffix and reassembled
+    PSM — <PRE> prefix <SUF> suffix <MID> middle; the rest pass through
+    autoregressive. Zero shuffle; the oracle replays the cut arithmetic."""
+    from temporalscope_spark.operators.corruption import fim_split
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("tokens"),
+    )
+    out = fim_split(words, fraction=0.5, seed=42, min_len=3)
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "is_fim",
+        F.array_join("fim_tokens", " ").alias("fim_tokens"),
+        F.array_join("middle", " ").alias("middle"),
+    )
+
+
 def q_masv_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MASV with an EXACT SHAP explainer: per-phase mean |coef_f·(x_f −
     mean_f)| of the globally-fitted linear model over each phase's train
@@ -5619,6 +5670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "naive_bayes": q_naive_bayes,
         "conformal_interval": q_conformal_interval,
+        "span_corruption": q_span_corruption,
+        "fim_split": q_fim_split,
         "merge_forget": q_merge_forget,
         "suffix_ranks": q_suffix_ranks,
         "repeated_substrings": q_repeated_substrings,
@@ -12086,6 +12139,111 @@ def oracle_sql() -> dict[str, str]:
         FROM p GROUP BY path
         ORDER BY n DESC, path
         LIMIT 25
+    """
+
+    # T5 span corruption: per-position replay of the engine's segment /
+    # offset arithmetic — position p belongs to segment ceil(p·n/L)−1;
+    # segment i's span starts at floor(i·L/n)+1 + floor(u_i·slack) with
+    # u_i the md5(doc#seed#i) unit; string_agg skips the NULL (deleted)
+    # positions. Short docs (n = 0) pass through uncorrupted.
+    sql["span_corruption"] = f"""
+        WITH d AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+        ),
+        base AS (
+            SELECT doc_id, w, len(w) AS L,
+                   CASE WHEN len(w) < 3 THEN 0
+                        ELSE greatest(1, CAST(floor(len(w)*0.15/3 + 0.5) AS INT))
+                   END AS n
+            FROM d
+        ),
+        pos AS (
+            SELECT doc_id, w, L, n, CAST(t.p AS INT) AS p
+            FROM base, unnest(generate_series(1, L)) AS t(p)
+            WHERE n > 0
+        ),
+        seg AS (
+            SELECT *, CAST(ceil(p * n / L) - 1 AS INT) AS i FROM pos
+        ),
+        sp AS (
+            SELECT *,
+                   CAST(floor(i * L / n) + 1 AS INT) AS lo,
+                   CAST(floor((i + 1) * L / n) AS INT) AS hi
+            FROM seg
+        ),
+        sp2 AS (
+            SELECT *,
+                   least(3, hi - lo + 1) AS ln,
+                   CAST(lo + floor(
+                       (CAST(('0x' || substr(md5(doc_id || '#42#' || i), 1, 8))
+                             AS BIGINT) / 4294967296.0)
+                       * (hi - lo + 1 - least(3, hi - lo + 1) + 1)
+                   ) AS INT) AS st
+            FROM sp
+        ),
+        cls AS (
+            SELECT doc_id, n, p, i, w[p] AS tok,
+                   (p >= st AND p < st + ln) AS inside,
+                   (p = st) AS head
+            FROM sp2
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(
+                       CASE WHEN head THEN '<extra_id_' || i || '>'
+                            WHEN inside THEN NULL ELSE tok END,
+                       ' ' ORDER BY p) AS input_tokens,
+                   string_agg(
+                       CASE WHEN head THEN '<extra_id_' || i || '> ' || tok
+                            WHEN inside THEN tok END,
+                       ' ' ORDER BY p)
+                   || ' <extra_id_' || any_value(n) || '>' AS target_tokens
+            FROM cls GROUP BY doc_id
+        )
+        SELECT b.doc_id, CAST(b.L AS BIGINT) AS n_tok,
+               CAST(b.n AS BIGINT) AS n_spans,
+               a.input_tokens, a.target_tokens
+        FROM base b JOIN agg a USING (doc_id)
+        UNION ALL
+        SELECT doc_id, CAST(L AS BIGINT) AS n_tok, 0 AS n_spans,
+               array_to_string(w, ' ') AS input_tokens, '' AS target_tokens
+        FROM base WHERE n = 0
+    """
+
+    # fill-in-the-middle: u0 gates the FIM lane, (u1, u2) give the two
+    # token-boundary cut points lo <= hi in 0..L; PSM assembly is plain
+    # list concatenation.
+    sql["fim_split"] = f"""
+        WITH d AS (
+            SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+        ),
+        base AS (
+            SELECT doc_id, w, len(w) AS L,
+                   CAST(('0x' || substr(md5(doc_id || '#42#0'), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS u0,
+                   CAST(('0x' || substr(md5(doc_id || '#42#1'), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS u1,
+                   CAST(('0x' || substr(md5(doc_id || '#42#2'), 1, 8))
+                        AS BIGINT) / 4294967296.0 AS u2
+            FROM d
+        ),
+        cut AS (
+            SELECT doc_id, w, L, (u0 < 0.5 AND L >= 3) AS is_fim,
+                   least(CAST(floor(least(u1, u2) * (L + 1)) AS INT), L) AS lo,
+                   least(CAST(floor(greatest(u1, u2) * (L + 1)) AS INT), L) AS hi
+            FROM base
+        )
+        SELECT doc_id, CAST(L AS BIGINT) AS n_tok, is_fim,
+               CASE WHEN is_fim THEN
+                   array_to_string(
+                       ['<PRE>'] || w[1:lo] || ['<SUF>'] || w[hi+1:L]
+                       || ['<MID>'] || w[lo+1:hi],
+                       ' ')
+               ELSE array_to_string(w, ' ') END AS fim_tokens,
+               CASE WHEN is_fim
+                    THEN coalesce(array_to_string(w[lo+1:hi], ' '), '')
+                    ELSE '' END AS middle
+        FROM cut
     """
 
     return sql

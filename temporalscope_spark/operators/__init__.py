@@ -16,6 +16,7 @@ from temporalscope_spark.operators.attribution import attribution
 from temporalscope_spark.operators.basket import association_rules, transition_matrix
 from temporalscope_spark.operators.experiment import ab_test, cuped_adjust, did_estimate
 from temporalscope_spark.operators.lifecycle import cohort_retention, funnel_conversion
+from temporalscope_spark.operators.corruption import fim_split, span_corruption
 from temporalscope_spark.operators.suffix import repeated_substrings, suffix_ranks
 from temporalscope_spark.operators.survival import kaplan_meier, logrank_test, nelson_aalen
 from temporalscope_spark.operators.contamination import (
