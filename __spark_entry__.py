@@ -1523,6 +1523,35 @@ def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template assembly (operators/packing.py:chat_pack): events
+    become turns (conv = user, role cycles system/user/assistant), each
+    conversation packs to header+tokens with a parallel 0/1 loss mask that
+    is 1 only on assistant TOKEN positions. One conversation-keyed shuffle;
+    assembly is per-row transform/flatten expressions."""
+    from temporalscope_spark.operators.packing import chat_pack
+
+    seqs = _synthetic_token_events(spark, sf_dir)
+    turns = seqs.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_id"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("system"))
+        .when(F.col("event_id") % 3 == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "tokens",
+    )
+    out = chat_pack(turns)
+    return out.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.array_join("tokens", " ").alias("tokens"),
+        F.array_join(
+            F.transform("loss_mask", lambda x: x.cast("string")), ""
+        ).alias("loss_mask"),
+    )
+
+
 def q_masv_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MASV with an EXACT SHAP explainer: per-phase mean |coef_f·(x_f −
     mean_f)| of the globally-fitted linear model over each phase's train
@@ -5672,6 +5701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_interval": q_conformal_interval,
         "span_corruption": q_span_corruption,
         "fim_split": q_fim_split,
+        "chat_pack": q_chat_pack,
         "merge_forget": q_merge_forget,
         "suffix_ranks": q_suffix_ranks,
         "repeated_substrings": q_repeated_substrings,
@@ -12208,6 +12238,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(L AS BIGINT) AS n_tok, 0 AS n_spans,
                array_to_string(w, ' ') AS input_tokens, '' AS target_tokens
         FROM base WHERE n = 0
+    """
+
+    # SFT chat packing: per-turn header+token arrays flattened in turn
+    # order; the loss mask is 1 only on assistant token positions.
+    sql["chat_pack"] = """
+        WITH seqs AS (
+            SELECT event_id, user_id,
+                   generate_series(event_id % 100,
+                                   event_id % 100 + event_id % 5) AS toks
+            FROM events
+        ),
+        arrs AS (
+            SELECT user_id AS conv_id, event_id AS turn_id,
+                   CASE WHEN event_id % 3 = 0 THEN 'system'
+                        WHEN event_id % 3 = 1 THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   toks
+            FROM seqs
+        ),
+        built AS (
+            SELECT conv_id, turn_id,
+                   ['<|' || role || '|>']
+                   || list_transform(toks, t -> CAST(t AS VARCHAR)) AS tw,
+                   [0] || list_transform(
+                       toks,
+                       t -> CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS mk
+            FROM arrs
+        ),
+        conv AS (
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   flatten(list(tw ORDER BY turn_id)) AS tok,
+                   flatten(list(mk ORDER BY turn_id)) AS mask
+            FROM built GROUP BY conv_id
+        )
+        SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+               array_to_string(tok, ' ') AS tokens,
+               array_to_string(
+                   list_transform(mask, x -> CAST(x AS VARCHAR)), '') AS loss_mask
+        FROM conv
     """
 
     # fill-in-the-middle: u0 gates the FIM lane, (u1, u2) give the two

@@ -276,3 +276,79 @@ def batch_padding_stats(
             F.lit(0.0)
         ),
     )
+
+
+def chat_pack(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_id",
+    role_col: str = "role",
+    tokens_col: str = "tokens",
+    loss_roles: tuple[str, ...] = ("assistant",),
+    header_fmt: str = "<|{role}|>",
+) -> DataFrame:
+    """SFT chat-template assembly with loss masks: one row per
+    conversation — ``(conv, n_turns, tokens, loss_mask)`` where ``tokens``
+    is every turn's header sentinel + turn tokens in ``order_col`` order
+    (cast to string) and ``loss_mask`` is the parallel 0/1 array marking
+    the positions that participate in the loss: 1 exactly on the TOKEN
+    positions of turns whose role is in ``loss_roles`` (headers are always
+    0 — the standard "train on assistant turns only" instruction-tuning
+    convention).
+
+    Plan shape at scale: ONE shuffle (the conversation groupBy); each
+    group collects its own turns into a struct array (bounded by the
+    conversation length — the same per-entity bound every window operator
+    here lives under), ``array_sort`` pins the order (ties on
+    ``order_col`` break by role then tokens, deterministically), and the
+    token/mask assembly is per-row ``transform``/``flatten`` expressions.
+    No window, no explode, no Python.
+    """
+    if not loss_roles:
+        raise DataFrameValidationError("loss_roles must be non-empty")
+    if "{role}" not in header_fmt:
+        raise DataFrameValidationError("header_fmt must contain {role}")
+    pre, post = header_fmt.split("{role}", 1)
+    turns = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("o"),
+                F.col(role_col).cast("string").alias("r"),
+                F.transform(F.col(tokens_col), lambda t: t.cast("string")).alias(
+                    "w"
+                ),
+            )
+        )
+    )
+    grouped = df.groupBy(F.col(conv_col)).agg(turns.alias("_turns"))
+
+    def header(r):
+        return F.concat(F.lit(pre), r, F.lit(post))
+
+    loss_arr = F.array(*[F.lit(x) for x in loss_roles])
+    toks = F.flatten(
+        F.transform(
+            F.col("_turns"),
+            lambda t: F.concat(F.array(header(t["r"])), t["w"]),
+        )
+    )
+    mask = F.flatten(
+        F.transform(
+            F.col("_turns"),
+            lambda t: F.concat(
+                F.array(F.lit(0)),
+                F.transform(
+                    t["w"],
+                    lambda _: F.when(
+                        F.array_contains(loss_arr, t["r"]), F.lit(1)
+                    ).otherwise(F.lit(0)),
+                ),
+            ),
+        )
+    )
+    return grouped.select(
+        F.col(conv_col),
+        F.size("_turns").alias("n_turns"),
+        toks.alias("tokens"),
+        mask.alias("loss_mask"),
+    )

@@ -188,3 +188,63 @@ class TestFim:
             fim_split(docs, fraction=1.5)
         with pytest.raises(DataFrameValidationError):
             fim_split(docs, min_len=0)
+
+
+class TestChatPack:
+    @pytest.fixture()
+    def convs(self, spark):
+        rows = [
+            (1, 0, "system", ["be", "helpful"]),
+            (1, 1, "user", ["hi", "there"]),
+            (1, 2, "assistant", ["hello"]),
+            (1, 3, "user", ["bye"]),
+            (1, 4, "assistant", ["see", "you"]),
+            (2, 0, "user", ["lone"]),
+            (3, 1, "assistant", []),
+        ]
+        return spark.createDataFrame(
+            rows, "conv_id long, turn_id long, role string, tokens array<string>"
+        )
+
+    def test_assembly(self, spark, convs):
+        from temporalscope_spark.operators.packing import chat_pack
+
+        got = {r["conv_id"]: r for r in chat_pack(convs).collect()}
+        assert got[1]["n_turns"] == 5
+        assert got[1]["tokens"] == [
+            "<|system|>", "be", "helpful",
+            "<|user|>", "hi", "there",
+            "<|assistant|>", "hello",
+            "<|user|>", "bye",
+            "<|assistant|>", "see", "you",
+        ]
+        assert got[1]["loss_mask"] == [0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1, 1]
+        assert got[2]["tokens"] == ["<|user|>", "lone"]
+        assert got[2]["loss_mask"] == [0, 0]
+        assert got[3]["tokens"] == ["<|assistant|>"]
+        assert got[3]["loss_mask"] == [0]
+
+    def test_mask_parallel(self, spark, convs):
+        from temporalscope_spark.operators.packing import chat_pack
+
+        for r in chat_pack(convs, loss_roles=("assistant", "user")).collect():
+            assert len(r["tokens"]) == len(r["loss_mask"])
+            # headers always 0
+            for t, m in zip(r["tokens"], r["loss_mask"]):
+                if t.startswith("<|"):
+                    assert m == 0
+
+    def test_partition_invariance(self, spark, convs):
+        from temporalscope_spark.operators.packing import chat_pack
+
+        a = sorted(map(tuple, chat_pack(convs).collect()))
+        b = sorted(map(tuple, chat_pack(convs.repartition(5)).collect()))
+        assert a == b
+
+    def test_validation(self, spark, convs):
+        from temporalscope_spark.operators.packing import chat_pack
+
+        with pytest.raises(DataFrameValidationError):
+            chat_pack(convs, loss_roles=())
+        with pytest.raises(DataFrameValidationError):
+            chat_pack(convs, header_fmt="nope")
