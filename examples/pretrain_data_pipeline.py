@@ -194,9 +194,26 @@ def main() -> None:
     assert examples.filter(F.size("context") != 8).count() == 0
     print(f"built {n_examples} ctx-8 next-token examples from {n_final} docs")
 
+    # 9. denoising / infilling variants of the same shards: T5 span
+    #    corruption and fill-in-the-middle, both deterministic (hash-seeded
+    #    — a retried task rebuilds the identical example).
+    from temporalscope_spark.operators.corruption import fim_split, span_corruption
+
+    t5 = span_corruption(tokenized, rate=0.15, mean_span=3, seed=13)
+    n_t5 = t5.filter(F.col("n_spans") > 0).count()
+    fim = fim_split(tokenized, fraction=0.5, seed=13)
+    n_fim = fim.filter("is_fim").count()
+    # mask invariant: corrupted input + target spans carry every token once
+    bad_len = t5.filter(
+        F.size("input_tokens") + F.size("target_tokens")
+        != F.col("n_tok") + 2 * F.col("n_spans") + 1
+    ).filter(F.col("n_spans") > 0).count()
+    assert bad_len == 0, "span-corruption token accounting must balance"
+    print(f"denoising variants: {n_t5} T5 span-corrupted, {n_fim} FIM docs")
+
     print("pretraining-data pipeline complete: "
           f"{n_docs} raw -> {n_gated} gated -> {n_sel} DSIR -> {n_final} mixed+sharded "
-          f"-> {n_examples} training windows")
+          f"-> {n_examples} training windows (+ T5/FIM variants)")
 
 
 if __name__ == "__main__":
