@@ -5636,8 +5636,77 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user Theil–Sen slope (median of all pairwise slopes,
+    value/hour): the entity-keyed pair equi-join is bounded by each
+    user's own series length; the exact grouped percentile median is the
+    oracle lane (percentile_approx the 100 TB swap)."""
+    from temporalscope_spark.operators.trend import theil_sen
+
+    events = _t(spark, sf_dir, "events")
+    return theil_sen(events, "value", "ts", "user_id")
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test per user (S statistic,
+    tie-corrected variance, continuity-corrected z) over the same
+    entity-bounded strict-time pair set as theil_sen."""
+    from temporalscope_spark.operators.trend import mann_kendall
+
+    events = _t(spark, sf_dir, "events")
+    return mann_kendall(events, "value", "ts", "user_id")
+
+
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a deterministic per-
+    event-type p-value family (md5-derived integers — engine-exact);
+    the rank/envelope windows run over the bounded C-row family only."""
+    from temporalscope_spark.operators.experiment import fdr_bh
+
+    events = _t(spark, sf_dir, "events")
+    tests = events.select(
+        F.coalesce(F.col("event_type").cast("string"), F.lit("__null__")).alias(
+            "test"
+        )
+    ).distinct()
+    p = (
+        F.conv(F.substring(F.md5(F.col("test")), 1, 15), 16, 10).cast("long")
+        % 1000000
+    ).cast("double") / F.lit(1000000.0)
+    return fdr_bh(tests.select("test", p.alias("p")), "p", "test", alpha=0.5)
+
+
+def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001): top-20 docs for the corpus's top-3 heavy-hitter words with
+    qtf 2 on the top hitter; full log-probability scores, rounded-score
+    + doc-id ordering so the top-k boundary replays."""
+    from temporalscope_spark.operators.corpus_stats import heavy_hitters
+    from temporalscope_spark.operators.retrieval import query_likelihood_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    hh = [r["word"] for r in heavy_hitters(docs, "text", k=3).collect()]
+    return query_likelihood_topk(docs, [hh[0]] + hh, k=20, mu=500.0)
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing count-of-counts re-estimation over the corpus unigram
+    table: r* = (r+1)N_{r+1}/N_r per observed count, plus the r = 0
+    unseen-mass row N_1/N; everything after the unigram aggregation is
+    bounded by the number of distinct counts."""
+    from temporalscope_spark.operators.lm import good_turing_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return good_turing_counts(docs, "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "theil_sen": q_theil_sen,
+        "mann_kendall": q_mann_kendall,
+        "fdr_bh": q_fdr_bh,
+        "query_likelihood": q_query_likelihood,
+        "good_turing": q_good_turing,
         "target_shift": q_target_shift,
         "target_shift_chunked": q_target_shift_chunked,
         "lag_features": q_lag_features,
@@ -12314,6 +12383,188 @@ def oracle_sql() -> dict[str, str]:
                     THEN coalesce(array_to_string(w[lo+1:hi], ' '), '')
                     ELSE '' END AS middle
         FROM cut
+    """
+
+    # Theil–Sen: per-user pair join on exact integer-µs time (epoch_us =
+    # Spark's _time_micros), slopes in value/hour, exact interpolated
+    # median (quantile_cont == Spark percentile)
+    sql["theil_sen"] = """
+        WITH base AS (
+            SELECT user_id, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        ),
+        nobs AS (SELECT user_id, count(*) AS n_obs FROM base GROUP BY 1),
+        pairs AS (
+            SELECT a.user_id,
+                   (b.y - a.y) / ((b.t - a.t) / 3600000000.0) AS s
+            FROM base a JOIN base b
+              ON a.user_id = b.user_id AND a.t < b.t
+        ),
+        med AS (
+            SELECT user_id, count(*) AS n_pairs,
+                   quantile_cont(s, 0.5) AS m
+            FROM pairs GROUP BY 1
+        )
+        SELECT n.user_id, CAST(n.n_obs AS BIGINT) AS n_obs,
+               CAST(coalesce(med.n_pairs, 0) AS BIGINT) AS n_pairs,
+               round(med.m, 6) + 0.0 AS slope
+        FROM nobs n LEFT JOIN med USING (user_id)
+        ORDER BY n.user_id
+    """
+    # Mann–Kendall: S over the same strict-time pair set, tie-corrected
+    # variance over value groups, continuity-corrected z (NULL at sigma 0)
+    sql["mann_kendall"] = """
+        WITH base AS (
+            SELECT user_id, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        ),
+        nobs AS (SELECT user_id, count(*) AS n_obs FROM base GROUP BY 1),
+        s AS (
+            SELECT a.user_id,
+                   CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat
+            FROM base a JOIN base b
+              ON a.user_id = b.user_id AND a.t < b.t
+            GROUP BY 1
+        ),
+        ties AS (
+            SELECT user_id,
+                   sum(CAST(c AS DOUBLE) * (c - 1) * (2 * c + 5)) AS tie
+            FROM (SELECT user_id, y, count(*) AS c FROM base GROUP BY 1, 2)
+            GROUP BY 1
+        ),
+        j AS (
+            SELECT n.user_id, n.n_obs,
+                   coalesce(s.s_stat, 0) AS s_stat,
+                   (CAST(n.n_obs AS DOUBLE) * (n.n_obs - 1) * (2 * n.n_obs + 5)
+                    - t.tie) / 18.0 AS var_s
+            FROM nobs n LEFT JOIN s USING (user_id)
+                        LEFT JOIN ties t USING (user_id)
+        )
+        SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+               CAST(s_stat AS BIGINT) AS s_stat,
+               round(var_s, 6) + 0.0 AS var_s,
+               round(CASE WHEN sqrt(var_s) > 0 THEN
+                       CASE WHEN s_stat > 0
+                                THEN (s_stat - 1) / sqrt(var_s)
+                            WHEN s_stat < 0
+                                THEN (s_stat + 1) / sqrt(var_s)
+                            ELSE 0.0 END
+                     END, 6) + 0.0 AS z
+        FROM j ORDER BY user_id
+    """
+    # BH step-up over the md5-derived per-event-type p family (integer
+    # math -> bit-identical p in both engines); rank asc window + reverse
+    # running-min envelope, both over the bounded C-row family
+    sql["fdr_bh"] = """
+        WITH t AS (
+            SELECT coalesce(CAST(event_type AS VARCHAR), '__null__') AS test,
+                   (CAST(('0x' || substr(md5(coalesce(CAST(event_type AS VARCHAR),
+                                                      '__null__')), 1, 15))
+                         AS BIGINT) % 1000000) / 1000000.0 AS p
+            FROM events GROUP BY 1
+        ),
+        r AS (
+            SELECT test, p,
+                   CAST(row_number() OVER (ORDER BY p, test) AS INT) AS rank,
+                   count(*) OVER () AS m
+            FROM t
+        )
+        SELECT test, p, rank,
+               round(least(1.0, min(p * m / rank) OVER (
+                   ORDER BY p DESC, test DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                   + 0.0 AS p_adj,
+               round(least(1.0, min(p * m / rank) OVER (
+                   ORDER BY p DESC, test DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                   <= 0.5 AS reject
+        FROM r ORDER BY rank
+    """
+    # Dirichlet query likelihood: the engine's exact decomposition —
+    # matched lift ln((tf+mu*pc)/(mu*pc)) + constant sum(qtf*ln(mu*pc))
+    # - qlen*ln(dl+mu); query = top-3 heavy hitters, qtf 2 on the top one
+    sql["query_likelihood"] = f"""
+        WITH w0 AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                    FROM documents),
+        d AS (
+            SELECT doc_id, w,
+                   CAST(CASE WHEN array_to_string(w, '') = '' THEN 0
+                        ELSE len(w) END AS DOUBLE) AS dl
+            FROM w0
+        ),
+        ranked AS (
+            SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+            FROM (SELECT unnest(w) AS word FROM w0)
+            WHERE word <> ''
+            GROUP BY word ORDER BY count(*) DESC, word LIMIT 3
+        ),
+        qterms AS (
+            SELECT word, CASE WHEN rk = 1 THEN 2.0 ELSE 1.0 END AS qtf
+            FROM ranked
+        ),
+        ctot AS (SELECT sum(dl) AS c FROM d),
+        exploded AS (SELECT doc_id, dl, unnest(w) AS word FROM d),
+        cf AS (
+            SELECT q.word, q.qtf, CAST(count(*) AS DOUBLE) AS cfreq
+            FROM exploded e JOIN qterms q USING (word)
+            GROUP BY 1, 2
+        ),
+        pcs AS (
+            SELECT word, qtf, cfreq / ctot.c AS pc FROM cf, ctot
+            WHERE cfreq > 0
+        ),
+        consts AS (
+            SELECT sum(qtf * ln(500.0 * pc)) AS con, sum(qtf) AS qlen
+            FROM pcs
+        ),
+        tf AS (
+            SELECT doc_id, dl, word, CAST(count(*) AS DOUBLE) AS tf
+            FROM exploded JOIN pcs USING (word)
+            GROUP BY 1, 2, 3
+        ),
+        lift AS (
+            SELECT doc_id, dl,
+                   sum(p.qtf * ln((tf.tf + 500.0 * p.pc) / (500.0 * p.pc)))
+                       AS l
+            FROM tf JOIN pcs p USING (word)
+            GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               round(l + c.con - c.qlen * ln(dl + 500.0), 6) + 0.0 AS score
+        FROM lift, consts c
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """
+    # Good–Turing: unigram counts -> bounded count-of-counts -> r+1
+    # self-join; identical operand order for r*, p_gt and the masses
+    sql["good_turing"] = f"""
+        WITH w0 AS (SELECT string_split({_NORM}, ' ') AS w FROM documents),
+        uni AS (
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(w) AS word FROM w0)
+            WHERE word <> '' GROUP BY 1
+        ),
+        cc AS (SELECT n AS r, count(*) AS n_r FROM uni GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM uni),
+        body AS (
+            SELECT cc.r, cc.n_r,
+                   CAST(cc.r + 1 AS DOUBLE) * CAST(c2.n_r AS DOUBLE)
+                       / CAST(cc.n_r AS DOUBLE) AS rstar
+            FROM cc LEFT JOIN cc c2 ON c2.r = cc.r + 1
+        )
+        SELECT CAST(r AS BIGINT) AS r, CAST(n_r AS BIGINT) AS n_r,
+               round(rstar, 6) + 0.0 AS r_star,
+               round(rstar / t.nt, 6) + 0.0 AS p_gt,
+               round(n_r * CAST(r AS DOUBLE) / t.nt, 6) + 0.0 AS mass,
+               round(n_r * rstar / t.nt, 6) + 0.0 AS gt_mass
+        FROM body, tot t
+        UNION ALL
+        SELECT CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 0.0,
+               round(coalesce((SELECT n_r FROM cc WHERE r = 1), 0) / t.nt, 6)
+                   + 0.0
+        FROM tot t
+        ORDER BY r
     """
 
     return sql

@@ -14,7 +14,12 @@ from temporalscope_spark.operators.asof import (
 )
 from temporalscope_spark.operators.attribution import attribution
 from temporalscope_spark.operators.basket import association_rules, transition_matrix
-from temporalscope_spark.operators.experiment import ab_test, cuped_adjust, did_estimate
+from temporalscope_spark.operators.experiment import (
+    ab_test,
+    cuped_adjust,
+    did_estimate,
+    fdr_bh,
+)
 from temporalscope_spark.operators.lifecycle import cohort_retention, funnel_conversion
 from temporalscope_spark.operators.corruption import fim_split, span_corruption
 from temporalscope_spark.operators.suffix import repeated_substrings, suffix_ranks
@@ -85,14 +90,17 @@ from temporalscope_spark.operators.gopher import (
     gopher_repetition_features,
 )
 from temporalscope_spark.operators.graph import label_propagation, pagerank
+from temporalscope_spark.operators.trend import mann_kendall, theil_sen
 from temporalscope_spark.operators.retrieval import (
     PostingsIndex,
     bm25_topk,
     bm25_topk_multi,
     build_postings,
+    query_likelihood_topk,
 )
 from temporalscope_spark.operators.lm import (
     bigram_counts,
+    good_turing_counts,
     ppl_buckets,
     score_kneser_ney,
     score_stupid_backoff,
@@ -241,13 +249,15 @@ __all__ = [
     "viterbi_word_tokens", "apply_unigram", "c4_clean",
     "learn_wordpiece", "wordpiece_pieces", "apply_wordpiece", "wp_word_vocab",
     "PostingsIndex", "bm25_topk", "bm25_topk_multi", "build_postings",
+    "query_likelihood_topk",
     "dsir_select", "hashed_ngram_features",
     "ks_drift", "psi_drift", "fit_psi_reference", "psi_score", "embedding_drift",
     "gopher_quality_flags", "gopher_repetition_features",
-    "bigram_counts", "ppl_buckets", "score_kneser_ney",
+    "bigram_counts", "good_turing_counts", "ppl_buckets", "score_kneser_ney",
     "score_stupid_backoff", "score_unigram", "unigram_counts",
     "pack_concat_chunks", "pack_greedy", "training_windows",
     "length_bucket_batches", "batch_padding_stats",
+    "mann_kendall", "theil_sen",
     "acf_features", "calendar_features", "entity_profile",
     "fourier_time_features", "recency_features", "trend_features",
     "seasonal_decompose", "series_features", "dft_features",

@@ -246,3 +246,74 @@ def did_estimate(
         F.round(se, 6).alias("se"),
         F.round(F.when(se > 0, did / se), 6).alias("z"),
     )
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str,
+    test_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg false-discovery-rate correction over a family
+    of hypothesis tests (Benjamini & Hochberg 1995) — the multiple-
+    comparison gate an experimentation platform runs over its per-metric
+    / per-variant p-value table.
+
+    For the p-values sorted ascending with ranks k = 1..m, the adjusted
+    p-value is the step-up envelope
+
+        p_adj(k) = min( 1, min_{j >= k}  p_(j) * m / j )
+
+    and ``reject = p_adj <= alpha`` recovers exactly the classic BH
+    procedure (reject all tests up to the largest k with
+    ``p_(k) <= k*alpha/m``).
+
+    The input is one row per test — an EXPERIMENT-COUNT-sized table
+    (hundreds of metrics x variants), bounded by construction like the
+    C-row variant table in :func:`ab_test`; the rank and reverse
+    running-min windows run over that bounded table only, never over
+    event data. NULL or out-of-range p-values raise. Output:
+    ``(test, p, rank, p_adj, reject)`` ordered by (p, test), p_adj
+    rounded to 6.
+    """
+    for c in (p_col, test_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"fdr_bh: missing column {c!r}")
+    if not (0.0 < alpha < 1.0):
+        raise DataFrameValidationError("fdr_bh: alpha must be in (0, 1)")
+    p = F.col(p_col).cast("double")
+    bad = p.isNull() | (p < 0.0) | (p > 1.0)
+    base = df.select(
+        F.col(test_col).cast("string").alias("test"),
+        F.when(
+            bad,
+            F.raise_error(
+                F.lit("fdr_bh: p-values must be non-NULL in [0, 1]")
+            ).cast("double"),
+        )
+        .otherwise(p)
+        .alias("p"),
+    )
+    # bounded m-row family: the global windows here are the ab_test
+    # wall-window convention, never applied to event-sized data
+    up = Window.orderBy(F.col("p").asc(), F.col("test").asc())
+    ranked = base.withColumn("rank", F.row_number().over(up)).withColumn(
+        "_m", F.count(F.lit(1)).over(up.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        ))
+    )
+    down = Window.orderBy(F.col("p").desc(), F.col("test").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    padj = F.least(
+        F.lit(1.0),
+        F.min(
+            F.col("p") * F.col("_m").cast("double") / F.col("rank").cast("double")
+        ).over(down),
+    )
+    return (
+        ranked.withColumn("p_adj", F.round(padj, 6))
+        .withColumn("reject", F.col("p_adj") <= F.lit(float(alpha)))
+        .select("test", "p", "rank", "p_adj", "reject")
+        .orderBy("rank")
+    )

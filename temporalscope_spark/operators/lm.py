@@ -562,3 +562,76 @@ def source_divergence(
         F.col("_L").cast("long").alias("n_tokens"),
         (F.round(kl, 6) + F.lit(0.0)).alias("kl"),
     )
+
+
+def good_turing_counts(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Good–Turing frequency re-estimation over the corpus unigram counts
+    (Good 1953; the Gale & Sampson 1995 "simple" presentation): for each
+    observed count r, with N_r = the number of DISTINCT words seen exactly
+    r times and N = total tokens,
+
+        r*      = (r + 1) * N_{r+1} / N_r      (NULL where N_{r+1} = 0)
+        p_gt    = r* / N                        (per-word smoothed prob.)
+        mass    = N_r * r  / N                  (raw probability mass at r)
+        gt_mass = N_r * r* / N                  (smoothed mass at r)
+
+    plus the leading r = 0 row carrying the unseen-event mass
+    ``p0 = N_1 / N`` in ``gt_mass`` (the whole point of the estimator —
+    how much probability the corpus owes to words it has never seen).
+
+    Plan shape: the corpus collapses to the (word, n) unigram table (one
+    map-side-combinable shuffle), then to the count-of-counts table —
+    AT MOST as many rows as distinct count values (tiny: Zipfian corpora
+    put it in the hundreds) — and r* is a self-join of that bounded table
+    on r+1. Nothing after the unigram aggregation touches corpus-sized
+    data. Output ordered by r, floats rounded to 6.
+    """
+    uni = unigram_counts(df, text_col)
+    # bounded count-of-counts table + the 1-row total
+    cc = uni.groupBy(F.col("n").alias("r")).agg(
+        F.count(F.lit(1)).alias("n_r")
+    )
+    tot = uni.agg(F.sum("n").alias("_N"))
+    nxt = cc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_r1"))
+    joined = (
+        cc.join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_rstar",
+            (F.col("r") + 1).cast("double")
+            * F.col("_n_r1").cast("double")
+            / F.col("n_r").cast("double"),
+        )
+    )
+    n_tot = F.col("_N").cast("double")
+    body = joined.select(
+        F.col("r").cast("long").alias("r"),
+        F.col("n_r").cast("long").alias("n_r"),
+        F.round("_rstar", 6).alias("r_star"),
+        F.round(F.col("_rstar") / n_tot, 6).alias("p_gt"),
+        F.round(F.col("n_r") * F.col("r").cast("double") / n_tot, 6).alias(
+            "mass"
+        ),
+        F.round(F.col("n_r") * F.col("_rstar") / n_tot, 6).alias("gt_mass"),
+    )
+    # r = 0: unseen mass N_1 / N (n_r undefined -> NULL; mass 0 by definition)
+    n1 = cc.filter(F.col("r") == 1).select(F.col("n_r").alias("_n1"))
+    zero = (
+        tot.join(F.broadcast(n1), F.lit(True), "left")
+        .select(
+            F.lit(0).cast("long").alias("r"),
+            F.lit(None).cast("long").alias("n_r"),
+            F.lit(None).cast("double").alias("r_star"),
+            F.lit(None).cast("double").alias("p_gt"),
+            F.lit(0.0).alias("mass"),
+            F.round(
+                F.coalesce(F.col("_n1"), F.lit(0)).cast("double")
+                / F.col("_N").cast("double"),
+                6,
+            ).alias("gt_mass"),
+        )
+    )
+    return zero.unionByName(body).orderBy("r")

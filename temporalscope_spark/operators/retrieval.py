@@ -314,3 +314,121 @@ class PostingsIndex:
             (F.sum("sum_dl") / F.sum("n_docs").cast("double")).alias("avgdl"),
         )
         return postings, stats, termdf
+
+
+def query_likelihood_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Top-k documents by the Dirichlet-smoothed query-likelihood language
+    model (Zhai & Lafferty, SIGIR 2001) — the LM-retrieval counterpart to
+    :func:`bm25_topk`:
+
+        log p(q|d) = SUM_w  qtf_w * ln( (tf_wd + mu*p(w|C)) / (dl_d + mu) )
+
+    with the collection model ``p(w|C) = cf_w / |C|`` (collection term
+    frequency over total tokens). Query terms with multiplicity count via
+    qtf; terms absent from the ENTIRE collection have p(w|C) = 0 and an
+    undefined log — they are dropped from the query (the standard
+    convention; documented, not silent: an all-OOV query raises).
+
+    Ranking restricts to documents matching >= 1 surviving query term (a
+    no-match document's score is the doc-length-only floor — unranked
+    ties, exactly the bm25_topk exclusion convention). The FULL
+    log-likelihood is returned, matched terms via the posting rows and
+    unmatched terms via the per-doc smoothing floor, so scores are true
+    log-probabilities and the oracle replays them exactly.
+
+    Plan: ONE collection aggregation (|C| plus cf_w for each query term —
+    a handful of scalars to the driver), one word-count shuffle over
+    matching docs, one broadcast term join, one per-doc sum. Scores round
+    to 6; order (score desc, id).
+    """
+    if not query_terms:
+        raise DataFrameValidationError("query_terms must be non-empty")
+    if k <= 0:
+        raise DataFrameValidationError("k must be > 0")
+    if mu <= 0:
+        raise DataFrameValidationError("mu must be > 0")
+
+    qtf: dict[str, int] = {}
+    for t in query_terms:
+        qtf[t] = qtf.get(t, 0) + 1
+    terms = sorted(qtf)
+
+    base = df.select(F.col(id_col).alias("_id"), _norm_words(text_col).alias("_w"))
+    base = base.withColumn(
+        "_dl",
+        F.when(F.array_join(F.col("_w"), "") == "", F.lit(0)).otherwise(
+            F.size(F.col("_w"))
+        ).cast("double"),
+    )
+
+    # ONE aggregation: |C| and the collection frequency of each query term
+    # (per-row tf via size(filter(words)) — no explode for the stats pass)
+    def _eq(term):
+        # single-arg lambda factory: a 2-param lambda would make pyspark
+        # bind the ARRAY INDEX to the second parameter
+        return lambda x: x == F.lit(term)
+
+    cf_aggs = [F.sum("_dl").alias("_ctot")]
+    for i, t in enumerate(terms):
+        cf_aggs.append(
+            F.sum(F.size(F.filter(F.col("_w"), _eq(t)))).alias(f"_cf{i}")
+        )
+    st = base.agg(*cf_aggs).first()
+    c_total = float(st["_ctot"] or 0.0)
+    if c_total <= 0:
+        raise DataFrameValidationError(
+            "query_likelihood_topk: empty collection"
+        )
+    pc = {
+        t: float(st[f"_cf{i}"] or 0) / c_total
+        for i, t in enumerate(terms)
+        if float(st[f"_cf{i}"] or 0) > 0
+    }
+    if not pc:
+        raise DataFrameValidationError(
+            "query_likelihood_topk: every query term is out of collection"
+        )
+    q_len = float(sum(qtf[t] for t in pc))  # surviving query length
+
+    spark = df.sparkSession
+    term_tbl = spark.createDataFrame(
+        [(t, float(qtf[t]), pc[t]) for t in sorted(pc)],
+        "word string, _qtf double, _pc double",
+    )
+    counts = (
+        base.select("_id", "_dl", F.explode("_w").alias("word"))
+        .groupBy("_id", "_dl", "word")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .join(F.broadcast(term_tbl), "word")
+    )
+    # matched term:   qtf * ln(tf + mu*pc)   (denominator folded below)
+    # every term:     - qtf * ln(dl + mu)    -> -q_len * ln(dl + mu)
+    # unmatched term: qtf * ln(mu*pc)        -> added via the constant
+    #                 SUM_w qtf*ln(mu*pc_w) minus the matched terms' own
+    #                 floor, i.e. matched contribution is
+    #                 qtf * ln( (tf + mu*pc) / (mu*pc) )
+    const = sum(qtf[t] * math.log(mu * pc[t]) for t in sorted(pc))
+    lift = F.col("_qtf") * F.log(
+        (F.col("_tf").cast("double") + F.lit(mu) * F.col("_pc"))
+        / (F.lit(mu) * F.col("_pc"))
+    )
+    scored = counts.groupBy("_id", "_dl").agg(F.sum(lift).alias("_lift"))
+    score = (
+        F.col("_lift")
+        + F.lit(const)
+        - F.lit(q_len) * F.log(F.col("_dl") + F.lit(mu))
+    )
+    return (
+        scored.select(
+            F.col("_id").alias(id_col), F.round(score, 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

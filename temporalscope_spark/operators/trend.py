@@ -1,0 +1,178 @@
+"""Robust per-entity trend estimation: Theil–Sen slope and the
+Mann–Kendall trend test.
+
+The nonparametric complement to :func:`tsfeatures.trend_features` (OLS):
+OLS slopes blow up on a single corrupted point, while the Theil–Sen
+estimator (Theil 1950; Sen 1968 — the median of all pairwise slopes) has
+a 29.3% breakdown point, and the Mann–Kendall test (Mann 1945; Kendall
+1975) asks "is there ANY monotone trend" without assuming linearity or a
+noise distribution. Both are standard drift screens over sensor /
+metric / data-quality time series.
+
+Plan shape (100 TB-safe): both estimators need the per-entity i<j pair
+set. Pairs are an equi-join ON THE ENTITY KEY with a strict time
+inequality inside the entity — never a cross join; the cost is O(L²)
+per entity where L is the series length, the estimator's own definition
+(same bounded-per-entity class as :func:`tsfeatures.acf_features`).
+Per-entity reductions are grouped aggregations (the exact grouped
+``percentile`` buffers one entity's pair slopes, bounded by L²; at very
+long series swap ``percentile_approx`` exactly as
+:func:`corpus_stats.token_quantiles` documents). No global windows, no
+driver collection.
+
+Determinism / oracle replay: slopes are computed in integer-µs time
+(lossless for TimestampType) and the outputs round to 6 dp; DuckDB
+replays the same pair join, the same ``quantile_cont`` median and the
+same tie-corrected variance bit-for-bit at that rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.rolling import _time_micros
+
+
+def _pair_base(
+    df: DataFrame, value_col: str, time_col: str, id_col: str
+) -> DataFrame:
+    """(_id, _t µs, _y) with NULL values dropped — the shared spine."""
+    for c in (value_col, time_col, id_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"missing column {c!r}")
+    return df.select(
+        F.col(id_col).alias("_id"),
+        _time_micros(df, time_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_y"),
+    ).filter(F.col("_y").isNotNull() & F.col("_t").isNotNull())
+
+
+def _pairs(base: DataFrame) -> DataFrame:
+    """Per-entity i<j pairs under strict time order.
+
+    Equal-timestamp pairs are EXCLUDED (their slope is undefined and
+    their Mann–Kendall orientation is ambiguous); the equi-join key is
+    the entity, so the pair explosion is entity-bounded by construction.
+    """
+    a = base.select(
+        F.col("_id"), F.col("_t").alias("_t1"), F.col("_y").alias("_y1")
+    )
+    b = base.select(
+        F.col("_id"), F.col("_t").alias("_t2"), F.col("_y").alias("_y2")
+    )
+    return a.join(b, "_id").filter(F.col("_t1") < F.col("_t2"))
+
+
+def theil_sen(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "event_time",
+    id_col: str = "doc_id",
+    time_unit_seconds: float = 3600.0,
+) -> DataFrame:
+    """Per-entity Theil–Sen slope: the MEDIAN of all pairwise slopes
+    ``(y_j − y_i) / (t_j − t_i)`` over i<j (strictly increasing time),
+    with time measured in ``time_unit_seconds`` units (default hours —
+    the :func:`tsfeatures.trend_features` convention).
+
+    Output one row per entity: ``(id, n_obs, n_pairs, slope)`` ordered
+    by id; ``slope`` is NULL when no valid pair exists (a single
+    observation, or all observations share one timestamp). The median is
+    the exact linearly-interpolated ``percentile`` (= DuckDB
+    ``quantile_cont``), grouped per entity — bounded by the entity's own
+    pair count. Floats round to 6.
+    """
+    if time_unit_seconds <= 0:
+        raise DataFrameValidationError("time_unit_seconds must be > 0")
+    base = _pair_base(df, value_col, time_col, id_col)
+    n_obs = base.groupBy("_id").agg(F.count(F.lit(1)).alias("n_obs"))
+    unit_us = F.lit(1_000_000.0 * float(time_unit_seconds))
+    slopes = _pairs(base).select(
+        "_id",
+        (
+            (F.col("_y2") - F.col("_y1"))
+            / ((F.col("_t2") - F.col("_t1")) / unit_us)
+        ).alias("_s"),
+    )
+    med = slopes.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("_s", F.lit(0.5)).alias("_med"),
+    )
+    return (
+        n_obs.join(med, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_obs",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.round("_med", 6).alias("slope"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "event_time",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-entity Mann–Kendall trend test.
+
+    ``S = Σ_{i<j} sign(y_j − y_i)`` over the same strict-time pair set
+    as :func:`theil_sen`; the tie-corrected normal-approximation
+    variance (Kendall 1975)
+
+        Var(S) = ( n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5) ) / 18
+
+    sums over groups of tied VALUES within the entity, and the
+    continuity-corrected statistic is ``z = (S−1)/σ`` for S>0,
+    ``(S+1)/σ`` for S<0, 0 at S=0 (NULL when σ=0 — a constant or
+    too-short series).
+
+    Output per entity: ``(id, n_obs, s_stat, var_s, z)`` ordered by id,
+    floats rounded to 6. Three grouped aggregations over entity-bounded
+    tables (pair signs, value-tie counts, observation counts) joined on
+    the entity key — the pair join is the only super-linear step and is
+    entity-bounded by definition of the statistic.
+    """
+    base = _pair_base(df, value_col, time_col, id_col)
+    n_obs = base.groupBy("_id").agg(F.count(F.lit(1)).alias("n_obs"))
+    s_tbl = (
+        _pairs(base)
+        .select("_id", F.signum(F.col("_y2") - F.col("_y1")).alias("_sgn"))
+        .groupBy("_id")
+        .agg(F.sum("_sgn").cast("long").alias("s_stat"))
+    )
+    t = F.col("_tg").cast("double")
+    ties = (
+        base.groupBy("_id", "_y")
+        .agg(F.count(F.lit(1)).alias("_tg"))
+        .groupBy("_id")
+        .agg(
+            F.sum(t * (t - 1) * (2 * t + 5)).alias("_tie_term")
+        )
+    )
+    n = F.col("n_obs").cast("double")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("_tie_term")) / F.lit(18.0)
+    joined = (
+        n_obs.join(s_tbl, "_id", "left")
+        .join(ties, "_id", "left")
+        .withColumn("_s", F.coalesce("s_stat", F.lit(0)))
+        .withColumn("_var", var_s)
+    )
+    sigma = F.sqrt(F.col("_var"))
+    s = F.col("_s").cast("double")
+    z = (
+        F.when(s > 0, (s - 1) / sigma)
+        .when(s < 0, (s + 1) / sigma)
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        "n_obs",
+        F.col("_s").alias("s_stat"),
+        F.round("_var", 6).alias("var_s"),
+        F.round(F.when(sigma > 0, z), 6).alias("z"),
+    ).orderBy(id_col)

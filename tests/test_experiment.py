@@ -144,3 +144,69 @@ class TestDiD:
         df = spark.createDataFrame(rows, "tr int, po int, y double")
         with pytest.raises(Exception, match="must be 0/1"):
             did_estimate(df, "y", "tr", "po").collect()
+
+
+class TestFdrBh:
+    """Benjamini–Hochberg step-up: pure-Python reference parity."""
+
+    @staticmethod
+    def _ref(pvals):
+        m = len(pvals)
+        order = sorted(range(m), key=lambda i: (pvals[i], str(i)))
+        adj = [0.0] * m
+        running = 1.0
+        for rank in range(m, 0, -1):
+            i = order[rank - 1]
+            running = min(running, pvals[i] * m / rank)
+            adj[i] = running
+        return adj
+
+    def _df(self, spark, pvals):
+        return spark.createDataFrame(
+            [(f"t{i:02d}", float(p)) for i, p in enumerate(pvals)],
+            "test string, p double",
+        )
+
+    def test_reference_parity(self, spark):
+        from temporalscope_spark.operators.experiment import fdr_bh
+
+        pvals = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212, 0.216]
+        exp = self._ref(pvals)
+        got = {r["test"]: r for r in fdr_bh(self._df(spark, pvals), "p", "test").collect()}
+        for i, p in enumerate(pvals):
+            assert got[f"t{i:02d}"]["p_adj"] == pytest.approx(exp[i], abs=1e-6)
+        # reject set == step-up envelope <= alpha (here: the first two)
+        rejected = {t for t, r in got.items() if r["reject"]}
+        assert rejected == {
+            f"t{i:02d}" for i in range(len(pvals)) if exp[i] <= 0.05
+        }
+        assert rejected == {"t00", "t01"}
+
+    def test_monotone_in_rank(self, spark):
+        from temporalscope_spark.operators.experiment import fdr_bh
+
+        pvals = [0.5, 0.01, 0.04, 0.03, 0.9, 0.2]
+        rows = fdr_bh(self._df(spark, pvals), "p", "test").collect()
+        adj = [r["p_adj"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert adj == sorted(adj)
+        assert all(0.0 <= a <= 1.0 for a in adj)
+
+    def test_ties_and_clamp(self, spark):
+        from temporalscope_spark.operators.experiment import fdr_bh
+
+        pvals = [0.8, 0.8, 0.8]
+        rows = fdr_bh(self._df(spark, pvals), "p", "test").collect()
+        assert all(r["p_adj"] == pytest.approx(0.8, abs=1e-6) for r in rows)
+        assert not any(r["reject"] for r in rows)
+
+    def test_contracts(self, spark):
+        from temporalscope_spark.operators.experiment import fdr_bh
+
+        df = self._df(spark, [0.1])
+        with pytest.raises(DataFrameValidationError):
+            fdr_bh(df, "nope", "test")
+        with pytest.raises(DataFrameValidationError):
+            fdr_bh(df, "p", "test", alpha=1.5)
+        bad = spark.createDataFrame([("a", 1.7)], "test string, p double")
+        with pytest.raises(Exception):
+            fdr_bh(bad, "p", "test").collect()

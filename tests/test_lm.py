@@ -440,3 +440,51 @@ class TestPplBucketsApprox:
         assert len(spark.sparkContext._jsc.getPersistentRDDs()) > before
         release(out)
         assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+
+class TestGoodTuring:
+    def test_reference_parity(self, spark):
+        from temporalscope_spark.operators.lm import good_turing_counts
+
+        rows = [
+            (1, "a a a a b b b c c d"),
+            (2, "e f g a b"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        # counts: a=5 b=4 c=2 d=1 e=1 f=1 g=1 -> N=15
+        # N_1=4, N_2=1, N_4=1, N_5=1
+        got = {r["r"]: r for r in good_turing_counts(df).collect()}
+        assert set(got) == {0, 1, 2, 4, 5}
+        assert got[0]["gt_mass"] == pytest.approx(4 / 15, abs=1e-6)
+        assert got[0]["n_r"] is None and got[0]["mass"] == 0.0
+        # r=1: r* = 2 * N_2/N_1 = 2*1/4 = 0.5
+        assert got[1]["n_r"] == 4
+        assert got[1]["r_star"] == pytest.approx(0.5, abs=1e-6)
+        assert got[1]["p_gt"] == pytest.approx(0.5 / 15, abs=1e-6)
+        assert got[1]["mass"] == pytest.approx(4 / 15, abs=1e-6)
+        assert got[1]["gt_mass"] == pytest.approx(4 * 0.5 / 15, abs=1e-6)
+        # r=2: N_3 = 0 -> NULL r*
+        assert got[2]["r_star"] is None and got[2]["p_gt"] is None
+        # r=4: r* = 5 * N_5/N_4 = 5
+        assert got[4]["r_star"] == pytest.approx(5.0, abs=1e-6)
+        # r=5 is the max count: NULL r*
+        assert got[5]["r_star"] is None
+
+    def test_raw_mass_sums_to_one(self, spark):
+        from temporalscope_spark.operators.lm import good_turing_counts
+
+        rows = [(1, "x y z x y x w v u t s r"), (2, "q p o n m x")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        body = [r for r in good_turing_counts(df).collect() if r["r"] > 0]
+        assert sum(r["mass"] for r in body) == pytest.approx(1.0, abs=1e-5)
+
+    def test_normalization_shared_with_unigram(self, spark):
+        from temporalscope_spark.operators.lm import good_turing_counts
+
+        df = spark.createDataFrame(
+            [(1, "  The   THE the  "), (2, "")], ["doc_id", "text"]
+        )
+        got = {r["r"]: r for r in good_turing_counts(df).collect()}
+        # one word 'the' x3: N_3 = 1, N = 3, unseen mass 0 (no singletons)
+        assert got[3]["n_r"] == 1
+        assert got[0]["gt_mass"] == 0.0

@@ -255,3 +255,77 @@ class TestPostingsIndex:
         PostingsIndex.create(str(tmp_path / "dup"), corpus[0])
         with pytest.raises(DataFrameValidationError, match="already exists"):
             PostingsIndex.create(str(tmp_path / "dup"), corpus[0])
+
+
+def _ref_ql(docs, terms, mu=2000.0):
+    """Full Dirichlet query-likelihood reference over normalized words."""
+    toks = {i: " ".join(t.lower().split()).split(" ") for i, t in docs}
+    toks = {i: [w for w in ws if w] for i, ws in toks.items()}
+    c_tot = sum(len(ws) for ws in toks.values())
+    qtf = {}
+    for t in terms:
+        qtf[t] = qtf.get(t, 0) + 1
+    pc = {
+        t: sum(ws.count(t) for ws in toks.values()) / c_tot for t in qtf
+    }
+    pc = {t: p for t, p in pc.items() if p > 0}
+    out = {}
+    for i, ws in toks.items():
+        if not any(t in ws for t in pc):
+            continue
+        dl = len(ws)
+        out[i] = sum(
+            q * math.log((ws.count(t) + mu * p) / (dl + mu))
+            for t, (q, p) in ((t, (qtf[t], pc[t])) for t in pc)
+        )
+    return out
+
+
+class TestQueryLikelihood:
+    def test_reference_parity(self, spark, corpus):
+        from temporalscope_spark.operators.retrieval import query_likelihood_topk
+
+        df, rows = corpus
+        terms = ["cat", "the", "cat"]  # multiplicity matters
+        exp = _ref_ql(rows, terms, mu=50.0)
+        got = query_likelihood_topk(df, terms, k=10, mu=50.0).collect()
+        assert {r["doc_id"] for r in got} == set(exp)
+        for r in got:
+            assert r["score"] == pytest.approx(exp[r["doc_id"]], abs=1e-5)
+        # ranking: sorted by (score desc, id)
+        scores = [(r["score"], r["doc_id"]) for r in got]
+        assert scores == sorted(scores, key=lambda x: (-x[0], x[1]))
+
+    def test_oov_terms_dropped(self, spark, corpus):
+        from temporalscope_spark.operators.retrieval import query_likelihood_topk
+
+        df, rows = corpus
+        got = query_likelihood_topk(df, ["cat", "zzzznotaword"], k=10, mu=50.0).collect()
+        exp = _ref_ql(rows, ["cat"], mu=50.0)
+        for r in got:
+            assert r["score"] == pytest.approx(exp[r["doc_id"]], abs=1e-5)
+
+    def test_all_oov_raises(self, spark, corpus):
+        from temporalscope_spark.operators.retrieval import query_likelihood_topk
+
+        df, _ = corpus
+        with pytest.raises(DataFrameValidationError):
+            query_likelihood_topk(df, ["zzzznotaword"], k=5)
+
+    def test_length_normalization_prefers_dense_doc(self, spark, corpus):
+        from temporalscope_spark.operators.retrieval import query_likelihood_topk
+
+        df, _ = corpus
+        got = query_likelihood_topk(df, ["cat"], k=1, mu=10.0).collect()
+        assert got[0]["doc_id"] == 5  # "cat cat cat cat" wins on p(cat|d)
+
+    def test_contracts(self, spark, corpus):
+        from temporalscope_spark.operators.retrieval import query_likelihood_topk
+
+        df, _ = corpus
+        with pytest.raises(DataFrameValidationError):
+            query_likelihood_topk(df, [], k=5)
+        with pytest.raises(DataFrameValidationError):
+            query_likelihood_topk(df, ["cat"], k=0)
+        with pytest.raises(DataFrameValidationError):
+            query_likelihood_topk(df, ["cat"], mu=0.0)

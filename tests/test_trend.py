@@ -1,0 +1,176 @@
+"""Theil–Sen slope and Mann–Kendall trend test: brute-force pure-Python
+reference parity, entity isolation, ties, degenerate series, contracts."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from temporalscope_spark.exceptions import DataFrameValidationError
+from temporalscope_spark.operators.trend import mann_kendall, theil_sen
+
+
+def _mk_df(spark, rows):
+    """rows: (id, t_seconds, y)"""
+    return spark.createDataFrame(
+        [(i, float(t), float(y) if y is not None else None) for i, t, y in rows],
+        "doc_id string, event_time double, y double",
+    )
+
+
+def _ref_pairs(series):
+    """series: [(t, y)] -> strict-time i<j pairs"""
+    out = []
+    s = sorted(series)
+    for i in range(len(s)):
+        for j in range(len(s)):
+            if s[i][0] < s[j][0]:
+                out.append((s[i], s[j]))
+    return out
+
+
+def _ref_theil_sen(series, unit=3600.0):
+    slopes = sorted(
+        (y2 - y1) / ((t2 - t1) / unit) for (t1, y1), (t2, y2) in _ref_pairs(series)
+    )
+    if not slopes:
+        return None
+    n = len(slopes)
+    # linear interpolation (quantile_cont / Spark percentile semantics)
+    h = (n - 1) * 0.5
+    lo, hi = int(math.floor(h)), int(math.ceil(h))
+    return slopes[lo] + (h - lo) * (slopes[hi] - slopes[lo])
+
+
+def _ref_mk(series):
+    pairs = _ref_pairs(series)
+    s = sum(
+        (y2 > y1) - (y2 < y1) for (t1, y1), (t2, y2) in pairs
+    )
+    n = len(series)
+    ties = {}
+    for _, y in series:
+        ties[y] = ties.get(y, 0) + 1
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    sigma = math.sqrt(var) if var > 0 else 0.0
+    if sigma == 0:
+        z = None
+    elif s > 0:
+        z = (s - 1) / sigma
+    elif s < 0:
+        z = (s + 1) / sigma
+    else:
+        z = 0.0
+    return s, var, z
+
+
+SERIES_A = [(0, 1.0), (3600, 2.0), (7200, 1.5), (10800, 4.0), (14400, 3.5)]
+SERIES_B = [(0, 5.0), (1800, 5.0), (3600, 4.0), (5400, 2.0)]  # tied values
+SERIES_C = [(0, 2.0), (0, 9.0), (3600, 3.0)]  # tied timestamps
+
+
+class TestTheilSen:
+    def test_reference_parity(self, spark):
+        rows = [("a", t, y) for t, y in SERIES_A] + [
+            ("b", t, y) for t, y in SERIES_B
+        ]
+        got = {
+            r["doc_id"]: r
+            for r in theil_sen(_mk_df(spark, rows), "y").collect()
+        }
+        for eid, series in (("a", SERIES_A), ("b", SERIES_B)):
+            exp = _ref_theil_sen(series)
+            assert got[eid]["slope"] == pytest.approx(exp, abs=1e-6)
+            assert got[eid]["n_obs"] == len(series)
+            assert got[eid]["n_pairs"] == len(_ref_pairs(series))
+
+    def test_robust_to_outlier(self, spark):
+        # a clean unit-slope line with one wild outlier: OLS moves, TS holds
+        series = [(i * 3600, float(i)) for i in range(11)]
+        series[5] = (5 * 3600, 1000.0)
+        got = theil_sen(_mk_df(spark, [("a", t, y) for t, y in series]), "y").collect()[0]
+        assert abs(got["slope"] - 1.0) < 0.2
+
+    def test_tied_timestamps_excluded(self, spark):
+        got = theil_sen(
+            _mk_df(spark, [("c", t, y) for t, y in SERIES_C]), "y"
+        ).collect()[0]
+        # pairs only against t=3600: (2->3), (9->3); the t==0 pair is excluded
+        assert got["n_pairs"] == 2
+        assert got["slope"] == pytest.approx(
+            _ref_theil_sen(SERIES_C), abs=1e-6
+        )
+
+    def test_single_point_null(self, spark):
+        got = theil_sen(_mk_df(spark, [("x", 0, 1.0)]), "y").collect()[0]
+        assert got["n_pairs"] == 0 and got["slope"] is None
+
+    def test_null_values_dropped(self, spark):
+        rows = [("a", 0, 1.0), ("a", 3600, None), ("a", 7200, 3.0)]
+        got = theil_sen(_mk_df(spark, rows), "y").collect()[0]
+        assert got["n_obs"] == 2 and got["n_pairs"] == 1
+        assert got["slope"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_contracts(self, spark):
+        df = _mk_df(spark, [("a", 0, 1.0)])
+        with pytest.raises(DataFrameValidationError):
+            theil_sen(df, "nope")
+        with pytest.raises(DataFrameValidationError):
+            theil_sen(df, "y", time_unit_seconds=0)
+
+    def test_partition_invariance(self, spark):
+        rows = [("a", t, y) for t, y in SERIES_A] + [
+            ("b", t, y) for t, y in SERIES_B
+        ]
+        one = theil_sen(_mk_df(spark, rows).coalesce(1), "y").collect()
+        many = theil_sen(_mk_df(spark, rows).repartition(7), "y").collect()
+        assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+class TestMannKendall:
+    def test_reference_parity(self, spark):
+        rows = [("a", t, y) for t, y in SERIES_A] + [
+            ("b", t, y) for t, y in SERIES_B
+        ]
+        got = {
+            r["doc_id"]: r
+            for r in mann_kendall(_mk_df(spark, rows), "y").collect()
+        }
+        for eid, series in (("a", SERIES_A), ("b", SERIES_B)):
+            s, var, z = _ref_mk(series)
+            assert got[eid]["s_stat"] == s
+            assert got[eid]["var_s"] == pytest.approx(var, abs=1e-6)
+            if z is None:
+                assert got[eid]["z"] is None
+            else:
+                assert got[eid]["z"] == pytest.approx(z, abs=1e-6)
+
+    def test_monotone_series_strong_z(self, spark):
+        series = [(i * 3600, float(i)) for i in range(12)]
+        got = mann_kendall(
+            _mk_df(spark, [("m", t, y) for t, y in series]), "y"
+        ).collect()[0]
+        n = 12
+        assert got["s_stat"] == n * (n - 1) // 2
+        assert got["z"] > 3.0
+
+    def test_constant_series_null_z(self, spark):
+        series = [(i * 3600, 7.0) for i in range(5)]
+        got = mann_kendall(
+            _mk_df(spark, [("k", t, y) for t, y in series]), "y"
+        ).collect()[0]
+        # all values tied: tie_term == n(n-1)(2n+5) -> var 0 -> NULL z
+        assert got["s_stat"] == 0 and got["var_s"] == 0.0 and got["z"] is None
+
+    def test_entity_isolation(self, spark):
+        # up-trend in a, down-trend in b: signs must not bleed
+        rows = [("a", i * 60, float(i)) for i in range(6)] + [
+            ("b", i * 60, float(-i)) for i in range(6)
+        ]
+        got = {r["doc_id"]: r for r in mann_kendall(_mk_df(spark, rows), "y").collect()}
+        assert got["a"]["s_stat"] == 15 and got["b"]["s_stat"] == -15
+        assert got["a"]["z"] > 0 and got["b"]["z"] < 0
