@@ -5700,8 +5700,37 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good_turing_counts(docs, "text")
 
 
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event_type vs the user cohort
+    (user_id % 4), with Cramér's V and mutual information: ONE corpus
+    groupBy to the bounded contingency table, marginals as aggregations
+    OF that table, one bounded fold."""
+    from temporalscope_spark.operators.experiment import chi2_independence
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 4).cast("string").alias("cohort")
+    )
+    return chi2_independence(events, "event_type", "cohort")
+
+
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson(1) bootstrap CI for the mean event value
+    (Chamandy et al. 2012 — the web-scale bootstrap): md5 inverse-CDF
+    weights per (event, replicate), map-side combine bounds the shuffle
+    at B rows/task, replicate means round to 6 before the exact quantile
+    CI so the oracle replays bit-for-bit."""
+    from temporalscope_spark.operators.experiment import poisson_bootstrap
+
+    events = _t(spark, sf_dir, "events")
+    return poisson_bootstrap(
+        events, "value", "event_id", n_boot=100, alpha=0.05, seed=42
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "chi2_independence": q_chi2_independence,
+        "poisson_bootstrap": q_poisson_bootstrap,
         "theil_sen": q_theil_sen,
         "mann_kendall": q_mann_kendall,
         "fdr_bh": q_fdr_bh,
@@ -12565,6 +12594,98 @@ def oracle_sql() -> dict[str, str]:
                    + 0.0
         FROM tot t
         ORDER BY r
+    """
+
+    # chi-square independence: one contingency groupBy, marginals OF the
+    # bounded table, identical operand order for e, chi2 and MI
+    sql["chi2_independence"] = """
+        WITH base AS (
+            SELECT coalesce(CAST(event_type AS VARCHAR), '__null__') AS a,
+                   coalesce(CAST(user_id % 4 AS VARCHAR), '__null__') AS b
+            FROM events
+        ),
+        cont AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+        ma AS (SELECT a, sum(o) AS na FROM cont GROUP BY 1),
+        mb AS (SELECT b, sum(o) AS nb FROM cont GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS DOUBLE) AS nt FROM cont),
+        cells AS (
+            SELECT CAST(o AS DOUBLE) AS o, CAST(na AS DOUBLE) AS na,
+                   CAST(nb AS DOUBLE) AS nb, nt, a, b
+            FROM cont JOIN ma USING (a) JOIN mb USING (b), tot
+        ),
+        f AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n,
+                   count(DISTINCT a) AS ka, count(DISTINCT b) AS kb,
+                   sum((o - na * nb / nt) * (o - na * nb / nt)
+                       / (na * nb / nt)) AS chi2,
+                   sum((o / nt) * ln((o / nt) / ((na / nt) * (nb / nt))))
+                       AS mi,
+                   max(nt) AS nt
+            FROM cells
+        )
+        SELECT n, CAST(ka AS BIGINT) AS n_a, CAST(kb AS BIGINT) AS n_b,
+               CASE WHEN (ka - 1) * (kb - 1) > 0
+                    THEN CAST((ka - 1) * (kb - 1) AS BIGINT) END AS dof,
+               round(chi2, 6) + 0.0 AS chi2,
+               round(CASE WHEN least(ka - 1, kb - 1) > 0
+                          THEN sqrt(chi2 / (n * least(CAST(ka AS DOUBLE) - 1,
+                                                      CAST(kb AS DOUBLE) - 1)))
+                     END, 6) + 0.0 AS cramers_v,
+               round(mi, 6) + 0.0 AS mi
+        FROM f
+    """
+    # Poisson bootstrap: md5 inverse-CDF weights (identical hash + CDF
+    # literals), replicate means rounded to 6 BEFORE the exact quantiles
+    sql["poisson_bootstrap"] = """
+        WITH rep AS (
+            SELECT CAST(event_id AS VARCHAR) AS id,
+                   CAST(value AS DOUBLE) AS y,
+                   unnest(generate_series(0, 99)) AS b
+            FROM events WHERE value IS NOT NULL
+        ),
+        w AS (
+            SELECT b, y,
+                   (CAST(('0x' || substr(md5(id || '#42#' || CAST(b AS VARCHAR)),
+                                        1, 15)) AS BIGINT)
+                    % 1000000000) / 1000000000.0 AS u
+            FROM rep
+        ),
+        wt AS (
+            SELECT b, y,
+                   CAST(CASE
+                     WHEN u < 0.36787944117144233 THEN 0
+                     WHEN u < 0.7357588823428847 THEN 1
+                     WHEN u < 0.9196986029286058 THEN 2
+                     WHEN u < 0.9810118431238462 THEN 3
+                     WHEN u < 0.9963401531726563 THEN 4
+                     WHEN u < 0.9994058151824183 THEN 5
+                     WHEN u < 0.9999167588507119 THEN 6
+                     WHEN u < 0.9999897508033253 THEN 7
+                     WHEN u < 0.9999988852347653 THEN 8
+                     ELSE 9 END AS DOUBLE) AS w
+            FROM w
+        ),
+        means AS (
+            SELECT round(sum(w * y) / sum(w), 6) AS m
+            FROM wt GROUP BY b
+            HAVING sum(w) > 0
+        ),
+        boot AS (
+            SELECT count(*) AS nb, avg(m) AS bm, stddev_samp(m) AS se,
+                   quantile_cont(m, 0.025) AS lo, quantile_cont(m, 0.975) AS hi
+            FROM means
+        ),
+        pt AS (
+            SELECT count(*) AS n, avg(CAST(value AS DOUBLE)) AS mean
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT CAST(pt.n AS BIGINT) AS n, CAST(boot.nb AS BIGINT) AS n_boot,
+               round(pt.mean, 6) + 0.0 AS mean,
+               round(boot.bm, 6) + 0.0 AS boot_mean,
+               round(boot.se, 6) + 0.0 AS se,
+               round(boot.lo, 6) + 0.0 AS lo,
+               round(boot.hi, 6) + 0.0 AS hi
+        FROM pt, boot
     """
 
     return sql

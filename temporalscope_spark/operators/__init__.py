@@ -17,8 +17,10 @@ from temporalscope_spark.operators.basket import association_rules, transition_m
 from temporalscope_spark.operators.experiment import (
     ab_test,
     cuped_adjust,
+    chi2_independence,
     did_estimate,
     fdr_bh,
+    poisson_bootstrap,
 )
 from temporalscope_spark.operators.lifecycle import cohort_retention, funnel_conversion
 from temporalscope_spark.operators.corruption import fim_split, span_corruption

@@ -317,3 +317,191 @@ def fdr_bh(
         .select("test", "p", "rank", "p_adj", "reject")
         .orderBy("rank")
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns,
+    with the two standard effect sizes: Cramér's V (Cramér 1946) and the
+    mutual information in nats.
+
+        chi2 = SUM_ab (o_ab - e_ab)^2 / e_ab,   e_ab = n_a * n_b / n
+        dof  = (|A| - 1) * (|B| - 1)
+        V    = sqrt( chi2 / (n * min(|A| - 1, |B| - 1)) )
+        MI   = SUM_ab p_ab * ln( p_ab / (p_a * p_b) )
+
+    NULL categories participate as the '__null__' level (a real level —
+    dropping them would bias the marginals). Output: one row
+    ``(n, n_a, n_b, dof, chi2, cramers_v, mi)``, floats rounded to 6;
+    V/dof are NULL for a degenerate (single-level) table.
+
+    Plan shape: ONE map-side-combinable ``groupBy(a, b)`` count to the
+    bounded |A|x|B| contingency table; marginals are aggregations OF that
+    table (never a second corpus pass) joined back broadcast; the final
+    reduce is one bounded fold. The corpus is scanned exactly once.
+    """
+    for c in (col_a, col_b):
+        if c not in df.columns:
+            raise DataFrameValidationError(
+                f"chi2_independence: missing column {c!r}"
+            )
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("__null__"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("__null__"))
+    cont = df.groupBy(a.alias("_a"), b.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    ma = cont.groupBy("_a").agg(F.sum("_o").alias("_na"))
+    mb = cont.groupBy("_b").agg(F.sum("_o").alias("_nb"))
+    joined = cont.join(F.broadcast(ma), "_a").join(F.broadcast(mb), "_b")
+    o = F.col("_o").cast("double")
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    # chi2 / MI need the grand total inside each cell term; fold the 1-row
+    # total back in as a column via a second bounded aggregation
+    tot = joined.agg(F.sum("_o").cast("double").alias("_nt"))
+    cells = joined.crossJoin(F.broadcast(tot))
+    e = na * nb / F.col("_nt")
+    p_ab = o / F.col("_nt")
+    p_a = na / F.col("_nt")
+    p_b = nb / F.col("_nt")
+    final = cells.agg(
+        F.max("_nt").alias("_n"),
+        F.count_distinct("_a").alias("n_a"),
+        F.count_distinct("_b").alias("n_b"),
+        F.sum((o - e) * (o - e) / e).alias("_chi2"),
+        F.sum(p_ab * F.log(p_ab / (p_a * p_b))).alias("_mi"),
+    )
+    ka = F.col("n_a").cast("double")
+    kb = F.col("n_b").cast("double")
+    dof = (ka - 1) * (kb - 1)
+    vmin = F.least(ka - 1, kb - 1)
+    return final.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(dof > 0, dof).cast("long").alias("dof"),
+        F.round("_chi2", 6).alias("chi2"),
+        F.round(
+            F.when(vmin > 0, F.sqrt(F.col("_chi2") / (F.col("_n") * vmin))),
+            6,
+        ).alias("cramers_v"),
+        F.round("_mi", 6).alias("mi"),
+    )
+
+
+# Poisson(1) inverse-CDF thresholds: cumulative P(X <= k), k = 0..8; a
+# uniform u maps to the first k whose cumulative exceeds it (capped at 9 —
+# P(X > 9) < 1.1e-7, irrelevant to a resampling weight). Literals are
+# shared with the SQL oracle so both engines draw identical weights.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+    0.9999988852347653,
+)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 200,
+    alpha: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the mean —
+    the bootstrap that actually runs at web scale (Chamandy et al.,
+    Google 2012 "Estimating uncertainty for massive data streams"; Efron
+    1979 for the bootstrap itself): instead of resampling n rows with
+    replacement (impossible to coordinate across executors), every row
+    independently receives a Poisson(1) replication weight per replicate;
+    the vector of weighted means over B replicates estimates the sampling
+    distribution.
+
+    Weights are DETERMINISTIC: ``u = md5(id # seed # b)`` mapped through
+    the Poisson(1) inverse CDF — the engine's hash-membership convention,
+    so results are partition-invariant, resume-safe and exactly
+    replayable by the SQL oracle (no RNG state anywhere).
+
+    Plan shape: one narrow explode of the B-element replicate sequence
+    (rows x B BEFORE map-side combine; the hash aggregate partially
+    combines to B rows PER TASK, so the shuffle moves O(B x tasks), never
+    O(n x B)) -> the bounded B-row replicate-mean table -> per-replicate
+    means ROUNDED to 6 dp (cross-engine-identical inputs) -> exact
+    interpolated quantiles for the percentile CI. Output: one row
+    ``(n, n_boot, mean, boot_mean, se, lo, hi)`` rounded to 6.
+    """
+    for c in (value_col, id_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(
+                f"poisson_bootstrap: missing column {c!r}"
+            )
+    if n_boot < 2:
+        raise DataFrameValidationError("poisson_bootstrap: n_boot must be >= 2")
+    if not (0.0 < alpha < 1.0):
+        raise DataFrameValidationError("poisson_bootstrap: alpha must be in (0, 1)")
+    y = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(id_col).cast("string").alias("_id"), y.alias("_y")
+    ).filter(F.col("_y").isNotNull())
+
+    rep = base.select(
+        "_id", "_y", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_b")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("#", F.col("_id"), F.lit(str(seed)), F.col("_b"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000000
+    ).cast("double") / F.lit(1e9)
+    w = F.lit(9)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    rep = rep.withColumn("_w", w.cast("double"))
+    # B-row replicate table (map-side combine bounds the shuffle at B/task)
+    means = (
+        rep.groupBy("_b")
+        .agg(F.sum(F.col("_w") * F.col("_y")).alias("_sw"), F.sum("_w").alias("_n"))
+        .select(
+            F.round(
+                F.when(F.col("_n") > 0, F.col("_sw") / F.col("_n")), 6
+            ).alias("_m")
+        )
+        .filter(F.col("_m").isNotNull())
+    )
+    lo_q, hi_q = alpha / 2.0, 1.0 - alpha / 2.0
+    boot = means.agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.avg("_m").alias("_bm"),
+        F.stddev_samp("_m").alias("_se"),
+        F.percentile("_m", F.lit(lo_q)).alias("_lo"),
+        F.percentile("_m", F.lit(hi_q)).alias("_hi"),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("_y").alias("_mean")
+    )
+    return point.crossJoin(F.broadcast(boot)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("_nb").cast("long").alias("n_boot"),
+        F.round("_mean", 6).alias("mean"),
+        F.round("_bm", 6).alias("boot_mean"),
+        F.round("_se", 6).alias("se"),
+        F.round("_lo", 6).alias("lo"),
+        F.round("_hi", 6).alias("hi"),
+    )

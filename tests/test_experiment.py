@@ -210,3 +210,141 @@ class TestFdrBh:
         bad = spark.createDataFrame([("a", 1.7)], "test string, p double")
         with pytest.raises(Exception):
             fdr_bh(bad, "p", "test").collect()
+
+
+class TestChi2Independence:
+    @staticmethod
+    def _ref(rows):
+        from collections import Counter
+
+        cells = Counter(rows)
+        n = sum(cells.values())
+        na = Counter()
+        nb = Counter()
+        for (a, b), c in cells.items():
+            na[a] += c
+            nb[b] += c
+        chi2 = sum(
+            (c - na[a] * nb[b] / n) ** 2 / (na[a] * nb[b] / n)
+            for (a, b), c in cells.items()
+        )
+        mi = sum(
+            (c / n) * math.log((c / n) / ((na[a] / n) * (nb[b] / n)))
+            for (a, b), c in cells.items()
+        )
+        dof = (len(na) - 1) * (len(nb) - 1)
+        vmin = min(len(na) - 1, len(nb) - 1)
+        v = math.sqrt(chi2 / (n * vmin)) if vmin > 0 else None
+        return n, len(na), len(nb), dof, chi2, v, mi
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(a, b) for a, b in rows], "a string, b string"
+        )
+
+    def test_reference_parity(self, spark):
+        from temporalscope_spark.operators.experiment import chi2_independence
+
+        rows = (
+            [("x", "u")] * 20 + [("x", "v")] * 5 + [("y", "u")] * 7
+            + [("y", "v")] * 18 + [("z", "u")] * 9 + [("z", "v")] * 9
+        )
+        n, ka, kb, dof, chi2, v, mi = self._ref(rows)
+        got = chi2_independence(self._df(spark, rows), "a", "b").collect()[0]
+        assert got["n"] == n and got["n_a"] == ka and got["n_b"] == kb
+        assert got["dof"] == dof
+        assert got["chi2"] == pytest.approx(chi2, abs=1e-5)
+        assert got["cramers_v"] == pytest.approx(v, abs=1e-6)
+        assert got["mi"] == pytest.approx(mi, abs=1e-6)
+
+    def test_independent_table_near_zero(self, spark):
+        from temporalscope_spark.operators.experiment import chi2_independence
+
+        rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+        got = chi2_independence(self._df(spark, rows), "a", "b").collect()[0]
+        assert got["chi2"] == pytest.approx(0.0, abs=1e-6)
+        assert got["mi"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_null_is_a_level(self, spark):
+        from temporalscope_spark.operators.experiment import chi2_independence
+
+        df = spark.createDataFrame(
+            [("x", "u"), ("x", None), (None, "u"), ("y", "v")],
+            "a string, b string",
+        )
+        got = chi2_independence(df, "a", "b").collect()[0]
+        assert got["n"] == 4 and got["n_a"] == 3 and got["n_b"] == 3
+
+    def test_degenerate_single_level(self, spark):
+        from temporalscope_spark.operators.experiment import chi2_independence
+
+        rows = [("x", "u")] * 10
+        got = chi2_independence(self._df(spark, rows), "a", "b").collect()[0]
+        assert got["dof"] is None and got["cramers_v"] is None
+        assert got["chi2"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_contracts(self, spark):
+        from temporalscope_spark.operators.experiment import chi2_independence
+
+        df = self._df(spark, [("x", "u")])
+        with pytest.raises(DataFrameValidationError):
+            chi2_independence(df, "nope", "b")
+
+
+class TestPoissonBootstrap:
+    def _df(self, spark, n=400, spread=1.0):
+        rows = [(str(i), 10.0 + spread * math.sin(i * 0.7)) for i in range(n)]
+        return spark.createDataFrame(rows, "id string, y double")
+
+    def test_shape_and_point_estimate(self, spark):
+        from temporalscope_spark.operators.experiment import poisson_bootstrap
+
+        df = self._df(spark)
+        got = poisson_bootstrap(df, "y", "id", n_boot=50).collect()[0]
+        exp_mean = sum(10.0 + math.sin(i * 0.7) for i in range(400)) / 400
+        assert got["n"] == 400 and got["n_boot"] == 50
+        assert got["mean"] == pytest.approx(exp_mean, abs=1e-5)
+        assert got["lo"] <= got["boot_mean"] <= got["hi"]
+        # CI brackets the true mean and is tight for this spread
+        assert got["lo"] <= exp_mean <= got["hi"]
+        assert (got["hi"] - got["lo"]) < 1.0
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from temporalscope_spark.operators.experiment import poisson_bootstrap
+
+        df = self._df(spark, n=200)
+        a = poisson_bootstrap(df.coalesce(1), "y", "id", n_boot=30).collect()[0]
+        b = poisson_bootstrap(df.repartition(13), "y", "id", n_boot=30).collect()[0]
+        assert tuple(a) == tuple(b)
+
+    def test_seed_sensitivity(self, spark):
+        from temporalscope_spark.operators.experiment import poisson_bootstrap
+
+        df = self._df(spark, n=200)
+        a = poisson_bootstrap(df, "y", "id", n_boot=30, seed=1).collect()[0]
+        b = poisson_bootstrap(df, "y", "id", n_boot=30, seed=2).collect()[0]
+        assert a["boot_mean"] != b["boot_mean"] or a["se"] != b["se"]
+        # but the point estimate never depends on the seed
+        assert a["mean"] == b["mean"]
+
+    def test_weights_are_poisson1(self, spark):
+        # mean weight ~= 1 -> replicate means concentrate near the sample
+        # mean; se scales like sigma/sqrt(n)
+        from temporalscope_spark.operators.experiment import poisson_bootstrap
+
+        df = self._df(spark, n=900, spread=3.0)
+        got = poisson_bootstrap(df, "y", "id", n_boot=60).collect()[0]
+        sigma = math.sqrt(sum((3.0 * math.sin(i * 0.7)) ** 2 for i in range(900)) / 900)
+        expected_se = sigma / math.sqrt(900)
+        assert got["se"] == pytest.approx(expected_se, rel=0.5)
+
+    def test_contracts(self, spark):
+        from temporalscope_spark.operators.experiment import poisson_bootstrap
+
+        df = self._df(spark, n=5)
+        with pytest.raises(DataFrameValidationError):
+            poisson_bootstrap(df, "nope", "id")
+        with pytest.raises(DataFrameValidationError):
+            poisson_bootstrap(df, "y", "id", n_boot=1)
+        with pytest.raises(DataFrameValidationError):
+            poisson_bootstrap(df, "y", "id", alpha=0.0)
