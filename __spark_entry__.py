@@ -5727,8 +5727,37 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) on event value, 'click' vs 'view':
+    corpus → ONE groupBy(value) count table, joint ranking via the
+    quantile-bucketed distributed prefix sum (plans/rownum.py — no
+    single-partition window), statistic = one 1-row fold. Tie-corrected
+    continuity-corrected z, scipy-parity."""
+    from temporalscope_spark.operators.experiment import mann_whitney_u
+
+    events = _t(spark, sf_dir, "events")
+    return mann_whitney_u(events, "value", "event_type", "click", "view")
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009) of documents into 64
+    signed md5 buckets, L2-normalized: no vocabulary table, no idf pass —
+    one explode + one map-side-combinable (doc, bucket) aggregation, so
+    the featurizer's cost and output schema are corpus-size-independent
+    (the property that lets downstream linear/logistic trainers run
+    incrementally at 100 TB)."""
+    from temporalscope_spark.operators.vectorize import hashed_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_features(
+        docs, "text", "doc_id", n_buckets=64, signed=True, l2_normalize=True
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "mann_whitney": q_mann_whitney,
+        "hashed_features": q_hashed_features,
         "chi2_independence": q_chi2_independence,
         "poisson_bootstrap": q_poisson_bootstrap,
         "theil_sen": q_theil_sen,
@@ -12686,6 +12715,72 @@ def oracle_sql() -> dict[str, str]:
                round(boot.lo, 6) + 0.0 AS lo,
                round(boot.hi, 6) + 0.0 AS hi
         FROM pt, boot
+    """
+
+    # Mann–Whitney U: identical count-table → average-rank → 1-row fold;
+    # cumulative count ordered by value replays the distributed prefix sum
+    sql["mann_whitney"] = """
+        WITH b AS (
+            SELECT CAST(value AS DOUBLE) AS y,
+                   CAST(event_type = 'click' AS BIGINT) AS ia
+            FROM events
+            WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        ),
+        c AS (
+            SELECT y, sum(ia) AS na, sum(1 - ia) AS nb, count(*) AS n
+            FROM b GROUP BY 1
+        ),
+        r AS (SELECT *, sum(n) OVER (ORDER BY y) AS ncum FROM c),
+        t AS (
+            SELECT CAST(sum(na) AS DOUBLE) AS nat,
+                   CAST(sum(nb) AS DOUBLE) AS nbt,
+                   sum(CAST(na AS DOUBLE)
+                       * ((ncum - n) + (CAST(n AS DOUBLE) + 1) / 2)) AS ra,
+                   sum(CAST(n AS DOUBLE) * n * n - n) AS ties
+            FROM r
+        ),
+        s AS (
+            SELECT nat, nbt,
+                   ra - nat * (nat + 1) / 2 AS ua,
+                   nat * nbt - (ra - nat * (nat + 1) / 2) AS ub,
+                   ra - nat * (nat + 1) / 2 - nat * nbt / 2 AS dev,
+                   sqrt(nat * nbt / 12 * (nat + nbt + 1
+                        - ties / ((nat + nbt) * (nat + nbt - 1)))) AS sigma
+            FROM t
+        )
+        SELECT CAST(nat AS BIGINT) AS n_a, CAST(nbt AS BIGINT) AS n_b,
+               round(ua, 6) + 0.0 AS u_a, round(ub, 6) + 0.0 AS u_b,
+               round(CASE WHEN sigma > 0 THEN
+                   (dev - CASE WHEN dev > 0 THEN 0.5
+                               WHEN dev < 0 THEN -0.5 ELSE 0.0 END) / sigma
+               END, 6) + 0.0 AS z
+        FROM s
+    """
+
+    # feature hashing: identical md5 bucket/sign literals, signed sums
+    # cancel exactly (integer-valued doubles), L2 norm rounds to 6
+    sql["hashed_features"] = f"""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(word || '#fh7'), 1, 8))
+                             AS BIGINT) % 64 AS INT) AS bucket,
+                   CASE WHEN CAST(('0x' || substr(md5(word || '#fs7'), 1, 2))
+                             AS BIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS s
+            FROM w WHERE word <> ''
+        ),
+        v AS (
+            SELECT doc_id, bucket, sum(s) AS val
+            FROM h GROUP BY 1, 2 HAVING sum(s) <> 0
+        ),
+        nrm AS (SELECT doc_id, sqrt(sum(val * val)) AS nm FROM v GROUP BY 1)
+        SELECT v.doc_id, v.bucket,
+               round(v.val / nrm.nm, 6) + 0.0 AS value
+        FROM v JOIN nrm USING (doc_id)
     """
 
     return sql

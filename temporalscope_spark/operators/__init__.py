@@ -20,6 +20,7 @@ from temporalscope_spark.operators.experiment import (
     chi2_independence,
     did_estimate,
     fdr_bh,
+    mann_whitney_u,
     poisson_bootstrap,
 )
 from temporalscope_spark.operators.lifecycle import cohort_retention, funnel_conversion
@@ -146,7 +147,11 @@ from temporalscope_spark.operators.scaling import (
     scale_by_group,
     scale_features,
 )
-from temporalscope_spark.operators.vectorize import tfidf_cosine_pairs, tfidf_table
+from temporalscope_spark.operators.vectorize import (
+    hashed_features,
+    tfidf_cosine_pairs,
+    tfidf_table,
+)
 from temporalscope_spark.operators.relevance import (
     anova_f,
     correlation_matrix,
@@ -271,7 +276,7 @@ __all__ = [
     "polynomial_features", "scale_by_group",
     "scale_features", "fit_impute", "impute",
     "PCAModel", "fit_pca", "fit_pca_array", "pca_project", "pca_project_array",
-    "tfidf_cosine_pairs", "tfidf_table",
+    "tfidf_cosine_pairs", "tfidf_table", "hashed_features", "mann_whitney_u",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
     "rare_collapse", "target_encode_oof", "woe_encode", "woe_iv_table",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",

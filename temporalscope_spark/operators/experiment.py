@@ -505,3 +505,100 @@ def poisson_bootstrap(
         F.round("_lo", 6).alias("lo"),
         F.round("_hi", 6).alias("hi"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
+    nonparametric companion to :func:`ab_test` for skewed metrics
+    (revenue, latency, token counts) where the Welch z's normality
+    assumption is untrustworthy.
+
+    Semantics (scipy ``mannwhitneyu(x, y, use_continuity=True,
+    alternative='two-sided', method='asymptotic')`` parity): rank the
+    pooled sample with average ranks for ties; ``U_a = R_a −
+    n_a(n_a+1)/2``; tie-corrected normal approximation
+
+        σ = sqrt(n_a·n_b/12 · (N+1 − Σ(t³−t)/(N(N−1))))
+        z = (U_a − n_a·n_b/2 ∓ 0.5) / σ    (continuity correction
+                                            toward the null)
+
+    Output: one row ``(n_a, n_b, u_a, u_b, z)`` (z rounded 6, signed —
+    positive when group_a stochastically dominates; NULL when σ = 0,
+    i.e. every pooled value is tied). Like ``ab_test``/``mann_kendall``
+    the engine reports the z statistic, not a p-value — erf is not a
+    portable SQL builtin, and the caller owns the α policy.
+
+    Plan shape (100 TB-safe): the corpus collapses to ONE
+    map-side-combinable ``groupBy(value)`` count table (V rows, V =
+    distinct metric values — tiny for count metrics, at worst n for
+    continuous ones); the joint ranking over that table is the
+    quantile-bucketed two-phase prefix sum of ``plans/rownum.py`` (NO
+    single-partition window at any input size); the test statistic is
+    one final 1-row aggregation. Rows with NULL metric are excluded;
+    a missing group raises.
+    """
+    for c in (metric_col, group_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"mann_whitney_u: missing column {c!r}")
+    g = F.col(group_col).cast("string")
+    y = F.col(metric_col).cast("double")
+    both = df.filter(y.isNotNull() & g.isin([str(group_a), str(group_b)])).select(
+        y.alias("_y"), (g == F.lit(str(group_a))).cast("long").alias("_ia")
+    )
+    counts = both.groupBy("_y").agg(
+        F.sum("_ia").alias("_na"),
+        F.sum(F.lit(1) - F.col("_ia")).alias("_nb"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+    from temporalscope_spark.plans.rownum import with_global_cumsum
+
+    ranked = with_global_cumsum(counts, ["_y"], ["_n"])
+    # average rank of every row tied at this value: ranks occupied are
+    # (cum−n+1 .. cum) → midpoint (cum−n) + (n+1)/2
+    avg_rank = (
+        (F.col("_n_cum") - F.col("_n")).cast("double")
+        + (F.col("_n").cast("double") + 1.0) / 2.0
+    )
+    tot = ranked.agg(
+        F.sum("_na").alias("_nat"),
+        F.sum("_nb").alias("_nbt"),
+        F.sum(F.col("_na").cast("double") * avg_rank).alias("_ra"),
+        F.sum(
+            F.col("_n").cast("double") * F.col("_n") * F.col("_n")
+            - F.col("_n").cast("double")
+        ).alias("_ties"),
+    )
+    na = F.col("_nat").cast("double")
+    nb = F.col("_nbt").cast("double")
+    nn = na + nb
+    ua = F.col("_ra") - na * (na + 1.0) / 2.0
+    ub = na * nb - ua
+    mu = na * nb / 2.0
+    sigma = F.sqrt(
+        na * nb / 12.0 * (nn + 1.0 - F.col("_ties") / (nn * (nn - 1.0)))
+    )
+    dev = ua - mu
+    cc = F.when(dev > 0, F.lit(0.5)).when(dev < 0, F.lit(-0.5)).otherwise(F.lit(0.0))
+    guard = F.when(
+        (F.col("_nat") == 0) | (F.col("_nbt") == 0),
+        F.raise_error(
+            F.lit(
+                f"mann_whitney_u: group {group_a!r} or {group_b!r} has no "
+                "non-null rows"
+            )
+        ).cast("long"),
+    )
+    return tot.select(
+        F.coalesce(guard, F.col("_nat")).alias("n_a"),
+        F.col("_nbt").alias("n_b"),
+        F.round(ua, 6).alias("u_a"),
+        F.round(ub, 6).alias("u_b"),
+        F.round(F.when(sigma > 0, (dev - cc) / sigma), 6).alias("z"),
+    )

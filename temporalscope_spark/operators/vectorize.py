@@ -139,3 +139,91 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= float(min_sim)),
         vec,
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    signed: bool = True,
+    l2_normalize: bool = False,
+    seed: int = 7,
+) -> DataFrame:
+    """Feature hashing ("the hashing trick", Weinberger et al. 2009):
+    project each document's bag of words into a FIXED ``n_buckets``-dim
+    space without any vocabulary table — bucket = md5(word)%D, sign from
+    an independent md5 bit, value = Σ sign·tf per (doc, bucket). Output
+    stays in the long sparse form (id, bucket:int, value:double); rows
+    whose signed sum cancels to exactly 0 are dropped (the sparse
+    contract — they carry no information and integer sums make the test
+    exact).
+
+    Why this scales where TF-IDF needs care: there is NO df/idf pass and
+    NO vocabulary join — one explode, one map-side-combinable aggregation
+    on (id, bucket), done. The output dimensionality is a constant chosen
+    up front, so downstream learners (``modeling/linear.py``,
+    ``modeling/logistic.py``) get a fixed schema regardless of corpus
+    drift — the property that makes the trick the standard featurizer for
+    streaming/incremental training at web scale. Signed hashing keeps the
+    collision noise zero-mean (the paper's unbiasedness argument).
+
+    md5 (not xxhash64) so any SQL engine replays bit-identically:
+    bucket = CAST('0x'||substr(md5(word||'#fh<seed>'),1,8) AS BIGINT) % D,
+    sign   = +1 if CAST('0x'||substr(md5(word||'#fs<seed>'),1,2) AS
+    BIGINT) % 2 = 0 else -1.
+
+    Reference parity: the reference has no featurizer (categoricals must
+    be pre-encoded upstream, temporal_data_loader.py:104-111); this is
+    the engine-side encoder that produces those numeric columns.
+    """
+    if n_buckets < 1:
+        raise DataFrameValidationError("hashed_features: n_buckets must be >= 1")
+    if id_col not in df.columns or text_col not in df.columns:
+        raise DataFrameValidationError(
+            f"hashed_features: missing column {id_col!r} or {text_col!r}"
+        )
+    words = (
+        df.select(F.col(id_col).alias("id"), _norm_words(text_col).alias("_w"))
+        .select("id", F.explode("_w").alias("word"))
+        .filter(F.col("word") != "")
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("word"), F.lit(f"#fh{seed}"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(int(n_buckets)),
+    ).cast("int")
+    if signed:
+        sign = F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("word"), F.lit(f"#fs{seed}"))), 1, 2
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+    else:
+        sign = F.lit(1.0)
+    vec = (
+        words.select("id", bucket.alias("bucket"), sign.alias("_s"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("_s").alias("_v"))
+        .filter(F.col("_v") != 0.0)
+    )
+    if not l2_normalize:
+        return vec.select(
+            F.col("id").alias(id_col), "bucket", F.col("_v").alias("value")
+        )
+    norms = vec.groupBy("id").agg(F.sqrt(F.sum(F.col("_v") * F.col("_v"))).alias("_n"))
+    return vec.join(norms, "id").select(
+        F.col("id").alias(id_col),
+        "bucket",
+        F.round(F.col("_v") / F.col("_n"), 6).alias("value"),
+    )

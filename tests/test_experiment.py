@@ -348,3 +348,84 @@ class TestPoissonBootstrap:
             poisson_bootstrap(df, "y", "id", n_boot=1)
         with pytest.raises(DataFrameValidationError):
             poisson_bootstrap(df, "y", "id", alpha=0.0)
+
+
+def _mwu_ref(a, b):
+    """Pure-python MWU (scipy asymptotic, continuity-corrected, tie-aware)."""
+    import collections
+
+    cnt = collections.Counter(list(a) + list(b))
+    cum, avg = 0, {}
+    for v in sorted(cnt):
+        n = cnt[v]
+        avg[v] = cum + (n + 1) / 2
+        cum += n
+    na, nb = len(a), len(b)
+    ra = sum(avg[v] for v in a)
+    ua = ra - na * (na + 1) / 2
+    nn = na + nb
+    ties = sum(t**3 - t for t in cnt.values())
+    mu = na * nb / 2
+    sigma = math.sqrt(na * nb / 12 * (nn + 1 - ties / (nn * (nn - 1))))
+    dev = ua - mu
+    cc = 0.5 if dev > 0 else (-0.5 if dev < 0 else 0.0)
+    return ua, na * nb - ua, (dev - cc) / sigma if sigma > 0 else None
+
+
+class TestMannWhitney:
+    def test_tie_heavy_parity(self, spark):
+        from temporalscope_spark.operators.experiment import mann_whitney_u
+
+        rng = np.random.RandomState(7)
+        a = [float(v) for v in rng.randint(0, 6, 90)]   # heavy ties
+        b = [float(v) for v in rng.randint(1, 7, 70)]
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = mann_whitney_u(df, "y", "g", "a", "b").collect()[0]
+        ua, ub, z = _mwu_ref(a, b)
+        assert got["n_a"] == 90 and got["n_b"] == 70
+        assert got["u_a"] == pytest.approx(ua)
+        assert got["u_b"] == pytest.approx(ub)
+        assert got["z"] == pytest.approx(z, abs=1e-6)
+
+    def test_continuous_and_nulls(self, spark):
+        from temporalscope_spark.operators.experiment import mann_whitney_u
+
+        rng = np.random.RandomState(3)
+        a = list(rng.randn(50) + 0.8)
+        b = list(rng.randn(60))
+        rows = (
+            [("a", float(v)) for v in a]
+            + [("b", float(v)) for v in b]
+            + [("a", None), ("c", 99.0)]  # NULL metric + foreign group excluded
+        )
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = mann_whitney_u(df, "y", "g", "a", "b").collect()[0]
+        ua, ub, z = _mwu_ref(a, b)
+        assert got["u_a"] == pytest.approx(ua)
+        assert got["z"] == pytest.approx(z, abs=1e-6)
+        assert got["z"] > 0  # a shifted up => stochastic dominance
+
+    def test_all_tied_null_z(self, spark):
+        from temporalscope_spark.operators.experiment import mann_whitney_u
+
+        df = spark.createDataFrame(
+            [("a", 5.0)] * 4 + [("b", 5.0)] * 3, "g string, y double"
+        )
+        got = mann_whitney_u(df, "y", "g", "a", "b").collect()[0]
+        assert got["z"] is None
+        assert got["u_a"] == pytest.approx(4 * 3 / 2)
+
+    def test_missing_group_raises(self, spark):
+        from temporalscope_spark.operators.experiment import mann_whitney_u
+
+        df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, y double")
+        with pytest.raises(Exception, match="has no"):
+            mann_whitney_u(df, "y", "g", "a", "b").collect()
+
+    def test_missing_column_raises(self, spark):
+        from temporalscope_spark.operators.experiment import mann_whitney_u
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, y double")
+        with pytest.raises(DataFrameValidationError):
+            mann_whitney_u(df, "nope", "g", "a", "b")

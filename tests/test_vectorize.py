@@ -130,3 +130,78 @@ class TestCosinePairs:
         }
         assert pairs[(1, 2)] == pytest.approx(1.0, abs=1e-5)
         assert (1, 3) not in pairs  # no shared vocabulary
+
+
+def _md5_int(s: str, nhex: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:nhex], 16)
+
+
+def _numpy_hashed(docs, n_buckets, signed=True, seed=7):
+    out = {}
+    for i, t in docs:
+        for w in " ".join(t.lower().split()).split(" "):
+            if not w:
+                continue
+            b = _md5_int(f"{w}#fh{seed}", 8) % n_buckets
+            s = 1.0 if (not signed or _md5_int(f"{w}#fs{seed}", 2) % 2 == 0) else -1.0
+            out[(i, b)] = out.get((i, b), 0.0) + s
+    return {k: v for k, v in out.items() if v != 0.0}
+
+
+class TestHashedFeatures:
+    def test_md5_replay_parity(self, spark):
+        from temporalscope_spark.operators.vectorize import hashed_features
+
+        df = spark.createDataFrame(DOCS, "doc_id int, text string")
+        got = {
+            (r["doc_id"], r["bucket"]): r["value"]
+            for r in hashed_features(df, "text", "doc_id", n_buckets=16).collect()
+        }
+        assert got == _numpy_hashed(DOCS, 16)
+
+    def test_unsigned_counts(self, spark):
+        from temporalscope_spark.operators.vectorize import hashed_features
+
+        df = spark.createDataFrame(DOCS, "doc_id int, text string")
+        got = hashed_features(df, "text", "doc_id", n_buckets=4, signed=False)
+        rows = got.collect()
+        ref = _numpy_hashed(DOCS, 4, signed=False)
+        assert {(r["doc_id"], r["bucket"]): r["value"] for r in rows} == ref
+        # unsigned values are positive word counts; totals match corpus size
+        total = sum(r["value"] for r in rows)
+        n_words = sum(len(t.split()) for _, t in DOCS)
+        assert total == n_words
+
+    def test_l2_norm_is_unit(self, spark):
+        from temporalscope_spark.operators.vectorize import hashed_features
+
+        df = spark.createDataFrame(DOCS, "doc_id int, text string")
+        got = hashed_features(
+            df, "text", "doc_id", n_buckets=64, l2_normalize=True
+        ).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], 0.0)
+            by_doc[r["doc_id"]] += r["value"] ** 2
+        for d, sq in by_doc.items():
+            assert sq == pytest.approx(1.0, abs=1e-4)
+
+    def test_fixed_dim_and_partition_invariance(self, spark):
+        from temporalscope_spark.operators.vectorize import hashed_features
+
+        df = spark.createDataFrame(DOCS, "doc_id int, text string")
+        a = hashed_features(df, "text", "doc_id", n_buckets=8)
+        b = hashed_features(df.repartition(7), "text", "doc_id", n_buckets=8)
+        assert a.agg(F.max("bucket")).first()[0] < 8
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.vectorize import hashed_features
+
+        df = spark.createDataFrame(DOCS, "doc_id int, text string")
+        with pytest.raises(DataFrameValidationError):
+            hashed_features(df, "text", "doc_id", n_buckets=0)
+        with pytest.raises(DataFrameValidationError):
+            hashed_features(df, "nope", "doc_id")
