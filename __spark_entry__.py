@@ -5754,10 +5754,51 @@ def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate randomization test (Yeh 2000) on event value, 'click'
+    vs 'view': deterministic md5 re-labeling per (row, replicate), one
+    narrow explode map-side-combined to the bounded 2B-row table —
+    shuffle O(B × tasks), never O(n × B). p uses the add-one estimator."""
+    from temporalscope_spark.operators.experiment import permutation_test
+
+    events = _t(spark, sf_dir, "events")
+    return permutation_test(
+        events, "value", "event_type", "click", "view", n_perm=100, id_col="event_id"
+    )
+
+
+def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized-mean-difference balance table (Austin 2009) between
+    'click' and 'view' rows over two covariates: ONE fused moment
+    aggregation for all covariates, rows unpivoted from the 1-row table."""
+    from temporalscope_spark.operators.experiment import covariate_balance
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        (F.col("user_id") % 97).cast("double").alias("uid_mod"),
+    )
+    return covariate_balance(events, "event_type", "click", "view", ["value", "uid_mod"])
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch chi-square (Fabijan et al. 2019) of the five
+    event types against a uniform design: one bounded groupBy + k-row
+    design join + fold."""
+    from temporalscope_spark.operators.experiment import srm_check
+
+    events = _t(spark, sf_dir, "events")
+    shares = {t: 0.2 for t in ("click", "view", "purchase", "signup", "error")}
+    return srm_check(events, "event_type", shares)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mann_whitney": q_mann_whitney,
         "hashed_features": q_hashed_features,
+        "permutation_test": q_permutation_test,
+        "covariate_balance": q_covariate_balance,
+        "srm_check": q_srm_check,
         "chi2_independence": q_chi2_independence,
         "poisson_bootstrap": q_poisson_bootstrap,
         "theil_sen": q_theil_sen,
@@ -12781,6 +12822,128 @@ def oracle_sql() -> dict[str, str]:
         SELECT v.doc_id, v.bucket,
                round(v.val / nrm.nm, 6) + 0.0 AS value
         FROM v JOIN nrm USING (doc_id)
+    """
+
+    # approximate randomization test: identical md5 relabeling; both
+    # observed and replicate diffs round to 6 before comparison
+    sql["permutation_test"] = """
+        WITH b AS (
+            SELECT CAST(event_id AS VARCHAR) AS id, CAST(value AS DOUBLE) AS y,
+                   event_type = 'click' AS ia
+            FROM events
+            WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        ),
+        cnt AS (
+            SELECT sum(CAST(ia AS BIGINT)) AS na,
+                   sum(CAST(NOT ia AS BIGINT)) AS nb,
+                   sum(CASE WHEN ia THEN y END) AS sa,
+                   sum(CASE WHEN NOT ia THEN y END) AS sb
+            FROM b
+        ),
+        ob AS (
+            SELECT na, nb, round(sa / na - sb / nb, 6) AS dobs,
+                   CAST(na AS DOUBLE) / (na + nb) AS pa
+            FROM cnt
+        ),
+        rep AS (
+            SELECT id, y, unnest(generate_series(0, 99)) AS r FROM b
+        ),
+        lab AS (
+            SELECT r, y,
+                   ((CAST(('0x' || substr(md5(id || '#42#' || CAST(r AS VARCHAR)),
+                                         1, 15)) AS BIGINT)
+                     % 1000000000) / 1000000000.0
+                    < (SELECT pa FROM ob)) AS s
+            FROM rep
+        ),
+        d AS (
+            SELECT r,
+                   round(sum(CASE WHEN s THEN y END)
+                             / sum(CASE WHEN s THEN 1 END)
+                         - sum(CASE WHEN NOT s THEN y END)
+                             / sum(CASE WHEN NOT s THEN 1 END), 6) AS dr
+            FROM lab GROUP BY r
+        ),
+        f AS (
+            SELECT count(*) AS np,
+                   sum(CAST(abs(dr) >= abs((SELECT dobs FROM ob)) AS BIGINT)) AS ne
+            FROM d WHERE dr IS NOT NULL
+        )
+        SELECT CAST(ob.na AS BIGINT) AS n_a, CAST(ob.nb AS BIGINT) AS n_b,
+               ob.dobs + 0.0 AS diff,
+               CAST(f.np AS BIGINT) AS n_perm, CAST(f.ne AS BIGINT) AS n_extreme,
+               round((f.ne + 1.0) / (f.np + 1.0), 6) + 0.0 AS p_value
+        FROM ob, f
+    """
+
+    # covariate balance: same (q − s²/n)/(n−1) moment formula, pairwise
+    # deletion per covariate, SMD/ratio NULL guards identical
+    _cb_block = """
+        SELECT '{name}' AS covariate,
+               count(va) AS n_a_raw, sum(va) AS sa, sum(va * va) AS qa,
+               count(vb) AS n_b_raw, sum(vb) AS sb, sum(vb * vb) AS qb
+        FROM (
+            SELECT CASE WHEN event_type = 'click' THEN {expr} END AS va,
+                   CASE WHEN event_type = 'view' THEN {expr} END AS vb
+            FROM events WHERE event_type IN ('click', 'view')
+        )
+    """
+    sql["covariate_balance"] = f"""
+        WITH s AS (
+            {_cb_block.format(name='value', expr='CAST(value AS DOUBLE)')}
+            UNION ALL
+            {_cb_block.format(name='uid_mod', expr='CAST(user_id % 97 AS DOUBLE)')}
+        ),
+        m AS (
+            SELECT covariate,
+                   n_a_raw, n_b_raw,
+                   sa / n_a_raw AS mean_a, sb / n_b_raw AS mean_b,
+                   CASE WHEN n_a_raw > 1
+                        THEN (qa - sa * sa / n_a_raw) / (n_a_raw - 1.0) END AS var_a,
+                   CASE WHEN n_b_raw > 1
+                        THEN (qb - sb * sb / n_b_raw) / (n_b_raw - 1.0) END AS var_b
+            FROM s
+        )
+        SELECT covariate,
+               CAST(n_a_raw AS BIGINT) AS n_a, CAST(n_b_raw AS BIGINT) AS n_b,
+               round(mean_a, 6) + 0.0 AS mean_a, round(mean_b, 6) + 0.0 AS mean_b,
+               round(CASE WHEN (var_a + var_b) / 2 > 0
+                          THEN (mean_a - mean_b) / sqrt((var_a + var_b) / 2) END,
+                     6) + 0.0 AS smd,
+               round(CASE WHEN var_b > 0 THEN var_a / var_b END, 6) + 0.0
+                   AS var_ratio
+        FROM m ORDER BY covariate
+    """
+
+    # SRM: bounded count table vs the uniform design, one chi-square fold
+    sql["srm_check"] = """
+        WITH c AS (
+            SELECT coalesce(CAST(event_type AS VARCHAR), '__null__') AS variant,
+                   count(*) AS o
+            FROM events GROUP BY 1
+        ),
+        e AS (
+            SELECT * FROM (VALUES ('click', 0.2), ('view', 0.2),
+                                  ('purchase', 0.2), ('signup', 0.2),
+                                  ('error', 0.2)) AS t(variant, share)
+        ),
+        j AS (
+            SELECT coalesce(c.variant, e.variant) AS variant,
+                   coalesce(c.o, 0) AS o, e.share
+            FROM c FULL OUTER JOIN e ON c.variant = e.variant
+        ),
+        t AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM j),
+        f AS (
+            SELECT max(t.n) AS n, count(*) AS k,
+                   sum((o - share * t.n) * (o - share * t.n) / (share * t.n))
+                       AS chi2,
+                   max(abs(o / t.n - share)) AS md
+            FROM j, t
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+               round(chi2, 6) + 0.0 AS chi2, CAST(k - 1 AS BIGINT) AS dof,
+               round(md, 6) + 0.0 AS max_abs_dev
+        FROM f
     """
 
     return sql

@@ -18,10 +18,13 @@ from temporalscope_spark.operators.experiment import (
     ab_test,
     cuped_adjust,
     chi2_independence,
+    covariate_balance,
     did_estimate,
     fdr_bh,
     mann_whitney_u,
+    permutation_test,
     poisson_bootstrap,
+    srm_check,
 )
 from temporalscope_spark.operators.lifecycle import cohort_retention, funnel_conversion
 from temporalscope_spark.operators.corruption import fim_split, span_corruption
@@ -277,6 +280,7 @@ __all__ = [
     "scale_features", "fit_impute", "impute",
     "PCAModel", "fit_pca", "fit_pca_array", "pca_project", "pca_project_array",
     "tfidf_cosine_pairs", "tfidf_table", "hashed_features", "mann_whitney_u",
+    "permutation_test", "covariate_balance", "srm_check",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
     "rare_collapse", "target_encode_oof", "woe_encode", "woe_iv_table",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",

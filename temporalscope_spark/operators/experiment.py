@@ -602,3 +602,286 @@ def mann_whitney_u(
         F.round(ub, 6).alias("u_b"),
         F.round(F.when(sigma > 0, (dev - cc) / sigma), 6).alias("z"),
     )
+
+
+def permutation_test(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    n_perm: int = 200,
+    seed: int = 42,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Deterministic approximate randomization test for a difference in
+    means (Noreen 1989; Yeh, EMNLP 2000 — the standard significance test
+    in NLP evaluation): under H0 the group labels are exchangeable, so
+    re-label every row at random and ask how often the re-labeled
+    |mean_a − mean_b| reaches the observed one. The reported p uses the
+    add-one estimator ``(1 + #extreme) / (n_perm + 1)`` (Davison &
+    Hinkley 1997), which is never exactly 0.
+
+    Re-labeling is the engine's hash-membership convention, NOT an RNG:
+    row i joins pseudo-group a in replicate b iff ``md5(id#seed#b) <
+    n_a/N`` — deterministic, partition-invariant, resume-safe, exactly
+    replayable by the SQL oracle. (Binomial re-labeling rather than an
+    exact n_a-sized permutation — the unpaired approximate-randomization
+    variant; coordinating an exact global sample without replacement
+    cannot be done row-independently at scale.)
+
+    Plan shape: one 2-number count aggregation (the re-label probability
+    becomes a plan literal), then ONE narrow explode of the B-replicate
+    sequence with map-side combine to the bounded 2B-row (replicate,
+    side) table — the shuffle moves O(B × tasks), never O(n × B). Both
+    replicate and observed diffs round to 6 dp BEFORE comparison so the
+    oracle replays bit-for-bit. Output: one row
+    ``(n_a, n_b, diff, n_perm, n_extreme, p_value)``.
+    """
+    for c in (metric_col, group_col, id_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"permutation_test: missing column {c!r}")
+    if n_perm < 1:
+        raise DataFrameValidationError("permutation_test: n_perm must be >= 1")
+    g = F.col(group_col).cast("string")
+    y = F.col(metric_col).cast("double")
+    base = df.filter(y.isNotNull() & g.isin([str(group_a), str(group_b)])).select(
+        F.col(id_col).cast("string").alias("_id"),
+        y.alias("_y"),
+        (g == F.lit(str(group_a))).alias("_ia"),
+    )
+    obs = base.groupBy("_ia").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("s")
+    ).collect()  # 2 bounded rows: sizes + sums to the driver
+    na = next((r["n"] for r in obs if r["_ia"]), 0)
+    nb = next((r["n"] for r in obs if not r["_ia"]), 0)
+    if na == 0 or nb == 0:
+        raise DataFrameValidationError(
+            f"permutation_test: group {group_a!r} or {group_b!r} has no "
+            "non-null rows"
+        )
+    sa = next(r["s"] for r in obs if r["_ia"])
+    sb = next(r["s"] for r in obs if not r["_ia"])
+    d_obs = round(sa / na - sb / nb, 6)
+    p_a = na / (na + nb)
+
+    rep = base.select(
+        "_id", "_y", F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("_b")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("#", F.col("_id"), F.lit(str(seed)), F.col("_b"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000000
+    ).cast("double") / F.lit(1e9)
+    side = (u < F.lit(float(p_a))).cast("int")
+    # bounded 2B-row table after map-side combine
+    diffs = (
+        rep.select("_b", side.alias("_s"), "_y")
+        .groupBy("_b", "_s")
+        .agg(F.sum("_y").alias("_sum"), F.count(F.lit(1)).alias("_n"))
+        .groupBy("_b")
+        .agg(
+            F.sum(F.when(F.col("_s") == 1, F.col("_sum"))).alias("_sa"),
+            F.sum(F.when(F.col("_s") == 1, F.col("_n"))).alias("_na"),
+            F.sum(F.when(F.col("_s") == 0, F.col("_sum"))).alias("_sb"),
+            F.sum(F.when(F.col("_s") == 0, F.col("_n"))).alias("_nb"),
+        )
+        .select(
+            F.round(
+                F.col("_sa") / F.col("_na") - F.col("_sb") / F.col("_nb"), 6
+            ).alias("_d")
+        )
+        .filter(F.col("_d").isNotNull())  # degenerate one-sided replicates
+    )
+    out = diffs.agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum((F.abs(F.col("_d")) >= F.lit(abs(d_obs))).cast("long")).alias("_ne"),
+    )
+    return out.select(
+        F.lit(int(na)).cast("long").alias("n_a"),
+        F.lit(int(nb)).cast("long").alias("n_b"),
+        F.lit(float(d_obs)).alias("diff"),
+        F.col("_np").cast("long").alias("n_perm"),
+        F.col("_ne").cast("long").alias("n_extreme"),
+        F.round(
+            (F.col("_ne") + 1).cast("double") / (F.col("_np") + 1).cast("double"),
+            6,
+        ).alias("p_value"),
+    )
+
+
+def covariate_balance(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    cols: list,
+) -> DataFrame:
+    """Covariate balance diagnostics between two assignment groups —
+    the pre-experiment / post-matching QA table (Austin 2009): for every
+    covariate the standardized mean difference
+
+        SMD = (mean_a − mean_b) / sqrt((var_a + var_b) / 2)
+
+    and the variance ratio var_a/var_b. |SMD| < 0.1 is the conventional
+    "balanced" bar. Output: one row per covariate ``(covariate, n_a,
+    n_b, mean_a, mean_b, smd, var_ratio)`` (floats rounded 6, SMD NULL
+    when the pooled variance is 0, ratio NULL when var_b = 0), ordered
+    by covariate name.
+
+    Plan shape: ONE fused map-side-combinable aggregation computes all
+    6·k moments (count/sum/sumsq per group per covariate) in a single
+    corpus pass; the per-covariate rows are unpivoted from that 1-row
+    table with an inline explode — the corpus is never touched per
+    covariate. Per-covariate NULL metrics are excluded per covariate
+    (pairwise deletion), matching how balance tables treat missingness.
+    """
+    if not cols:
+        raise DataFrameValidationError("covariate_balance: cols must be non-empty")
+    missing = [c for c in [group_col, *cols] if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(
+            f"covariate_balance: missing columns {missing}"
+        )
+    g = F.col(group_col).cast("string")
+    ia = g == F.lit(str(group_a))
+    ib = g == F.lit(str(group_b))
+    aggs = []
+    for c in cols:
+        y = F.col(c).cast("double")
+        for tag, flag in (("a", ia), ("b", ib)):
+            v = F.when(flag, y)
+            aggs += [
+                F.count(v).alias(f"_n_{tag}_{c}"),
+                F.sum(v).alias(f"_s_{tag}_{c}"),
+                F.sum(v * v).alias(f"_q_{tag}_{c}"),
+            ]
+    one = df.filter(ia | ib).agg(*aggs)
+    structs = []
+    for c in cols:
+        fields = [F.lit(c).alias("covariate")]
+        for tag in ("a", "b"):
+            n = F.col(f"_n_{tag}_{c}").cast("double")
+            s = F.col(f"_s_{tag}_{c}")
+            q = F.col(f"_q_{tag}_{c}")
+            mean = F.when(n > 0, s / n)
+            var = F.when(n > 1, (q - s * s / n) / (n - 1.0))
+            fields += [
+                n.cast("long").alias(f"n_{tag}"),
+                mean.alias(f"mean_{tag}"),
+                var.alias(f"var_{tag}"),
+            ]
+        structs.append(F.struct(*fields))
+    rows = one.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+    pooled = F.sqrt((F.col("var_a") + F.col("var_b")) / 2.0)
+    return rows.select(
+        "covariate",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(
+            F.when(pooled > 0, (F.col("mean_a") - F.col("mean_b")) / pooled), 6
+        ).alias("smd"),
+        F.round(
+            F.when(F.col("var_b") > 0, F.col("var_a") / F.col("var_b")), 6
+        ).alias("var_ratio"),
+    ).orderBy("covariate")
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col: str,
+    expected: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the first thing every experiment
+    platform tests before reading any metric (Fabijan et al. 2019
+    "Diagnosing sample ratio mismatch"): a chi-square goodness-of-fit of
+    observed assignment counts against the design shares. A significant
+    chi2 means the assignment itself is broken and every downstream
+    metric is untrustworthy.
+
+    ``expected`` maps variant → design share (must sum to 1 within
+    1e-6). Variants observed in the data but absent from ``expected``
+    raise (an unknown arm IS a mismatch, not a statistic); expected
+    variants with zero observed rows contribute their full deficit.
+    Output: one row ``(n, k, chi2, dof, max_abs_dev)`` where
+    ``max_abs_dev`` is the largest |observed − expected| share across
+    arms (rounded 6) — the effect-size companion to the statistic.
+
+    Plan shape: ONE groupBy(variant) count to the bounded C-row table,
+    full-outer join against the broadcast k-row design table, one fold.
+    NULL variants count toward n but raise unless ``expected`` contains
+    the empty-string share for them — i.e. assignment must be total.
+    """
+    if variant_col not in df.columns:
+        raise DataFrameValidationError(f"srm_check: missing column {variant_col!r}")
+    if not expected:
+        raise DataFrameValidationError("srm_check: expected shares must be non-empty")
+    tot = sum(float(v) for v in expected.values())
+    if abs(tot - 1.0) > 1e-6:
+        raise DataFrameValidationError(
+            f"srm_check: expected shares sum to {tot}, need 1.0"
+        )
+    if any(float(v) <= 0 for v in expected.values()):
+        raise DataFrameValidationError("srm_check: expected shares must be > 0")
+    counts = df.groupBy(
+        F.coalesce(F.col(variant_col).cast("string"), F.lit("__null__")).alias(
+            "variant"
+        )
+    ).agg(F.count(F.lit(1)).alias("o"))
+    exp = df.sparkSession.createDataFrame(
+        [(str(k), float(v)) for k, v in expected.items()],
+        "variant string, share double",
+    )
+    joined = counts.join(exp, "variant", "full_outer").select(
+        "variant",
+        F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        "share",
+    )
+    unknown = F.when(
+        F.col("share").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("srm_check: variant not in expected shares: "),
+                F.col("variant"),
+            )
+        ).cast("double"),
+    )
+    joined = joined.select(
+        "variant", "o", F.coalesce(unknown, F.col("share")).alias("share")
+    )
+    # total as a broadcast 1-row join, not a window — no partition warning
+    total = joined.agg(F.sum("o").cast("double").alias("_nt"))
+    n = F.col("_nt")
+    e = F.col("share") * n
+    cell = joined.crossJoin(F.broadcast(total)).select(
+        F.col("o").cast("double").alias("o"),
+        e.alias("e"),
+        n.alias("n"),
+        (F.abs(F.col("o").cast("double") / n - F.col("share"))).alias("_dev"),
+    )
+    out = cell.agg(
+        F.max("n").alias("_n"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias(
+            "_chi2"
+        ),
+        F.max("_dev").alias("_md"),
+    )
+    return out.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k"),
+        F.round("_chi2", 6).alias("chi2"),
+        (F.col("_k") - 1).cast("long").alias("dof"),
+        F.round("_md", 6).alias("max_abs_dev"),
+    )

@@ -429,3 +429,162 @@ class TestMannWhitney:
         df = spark.createDataFrame([("a", 1.0)], "g string, y double")
         with pytest.raises(DataFrameValidationError):
             mann_whitney_u(df, "nope", "g", "a", "b")
+
+
+class TestPermutationTest:
+    @staticmethod
+    def _replay(rows, n_perm, seed=42):
+        import hashlib
+
+        a = [y for _, g, y in rows if g == "a"]
+        b = [y for _, g, y in rows if g == "b"]
+        na, nb = len(a), len(b)
+        d_obs = round(sum(a) / na - sum(b) / nb, 6)
+        p_a = na / (na + nb)
+        ne = npm = 0
+        for bi in range(n_perm):
+            sa = ca = sb = cb = 0
+            for i, g, y in rows:
+                u = (
+                    int(hashlib.md5(f"{i}#{seed}#{bi}".encode()).hexdigest()[:15], 16)
+                    % 10**9
+                ) / 1e9
+                if u < p_a:
+                    sa, ca = sa + y, ca + 1
+                else:
+                    sb, cb = sb + y, cb + 1
+            if ca and cb:
+                npm += 1
+                if abs(round(sa / ca - sb / cb, 6)) >= abs(d_obs):
+                    ne += 1
+        return d_obs, npm, ne, round((ne + 1) / (npm + 1), 6)
+
+    def test_md5_replay_parity(self, spark):
+        from temporalscope_spark.operators.experiment import permutation_test
+
+        rows = [
+            (i, "a" if i % 3 else "b", float((i * 7) % 13) + (1.0 if i % 3 else 0.0))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "event_id long, g string, y double")
+        got = permutation_test(df, "y", "g", "a", "b", n_perm=40).collect()[0]
+        d_obs, npm, ne, p = self._replay(rows, 40)
+        assert got["diff"] == pytest.approx(d_obs)
+        assert got["n_perm"] == npm and got["n_extreme"] == ne
+        assert got["p_value"] == pytest.approx(p)
+
+    def test_null_effect_large_p(self, spark):
+        from temporalscope_spark.operators.experiment import permutation_test
+
+        rng = np.random.RandomState(5)
+        rows = [(i, "a" if i % 2 else "b", float(v)) for i, v in enumerate(rng.randn(400))]
+        df = spark.createDataFrame(rows, "event_id long, g string, y double")
+        got = permutation_test(df, "y", "g", "a", "b", n_perm=60).collect()[0]
+        assert got["p_value"] > 0.05  # no planted effect
+
+    def test_real_effect_small_p(self, spark):
+        from temporalscope_spark.operators.experiment import permutation_test
+
+        rng = np.random.RandomState(6)
+        rows = [
+            (i, "a" if i % 2 else "b", float(v) + (2.0 if i % 2 else 0.0))
+            for i, v in enumerate(rng.randn(400))
+        ]
+        df = spark.createDataFrame(rows, "event_id long, g string, y double")
+        got = permutation_test(df, "y", "g", "a", "b", n_perm=60).collect()[0]
+        assert got["p_value"] == pytest.approx(1 / 61, abs=1e-6)  # never exceeded
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.experiment import permutation_test
+
+        df = spark.createDataFrame([(1, "a", 1.0)], "event_id long, g string, y double")
+        with pytest.raises(DataFrameValidationError):
+            permutation_test(df, "y", "g", "a", "b", n_perm=0)
+        with pytest.raises(DataFrameValidationError):
+            permutation_test(df, "y", "g", "a", "b")  # group b absent
+
+
+class TestCovariateBalance:
+    def test_smd_parity(self, spark):
+        from temporalscope_spark.operators.experiment import covariate_balance
+
+        rng = np.random.RandomState(2)
+        rows = [
+            ("a" if i % 2 else "b", float(v), float(v * 3 + rng.randn()))
+            for i, v in enumerate(rng.randn(300))
+        ]
+        df = spark.createDataFrame(rows, "g string, x1 double, x2 double")
+        got = {r["covariate"]: r for r in covariate_balance(df, "g", "a", "b", ["x1", "x2"]).collect()}
+        a1 = np.array([x for g, x, _ in rows if g == "a"])
+        b1 = np.array([x for g, x, _ in rows if g == "b"])
+        smd = (a1.mean() - b1.mean()) / math.sqrt((a1.var(ddof=1) + b1.var(ddof=1)) / 2)
+        assert got["x1"]["smd"] == pytest.approx(smd, abs=1e-6)
+        assert got["x1"]["var_ratio"] == pytest.approx(a1.var(ddof=1) / b1.var(ddof=1), abs=1e-6)
+        assert got["x1"]["n_a"] == len(a1) and got["x1"]["n_b"] == len(b1)
+        assert set(got) == {"x1", "x2"}
+
+    def test_pairwise_nulls_and_balance(self, spark):
+        from temporalscope_spark.operators.experiment import covariate_balance
+
+        rows = [("a", 1.0), ("a", None), ("a", 3.0), ("b", 1.0), ("b", 3.0), ("c", 9.0)]
+        df = spark.createDataFrame(rows, "g string, x double")
+        got = covariate_balance(df, "g", "a", "b", ["x"]).collect()[0]
+        assert got["n_a"] == 2 and got["n_b"] == 2   # NULL excluded, 'c' ignored
+        assert got["smd"] == pytest.approx(0.0)
+        assert got["var_ratio"] == pytest.approx(1.0)
+
+    def test_zero_variance_nulls(self, spark):
+        from temporalscope_spark.operators.experiment import covariate_balance
+
+        df = spark.createDataFrame(
+            [("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 2.0)], "g string, x double"
+        )
+        got = covariate_balance(df, "g", "a", "b", ["x"]).collect()[0]
+        assert got["smd"] is None and got["var_ratio"] is None
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.experiment import covariate_balance
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+        with pytest.raises(DataFrameValidationError):
+            covariate_balance(df, "g", "a", "b", [])
+        with pytest.raises(DataFrameValidationError):
+            covariate_balance(df, "g", "a", "b", ["nope"])
+
+
+class TestSrmCheck:
+    def test_chi2_parity(self, spark):
+        from temporalscope_spark.operators.experiment import srm_check
+
+        rows = [("a",)] * 520 + [("b",)] * 480
+        df = spark.createDataFrame(rows, "v string")
+        got = srm_check(df, "v", {"a": 0.5, "b": 0.5}).collect()[0]
+        chi2 = (520 - 500) ** 2 / 500 + (480 - 500) ** 2 / 500
+        assert got["chi2"] == pytest.approx(chi2, abs=1e-6)
+        assert got["n"] == 1000 and got["k"] == 2 and got["dof"] == 1
+        assert got["max_abs_dev"] == pytest.approx(0.02)
+
+    def test_missing_arm_counts_deficit(self, spark):
+        from temporalscope_spark.operators.experiment import srm_check
+
+        df = spark.createDataFrame([("a",)] * 10, "v string")
+        got = srm_check(df, "v", {"a": 0.5, "b": 0.5}).collect()[0]
+        # arm b expected 5, observed 0: chi2 = 25/5 + 25/5
+        assert got["chi2"] == pytest.approx(10.0)
+        assert got["k"] == 2
+
+    def test_unknown_arm_raises(self, spark):
+        from temporalscope_spark.operators.experiment import srm_check
+
+        df = spark.createDataFrame([("a",), ("zz",)], "v string")
+        with pytest.raises(Exception, match="not in expected"):
+            srm_check(df, "v", {"a": 1.0}).collect()
+
+    def test_bad_shares(self, spark):
+        from temporalscope_spark.operators.experiment import srm_check
+
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(DataFrameValidationError):
+            srm_check(df, "v", {"a": 0.7})
+        with pytest.raises(DataFrameValidationError):
+            srm_check(df, "v", {})
