@@ -5792,8 +5792,36 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srm_check(events, "event_type", shares)
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast per user over event values (α=0.4,
+    β=0.3, h=1..3): the sorted-fold idiom — one grouped aggregation,
+    recursion folded JVM-side per entity, no UDF/window/global sort.
+    DuckDB replays the recursion with a recursive CTE."""
+    from temporalscope_spark.operators.trend import holt_forecast
+
+    events = _t(spark, sf_dir, "events")
+    return holt_forecast(
+        events, "value", "ts", "user_id",
+        alpha=0.4, beta=0.3, horizon=3, order_col="event_id",
+    )
+
+
+def q_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing lane of the same fold (β absent →
+    scalar accumulator, flat h-step forecast)."""
+    from temporalscope_spark.operators.trend import holt_forecast
+
+    events = _t(spark, sf_dir, "events")
+    return holt_forecast(
+        events, "value", "ts", "user_id",
+        alpha=0.3, horizon=2, order_col="event_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "holt_forecast": q_holt_forecast,
+        "ses_forecast": q_ses_forecast,
         "mann_whitney": q_mann_whitney,
         "hashed_features": q_hashed_features,
         "permutation_test": q_permutation_test,
@@ -12944,6 +12972,65 @@ def oracle_sql() -> dict[str, str]:
                round(chi2, 6) + 0.0 AS chi2, CAST(k - 1 AS BIGINT) AS dof,
                round(md, 6) + 0.0 AS max_abs_dev
         FROM f
+    """
+
+    # Holt / SES: identical recursion replayed as a recursive CTE;
+    # smoothing constants appear as (1 - a) COMPUTED, matching the
+    # engine's F.lit(1.0 - alpha) bit-for-bit
+    sql["holt_forecast"] = """
+        WITH RECURSIVE base AS (
+            SELECT user_id AS id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS r,
+                   CAST(value AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        len AS (SELECT id, max(r) AS n FROM base GROUP BY 1),
+        state AS (
+            SELECT b0.id, 1 AS r, b0.y AS l,
+                   CASE WHEN b1.y IS NULL THEN 0.0 ELSE b1.y - b0.y END AS b
+            FROM base b0 LEFT JOIN base b1 ON b1.id = b0.id AND b1.r = 2
+            WHERE b0.r = 1
+            UNION ALL
+            SELECT s.id, s.r + 1,
+                   0.4 * nx.y + (1 - 0.4) * (s.l + s.b) AS l,
+                   0.3 * ((0.4 * nx.y + (1 - 0.4) * (s.l + s.b)) - s.l)
+                       + (1 - 0.3) * s.b AS b
+            FROM state s JOIN base nx ON nx.id = s.id AND nx.r = s.r + 1
+        ),
+        fin AS (
+            SELECT s.id, len.n, s.l, s.b
+            FROM state s JOIN len ON len.id = s.id AND s.r = len.n
+        )
+        SELECT id AS user_id, CAST(n AS BIGINT) AS n,
+               round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend,
+               CAST(h AS INT) AS step,
+               round(l + h * b, 6) + 0.0 AS yhat
+        FROM fin, (SELECT unnest(generate_series(1, 3)) AS h)
+    """
+    sql["ses_forecast"] = """
+        WITH RECURSIVE base AS (
+            SELECT user_id AS id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS r,
+                   CAST(value AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        len AS (SELECT id, max(r) AS n FROM base GROUP BY 1),
+        state AS (
+            SELECT id, 1 AS r, y AS l FROM base WHERE r = 1
+            UNION ALL
+            SELECT s.id, s.r + 1, 0.3 * nx.y + (1 - 0.3) * s.l AS l
+            FROM state s JOIN base nx ON nx.id = s.id AND nx.r = s.r + 1
+        ),
+        fin AS (
+            SELECT s.id, len.n, s.l
+            FROM state s JOIN len ON len.id = s.id AND s.r = len.n
+        )
+        SELECT id AS user_id, CAST(n AS BIGINT) AS n,
+               round(l, 6) + 0.0 AS level, 0.0 AS trend,
+               CAST(h AS INT) AS step, round(l, 6) + 0.0 AS yhat
+        FROM fin, (SELECT unnest(generate_series(1, 2)) AS h)
     """
 
     return sql

@@ -176,3 +176,121 @@ def mann_kendall(
         F.round("_var", 6).alias("var_s"),
         F.round(F.when(sigma > 0, z), 6).alias("z"),
     ).orderBy(id_col)
+
+
+def holt_forecast(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    beta: float | None = None,
+    horizon: int = 3,
+    order_col: str | None = None,
+    max_len: int = 100_000,
+) -> DataFrame:
+    """Per-entity exponential-smoothing forecast: simple exponential
+    smoothing (``beta=None``) or Holt's linear trend (Holt 1957; the
+    `statsmodels Holt(initialization_method='legacy-heuristic')` family)
+    — the first actual FORECASTER behind :func:`metrics.forecast.
+    forecast_eval`, which until now only scored caller-supplied
+    forecasts.
+
+    Recursions (classic init ``l₁ = y₁``, ``b₁ = y₂ − y₁``; 0 for SES or
+    single-point series), run in observation order with deterministic
+    ``(time, order_col)`` tie-breaks:
+
+        SES :  l_t = α·y_t + (1−α)·l_{t−1}
+        Holt:  l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+               b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    and ``ŷ_{n+h} = l_n + h·b_n``. Output: ``horizon`` rows per entity
+    ``(id, n, level, trend, step, yhat)`` (floats rounded 6).
+
+    Plan shape (100 TB-safe): ONE grouped aggregation per entity — the
+    sorted-fold idiom (``array_sort(collect_list(struct))`` +
+    ``F.aggregate``, the lm.py/ranking.py convention): the recursion is
+    inherently sequential per entity, so the engine buffers exactly one
+    entity's series (bounded by ``max_len``, which raises rather than
+    silently truncating) and folds it JVM-side in O(L) — no Python UDF,
+    no window, no shuffle beyond the one groupBy. Entities fold in
+    parallel; series order is total, so results are partition-invariant
+    and the DuckDB oracle replays the identical recursion (identical
+    literal arithmetic, e.g. ``1 − α`` computed, not pasted) via a
+    recursive CTE. NULL values are dropped before folding.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise DataFrameValidationError("holt_forecast: alpha must be in (0, 1]")
+    if beta is not None and not (0.0 < beta <= 1.0):
+        raise DataFrameValidationError("holt_forecast: beta must be in (0, 1]")
+    if horizon < 1:
+        raise DataFrameValidationError("holt_forecast: horizon must be >= 1")
+    need = [value_col, time_col, id_col] + ([order_col] if order_col else [])
+    missing = [c for c in need if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"holt_forecast: missing columns {missing}")
+
+    t = _time_micros(df, time_col)
+    y = F.col(value_col).cast("double")
+    tb = F.col(order_col).cast("long") if order_col else F.lit(0).cast("long")
+    base = df.filter(y.isNotNull()).select(
+        F.col(id_col).alias("_id"), t.alias("_t"), tb.alias("_k"), y.alias("_y")
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("_t"), F.col("_k"), F.col("_y")))
+    )
+    grouped = base.groupBy("_id").agg(arr.alias("_a"))
+    ys = F.transform(F.col("_a"), lambda x: x["_y"])
+    n = F.size(ys)
+    guard = F.when(
+        n > int(max_len),
+        F.raise_error(
+            F.concat(
+                F.lit(f"holt_forecast: series longer than max_len={max_len} for id "),
+                F.col("_id").cast("string"),
+            )
+        ).cast("double"),
+    )
+    l0 = F.coalesce(guard, F.element_at(ys, 1))
+    rest = F.slice(ys, 2, F.greatest(n - 1, F.lit(0)))
+    a = F.lit(float(alpha))
+    one_a = F.lit(1.0 - alpha)
+    if beta is None:
+        level = F.aggregate(rest, l0, lambda acc, yv: a * yv + one_a * acc)
+        trend = F.lit(0.0)
+    else:
+        b = F.lit(float(beta))
+        one_b = F.lit(1.0 - beta)
+        b0 = F.when(n >= 2, F.element_at(ys, 2) - F.element_at(ys, 1)).otherwise(
+            F.lit(0.0)
+        )
+        state = F.aggregate(
+            rest,
+            F.struct(l0.alias("l"), b0.alias("b")),
+            lambda acc, yv: F.struct(
+                (a * yv + one_a * (acc["l"] + acc["b"])).alias("l"),
+                (
+                    b * ((a * yv + one_a * (acc["l"] + acc["b"])) - acc["l"])
+                    + one_b * acc["b"]
+                ).alias("b"),
+            ),
+        )
+        level = state["l"]
+        trend = state["b"]
+    fitted = grouped.select(
+        F.col("_id").alias(id_col),
+        n.cast("long").alias("n"),
+        level.alias("_l"),
+        trend.alias("_b"),
+    )
+    step = F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("step")
+    return fitted.select(id_col, "n", "_l", "_b", step).select(
+        id_col,
+        "n",
+        F.round("_l", 6).alias("level"),
+        F.round("_b", 6).alias("trend"),
+        F.col("step").cast("int").alias("step"),
+        F.round(
+            F.col("_l") + F.col("step").cast("double") * F.col("_b"), 6
+        ).alias("yhat"),
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -174,3 +176,126 @@ class TestMannKendall:
         got = {r["doc_id"]: r for r in mann_kendall(_mk_df(spark, rows), "y").collect()}
         assert got["a"]["s_stat"] == 15 and got["b"]["s_stat"] == -15
         assert got["a"]["z"] > 0 and got["b"]["z"] < 0
+
+
+def _holt_ref(ys, a, b=None):
+    l = ys[0]
+    bb = (ys[1] - ys[0]) if (b is not None and len(ys) >= 2) else 0.0
+    for yv in ys[1:]:
+        if b is None:
+            l = a * yv + (1 - a) * l
+        else:
+            ln = a * yv + (1 - a) * (l + bb)
+            bb = b * (ln - l) + (1 - b) * bb
+            l = ln
+    return l, bb
+
+
+class TestHoltForecast:
+    def _df(self, spark, series):
+        import datetime
+
+        rows = []
+        for uid, ys in series.items():
+            for i, yv in enumerate(ys):
+                rows.append((uid, datetime.datetime(2024, 1, 1) +
+                             datetime.timedelta(hours=i), i, yv))
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+
+    def test_holt_parity(self, spark):
+        from temporalscope_spark.operators.trend import holt_forecast
+
+        rng = np.random.RandomState(4)
+        series = {u: [float(v) for v in rng.randn(30).cumsum() + 10] for u in range(5)}
+        df = self._df(spark, series)
+        got = holt_forecast(
+            df, "value", "ts", "user_id", alpha=0.4, beta=0.3, horizon=3,
+            order_col="event_id",
+        )
+        rows = {(r["user_id"], r["step"]): r for r in got.collect()}
+        for u, ys in series.items():
+            l, b = _holt_ref(ys, 0.4, 0.3)
+            for h in (1, 2, 3):
+                r = rows[(u, h)]
+                assert r["level"] == pytest.approx(round(l, 6), abs=1e-6)
+                assert r["trend"] == pytest.approx(round(b, 6), abs=1e-6)
+                assert r["yhat"] == pytest.approx(l + h * b, abs=1e-5)
+                assert r["n"] == 30
+
+    def test_ses_parity_and_flat(self, spark):
+        from temporalscope_spark.operators.trend import holt_forecast
+
+        series = {1: [3.0, 5.0, 4.0, 7.0], 2: [10.0]}
+        df = self._df(spark, series)
+        got = holt_forecast(df, "value", "ts", "user_id", alpha=0.3, horizon=2,
+                            order_col="event_id")
+        rows = {(r["user_id"], r["step"]): r for r in got.collect()}
+        l, _ = _holt_ref(series[1], 0.3)
+        assert rows[(1, 1)]["yhat"] == pytest.approx(l, abs=1e-6)
+        assert rows[(1, 2)]["yhat"] == pytest.approx(l, abs=1e-6)  # SES is flat
+        assert rows[(2, 1)]["yhat"] == pytest.approx(10.0)
+        assert rows[(2, 1)]["trend"] == 0.0
+
+    def test_single_point_holt(self, spark):
+        from temporalscope_spark.operators.trend import holt_forecast
+
+        df = self._df(spark, {7: [4.5]})
+        r = holt_forecast(df, "value", "ts", "user_id", alpha=0.5, beta=0.5,
+                          horizon=1, order_col="event_id").collect()[0]
+        assert r["level"] == 4.5 and r["trend"] == 0.0 and r["yhat"] == 4.5
+
+    def test_nulls_dropped_and_order_ties(self, spark):
+        import datetime
+
+        from temporalscope_spark.operators.trend import holt_forecast
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 2, 5.0),      # tied timestamps: event_id breaks the tie
+            (1, t0, 1, 3.0),
+            (1, t0 + datetime.timedelta(hours=1), 3, None),
+            (1, t0 + datetime.timedelta(hours=2), 4, 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+        r = holt_forecast(df, "value", "ts", "user_id", alpha=0.5, horizon=1,
+                          order_col="event_id").collect()[0]
+        l, _ = _holt_ref([3.0, 5.0, 7.0], 0.5)
+        assert r["n"] == 3
+        assert r["yhat"] == pytest.approx(l, abs=1e-6)
+
+    def test_partition_invariance(self, spark):
+        from temporalscope_spark.operators.trend import holt_forecast
+
+        rng = np.random.RandomState(9)
+        series = {u: [float(v) for v in rng.randn(20)] for u in range(4)}
+        df = self._df(spark, series)
+        a = holt_forecast(df, "value", "ts", "user_id", alpha=0.6, beta=0.2,
+                          horizon=2, order_col="event_id")
+        b = holt_forecast(df.repartition(11), "value", "ts", "user_id", alpha=0.6,
+                          beta=0.2, horizon=2, order_col="event_id")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_max_len_guard(self, spark):
+        from temporalscope_spark.operators.trend import holt_forecast
+
+        df = self._df(spark, {1: [1.0, 2.0, 3.0]})
+        with pytest.raises(Exception, match="max_len"):
+            holt_forecast(df, "value", "ts", "user_id", alpha=0.5, horizon=1,
+                          max_len=2, order_col="event_id").collect()
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.trend import holt_forecast
+
+        df = self._df(spark, {1: [1.0]})
+        with pytest.raises(DataFrameValidationError):
+            holt_forecast(df, "value", "ts", "user_id", alpha=0.0)
+        with pytest.raises(DataFrameValidationError):
+            holt_forecast(df, "value", "ts", "user_id", beta=1.5)
+        with pytest.raises(DataFrameValidationError):
+            holt_forecast(df, "value", "ts", "user_id", horizon=0)
+        with pytest.raises(DataFrameValidationError):
+            holt_forecast(df, "nope", "ts", "user_id")
