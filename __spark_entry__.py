@@ -5818,8 +5818,35 @@ def q_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (event windows [ts, ts+⌊value⌋min)
+    per user, even vs odd event ids): chunk decomposition + equi-join on
+    (user, chunk) + keep-in-one-chunk dedup — a hash join, never a
+    cartesian; the oracle is the quadratic within-user overlap join."""
+    from temporalscope_spark.operators.asof import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    hi = F.col("ts") + F.expr(
+        "make_interval(0, 0, 0, 0, 0, CAST(FLOOR(value) AS INT), 0)"
+    )
+    iv = ev.filter(F.col("value").isNotNull()).select(
+        "event_id", "user_id", F.col("ts").alias("lo"), hi.alias("hi")
+    )
+    left = iv.filter(F.col("event_id") % 2 == 0).withColumnRenamed(
+        "event_id", "lid"
+    )
+    right = iv.filter(F.col("event_id") % 2 == 1).withColumnRenamed(
+        "event_id", "rid"
+    )
+    out = interval_overlap_join(
+        left, right, "lo", "hi", on="user_id", chunk=4 * 3600.0
+    )
+    return out.select("user_id", "lid", "rid")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "interval_overlap": q_interval_overlap,
         "holt_forecast": q_holt_forecast,
         "ses_forecast": q_ses_forecast,
         "mann_whitney": q_mann_whitney,
@@ -13031,6 +13058,25 @@ def oracle_sql() -> dict[str, str]:
                round(l, 6) + 0.0 AS level, 0.0 AS trend,
                CAST(h AS INT) AS step, round(l, 6) + 0.0 AS yhat
         FROM fin, (SELECT unnest(generate_series(1, 2)) AS h)
+    """
+
+    # interval overlap: the oracle is the quadratic within-user join the
+    # chunked plan must reproduce exactly (half-open on both sides)
+    sql["interval_overlap"] = """
+        WITH iv AS (
+            SELECT event_id, user_id,
+                   epoch_us(ts) AS lo,
+                   epoch_us(ts + to_minutes(CAST(floor(value) AS BIGINT))) AS hi
+            FROM events WHERE value IS NOT NULL
+        ),
+        -- hi > lo: an empty [x, x) interval intersects nothing, but the
+        -- naive predicate below would admit it when x lies inside the
+        -- other interval — match the operator's half-open semantics
+        l AS (SELECT * FROM iv WHERE event_id % 2 = 0 AND hi > lo),
+        r AS (SELECT * FROM iv WHERE event_id % 2 = 1 AND hi > lo)
+        SELECT l.user_id, l.event_id AS lid, r.event_id AS rid
+        FROM l JOIN r ON l.user_id = r.user_id
+                     AND l.lo < r.hi AND r.lo < l.hi
     """
 
     return sql

@@ -10,6 +10,7 @@ from temporalscope_spark.operators.asof import (
     serve_features,
     backward_fill,
     forward_fill,
+    interval_overlap_join,
     range_join,
 )
 from temporalscope_spark.operators.attribution import attribution
@@ -245,6 +246,7 @@ from temporalscope_spark.operators.similarity import (
 
 __all__ = [
     "asof_join", "backward_fill", "forward_fill", "range_join", "serve_features",
+    "interval_overlap_join",
     "bloom_bits", "bloom_contaminated_ids", "contaminated_ids",
     "contamination_rate", "decontaminate", "decontaminate_bloom", "token_ngrams",
     "entity_split", "fit_fold_bounds", "purged_fold_summary",

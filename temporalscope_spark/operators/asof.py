@@ -264,3 +264,95 @@ def serve_features(
             tolerance=spec.get("ttl"),
         )
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    on: str | list[str] | None = None,
+    chunk: float = 3600.0,
+    suffix: str = "_r",
+    max_chunks: int = 4096,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (half-open ``[lo, hi)`` on both
+    sides): emit one row per (left, right) pair whose intervals
+    intersect, optionally also matching equality keys ``on``. The join
+    shape :func:`range_join` cannot express — both sides are ranges, so
+    there is no single point to hash on.
+
+    The scalable plan is the genomics/telemetry chunking trick (the same
+    decomposition BinSort/GenAp use for overlap joins): each interval
+    explodes into the fixed-width time chunks it touches, the two sides
+    EQUI-join on ``(keys..., chunk_id)`` — a plain hash/sort-merge
+    shuffle, never a BroadcastNestedLoop/cartesian — and the overlap
+    predicate filters inside matching chunks only. Duplicate pair hits
+    (long intervals share many chunks) are eliminated WITHOUT a distinct:
+    a pair is kept only in the one chunk containing ``max(lo_l, lo_r)``,
+    which every truly-overlapping pair contains exactly once.
+
+    ``chunk`` is in the time unit's seconds (timestamps are converted to
+    integer µs internally; numeric lo/hi are treated as seconds, the
+    engine-wide convention). Pick it near the median interval length:
+    too-small chunks explode long intervals into many rows (guarded by
+    ``max_chunks``, which raises rather than silently truncating);
+    too-large chunks co-locate non-overlapping intervals and push work
+    into the post-filter. Empty intervals (``hi <= lo``) match nothing.
+    Right-side columns that collide with left names get ``suffix``.
+    """
+    from temporalscope_spark.operators.rolling import _time_micros
+
+    keys = [on] if isinstance(on, str) else list(on or [])
+    for side, df in (("left", left), ("right", right)):
+        missing = [c for c in [lo_col, hi_col, *keys] if c not in df.columns]
+        if missing:
+            raise DataFrameValidationError(
+                f"interval_overlap_join: {side} side missing columns {missing}"
+            )
+    if chunk <= 0:
+        raise DataFrameValidationError("interval_overlap_join: chunk must be > 0")
+    ch_us = int(round(chunk * 1_000_000))
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        lo = _time_micros(df, lo_col)
+        hi = _time_micros(df, hi_col)
+        out = df.withColumn(f"_lo{tag}", lo).withColumn(f"_hi{tag}", hi)
+        out = out.filter(F.col(f"_hi{tag}") > F.col(f"_lo{tag}"))
+        c0 = F.floor(F.col(f"_lo{tag}") / ch_us)
+        c1 = F.floor((F.col(f"_hi{tag}") - 1) / ch_us)  # half-open: hi excluded
+        guard = F.when(
+            c1 - c0 + 1 > int(max_chunks),
+            F.raise_error(
+                F.lit(
+                    f"interval_overlap_join: an interval spans more than "
+                    f"max_chunks={max_chunks} chunks; raise `chunk` or split "
+                    "the interval"
+                )
+            ).cast("long"),
+        )
+        return out.withColumn(
+            "_chunk", F.explode(F.sequence(F.coalesce(guard, c0), c1))
+        )
+
+    lt = prep(left, "_l")
+    rt = prep(right, "_r")
+    renames = {
+        c: c + suffix
+        for c in right.columns
+        if c in set(left.columns) and c not in keys
+    }
+    for old, new in renames.items():
+        rt = rt.withColumnRenamed(old, new)
+    cond = lt["_chunk"] == rt["_chunk"]
+    for k in keys:
+        cond = cond & (lt[k] == rt[k])
+    joined = lt.join(rt, cond).drop(rt["_chunk"])
+    for k in keys:
+        joined = joined.drop(rt[k])
+    keep = (
+        (F.col("_lo_l") < F.col("_hi_r"))
+        & (F.col("_lo_r") < F.col("_hi_l"))
+        & (F.col("_chunk") == F.floor(F.greatest("_lo_l", "_lo_r") / ch_us))
+    )
+    return joined.filter(keep).drop("_chunk", "_lo_l", "_hi_l", "_lo_r", "_hi_r")
