@@ -5844,8 +5844,23 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "lid", "rid")
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive seasonal forecast per user (m=7, α=.3,
+    β=.1, γ=.2, h=1..3): one grouped sorted-fold with (l, b, seasonal
+    array) state; the oracle replays the recursion via a recursive CTE
+    with LIST state."""
+    from temporalscope_spark.operators.trend import holt_winters_forecast
+
+    events = _t(spark, sf_dir, "events")
+    return holt_winters_forecast(
+        events, "value", "ts", "user_id", period=7,
+        alpha=0.3, beta=0.1, gamma=0.2, horizon=3, order_col="event_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "holt_winters": q_holt_winters,
         "interval_overlap": q_interval_overlap,
         "holt_forecast": q_holt_forecast,
         "ses_forecast": q_ses_forecast,
@@ -13077,6 +13092,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT l.user_id, l.event_id AS lid, r.event_id AS rid
         FROM l JOIN r ON l.user_id = r.user_id
                      AND l.lo < r.hi AND r.lo < l.hi
+    """
+
+    # Holt–Winters additive: identical recursion, LIST-state recursive
+    # CTE; init means as FILTERed sums over the first season(s)
+    sql["holt_winters"] = """
+        WITH RECURSIVE base AS (
+            SELECT user_id AS id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS r,
+                   CAST(value AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        agg AS (
+            SELECT id, max(r) AS n,
+                   sum(y) FILTER (WHERE r <= 7) / 7.0 AS l0,
+                   CASE WHEN max(r) >= 14
+                        THEN (sum(y) FILTER (WHERE r > 7 AND r <= 14) / 7.0
+                              - sum(y) FILTER (WHERE r <= 7) / 7.0) / 7.0
+                        ELSE 0.0 END AS b0
+            FROM base GROUP BY id HAVING max(r) >= 7
+        ),
+        ini AS (
+            SELECT b.id, max(a.l0) AS l0, max(a.b0) AS b0,
+                   list(b.y - a.l0 ORDER BY b.r) AS s0
+            FROM base b JOIN agg a ON a.id = b.id
+            WHERE b.r <= 7 GROUP BY b.id
+        ),
+        state AS (
+            SELECT id, CAST(7 AS BIGINT) AS r, l0 AS l, b0 AS b, s0 AS s
+            FROM ini
+            UNION ALL
+            SELECT st.id, st.r + 1,
+                   0.3 * (nx.y - st.s[1]) + (1 - 0.3) * (st.l + st.b) AS l,
+                   0.1 * ((0.3 * (nx.y - st.s[1])
+                           + (1 - 0.3) * (st.l + st.b)) - st.l)
+                       + (1 - 0.1) * st.b AS b,
+                   list_concat(st.s[2:7],
+                               [0.2 * (nx.y - st.l - st.b)
+                                + (1 - 0.2) * st.s[1]]) AS s
+            FROM state st JOIN base nx ON nx.id = st.id AND nx.r = st.r + 1
+        ),
+        fin AS (
+            SELECT s.id, a.n, s.l, s.b, s.s
+            FROM state s JOIN agg a ON a.id = s.id AND s.r = a.n
+        )
+        SELECT id AS user_id, CAST(n AS BIGINT) AS n,
+               round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend,
+               CAST(h AS INT) AS step,
+               round(s[CAST((h - 1) % 7 + 1 AS INT)], 6) + 0.0 AS seasonal,
+               round(l + h * b + s[CAST((h - 1) % 7 + 1 AS INT)], 6) + 0.0
+                   AS yhat
+        FROM fin, (SELECT unnest(generate_series(1, 3)) AS h)
     """
 
     return sql

@@ -97,7 +97,12 @@ from temporalscope_spark.operators.gopher import (
     gopher_repetition_features,
 )
 from temporalscope_spark.operators.graph import label_propagation, pagerank
-from temporalscope_spark.operators.trend import holt_forecast, mann_kendall, theil_sen
+from temporalscope_spark.operators.trend import (
+    holt_forecast,
+    holt_winters_forecast,
+    mann_kendall,
+    theil_sen,
+)
 from temporalscope_spark.operators.retrieval import (
     PostingsIndex,
     bm25_topk,
@@ -269,7 +274,7 @@ __all__ = [
     "score_stupid_backoff", "score_unigram", "unigram_counts",
     "pack_concat_chunks", "pack_greedy", "training_windows",
     "length_bucket_batches", "batch_padding_stats",
-    "mann_kendall", "theil_sen", "holt_forecast",
+    "mann_kendall", "theil_sen", "holt_forecast", "holt_winters_forecast",
     "acf_features", "calendar_features", "entity_profile",
     "fourier_time_features", "recency_features", "trend_features",
     "seasonal_decompose", "series_features", "dft_features",

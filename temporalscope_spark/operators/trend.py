@@ -294,3 +294,138 @@ def holt_forecast(
             F.col("_l") + F.col("step").cast("double") * F.col("_b"), 6
         ).alias("yhat"),
     )
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    id_col: str,
+    period: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    horizon: int = 3,
+    order_col: str | None = None,
+    max_len: int = 100_000,
+) -> DataFrame:
+    """Per-entity Holt–Winters ADDITIVE seasonal forecast (Winters 1960;
+    the fpp2 component form) — the seasonal completion of
+    :func:`holt_forecast`:
+
+        l_t = α·(y_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(y_t − l_{t−1} − b_{t−1}) + (1−γ)·s_{t−m}
+        ŷ_{n+h} = l_n + h·b_n + s_{n+h−m·⌈h/m⌉}
+
+    Classic deterministic initialization over the first season(s):
+    ``l₀ = mean(y₁..y_m)``, ``b₀ = (mean(y_{m+1}..y_{2m}) − l₀)/m`` when
+    two full seasons exist else 0, ``s_i = y_i − l₀``; the recursion runs
+    for t = m+1..n. Entities with fewer than ``period`` observations have
+    no seasonal estimate and are EXCLUDED from the output (documented
+    contract — silently falling back to Holt would change model class per
+    row).
+
+    Same plan shape as :func:`holt_forecast` — ONE grouped sorted-fold
+    per entity, the accumulator now carrying ``(l, b, seasonal array)``
+    with the array rotated by slice+append each step (O(m) per step,
+    JVM expressions only); ``max_len`` bounds the buffered series. The
+    DuckDB oracle replays the identical recursion via a recursive CTE
+    with LIST state, so results are exact at the 6-dp rounding.
+    """
+    if period < 2:
+        raise DataFrameValidationError("holt_winters_forecast: period must be >= 2")
+    for nm, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not (0.0 < v <= 1.0):
+            raise DataFrameValidationError(
+                f"holt_winters_forecast: {nm} must be in (0, 1]"
+            )
+    if horizon < 1:
+        raise DataFrameValidationError("holt_winters_forecast: horizon must be >= 1")
+    need = [value_col, time_col, id_col] + ([order_col] if order_col else [])
+    missing = [c for c in need if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(
+            f"holt_winters_forecast: missing columns {missing}"
+        )
+    m = int(period)
+    t = _time_micros(df, time_col)
+    y = F.col(value_col).cast("double")
+    tb = F.col(order_col).cast("long") if order_col else F.lit(0).cast("long")
+    base = df.filter(y.isNotNull()).select(
+        F.col(id_col).alias("_id"), t.alias("_t"), tb.alias("_k"), y.alias("_y")
+    )
+    grouped = base.groupBy("_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_t"), F.col("_k"), F.col("_y")))
+        ).alias("_a")
+    )
+    ys = F.transform(F.col("_a"), lambda x: x["_y"])
+    n = F.size(ys)
+    grouped = grouped.withColumn("_n", n).filter(F.col("_n") >= m)
+    ys = F.transform(F.col("_a"), lambda x: x["_y"])
+    n = F.col("_n")
+    guard = F.when(
+        n > int(max_len),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"holt_winters_forecast: series longer than max_len={max_len}"
+                    " for id "
+                ),
+                F.col("_id").cast("string"),
+            )
+        ).cast("double"),
+    )
+    fsum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    l0 = F.coalesce(guard, fsum(F.slice(ys, 1, m)) / F.lit(float(m)))
+    b0 = F.when(
+        n >= 2 * m,
+        (fsum(F.slice(ys, m + 1, m)) / F.lit(float(m)) - l0) / F.lit(float(m)),
+    ).otherwise(F.lit(0.0))
+    s0 = F.transform(F.slice(ys, 1, m), lambda x: x - l0)
+    a = F.lit(float(alpha))
+    one_a = F.lit(1.0 - alpha)
+    b = F.lit(float(beta))
+    one_b = F.lit(1.0 - beta)
+    g = F.lit(float(gamma))
+    one_g = F.lit(1.0 - gamma)
+    rest = F.slice(ys, m + 1, F.greatest(n - m, F.lit(0)))
+
+    def step(acc, yv):
+        s1 = F.element_at(acc["s"], 1)
+        lnew = a * (yv - s1) + one_a * (acc["l"] + acc["b"])
+        return F.struct(
+            lnew.alias("l"),
+            (b * ((a * (yv - s1) + one_a * (acc["l"] + acc["b"])) - acc["l"])
+             + one_b * acc["b"]).alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, m - 1),
+                F.array(g * (yv - acc["l"] - acc["b"]) + one_g * s1),
+            ).alias("s"),
+        )
+
+    state = F.aggregate(
+        rest, F.struct(l0.alias("l"), b0.alias("b"), s0.alias("s")), step
+    )
+    fitted = grouped.select(
+        F.col("_id").alias(id_col),
+        n.cast("long").alias("n"),
+        state["l"].alias("_l"),
+        state["b"].alias("_b"),
+        state["s"].alias("_s"),
+    )
+    stepc = F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("step")
+    out = fitted.select(id_col, "n", "_l", "_b", "_s", stepc)
+    seas = F.element_at(F.col("_s"), ((F.col("step") - 1) % m + 1).cast("int"))
+    return out.select(
+        id_col,
+        "n",
+        F.round("_l", 6).alias("level"),
+        F.round("_b", 6).alias("trend"),
+        F.col("step").cast("int").alias("step"),
+        F.round(seas, 6).alias("seasonal"),
+        F.round(
+            F.col("_l") + F.col("step").cast("double") * F.col("_b") + seas, 6
+        ).alias("yhat"),
+    )

@@ -299,3 +299,106 @@ class TestHoltForecast:
             holt_forecast(df, "value", "ts", "user_id", horizon=0)
         with pytest.raises(DataFrameValidationError):
             holt_forecast(df, "nope", "ts", "user_id")
+
+
+def _hw_ref(ys, m, a, b, g, H):
+    l = sum(ys[:m]) / m
+    bb = (sum(ys[m:2 * m]) / m - l) / m if len(ys) >= 2 * m else 0.0
+    s = [yv - l for yv in ys[:m]]
+    for yv in ys[m:]:
+        s1 = s[0]
+        ln = a * (yv - s1) + (1 - a) * (l + bb)
+        bn = b * (ln - l) + (1 - b) * bb
+        sn = g * (yv - l - bb) + (1 - g) * s1
+        s = s[1:] + [sn]
+        l, bb = ln, bn
+    return {h: l + h * bb + s[(h - 1) % m] for h in range(1, H + 1)}, l, bb, s
+
+
+class TestHoltWinters:
+    def _df(self, spark, series):
+        import datetime
+
+        rows = []
+        for uid, ys in series.items():
+            for i, yv in enumerate(ys):
+                rows.append((uid, datetime.datetime(2024, 1, 1) +
+                             datetime.timedelta(days=i), i, yv))
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+
+    def test_seasonal_parity_and_wraparound(self, spark):
+        from temporalscope_spark.operators.trend import holt_winters_forecast
+
+        rng = np.random.RandomState(8)
+        series = {}
+        for u, n in enumerate((25, 10)):  # >= 2m and between m and 2m
+            base = rng.randn(n).cumsum()
+            seas = [3 * math.sin(2 * math.pi * i / 7) for i in range(n)]
+            series[u] = [float(base[i] + seas[i]) for i in range(n)]
+        df = self._df(spark, series)
+        got = {
+            (r["user_id"], r["step"]): r
+            for r in holt_winters_forecast(
+                df, "value", "ts", "user_id", period=7,
+                alpha=0.3, beta=0.1, gamma=0.2, horizon=9, order_col="event_id",
+            ).collect()
+        }
+        for u, ys in series.items():
+            fc, l, bb, s = _hw_ref(ys, 7, 0.3, 0.1, 0.2, 9)
+            for h in range(1, 10):   # h > m exercises the seasonal wraparound
+                assert got[(u, h)]["yhat"] == pytest.approx(fc[h], abs=1e-5)
+            assert got[(u, 1)]["level"] == pytest.approx(l, abs=1e-6)
+            assert got[(u, 1)]["trend"] == pytest.approx(bb, abs=1e-6)
+            assert got[(u, 1)]["seasonal"] == pytest.approx(s[0], abs=1e-6)
+
+    def test_short_series_excluded(self, spark):
+        from temporalscope_spark.operators.trend import holt_winters_forecast
+
+        series = {1: [1.0, 2.0, 3.0], 2: [float(i) for i in range(8)]}
+        df = self._df(spark, series)
+        got = holt_winters_forecast(
+            df, "value", "ts", "user_id", period=4, horizon=1, order_col="event_id"
+        )
+        assert sorted(r["user_id"] for r in got.collect()) == [2]
+
+    def test_pure_seasonal_signal_recovered(self, spark):
+        from temporalscope_spark.operators.trend import holt_winters_forecast
+
+        pattern = [10.0, 20.0, 5.0, 15.0]
+        series = {1: pattern * 8}   # perfectly periodic, no trend
+        df = self._df(spark, series)
+        got = {
+            r["step"]: r["yhat"]
+            for r in holt_winters_forecast(
+                df, "value", "ts", "user_id", period=4,
+                alpha=0.5, beta=0.1, gamma=0.5, horizon=4, order_col="event_id",
+            ).collect()
+        }
+        for h in range(1, 5):   # forecasts continue the pattern
+            assert got[h] == pytest.approx(pattern[(len(series[1]) + h - 1) % 4],
+                                           abs=0.2)
+
+    def test_partition_invariance(self, spark):
+        from temporalscope_spark.operators.trend import holt_winters_forecast
+
+        rng = np.random.RandomState(3)
+        series = {u: [float(v) for v in rng.randn(15)] for u in range(4)}
+        df = self._df(spark, series)
+        a = holt_winters_forecast(df, "value", "ts", "user_id", period=5,
+                                  horizon=2, order_col="event_id")
+        b = holt_winters_forecast(df.repartition(13), "value", "ts", "user_id",
+                                  period=5, horizon=2, order_col="event_id")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.trend import holt_winters_forecast
+
+        df = self._df(spark, {1: [1.0, 2.0]})
+        with pytest.raises(DataFrameValidationError):
+            holt_winters_forecast(df, "value", "ts", "user_id", period=1)
+        with pytest.raises(DataFrameValidationError):
+            holt_winters_forecast(df, "value", "ts", "user_id", period=2, gamma=0.0)
+        with pytest.raises(DataFrameValidationError):
+            holt_winters_forecast(df, "value", "ts", "user_id", period=2, horizon=0)
