@@ -5858,8 +5858,42 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ipw_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hájek IPW + doubly-robust ATE over a deterministic synthetic
+    observational design planted on events (propensity from user cohort,
+    md5 assignment, +5 effect): ONE map-side-combinable aggregation —
+    every estimator is a ratio of weighted sums."""
+    from temporalscope_spark.operators.experiment import ipw_estimate
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#7"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000000
+    ).cast("double") / F.lit(1e9)
+    cohort = (F.col("user_id") % 10).cast("double")
+    p = F.lit(0.2) + F.lit(0.6) * (cohort / F.lit(10.0))
+    t = (u < p).cast("double")
+    base = ev.select(
+        (F.col("value") + F.lit(5.0) * t).alias("y"),
+        t.alias("t"),
+        p.alias("p"),
+        (F.lit(5.0) + cohort).alias("m1"),
+        cohort.alias("m0"),
+    )
+    return ipw_estimate(base, "y", "t", "p", "m1", "m0")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ipw_estimate": q_ipw_estimate,
         "holt_winters": q_holt_winters,
         "interval_overlap": q_interval_overlap,
         "holt_forecast": q_holt_forecast,
@@ -13144,6 +13178,59 @@ def oracle_sql() -> dict[str, str]:
                round(l + h * b + s[CAST((h - 1) % 7 + 1 AS INT)], 6) + 0.0
                    AS yhat
         FROM fin, (SELECT unnest(generate_series(1, 3)) AS h)
+    """
+
+    # IPW/AIPW: identical md5 assignment + planted effect, one fold of
+    # weighted sums (Hájek ratios, Kish ESS, AIPW influence mean)
+    sql["ipw_estimate"] = """
+        WITH b AS (
+            SELECT CAST(value AS DOUBLE)
+                       + 5.0 * CASE WHEN (CAST(('0x' || substr(md5(
+                             CAST(event_id AS VARCHAR) || '#7'), 1, 15))
+                             AS BIGINT) % 1000000000) / 1000000000.0
+                           < 0.2 + 0.6 * (CAST(user_id % 10 AS DOUBLE) / 10.0)
+                         THEN 1.0 ELSE 0.0 END AS y,
+                   CASE WHEN (CAST(('0x' || substr(md5(
+                             CAST(event_id AS VARCHAR) || '#7'), 1, 15))
+                             AS BIGINT) % 1000000000) / 1000000000.0
+                           < 0.2 + 0.6 * (CAST(user_id % 10 AS DOUBLE) / 10.0)
+                        THEN 1.0 ELSE 0.0 END AS t,
+                   0.2 + 0.6 * (CAST(user_id % 10 AS DOUBLE) / 10.0) AS p,
+                   5.0 + CAST(user_id % 10 AS DOUBLE) AS m1,
+                   CAST(user_id % 10 AS DOUBLE) AS m0
+            FROM events WHERE value IS NOT NULL
+        ),
+        f AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN p < 0.01 OR p > 0.99 THEN 1 ELSE 0 END)
+                       AS n_tr,
+                   sum(t) FILTER (WHERE p >= 0.01 AND p <= 0.99) AS nt,
+                   sum(1.0 - t) FILTER (WHERE p >= 0.01 AND p <= 0.99) AS nc,
+                   sum(t / p * y) FILTER (WHERE p >= 0.01 AND p <= 0.99)
+                       AS swy1,
+                   sum(t / p) FILTER (WHERE p >= 0.01 AND p <= 0.99) AS sw1,
+                   sum((t / p) * (t / p))
+                       FILTER (WHERE p >= 0.01 AND p <= 0.99) AS sq1,
+                   sum((1.0 - t) / (1.0 - p) * y)
+                       FILTER (WHERE p >= 0.01 AND p <= 0.99) AS swy0,
+                   sum((1.0 - t) / (1.0 - p))
+                       FILTER (WHERE p >= 0.01 AND p <= 0.99) AS sw0,
+                   sum(((1.0 - t) / (1.0 - p)) * ((1.0 - t) / (1.0 - p)))
+                       FILTER (WHERE p >= 0.01 AND p <= 0.99) AS sq0,
+                   avg(m1 - m0 + t * (y - m1) / p
+                       - (1.0 - t) * (y - m0) / (1.0 - p))
+                       FILTER (WHERE p >= 0.01 AND p <= 0.99) AS dr
+            FROM b
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(n_tr AS BIGINT) AS n_trimmed,
+               CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_control,
+               round(swy1 / sw1, 6) + 0.0 AS mu_treat,
+               round(swy0 / sw0, 6) + 0.0 AS mu_control,
+               round(swy1 / sw1 - swy0 / sw0, 6) + 0.0 AS ate,
+               round(sw1 * sw1 / sq1, 6) + 0.0 AS ess_treat,
+               round(sw0 * sw0 / sq0, 6) + 0.0 AS ess_control,
+               round(dr, 6) + 0.0 AS ate_dr
+        FROM f
     """
 
     return sql

@@ -22,6 +22,7 @@ from temporalscope_spark.operators.experiment import (
     covariate_balance,
     did_estimate,
     fdr_bh,
+    ipw_estimate,
     mann_whitney_u,
     permutation_test,
     poisson_bootstrap,
@@ -287,7 +288,7 @@ __all__ = [
     "scale_features", "fit_impute", "impute",
     "PCAModel", "fit_pca", "fit_pca_array", "pca_project", "pca_project_array",
     "tfidf_cosine_pairs", "tfidf_table", "hashed_features", "mann_whitney_u",
-    "permutation_test", "covariate_balance", "srm_check",
+    "permutation_test", "covariate_balance", "srm_check", "ipw_estimate",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
     "rare_collapse", "target_encode_oof", "woe_encode", "woe_iv_table",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",

@@ -885,3 +885,107 @@ def srm_check(
         (F.col("_k") - 1).cast("long").alias("dof"),
         F.round("_md", 6).alias("max_abs_dev"),
     )
+
+
+def ipw_estimate(
+    df: DataFrame,
+    y_col: str,
+    treat_col: str,
+    p_col: str,
+    m1_col: str | None = None,
+    m0_col: str | None = None,
+    trim: float = 0.01,
+) -> DataFrame:
+    """Inverse-propensity-weighted average-treatment-effect estimate —
+    the observational companion to :func:`ab_test` when assignment was
+    NOT randomized: given a propensity score column ``p_col`` (e.g. from
+    ``modeling.logistic.fit_logistic`` on pre-treatment covariates),
+
+        μ̂₁ = Σ T·y/p / Σ T/p,   μ̂₀ = Σ (1−T)·y/(1−p) / Σ (1−T)/(1−p)
+
+    (the Hájek / stabilized ratio form — self-normalizing, so weights
+    need no scaling) and ``ATE = μ̂₁ − μ̂₀``. Rows with propensity outside
+    ``[trim, 1−trim]`` are DROPPED (trimming, Crump et al. 2009), the
+    standard guard against exploding weights; the dropped count is
+    reported. Kish effective sample sizes ``(Σw)²/Σw²`` per arm are the
+    overlap diagnostic — an ESS far below n means the estimate rides on
+    a few extreme weights.
+
+    With ``m1_col``/``m0_col`` (outcome-model predictions under treat /
+    control) the output adds the doubly-robust AIPW estimate (Robins,
+    Rotnitzky & Zhao 1994)
+
+        ATE_dr = mean( m₁−m₀ + T·(y−m₁)/p − (1−T)·(y−m₀)/(1−p) )
+
+    which stays consistent if EITHER the propensity or the outcome model
+    is right. Output: one row ``(n, n_trimmed, n_treat, n_control,
+    mu_treat, mu_control, ate, ess_treat, ess_control, ate_dr)``
+    (floats rounded 6; ``ate_dr`` NULL without outcome columns).
+
+    Plan shape: ONE map-side-combinable aggregation over the corpus —
+    every estimator above is a ratio of weighted sums. Binary treatment
+    enforced (non-0/1 raises via the same guard style as
+    :func:`did_estimate`).
+    """
+    need = [y_col, treat_col, p_col] + [c for c in (m1_col, m0_col) if c]
+    missing = [c for c in need if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"ipw_estimate: missing columns {missing}")
+    if not (0.0 <= trim < 0.5):
+        raise DataFrameValidationError("ipw_estimate: trim must be in [0, 0.5)")
+    if (m1_col is None) != (m0_col is None):
+        raise DataFrameValidationError(
+            "ipw_estimate: m1_col and m0_col must be given together"
+        )
+    y = F.col(y_col).cast("double")
+    tr = F.col(treat_col).cast("double")
+    p = F.col(p_col).cast("double")
+    badt = F.when(
+        ~tr.isin([0.0, 1.0]),
+        F.raise_error(
+            F.lit(f"ipw_estimate: {treat_col!r} must be 0/1")
+        ).cast("double"),
+    )
+    tr = F.coalesce(badt, tr)
+    base = df.filter(y.isNotNull() & p.isNotNull() & F.col(treat_col).isNotNull())
+    kept = (p >= F.lit(float(trim))) & (p <= F.lit(1.0 - trim))
+    wt = tr / p
+    wc = (1.0 - tr) / (1.0 - p)
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((~kept).cast("long")).alias("_tr"),
+        F.sum(F.when(kept, tr)).alias("_nt"),
+        F.sum(F.when(kept, 1.0 - tr)).alias("_nc"),
+        F.sum(F.when(kept, wt * y)).alias("_swy1"),
+        F.sum(F.when(kept, wt)).alias("_sw1"),
+        F.sum(F.when(kept, wt * wt)).alias("_sq1"),
+        F.sum(F.when(kept, wc * y)).alias("_swy0"),
+        F.sum(F.when(kept, wc)).alias("_sw0"),
+        F.sum(F.when(kept, wc * wc)).alias("_sq0"),
+    ]
+    if m1_col is not None:
+        m1 = F.col(m1_col).cast("double")
+        m0 = F.col(m0_col).cast("double")
+        infl = m1 - m0 + tr * (y - m1) / p - (1.0 - tr) * (y - m0) / (1.0 - p)
+        aggs.append(F.avg(F.when(kept, infl)).alias("_dr"))
+    else:
+        aggs.append(F.lit(None).cast("double").alias("_dr"))
+    one = base.agg(*aggs)
+    mu1 = F.col("_swy1") / F.col("_sw1")
+    mu0 = F.col("_swy0") / F.col("_sw0")
+    return one.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_tr").cast("long").alias("n_trimmed"),
+        F.col("_nt").cast("long").alias("n_treat"),
+        F.col("_nc").cast("long").alias("n_control"),
+        F.round(mu1, 6).alias("mu_treat"),
+        F.round(mu0, 6).alias("mu_control"),
+        F.round(mu1 - mu0, 6).alias("ate"),
+        F.round(F.col("_sw1") * F.col("_sw1") / F.col("_sq1"), 6).alias(
+            "ess_treat"
+        ),
+        F.round(F.col("_sw0") * F.col("_sw0") / F.col("_sq0"), 6).alias(
+            "ess_control"
+        ),
+        F.round(F.col("_dr"), 6).alias("ate_dr"),
+    )

@@ -588,3 +588,60 @@ class TestSrmCheck:
             srm_check(df, "v", {"a": 0.7})
         with pytest.raises(DataFrameValidationError):
             srm_check(df, "v", {})
+
+
+class TestIpwEstimate:
+    def _data(self, with_models=True, seed=1, n=1500):
+        rng = np.random.RandomState(seed)
+        x = rng.rand(n)
+        p = 0.2 + 0.6 * x
+        t = (rng.rand(n) < p).astype(float)
+        y = 2 * x + 3 * t + rng.randn(n) * 0.3
+        m1, m0 = 2 * x + 3, 2 * x
+        return x, p, t, y, m1, m0
+
+    def test_hajek_and_aipw_parity(self, spark):
+        from temporalscope_spark.operators.experiment import ipw_estimate
+
+        x, p, t, y, m1, m0 = self._data()
+        rows = [tuple(map(float, r)) for r in zip(y, t, p, m1, m0)]
+        df = spark.createDataFrame(rows, "y double, t double, p double, m1 double, m0 double")
+        got = ipw_estimate(df, "y", "t", "p", "m1", "m0").collect()[0]
+        wt, wc = t / p, (1 - t) / (1 - p)
+        mu1 = (wt * y).sum() / wt.sum()
+        mu0 = (wc * y).sum() / wc.sum()
+        infl = (m1 - m0) + t * (y - m1) / p - (1 - t) * (y - m0) / (1 - p)
+        assert got["ate"] == pytest.approx(mu1 - mu0, abs=1e-6)
+        assert got["ate_dr"] == pytest.approx(infl.mean(), abs=1e-6)
+        assert got["ess_treat"] == pytest.approx(wt.sum() ** 2 / (wt**2).sum(), abs=1e-4)
+        # both estimators recover the planted effect of 3
+        assert abs(got["ate"] - 3.0) < 0.25 and abs(got["ate_dr"] - 3.0) < 0.15
+
+    def test_trimming_drops_extremes(self, spark):
+        from temporalscope_spark.operators.experiment import ipw_estimate
+
+        rows = [(1.0, 1.0, 0.001), (2.0, 0.0, 0.5), (3.0, 1.0, 0.5), (4.0, 0.0, 0.999)]
+        df = spark.createDataFrame(rows, "y double, t double, p double")
+        got = ipw_estimate(df, "y", "t", "p", trim=0.01).collect()[0]
+        assert got["n_trimmed"] == 2
+        assert got["n_treat"] == 1 and got["n_control"] == 1
+        assert got["ate"] == pytest.approx(3.0 - 2.0)
+        assert got["ate_dr"] is None
+
+    def test_non_binary_treatment_raises(self, spark):
+        from temporalscope_spark.operators.experiment import ipw_estimate
+
+        df = spark.createDataFrame([(1.0, 2.0, 0.5)], "y double, t double, p double")
+        with pytest.raises(Exception, match="must be 0/1"):
+            ipw_estimate(df, "y", "t", "p").collect()
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.experiment import ipw_estimate
+
+        df = spark.createDataFrame([(1.0, 1.0, 0.5)], "y double, t double, p double")
+        with pytest.raises(DataFrameValidationError):
+            ipw_estimate(df, "y", "t", "p", trim=0.6)
+        with pytest.raises(DataFrameValidationError):
+            ipw_estimate(df, "y", "t", "p", m1_col="m1")  # m0 missing
+        with pytest.raises(DataFrameValidationError):
+            ipw_estimate(df, "nope", "t", "p")
