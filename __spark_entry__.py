@@ -5891,8 +5891,35 @@ def q_ipw_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ipw_estimate(base, "y", "t", "p", "m1", "m0")
 
 
+def q_poisson_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Fisher-scoring round of the Poisson count GLM
+    (modeling/poisson.py) from β = 0, where the round is
+    transcendental-free (μ=1, w=1, z=y−1): the weighted sums feed the
+    same Cramer 3x3 solve the irls_step oracle is pinned by. Count
+    target = event_id % 5; features = the lag pair."""
+    from temporalscope_spark.modeling import poisson_step
+    from temporalscope_spark.operators.shift import lag_features
+
+    events = _t(spark, sf_dir, "events")
+    feats = lag_features(
+        events, "ts", ["value"], [1, 2], id_col="user_id", drop_incomplete=True
+    ).withColumn("yc", (F.col("event_id") % 5).cast("double"))
+    ic, beta, _, ll = poisson_step(
+        feats, ["value_lag_1", "value_lag_2"], "yc",
+        {"value_lag_1": 0.0, "value_lag_2": 0.0}, 0.0,
+    )
+    rows = [
+        ("intercept", round(ic, 6)),
+        ("log_likelihood", round(ll, 6)),
+        ("value_lag_1", round(beta["value_lag_1"], 6)),
+        ("value_lag_2", round(beta["value_lag_2"], 6)),
+    ]
+    return spark.createDataFrame(rows, "term string, value double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "poisson_step": q_poisson_step,
         "ipw_estimate": q_ipw_estimate,
         "holt_winters": q_holt_winters,
         "interval_overlap": q_interval_overlap,
@@ -13231,6 +13258,38 @@ def oracle_sql() -> dict[str, str]:
                round(sw0 * sw0 / sq0, 6) + 0.0 AS ess_control,
                round(dr, 6) + 0.0 AS ate_dr
         FROM f
+    """
+
+    # Poisson Fisher-scoring round at beta=0 (mu=1, w=1, z=y-1): plain
+    # sums + the shared Cramer 3x3 solve
+    sql["poisson_step"] = f"""
+        WITH feats AS (
+            SELECT event_id, ts, CAST(event_id % 5 AS DOUBLE) AS yc,
+                   lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS l1,
+                   lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS l2
+            FROM events
+        ),
+        d0 AS (SELECT * FROM feats WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+        s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   sum(l1) AS s1, sum(l2) AS s2,
+                   sum(l1 * l1) AS s11, sum(l1 * l2) AS s12,
+                   sum(l2 * l2) AS s22,
+                   sum(yc - 1.0) AS sy,
+                   sum(l1 * (yc - 1.0)) AS s1y,
+                   sum(l2 * (yc - 1.0)) AS s2y,
+                   sum(yc * 0.0 - 1.0) AS ll
+            FROM d0
+        ),
+        {_cramer3_cte()}
+        SELECT t.term,
+               round(CASE t.term WHEN 'intercept' THEN beta.b0
+                                 WHEN 'log_likelihood' THEN s.ll
+                                 WHEN 'value_lag_1' THEN beta.b1
+                                 ELSE beta.b2 END, 6) AS value
+        FROM beta, s,
+             (VALUES ('intercept'), ('log_likelihood'),
+                     ('value_lag_1'), ('value_lag_2')) t(term)
     """
 
     return sql

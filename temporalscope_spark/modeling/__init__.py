@@ -28,6 +28,11 @@ from temporalscope_spark.modeling.logistic import (
     irls_step,
 )
 from temporalscope_spark.modeling.naive_bayes import nb_classify, nb_fit, nb_score
+from temporalscope_spark.modeling.poisson import (
+    PoissonModel,
+    fit_poisson,
+    poisson_step,
+)
 
 __all__ = [
     "bt_comparison_matrix", "fit_bradley_terry", "bt_win_probability",
@@ -41,4 +46,7 @@ __all__ = [
     "nb_classify",
     "nb_fit",
     "nb_score",
+    "PoissonModel",
+    "fit_poisson",
+    "poisson_step",
 ]
