@@ -5917,8 +5917,29 @@ def q_poisson_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "term string, value double")
 
 
+def q_als_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS-WR round (Zhou et al. 2008) over (user, event_type, count)
+    ratings, k=2 closed-form lane: deterministic md5 seed factors, per-
+    entity Gram/rhs sufficient statistics (the shuffle carries 5 doubles
+    per entity, never ratings), 2x2 Cramer solve as expressions. Output:
+    the 5 item-factor rows."""
+    from temporalscope_spark.modeling.als import als_round
+
+    ev = _t(spark, sf_dir, "events")
+    ratings = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("r")
+    )
+    _, items = als_round(ratings, "user_id", "event_type", "r", k=2, reg=0.1, seed=42)
+    return items.select(
+        F.col("event_type").alias("item"),
+        F.element_at("factors", 1).alias("f0"),
+        F.element_at("factors", 2).alias("f1"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "als_round": q_als_round,
         "poisson_step": q_poisson_step,
         "ipw_estimate": q_ipw_estimate,
         "holt_winters": q_holt_winters,
@@ -13290,6 +13311,60 @@ def oracle_sql() -> dict[str, str]:
         FROM beta, s,
              (VALUES ('intercept'), ('log_likelihood'),
                      ('value_lag_1'), ('value_lag_2')) t(term)
+    """
+
+    # ALS round: identical md5 seed factors, identical Gram/rhs sums,
+    # identical 2x2 Cramer arithmetic; user factors round to 6 BEFORE
+    # the item solve (the replayable-model contract)
+    sql["als_round"] = """
+        WITH rat AS (
+            SELECT CAST(user_id AS VARCHAR) AS u,
+                   CAST(event_type AS VARCHAR) AS i,
+                   CAST(count(*) AS DOUBLE) AS r
+            FROM events GROUP BY 1, 2
+        ),
+        q0 AS (
+            SELECT i,
+                   0.5 * (2.0 * ((CAST(('0x' || substr(md5(i || '#42#0'), 1, 15))
+                                  AS BIGINT) % 1000000000) / 1000000000.0)
+                          - 1.0) AS a0,
+                   0.5 * (2.0 * ((CAST(('0x' || substr(md5(i || '#42#1'), 1, 15))
+                                  AS BIGINT) % 1000000000) / 1000000000.0)
+                          - 1.0) AS a1
+            FROM (SELECT DISTINCT i FROM rat)
+        ),
+        uagg AS (
+            SELECT u, CAST(count(*) AS DOUBLE) AS n,
+                   sum(r * a0) AS r0, sum(r * a1) AS r1,
+                   sum(a0 * a0) AS g00, sum(a0 * a1) AS g01,
+                   sum(a1 * a1) AS g11
+            FROM rat JOIN q0 USING (i) GROUP BY u
+        ),
+        p AS (
+            SELECT u,
+                   round(((g11 + 0.1 * n) * r0 - g01 * r1)
+                         / ((g00 + 0.1 * n) * (g11 + 0.1 * n) - g01 * g01),
+                         6) AS a0,
+                   round(((g00 + 0.1 * n) * r1 - g01 * r0)
+                         / ((g00 + 0.1 * n) * (g11 + 0.1 * n) - g01 * g01),
+                         6) AS a1
+            FROM uagg
+        ),
+        iagg AS (
+            SELECT i, CAST(count(*) AS DOUBLE) AS n,
+                   sum(r * a0) AS r0, sum(r * a1) AS r1,
+                   sum(a0 * a0) AS g00, sum(a0 * a1) AS g01,
+                   sum(a1 * a1) AS g11
+            FROM rat JOIN p USING (u) GROUP BY i
+        )
+        SELECT i AS item,
+               round(((g11 + 0.1 * n) * r0 - g01 * r1)
+                     / ((g00 + 0.1 * n) * (g11 + 0.1 * n) - g01 * g01), 6)
+                   + 0.0 AS f0,
+               round(((g00 + 0.1 * n) * r1 - g01 * r0)
+                     / ((g00 + 0.1 * n) * (g11 + 0.1 * n) - g01 * g01), 6)
+                   + 0.0 AS f1
+        FROM iagg
     """
 
     return sql

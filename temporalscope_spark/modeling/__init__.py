@@ -28,6 +28,11 @@ from temporalscope_spark.modeling.logistic import (
     irls_step,
 )
 from temporalscope_spark.modeling.naive_bayes import nb_classify, nb_fit, nb_score
+from temporalscope_spark.modeling.als import (
+    als_half_round,
+    als_round,
+    als_seed_factors,
+)
 from temporalscope_spark.modeling.poisson import (
     PoissonModel,
     fit_poisson,
@@ -49,4 +54,7 @@ __all__ = [
     "PoissonModel",
     "fit_poisson",
     "poisson_step",
+    "als_half_round",
+    "als_round",
+    "als_seed_factors",
 ]
