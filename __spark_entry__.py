@@ -5937,8 +5937,50 @@ def q_als_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid mSPRT p-value (Johari et al. 2017) for click vs view
+    event values: ONE moment aggregation, closed-form mixture likelihood
+    ratio — the peeking-proof companion to the fixed-horizon tests."""
+    from temporalscope_spark.operators.experiment import msprt_test
+
+    events = _t(spark, sf_dir, "events")
+    return msprt_test(events, "value", "event_type", "click", "view", tau2=1.0)
+
+
+def q_fs_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage of customers against a
+    deterministically perturbed 10% re-extract (every 20th name
+    corrupted): candidate pairs ONLY from the nation blocking equi-join
+    (never n²), log-odds agreement weights as expressions; the query
+    returns the 'link' band."""
+    from temporalscope_spark.operators.linkage import fs_link
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("lid"), "c_nationkey", "c_name", "c_mktsegment"
+    )
+    right = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 20 == 0, F.concat(F.col("c_name"), F.lit("x"))
+        ).otherwise(F.col("c_name")).alias("c_name"),
+        "c_mktsegment",
+    )
+    out = fs_link(
+        left, right, "c_nationkey",
+        {"c_name": (0.95, 0.001), "c_mktsegment": (0.9, 0.2)},
+        "lid", "rid", lower=3.0, upper=6.0,
+    )
+    return out.filter(F.col("decision") == "link").select(
+        "lid", "rid", "weight", "n_agree", "n_known"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "msprt": q_msprt,
+        "fs_link": q_fs_link,
         "als_round": q_als_round,
         "poisson_step": q_poisson_step,
         "ipw_estimate": q_ipw_estimate,
@@ -13365,6 +13407,81 @@ def oracle_sql() -> dict[str, str]:
                      / ((g00 + 0.1 * n) * (g11 + 0.1 * n) - g01 * g01), 6)
                    + 0.0 AS f1
         FROM iagg
+    """
+
+    # mSPRT: one moment fold, same closed-form mixture LR with the same
+    # exp-cap and lambda-cap guards
+    sql["msprt"] = """
+        WITH b AS (
+            SELECT CAST(value AS DOUBLE) AS y,
+                   CAST(event_type = 'click' AS DOUBLE) AS ia,
+                   CAST(event_type = 'view' AS DOUBLE) AS ib
+            FROM events
+            WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        ),
+        m AS (
+            SELECT sum(ia) AS na, sum(ib) AS nb,
+                   sum(ia * y) AS sa, sum(ib * y) AS sb,
+                   sum(ia * y * y) AS qa, sum(ib * y * y) AS qb
+            FROM b
+        ),
+        s AS (
+            SELECT na, nb, sa / na - sb / nb AS diff,
+                   ((qa - na * (sa / na) * (sa / na))
+                    + (qb - nb * (sb / nb) * (sb / nb)))
+                       / (na + nb - 2.0) * (1.0 / na + 1.0 / nb) AS vn
+            FROM m
+        ),
+        l AS (
+            SELECT na, nb, diff, vn,
+                   least(sqrt(vn / (vn + 1.0))
+                         * exp(least(diff * diff * 1.0
+                                     / (2.0 * vn * (vn + 1.0)), 700.0)),
+                         1e12) AS lam
+            FROM s
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(diff, 6) + 0.0 AS diff, round(vn, 6) + 0.0 AS v_n,
+               round(CASE WHEN vn > 0 THEN lam END, 6) + 0.0 AS lambda_n,
+               round(CASE WHEN vn > 0 THEN least(1.0, 1.0 / lam) END, 6) + 0.0
+                   AS p_value
+        FROM l
+    """
+
+    # Fellegi-Sunter linkage: blocked join + full-precision weight
+    # literals (repr of the engine's math.log2 constants)
+    import math as _math
+
+    _wna = repr(_math.log2(0.95 / 0.001))
+    _wnd = repr(_math.log2(0.05 / 0.999))
+    _wsa = repr(_math.log2(0.9 / 0.2))
+    _wsd = repr(_math.log2(0.1 / 0.8))
+    sql["fs_link"] = f"""
+        WITH l AS (
+            SELECT c_custkey AS lid, c_nationkey, c_name, c_mktsegment
+            FROM customer
+        ),
+        r AS (
+            SELECT c_custkey + 1000000 AS rid, c_nationkey,
+                   CASE WHEN c_custkey % 20 = 0 THEN c_name || 'x'
+                        ELSE c_name END AS c_name,
+                   c_mktsegment
+            FROM customer WHERE c_custkey % 10 = 0
+        ),
+        p AS (
+            SELECT l.lid, r.rid,
+                   round(CASE WHEN l.c_name = r.c_name THEN {_wna}
+                              ELSE {_wnd} END
+                         + CASE WHEN l.c_mktsegment = r.c_mktsegment
+                                THEN {_wsa} ELSE {_wsd} END, 6) AS weight,
+                   CAST(l.c_name = r.c_name AS INT)
+                       + CAST(l.c_mktsegment = r.c_mktsegment AS INT)
+                       AS n_agree,
+                   2 AS n_known
+            FROM l JOIN r ON l.c_nationkey = r.c_nationkey
+        )
+        SELECT lid, rid, weight + 0.0 AS weight, n_agree, n_known
+        FROM p WHERE weight >= 6.0
     """
 
     return sql

@@ -989,3 +989,93 @@ def ipw_estimate(
         ),
         F.round(F.col("_dr"), 6).alias("ate_dr"),
     )
+
+
+def msprt_test(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    tau2: float = 1.0,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) — the
+    always-valid p-value behind continuous-monitoring experiment
+    platforms (Johari, Koomen, Pekelis & Walsh, KDD 2017 "Peeking at
+    A/B tests"): unlike the fixed-horizon z test, the decision
+    "significant at α" stays valid no matter how often (or when) the
+    experimenter looks.
+
+    For the two-stream mean difference with H₀: δ = 0 and a N(0, τ²)
+    mixing prior over the alternative,
+
+        V_n = σ̂²·(1/n_a + 1/n_b)                 (pooled variance)
+        Λ_n = sqrt(V_n/(V_n+τ²)) · exp(δ̂² τ² / (2 V_n (V_n+τ²)))
+        p_n = min(1, 1/Λ_n)
+
+    (the paper's closed form; the always-valid p over a RUN is the
+    running min of p_n — this operator reports the current snapshot,
+    which upstream monitoring folds with ``least``). ``tau2`` is the
+    prior variance of the effect; the paper's guidance is to match the
+    typical effect size (it tunes power, not validity).
+
+    Output: one row ``(n_a, n_b, diff, v_n, lambda_n, p_value)``
+    (rounded 6; ``lambda_n`` capped at 1e12 before rounding to keep the
+    replay finite — p has already hit its floor long before the cap).
+    Plan shape: ONE map-side-combinable moment aggregation; everything
+    downstream is a bounded fold. Missing groups raise; a degenerate
+    V_n = 0 yields NULL lambda/p.
+    """
+    if tau2 <= 0:
+        raise DataFrameValidationError("msprt_test: tau2 must be > 0")
+    for c in (metric_col, group_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"msprt_test: missing column {c!r}")
+    g = F.col(group_col).cast("string")
+    y = F.col(metric_col).cast("double")
+    ia = (g == F.lit(str(group_a))).cast("double")
+    ib = (g == F.lit(str(group_b))).cast("double")
+    base = df.filter(y.isNotNull() & g.isin([str(group_a), str(group_b)]))
+    one = base.agg(
+        F.sum(ia).alias("_na"),
+        F.sum(ib).alias("_nb"),
+        F.sum(ia * y).alias("_sa"),
+        F.sum(ib * y).alias("_sb"),
+        F.sum(ia * y * y).alias("_qa"),
+        F.sum(ib * y * y).alias("_qb"),
+    )
+    na = F.col("_na")
+    nb = F.col("_nb")
+    guard = F.when(
+        (na == 0) | (nb == 0),
+        F.raise_error(
+            F.lit(
+                f"msprt_test: group {group_a!r} or {group_b!r} has no "
+                "non-null rows"
+            )
+        ).cast("double"),
+    )
+    ma = F.col("_sa") / na
+    mb = F.col("_sb") / nb
+    diff = ma - mb
+    # pooled variance: (Σq − n·m²) summed over arms / (N − 2)
+    ss = (F.col("_qa") - na * ma * ma) + (F.col("_qb") - nb * mb * mb)
+    sig2 = F.when(na + nb > 2, ss / (na + nb - 2.0))
+    vn = sig2 * (1.0 / na + 1.0 / nb)
+    t2 = F.lit(float(tau2))
+    lam = F.sqrt(vn / (vn + t2)) * F.exp(
+        F.least(
+            diff * diff * t2 / (2.0 * vn * (vn + t2)), F.lit(700.0)
+        )
+    )
+    lam = F.least(lam, F.lit(1e12))
+    return one.select(
+        F.coalesce(guard, na).cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(diff, 6).alias("diff"),
+        F.round(vn, 6).alias("v_n"),
+        F.round(F.when(vn > 0, lam), 6).alias("lambda_n"),
+        F.round(F.when(vn > 0, F.least(F.lit(1.0), 1.0 / lam)), 6).alias(
+            "p_value"
+        ),
+    )

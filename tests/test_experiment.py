@@ -645,3 +645,63 @@ class TestIpwEstimate:
             ipw_estimate(df, "y", "t", "p", m1_col="m1")  # m0 missing
         with pytest.raises(DataFrameValidationError):
             ipw_estimate(df, "nope", "t", "p")
+
+
+class TestMsprt:
+    def _ref(self, a, b, tau2=1.0):
+        import numpy as np
+
+        a, b = np.array(a), np.array(b)
+        na, nb = len(a), len(b)
+        diff = a.mean() - b.mean()
+        ss = ((a - a.mean()) ** 2).sum() + ((b - b.mean()) ** 2).sum()
+        vn = ss / (na + nb - 2) * (1 / na + 1 / nb)
+        lam = min(
+            math.sqrt(vn / (vn + tau2))
+            * math.exp(min(diff * diff * tau2 / (2 * vn * (vn + tau2)), 700.0)),
+            1e12,
+        )
+        return diff, vn, lam, min(1.0, 1 / lam)
+
+    def test_formula_parity(self, spark):
+        from temporalscope_spark.operators.experiment import msprt_test
+
+        rng = np.random.RandomState(11)
+        a = [float(v) for v in rng.randn(300) + 0.2]
+        b = [float(v) for v in rng.randn(280)]
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = msprt_test(df, "y", "g", "a", "b", tau2=0.5).collect()[0]
+        diff, vn, lam, p = self._ref(a, b, 0.5)
+        assert got["diff"] == pytest.approx(diff, abs=1e-6)
+        assert got["v_n"] == pytest.approx(vn, abs=1e-6)
+        assert got["lambda_n"] == pytest.approx(lam, rel=1e-5)
+        assert got["p_value"] == pytest.approx(p, abs=1e-6)
+
+    def test_null_effect_p_near_one(self, spark):
+        from temporalscope_spark.operators.experiment import msprt_test
+
+        rng = np.random.RandomState(12)
+        rows = [("a" if i % 2 else "b", float(v)) for i, v in enumerate(rng.randn(600))]
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = msprt_test(df, "y", "g", "a", "b").collect()[0]
+        assert got["p_value"] > 0.5
+
+    def test_huge_effect_caps(self, spark):
+        from temporalscope_spark.operators.experiment import msprt_test
+
+        rows = [("a", 100.0 + i * 0.001) for i in range(50)] + [
+            ("b", float(i) * 0.001) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = msprt_test(df, "y", "g", "a", "b").collect()[0]
+        assert got["lambda_n"] == 1e12 and got["p_value"] == 0.0
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.experiment import msprt_test
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, y double")
+        with pytest.raises(DataFrameValidationError):
+            msprt_test(df, "y", "g", "a", "b", tau2=0.0)
+        with pytest.raises(Exception, match="has no"):
+            msprt_test(df, "y", "g", "a", "b").collect()
