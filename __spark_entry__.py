@@ -5977,8 +5977,35 @@ def q_fs_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cox_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Newton step of Cox PH partial likelihood from β = 0 (where
+    w = 1: the risk-set sums are transcendental-free counts/moments):
+    duration = event value, event = id parity, two bounded covariates.
+    Grid aggregation + distributed DESC-suffix cumsum + U/I fold + the
+    2x2 solve; oracle replays grid, suffix windows, and Cramer 2x2."""
+    from temporalscope_spark.operators.survival import cox_step
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("value").alias("dur"),
+        (F.col("event_id") % 2).cast("double").alias("evt"),
+        ((F.col("user_id") % 10).cast("double") / 10.0).alias("x1"),
+        ((F.col("event_id") % 7).cast("double") / 7.0).alias("x2"),
+    )
+    nb, nr, ne, ll = cox_step(base, "dur", "evt", ["x1", "x2"])
+    rows = [
+        ("x1", round(nb["x1"], 6)),
+        ("x2", round(nb["x2"], 6)),
+        ("n_rows", float(nr)),
+        ("n_events", float(ne)),
+        ("loglik", round(ll, 6)),
+    ]
+    return spark.createDataFrame(rows, "term string, value double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "cox_step": q_cox_step,
         "msprt": q_msprt,
         "fs_link": q_fs_link,
         "als_round": q_als_round,
@@ -13482,6 +13509,68 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lid, rid, weight + 0.0 AS weight, n_agree, n_known
         FROM p WHERE weight >= 6.0
+    """
+
+    # Cox Newton step at beta=0 (w=1): grid + DESC suffix windows +
+    # U/I fold + Cramer 2x2 — identical operand order throughout
+    sql["cox_step"] = """
+        WITH b AS (
+            SELECT CAST(value AS DOUBLE) AS dur,
+                   CAST(event_id % 2 AS DOUBLE) AS evt,
+                   CAST(user_id % 10 AS DOUBLE) / 10.0 AS x1,
+                   CAST(event_id % 7 AS DOUBLE) / 7.0 AS x2
+            FROM events WHERE value IS NOT NULL
+        ),
+        grid AS (
+            SELECT dur, count(*) AS n, sum(evt) AS d,
+                   sum(evt * x1) AS sx0, sum(evt * x2) AS sx1,
+                   CAST(count(*) AS DOUBLE) AS sw,
+                   sum(x1) AS swx0, sum(x2) AS swx1,
+                   sum(x1 * x1) AS sxx00, sum(x1 * x2) AS sxx01,
+                   sum(x2 * x2) AS sxx11
+            FROM b GROUP BY dur
+        ),
+        cum AS (
+            SELECT *,
+                   sum(sw) OVER w AS s0,
+                   sum(swx0) OVER w AS s10, sum(swx1) OVER w AS s11,
+                   sum(sxx00) OVER w AS s200, sum(sxx01) OVER w AS s201,
+                   sum(sxx11) OVER w AS s211
+            FROM grid
+            WINDOW w AS (ORDER BY dur DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        f AS (
+            SELECT sum(n) AS nr, sum(d) AS ne,
+                   sum(CASE WHEN d > 0 THEN sx0 - d * s10 / s0 END) AS u0,
+                   sum(CASE WHEN d > 0 THEN sx1 - d * s11 / s0 END) AS u1,
+                   sum(CASE WHEN d > 0
+                            THEN d * (s200 / s0 - s10 * s10 / (s0 * s0)) END)
+                       AS i00,
+                   sum(CASE WHEN d > 0
+                            THEN d * (s201 / s0 - s10 * s11 / (s0 * s0)) END)
+                       AS i01,
+                   sum(CASE WHEN d > 0
+                            THEN d * (s211 / s0 - s11 * s11 / (s0 * s0)) END)
+                       AS i11,
+                   sum(CASE WHEN d > 0 THEN 0.0 - d * ln(s0) END) AS ll
+            FROM cum
+        ),
+        sol AS (
+            SELECT nr, ne, ll,
+                   (i11 * u0 - i01 * u1) / (i00 * i11 - i01 * i01) AS d0,
+                   (i00 * u1 - i01 * u0) / (i00 * i11 - i01 * i01) AS d1
+            FROM f
+        )
+        SELECT t.term,
+               CASE t.term WHEN 'x1' THEN round(d0, 6)
+                           WHEN 'x2' THEN round(d1, 6)
+                           WHEN 'n_rows' THEN CAST(nr AS DOUBLE)
+                           WHEN 'n_events' THEN CAST(ne AS DOUBLE)
+                           ELSE round(ll, 6) END + 0.0 AS value
+        FROM sol,
+             (VALUES ('x1'), ('x2'), ('n_rows'), ('n_events'),
+                     ('loglik')) t(term)
     """
 
     return sql

@@ -32,7 +32,13 @@ from temporalscope_spark.operators.experiment import (
 from temporalscope_spark.operators.lifecycle import cohort_retention, funnel_conversion
 from temporalscope_spark.operators.corruption import fim_split, span_corruption
 from temporalscope_spark.operators.suffix import repeated_substrings, suffix_ranks
-from temporalscope_spark.operators.survival import kaplan_meier, logrank_test, nelson_aalen
+from temporalscope_spark.operators.survival import (
+    cox_step,
+    fit_cox,
+    kaplan_meier,
+    logrank_test,
+    nelson_aalen,
+)
 from temporalscope_spark.operators.contamination import (
     bloom_bits,
     bloom_contaminated_ids,
@@ -291,7 +297,7 @@ __all__ = [
     "PCAModel", "fit_pca", "fit_pca_array", "pca_project", "pca_project_array",
     "tfidf_cosine_pairs", "tfidf_table", "hashed_features", "mann_whitney_u",
     "permutation_test", "covariate_balance", "srm_check", "ipw_estimate",
-    "msprt_test", "fs_link",
+    "msprt_test", "fs_link", "cox_step", "fit_cox",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
     "rare_collapse", "target_encode_oof", "woe_encode", "woe_iv_table",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",

@@ -332,3 +332,153 @@ def logrank_test(
         F.round(chi2, 6).alias("chi2"),
     )
     return out.orderBy("group")
+
+
+def cox_step(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    feature_cols,
+    beta: dict | None = None,
+    ridge: float = 0.0,
+):
+    """ONE Newton step of Cox proportional-hazards partial likelihood
+    (Cox 1972; Breslow tie handling) — the regression member of the
+    survival family (KM/Nelson–Aalen/log-rank describe; Cox explains).
+
+    With risk-set sums ``S_k(t) = Σ_{j: t_j ≥ t} w_j·x_j^{⊗k}`` at
+    ``w = e^{x'β}``, the score and information are
+
+        U_k  = Σ_{event times t} [ Σ_{i∈D_t} x_ik − d_t·S1_k/S0 ]
+        I_jk = Σ_{event times t}   d_t·(S2_jk/S0 − S1_j·S1_k/S0²)
+
+    and the step is ``β' = β + (I + λI)⁻¹U``. Returns
+    ``(new_beta, n_rows, n_events, partial_loglik)``; iterate to fit
+    (Newton converges in a handful of rounds — same contract as
+    ``modeling.logistic.irls_step``).
+
+    Plan shape (100 TB-safe): the corpus collapses in ONE map-side-
+    combinable ``groupBy(duration)`` aggregation to the bounded
+    distinct-duration grid carrying the per-time event sums and w-moment
+    sums; the risk-set suffix sums are the quantile-bucket two-phase
+    prefix sum of ``plans/rownum.py`` ordered by DESCENDING duration (NO
+    single-partition window even when durations are continuous); the
+    final U/I fold ships p + p(p+1)/2 + 1 doubles to the driver for the
+    numpy solve — the irls_step convention. Event must be 0/1 (validated
+    in-aggregation); NULL rows are dropped.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    feature_cols = list(feature_cols)
+    if not feature_cols:
+        raise DataFrameValidationError("cox_step: feature_cols must be non-empty")
+    for c in [duration_col, event_col, *feature_cols]:
+        if c not in df.columns:
+            raise DataFrameValidationError(f"cox_step: missing column {c!r}")
+    beta = dict(beta or {c: 0.0 for c in feature_cols})
+    p = len(feature_cols)
+    t = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("double")
+    xs = [F.col(c).cast("double") for c in feature_cols]
+    cond = t.isNotNull() & e.isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    eta = F.lit(0.0)
+    for c, x in zip(feature_cols, xs):
+        eta = eta + F.lit(float(beta[c])) * x
+    w = F.exp(eta)
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(e).alias("_d"),
+        F.sum(e * eta).alias("_se"),
+        F.sum(w).alias("_sw"),
+        F.max((~e.isin(0.0, 1.0)).cast("int")).alias("_bad"),
+    ]
+    for i, x in enumerate(xs):
+        aggs.append(F.sum(e * x).alias(f"_sx{i}"))
+        aggs.append(F.sum(w * x).alias(f"_swx{i}"))
+        for j in range(i, p):
+            aggs.append(F.sum(w * x * xs[j]).alias(f"_swxx{i}_{j}"))
+    grid = df.filter(cond).groupBy(t.alias("_t")).agg(*aggs)
+
+    from temporalscope_spark.plans.rownum import with_global_cumsum
+
+    cum_cols = ["_sw"] + [f"_swx{i}" for i in range(p)] + [
+        f"_swxx{i}_{j}" for i in range(p) for j in range(i, p)
+    ]
+    grid = grid.withColumn("_negt", -F.col("_t"))
+    cum = with_global_cumsum(grid, ["_negt"], cum_cols)
+    s0 = F.col("_sw_cum")
+    s1 = [F.col(f"_swx{i}_cum") for i in range(p)]
+    s2 = {(i, j): F.col(f"_swxx{i}_{j}_cum") for i in range(p) for j in range(i, p)}
+    ev = F.col("_d") > 0
+    folds = [
+        F.sum("_n").alias("_nr"),
+        F.sum("_d").alias("_ne"),
+        F.max("_bad").alias("_badmax"),
+        F.sum(F.when(ev, F.col("_se") - F.col("_d") * F.log(s0))).alias("_ll"),
+    ]
+    for i in range(p):
+        folds.append(
+            F.sum(
+                F.when(ev, F.col(f"_sx{i}") - F.col("_d") * s1[i] / s0)
+            ).alias(f"_u{i}")
+        )
+        for j in range(i, p):
+            folds.append(
+                F.sum(
+                    F.when(
+                        ev,
+                        F.col("_d")
+                        * (s2[(i, j)] / s0 - s1[i] * s1[j] / (s0 * s0)),
+                    )
+                ).alias(f"_i{i}_{j}")
+            )
+    row = cum.agg(*folds).first()
+    if int(row["_badmax"] or 0) > 0:
+        raise DataFrameValidationError(
+            f"cox_step: event column '{event_col}' must be 0/1"
+        )
+    n_events = int(row["_ne"] or 0)
+    if n_events == 0:
+        raise DataFrameValidationError("cox_step: no events (all censored)")
+    U = np.array([row[f"_u{i}"] for i in range(p)])
+    I = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            I[i, j] = I[j, i] = row[f"_i{i}_{j}"]
+    if ridge:
+        I = I + float(ridge) * np.eye(p)
+    delta = np.linalg.solve(I, U)
+    new_beta = {c: float(beta[c] + delta[i]) for i, c in enumerate(feature_cols)}
+    return new_beta, int(row["_nr"]), n_events, float(row["_ll"])
+
+
+def fit_cox(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    feature_cols,
+    ridge: float = 0.0,
+    max_iters: int = 25,
+    tol: float = 1e-8,
+) -> dict:
+    """Fit Cox PH by iterating :func:`cox_step` to convergence. Returns
+    ``{"coefs": {...}, "n_rows", "n_events", "loglik", "n_iters"}``;
+    raises on non-convergence."""
+    feature_cols = list(feature_cols)
+    beta = {c: 0.0 for c in feature_cols}
+    for it in range(1, max_iters + 1):
+        new_beta, n, ne, ll = cox_step(
+            df, duration_col, event_col, feature_cols, beta, ridge=ridge
+        )
+        delta = max(abs(new_beta[c] - beta[c]) for c in feature_cols)
+        beta = new_beta
+        if delta < tol:
+            return {
+                "coefs": beta, "n_rows": n, "n_events": ne,
+                "loglik": ll, "n_iters": it,
+            }
+    raise DataFrameValidationError(
+        f"fit_cox did not converge in {max_iters} Newton rounds"
+    )
