@@ -6003,8 +6003,50 @@ def q_cox_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "term string, value double")
 
 
+def q_fs_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM round (Winkler 1988) estimating Fellegi–Sunter m/u/p from
+    the blocked customer candidate pairs themselves — posterior match
+    weights as expressions, M-step ONE aggregation over the bounded
+    pair table."""
+    from temporalscope_spark.operators.linkage import fs_em_round
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("lid"), "c_nationkey", "c_name", "c_mktsegment"
+    )
+    right = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        F.col("c_nationkey").alias("rnat"),
+        F.when(
+            F.col("c_custkey") % 20 == 0, F.concat(F.col("c_name"), F.lit("x"))
+        ).otherwise(F.col("c_name")).alias("rname"),
+        F.col("c_mktsegment").alias("rseg"),
+    )
+    pairs = left.join(right, left["c_nationkey"] == right["rnat"]).select(
+        (F.col("c_name") == F.col("rname")).alias("a_name"),
+        (F.col("c_mktsegment") == F.col("rseg")).alias("a_seg"),
+    )
+    out = fs_em_round(
+        pairs, ["a_name", "a_seg"],
+        {"a_name": 0.8, "a_seg": 0.8},
+        {"a_name": 0.1, "a_seg": 0.2},
+        0.01,
+    )
+    rows = [
+        ("m_name", round(out["m"]["a_name"], 6)),
+        ("u_name", round(out["u"]["a_name"], 6)),
+        ("m_seg", round(out["m"]["a_seg"], 6)),
+        ("u_seg", round(out["u"]["a_seg"], 6)),
+        ("p", round(out["p"], 6)),
+        ("n_pairs", float(out["n_pairs"])),
+        ("expected_matches", round(out["expected_matches"], 6)),
+    ]
+    return spark.createDataFrame(rows, "term string, value double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "fs_em_round": q_fs_em_round,
         "cox_step": q_cox_step,
         "msprt": q_msprt,
         "fs_link": q_fs_link,
@@ -13571,6 +13613,62 @@ def oracle_sql() -> dict[str, str]:
         FROM sol,
              (VALUES ('x1'), ('x2'), ('n_rows'), ('n_events'),
                      ('loglik')) t(term)
+    """
+
+    # Fellegi-Sunter EM round: likelihood-ratio literals COMPUTED
+    # (0.8/0.1 etc.), identical posterior-weight arithmetic, one fold
+    sql["fs_em_round"] = """
+        WITH l AS (
+            SELECT c_custkey AS lid, c_nationkey, c_name, c_mktsegment
+            FROM customer
+        ),
+        r AS (
+            SELECT c_custkey + 1000000 AS rid, c_nationkey AS rnat,
+                   CASE WHEN c_custkey % 20 = 0 THEN c_name || 'x'
+                        ELSE c_name END AS rname,
+                   c_mktsegment AS rseg
+            FROM customer WHERE c_custkey % 10 = 0
+        ),
+        pr AS (
+            SELECT l.c_name = r.rname AS a_name,
+                   l.c_mktsegment = r.rseg AS a_seg
+            FROM l JOIN r ON l.c_nationkey = r.rnat
+        ),
+        g AS (
+            SELECT a_name, a_seg,
+                   0.01 * ((CASE WHEN a_name THEN 0.8 / 0.1
+                                 ELSE (1 - 0.8) / (1 - 0.1) END)
+                           * (CASE WHEN a_seg THEN 0.8 / 0.2
+                                   ELSE (1 - 0.8) / (1 - 0.2) END))
+                   / (0.01 * ((CASE WHEN a_name THEN 0.8 / 0.1
+                                    ELSE (1 - 0.8) / (1 - 0.1) END)
+                              * (CASE WHEN a_seg THEN 0.8 / 0.2
+                                      ELSE (1 - 0.8) / (1 - 0.2) END))
+                      + (1 - 0.01)) AS gw
+            FROM pr
+        ),
+        f AS (
+            SELECT count(*) AS n, sum(gw) AS sg,
+                   sum(CASE WHEN a_name THEN gw END) AS ga_name,
+                   sum(gw) AS gk_name,
+                   sum(CASE WHEN a_name THEN 1.0 - gw END) AS ua_name,
+                   sum(1.0 - gw) AS uk_name,
+                   sum(CASE WHEN a_seg THEN gw END) AS ga_seg,
+                   sum(CASE WHEN a_seg THEN 1.0 - gw END) AS ua_seg
+            FROM g
+        )
+        SELECT t.term,
+               round(CASE t.term
+                     WHEN 'm_name' THEN ga_name / gk_name
+                     WHEN 'u_name' THEN ua_name / uk_name
+                     WHEN 'm_seg' THEN ga_seg / gk_name
+                     WHEN 'u_seg' THEN ua_seg / uk_name
+                     WHEN 'p' THEN sg / n
+                     WHEN 'n_pairs' THEN CAST(n AS DOUBLE)
+                     ELSE sg END, 6) + 0.0 AS value
+        FROM f,
+             (VALUES ('m_name'), ('u_name'), ('m_seg'), ('u_seg'),
+                     ('p'), ('n_pairs'), ('expected_matches')) t(term)
     """
 
     return sql

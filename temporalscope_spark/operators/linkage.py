@@ -111,3 +111,88 @@ def fs_link(
         known_n.alias("n_known"),
         decision.alias("decision"),
     )
+
+
+def fs_em_round(
+    pairs: DataFrame,
+    agree_cols: list,
+    m: dict,
+    u: dict,
+    p: float,
+) -> dict:
+    """ONE EM round for the Fellegi–Sunter parameters (Winkler 1988 —
+    the standard way to GET the m/u probabilities :func:`fs_link`
+    consumes, fitted on the blocked candidate pairs themselves, no
+    labels needed).
+
+    E-step (expressions, per pair): likelihood ratio
+    ``R = Π_f (m_f/u_f)^[agree] · ((1−m_f)/(1−u_f))^[disagree]`` over
+    KNOWN fields; posterior match weight ``g = pR / (pR + 1 − p)``.
+    M-step (ONE map-side-combinable aggregation):
+
+        m_f' = Σ g·agree_f / Σ g·known_f
+        u_f' = Σ (1−g)·agree_f / Σ (1−g)·known_f
+        p'   = Σ g / N
+
+    Returns ``{"m": {...}, "u": {...}, "p": ..., "n_pairs": ...,
+    "expected_matches": ...}`` (full precision; round at the edge).
+    NULL agreement values mean "field unknown for this pair" — they are
+    skipped in both steps. Iterate to fit; each round is one scan of
+    the bounded candidate-pair table (already blocked — never n²).
+    Updated probabilities are clamped to [1e-6, 1−1e-6] (the standard
+    EM degeneracy guard). ``agree_cols`` must be boolean-like columns.
+    """
+    if not agree_cols:
+        raise DataFrameValidationError("fs_em_round: agree_cols must be non-empty")
+    missing = [c for c in agree_cols if c not in pairs.columns]
+    if missing:
+        raise DataFrameValidationError(f"fs_em_round: missing columns {missing}")
+    if not (0.0 < p < 1.0):
+        raise DataFrameValidationError("fs_em_round: p must be in (0, 1)")
+    for f in agree_cols:
+        if f not in m or f not in u:
+            raise DataFrameValidationError(f"fs_em_round: m/u missing field {f!r}")
+        if not (0.0 < u[f] < 1.0 and 0.0 < m[f] < 1.0):
+            raise DataFrameValidationError(
+                f"fs_em_round: m/u for {f!r} must be in (0, 1)"
+            )
+    r: "F.Column" = F.lit(1.0)
+    for f in agree_cols:
+        a = F.col(f).cast("boolean")
+        r = r * F.when(a, F.lit(float(m[f]) / float(u[f]))).when(
+            ~a, F.lit((1.0 - float(m[f])) / (1.0 - float(u[f])))
+        ).otherwise(F.lit(1.0))
+    g = F.lit(float(p)) * r / (F.lit(float(p)) * r + F.lit(1.0 - float(p)))
+    aggs = [F.count(F.lit(1)).alias("_n"), F.sum(g).alias("_sg")]
+    for f in agree_cols:
+        a = F.col(f).cast("boolean")
+        known = a.isNotNull()
+        aggs += [
+            F.sum(F.when(a, g)).alias(f"_ga_{f}"),
+            F.sum(F.when(known, g)).alias(f"_gk_{f}"),
+            F.sum(F.when(a, 1.0 - g)).alias(f"_ua_{f}"),
+            F.sum(F.when(known, 1.0 - g)).alias(f"_uk_{f}"),
+        ]
+    row = pairs.agg(*aggs).first()
+    n = int(row["_n"])
+    if n == 0:
+        raise DataFrameValidationError("fs_em_round: no candidate pairs")
+    eps = 1e-6
+    clamp = lambda v: min(max(v, eps), 1.0 - eps)  # noqa: E731
+    new_m = {
+        f: clamp((row[f"_ga_{f}"] or 0.0) / row[f"_gk_{f}"])
+        if row[f"_gk_{f}"] else float(m[f])
+        for f in agree_cols
+    }
+    new_u = {
+        f: clamp((row[f"_ua_{f}"] or 0.0) / row[f"_uk_{f}"])
+        if row[f"_uk_{f}"] else float(u[f])
+        for f in agree_cols
+    }
+    return {
+        "m": new_m,
+        "u": new_u,
+        "p": clamp(row["_sg"] / n),
+        "n_pairs": n,
+        "expected_matches": float(row["_sg"]),
+    }

@@ -84,3 +84,77 @@ class TestFsLink:
         true_hits = [r for r in links if r["rid"] == r["lid"] + 1000]
         assert len(true_hits) >= 150          # name weight alone crosses upper
         assert all(r["rid"] == r["lid"] + 1000 for r in links)  # no false links
+
+
+class TestFsEmRound:
+    def _pairs(self, spark, n=4000, seed=6):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        rows = []
+        for _ in range(n):
+            match = rng.rand() < 0.1
+            na = rng.rand() < (0.95 if match else 0.005)
+            ca = rng.rand() < (0.9 if match else 0.03)
+            rows.append((bool(na), bool(ca)))
+        return rows, spark.createDataFrame(rows, "a_name boolean, a_city boolean")
+
+    def test_one_round_parity(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.linkage import fs_em_round
+
+        rows, df = self._pairs(spark)
+        m = {"a_name": 0.8, "a_city": 0.8}
+        u = {"a_name": 0.1, "a_city": 0.1}
+        out = fs_em_round(df, ["a_name", "a_city"], m, u, 0.05)
+        gs = []
+        for na, ca in rows:
+            r = (m["a_name"] / u["a_name"]) if na else \
+                (1 - m["a_name"]) / (1 - u["a_name"])
+            r *= (m["a_city"] / u["a_city"]) if ca else \
+                 (1 - m["a_city"]) / (1 - u["a_city"])
+            gs.append(0.05 * r / (0.05 * r + 0.95))
+        gs = np.array(gs)
+        na_ = np.array([a for a, _ in rows])
+        assert out["m"]["a_name"] == pytest.approx((gs * na_).sum() / gs.sum(), abs=1e-9)
+        assert out["p"] == pytest.approx(gs.mean(), abs=1e-9)
+        assert out["n_pairs"] == len(rows)
+
+    def test_em_recovers_planted(self, spark):
+        from temporalscope_spark.operators.linkage import fs_em_round
+
+        _, df = self._pairs(spark, n=6000)
+        params = {"m": {"a_name": 0.8, "a_city": 0.8},
+                  "u": {"a_name": 0.1, "a_city": 0.1}, "p": 0.05}
+        for _ in range(25):
+            params = fs_em_round(
+                df, ["a_name", "a_city"], params["m"], params["u"], params["p"]
+            )
+        assert abs(params["p"] - 0.1) < 0.03
+        assert params["m"]["a_name"] > 0.9
+        assert params["u"]["a_name"] < 0.03
+
+    def test_null_field_skipped(self, spark):
+        from temporalscope_spark.operators.linkage import fs_em_round
+
+        df = spark.createDataFrame(
+            [(True, None), (False, None), (True, True)],
+            "a_name boolean, a_city boolean",
+        )
+        out = fs_em_round(df, ["a_name", "a_city"],
+                          {"a_name": 0.9, "a_city": 0.9},
+                          {"a_name": 0.1, "a_city": 0.1}, 0.5)
+        assert out["n_pairs"] == 3        # NULL city rows still count as pairs
+        assert 0 < out["m"]["a_city"] < 1  # fitted from the one known row only
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.linkage import fs_em_round
+
+        df = spark.createDataFrame([(True,)], "a boolean")
+        with pytest.raises(DataFrameValidationError):
+            fs_em_round(df, [], {}, {}, 0.5)
+        with pytest.raises(DataFrameValidationError):
+            fs_em_round(df, ["a"], {"a": 0.9}, {"a": 0.1}, 1.5)
+        with pytest.raises(DataFrameValidationError):
+            fs_em_round(df, ["a"], {"a": 1.2}, {"a": 0.1}, 0.5)
