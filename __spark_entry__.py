@@ -6044,8 +6044,45 @@ def q_fs_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "term string, value double")
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data diff of customer vs a deterministic v2 (every 50th key
+    dropped, every 7th balance bumped, every 97th re-added under a new
+    key): each side pruned to key+columns, ONE full-outer join, ONE
+    aggregation for every per-column count."""
+    from temporalscope_spark.operators.diffing import table_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    v2 = cust.filter(F.col("c_custkey") % 50 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    added = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 3000000).alias("c_custkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    right = v2.unionByName(added)
+    left = cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+    return table_diff(left, right, "c_custkey")
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check lang → source over documents: ONE
+    groupBy(lang) distinct-count, summary fold over the bounded group
+    table."""
+    from temporalscope_spark.operators.diffing import fd_violations
+
+    docs = _t(spark, sf_dir, "documents")
+    return fd_violations(docs, "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "table_diff": q_table_diff,
+        "fd_violations": q_fd_violations,
         "fs_em_round": q_fs_em_round,
         "cox_step": q_cox_step,
         "msprt": q_msprt,
@@ -13669,6 +13706,78 @@ def oracle_sql() -> dict[str, str]:
         FROM f,
              (VALUES ('m_name'), ('u_name'), ('m_seg'), ('u_seg'),
                      ('p'), ('n_pairs'), ('expected_matches')) t(term)
+    """
+
+    # table diff: same v2 construction, full-outer join, per-column
+    # NULL-safe equality counts, rows spine via VALUES
+    sql["table_diff"] = """
+        WITH l AS (
+            SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        ),
+        r AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+            FROM customer WHERE c_custkey % 50 <> 0
+            UNION ALL
+            SELECT c_custkey + 3000000, c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % 97 = 0
+        ),
+        j AS (
+            SELECT l.c_custkey AS lk, r.c_custkey AS rk,
+                   l.c_acctbal AS la, r.c_acctbal AS ra,
+                   l.c_mktsegment AS ls, r.c_mktsegment AS rs
+            FROM l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey
+        ),
+        f AS (
+            SELECT sum(CASE WHEN lk IS NOT NULL THEN 1 ELSE 0 END) AS nl,
+                   sum(CASE WHEN rk IS NOT NULL THEN 1 ELSE 0 END) AS nr,
+                   sum(CASE WHEN lk IS NOT NULL AND rk IS NULL
+                            THEN 1 ELSE 0 END) AS nrem,
+                   sum(CASE WHEN lk IS NULL AND rk IS NOT NULL
+                            THEN 1 ELSE 0 END) AS nadd,
+                   sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                            THEN 1 ELSE 0 END) AS nmatch,
+                   sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                             AND la IS NOT DISTINCT FROM ra
+                            THEN 1 ELSE 0 END) AS eq_bal,
+                   sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                             AND ls IS NOT DISTINCT FROM rs
+                            THEN 1 ELSE 0 END) AS eq_seg
+            FROM j
+        )
+        SELECT t.col AS "column",
+               CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+               CAST(nadd AS BIGINT) AS n_added,
+               CAST(nrem AS BIGINT) AS n_removed,
+               CAST(CASE t.col WHEN '__rows__' THEN NULL
+                               WHEN 'c_acctbal' THEN nmatch - eq_bal
+                               ELSE nmatch - eq_seg END AS BIGINT) AS n_changed,
+               CAST(CASE t.col WHEN '__rows__' THEN NULL
+                               WHEN 'c_acctbal' THEN eq_bal
+                               ELSE eq_seg END AS BIGINT) AS n_unchanged
+        FROM f, (VALUES ('__rows__'), ('c_acctbal'), ('c_mktsegment')) t(col)
+    """
+
+    # FD check: one distinct-count groupBy + bounded fold
+    sql["fd_violations"] = """
+        WITH g AS (
+            SELECT lang,
+                   count(DISTINCT coalesce(CAST(source AS VARCHAR),
+                                           chr(0) || '__null__'))
+                       AS n_rhs_values,
+                   count(*) AS n_rows
+            FROM documents GROUP BY lang
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN n_rhs_values > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violating_groups,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN n_rhs_values > 1 THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS n_violating_rows,
+               sum(CASE WHEN n_rhs_values > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        FROM g
     """
 
     return sql
