@@ -6079,8 +6079,33 @@ def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_violations(docs, "lang", "source")
 
 
+def q_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed radius join on deterministic event coordinates
+    (150 km): candidates only from the 3x3-neighborhood cell equi-join
+    (hash join, never cartesian — plan-tested in the suite); oracle is
+    the quadratic haversine join."""
+    from temporalscope_spark.operators.geo import proximity_join
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") % 1200).cast("double") / 10.0 - 60.0).alias("lat"),
+        (((F.col("event_id") * 7 + F.col("user_id")) % 3400).cast("double")
+         / 10.0 - 170.0).alias("lon"),
+    )
+    left = pts.filter(F.col("event_id") % 97 == 0).withColumnRenamed(
+        "event_id", "lid"
+    )
+    right = pts.filter(F.col("event_id") % 13 == 1).withColumnRenamed(
+        "event_id", "rid"
+    )
+    out = proximity_join(left, right, radius_km=150.0)
+    return out.select("lid", "rid", "distance_km")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "proximity_join": q_proximity_join,
         "table_diff": q_table_diff,
         "fd_violations": q_fd_violations,
         "fs_em_round": q_fs_em_round,
@@ -13778,6 +13803,36 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS n_violating_rows,
                sum(CASE WHEN n_rhs_values > 1 THEN 1 ELSE 0 END) = 0 AS holds
         FROM g
+    """
+
+    # proximity join: quadratic haversine oracle with the engine's exact
+    # radian constant (repr of math.pi/180) and the same asin/least guard
+    import math as _m2
+
+    _rad = repr(_m2.pi / 180.0)
+    sql["proximity_join"] = f"""
+        WITH pts AS (
+            SELECT event_id,
+                   CAST(event_id % 1200 AS DOUBLE) / 10.0 - 60.0 AS lat,
+                   CAST((event_id * 7 + user_id) % 3400 AS DOUBLE) / 10.0
+                       - 170.0 AS lon
+            FROM events
+        ),
+        l AS (SELECT event_id AS lid, lat, lon FROM pts WHERE event_id % 97 = 0),
+        r AS (SELECT event_id AS rid, lat, lon FROM pts WHERE event_id % 13 = 1),
+        d AS (
+            SELECT l.lid, r.rid,
+                   round(2.0 * 6371.0088 * asin(sqrt(least(
+                       sin((r.lat - l.lat) * {_rad} / 2.0)
+                           * sin((r.lat - l.lat) * {_rad} / 2.0)
+                       + cos(l.lat * {_rad}) * cos(r.lat * {_rad})
+                           * sin((r.lon - l.lon) * {_rad} / 2.0)
+                           * sin((r.lon - l.lon) * {_rad} / 2.0),
+                       1.0))), 6) AS distance_km
+            FROM l, r
+        )
+        SELECT lid, rid, distance_km + 0.0 AS distance_km
+        FROM d WHERE distance_km <= 150.0
     """
 
     return sql

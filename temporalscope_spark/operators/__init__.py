@@ -229,6 +229,7 @@ from temporalscope_spark.operators.shift import (
     time_to_event,
 )
 from temporalscope_spark.operators.diffing import fd_violations, table_diff
+from temporalscope_spark.operators.geo import haversine_km, proximity_join
 from temporalscope_spark.operators.linkage import fs_em_round, fs_link
 from temporalscope_spark.operators.layout import (
     column_bounds,
@@ -299,7 +300,7 @@ __all__ = [
     "tfidf_cosine_pairs", "tfidf_table", "hashed_features", "mann_whitney_u",
     "permutation_test", "covariate_balance", "srm_check", "ipw_estimate",
     "msprt_test", "fs_link", "fs_em_round", "cox_step", "fit_cox",
-    "table_diff", "fd_violations",
+    "table_diff", "fd_violations", "haversine_km", "proximity_join",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
     "rare_collapse", "target_encode_oof", "woe_encode", "woe_iv_table",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",
