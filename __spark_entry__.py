@@ -6103,8 +6103,29 @@ def q_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lid", "rid", "distance_km")
 
 
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP noisy event-type counts: deterministic md5 inverse-CDF
+    Laplace noise on the bounded group table (one groupBy + pure
+    expressions)."""
+    from temporalscope_spark.operators.privacy import dp_counts
+
+    events = _t(spark, sf_dir, "events")
+    return dp_counts(events, "event_type", epsilon=1.0, seed=42)
+
+
+def q_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP clipped mean of event value per type (lo=0, hi=500, ε=2,
+    split between sum and count) — the standard bounded-mean release."""
+    from temporalscope_spark.operators.privacy import dp_mean
+
+    events = _t(spark, sf_dir, "events")
+    return dp_mean(events, "value", "event_type", 0.0, 500.0, epsilon=2.0, seed=42)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dp_counts": q_dp_counts,
+        "dp_mean": q_dp_mean,
         "proximity_join": q_proximity_join,
         "table_diff": q_table_diff,
         "fd_violations": q_fd_violations,
@@ -13833,6 +13854,44 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lid, rid, distance_km + 0.0 AS distance_km
         FROM d WHERE distance_km <= 150.0
+    """
+
+    # DP releases: identical md5 inverse-CDF Laplace (ln is IEEE-portable)
+    _LAP = (
+        "-({b}) * sign((CAST(('0x' || substr(md5({key} || '#dp42'), 1, 15)) "
+        "AS BIGINT) % 1000000000) / 1000000000.0 - 0.5) "
+        "* ln(greatest(1.0 - 2.0 * abs((CAST(('0x' || substr(md5({key} "
+        "|| '#dp42'), 1, 15)) AS BIGINT) % 1000000000) / 1000000000.0 - 0.5), "
+        "1e-12))"
+    )
+    sql["dp_counts"] = f"""
+        WITH c AS (
+            SELECT event_type, count(*) AS n FROM events GROUP BY 1
+        )
+        SELECT event_type,
+               round(greatest(CAST(n AS DOUBLE)
+                              + {_LAP.format(b='1.0', key='event_type')},
+                              0.0), 6) + 0.0 AS n_noisy,
+               1.0 AS epsilon
+        FROM c
+    """
+    sql["dp_mean"] = f"""
+        WITH a AS (
+            SELECT event_type,
+                   sum(least(greatest(CAST(value AS DOUBLE), 0.0), 500.0))
+                       AS s,
+                   count(*) AS n
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        )
+        SELECT event_type,
+               round(least(greatest(
+                   (s + {_LAP.format(b='500.0', key="event_type || '#sum'")})
+                   / greatest(CAST(n AS DOUBLE)
+                              + {_LAP.format(b='1.0', key="event_type || '#cnt'")},
+                              1.0),
+                   0.0), 500.0), 6) + 0.0 AS mean_noisy,
+               2.0 AS epsilon
+        FROM a
     """
 
     return sql
