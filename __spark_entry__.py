@@ -6122,8 +6122,20 @@ def q_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_mean(events, "value", "event_type", 0.0, 500.0, epsilon=2.0, seed=42)
 
 
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 distance between click and purchase value
+    distributions: groupBy(value) count table → two-phase prefix-sum
+    CDFs → rank-adjacent successor join for Δx (no partition-free lead)
+    → one fold."""
+    from temporalscope_spark.operators.drift import wasserstein_1d
+
+    events = _t(spark, sf_dir, "events")
+    return wasserstein_1d(events, "value", "event_type", "click", "purchase")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "wasserstein": q_wasserstein,
         "dp_counts": q_dp_counts,
         "dp_mean": q_dp_mean,
         "proximity_join": q_proximity_join,
@@ -13892,6 +13904,35 @@ def oracle_sql() -> dict[str, str]:
                    0.0), 500.0), 6) + 0.0 AS mean_noisy,
                2.0 AS epsilon
         FROM a
+    """
+
+    # Wasserstein-1: same count-table → CDF → gap integral
+    sql["wasserstein"] = """
+        WITH b AS (
+            SELECT CAST(value AS DOUBLE) AS y,
+                   CAST(event_type = 'click' AS BIGINT) AS ia
+            FROM events
+            WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+        ),
+        c AS (
+            SELECT y, sum(ia) AS na, sum(1 - ia) AS nb FROM b GROUP BY 1
+        ),
+        r AS (
+            SELECT y,
+                   sum(na) OVER (ORDER BY y) AS ca,
+                   sum(nb) OVER (ORDER BY y) AS cb,
+                   lead(y) OVER (ORDER BY y) AS ynext
+            FROM c
+        ),
+        t AS (SELECT CAST(sum(na) AS DOUBLE) AS nat,
+                     CAST(sum(nb) AS DOUBLE) AS nbt FROM c)
+        SELECT CAST(t.nat AS BIGINT) AS n_a, CAST(t.nbt AS BIGINT) AS n_b,
+               round(sum(abs(CAST(ca AS DOUBLE) / t.nat
+                             - CAST(cb AS DOUBLE) / t.nbt)
+                         * (ynext - y)), 6) + 0.0 AS w1
+        FROM r, t
+        WHERE ynext IS NOT NULL
+        GROUP BY t.nat, t.nbt
     """
 
     return sql

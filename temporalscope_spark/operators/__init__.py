@@ -96,6 +96,7 @@ from temporalscope_spark.operators.drift import (
     ks_drift,
     psi_drift,
     psi_score,
+    wasserstein_1d,
 )
 from temporalscope_spark.operators.dsir import dsir_select, hashed_ngram_features
 from temporalscope_spark.operators.coreset import kcenter_select
@@ -302,7 +303,7 @@ __all__ = [
     "permutation_test", "covariate_balance", "srm_check", "ipw_estimate",
     "msprt_test", "fs_link", "fs_em_round", "cox_step", "fit_cox",
     "table_diff", "fd_violations", "haversine_km", "proximity_join",
-    "dp_counts", "dp_mean",
+    "dp_counts", "dp_mean", "wasserstein_1d",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
     "rare_collapse", "target_encode_oof", "woe_encode", "woe_iv_table",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",

@@ -626,3 +626,79 @@ def vocab_kl(
         F.round(F.col("_klba"), 6).alias("kl_ba"),
         F.round(F.col("_js"), 6).alias("js"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between two groups'
+    value distributions — the drift metric that, unlike KS (sup gap) or
+    PSI/KL (binned ratios), weights HOW FAR mass moved:
+
+        W₁ = ∫ |F_a(x) − F_b(x)| dx
+           = Σ_{consecutive distinct values} |cdf_a − cdf_b| · Δx
+
+    (scipy ``wasserstein_distance`` parity). Output: one row
+    ``(n_a, n_b, w1)`` rounded 6.
+
+    Plan shape (100 TB-safe): the corpus collapses to ONE
+    map-side-combinable ``groupBy(value)`` count table; the joint CDF is
+    the quantile-bucket two-phase prefix sum of ``plans/rownum.py`` over
+    that table (NO single-partition window — same machinery as
+    :func:`operators.experiment.mann_whitney_u`); Δx to the next
+    distinct value is a ``lead`` over the same bucketed grid — computed
+    as (next − current) via the global row-number spine, here folded in
+    a single final aggregation keyed on nothing but bounded by the
+    distinct-value table. NULL metrics are excluded; a missing group
+    raises.
+    """
+    for c in (value_col, group_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"wasserstein_1d: missing column {c!r}")
+    g = F.col(group_col).cast("string")
+    y = F.col(value_col).cast("double")
+    both = df.filter(y.isNotNull() & g.isin([str(group_a), str(group_b)])).select(
+        y.alias("_y"), (g == F.lit(str(group_a))).cast("long").alias("_ia")
+    )
+    counts = both.groupBy("_y").agg(
+        F.sum("_ia").alias("_na"),
+        F.sum(F.lit(1) - F.col("_ia")).alias("_nb"),
+    )
+
+    from temporalscope_spark.plans.rownum import with_global_cumsum
+
+    from temporalscope_spark.plans.rownum import with_global_row_number
+
+    ranked = with_global_cumsum(counts, ["_y"], ["_na", "_nb"])
+    # Δx to the NEXT distinct value via the two-phase global row number
+    # + successor EQUI-join (the suffix.py rank-adjacent pattern) — no
+    # partition-free lead window, so the distinct-value grid never
+    # funnels through one task even when values are continuous.
+    numbered = with_global_row_number(ranked, ["_y"], "_rn")
+    tot = numbered.agg(
+        F.max("_na_cum").alias("_nat"), F.max("_nb_cum").alias("_nbt")
+    ).first()
+    na_t, nb_t = int(tot["_nat"] or 0), int(tot["_nbt"] or 0)
+    if na_t == 0 or nb_t == 0:
+        raise DataFrameValidationError(
+            f"wasserstein_1d: group {group_a!r} or {group_b!r} has no "
+            "non-null rows"
+        )
+    nxt = numbered.select(
+        (F.col("_rn") - 1).alias("_rn"), F.col("_y").alias("_ynext")
+    )
+    fa = F.col("_na_cum").cast("double") / float(na_t)
+    fb = F.col("_nb_cum").cast("double") / float(nb_t)
+    seg = numbered.join(nxt, "_rn").select(
+        (F.abs(fa - fb) * (F.col("_ynext") - F.col("_y"))).alias("_w")
+    )
+    out = seg.agg(F.sum("_w").alias("_w1"))
+    return out.select(
+        F.lit(na_t).cast("long").alias("n_a"),
+        F.lit(nb_t).cast("long").alias("n_b"),
+        F.round("_w1", 6).alias("w1"),
+    )

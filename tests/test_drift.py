@@ -272,3 +272,48 @@ class TestPsiScore:
             .toString()
         )
         assert plan.count("Aggregate") == 1
+
+
+class TestWasserstein1d:
+    def test_scipy_formula_parity(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.drift import wasserstein_1d
+
+        rng = np.random.RandomState(2)
+        a = rng.randn(400) + 1.0
+        b = rng.randn(300)
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = wasserstein_1d(df, "y", "g", "a", "b").collect()[0]
+        vals = np.sort(np.unique(np.concatenate([a, b])))
+        fa = np.searchsorted(np.sort(a), vals, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), vals, side="right") / len(b)
+        ref = np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(vals))
+        assert got["w1"] == pytest.approx(ref, abs=1e-6)
+        assert got["n_a"] == 400 and got["n_b"] == 300
+
+    def test_pure_shift_equals_shift(self, spark):
+        from temporalscope_spark.operators.drift import wasserstein_1d
+
+        a = [float(v) for v in range(100)]
+        rows = [("a", v) for v in a] + [("b", v + 7.5) for v in a]
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = wasserstein_1d(df, "y", "g", "a", "b").collect()[0]
+        assert got["w1"] == pytest.approx(7.5, abs=1e-6)  # W1 of a shift = shift
+
+    def test_identical_zero(self, spark):
+        from temporalscope_spark.operators.drift import wasserstein_1d
+
+        rows = [("a", float(v % 13)) for v in range(50)] + [
+            ("b", float(v % 13)) for v in range(50)
+        ]
+        df = spark.createDataFrame(rows, "g string, y double")
+        assert wasserstein_1d(df, "y", "g", "a", "b").collect()[0]["w1"] == 0.0
+
+    def test_missing_group_raises(self, spark):
+        from temporalscope_spark.operators.drift import wasserstein_1d
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, y double")
+        with pytest.raises(Exception, match="has no"):
+            wasserstein_1d(df, "y", "g", "a", "b")
