@@ -6133,8 +6133,30 @@ def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wasserstein_1d(events, "value", "event_type", "click", "purchase")
 
 
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier scores on (value, user cohort): ONE moment
+    aggregation fits mean + covariance (rounded-6 plan literals, inverse
+    solved driver-side — p² doubles), scoring a pure expression; the
+    oracle refits with the same moments and the closed-form 2x2
+    inverse."""
+    from temporalscope_spark.operators.scaling import (
+        fit_mahalanobis,
+        mahalanobis_score,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        F.col("value").cast("double").alias("x1"),
+        (F.col("user_id") % 100).cast("double").alias("x2"),
+    )
+    m = fit_mahalanobis(base, ["x1", "x2"])
+    return mahalanobis_score(base, m, keep_cols=["event_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "mahalanobis": q_mahalanobis,
         "wasserstein": q_wasserstein,
         "dp_counts": q_dp_counts,
         "dp_mean": q_dp_mean,
@@ -13933,6 +13955,44 @@ def oracle_sql() -> dict[str, str]:
         FROM r, t
         WHERE ynext IS NOT NULL
         GROUP BY t.nat, t.nbt
+    """
+
+    # Mahalanobis: refit from the same moments (cov rounded 6), 2x2
+    # closed-form inverse rounded 6, identical scoring expression order
+    sql["mahalanobis"] = """
+        WITH b AS (
+            SELECT event_id, CAST(value AS DOUBLE) AS x1,
+                   CAST(user_id % 100 AS DOUBLE) AS x2
+            FROM events WHERE value IS NOT NULL
+        ),
+        m AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   sum(x1) AS s1, sum(x2) AS s2,
+                   sum(x1 * x1) AS q11, sum(x1 * x2) AS q12,
+                   sum(x2 * x2) AS q22
+            FROM b
+        ),
+        cv AS (
+            SELECT round(s1 / n, 6) AS m1, round(s2 / n, 6) AS m2,
+                   round((q11 - s1 * s1 / n) / (n - 1.0), 6) AS c11,
+                   round((q12 - s1 * s2 / n) / (n - 1.0), 6) AS c12,
+                   round((q22 - s2 * s2 / n) / (n - 1.0), 6) AS c22
+            FROM m
+        ),
+        iv AS (
+            SELECT m1, m2,
+                   round(c22 / (c11 * c22 - c12 * c12), 6) AS i11,
+                   round(-c12 / (c11 * c22 - c12 * c12), 6) AS i12,
+                   round(c11 / (c11 * c22 - c12 * c12), 6) AS i22
+            FROM cv
+        )
+        SELECT b.event_id,
+               round(0.0 + iv.i11 * (b.x1 - iv.m1) * (b.x1 - iv.m1)
+                         + iv.i12 * (b.x1 - iv.m1) * (b.x2 - iv.m2)
+                         + iv.i12 * (b.x2 - iv.m2) * (b.x1 - iv.m1)
+                         + iv.i22 * (b.x2 - iv.m2) * (b.x2 - iv.m2), 6)
+                   + 0.0 AS mahalanobis
+        FROM b, iv
     """
 
     return sql

@@ -157,6 +157,8 @@ from temporalscope_spark.operators.pca import (
 from temporalscope_spark.operators.impute import fit_impute, impute
 from temporalscope_spark.operators.scaling import (
     ecdf_feature,
+    fit_mahalanobis,
+    mahalanobis_score,
     fit_scaler,
     mad_outliers,
     moment_profile,
@@ -303,7 +305,7 @@ __all__ = [
     "permutation_test", "covariate_balance", "srm_check", "ipw_estimate",
     "msprt_test", "fs_link", "fs_em_round", "cox_step", "fit_cox",
     "table_diff", "fd_violations", "haversine_km", "proximity_join",
-    "dp_counts", "dp_mean", "wasserstein_1d",
+    "dp_counts", "dp_mean", "wasserstein_1d", "fit_mahalanobis", "mahalanobis_score",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
     "rare_collapse", "target_encode_oof", "woe_encode", "woe_iv_table",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",

@@ -438,3 +438,84 @@ def quantile_normalize(
         .join(lut, ["_g", "_v"], "left")
         .drop("_g", "_v")
     )
+
+
+def fit_mahalanobis(df: DataFrame, cols: Sequence[str]) -> dict:
+    """Fit mean vector + inverse covariance for
+    :func:`mahalanobis_score` — ONE moment aggregation (p means +
+    p(p+1)/2 covariances, sample ddof=1, rounded 6 — the replayable-
+    model contract), inverse solved driver-side (p² doubles, the
+    irls/linear convention). Returns ``{"cols", "mean", "inv"}`` with
+    ``inv`` a nested list. Singular covariance raises (a degenerate
+    column belongs in validation, not silently pseudo-inverted)."""
+    import numpy as np  # noqa: PLC0415
+
+    cols = list(cols)
+    if len(cols) < 2:
+        raise DataFrameValidationError("fit_mahalanobis: need >= 2 columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"fit_mahalanobis: missing columns {missing}")
+    xs = [F.col(c).cast("double") for c in cols]
+    cond = xs[0].isNotNull()
+    for x in xs[1:]:
+        cond = cond & x.isNotNull()
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, x in enumerate(xs):
+        aggs.append(F.sum(x).alias(f"_s{i}"))
+        for j in range(i, len(xs)):
+            aggs.append(F.sum(x * xs[j]).alias(f"_q{i}_{j}"))
+    row = df.filter(cond).agg(*aggs).first()
+    n = float(row["_n"])
+    if n < len(cols) + 1:
+        raise DataFrameValidationError(
+            f"fit_mahalanobis: need more rows than columns (n={int(n)})"
+        )
+    p = len(cols)
+    mean = [round(row[f"_s{i}"] / n, 6) for i in range(p)]
+    cov = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            cij = (row[f"_q{i}_{j}"] - row[f"_s{i}"] * row[f"_s{j}"] / n) / (n - 1.0)
+            cov[i, j] = cov[j, i] = round(cij, 6)
+    det = np.linalg.det(cov)
+    if abs(det) < 1e-12:
+        raise DataFrameValidationError(
+            "fit_mahalanobis: covariance is singular — drop collinear/"
+            "constant columns first"
+        )
+    inv = np.linalg.inv(cov)
+    return {
+        "cols": cols,
+        "mean": mean,
+        "inv": [[round(float(v), 6) for v in r] for r in inv],
+    }
+
+
+def mahalanobis_score(
+    df: DataFrame,
+    model: dict,
+    out_col: str = "mahalanobis",
+    keep_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Squared Mahalanobis distance per row under a fitted model —
+    the multivariate outlier score (univariate cousin:
+    :func:`mad_outliers`): ``d² = (x−μ)' Σ⁻¹ (x−μ)``, a pure expression
+    of the rounded plan-literal model, rounded 6. Under multivariate
+    normality d² ~ χ²(p), so the conventional gate is the χ² quantile.
+    Rows with NULL in any model column score NULL."""
+    cols = model["cols"]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(
+            f"mahalanobis_score: missing columns {missing}"
+        )
+    p = len(cols)
+    d = [F.col(c).cast("double") - F.lit(float(model["mean"][i]))
+         for i, c in enumerate(cols)]
+    expr = F.lit(0.0)
+    for i in range(p):
+        for j in range(p):
+            expr = expr + F.lit(float(model["inv"][i][j])) * d[i] * d[j]
+    keep = list(keep_cols) if keep_cols is not None else df.columns
+    return df.select(*keep, F.round(expr, 6).alias(out_col))
