@@ -6154,8 +6154,38 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mahalanobis_score(base, m, keep_cols=["event_id"])
 
 
+def q_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-subclassification ATT/ATE on the same deterministic
+    observational design as ipw_estimate: exact-quantile stratum edges
+    as rounded plan literals, ONE groupBy(stratum) moment aggregation,
+    bounded fold; one-sided strata dropped and counted."""
+    from temporalscope_spark.operators.experiment import stratified_att
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit("#7"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000000
+    ).cast("double") / F.lit(1e9)
+    cohort = (F.col("user_id") % 10).cast("double")
+    p = F.lit(0.2) + F.lit(0.6) * (cohort / F.lit(10.0))
+    t = (u < p).cast("double")
+    base = ev.select(
+        (F.col("value") + F.lit(5.0) * t).alias("y"), t.alias("t"), p.alias("p")
+    )
+    return stratified_att(base, "y", "t", "p", n_strata=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stratified_att": q_stratified_att,
         "mahalanobis": q_mahalanobis,
         "wasserstein": q_wasserstein,
         "dp_counts": q_dp_counts,
@@ -13993,6 +14023,59 @@ def oracle_sql() -> dict[str, str]:
                          + iv.i22 * (b.x2 - iv.m2) * (b.x2 - iv.m2), 6)
                    + 0.0 AS mahalanobis
         FROM b, iv
+    """
+
+    # stratified ATT/ATE: same md5 design, quantile_cont edges rounded 6,
+    # same per-stratum fold and drop convention
+    sql["stratified_att"] = """
+        WITH b AS (
+            SELECT CAST(value AS DOUBLE)
+                       + 5.0 * CASE WHEN (CAST(('0x' || substr(md5(
+                             CAST(event_id AS VARCHAR) || '#7'), 1, 15))
+                             AS BIGINT) % 1000000000) / 1000000000.0
+                           < 0.2 + 0.6 * (CAST(user_id % 10 AS DOUBLE) / 10.0)
+                         THEN 1.0 ELSE 0.0 END AS y,
+                   CASE WHEN (CAST(('0x' || substr(md5(
+                             CAST(event_id AS VARCHAR) || '#7'), 1, 15))
+                             AS BIGINT) % 1000000000) / 1000000000.0
+                           < 0.2 + 0.6 * (CAST(user_id % 10 AS DOUBLE) / 10.0)
+                        THEN 1.0 ELSE 0.0 END AS t,
+                   0.2 + 0.6 * (CAST(user_id % 10 AS DOUBLE) / 10.0) AS p
+            FROM events WHERE value IS NOT NULL
+        ),
+        e AS (
+            SELECT round(quantile_cont(p, 0.2), 6) AS e1,
+                   round(quantile_cont(p, 0.4), 6) AS e2,
+                   round(quantile_cont(p, 0.6), 6) AS e3,
+                   round(quantile_cont(p, 0.8), 6) AS e4
+            FROM b
+        ),
+        g AS (
+            SELECT CAST(p > e.e1 AS INT) + CAST(p > e.e2 AS INT)
+                       + CAST(p > e.e3 AS INT) + CAST(p > e.e4 AS INT) AS k,
+                   sum(t) AS nt, sum(1.0 - t) AS nc,
+                   sum(t * y) AS st, sum((1.0 - t) * y) AS sc
+            FROM b, e GROUP BY 1
+        ),
+        f AS (
+            SELECT sum(nt + nc) AS n, count(*) AS ks,
+                   sum(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END) AS ku,
+                   sum(CASE WHEN nt > 0 AND nc > 0 THEN nt END) AS ntu,
+                   sum(CASE WHEN nt > 0 AND nc > 0 THEN nt + nc END) AS nu,
+                   sum(CASE WHEN nt > 0 AND nc > 0
+                            THEN nt * (st / nt - sc / nc) END) AS wt,
+                   sum(CASE WHEN nt > 0 AND nc > 0
+                            THEN (nt + nc) * (st / nt - sc / nc) END) AS wa,
+                   sum(CASE WHEN NOT (nt > 0 AND nc > 0)
+                            THEN nt ELSE 0.0 END) AS dropped
+            FROM g
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(5 AS BIGINT) AS n_strata,
+               CAST(ku AS BIGINT) AS n_strata_used,
+               round(wt / ntu, 6) + 0.0 AS att,
+               round(wa / nu, 6) + 0.0 AS ate,
+               CAST(dropped AS BIGINT) AS n_treat_dropped
+        FROM f
     """
 
     return sql

@@ -28,6 +28,7 @@ from temporalscope_spark.operators.experiment import (
     permutation_test,
     poisson_bootstrap,
     srm_check,
+    stratified_att,
 )
 from temporalscope_spark.operators.lifecycle import cohort_retention, funnel_conversion
 from temporalscope_spark.operators.corruption import fim_split, span_corruption
@@ -303,7 +304,7 @@ __all__ = [
     "PCAModel", "fit_pca", "fit_pca_array", "pca_project", "pca_project_array",
     "tfidf_cosine_pairs", "tfidf_table", "hashed_features", "mann_whitney_u",
     "permutation_test", "covariate_balance", "srm_check", "ipw_estimate",
-    "msprt_test", "fs_link", "fs_em_round", "cox_step", "fit_cox",
+    "msprt_test", "fs_link", "fs_em_round", "cox_step", "fit_cox", "stratified_att",
     "table_diff", "fd_violations", "haversine_km", "proximity_join",
     "dp_counts", "dp_mean", "wasserstein_1d", "fit_mahalanobis", "mahalanobis_score",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",

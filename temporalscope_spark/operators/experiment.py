@@ -1079,3 +1079,82 @@ def msprt_test(
             "p_value"
         ),
     )
+
+
+def stratified_att(
+    df: DataFrame,
+    y_col: str,
+    treat_col: str,
+    p_col: str,
+    n_strata: int = 5,
+) -> DataFrame:
+    """Propensity-subclassification treatment effect (Rosenbaum & Rubin
+    1984 — the third leg next to :func:`ipw_estimate` and
+    :func:`covariate_balance`): bucket units into propensity-score
+    quantile strata, difference means within each stratum, and weight
+    by where the TREATED units live:
+
+        ATT = Σ_k (n_treat_k / n_treat) · (ȳ_treat,k − ȳ_ctl,k)
+
+    (weighting by total stratum size instead gives the ATE — also
+    reported). Strata missing either arm carry no comparison and are
+    dropped from both estimates; their treated count is reported so the
+    caller sees the overlap loss (the honest-reporting convention of
+    ``ipw_estimate``'s trim count).
+
+    Output: one row ``(n, n_strata, n_strata_used, att, ate,
+    n_treat_dropped)`` (rounded 6). Plan shape: ONE exact-percentile fit
+    of the stratum edges (rounded-6 plan literals — `percentile_approx`
+    is the 100 TB swap, the corpus_stats convention), then ONE
+    groupBy(stratum) moment aggregation and a bounded fold.
+    """
+    if n_strata < 2:
+        raise DataFrameValidationError("stratified_att: n_strata must be >= 2")
+    for c in (y_col, treat_col, p_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"stratified_att: missing column {c!r}")
+    y = F.col(y_col).cast("double")
+    tr = F.col(treat_col).cast("double")
+    p = F.col(p_col).cast("double")
+    base = df.filter(y.isNotNull() & p.isNotNull() & tr.isNotNull())
+    probs = [k / n_strata for k in range(1, n_strata)]
+    edges_row = base.agg(
+        F.percentile(p, F.array(*[F.lit(q) for q in probs])).alias("_e")
+    ).first()
+    edges = [round(float(v), 6) for v in edges_row["_e"]]
+    bucket = F.lit(0)
+    for e in edges:
+        bucket = bucket + (p > F.lit(e)).cast("int")
+    badt = F.when(
+        ~tr.isin([0.0, 1.0]),
+        F.raise_error(
+            F.lit(f"stratified_att: {treat_col!r} must be 0/1")
+        ).cast("double"),
+    )
+    tr = F.coalesce(badt, tr)
+    g = base.groupBy(bucket.alias("_k")).agg(
+        F.sum(tr).alias("_nt"),
+        F.sum(1.0 - tr).alias("_nc"),
+        F.sum(tr * y).alias("_st"),
+        F.sum((1.0 - tr) * y).alias("_sc"),
+    )
+    ok = (F.col("_nt") > 0) & (F.col("_nc") > 0)
+    gap = F.col("_st") / F.col("_nt") - F.col("_sc") / F.col("_nc")
+    out = g.agg(
+        F.sum(F.col("_nt") + F.col("_nc")).alias("_n"),
+        F.count(F.lit(1)).alias("_ks"),
+        F.sum(ok.cast("long")).alias("_ku"),
+        F.sum(F.when(ok, F.col("_nt"))).alias("_ntu"),
+        F.sum(F.when(ok, (F.col("_nt") + F.col("_nc")))).alias("_nu"),
+        F.sum(F.when(ok, F.col("_nt") * gap)).alias("_wt"),
+        F.sum(F.when(ok, (F.col("_nt") + F.col("_nc")) * gap)).alias("_wa"),
+        F.sum(F.when(~ok, F.col("_nt")).otherwise(F.lit(0.0))).alias("_drop"),
+    )
+    return out.select(
+        F.col("_n").cast("long").alias("n"),
+        F.lit(int(n_strata)).cast("long").alias("n_strata"),
+        F.col("_ku").cast("long").alias("n_strata_used"),
+        F.round(F.col("_wt") / F.col("_ntu"), 6).alias("att"),
+        F.round(F.col("_wa") / F.col("_nu"), 6).alias("ate"),
+        F.col("_drop").cast("long").alias("n_treat_dropped"),
+    )

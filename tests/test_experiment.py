@@ -705,3 +705,76 @@ class TestMsprt:
             msprt_test(df, "y", "g", "a", "b", tau2=0.0)
         with pytest.raises(Exception, match="has no"):
             msprt_test(df, "y", "g", "a", "b").collect()
+
+
+class TestStratifiedAtt:
+    def test_parity_and_recovery(self, spark):
+        rng = np.random.RandomState(1)
+        n = 3000
+        x = rng.rand(n)
+        pp = 0.2 + 0.6 * x
+        t = (rng.rand(n) < pp).astype(float)
+        y = 2 * x + 3 * t + rng.randn(n) * 0.3
+        from temporalscope_spark.operators.experiment import stratified_att
+
+        df = spark.createDataFrame(
+            [(float(y[i]), float(t[i]), float(pp[i])) for i in range(n)],
+            "y double, t double, p double",
+        )
+        got = stratified_att(df, "y", "t", "p", n_strata=5).collect()[0]
+        edges = [round(float(np.percentile(pp, 100 * k / 5)), 6) for k in range(1, 5)]
+        k = np.zeros(n, dtype=int)
+        for e in edges:
+            k += (pp > e).astype(int)
+        att_n = att_d = ate_n = ate_d = 0.0
+        for s in range(5):
+            m = k == s
+            nt, nc = t[m].sum(), (1 - t[m]).sum()
+            if nt > 0 and nc > 0:
+                gap = y[m][t[m] == 1].mean() - y[m][t[m] == 0].mean()
+                att_n += nt * gap
+                att_d += nt
+                ate_n += (nt + nc) * gap
+                ate_d += nt + nc
+        assert got["att"] == pytest.approx(att_n / att_d, abs=1e-6)
+        assert got["ate"] == pytest.approx(ate_n / ate_d, abs=1e-6)
+        assert abs(got["att"] - 3.0) < 0.15   # planted effect, confounding removed
+        assert got["n_strata_used"] == 5 and got["n_treat_dropped"] == 0
+
+    def test_naive_mean_is_confounded_but_att_is_not(self, spark):
+        rng = np.random.RandomState(4)
+        n = 4000
+        x = rng.rand(n)
+        pp = 0.1 + 0.8 * x
+        t = (rng.rand(n) < pp).astype(float)
+        y = 10 * x + 1.0 * t + rng.randn(n) * 0.2   # strong confounder
+        from temporalscope_spark.operators.experiment import stratified_att
+
+        df = spark.createDataFrame(
+            [(float(y[i]), float(t[i]), float(pp[i])) for i in range(n)],
+            "y double, t double, p double",
+        )
+        naive = y[t == 1].mean() - y[t == 0].mean()
+        got = stratified_att(df, "y", "t", "p", n_strata=10).collect()[0]
+        assert abs(naive - 1.0) > 1.0          # naive diff badly biased
+        assert abs(got["att"] - 1.0) < 0.25    # stratification fixes it
+
+    def test_one_sided_strata_dropped(self, spark):
+        from temporalscope_spark.operators.experiment import stratified_att
+
+        # p clustered so the lowest stratum is all-control
+        rows = [(1.0, 0.0, 0.01)] * 50 + [(2.0, 1.0, 0.9)] * 25 + \
+               [(1.5, 0.0, 0.9)] * 25
+        df = spark.createDataFrame(rows, "y double, t double, p double")
+        got = stratified_att(df, "y", "t", "p", n_strata=2).collect()[0]
+        assert got["n_strata_used"] == 1
+        assert got["att"] == pytest.approx(2.0 - 1.5)
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.experiment import stratified_att
+
+        df = spark.createDataFrame([(1.0, 1.0, 0.5)], "y double, t double, p double")
+        with pytest.raises(DataFrameValidationError):
+            stratified_att(df, "y", "t", "p", n_strata=1)
+        with pytest.raises(DataFrameValidationError):
+            stratified_att(df, "nope", "t", "p")
