@@ -31,6 +31,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         "examples/tokenizer_lab.py",
         "examples/alignment_data_pipeline.py",
         "examples/governance_pipeline.py",
+        "examples/experimentation_pipeline.py",
     ],
 )
 def test_example_runs_clean(script):
