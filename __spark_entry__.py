@@ -6183,8 +6183,22 @@ def q_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_att(base, "y", "t", "p", n_strata=5)
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of each user's event-type state stream:
+    entity-partitioned lag change detection + per-entity version ids +
+    one groupBy + lead close-out — four narrow stages over ONE
+    entity-keyed exchange."""
+    from temporalscope_spark.operators.scd import scd2_history
+
+    events = _t(spark, sf_dir, "events")
+    return scd2_history(
+        events, "user_id", "ts", ["event_type"], order_col="event_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "scd2_history": q_scd2_history,
         "stratified_att": q_stratified_att,
         "mahalanobis": q_mahalanobis,
         "wasserstein": q_wasserstein,
@@ -14076,6 +14090,41 @@ def oracle_sql() -> dict[str, str]:
                round(wa / nu, 6) + 0.0 AS ate,
                CAST(dropped AS BIGINT) AS n_treat_dropped
         FROM f
+    """
+
+    # SCD2: identical lag/cumsum/groupBy/lead chain per entity
+    sql["scd2_history"] = """
+        WITH l AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        m AS (
+            SELECT *,
+                   sum(CASE WHEN prev_ts IS NULL
+                             OR event_type IS DISTINCT FROM prev
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS vid
+            FROM l
+        ),
+        p AS (
+            SELECT user_id, vid, min(ts) AS valid_from,
+                   min(event_type) AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM m GROUP BY 1, 2
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY vid)
+                   AS valid_to,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY vid)
+                   IS NULL AS is_current,
+               n_rows
+        FROM p
     """
 
     return sql

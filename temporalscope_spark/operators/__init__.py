@@ -235,6 +235,7 @@ from temporalscope_spark.operators.shift import (
 from temporalscope_spark.operators.diffing import fd_violations, table_diff
 from temporalscope_spark.operators.geo import haversine_km, proximity_join
 from temporalscope_spark.operators.privacy import dp_counts, dp_mean
+from temporalscope_spark.operators.scd import scd2_history
 from temporalscope_spark.operators.linkage import fs_em_round, fs_link
 from temporalscope_spark.operators.layout import (
     column_bounds,
@@ -307,6 +308,7 @@ __all__ = [
     "msprt_test", "fs_link", "fs_em_round", "cox_step", "fit_cox", "stratified_att",
     "table_diff", "fd_violations", "haversine_km", "proximity_join",
     "dp_counts", "dp_mean", "wasserstein_1d", "fit_mahalanobis", "mahalanobis_score",
+    "scd2_history",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
     "rare_collapse", "target_encode_oof", "woe_encode", "woe_iv_table",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",
