@@ -6196,8 +6196,29 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Durbin–Watson serial-correlation screen on event values:
+    one entity lag window + one grouped moment fold."""
+    from temporalscope_spark.operators.tsfeatures import durbin_watson
+
+    events = _t(spark, sf_dir, "events")
+    return durbin_watson(events, "value", "ts", "user_id", "event_id")
+
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Ljung–Box portmanteau Q (lags 1..3) built on the
+    acf_features cross-moment aggregation — rounded ACFs feed Q so the
+    oracle replays exactly."""
+    from temporalscope_spark.operators.tsfeatures import ljung_box
+
+    events = _t(spark, sf_dir, "events")
+    return ljung_box(events, "value", 3, "ts", "user_id", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "durbin_watson": q_durbin_watson,
+        "ljung_box": q_ljung_box,
         "scd2_history": q_scd2_history,
         "stratified_att": q_stratified_att,
         "mahalanobis": q_mahalanobis,
@@ -14125,6 +14146,75 @@ def oracle_sql() -> dict[str, str]:
                    IS NULL AS is_current,
                n_rows
         FROM p
+    """
+
+    # Durbin-Watson: one lag window + one grouped moment fold
+    sql["durbin_watson"] = """
+        WITH b AS (
+            SELECT user_id, CAST(value AS DOUBLE) AS x,
+                   CAST(value AS DOUBLE)
+                       - lag(CAST(value AS DOUBLE))
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS d
+            FROM events WHERE value IS NOT NULL
+        ),
+        g AS (
+            SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+                   sum(x) AS s, sum(x * x) AS q, sum(d * d) AS dd
+            FROM b GROUP BY 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+               round(CASE WHEN n > 1 AND q - s * s / n > 0
+                          THEN dd / (q - s * s / n) END, 6) + 0.0 AS dw
+        FROM g
+    """
+
+    # Ljung-Box: the acf_features cross-moment chain, lags rounded to 6
+    # BEFORE entering Q (the engine composes on acf_features output)
+    sql["ljung_box"] = """
+        WITH b AS (
+            SELECT user_id, CAST(value AS DOUBLE) AS x,
+                   lag(CAST(value AS DOUBLE), 1) OVER w AS l1,
+                   lag(CAST(value AS DOUBLE), 2) OVER w AS l2,
+                   lag(CAST(value AS DOUBLE), 3) OVER w AS l3
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        m AS (
+            SELECT user_id,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(x) AS s1, sum(x * x) AS s2,
+                   CAST(count(l1) AS DOUBLE) AS m1, sum(x * l1) AS cxy1,
+                   sum(CASE WHEN l1 IS NOT NULL THEN x END) AS ca1,
+                   sum(l1) AS cb1,
+                   CAST(count(l2) AS DOUBLE) AS m2, sum(x * l2) AS cxy2,
+                   sum(CASE WHEN l2 IS NOT NULL THEN x END) AS ca2,
+                   sum(l2) AS cb2,
+                   CAST(count(l3) AS DOUBLE) AS m3, sum(x * l3) AS cxy3,
+                   sum(CASE WHEN l3 IS NOT NULL THEN x END) AS ca3,
+                   sum(l3) AS cb3
+            FROM b GROUP BY 1
+        ),
+        a AS (
+            SELECT user_id, n,
+                   round(CASE WHEN m1 >= 1 AND s2 - s1 * s1 / n > 0 THEN
+                       (cxy1 - s1 / n * (ca1 + cb1) + m1 * (s1 / n) * (s1 / n))
+                           / (s2 - s1 * s1 / n) END, 6) AS r1,
+                   round(CASE WHEN m2 >= 1 AND s2 - s1 * s1 / n > 0 THEN
+                       (cxy2 - s1 / n * (ca2 + cb2) + m2 * (s1 / n) * (s1 / n))
+                           / (s2 - s1 * s1 / n) END, 6) AS r2,
+                   round(CASE WHEN m3 >= 1 AND s2 - s1 * s1 / n > 0 THEN
+                       (cxy3 - s1 / n * (ca3 + cb3) + m3 * (s1 / n) * (s1 / n))
+                           / (s2 - s1 * s1 / n) END, 6) AS r3
+            FROM m
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+               round(n * (n + 2.0) * (0.0 + r1 * r1 / (n - 1.0)
+                                          + r2 * r2 / (n - 2.0)
+                                          + r3 * r3 / (n - 3.0)), 6) + 0.0
+                   AS q_stat,
+               CAST(3 AS BIGINT) AS dof
+        FROM a
     """
 
     return sql

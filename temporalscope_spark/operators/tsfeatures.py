@@ -729,3 +729,97 @@ def rfm_features(
         _bin(F.col("monetary"), edges["me"]).alias("m_score"),
     )
     return out.orderBy("id")
+
+
+def durbin_watson(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "event_time",
+    id_col: str = "doc_id",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-entity Durbin–Watson statistic (Durbin & Watson 1950) — the
+    standard residual-autocorrelation screen:
+
+        DW = Σ_{t≥2} (x_t − x_{t−1})² / Σ_t (x_t − x̄)²
+
+    ≈ 2(1 − ρ₁): 2 means no first-order autocorrelation, → 0 positive,
+    → 4 negative. Feed it residuals (e.g. ``y − ŷ`` from
+    ``modeling.linear``) to test the regression's independence
+    assumption, or raw values as a quick serial-dependence probe.
+
+    Plan shape: one entity-partitioned lag window sharing the entity
+    exchange + ONE grouped moment fold (the ``acf_features``
+    conventions, including the ``tiebreak_col`` determinism contract).
+    Output: ``(id, n_obs, dw)`` rounded 6; NULL dw for zero-variance or
+    single-point series.
+    """
+    for c in [value_col, time_col, id_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    ):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"durbin_watson: missing column {c!r}")
+    y = F.col(value_col).cast("double")
+    order = [F.col(time_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(id_col).orderBy(*order)
+    base = df.filter(y.isNotNull()).select(
+        F.col(id_col).alias("_id"), *order, y.alias("_y")
+    )
+    prev = F.lag("_y").over(
+        Window.partitionBy("_id").orderBy(*[c for c in order])
+    )
+    marked = base.withColumn("_d", F.col("_y") - prev)
+    g = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_s"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_q"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_dd"),
+    )
+    n = F.col("_n").cast("double")
+    ss = F.col("_q") - F.col("_s") * F.col("_s") / n
+    return g.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").cast("long").alias("n_obs"),
+        F.round(
+            F.when((F.col("_n") > 1) & (ss > 0), F.col("_dd") / ss), 6
+        ).alias("dw"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    value_col: str,
+    max_lag: int,
+    time_col: str = "event_time",
+    id_col: str = "doc_id",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-entity Ljung–Box portmanteau statistic (Ljung & Box 1978) —
+    "is there ANY autocorrelation up to lag K":
+
+        Q = n(n+2) · Σ_{k=1..K} ρ̂_k² / (n−k),   Q ~ χ²(K) under H₀
+
+    built directly ON :func:`acf_features` (same estimator, same
+    determinism contract — one extra bounded projection, no new corpus
+    pass). Output: ``(id, n_obs, q_stat, dof)`` rounded 6; NULL q when
+    any required lag is undefined (short or zero-variance series — a
+    partial Q would silently understate dependence).
+    """
+    if max_lag < 1:
+        raise DataFrameValidationError("ljung_box: max_lag must be >= 1")
+    acf = acf_features(
+        df, value_col, max_lag, time_col=time_col, id_col=id_col,
+        tiebreak_col=tiebreak_col,
+    )
+    n = F.col("n_obs").cast("double")
+    q = F.lit(0.0)
+    for k in range(1, max_lag + 1):
+        r = F.col(f"acf_{k}")
+        q = q + r * r / (n - float(k))
+    q = n * (n + 2.0) * q
+    return acf.select(
+        id_col,
+        "n_obs",
+        F.round(q, 6).alias("q_stat"),
+        F.lit(int(max_lag)).cast("long").alias("dof"),
+    )

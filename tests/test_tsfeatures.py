@@ -660,3 +660,91 @@ class TestDftFeatures:
         )
         assert plan.count("Exchange") <= 2
         assert "SinglePartition" not in plan
+
+
+class TestResidualDiagnostics:
+    def _df(self, spark, seed=3):
+        import datetime
+
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        rows, series = [], {}
+        for uid in range(3):
+            x = rng.randn(60)
+            if uid == 1:
+                for t in range(1, 60):
+                    x[t] = 0.8 * x[t - 1] + 0.3 * x[t]
+            series[uid] = x
+            for t in range(60):
+                rows.append((uid, datetime.datetime(2024, 1, 1) +
+                             datetime.timedelta(hours=t), t, float(x[t])))
+        return series, spark.createDataFrame(
+            rows, "doc_id long, event_time timestamp, seq long, y double"
+        )
+
+    def test_durbin_watson_parity(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.tsfeatures import durbin_watson
+
+        series, df = self._df(spark)
+        got = {r["doc_id"]: r["dw"]
+               for r in durbin_watson(df, "y", "event_time", "doc_id",
+                                      "seq").collect()}
+        for uid, x in series.items():
+            ref = (np.diff(x) ** 2).sum() / ((x - x.mean()) ** 2).sum()
+            assert got[uid] == pytest.approx(ref, abs=1e-6)
+        assert got[1] < 1.0      # AR(1) series: strong positive autocorr
+        assert 1.5 < got[0] < 2.5
+
+    def test_ljung_box_parity(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.tsfeatures import ljung_box
+
+        series, df = self._df(spark)
+        got = {r["doc_id"]: r for r in
+               ljung_box(df, "y", 5, "event_time", "doc_id", "seq").collect()}
+        for uid, x in series.items():
+            n = len(x)
+            den = ((x - x.mean()) ** 2).sum()
+            acf6 = [round(float(((x[k:] - x.mean()) * (x[:-k] - x.mean())).sum()
+                          / den), 6) for k in range(1, 6)]
+            Q = n * (n + 2) * sum(a * a / (n - k)
+                                  for k, a in zip(range(1, 6), acf6))
+            assert got[uid]["q_stat"] == pytest.approx(Q, abs=1e-5)
+            assert got[uid]["dof"] == 5
+        assert got[1]["q_stat"] > 50    # dependence detected
+
+    def test_degenerate_series(self, spark):
+        import datetime
+
+        from temporalscope_spark.operators.tsfeatures import (
+            durbin_watson,
+            ljung_box,
+        )
+
+        rows = [(1, datetime.datetime(2024, 1, 1, h), h, 5.0) for h in range(8)]
+        rows += [(2, datetime.datetime(2024, 1, 1), 0, 1.0)]  # single point
+        df = spark.createDataFrame(
+            rows, "doc_id long, event_time timestamp, seq long, y double"
+        )
+        dw = {r["doc_id"]: r["dw"]
+              for r in durbin_watson(df, "y", "event_time", "doc_id", "seq").collect()}
+        assert dw[1] is None and dw[2] is None   # zero variance / single point
+        lb = {r["doc_id"]: r["q_stat"]
+              for r in ljung_box(df, "y", 2, "event_time", "doc_id", "seq").collect()}
+        assert lb[1] is None and lb[2] is None
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.tsfeatures import (
+            durbin_watson,
+            ljung_box,
+        )
+
+        _, df = self._df(spark)
+        with pytest.raises(DataFrameValidationError):
+            durbin_watson(df, "nope")
+        with pytest.raises(DataFrameValidationError):
+            ljung_box(df, "y", 0)
