@@ -6215,8 +6215,19 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ljung_box(events, "value", 3, "ts", "user_id", "event_id")
 
 
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user PACF (lags 1..3) by closed-form Durbin–Levinson on the
+    rounded ACF — Box–Jenkins AR-order identification, no extra corpus
+    pass."""
+    from temporalscope_spark.operators.tsfeatures import pacf_features
+
+    events = _t(spark, sf_dir, "events")
+    return pacf_features(events, "value", 3, "ts", "user_id", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pacf": q_pacf,
         "durbin_watson": q_durbin_watson,
         "ljung_box": q_ljung_box,
         "scd2_history": q_scd2_history,
@@ -14216,5 +14227,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(3 AS BIGINT) AS dof
         FROM a
     """
+
+    # PACF: same rounded-ACF CTE + the Durbin-Levinson closed forms
+    sql["pacf"] = (
+        sql["ljung_box"].split("SELECT user_id, CAST(n AS BIGINT) AS n_obs,")[0]
+        + """
+        SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+               round(r1, 6) + 0.0 AS pacf_1,
+               round(CASE WHEN abs(1.0 - r1 * r1) > 1e-12
+                          THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END, 6) + 0.0
+                   AS pacf_2,
+               round(CASE WHEN abs(1.0 - r1 * r1) > 1e-12
+                           AND abs(1.0 - (r1 * (1.0 - r2) / (1.0 - r1 * r1))
+                                       * r1
+                                 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2)
+                               > 1e-12
+                          THEN (r3 - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r2
+                                   - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1)
+                               / (1.0 - (r1 * (1.0 - r2) / (1.0 - r1 * r1))
+                                       * r1
+                                      - ((r2 - r1 * r1) / (1.0 - r1 * r1))
+                                       * r2) END, 6) + 0.0 AS pacf_3
+        FROM a
+    """
+    )
 
     return sql

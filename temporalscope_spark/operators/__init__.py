@@ -185,6 +185,7 @@ from temporalscope_spark.operators.tsfeatures import (
     acf_features,
     durbin_watson,
     ljung_box,
+    pacf_features,
     calendar_features,
     entity_profile,
     recency_features,
@@ -310,7 +311,7 @@ __all__ = [
     "msprt_test", "fs_link", "fs_em_round", "cox_step", "fit_cox", "stratified_att",
     "table_diff", "fd_violations", "haversine_km", "proximity_join",
     "dp_counts", "dp_mean", "wasserstein_1d", "fit_mahalanobis", "mahalanobis_score",
-    "scd2_history", "durbin_watson", "ljung_box",
+    "scd2_history", "durbin_watson", "ljung_box", "pacf_features",
     "count_encode", "fit_top_categories", "hash_cross", "one_hot_top_k",
     "rare_collapse", "target_encode_oof", "woe_encode", "woe_iv_table",
     "mean_fill_pad", "pad_groups_mean_fill", "pad_token_arrays",

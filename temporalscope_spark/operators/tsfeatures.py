@@ -823,3 +823,62 @@ def ljung_box(
         F.round(q, 6).alias("q_stat"),
         F.lit(int(max_lag)).cast("long").alias("dof"),
     )
+
+
+def pacf_features(
+    df: DataFrame,
+    value_col: str,
+    max_lag: int = 3,
+    time_col: str = "event_time",
+    id_col: str = "doc_id",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-entity partial autocorrelation at lags 1..``max_lag`` (≤ 3) —
+    the AR-order diagnostic read next to :func:`acf_features` (Box &
+    Jenkins identification: ACF tails off + PACF cuts at p ⇒ AR(p)).
+
+    Computed from the (rounded, replayable) ACF by the closed-form
+    Durbin–Levinson recursion, which for the supported depths is pure
+    arithmetic — no matrix solve, no new corpus pass:
+
+        φ₁₁ = ρ₁
+        φ₂₂ = (ρ₂ − ρ₁²) / (1 − ρ₁²)
+        φ₃₃ = numerator/denominator of the k=3 recursion expanded
+
+    Output: ``(id, n_obs, pacf_1..pacf_K)`` rounded 6; NULL where the
+    underlying ACFs are NULL or a denominator is 0. Depths beyond 3
+    need the Levinson loop proper (a bounded driver recursion per
+    entity) — out of scope for the expression lane, so ``max_lag > 3``
+    raises rather than silently approximating.
+    """
+    if not (1 <= max_lag <= 3):
+        raise DataFrameValidationError(
+            "pacf_features: max_lag must be in 1..3 (expression lane)"
+        )
+    acf = acf_features(
+        df, value_col, max_lag, time_col=time_col, id_col=id_col,
+        tiebreak_col=tiebreak_col,
+    )
+    cols = [F.col(id_col), F.col("n_obs")]
+    r1 = F.col("acf_1")
+    cols.append(F.round(r1, 6).alias("pacf_1"))
+    if max_lag >= 2:
+        r2 = F.col("acf_2")
+        d2 = 1.0 - r1 * r1
+        p22 = F.when(F.abs(d2) > 1e-12, (r2 - r1 * r1) / d2)
+        cols.append(F.round(p22, 6).alias("pacf_2"))
+    if max_lag >= 3:
+        r2 = F.col("acf_2")
+        r3 = F.col("acf_3")
+        # Durbin-Levinson k=3: phi21 = r1(1-r2)/(1-r1^2); phi22 as above;
+        # phi33 = (r3 - phi21*r2 - phi22*r1) / (1 - phi21*r1 - phi22*r2)
+        d2 = 1.0 - r1 * r1
+        phi22 = (r2 - r1 * r1) / d2
+        phi21 = r1 * (1.0 - r2) / d2
+        den3 = 1.0 - phi21 * r1 - phi22 * r2
+        p33 = F.when(
+            (F.abs(d2) > 1e-12) & (F.abs(den3) > 1e-12),
+            (r3 - phi21 * r2 - phi22 * r1) / den3,
+        )
+        cols.append(F.round(p33, 6).alias("pacf_3"))
+    return acf.select(*cols)

@@ -748,3 +748,56 @@ class TestResidualDiagnostics:
             durbin_watson(df, "nope")
         with pytest.raises(DataFrameValidationError):
             ljung_box(df, "y", 0)
+
+
+class TestPacf:
+    def test_durbin_levinson_parity_and_ar_cutoff(self, spark):
+        import datetime
+
+        import numpy as np
+
+        from temporalscope_spark.operators.tsfeatures import pacf_features
+
+        rng = np.random.RandomState(3)
+        rows, series = [], {}
+        for uid in range(2):
+            x = rng.randn(200)
+            if uid == 1:
+                for t in range(1, 200):
+                    x[t] = 0.6 * x[t - 1] + x[t] * 0.5
+            series[uid] = x
+            for t in range(200):
+                rows.append((uid, datetime.datetime(2024, 1, 1) +
+                             datetime.timedelta(hours=t), t, float(x[t])))
+        df = spark.createDataFrame(
+            rows, "doc_id long, event_time timestamp, seq long, y double"
+        )
+        got = {r["doc_id"]: r
+               for r in pacf_features(df, "y", 3, "event_time", "doc_id",
+                                      "seq").collect()}
+        for uid, x in series.items():
+            xm = x.mean()
+            den = ((x - xm) ** 2).sum()
+            r1, r2, r3 = [round(float(((x[k:] - xm) * (x[:-k] - xm)).sum()
+                                      / den), 6) for k in (1, 2, 3)]
+            p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+            phi21 = r1 * (1 - r2) / (1 - r1 * r1)
+            p33 = (r3 - phi21 * r2 - p22 * r1) / (1 - phi21 * r1 - p22 * r2)
+            assert got[uid]["pacf_1"] == pytest.approx(r1, abs=1e-6)
+            assert got[uid]["pacf_2"] == pytest.approx(p22, abs=1e-6)
+            assert got[uid]["pacf_3"] == pytest.approx(p33, abs=1e-6)
+        # AR(1): PACF cuts off after lag 1
+        assert got[1]["pacf_1"] > 0.5
+        assert abs(got[1]["pacf_2"]) < 0.15 and abs(got[1]["pacf_3"]) < 0.15
+
+    def test_depth_cap_raises(self, spark):
+        import datetime
+
+        from temporalscope_spark.operators.tsfeatures import pacf_features
+
+        df = spark.createDataFrame(
+            [(1, datetime.datetime(2024, 1, 1), 0, 1.0)],
+            "doc_id long, event_time timestamp, seq long, y double",
+        )
+        with pytest.raises(DataFrameValidationError):
+            pacf_features(df, "y", 4)
