@@ -6225,8 +6225,30 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pacf_features(events, "value", 3, "ts", "user_id", "event_id")
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across all five event types: joint ranks via
+    the distributed prefix sum, per-group rank sums over the bounded
+    (value × group) table, tie-corrected."""
+    from temporalscope_spark.operators.experiment import kruskal_wallis
+
+    events = _t(spark, sf_dir, "events")
+    return kruskal_wallis(events, "value", "event_type")
+
+
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity F across event types:
+    per-group exact medians as broadcast literals, one moment pass on
+    absolute deviations, bounded fold."""
+    from temporalscope_spark.operators.experiment import levene_test
+
+    events = _t(spark, sf_dir, "events")
+    return levene_test(events, "value", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "kruskal_wallis": q_kruskal_wallis,
+        "levene_test": q_levene_test,
         "pacf": q_pacf,
         "durbin_watson": q_durbin_watson,
         "ljung_box": q_ljung_box,
@@ -14226,6 +14248,84 @@ def oracle_sql() -> dict[str, str]:
                    AS q_stat,
                CAST(3 AS BIGINT) AS dof
         FROM a
+    """
+
+    # Kruskal-Wallis: joint average ranks + per-group rank sums + the
+    # tie-corrected H fold
+    sql["kruskal_wallis"] = """
+        WITH b AS (
+            SELECT CAST(value AS DOUBLE) AS y,
+                   CAST(event_type AS VARCHAR) AS g
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        c AS (SELECT y, count(*) AS n FROM b GROUP BY 1),
+        r AS (
+            SELECT y, n, sum(n) OVER (ORDER BY y) AS ncum FROM c
+        ),
+        rk AS (
+            SELECT y,
+                   CAST(ncum - n AS DOUBLE) + (CAST(n AS DOUBLE) + 1) / 2 AS r
+            FROM r
+        ),
+        vg AS (SELECT y, g, count(*) AS ccount FROM b GROUP BY 1, 2),
+        pg AS (
+            SELECT vg.g, sum(ccount) AS ng,
+                   sum(CAST(ccount AS DOUBLE) * rk.r) AS rg
+            FROM vg JOIN rk USING (y) GROUP BY 1
+        ),
+        ties AS (
+            SELECT sum(CAST(n AS DOUBLE) * n * n - n) AS t FROM c
+        ),
+        f AS (
+            SELECT sum(ng) AS nt, count(*) AS k,
+                   sum(rg * rg / CAST(ng AS DOUBLE)) AS rr
+            FROM pg
+        )
+        SELECT CAST(f.nt AS BIGINT) AS n, CAST(f.k AS BIGINT) AS k,
+               round(CASE WHEN 1.0 - ties.t
+                              / (CAST(f.nt AS DOUBLE) * f.nt * f.nt - f.nt) > 0
+                     THEN (12.0 / (CAST(f.nt AS DOUBLE) * (f.nt + 1.0)) * f.rr
+                           - 3.0 * (CAST(f.nt AS DOUBLE) + 1.0))
+                          / (1.0 - ties.t
+                             / (CAST(f.nt AS DOUBLE) * f.nt * f.nt - f.nt))
+                     END, 6) + 0.0 AS h_stat,
+               CAST(f.k - 1 AS BIGINT) AS dof
+        FROM f, ties
+    """
+
+    # Levene/Brown-Forsythe: rounded per-group medians, one z-moment
+    # pass, bounded F fold
+    sql["levene_test"] = """
+        WITH b AS (
+            SELECT CAST(value AS DOUBLE) AS y,
+                   CAST(event_type AS VARCHAR) AS g
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        cen AS (SELECT g, round(quantile_cont(y, 0.5), 6) AS c FROM b GROUP BY 1),
+        z AS (
+            SELECT b.g, abs(b.y - cen.c) AS z
+            FROM b JOIN cen USING (g)
+        ),
+        pg AS (
+            SELECT g, count(*) AS n, sum(z) AS s, sum(z * z) AS q
+            FROM z GROUP BY 1
+        ),
+        f AS (
+            SELECT sum(n) AS nt, count(*) AS k, sum(s) AS st,
+                   sum(s * s / CAST(n AS DOUBLE)) AS bg,
+                   sum(q - s * s / CAST(n AS DOUBLE)) AS wg
+            FROM pg
+        )
+        SELECT CAST(nt AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+               round(CASE WHEN wg > 0 THEN
+                   ((bg - st * st / CAST(nt AS DOUBLE))
+                        / (CAST(k AS DOUBLE) - 1.0))
+                   / (wg / (CAST(nt AS DOUBLE) - k)) END, 6) + 0.0 AS f_stat,
+               CAST(k - 1 AS BIGINT) AS dof1,
+               CAST(nt - k AS BIGINT) AS dof2
+        FROM f
     """
 
     # PACF: same rounded-ACF CTE + the Durbin-Levinson closed forms

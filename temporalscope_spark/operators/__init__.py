@@ -23,6 +23,8 @@ from temporalscope_spark.operators.experiment import (
     did_estimate,
     fdr_bh,
     ipw_estimate,
+    kruskal_wallis,
+    levene_test,
     mann_whitney_u,
     msprt_test,
     permutation_test,
@@ -309,6 +311,7 @@ __all__ = [
     "tfidf_cosine_pairs", "tfidf_table", "hashed_features", "mann_whitney_u",
     "permutation_test", "covariate_balance", "srm_check", "ipw_estimate",
     "msprt_test", "fs_link", "fs_em_round", "cox_step", "fit_cox", "stratified_att",
+    "kruskal_wallis", "levene_test",
     "table_diff", "fd_violations", "haversine_km", "proximity_join",
     "dp_counts", "dp_mean", "wasserstein_1d", "fit_mahalanobis", "mahalanobis_score",
     "scd2_history", "durbin_watson", "ljung_box", "pacf_features",

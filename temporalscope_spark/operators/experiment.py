@@ -1158,3 +1158,153 @@ def stratified_att(
         F.round(F.col("_wa") / F.col("_nu"), 6).alias("ate"),
         F.col("_drop").cast("long").alias("n_treat_dropped"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H test (1952) — the k-group generalization of
+    :func:`mann_whitney_u` ("do ANY of these variants differ"), sharing
+    its machinery: joint average ranks from ONE groupBy(value) count
+    table + the distributed prefix sum, per-group rank sums folded over
+    the bounded (value × group) table,
+
+        H = [12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)] / (1 − Σ(t³−t)/(N³−N))
+
+    (tie-corrected, scipy ``kruskal`` parity). H ~ χ²(k−1) under H₀.
+    Output: one row ``(n, k, h_stat, dof)`` rounded 6 (NULL h when every
+    pooled value ties). Groups = every distinct non-NULL ``group_col``
+    value with at least one non-NULL metric; fewer than 2 groups raise.
+    """
+    for c in (metric_col, group_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"kruskal_wallis: missing column {c!r}")
+    g = F.col(group_col).cast("string")
+    y = F.col(metric_col).cast("double")
+    base = df.filter(y.isNotNull() & g.isNotNull()).select(
+        y.alias("_y"), g.alias("_g")
+    )
+    counts = base.groupBy("_y").agg(F.count(F.lit(1)).alias("_n"))
+
+    from temporalscope_spark.plans.rownum import with_global_cumsum
+
+    ranked = with_global_cumsum(counts, ["_y"], ["_n"])
+    avg_rank = (
+        (F.col("_n_cum") - F.col("_n")).cast("double")
+        + (F.col("_n").cast("double") + 1.0) / 2.0
+    )
+    rank_tbl = ranked.select("_y", avg_rank.alias("_r"), "_n")
+    # per-(value, group) counts join the value-keyed rank table, then one
+    # bounded per-group fold; ties fold from the value table
+    vg = base.groupBy("_y", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    per_g = (
+        vg.join(rank_tbl.select("_y", "_r"), "_y")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").alias("_ng"),
+            F.sum(F.col("_c").cast("double") * F.col("_r")).alias("_rg"),
+        )
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.col("_n").cast("double") * F.col("_n") * F.col("_n")
+            - F.col("_n").cast("double")
+        ).alias("_t")
+    )
+    fold = per_g.agg(
+        F.sum("_ng").alias("_nt"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(F.col("_rg") * F.col("_rg") / F.col("_ng").cast("double")).alias(
+            "_rr"
+        ),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("_nt").cast("double")
+    guard = F.when(
+        F.col("_k") < 2,
+        F.raise_error(
+            F.lit("kruskal_wallis: need >= 2 groups with non-null metrics")
+        ).cast("long"),
+    )
+    h_raw = 12.0 / (n * (n + 1.0)) * F.col("_rr") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("_t") / (n * n * n - n)
+    return fold.select(
+        F.coalesce(guard, F.col("_nt")).cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k"),
+        F.round(F.when(corr > 0, h_raw / corr), 6).alias("h_stat"),
+        (F.col("_k") - 1).cast("long").alias("dof"),
+    )
+
+
+def levene_test(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    center: str = "median",
+) -> DataFrame:
+    """Levene / Brown–Forsythe variance-homogeneity test (Levene 1960;
+    Brown & Forsythe 1974 — ``center='median'``, the robust default):
+    one-way ANOVA F on the absolute deviations ``z = |y − center_g|``.
+    The precondition check for pooled-variance methods and a drift
+    screen for "did the SPREAD change even if the mean didn't".
+
+    Plan shape: per-group centers from ONE grouped aggregation (exact
+    grouped ``percentile`` for the median lane — ``percentile_approx``
+    is the 100 TB swap, the corpus_stats convention) broadcast back to
+    the rows; then ONE grouped moment aggregation of z and a bounded
+    fold computes the F ratio. Output: one row ``(n, k, f_stat, dof1,
+    dof2)`` rounded 6.
+    """
+    if center not in ("median", "mean"):
+        raise DataFrameValidationError(
+            "levene_test: center must be 'median' or 'mean'"
+        )
+    for c in (metric_col, group_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"levene_test: missing column {c!r}")
+    g = F.col(group_col).cast("string")
+    y = F.col(metric_col).cast("double")
+    base = df.filter(y.isNotNull() & g.isNotNull()).select(
+        y.alias("_y"), g.alias("_g")
+    )
+    if center == "median":
+        cen = F.percentile("_y", F.lit(0.5))
+    else:
+        cen = F.avg("_y")
+    centers = base.groupBy("_g").agg(F.round(cen, 6).alias("_c"))
+    z = F.abs(F.col("_y") - F.col("_c"))
+    zs = base.join(F.broadcast(centers), "_g").select("_g", z.alias("_z"))
+    per_g = zs.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_z").alias("_s"),
+        F.sum(F.col("_z") * F.col("_z")).alias("_q"),
+    )
+    fold = per_g.agg(
+        F.sum("_n").alias("_nt"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_s").alias("_st"),
+        F.sum(F.col("_s") * F.col("_s") / F.col("_n").cast("double")).alias(
+            "_bg"
+        ),
+        F.sum(
+            F.col("_q") - F.col("_s") * F.col("_s") / F.col("_n").cast("double")
+        ).alias("_wg"),
+    )
+    n = F.col("_nt").cast("double")
+    k = F.col("_k").cast("double")
+    guard = F.when(
+        F.col("_k") < 2,
+        F.raise_error(
+            F.lit("levene_test: need >= 2 groups with non-null metrics")
+        ).cast("long"),
+    )
+    ssb = F.col("_bg") - F.col("_st") * F.col("_st") / n
+    fstat = (ssb / (k - 1.0)) / (F.col("_wg") / (n - k))
+    return fold.select(
+        F.coalesce(guard, F.col("_nt")).cast("long").alias("n"),
+        F.col("_k").cast("long").alias("k"),
+        F.round(F.when(F.col("_wg") > 0, fstat), 6).alias("f_stat"),
+        (F.col("_k") - 1).cast("long").alias("dof1"),
+        (F.col("_nt") - F.col("_k")).cast("long").alias("dof2"),
+    )

@@ -778,3 +778,96 @@ class TestStratifiedAtt:
             stratified_att(df, "y", "t", "p", n_strata=1)
         with pytest.raises(DataFrameValidationError):
             stratified_att(df, "nope", "t", "p")
+
+
+class TestKruskalWallis:
+    def test_parity_and_tie_correction(self, spark):
+        import collections
+
+        from temporalscope_spark.operators.experiment import kruskal_wallis
+
+        rng = np.random.RandomState(7)
+        groups = {"a": [float(v) for v in rng.randint(0, 8, 70)],
+                  "b": [float(v) for v in rng.randint(1, 9, 60)],
+                  "c": [float(v) for v in rng.randint(0, 8, 80)]}
+        rows = [(g, v) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = kruskal_wallis(df, "y", "g").collect()[0]
+        allv = [(v, g) for g, vs in groups.items() for v in vs]
+        cnt = collections.Counter(v for v, _ in allv)
+        cum, avg = 0, {}
+        for v in sorted(cnt):
+            n = cnt[v]
+            avg[v] = cum + (n + 1) / 2
+            cum += n
+        N = len(allv)
+        H = 12 / (N * (N + 1)) * sum(
+            sum(avg[v] for v in vs) ** 2 / len(vs) for vs in groups.values()
+        ) - 3 * (N + 1)
+        H /= 1 - sum(t**3 - t for t in cnt.values()) / (N**3 - N)
+        assert got["h_stat"] == pytest.approx(H, abs=1e-6)
+        assert got["k"] == 3 and got["dof"] == 2
+
+    def test_identical_groups_small_h(self, spark):
+        from temporalscope_spark.operators.experiment import kruskal_wallis
+
+        rows = [(g, float(i % 11)) for g in "abc" for i in range(60)]
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = kruskal_wallis(df, "y", "g").collect()[0]
+        assert got["h_stat"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_single_group_raises(self, spark):
+        from temporalscope_spark.operators.experiment import kruskal_wallis
+
+        df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, y double")
+        with pytest.raises(Exception, match="2 groups"):
+            kruskal_wallis(df, "y", "g").collect()
+
+
+class TestLeveneTest:
+    def test_brown_forsythe_parity(self, spark):
+        from temporalscope_spark.operators.experiment import levene_test
+
+        rng = np.random.RandomState(1)
+        groups = {"a": rng.randn(80) + 0.5, "b": rng.randn(90),
+                  "c": rng.randn(70) * 2}
+        rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = levene_test(df, "y", "g").collect()[0]
+        zs = {g: np.abs(vs - round(float(np.median(vs)), 6))
+              for g, vs in groups.items()}
+        N = sum(len(z) for z in zs.values())
+        zbar = np.mean(np.concatenate(list(zs.values())))
+        ssb = sum(len(z) * (z.mean() - zbar) ** 2 for z in zs.values())
+        ssw = sum(((z - z.mean()) ** 2).sum() for z in zs.values())
+        ref = (ssb / 2) / (ssw / (N - 3))
+        assert got["f_stat"] == pytest.approx(ref, abs=1e-5)
+        assert got["f_stat"] > 10   # planted variance difference detected
+
+    def test_equal_spread_small_f(self, spark):
+        from temporalscope_spark.operators.experiment import levene_test
+
+        rng = np.random.RandomState(9)
+        rows = [("a" if i % 2 else "b", float(v + (5.0 if i % 2 else 0.0)))
+                for i, v in enumerate(rng.randn(400))]
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = levene_test(df, "y", "g").collect()[0]
+        assert got["f_stat"] < 4   # mean shift but equal spread
+
+    def test_mean_center_lane(self, spark):
+        from temporalscope_spark.operators.experiment import levene_test
+
+        rng = np.random.RandomState(3)
+        rows = [("a" if i % 2 else "b", float(v)) for i, v in enumerate(rng.randn(200))]
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = levene_test(df, "y", "g", center="mean").collect()[0]
+        assert got["f_stat"] is not None
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.experiment import levene_test
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, y double")
+        with pytest.raises(DataFrameValidationError):
+            levene_test(df, "y", "g", center="mode")
+        with pytest.raises(DataFrameValidationError):
+            levene_test(df, "nope", "g")
