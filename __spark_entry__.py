@@ -6245,8 +6245,34 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levene_test(events, "value", "event_type")
 
 
+def q_yuen_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen trimmed-mean robust t (20% trim) on click vs view values:
+    grouped exact-quantile bands as plan literals, one winsorized-moment
+    pass per group, driver fold."""
+    from temporalscope_spark.operators.experiment import yuen_test
+
+    events = _t(spark, sf_dir, "events")
+    return yuen_test(events, "value", "event_type", "click", "view", trim=0.2)
+
+
+def q_eb_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efron–Morris empirical-Bayes shrinkage of per-cohort mean event
+    values (user_id % 37 cohorts): one grouped moment pass, bounded
+    hyperparameter fold, expression scoring — the ranking-without-luck
+    lane for millions of small groups."""
+    from temporalscope_spark.operators.experiment import eb_shrink_means
+
+    events = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 37).cast("string").alias("cohort"),
+        F.col("value"),
+    )
+    return eb_shrink_means(events, "value", "cohort")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "yuen_test": q_yuen_test,
+        "eb_shrink": q_eb_shrink,
         "kruskal_wallis": q_kruskal_wallis,
         "levene_test": q_levene_test,
         "pacf": q_pacf,
@@ -14326,6 +14352,109 @@ def oracle_sql() -> dict[str, str]:
                CAST(k - 1 AS BIGINT) AS dof1,
                CAST(nt - k AS BIGINT) AS dof2
         FROM f
+    """
+
+    # Yuen trimmed t: rounded band quantiles, winsorized moments,
+    # identical trimmed-sum reconstruction and Welch-Satterthwaite dof
+    sql["yuen_test"] = """
+        WITH b AS (
+            SELECT CAST(value AS DOUBLE) AS y,
+                   CAST(event_type AS VARCHAR) AS g
+            FROM events
+            WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+        ),
+        q AS (
+            SELECT g, round(quantile_cont(y, 0.2), 6) AS lo,
+                   round(quantile_cont(y, 0.8), 6) AS hi
+            FROM b GROUP BY 1
+        ),
+        w AS (
+            SELECT b.g, least(greatest(b.y, q.lo), q.hi) AS wv, q.lo, q.hi
+            FROM b JOIN q USING (g)
+        ),
+        agg AS (
+            SELECT g, CAST(count(*) AS DOUBLE) AS n, max(lo) AS lo,
+                   max(hi) AS hi, sum(wv) AS ws, sum(wv * wv) AS wq
+            FROM w GROUP BY 1
+        ),
+        st AS (
+            SELECT g, n, floor(0.2 * n) AS gc, n - 2 * floor(0.2 * n) AS h,
+                   (ws - floor(0.2 * n) * (lo + hi))
+                       / (n - 2 * floor(0.2 * n)) AS tmean,
+                   ((wq - n * (ws / n) * (ws / n)) / (n - 1.0)) * (n - 1.0)
+                       / ((n - 2 * floor(0.2 * n))
+                          * (n - 2 * floor(0.2 * n) - 1.0)) AS d
+            FROM agg
+        ),
+        pv AS (
+            SELECT max(CASE WHEN g = 'click' THEN n END) AS na,
+                   max(CASE WHEN g = 'view' THEN n END) AS nb,
+                   max(CASE WHEN g = 'click' THEN h END) AS ha,
+                   max(CASE WHEN g = 'view' THEN h END) AS hb,
+                   max(CASE WHEN g = 'click' THEN tmean END) AS ta,
+                   max(CASE WHEN g = 'view' THEN tmean END) AS tb,
+                   max(CASE WHEN g = 'click' THEN d END) AS da,
+                   max(CASE WHEN g = 'view' THEN d END) AS db
+            FROM st
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(ha AS BIGINT) AS h_a, CAST(hb AS BIGINT) AS h_b,
+               round(ta, 6) + 0.0 AS tmean_a, round(tb, 6) + 0.0 AS tmean_b,
+               round(ta - tb, 6) + 0.0 AS diff,
+               round(CASE WHEN da + db > 0
+                          THEN (ta - tb) / sqrt(da + db) END, 6) + 0.0
+                   AS t_stat,
+               round(CASE WHEN da > 0 OR db > 0
+                          THEN (da + db) * (da + db)
+                               / (da * da / (ha - 1.0)
+                                  + db * db / (hb - 1.0)) END, 6) + 0.0
+                   AS dof
+        FROM pv
+    """
+
+    # EB shrinkage: identical method-of-moments hyperparameters (rounded
+    # AFTER tau2 is formed from unrounded sig2/mu), identical weights
+    sql["eb_shrink"] = """
+        WITH b AS (
+            SELECT CAST(user_id % 37 AS VARCHAR) AS g,
+                   CAST(value AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        per AS (
+            SELECT g, count(*) AS n, sum(y) AS s, sum(y * y) AS q
+            FROM b GROUP BY 1
+        ),
+        h AS (
+            SELECT CAST(sum(n) AS DOUBLE) AS nt,
+                   CAST(count(*) AS DOUBLE) AS gk,
+                   sum(s) AS st,
+                   sum(CASE WHEN n >= 2
+                            THEN q - s * s / CAST(n AS DOUBLE) END) AS sswok,
+                   sum(CASE WHEN n >= 2 THEN CAST(n AS DOUBLE) - 1.0 END)
+                       AS dofok,
+                   sum(s * s / CAST(n AS DOUBLE)) AS bg
+            FROM per
+        ),
+        p AS (
+            SELECT round(st / nt, 6) AS mu,
+                   round(sswok / dofok, 6) AS sig2,
+                   round(greatest(0.0,
+                       (bg - nt * (st / nt) * (st / nt)) / nt
+                       - (sswok / dofok) * gk / nt), 6) AS tau2
+            FROM h
+        )
+        SELECT per.g AS "group", CAST(per.n AS BIGINT) AS n,
+               round(per.s / per.n, 6) + 0.0 AS mean,
+               round(CASE WHEN p.tau2 + p.sig2 / per.n > 0
+                          THEN (p.tau2 / (p.tau2 + p.sig2 / per.n))
+                                   * (per.s / per.n)
+                               + (1.0 - p.tau2 / (p.tau2 + p.sig2 / per.n))
+                                   * p.mu
+                          ELSE 1.0 * (per.s / per.n) END, 6) + 0.0 AS shrunk,
+               round(CASE WHEN p.tau2 + p.sig2 / per.n > 0
+                          THEN p.tau2 / (p.tau2 + p.sig2 / per.n)
+                          ELSE 1.0 END, 6) + 0.0 AS weight
+        FROM per, p
     """
 
     # PACF: same rounded-ACF CTE + the Durbin-Levinson closed forms

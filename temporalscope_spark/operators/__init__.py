@@ -21,6 +21,7 @@ from temporalscope_spark.operators.experiment import (
     chi2_independence,
     covariate_balance,
     did_estimate,
+    eb_shrink_means,
     fdr_bh,
     ipw_estimate,
     kruskal_wallis,
@@ -31,6 +32,7 @@ from temporalscope_spark.operators.experiment import (
     poisson_bootstrap,
     srm_check,
     stratified_att,
+    yuen_test,
 )
 from temporalscope_spark.operators.lifecycle import cohort_retention, funnel_conversion
 from temporalscope_spark.operators.corruption import fim_split, span_corruption
@@ -311,7 +313,7 @@ __all__ = [
     "tfidf_cosine_pairs", "tfidf_table", "hashed_features", "mann_whitney_u",
     "permutation_test", "covariate_balance", "srm_check", "ipw_estimate",
     "msprt_test", "fs_link", "fs_em_round", "cox_step", "fit_cox", "stratified_att",
-    "kruskal_wallis", "levene_test",
+    "kruskal_wallis", "levene_test", "yuen_test", "eb_shrink_means",
     "table_diff", "fd_violations", "haversine_km", "proximity_join",
     "dp_counts", "dp_mean", "wasserstein_1d", "fit_mahalanobis", "mahalanobis_score",
     "scd2_history", "durbin_watson", "ljung_box", "pacf_features",

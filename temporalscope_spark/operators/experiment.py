@@ -1308,3 +1308,177 @@ def levene_test(
         (F.col("_k") - 1).cast("long").alias("dof1"),
         (F.col("_nt") - F.col("_k")).cast("long").alias("dof2"),
     )
+
+
+def yuen_test(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    trim: float = 0.2,
+) -> DataFrame:
+    """Yuen's trimmed-mean test (Yuen 1974) — the robust two-sample t
+    for heavy-tailed metrics: compare γ-trimmed means with winsorized
+    variances,
+
+        t = (x̄_t,a − x̄_t,b) / sqrt(d_a + d_b),
+        d = s²_w·(n−1) / (h·(h−1)),   h = n − 2⌊γn⌋
+
+    where s²_w is the winsorized sample variance. Falls back to Welch
+    at ``trim=0`` (then it IS :func:`ab_test`'s z with small-sample
+    dof). Output: one row ``(n_a, n_b, h_a, h_b, tmean_a, tmean_b,
+    diff, t_stat, dof)`` rounded 6.
+
+    Plan shape: the trim fractions need each group's γ and 1−γ exact
+    quantiles — ONE grouped ``percentile`` fit (rounded-6 plan
+    literals; ``percentile_approx`` the 100 TB swap), then ONE grouped
+    aggregation computing trimmed sums (values strictly inside the
+    quantile band) and winsorized moments (values CLAMPED to the band)
+    in the same pass, and a bounded fold. Degenerate bands (zero
+    winsorized variance) yield NULL t.
+    """
+    if not (0.0 <= trim < 0.5):
+        raise DataFrameValidationError("yuen_test: trim must be in [0, 0.5)")
+    for c in (metric_col, group_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"yuen_test: missing column {c!r}")
+    g = F.col(group_col).cast("string")
+    y = F.col(metric_col).cast("double")
+    base = df.filter(y.isNotNull() & g.isin([str(group_a), str(group_b)])).select(
+        g.alias("_g"), y.alias("_y")
+    )
+    qs = base.groupBy("_g").agg(
+        F.round(F.percentile("_y", F.lit(float(trim))), 6).alias("_lo"),
+        F.round(F.percentile("_y", F.lit(1.0 - float(trim))), 6).alias("_hi"),
+        F.count(F.lit(1)).alias("_nq"),
+    )
+    rows = qs.collect()  # 2 bounded rows: band literals + group sizes
+    bands = {r["_g"]: (r["_lo"], r["_hi"], int(r["_nq"])) for r in rows}
+    for grp in (str(group_a), str(group_b)):
+        if grp not in bands:
+            raise DataFrameValidationError(
+                f"yuen_test: group {grp!r} has no non-null rows"
+            )
+    import math  # noqa: PLC0415
+
+    out_rows = []
+    for grp in (str(group_a), str(group_b)):
+        lo, hi, nq = bands[grp]
+        gcut = int(math.floor(float(trim) * nq))
+        wins = F.least(F.greatest(F.col("_y"), F.lit(lo)), F.lit(hi))
+        agg = base.filter(F.col("_g") == grp).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(wins).alias("ws"),
+            F.sum(wins * wins).alias("wq"),
+        ).first()
+        n = int(agg["n"])
+        h = n - 2 * gcut
+        if h < 2:
+            raise DataFrameValidationError(
+                f"yuen_test: group {grp!r} too small after trimming"
+            )
+        # trimmed mean from winsorized sum: the winsorized sum counts the
+        # clamped tails at lo/hi; subtract them to get the interior sum
+        tsum = float(agg["ws"]) - gcut * (lo + hi)
+        tmean = tsum / h
+        wmean = float(agg["ws"]) / n
+        wvar = (float(agg["wq"]) - n * wmean * wmean) / (n - 1.0)
+        d = wvar * (n - 1.0) / (h * (h - 1.0))
+        out_rows.append((n, h, tmean, d))
+    (na, ha, ta, da), (nb, hb, tb, db) = out_rows
+    diff = ta - tb
+    t_stat = diff / math.sqrt(da + db) if (da + db) > 0 else None
+    dof = (
+        (da + db) ** 2 / (da**2 / (ha - 1) + db**2 / (hb - 1))
+        if (da > 0 or db > 0)
+        else None
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            na, nb, ha, hb,
+            round(ta, 6), round(tb, 6), round(diff, 6),
+            round(t_stat, 6) if t_stat is not None else None,
+            round(dof, 6) if dof is not None else None,
+        )],
+        "n_a long, n_b long, h_a long, h_b long, tmean_a double, "
+        "tmean_b double, diff double, t_stat double, dof double",
+    )
+
+
+def eb_shrink_means(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    min_n: int = 2,
+) -> DataFrame:
+    """Empirical-Bayes (James–Stein / Efron–Morris 1975) shrinkage of
+    per-group means toward the grand mean — THE fix for "rank a million
+    sources by average quality" where small groups dominate the top and
+    bottom by luck:
+
+        shrunk_g = B_g·x̄_g + (1−B_g)·μ̂,   B_g = τ̂² / (τ̂² + σ̂²_g/n_g)
+
+    with method-of-moments hyperparameters from ONE pass over the
+    bounded group table: μ̂ = the group-size-weighted grand mean, σ̂² =
+    the pooled within-group variance, and
+    τ̂² = max(0, Σn(x̄_g−μ̂)²/Σn − σ̂²·G/Σn) (between-variance minus its
+    sampling noise). Groups with fewer than ``min_n`` rows still shrink
+    (they shrink the MOST — that is the point).
+
+    Output: one row per group ``(group, n, mean, shrunk, weight)``
+    (rounded 6, ``weight`` = B_g). Plan shape: ONE grouped moment
+    aggregation → bounded hyperparameter fold (broadcast back) →
+    expression scoring of the group table. NULL values excluded.
+    """
+    if min_n < 2:
+        raise DataFrameValidationError("eb_shrink_means: min_n must be >= 2")
+    for c in (value_col, group_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"eb_shrink_means: missing column {c!r}")
+    y = F.col(value_col).cast("double")
+    g = F.col(group_col).cast("string")
+    per = (
+        df.filter(y.isNotNull() & g.isNotNull())
+        .groupBy(g.alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).alias("_s"),
+            F.sum(y * y).alias("_q"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s") / n
+    ssw = F.col("_q") - F.col("_s") * F.col("_s") / n
+    hyper = per.agg(
+        F.sum("n").alias("_nt"),
+        F.count(F.lit(1)).alias("_gk"),
+        F.sum("_s").alias("_st"),
+        F.sum(ssw).alias("_ssw"),
+        F.sum(F.when(n >= int(min_n), ssw)).alias("_sswok"),
+        F.sum(F.when(n >= int(min_n), n - 1.0)).alias("_dofok"),
+        F.sum(F.col("_s") * F.col("_s") / n).alias("_bg"),
+    ).first()
+    nt = float(hyper["_nt"])
+    gk = float(hyper["_gk"])
+    mu = float(hyper["_st"]) / nt
+    sig2 = (
+        float(hyper["_sswok"]) / float(hyper["_dofok"])
+        if hyper["_dofok"] and float(hyper["_dofok"]) > 0
+        else 0.0
+    )
+    ss_between = float(hyper["_bg"]) - nt * mu * mu
+    tau2 = max(0.0, ss_between / nt - sig2 * gk / nt)
+    mu, sig2, tau2 = round(mu, 6), round(sig2, 6), round(tau2, 6)
+    w = F.when(
+        F.lit(tau2) + F.lit(sig2) / n > 0,
+        F.lit(tau2) / (F.lit(tau2) + F.lit(sig2) / n),
+    ).otherwise(F.lit(1.0))
+    return per.select(
+        "group",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(w * mean + (1.0 - w) * F.lit(mu), 6).alias("shrunk"),
+        F.round(w, 6).alias("weight"),
+    )

@@ -871,3 +871,108 @@ class TestLeveneTest:
             levene_test(df, "y", "g", center="mode")
         with pytest.raises(DataFrameValidationError):
             levene_test(df, "nope", "g")
+
+
+class TestYuenTest:
+    def test_parity_with_outliers(self, spark):
+        import math
+
+        from temporalscope_spark.operators.experiment import yuen_test
+
+        rng = np.random.RandomState(2)
+        a = np.concatenate([rng.randn(90) + 0.5, [50.0, -40.0]])
+        b = rng.randn(85)
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = yuen_test(df, "y", "g", "a", "b", trim=0.2).collect()[0]
+
+        def ref(x, trim=0.2):
+            n = len(x)
+            lo = round(float(np.percentile(x, trim * 100)), 6)
+            hi = round(float(np.percentile(x, (1 - trim) * 100)), 6)
+            gc = int(math.floor(trim * n))
+            w = np.clip(x, lo, hi)
+            h = n - 2 * gc
+            tmean = (w.sum() - gc * (lo + hi)) / h
+            wvar = ((w - w.mean()) ** 2).sum() / (n - 1)
+            return n, h, tmean, wvar * (n - 1) / (h * (h - 1))
+
+        na, ha, ta, da = ref(a)
+        nb, hb, tb, db = ref(b)
+        assert got["tmean_a"] == pytest.approx(ta, abs=1e-6)
+        assert got["t_stat"] == pytest.approx((ta - tb) / math.sqrt(da + db), abs=1e-5)
+        assert got["dof"] == pytest.approx(
+            (da + db) ** 2 / (da**2 / (ha - 1) + db**2 / (hb - 1)), abs=1e-3
+        )
+        # robustness: the outliers shift the RAW mean far more than the trimmed
+        assert abs((a.mean() - b.mean()) - got["diff"]) > 0.05
+
+    def test_zero_trim_is_welch_like(self, spark):
+        from temporalscope_spark.operators.experiment import yuen_test
+
+        rng = np.random.RandomState(5)
+        a, b = rng.randn(60) + 1.0, rng.randn(70)
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = yuen_test(df, "y", "g", "a", "b", trim=0.0).collect()[0]
+        import math
+
+        welch = (a.mean() - b.mean()) / math.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        assert got["t_stat"] == pytest.approx(welch, abs=1e-4)
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.experiment import yuen_test
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, y double")
+        with pytest.raises(DataFrameValidationError):
+            yuen_test(df, "y", "g", "a", "b", trim=0.5)
+        with pytest.raises(DataFrameValidationError):
+            yuen_test(df, "y", "g", "a", "b")  # b missing
+
+
+class TestEbShrink:
+    def test_shrinkage_properties(self, spark):
+        from temporalscope_spark.operators.experiment import eb_shrink_means
+
+        rng = np.random.RandomState(6)
+        rows, sizes = [], {}
+        for gi in range(25):
+            n_g = rng.randint(2, 40)
+            sizes[f"g{gi}"] = n_g
+            mu_g = rng.randn() * 2
+            rows += [(f"g{gi}", float(v + mu_g)) for v in rng.randn(n_g)]
+        df = spark.createDataFrame(rows, "g string, y double")
+        out = {r["group"]: r for r in eb_shrink_means(df, "y", "g").collect()}
+        grand = np.average([r["mean"] for r in out.values()],
+                           weights=[r["n"] for r in out.values()])
+        for r in out.values():
+            # shrunk value lies between the group mean and the grand mean
+            lo, hi = sorted([r["mean"], grand])
+            assert lo - 1e-4 <= r["shrunk"] <= hi + 1e-4
+            assert 0.0 <= r["weight"] <= 1.0
+        smallest = min(sizes, key=sizes.get)
+        biggest = max(sizes, key=sizes.get)
+        assert out[smallest]["weight"] < out[biggest]["weight"]  # small shrinks harder
+
+    def test_zero_between_variance_full_shrink(self, spark):
+        from temporalscope_spark.operators.experiment import eb_shrink_means
+
+        rng = np.random.RandomState(7)
+        rows = [(f"g{i % 10}", float(v)) for i, v in enumerate(rng.randn(500))]
+        df = spark.createDataFrame(rows, "g string, y double")
+        out = eb_shrink_means(df, "y", "g").collect()
+        # same-population groups: tau2 ~ 0 -> heavy shrink toward grand mean
+        spread_raw = np.std([r["mean"] for r in out])
+        spread_shr = np.std([r["shrunk"] for r in out])
+        assert spread_shr < 0.6 * spread_raw
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.experiment import eb_shrink_means
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, y double")
+        with pytest.raises(DataFrameValidationError):
+            eb_shrink_means(df, "y", "g", min_n=1)
+        with pytest.raises(DataFrameValidationError):
+            eb_shrink_means(df, "nope", "g")
