@@ -6269,8 +6269,22 @@ def q_eb_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eb_shrink_means(events, "value", "cohort")
 
 
+def q_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter per user (q=0.5, r=2.0, h=1..2): the
+    state-space lane of the smoothing family, same sorted-fold plan as
+    holt_forecast; recursive-CTE oracle."""
+    from temporalscope_spark.operators.trend import kalman_local_level
+
+    events = _t(spark, sf_dir, "events")
+    return kalman_local_level(
+        events, "value", "ts", "user_id",
+        q_var=0.5, r_var=2.0, horizon=2, order_col="event_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "kalman": q_kalman,
         "yuen_test": q_yuen_test,
         "eb_shrink": q_eb_shrink,
         "kruskal_wallis": q_kruskal_wallis,
@@ -14455,6 +14469,39 @@ def oracle_sql() -> dict[str, str]:
                           THEN p.tau2 / (p.tau2 + p.sig2 / per.n)
                           ELSE 1.0 END, 6) + 0.0 AS weight
         FROM per, p
+    """
+
+    # Kalman local level: identical predict/gain/update recursion,
+    # diffuse init (x1=y1, P1=r), recursive CTE
+    sql["kalman"] = """
+        WITH RECURSIVE base AS (
+            SELECT user_id AS id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS r,
+                   CAST(value AS DOUBLE) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        len AS (SELECT id, max(r) AS n FROM base GROUP BY 1),
+        state AS (
+            SELECT id, 1 AS r, y AS x, CAST(2.0 AS DOUBLE) AS p
+            FROM base WHERE r = 1
+            UNION ALL
+            SELECT s.id, s.r + 1,
+                   s.x + ((s.p + 0.5) / ((s.p + 0.5) + 2.0))
+                       * (nx.y - s.x) AS x,
+                   (1.0 - (s.p + 0.5) / ((s.p + 0.5) + 2.0))
+                       * (s.p + 0.5) AS p
+            FROM state s JOIN base nx ON nx.id = s.id AND nx.r = s.r + 1
+        ),
+        fin AS (
+            SELECT s.id, len.n, s.x, s.p
+            FROM state s JOIN len ON len.id = s.id AND s.r = len.n
+        )
+        SELECT id AS user_id, CAST(n AS BIGINT) AS n,
+               round(x, 6) + 0.0 AS level, round(p, 6) + 0.0 AS p_var,
+               CAST(h AS INT) AS step, round(x, 6) + 0.0 AS yhat,
+               round(p + h * 0.5 + 2.0, 6) + 0.0 AS forecast_var
+        FROM fin, (SELECT unnest(generate_series(1, 2)) AS h)
     """
 
     # PACF: same rounded-ACF CTE + the Durbin-Levinson closed forms

@@ -114,6 +114,7 @@ from temporalscope_spark.operators.graph import label_propagation, pagerank
 from temporalscope_spark.operators.trend import (
     holt_forecast,
     holt_winters_forecast,
+    kalman_local_level,
     mann_kendall,
     theil_sen,
 )
@@ -299,6 +300,7 @@ __all__ = [
     "pack_concat_chunks", "pack_greedy", "training_windows",
     "length_bucket_batches", "batch_padding_stats",
     "mann_kendall", "theil_sen", "holt_forecast", "holt_winters_forecast",
+    "kalman_local_level",
     "acf_features", "calendar_features", "entity_profile",
     "fourier_time_features", "recency_features", "trend_features",
     "seasonal_decompose", "series_features", "dft_features",

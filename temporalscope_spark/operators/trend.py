@@ -429,3 +429,111 @@ def holt_winters_forecast(
             F.col("_l") + F.col("step").cast("double") * F.col("_b") + seas, 6
         ).alias("yhat"),
     )
+
+
+def kalman_local_level(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    id_col: str,
+    q_var: float = 1.0,
+    r_var: float = 1.0,
+    horizon: int = 1,
+    order_col: str | None = None,
+    max_len: int = 100_000,
+) -> DataFrame:
+    """Per-entity local-level Kalman filter (the random-walk-plus-noise
+    state space, Harvey 1989 §2; equivalent in steady state to SES with
+    an optimally chosen α — this is the PRINCIPLED lane where
+    :func:`holt_forecast` takes α as given): per observation
+
+        P⁻ = P + q              (predict)
+        K  = P⁻ / (P⁻ + r)      (gain)
+        x  = x + K·(y − x)      (update)
+        P  = (1 − K)·P⁻
+
+    initialized diffusely at ``x₁ = y₁, P₁ = r``. The h-step forecast is
+    the level with widening uncertainty ``Var[ŷ_{n+h}] = P + h·q + r``.
+
+    ``q_var``/``r_var`` are the state and observation noise variances
+    (their RATIO sets the effective smoothing). Output: ``horizon`` rows
+    per entity ``(id, n, level, p_var, step, yhat, forecast_var)``
+    rounded 6.
+
+    Same plan shape as :func:`holt_forecast` — ONE grouped sorted fold
+    (struct accumulator (x, P)), JVM expressions only, ``max_len``
+    raises on over-long series; the DuckDB oracle replays the identical
+    recursion via a recursive CTE.
+    """
+    if q_var <= 0 or r_var <= 0:
+        raise DataFrameValidationError(
+            "kalman_local_level: q_var and r_var must be > 0"
+        )
+    if horizon < 1:
+        raise DataFrameValidationError("kalman_local_level: horizon must be >= 1")
+    need = [value_col, time_col, id_col] + ([order_col] if order_col else [])
+    missing = [c for c in need if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(
+            f"kalman_local_level: missing columns {missing}"
+        )
+    t = _time_micros(df, time_col)
+    y = F.col(value_col).cast("double")
+    tb = F.col(order_col).cast("long") if order_col else F.lit(0).cast("long")
+    base = df.filter(y.isNotNull()).select(
+        F.col(id_col).alias("_id"), t.alias("_t"), tb.alias("_k"), y.alias("_y")
+    )
+    grouped = base.groupBy("_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_t"), F.col("_k"), F.col("_y")))
+        ).alias("_a")
+    )
+    ys = F.transform(F.col("_a"), lambda x: x["_y"])
+    n = F.size(ys)
+    guard = F.when(
+        n > int(max_len),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"kalman_local_level: series longer than max_len={max_len}"
+                    " for id "
+                ),
+                F.col("_id").cast("string"),
+            )
+        ).cast("double"),
+    )
+    qv = F.lit(float(q_var))
+    rv = F.lit(float(r_var))
+    x0 = F.coalesce(guard, F.element_at(ys, 1))
+    rest = F.slice(ys, 2, F.greatest(n - 1, F.lit(0)))
+
+    def step(acc, yv):
+        pminus = acc["p"] + qv
+        k = pminus / (pminus + rv)
+        return F.struct(
+            (acc["x"] + k * (yv - acc["x"])).alias("x"),
+            ((1.0 - k) * pminus).alias("p"),
+        )
+
+    state = F.aggregate(
+        rest, F.struct(x0.alias("x"), rv.alias("p")), step
+    )
+    fitted = grouped.select(
+        F.col("_id").alias(id_col),
+        n.cast("long").alias("n"),
+        state["x"].alias("_x"),
+        state["p"].alias("_p"),
+    )
+    stepc = F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("step")
+    out = fitted.select(id_col, "n", "_x", "_p", stepc)
+    return out.select(
+        id_col,
+        "n",
+        F.round("_x", 6).alias("level"),
+        F.round("_p", 6).alias("p_var"),
+        F.col("step").cast("int").alias("step"),
+        F.round("_x", 6).alias("yhat"),
+        F.round(
+            F.col("_p") + F.col("step").cast("double") * qv + rv, 6
+        ).alias("forecast_var"),
+    )

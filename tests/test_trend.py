@@ -402,3 +402,75 @@ class TestHoltWinters:
             holt_winters_forecast(df, "value", "ts", "user_id", period=2, gamma=0.0)
         with pytest.raises(DataFrameValidationError):
             holt_winters_forecast(df, "value", "ts", "user_id", period=2, horizon=0)
+
+
+class TestKalmanLocalLevel:
+    def _df(self, spark, series):
+        import datetime
+
+        rows = []
+        for uid, ys in series.items():
+            for i, yv in enumerate(ys):
+                rows.append((uid, datetime.datetime(2024, 1, 1) +
+                             datetime.timedelta(hours=i), i, yv))
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        )
+
+    @staticmethod
+    def _ref(ys, q, r):
+        x, P = ys[0], r
+        for yv in ys[1:]:
+            pm = P + q
+            K = pm / (pm + r)
+            x = x + K * (yv - x)
+            P = (1 - K) * pm
+        return x, P
+
+    def test_recursion_parity(self, spark):
+        from temporalscope_spark.operators.trend import kalman_local_level
+
+        rng = np.random.RandomState(5)
+        series = {u: [float(v) for v in rng.randn(40).cumsum()] for u in range(4)}
+        df = self._df(spark, series)
+        got = {r["user_id"]: r for r in kalman_local_level(
+            df, "value", "ts", "user_id", q_var=0.5, r_var=2.0, horizon=1,
+            order_col="event_id").collect()}
+        for u, ys in series.items():
+            x, P = self._ref(ys, 0.5, 2.0)
+            assert got[u]["level"] == pytest.approx(x, abs=1e-6)
+            assert got[u]["p_var"] == pytest.approx(P, abs=1e-6)
+            assert got[u]["forecast_var"] == pytest.approx(P + 0.5 + 2.0, abs=1e-6)
+
+    def test_tracks_level_and_uncertainty_widens(self, spark):
+        from temporalscope_spark.operators.trend import kalman_local_level
+
+        series = {1: [10.0] * 30}
+        df = self._df(spark, series)
+        got = kalman_local_level(df, "value", "ts", "user_id", q_var=0.1,
+                                 r_var=1.0, horizon=3,
+                                 order_col="event_id").collect()
+        rows = sorted(got, key=lambda r: r["step"])
+        assert rows[0]["level"] == pytest.approx(10.0, abs=1e-6)
+        assert rows[0]["forecast_var"] < rows[1]["forecast_var"] < rows[2]["forecast_var"]
+
+    def test_smoothing_ratio(self, spark):
+        from temporalscope_spark.operators.trend import kalman_local_level
+
+        series = {1: [0.0] * 20 + [10.0]}  # one surprise observation
+        df = self._df(spark, series)
+        smooth = kalman_local_level(df, "value", "ts", "user_id", q_var=0.01,
+                                    r_var=10.0, order_col="event_id").collect()[0]
+        reactive = kalman_local_level(df, "value", "ts", "user_id", q_var=10.0,
+                                      r_var=0.01, order_col="event_id").collect()[0]
+        assert smooth["level"] < 1.0       # low q/r barely moves
+        assert reactive["level"] > 9.0     # high q/r chases the new point
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.trend import kalman_local_level
+
+        df = self._df(spark, {1: [1.0]})
+        with pytest.raises(DataFrameValidationError):
+            kalman_local_level(df, "value", "ts", "user_id", q_var=0.0)
+        with pytest.raises(DataFrameValidationError):
+            kalman_local_level(df, "value", "ts", "user_id", horizon=0)
