@@ -6282,8 +6282,32 @@ def q_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman population estimate of distinct users from two
+    deterministic event samples (id%3 vs id%2 windows): two distinct
+    counts + one semi-join overlap count — the overlap never
+    materializes beyond its count."""
+    from temporalscope_spark.operators.corpus_stats import capture_recapture
+
+    events = _t(spark, sf_dir, "events")
+    a = events.filter(F.col("event_id") % 3 == 0)
+    b = events.filter(F.col("event_id") % 2 == 0)
+    return capture_recapture(a, b, "user_id")
+
+
+def q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 true-vocabulary estimate + Good sample coverage over the
+    documents table: word counts → count-of-counts → 1-row fold."""
+    from temporalscope_spark.operators.corpus_stats import chao1_richness
+
+    docs = _t(spark, sf_dir, "documents")
+    return chao1_richness(docs, "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "capture_recapture": q_capture_recapture,
+        "chao1": q_chao1,
         "kalman": q_kalman,
         "yuen_test": q_yuen_test,
         "eb_shrink": q_eb_shrink,
@@ -14469,6 +14493,59 @@ def oracle_sql() -> dict[str, str]:
                           THEN p.tau2 / (p.tau2 + p.sig2 / per.n)
                           ELSE 1.0 END, 6) + 0.0 AS weight
         FROM per, p
+    """
+
+    # capture-recapture: distinct counts + intersect count + Chapman
+    sql["capture_recapture"] = """
+        WITH ka AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_id % 3 = 0 AND user_id IS NOT NULL
+        ),
+        kb AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_id % 2 = 0 AND user_id IS NOT NULL
+        ),
+        c AS (
+            SELECT (SELECT count(*) FROM ka) AS na,
+                   (SELECT count(*) FROM kb) AS nb,
+                   (SELECT count(*) FROM ka WHERE user_id IN
+                        (SELECT user_id FROM kb)) AS m
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(m AS BIGINT) AS n_both,
+               round((na + 1.0) * (nb + 1.0) / (m + 1.0) - 1.0, 6) + 0.0
+                   AS n_hat,
+               round(sqrt(greatest((na + 1.0) * (nb + 1.0)
+                                   * (na - m) * (nb - m)
+                                   / ((m + 1.0) * (m + 1.0) * (m + 2.0)),
+                                   0.0)), 6) + 0.0 AS se
+        FROM c
+    """
+
+    # Chao1: word counts -> count-of-counts -> fold
+    sql["chao1"] = f"""
+        WITH w AS (
+            SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+        ),
+        wc AS (
+            SELECT word, count(*) AS c FROM w WHERE word <> '' GROUP BY 1
+        ),
+        coc AS (SELECT c, count(*) AS nc FROM wc GROUP BY 1),
+        f AS (
+            SELECT sum(nc) AS s,
+                   sum(CASE WHEN c = 1 THEN nc ELSE 0 END) AS f1,
+                   sum(CASE WHEN c = 2 THEN nc ELSE 0 END) AS f2,
+                   sum(c * nc) AS nt
+            FROM coc
+        )
+        SELECT CAST(s AS BIGINT) AS s_obs, CAST(f1 AS BIGINT) AS f1,
+               CAST(f2 AS BIGINT) AS f2, CAST(nt AS BIGINT) AS n_tokens,
+               round(CASE WHEN f2 > 0
+                          THEN s + CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
+                          ELSE s + CAST(f1 AS DOUBLE) * (f1 - 1.0) / 2.0 END,
+                     6) + 0.0 AS s_chao1,
+               round(1.0 - CAST(f1 AS DOUBLE) / nt, 6) + 0.0 AS coverage
+        FROM f
     """
 
     # Kalman local level: identical predict/gain/update recursion,

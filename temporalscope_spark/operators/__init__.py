@@ -143,6 +143,7 @@ from temporalscope_spark.operators.packing import (
 )
 from temporalscope_spark.operators.binning import fit_quantile_edges, mad_outliers_grouped, quantile_bin, winsorize
 from temporalscope_spark.operators.cooccur import cooccurrence_pmi
+from temporalscope_spark.operators.corpus_stats import capture_recapture, chao1_richness
 from temporalscope_spark.operators.encoding import (
     count_encode,
     target_encode_oof,
@@ -316,6 +317,7 @@ __all__ = [
     "permutation_test", "covariate_balance", "srm_check", "ipw_estimate",
     "msprt_test", "fs_link", "fs_em_round", "cox_step", "fit_cox", "stratified_att",
     "kruskal_wallis", "levene_test", "yuen_test", "eb_shrink_means",
+    "capture_recapture", "chao1_richness",
     "table_diff", "fd_violations", "haversine_km", "proximity_join",
     "dp_counts", "dp_mean", "wasserstein_1d", "fit_mahalanobis", "mahalanobis_score",
     "scd2_history", "durbin_watson", "ljung_box", "pacf_features",

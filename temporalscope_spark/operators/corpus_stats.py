@@ -936,3 +936,99 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
         .alias("chi_term"),
     )
     return out.orderBy("digit")
+
+
+def capture_recapture(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Chapman capture–recapture estimate (Chapman 1951; the
+    bias-corrected Lincoln–Petersen index) of TOTAL population size from
+    two overlapping samples — "how many distinct documents does the full
+    crawl hold" from two crawl snapshots, "how many users" from two
+    tracking windows:
+
+        N̂ = (n_a+1)(n_b+1)/(m+1) − 1,
+        Var[N̂] = (n_a+1)(n_b+1)(n_a−m)(n_b−m) / ((m+1)²(m+2))
+
+    where m = |A ∩ B| (distinct keys). Output: one row ``(n_a, n_b,
+    n_both, n_hat, se)`` rounded 6 (assumes closed population and
+    independent samples — the classic caveats).
+
+    Plan shape: two distinct-count aggregations + ONE semi-join
+    distinct count — the overlap never materializes beyond its count.
+    Zero overlap leaves the estimator defined (Chapman's +1 smoothing —
+    that is why it beats Lincoln–Petersen at web scale sparsity).
+    """
+    for side, df in (("a", a), ("b", b)):
+        if key_col not in df.columns:
+            raise DataFrameValidationError(
+                f"capture_recapture: side {side} missing column {key_col!r}"
+            )
+    ka = a.select(F.col(key_col).alias("_k")).filter(F.col("_k").isNotNull()).distinct()
+    kb = b.select(F.col(key_col).alias("_k")).filter(F.col("_k").isNotNull()).distinct()
+    n_a = ka.count()
+    n_b = kb.count()
+    m = ka.join(kb, "_k", "left_semi").count()
+    nhat = (n_a + 1.0) * (n_b + 1.0) / (m + 1.0) - 1.0
+    var = (
+        (n_a + 1.0) * (n_b + 1.0) * (n_a - m) * (n_b - m)
+        / ((m + 1.0) ** 2 * (m + 2.0))
+    )
+    spark = a.sparkSession
+    import math  # noqa: PLC0415
+
+    return spark.createDataFrame(
+        [(n_a, n_b, m, round(nhat, 6), round(math.sqrt(max(var, 0.0)), 6))],
+        "n_a long, n_b long, n_both long, n_hat double, se double",
+    )
+
+
+def chao1_richness(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 species-richness estimate (Chao 1984) of the TRUE
+    vocabulary size from an observed sample — "how many distinct words
+    does the full corpus hold, given this shard":
+
+        Ŝ = S_obs + f₁²/(2·f₂)      (f₂ > 0)
+        Ŝ = S_obs + f₁(f₁−1)/2      (f₂ = 0, the bias-corrected form)
+
+    with f₁/f₂ the singleton/doubleton counts — the same
+    count-of-counts table :func:`lm.good_turing_counts` builds, folded
+    to one number. The classic sample-coverage companion
+    ``coverage = 1 − f₁/n_tokens`` (Good 1953) is included: how much of
+    the corpus's probability mass the observed vocabulary captures.
+
+    Output: one row ``(s_obs, f1, f2, n_tokens, s_chao1, coverage)``
+    rounded 6. Plan: ONE word-count aggregation → ONE count-of-counts
+    aggregation (bounded by distinct count values) → 1-row fold.
+    """
+    if text_col not in df.columns:
+        raise DataFrameValidationError(f"chao1_richness: missing column {text_col!r}")
+    words = df.select(F.explode(_norm_words(text_col)).alias("word")).filter(
+        F.col("word") != ""
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    coc = wc.groupBy("c").agg(F.count(F.lit(1)).alias("nc"))
+    fold = coc.agg(
+        F.sum("nc").alias("_s"),
+        F.sum(F.when(F.col("c") == 1, F.col("nc")).otherwise(F.lit(0))).alias("_f1"),
+        F.sum(F.when(F.col("c") == 2, F.col("nc")).otherwise(F.lit(0))).alias("_f2"),
+        F.sum(F.col("c") * F.col("nc")).alias("_nt"),
+    )
+    f1 = F.col("_f1").cast("double")
+    f2 = F.col("_f2").cast("double")
+    chao = F.when(
+        F.col("_f2") > 0, F.col("_s") + f1 * f1 / (2.0 * f2)
+    ).otherwise(F.col("_s") + f1 * (f1 - 1.0) / 2.0)
+    return fold.select(
+        F.col("_s").cast("long").alias("s_obs"),
+        F.col("_f1").cast("long").alias("f1"),
+        F.col("_f2").cast("long").alias("f2"),
+        F.col("_nt").cast("long").alias("n_tokens"),
+        F.round(chao, 6).alias("s_chao1"),
+        F.round(1.0 - f1 / F.col("_nt").cast("double"), 6).alias("coverage"),
+    )

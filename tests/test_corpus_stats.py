@@ -235,3 +235,82 @@ class TestVocabCoverage:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestCaptureRecapture:
+    def test_recovers_population(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.corpus_stats import capture_recapture
+
+        rng = np.random.RandomState(1)
+        pop = np.arange(1000)
+        sa = rng.choice(pop, 300, replace=False)
+        sb = rng.choice(pop, 400, replace=False)
+        a = spark.createDataFrame([(int(x),) for x in sa], "k long")
+        b = spark.createDataFrame([(int(x),) for x in sb], "k long")
+        r = capture_recapture(a, b, "k").collect()[0]
+        m = len(set(sa) & set(sb))
+        assert r["n_both"] == m
+        assert r["n_hat"] == pytest.approx(301 * 401 / (m + 1) - 1, abs=1e-4)
+        assert abs(r["n_hat"] - 1000) < 3 * r["se"]
+
+    def test_zero_overlap_defined(self, spark):
+        from temporalscope_spark.operators.corpus_stats import capture_recapture
+
+        a = spark.createDataFrame([(i,) for i in range(10)], "k long")
+        b = spark.createDataFrame([(i,) for i in range(100, 110)], "k long")
+        r = capture_recapture(a, b, "k").collect()[0]
+        assert r["n_both"] == 0 and r["n_hat"] == pytest.approx(11 * 11 - 1)
+
+    def test_duplicates_and_nulls_ignored(self, spark):
+        from temporalscope_spark.operators.corpus_stats import capture_recapture
+
+        a = spark.createDataFrame([(1,), (1,), (2,), (None,)], "k long")
+        b = spark.createDataFrame([(2,), (3,)], "k long")
+        r = capture_recapture(a, b, "k").collect()[0]
+        assert (r["n_a"], r["n_b"], r["n_both"]) == (2, 2, 1)
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.corpus_stats import capture_recapture
+
+        a = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(DataFrameValidationError):
+            capture_recapture(a, a, "nope")
+
+
+class TestChao1:
+    def test_formula_and_coverage(self, spark):
+        from temporalscope_spark.operators.corpus_stats import chao1_richness
+
+        # vocabulary: 3 singletons, 2 doubletons, 1 word seen 5 times
+        text = "s1 s2 s3 d1 d1 d2 d2 " + "c " * 5
+        df = spark.createDataFrame([(1, text.strip())], "doc_id long, text string")
+        r = chao1_richness(df, "text").collect()[0]
+        assert (r["s_obs"], r["f1"], r["f2"]) == (6, 3, 2)
+        assert r["s_chao1"] == pytest.approx(6 + 9 / 4)
+        assert r["n_tokens"] == 12
+        assert r["coverage"] == pytest.approx(1 - 3 / 12)
+
+    def test_no_doubletons_corrected_form(self, spark):
+        from temporalscope_spark.operators.corpus_stats import chao1_richness
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        r = chao1_richness(df, "text").collect()[0]
+        assert r["s_chao1"] == pytest.approx(3 + 3 * 2 / 2)
+
+    def test_estimates_hidden_vocabulary(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.corpus_stats import chao1_richness
+
+        # zipf-ish sample from a 2000-word vocabulary: chao1 should land
+        # closer to 2000 than the observed count does
+        rng = np.random.RandomState(3)
+        words = [f"w{int(i)}" for i in rng.zipf(1.35, 30000) if i <= 2000]
+        docs = [(i, " ".join(words[i * 50:(i + 1) * 50]))
+                for i in range(len(words) // 50)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        r = chao1_richness(df, "text").collect()[0]
+        assert r["s_obs"] < 2000
+        assert abs(r["s_chao1"] - 2000) < abs(r["s_obs"] - 2000)
