@@ -6304,8 +6304,51 @@ def q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chao1_richness(docs, "text")
 
 
+def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson over-dispersion screen on per-user event counts: one
+    grouped count + one moment fold."""
+    from temporalscope_spark.operators.experiment import dispersion_test
+
+    events = _t(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    return dispersion_test(counts, "y")
+
+
+def q_ratio_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio metric (sum value / count events per user)
+    across deterministic md5 variants: one variant-keyed moment pass,
+    bounded control fold — the clustered-SE-correct CTR readout."""
+    from temporalscope_spark.operators.experiment import ratio_metric_test
+
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#rm"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000000
+    ).cast("double") / F.lit(1e9)
+    tagged = per_user.withColumn(
+        "variant", F.when(u < 0.5, F.lit("t")).otherwise(F.lit("c"))
+    )
+    return ratio_metric_test(tagged, "x", "y", "variant", "c")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dispersion": q_dispersion,
+        "ratio_metric": q_ratio_metric,
         "capture_recapture": q_capture_recapture,
         "chao1": q_chao1,
         "kalman": q_kalman,
@@ -14493,6 +14536,82 @@ def oracle_sql() -> dict[str, str]:
                           THEN p.tau2 / (p.tau2 + p.sig2 / per.n)
                           ELSE 1.0 END, 6) + 0.0 AS weight
         FROM per, p
+    """
+
+    # dispersion: per-user counts -> one moment fold
+    sql["dispersion"] = """
+        WITH c AS (
+            SELECT user_id, CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        ),
+        f AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n, sum(y) AS s,
+                   sum(y * y) AS q
+            FROM c
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(s / n, 6) + 0.0 AS mean,
+               round(CASE WHEN n > 1
+                          THEN (q - s * s / n) / (n - 1.0) END, 6) + 0.0
+                   AS var,
+               round(CASE WHEN s / n > 0 THEN
+                   ((q - s * s / n) / (n - 1.0)) / (s / n) END, 6) + 0.0
+                   AS dispersion_index,
+               round(CASE WHEN s / n > 0
+                          THEN (q - s * s / n) / (s / n) END, 6) + 0.0
+                   AS pearson_chi2,
+               round(CASE WHEN s / n > 0 AND n > 1 THEN
+                   ((q - s * s / n) / (s / n) - (n - 1.0))
+                       / sqrt(2.0 * (n - 1.0)) END, 6) + 0.0 AS z
+        FROM f
+    """
+
+    # ratio metric: per-user sums, md5 variant, delta-method variance,
+    # identical operand order
+    sql["ratio_metric"] = """
+        WITH pu AS (
+            SELECT user_id, sum(coalesce(CAST(value AS DOUBLE), 0.0)) AS x,
+                   CAST(count(*) AS DOUBLE) AS y
+            FROM events GROUP BY 1
+        ),
+        tg AS (
+            SELECT x, y,
+                   CASE WHEN (CAST(('0x' || substr(md5(
+                            CAST(user_id AS VARCHAR) || '#rm'), 1, 15))
+                            AS BIGINT) % 1000000000) / 1000000000.0 < 0.5
+                        THEN 't' ELSE 'c' END AS variant
+            FROM pu
+        ),
+        agg AS (
+            SELECT variant, CAST(count(*) AS DOUBLE) AS n,
+                   sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                   sum(y * y) AS syy, sum(x * y) AS sxy
+            FROM tg GROUP BY 1
+        ),
+        st AS (
+            SELECT variant, n,
+                   CASE WHEN sy / n <> 0 THEN (sx / n) / (sy / n) END AS r,
+                   CASE WHEN sy / n <> 0 AND n > 1 THEN
+                       ((sxx - sx * sx / n) / (n - 1.0)
+                        - 2.0 * ((sx / n) / (sy / n))
+                            * ((sxy - sx * sy / n) / (n - 1.0))
+                        + ((sx / n) / (sy / n)) * ((sx / n) / (sy / n))
+                            * ((syy - sy * sy / n) / (n - 1.0)))
+                       / (n * (sy / n) * (sy / n)) END AS v
+            FROM agg
+        ),
+        ctl AS (SELECT r AS rc, v AS vc FROM st WHERE variant = 'c')
+        SELECT st.variant, CAST(st.n AS BIGINT) AS n,
+               round(st.r, 6) + 0.0 AS ratio,
+               round(sqrt(st.v), 6) + 0.0 AS se,
+               round(CASE WHEN st.variant <> 'c'
+                          THEN st.r - ctl.rc END, 6) + 0.0 AS diff,
+               round(CASE WHEN st.variant <> 'c'
+                           AND sqrt(st.v + ctl.vc) > 0
+                          THEN (st.r - ctl.rc) / sqrt(st.v + ctl.vc) END, 6)
+                   + 0.0 AS z
+        FROM st, ctl
+        ORDER BY st.variant
     """
 
     # capture-recapture: distinct counts + intersect count + Chapman

@@ -21,6 +21,7 @@ from temporalscope_spark.operators.experiment import (
     chi2_independence,
     covariate_balance,
     did_estimate,
+    dispersion_test,
     eb_shrink_means,
     fdr_bh,
     ipw_estimate,
@@ -30,6 +31,7 @@ from temporalscope_spark.operators.experiment import (
     msprt_test,
     permutation_test,
     poisson_bootstrap,
+    ratio_metric_test,
     srm_check,
     stratified_att,
     yuen_test,
@@ -317,7 +319,7 @@ __all__ = [
     "permutation_test", "covariate_balance", "srm_check", "ipw_estimate",
     "msprt_test", "fs_link", "fs_em_round", "cox_step", "fit_cox", "stratified_att",
     "kruskal_wallis", "levene_test", "yuen_test", "eb_shrink_means",
-    "capture_recapture", "chao1_richness",
+    "capture_recapture", "chao1_richness", "dispersion_test", "ratio_metric_test",
     "table_diff", "fd_violations", "haversine_km", "proximity_join",
     "dp_counts", "dp_mean", "wasserstein_1d", "fit_mahalanobis", "mahalanobis_score",
     "scd2_history", "durbin_watson", "ljung_box", "pacf_features",

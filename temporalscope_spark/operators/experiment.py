@@ -1482,3 +1482,125 @@ def eb_shrink_means(
         F.round(w * mean + (1.0 - w) * F.lit(mu), 6).alias("shrunk"),
         F.round(w, 6).alias("weight"),
     )
+
+
+def dispersion_test(
+    df: DataFrame,
+    count_col: str,
+) -> DataFrame:
+    """Poisson over-dispersion screen (Cox 1983; the routine check
+    before trusting :mod:`modeling.poisson`): under an intercept-only
+    Poisson model the Pearson statistic ``X² = Σ(y−ȳ)²/ȳ`` has mean
+    n−1 and variance 2(n−1), so
+
+        index = s²/ȳ   (variance-to-mean ratio; 1 under Poisson)
+        z = (X² − (n−1)) / sqrt(2(n−1))
+
+    flags clumped (z ≫ 0 — fit negative binomial / add exposure) or
+    under-dispersed counts. Output: one row ``(n, mean, var,
+    dispersion_index, pearson_chi2, z)`` rounded 6 from ONE moment
+    aggregation; zero mean yields NULL index/χ²/z.
+    """
+    if count_col not in df.columns:
+        raise DataFrameValidationError(f"dispersion_test: missing column {count_col!r}")
+    y = F.col(count_col).cast("double")
+    one = df.filter(y.isNotNull()).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(y).alias("_s"),
+        F.sum(y * y).alias("_q"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_s") / n
+    var = (F.col("_q") - F.col("_s") * F.col("_s") / n) / (n - 1.0)
+    chi2 = (F.col("_q") - F.col("_s") * F.col("_s") / n) / mean
+    z = (chi2 - (n - 1.0)) / F.sqrt(2.0 * (n - 1.0))
+    return one.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.when(F.col("_n") > 1, var), 6).alias("var"),
+        F.round(F.when(mean > 0, var / mean), 6).alias("dispersion_index"),
+        F.round(F.when(mean > 0, chi2), 6).alias("pearson_chi2"),
+        F.round(F.when((mean > 0) & (F.col("_n") > 1), z), 6).alias("z"),
+    )
+
+
+def ratio_metric_test(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    variant_col: str,
+    control: str,
+) -> DataFrame:
+    """Per-variant RATIO metric (clicks/views, revenue/sessions —
+    aggregated per randomization unit) with the delta-method standard
+    error (Deng, Knoblich & Lu, KDD 2018 "Applying the Delta method in
+    metric analytics"): the naive per-row proportion SE is wrong when
+    the unit of analysis (impression) differs from the unit of
+    randomization (user); with x = unit numerator, y = unit denominator,
+
+        r̂ = x̄/ȳ,
+        Var[r̂] ≈ (σ²_x − 2r̂σ_xy + r̂²σ²_y) / (n·ȳ²)
+
+    Against the named control: ``diff``, and z from the independent-sum
+    of the two delta variances. Output: one row per variant ``(variant,
+    n, ratio, se, diff, z)`` rounded 6 (control's diff/z NULL; missing
+    control raises; zero ȳ yields NULL ratio/se).
+
+    Plan shape: ONE variant-keyed moment aggregation (5 sums) → bounded
+    fold over the C-row variant table (the ``ab_test`` conventions).
+    """
+    for c in (num_col, den_col, variant_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(
+                f"ratio_metric_test: missing column {c!r}"
+            )
+    x = F.col(num_col).cast("double")
+    yv = F.col(den_col).cast("double")
+    base = df.filter(x.isNotNull() & yv.isNotNull())
+    agg = base.groupBy(
+        F.col(variant_col).cast("string").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(yv).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(yv * yv).alias("_syy"),
+        F.sum(x * yv).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    mx = F.col("_sx") / n
+    my = F.col("_sy") / n
+    vx = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n) / (n - 1.0)
+    vy = (F.col("_syy") - F.col("_sy") * F.col("_sy") / n) / (n - 1.0)
+    cxy = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / n) / (n - 1.0)
+    r = mx / my
+    var_r = (vx - 2.0 * r * cxy + r * r * vy) / (n * my * my)
+    stats = agg.select(
+        "variant",
+        "n",
+        F.when(my != 0, r).alias("_r"),
+        F.when((my != 0) & (F.col("n") > 1), var_r).alias("_v"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )  # bounded C-row variant table
+    is_ctl = F.col("variant") == F.lit(str(control))
+    rc = F.max(F.when(is_ctl, F.col("_r"))).over(wall)
+    vc = F.max(F.when(is_ctl, F.col("_v"))).over(wall)
+    seen = F.max(is_ctl.cast("int")).over(wall)
+    guard = F.when(
+        seen == 0,
+        F.raise_error(
+            F.lit(f"ratio_metric_test: control variant {control!r} not present")
+        ).cast("double"),
+    )
+    diff = F.col("_r") - rc
+    se_diff = F.sqrt(F.col("_v") + vc)
+    return stats.select(
+        "variant",
+        "n",
+        F.coalesce(guard, F.round(F.col("_r"), 6)).alias("ratio"),
+        F.round(F.sqrt(F.col("_v")), 6).alias("se"),
+        F.round(F.when(~is_ctl, diff), 6).alias("diff"),
+        F.round(F.when(~is_ctl & (se_diff > 0), diff / se_diff), 6).alias("z"),
+    ).orderBy("variant")

@@ -976,3 +976,79 @@ class TestEbShrink:
             eb_shrink_means(df, "y", "g", min_n=1)
         with pytest.raises(DataFrameValidationError):
             eb_shrink_means(df, "nope", "g")
+
+
+class TestDispersionTest:
+    def test_overdispersed_flagged(self, spark):
+        from temporalscope_spark.operators.experiment import dispersion_test
+
+        rng = np.random.RandomState(1)
+        y = rng.negative_binomial(2, 0.3, 1500).astype(float)
+        df = spark.createDataFrame([(float(v),) for v in y], "y double")
+        got = dispersion_test(df, "y").collect()[0]
+        n, mean = len(y), y.mean()
+        chi2 = ((y - mean) ** 2).sum() / mean
+        assert got["dispersion_index"] == pytest.approx(y.var(ddof=1) / mean, abs=1e-5)
+        assert got["pearson_chi2"] == pytest.approx(chi2, rel=1e-6)
+        assert got["z"] == pytest.approx((chi2 - (n - 1)) / np.sqrt(2 * (n - 1)),
+                                         abs=1e-4)
+        assert got["z"] > 10  # clumping detected
+
+    def test_poisson_near_one(self, spark):
+        from temporalscope_spark.operators.experiment import dispersion_test
+
+        rng = np.random.RandomState(2)
+        y = rng.poisson(5.0, 3000).astype(float)
+        df = spark.createDataFrame([(float(v),) for v in y], "y double")
+        got = dispersion_test(df, "y").collect()[0]
+        assert abs(got["dispersion_index"] - 1.0) < 0.1
+        assert abs(got["z"]) < 3.5
+
+    def test_zero_mean_nulls(self, spark):
+        from temporalscope_spark.operators.experiment import dispersion_test
+
+        df = spark.createDataFrame([(0.0,)] * 5, "y double")
+        got = dispersion_test(df, "y").collect()[0]
+        assert got["dispersion_index"] is None and got["z"] is None
+
+
+class TestRatioMetricTest:
+    def test_delta_method_parity(self, spark):
+        from temporalscope_spark.operators.experiment import ratio_metric_test
+
+        rng = np.random.RandomState(1)
+        rows = []
+        for v, eff in (("c", 0.10), ("t", 0.12)):
+            for _ in range(600):
+                views = rng.poisson(20) + 1
+                clicks = rng.binomial(views, eff)
+                rows.append((v, float(clicks), float(views)))
+        df = spark.createDataFrame(rows, "variant string, x double, y double")
+        got = {r["variant"]: r
+               for r in ratio_metric_test(df, "x", "y", "variant", "c").collect()}
+        xs = np.array([r[1] for r in rows if r[0] == "t"])
+        ys = np.array([r[2] for r in rows if r[0] == "t"])
+        r_ = xs.mean() / ys.mean()
+        v_ = (xs.var(ddof=1) - 2 * r_ * np.cov(xs, ys, ddof=1)[0, 1]
+              + r_**2 * ys.var(ddof=1)) / (len(xs) * ys.mean() ** 2)
+        assert got["t"]["ratio"] == pytest.approx(r_, abs=1e-6)
+        assert got["t"]["se"] == pytest.approx(np.sqrt(v_), abs=1e-6)
+        assert got["t"]["z"] > 3       # planted lift detected
+        assert got["c"]["diff"] is None
+
+    def test_unit_vs_row_se_differ(self, spark):
+        # perfectly correlated numerator/denominator: delta SE collapses
+        from temporalscope_spark.operators.experiment import ratio_metric_test
+
+        rows = [("c", float(2 * k), float(10 * k)) for k in range(1, 50)]
+        df = spark.createDataFrame(rows, "variant string, x double, y double")
+        got = ratio_metric_test(df, "x", "y", "variant", "c").collect()[0]
+        assert got["ratio"] == pytest.approx(0.2)
+        assert got["se"] == pytest.approx(0.0, abs=1e-9)  # ratio is constant
+
+    def test_missing_control_raises(self, spark):
+        from temporalscope_spark.operators.experiment import ratio_metric_test
+
+        df = spark.createDataFrame([("t", 1.0, 2.0)], "variant string, x double, y double")
+        with pytest.raises(Exception, match="not present"):
+            ratio_metric_test(df, "x", "y", "variant", "c").collect()
