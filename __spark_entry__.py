@@ -6345,8 +6345,35 @@ def q_ratio_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ratio_metric_test(tagged, "x", "y", "variant", "c")
 
 
+def q_quantile_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One IRLS quantile-regression round (tau=0.5, pinball loss) on the
+    lag features at a fixed non-zero start — the weights need only |r|
+    and a branch, so the round is transcendental-free at ANY starting
+    point; sums feed the shared Cramer 3x3."""
+    from temporalscope_spark.modeling import quantile_step
+    from temporalscope_spark.operators.shift import lag_features
+
+    events = _t(spark, sf_dir, "events")
+    feats = lag_features(
+        events, "ts", ["value"], [1, 2], id_col="user_id", drop_incomplete=True
+    )
+    b0, b1, b2 = _IRLS_B0
+    ic, beta, _, loss = quantile_step(
+        feats, ["value_lag_1", "value_lag_2"], "value", 0.5,
+        {"value_lag_1": b1, "value_lag_2": b2}, b0, delta=1e-3,
+    )
+    rows = [
+        ("intercept", round(ic, 6)),
+        ("pinball_loss", round(loss, 6)),
+        ("value_lag_1", round(beta["value_lag_1"], 6)),
+        ("value_lag_2", round(beta["value_lag_2"], 6)),
+    ]
+    return spark.createDataFrame(rows, "term string, value double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "quantile_step": q_quantile_step,
         "dispersion": q_dispersion,
         "ratio_metric": q_ratio_metric,
         "capture_recapture": q_capture_recapture,
@@ -14536,6 +14563,54 @@ def oracle_sql() -> dict[str, str]:
                           THEN p.tau2 / (p.tau2 + p.sig2 / per.n)
                           ELSE 1.0 END, 6) + 0.0 AS weight
         FROM per, p
+    """
+
+    # quantile regression round: |r|-branch weights, shared Cramer 3x3;
+    # the weighted target is y (not z), so sy/s1y/s2y carry w*y
+    sql["quantile_step"] = f"""
+        WITH feats AS (
+            SELECT event_id, ts, CAST(value AS DOUBLE) AS yv,
+                   lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS l1,
+                   lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS l2
+            FROM events
+        ),
+        d0 AS (
+            SELECT * FROM feats
+            WHERE l1 IS NOT NULL AND l2 IS NOT NULL AND yv IS NOT NULL
+        ),
+        m AS (
+            SELECT yv, l1, l2,
+                   yv - ({_IRLS_B0[0]} + {_IRLS_B0[1]} * l1
+                         + ({_IRLS_B0[2]}) * l2) AS r
+            FROM d0
+        ),
+        wts AS (
+            SELECT yv, l1, l2,
+                   CASE WHEN r > 0 THEN 0.5 / greatest(abs(r), 0.001)
+                        ELSE (1.0 - 0.5) / greatest(abs(r), 0.001) END AS w,
+                   CASE WHEN r > 0 THEN 0.5 * r ELSE (0.5 - 1.0) * r END
+                       AS pin
+            FROM m
+        ),
+        s AS (
+            SELECT sum(w) AS n,
+                   sum(w * l1) AS s1, sum(w * l2) AS s2,
+                   sum(w * l1 * l1) AS s11, sum(w * l1 * l2) AS s12,
+                   sum(w * l2 * l2) AS s22,
+                   sum(w * yv) AS sy, sum(w * l1 * yv) AS s1y,
+                   sum(w * l2 * yv) AS s2y,
+                   sum(pin) AS loss
+            FROM wts
+        ),
+        {_cramer3_cte()}
+        SELECT t.term,
+               round(CASE t.term WHEN 'intercept' THEN beta.b0
+                                 WHEN 'pinball_loss' THEN s.loss
+                                 WHEN 'value_lag_1' THEN beta.b1
+                                 ELSE beta.b2 END, 6) AS value
+        FROM beta, s,
+             (VALUES ('intercept'), ('pinball_loss'),
+                     ('value_lag_1'), ('value_lag_2')) t(term)
     """
 
     # dispersion: per-user counts -> one moment fold

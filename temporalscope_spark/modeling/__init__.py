@@ -33,6 +33,11 @@ from temporalscope_spark.modeling.als import (
     als_round,
     als_seed_factors,
 )
+from temporalscope_spark.modeling.quantile import (
+    QuantileModel,
+    fit_quantile,
+    quantile_step,
+)
 from temporalscope_spark.modeling.poisson import (
     PoissonModel,
     fit_poisson,
@@ -57,4 +62,7 @@ __all__ = [
     "als_half_round",
     "als_round",
     "als_seed_factors",
+    "QuantileModel",
+    "fit_quantile",
+    "quantile_step",
 ]
