@@ -6371,8 +6371,55 @@ def q_quantile_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "term string, value double")
 
 
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (τ = 1e6 s) per churn cohort —
+    the KM-curve area, one group-partitioned lead + fold over the
+    bounded curve table."""
+    from temporalscope_spark.operators.survival import rmst
+
+    out = rmst(
+        _km_durations(spark, sf_dir), "dur", "ev", tau=1_000_000.0,
+        group_col="cohort",
+    )
+    return out.select(
+        F.col("group").alias("cohort"), "tau", "n", "n_events", "rmst"
+    )
+
+
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the event type and a deterministically
+    perturbed second labeling (every 5th relabeled 'view'): one
+    contingency aggregation + bounded marginal folds."""
+    from temporalscope_spark.metrics.classification import cohen_kappa
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("ra"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("view"))
+        .otherwise(F.col("event_type")).alias("rb"),
+    )
+    return cohen_kappa(ev, "ra", "rb")
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired χ² on a deterministic before/after flag pair
+    (parity flipped on every 7th event): one aggregation of the
+    discordant counts."""
+    from temporalscope_spark.metrics.classification import mcnemar_test
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2).cast("double").alias("x"),
+        F.when(
+            F.col("event_id") % 7 == 0, 1.0 - (F.col("event_id") % 2)
+        ).otherwise((F.col("event_id") % 2).cast("double")).alias("y"),
+    )
+    return mcnemar_test(ev, "x", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "rmst": q_rmst,
+        "cohen_kappa": q_cohen_kappa,
+        "mcnemar": q_mcnemar,
         "quantile_step": q_quantile_step,
         "dispersion": q_dispersion,
         "ratio_metric": q_ratio_metric,
@@ -14563,6 +14610,92 @@ def oracle_sql() -> dict[str, str]:
                           THEN p.tau2 / (p.tau2 + p.sig2 / per.n)
                           ELSE 1.0 END, 6) + 0.0 AS weight
         FROM per, p
+    """
+
+    # RMST: the KM oracle chain + rounded-survival area fold
+    _km_body = sql["kaplan_meier"].rsplit(
+        "SELECT cohort, t, n_risk, n_event, n_censored,", 1
+    )[0]
+    sql["rmst"] = _km_body + """, km AS (
+            SELECT cohort, t, n_risk, n_event,
+                   round(CASE WHEN zc = 1 THEN 0.0 ELSE exp(sl) END, 6) AS s
+            FROM curve
+        ),
+        seg AS (
+            SELECT cohort,
+                   s * (least(coalesce(lead(t) OVER w, 1000000.0), 1000000.0)
+                        - least(t, 1000000.0))
+                   + CASE WHEN row_number() OVER w = 1
+                          THEN least(t, 1000000.0) ELSE 0.0 END AS seg,
+                   n_event,
+                   CASE WHEN row_number() OVER w = 1 THEN n_risk END AS n0
+            FROM km
+            WINDOW w AS (PARTITION BY cohort ORDER BY t)
+        )
+        SELECT cohort, 1000000.0 AS tau,
+               CAST(max(n0) AS BIGINT) AS n,
+               CAST(sum(n_event) AS BIGINT) AS n_events,
+               round(sum(seg), 6) + 0.0 AS rmst
+        FROM seg GROUP BY cohort
+    """
+
+    # Cohen's kappa: contingency + marginals + chance-corrected fold
+    sql["cohen_kappa"] = """
+        WITH b AS (
+            SELECT CAST(event_type AS VARCHAR) AS ra,
+                   CASE WHEN event_id % 5 = 0 THEN 'view'
+                        ELSE CAST(event_type AS VARCHAR) END AS rb
+            FROM events
+            WHERE event_type IS NOT NULL
+        ),
+        cont AS (SELECT ra, rb, count(*) AS o FROM b GROUP BY 1, 2),
+        ma AS (SELECT ra, sum(o) AS na FROM cont GROUP BY 1),
+        mb AS (SELECT rb, sum(o) AS nb FROM cont GROUP BY 1),
+        t AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cont),
+        po AS (
+            SELECT coalesce(sum(o), 0) AS agree FROM cont WHERE ra = rb
+        ),
+        pe AS (
+            SELECT sum(CAST(na AS DOUBLE) * nb) AS num
+            FROM ma JOIN mb ON ma.ra = mb.rb
+        ),
+        kc AS (
+            SELECT count(*) AS k FROM (
+                SELECT ra AS v FROM cont UNION SELECT rb FROM cont
+            )
+        )
+        SELECT CAST(t.n AS BIGINT) AS n, CAST(kc.k AS BIGINT) AS n_categories,
+               round(po.agree / t.n, 6) + 0.0 AS p_observed,
+               round(pe.num / (t.n * t.n), 6) + 0.0 AS p_expected,
+               round(CASE WHEN pe.num / (t.n * t.n) < 1.0
+                          THEN (po.agree / t.n - pe.num / (t.n * t.n))
+                               / (1.0 - pe.num / (t.n * t.n)) END, 6) + 0.0
+                   AS kappa
+        FROM t, po, pe, kc
+    """
+
+    # McNemar: one discordant-count fold, continuity-corrected
+    sql["mcnemar"] = """
+        WITH b AS (
+            SELECT CAST(event_id % 2 AS DOUBLE) AS x,
+                   CASE WHEN event_id % 7 = 0
+                        THEN 1.0 - (event_id % 2)
+                        ELSE CAST(event_id % 2 AS DOUBLE) END AS y
+            FROM events
+        ),
+        f AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN x = 1.0 AND y = 0.0 THEN 1 ELSE 0 END) AS b10,
+                   sum(CASE WHEN x = 0.0 AND y = 1.0 THEN 1 ELSE 0 END) AS c01
+            FROM b
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(b10 AS BIGINT) AS n_10,
+               CAST(c01 AS BIGINT) AS n_01,
+               round(CASE WHEN b10 + c01 > 0 THEN
+                   (abs(CAST(b10 AS DOUBLE) - c01) - 1.0)
+                       * (abs(CAST(b10 AS DOUBLE) - c01) - 1.0)
+                       / (CAST(b10 AS DOUBLE) + c01) END, 6) + 0.0 AS chi2
+        FROM f
     """
 
     # quantile regression round: |r|-branch weights, shared Cramer 3x3;

@@ -1,6 +1,8 @@
 from temporalscope_spark.metrics.classification import (
     auc_by_group,
     auc_roc,
+    cohen_kappa,
+    mcnemar_test,
     calibrate_scores,
     fit_isotonic_bins,
     lift_table,
@@ -18,4 +20,5 @@ __all__ = [
     "auc_roc", "auc_by_group", "reliability_curve", "lift_table",
     "fit_isotonic_bins", "calibrate_scores", "pr_curve", "regression_metrics",
     "ranking_eval", "rrf_fuse", "forecast_eval", "conformal_interval",
+    "cohen_kappa", "mcnemar_test",
 ]

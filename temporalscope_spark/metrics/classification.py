@@ -604,3 +604,118 @@ def classification_report(
         "accuracy DOUBLE, precision DOUBLE, recall DOUBLE, f1 DOUBLE, "
         "balanced_accuracy DOUBLE, mcc DOUBLE, brier DOUBLE",
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's κ (1960) — chance-corrected agreement between two
+    labelers (human double-annotation QA, model-vs-model router
+    agreement, LLM-judge consistency):
+
+        κ = (p_o − p_e) / (1 − p_e)
+
+    with observed agreement p_o and chance agreement p_e = Σ_c
+    share_a(c)·share_b(c) from the marginals. Landis & Koch bands are
+    the conventional read (κ > 0.6 "substantial"). Output: one row
+    ``(n, n_categories, p_observed, p_expected, kappa)`` rounded 6
+    (κ NULL when p_e = 1 — a single shared category has no chance
+    correction). Rows with NULL on either side are excluded.
+
+    Plan shape: ONE groupBy(a, b) contingency aggregation; marginals
+    and the fold are aggregations OF that bounded |A|×|B| table (the
+    ``chi2_independence`` conventions).
+    """
+    for c in (rater_a_col, rater_b_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"cohen_kappa: missing column {c!r}")
+    a = F.col(rater_a_col).cast("string")
+    b = F.col(rater_b_col).cast("string")
+    cont = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    ma = cont.groupBy("_a").agg(F.sum("_o").alias("_na"))
+    mb = cont.groupBy("_b").agg(F.sum("_o").alias("_nb"))
+    tot = cont.agg(F.sum("_o").alias("_nt")).first()
+    n = float(tot["_nt"] or 0)
+    if n == 0:
+        raise DataFrameValidationError("cohen_kappa: no labeled rows")
+    po = cont.filter(F.col("_a") == F.col("_b")).agg(
+        F.sum("_o").alias("_agree")
+    ).first()
+    p_o = float(po["_agree"] or 0) / n
+    pe_row = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .agg(
+            F.sum(
+                F.col("_na").cast("double") * F.col("_nb").cast("double")
+            ).alias("_pe_num"),
+            F.count(F.lit(1)).alias("_k"),
+        )
+        .first()
+    )
+    p_e = float(pe_row["_pe_num"] or 0.0) / (n * n)
+    k_cats = cont.select("_a").union(
+        cont.select("_b")
+    ).distinct().count()
+    kappa = (p_o - p_e) / (1.0 - p_e) if p_e < 1.0 else None
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            int(n), k_cats, round(p_o, 6), round(p_e, 6),
+            round(kappa, 6) if kappa is not None else None,
+        )],
+        "n long, n_categories long, p_observed double, p_expected double, "
+        "kappa double",
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    before_col: str,
+    after_col: str,
+) -> DataFrame:
+    """McNemar's test (1947) for PAIRED binary outcomes — "did the new
+    model/ranker/filter change the same items' pass rate", the correct
+    test when both measurements come from the SAME units (the unpaired
+    two-proportion z ignores the pairing and wastes power):
+
+        χ² = (|b − c| − 1)² / (b + c)      (continuity-corrected)
+
+    where b = #(1→0) and c = #(0→1) discordant pairs — concordant pairs
+    carry no information. Output: one row ``(n, n_10, n_01, chi2)``
+    rounded 6 (χ² NULL when there are no discordant pairs); values
+    outside {0, 1} raise. ONE aggregation.
+    """
+    for c in (before_col, after_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"mcnemar_test: missing column {c!r}")
+    x = F.col(before_col).cast("double")
+    y = F.col(after_col).cast("double")
+    ok = x.isNotNull() & y.isNotNull()
+    bad = (~x.isin(0.0, 1.0)) | (~y.isin(0.0, 1.0))
+    one = df.filter(ok).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(((x == 1.0) & (y == 0.0)).cast("long")).alias("_b"),
+        F.sum(((x == 0.0) & (y == 1.0)).cast("long")).alias("_c"),
+        F.max(bad.cast("int")).alias("_bad"),
+    )
+    guard = F.when(
+        F.col("_bad") == 1,
+        F.raise_error(
+            F.lit("mcnemar_test: before/after must be 0/1")
+        ).cast("long"),
+    )
+    b = F.col("_b").cast("double")
+    c = F.col("_c").cast("double")
+    chi2 = (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / (b + c)
+    return one.select(
+        F.coalesce(guard, F.col("_n")).cast("long").alias("n"),
+        F.col("_b").cast("long").alias("n_10"),
+        F.col("_c").cast("long").alias("n_01"),
+        F.round(F.when(b + c > 0, chi2), 6).alias("chi2"),
+    )

@@ -42,6 +42,7 @@ from temporalscope_spark.operators.suffix import repeated_substrings, suffix_ran
 from temporalscope_spark.operators.survival import (
     cox_step,
     fit_cox,
+    rmst,
     kaplan_meier,
     logrank_test,
     nelson_aalen,
@@ -320,6 +321,7 @@ __all__ = [
     "msprt_test", "fs_link", "fs_em_round", "cox_step", "fit_cox", "stratified_att",
     "kruskal_wallis", "levene_test", "yuen_test", "eb_shrink_means",
     "capture_recapture", "chao1_richness", "dispersion_test", "ratio_metric_test",
+    "rmst",
     "table_diff", "fd_violations", "haversine_km", "proximity_join",
     "dp_counts", "dp_mean", "wasserstein_1d", "fit_mahalanobis", "mahalanobis_score",
     "scd2_history", "durbin_watson", "ljung_box", "pacf_features",

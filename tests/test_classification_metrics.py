@@ -501,3 +501,77 @@ class TestClassificationReport:
         df = spark.createDataFrame([(0.5, 1)], ["score", "y"])
         with pytest.raises(DataFrameValidationError):
             classification_report(df, "score", "y", grid=0)
+
+
+class TestCohenKappa:
+    def test_parity(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.metrics.classification import cohen_kappa
+
+        rng = np.random.RandomState(1)
+        true = rng.randint(0, 3, 800)
+        a = np.where(rng.rand(800) < 0.8, true, rng.randint(0, 3, 800))
+        b = np.where(rng.rand(800) < 0.7, true, rng.randint(0, 3, 800))
+        df = spark.createDataFrame(
+            [(f"c{a[i]}", f"c{b[i]}") for i in range(800)], "ra string, rb string"
+        )
+        got = cohen_kappa(df, "ra", "rb").collect()[0]
+        po = (a == b).mean()
+        pe = sum((a == k).mean() * (b == k).mean() for k in range(3))
+        assert got["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+        assert got["n_categories"] == 3
+
+    def test_perfect_and_chance(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.metrics.classification import cohen_kappa
+
+        rng = np.random.RandomState(2)
+        lab = [f"c{v}" for v in rng.randint(0, 4, 400)]
+        df = spark.createDataFrame([(l, l) for l in lab], "ra string, rb string")
+        assert cohen_kappa(df, "ra", "rb").collect()[0]["kappa"] == pytest.approx(1.0)
+        shuffled = list(lab)
+        rng.shuffle(shuffled)
+        df2 = spark.createDataFrame(list(zip(lab, shuffled)), "ra string, rb string")
+        assert abs(cohen_kappa(df2, "ra", "rb").collect()[0]["kappa"]) < 0.1
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.metrics.classification import cohen_kappa
+
+        df = spark.createDataFrame([("a", "a")], "ra string, rb string")
+        with pytest.raises(DataFrameValidationError):
+            cohen_kappa(df, "nope", "rb")
+
+
+class TestMcnemar:
+    def test_parity_and_power(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.metrics.classification import mcnemar_test
+
+        rng = np.random.RandomState(1)
+        before = (rng.rand(500) < 0.6).astype(float)
+        after = np.where(rng.rand(500) < 0.15, 1 - before, before)
+        df = spark.createDataFrame(
+            [(float(before[i]), float(after[i])) for i in range(500)],
+            "x double, y double",
+        )
+        got = mcnemar_test(df, "x", "y").collect()[0]
+        b = int(((before == 1) & (after == 0)).sum())
+        c = int(((before == 0) & (after == 1)).sum())
+        assert (got["n_10"], got["n_01"]) == (b, c)
+        assert got["chi2"] == pytest.approx((abs(b - c) - 1) ** 2 / (b + c), abs=1e-6)
+
+    def test_no_discordant_null(self, spark):
+        from temporalscope_spark.metrics.classification import mcnemar_test
+
+        df = spark.createDataFrame([(1.0, 1.0), (0.0, 0.0)], "x double, y double")
+        assert mcnemar_test(df, "x", "y").collect()[0]["chi2"] is None
+
+    def test_non_binary_raises(self, spark):
+        from temporalscope_spark.metrics.classification import mcnemar_test
+
+        df = spark.createDataFrame([(2.0, 1.0)], "x double, y double")
+        with pytest.raises(Exception, match="0/1"):
+            mcnemar_test(df, "x", "y").collect()

@@ -206,3 +206,68 @@ class TestLogRank:
         for r in got:
             assert r["chi2"] is None
             assert r["expected"] == pytest.approx(E[r["group"]], abs=1e-6)
+
+
+class TestRmst:
+    def test_km_area_parity(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.survival import rmst
+
+        rng = np.random.RandomState(1)
+        T = rng.exponential(10, 400)
+        C = rng.exponential(25, 400)
+        dur = np.minimum(T, C)
+        ev = (T <= C).astype(float)
+        df = spark.createDataFrame(
+            [(float(dur[i]), float(ev[i])) for i in range(400)],
+            "dur double, ev double",
+        )
+        got = rmst(df, "dur", "ev", tau=15.0).collect()[0]
+        order = np.argsort(dur)
+        d_, e_ = dur[order], ev[order]
+        S, prev, area, at_risk = 1.0, 0.0, 0.0, len(d_)
+        for t in np.unique(d_):
+            m = d_ == t
+            area += S * (min(t, 15.0) - min(prev, 15.0))
+            dth = e_[m].sum()
+            if dth > 0:
+                S *= (at_risk - dth) / at_risk
+            at_risk -= m.sum()
+            prev = t
+        if prev < 15.0:
+            area += S * (15.0 - prev)
+        assert got["rmst"] == pytest.approx(area, abs=1e-4)
+        assert got["n"] == 400 and got["n_events"] == int(ev.sum())
+
+    def test_no_censoring_equals_truncated_mean(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.operators.survival import rmst
+
+        rng = np.random.RandomState(3)
+        dur = rng.exponential(5, 600)
+        df = spark.createDataFrame(
+            [(float(d), 1.0) for d in dur], "dur double, ev double"
+        )
+        got = rmst(df, "dur", "ev", tau=100.0).collect()[0]
+        assert got["rmst"] == pytest.approx(np.minimum(dur, 100.0).mean(), abs=1e-3)
+
+    def test_grouped_and_tau_caps(self, spark):
+        from temporalscope_spark.operators.survival import rmst
+
+        rows = [("a", 5.0, 1.0), ("a", 10.0, 0.0), ("b", 1.0, 1.0), ("b", 2.0, 1.0)]
+        df = spark.createDataFrame(rows, "g string, dur double, ev double")
+        got = {r["group"]: r for r in rmst(df, "dur", "ev", tau=4.0,
+                                           group_col="g").collect()}
+        # group a: S=1 on [0,4) since first event at 5 > tau
+        assert got["a"]["rmst"] == pytest.approx(4.0)
+        # group b: S=1 to 1, S=0.5 on [1,2), S=0 after
+        assert got["b"]["rmst"] == pytest.approx(1.0 + 0.5 * 1.0)
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.operators.survival import rmst
+
+        df = spark.createDataFrame([(1.0, 1.0)], "dur double, ev double")
+        with pytest.raises(DataFrameValidationError):
+            rmst(df, "dur", "ev", tau=0.0)
