@@ -6415,8 +6415,41 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mcnemar_test(ev, "x", "y")
 
 
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier/Murphy decomposition + ECE/MCE of a deterministic synthetic
+    probability (md5 score, label Bernoulli-by-second-hash at a warped
+    rate): one binned moment aggregation + bounded fold."""
+    from temporalscope_spark.metrics.classification import calibration_report
+
+    ev = _t(spark, sf_dir, "events")
+
+    def frac(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("event_id").cast("string"), F.lit(tag))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000000
+        ).cast("double") / F.lit(1e9)
+
+    p = frac("#cs")
+    yprob = F.lit(0.1) + F.lit(0.8) * p
+    base = ev.select(
+        p.alias("p"), (frac("#cy") < yprob).cast("double").alias("y")
+    )
+    return calibration_report(base, "p", "y", n_bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "calibration_report": q_calibration_report,
         "rmst": q_rmst,
         "cohen_kappa": q_cohen_kappa,
         "mcnemar": q_mcnemar,
@@ -14610,6 +14643,48 @@ def oracle_sql() -> dict[str, str]:
                           THEN p.tau2 / (p.tau2 + p.sig2 / per.n)
                           ELSE 1.0 END, 6) + 0.0 AS weight
         FROM per, p
+    """
+
+    # calibration report: identical md5 score/label plant, binned
+    # moments, identical fold operand order
+    _CS_U = ("(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '{t}'), "
+             "1, 15)) AS BIGINT) % 1000000000) / 1000000000.0")
+    sql["calibration_report"] = f"""
+        WITH b AS (
+            SELECT {_CS_U.format(t='#cs')} AS p,
+                   CASE WHEN {_CS_U.format(t='#cy')}
+                           < 0.1 + 0.8 * ({_CS_U.format(t='#cs')})
+                        THEN 1.0 ELSE 0.0 END AS y
+            FROM events
+        ),
+        per AS (
+            SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+                   CAST(count(*) AS DOUBLE) AS n, sum(p) AS sp, sum(y) AS sy,
+                   sum((p - y) * (p - y)) AS sq, sum(p * p) AS spp
+            FROM b GROUP BY 1
+        ),
+        t AS (SELECT sum(n) AS nt, sum(sy) AS syt FROM per),
+        f AS (
+            SELECT max(t.nt) AS n_all,
+                   sum(sq) AS brier_num,
+                   sum(n * (sp / n - sy / n) * (sp / n - sy / n)) AS rel,
+                   sum(n * (sy / n - t.syt / t.nt)
+                         * (sy / n - t.syt / t.nt)) AS res,
+                   max(t.syt / t.nt) AS ybar,
+                   sum(n * abs(sp / n - sy / n)) AS ece_num,
+                   max(abs(sp / n - sy / n)) AS mce,
+                   sum(spp - sp * sp / n) AS wv
+            FROM per, t
+        )
+        SELECT CAST(n_all AS BIGINT) AS n, CAST(10 AS BIGINT) AS n_bins,
+               round(brier_num / n_all, 6) + 0.0 AS brier,
+               round(rel / n_all, 6) + 0.0 AS reliability,
+               round(res / n_all, 6) + 0.0 AS resolution,
+               round(ybar * (1.0 - ybar), 6) + 0.0 AS uncertainty,
+               round(wv / n_all, 6) + 0.0 AS within_bin_variance,
+               round(ece_num / n_all, 6) + 0.0 AS ece,
+               round(mce, 6) + 0.0 AS mce
+        FROM f
     """
 
     # RMST: the KM oracle chain + rounded-survival area fold

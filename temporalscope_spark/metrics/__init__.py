@@ -1,6 +1,7 @@
 from temporalscope_spark.metrics.classification import (
     auc_by_group,
     auc_roc,
+    calibration_report,
     cohen_kappa,
     mcnemar_test,
     calibrate_scores,
@@ -20,5 +21,5 @@ __all__ = [
     "auc_roc", "auc_by_group", "reliability_curve", "lift_table",
     "fit_isotonic_bins", "calibrate_scores", "pr_curve", "regression_metrics",
     "ranking_eval", "rrf_fuse", "forecast_eval", "conformal_interval",
-    "cohen_kappa", "mcnemar_test",
+    "cohen_kappa", "mcnemar_test", "calibration_report",
 ]

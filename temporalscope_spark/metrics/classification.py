@@ -719,3 +719,100 @@ def mcnemar_test(
         F.col("_c").cast("long").alias("n_01"),
         F.round(F.when(b + c > 0, chi2), 6).alias("chi2"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Probability-calibration summary in one pass: the Brier score with
+    its Murphy (1973) decomposition over fixed-width score bins,
+
+        brier = reliability − resolution + uncertainty
+        reliability = Σ n_b(p̄_b − ȳ_b)²/n     (calibration gap — small is good)
+        resolution  = Σ n_b(ȳ_b − ȳ)²/n       (discrimination — big is good)
+        uncertainty = ȳ(1 − ȳ)
+
+    plus the expected / maximum calibration error (Naeini et al. 2015):
+    ``ece = Σ (n_b/n)·|p̄_b − ȳ_b|``, ``mce = max_b |p̄_b − ȳ_b|`` — the
+    standard "is this model's 0.9 actually a 0.9" battery next to
+    :func:`reliability_curve` (which returns the per-bin table; this
+    returns the scalar summary).
+
+    The decomposition identity holds exactly only for the WITHIN-BIN
+    constant predictor; on raw scores the three terms differ from the
+    raw Brier by the within-bin score variance, so ``brier`` here is
+    the RAW Σ(p−y)²/n and the identity is reported as its own
+    ``within_bin_variance`` remainder (no silently-absorbed residual).
+
+    Output: one row ``(n, n_bins, brier, reliability, resolution,
+    uncertainty, within_bin_variance, ece, mce)`` rounded 6. Scores
+    must lie in [0, 1] (validated in-aggregation); labels must be 0/1.
+    Plan shape: ONE groupBy(bin) moment aggregation + a bounded fold.
+    """
+    if n_bins < 2:
+        raise DataFrameValidationError("calibration_report: n_bins must be >= 2")
+    for c in (score_col, label_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(
+                f"calibration_report: missing column {c!r}"
+            )
+    p = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(p.isNotNull() & y.isNotNull())
+    bad = (p < 0) | (p > 1) | (~y.isin(0.0, 1.0))
+    bin_id = F.least(
+        F.floor(p * n_bins).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    per = base.groupBy(bin_id.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(p).alias("_sp"),
+        F.sum(y).alias("_sy"),
+        F.sum((p - y) * (p - y)).alias("_sq"),
+        F.sum(p * p).alias("_spp"),
+        F.max(bad.cast("int")).alias("_bad"),
+    )
+    tot = per.agg(
+        F.sum("_n").alias("_nt"),
+        F.sum("_sy").alias("_syt"),
+        F.max("_bad").alias("_badmax"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    n = F.col("_n").cast("double")
+    nt = F.col("_nt").cast("double")
+    pb = F.col("_sp") / n
+    yb = F.col("_sy") / n
+    ybar = F.col("_syt") / nt
+    fold = j.agg(
+        F.max("_nt").alias("_n_all"),
+        F.max("_badmax").alias("_bad2"),
+        F.sum("_sq").alias("_brier_num"),
+        F.sum(n * (pb - yb) * (pb - yb)).alias("_rel"),
+        F.sum(n * (yb - ybar) * (yb - ybar)).alias("_res"),
+        F.max(ybar).alias("_ybar"),
+        F.sum(n * F.abs(pb - yb)).alias("_ece_num"),
+        F.max(F.abs(pb - yb)).alias("_mce"),
+        F.sum(F.col("_spp") - F.col("_sp") * F.col("_sp") / n).alias("_wv"),
+    )
+    guard = F.when(
+        F.col("_bad2") == 1,
+        F.raise_error(
+            F.lit(
+                "calibration_report: scores must be in [0, 1] and labels 0/1"
+            )
+        ).cast("long"),
+    )
+    na = F.col("_n_all").cast("double")
+    return fold.select(
+        F.coalesce(guard, F.col("_n_all")).cast("long").alias("n"),
+        F.lit(int(n_bins)).cast("long").alias("n_bins"),
+        F.round(F.col("_brier_num") / na, 6).alias("brier"),
+        F.round(F.col("_rel") / na, 6).alias("reliability"),
+        F.round(F.col("_res") / na, 6).alias("resolution"),
+        F.round(F.col("_ybar") * (1.0 - F.col("_ybar")), 6).alias("uncertainty"),
+        F.round(F.col("_wv") / na, 6).alias("within_bin_variance"),
+        F.round(F.col("_ece_num") / na, 6).alias("ece"),
+        F.round(F.col("_mce"), 6).alias("mce"),
+    )

@@ -575,3 +575,65 @@ class TestMcnemar:
         df = spark.createDataFrame([(2.0, 1.0)], "x double, y double")
         with pytest.raises(Exception, match="0/1"):
             mcnemar_test(df, "x", "y").collect()
+
+
+class TestCalibrationReport:
+    def test_murphy_terms_parity(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.metrics.classification import calibration_report
+
+        rng = np.random.RandomState(1)
+        n = 4000
+        p = rng.rand(n)
+        y = (rng.rand(n) < np.clip(p * 0.8 + 0.1, 0, 1)).astype(float)
+        df = spark.createDataFrame(
+            [(float(p[i]), float(y[i])) for i in range(n)], "p double, y double"
+        )
+        got = calibration_report(df, "p", "y", n_bins=10).collect()[0]
+        bins = np.minimum((p * 10).astype(int), 9)
+        ybar = y.mean()
+        rel = res = ece = mce = 0.0
+        for b in range(10):
+            m = bins == b
+            if not m.any():
+                continue
+            pb, yb = p[m].mean(), y[m].mean()
+            rel += m.sum() * (pb - yb) ** 2
+            res += m.sum() * (yb - ybar) ** 2
+            ece += m.sum() * abs(pb - yb)
+            mce = max(mce, abs(pb - yb))
+        assert got["brier"] == pytest.approx(((p - y) ** 2).mean(), abs=1e-6)
+        assert got["reliability"] == pytest.approx(rel / n, abs=1e-6)
+        assert got["resolution"] == pytest.approx(res / n, abs=1e-6)
+        assert got["uncertainty"] == pytest.approx(ybar * (1 - ybar), abs=1e-6)
+        assert got["ece"] == pytest.approx(ece / n, abs=1e-6)
+        assert got["mce"] == pytest.approx(mce, abs=1e-6)
+
+    def test_perfectly_calibrated_small_ece(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.metrics.classification import calibration_report
+
+        rng = np.random.RandomState(2)
+        p = rng.rand(20000)
+        y = (rng.rand(20000) < p).astype(float)
+        df = spark.createDataFrame(
+            [(float(p[i]), float(y[i])) for i in range(20000)], "p double, y double"
+        )
+        got = calibration_report(df, "p", "y").collect()[0]
+        assert got["ece"] < 0.02 and got["reliability"] < 0.001
+
+    def test_out_of_range_raises(self, spark):
+        from temporalscope_spark.metrics.classification import calibration_report
+
+        df = spark.createDataFrame([(1.5, 1.0)], "p double, y double")
+        with pytest.raises(Exception, match="0, 1"):
+            calibration_report(df, "p", "y").collect()
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.metrics.classification import calibration_report
+
+        df = spark.createDataFrame([(0.5, 1.0)], "p double, y double")
+        with pytest.raises(DataFrameValidationError):
+            calibration_report(df, "p", "y", n_bins=1)
