@@ -6447,8 +6447,76 @@ def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_report(base, "p", "y", n_bins=10)
 
 
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' κ over three deterministic md5-perturbed raters of the
+    event type: (item, label) counts → per-item agreement → bounded
+    folds."""
+    from temporalscope_spark.metrics.classification import fleiss_kappa
+
+    ev = _t(spark, sf_dir, "events")
+    raters = []
+    for tag in ("#r1", "#r2", "#r3"):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("event_id").cast("string"), F.lit(tag))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000000
+        ).cast("double") / F.lit(1e9)
+        raters.append(
+            ev.select(
+                F.col("event_id").alias("item"),
+                F.when(u < 0.75, F.col("event_type"))
+                .otherwise(F.lit("view")).alias("label"),
+            )
+        )
+    ratings = raters[0].unionByName(raters[1]).unionByName(raters[2])
+    return fleiss_kappa(ratings, "item", "label")
+
+
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α of three deterministic parallel measures of the
+    event value (value plus bounded md5 noise): one moment
+    aggregation."""
+    from temporalscope_spark.metrics.classification import cronbach_alpha
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def probe(tag):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("event_id").cast("string"), F.lit(tag))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000000
+        ).cast("double") / F.lit(1e9)
+        return F.col("value") + F.lit(20.0) * (u - 0.5)
+
+    base = ev.select(
+        probe("#m1").alias("m1"), probe("#m2").alias("m2"),
+        probe("#m3").alias("m3"),
+    )
+    return cronbach_alpha(base, ["m1", "m2", "m3"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "fleiss_kappa": q_fleiss_kappa,
+        "cronbach_alpha": q_cronbach_alpha,
         "calibration_report": q_calibration_report,
         "rmst": q_rmst,
         "cohen_kappa": q_cohen_kappa,
@@ -14684,6 +14752,92 @@ def oracle_sql() -> dict[str, str]:
                round(wv / n_all, 6) + 0.0 AS within_bin_variance,
                round(ece_num / n_all, 6) + 0.0 AS ece,
                round(mce, 6) + 0.0 AS mce
+        FROM f
+    """
+
+    # Fleiss kappa: three md5 raters, per-item agreement, global shares
+    _FK_U = ("(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '{t}'), "
+             "1, 15)) AS BIGINT) % 1000000000) / 1000000000.0")
+    _FK_R = ("SELECT event_id AS item, CASE WHEN " + "{u}" + " < 0.75 "
+             "THEN CAST(event_type AS VARCHAR) ELSE 'view' END AS label "
+             "FROM events")
+    sql["fleiss_kappa"] = f"""
+        WITH ratings AS (
+            {_FK_R.format(u=_FK_U.format(t='#r1'))}
+            UNION ALL {_FK_R.format(u=_FK_U.format(t='#r2'))}
+            UNION ALL {_FK_R.format(u=_FK_U.format(t='#r3'))}
+        ),
+        counts AS (
+            SELECT item, label, count(*) AS n FROM ratings
+            WHERE item IS NOT NULL AND label IS NOT NULL GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT item, sum(n) AS r,
+                   sum(CAST(n AS DOUBLE) * (n - 1)) AS agree
+            FROM counts GROUP BY 1
+        ),
+        top AS (
+            SELECT count(*) AS ni, sum(r) AS nr,
+                   avg(agree / (CAST(r AS DOUBLE) * (r - 1))) AS pbar
+            FROM per WHERE r >= 2
+        ),
+        sh AS (
+            SELECT c.label, sum(c.n) AS nc
+            FROM counts c JOIN per ON per.item = c.item
+            WHERE per.r >= 2 GROUP BY 1
+        ),
+        pe AS (SELECT sum(CAST(nc AS DOUBLE) * nc) AS num,
+                      count(*) AS k FROM sh)
+        SELECT CAST(top.ni AS BIGINT) AS n_items,
+               CAST(top.nr AS BIGINT) AS n_ratings,
+               CAST(pe.k AS BIGINT) AS n_categories,
+               CAST((SELECT count(*) FROM per WHERE r < 2) AS BIGINT)
+                   AS n_items_skipped,
+               round(top.pbar, 6) + 0.0 AS p_bar,
+               round(pe.num / (CAST(top.nr AS DOUBLE) * top.nr), 6) + 0.0
+                   AS p_e,
+               round(CASE WHEN pe.num / (CAST(top.nr AS DOUBLE) * top.nr) < 1.0
+                          THEN (top.pbar
+                                - pe.num / (CAST(top.nr AS DOUBLE) * top.nr))
+                               / (1.0 - pe.num
+                                  / (CAST(top.nr AS DOUBLE) * top.nr)) END,
+                     6) + 0.0 AS kappa
+        FROM top, pe
+    """
+
+    # Cronbach alpha: three md5-noise probes, one moment fold
+    _CA_P = ("CAST(value AS DOUBLE) + 20.0 * ((CAST(('0x' || substr(md5("
+             "CAST(event_id AS VARCHAR) || '{t}'), 1, 15)) AS BIGINT) "
+             "% 1000000000) / 1000000000.0 - 0.5)")
+    sql["cronbach_alpha"] = f"""
+        WITH b AS (
+            SELECT {_CA_P.format(t='#m1')} AS m1,
+                   {_CA_P.format(t='#m2')} AS m2,
+                   {_CA_P.format(t='#m3')} AS m3
+            FROM events WHERE value IS NOT NULL
+        ),
+        f AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   sum(m1) AS s1, sum(m1 * m1) AS q1,
+                   sum(m2) AS s2, sum(m2 * m2) AS q2,
+                   sum(m3) AS s3, sum(m3 * m3) AS q3,
+                   sum(m1 + m2 + m3) AS st,
+                   sum((m1 + m2 + m3) * (m1 + m2 + m3)) AS qt
+            FROM b
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k,
+               round((q1 - s1 * s1 / n) / (n - 1.0)
+                     + (q2 - s2 * s2 / n) / (n - 1.0)
+                     + (q3 - s3 * s3 / n) / (n - 1.0), 6) + 0.0
+                   AS sum_item_var,
+               round((qt - st * st / n) / (n - 1.0), 6) + 0.0 AS total_var,
+               round(CASE WHEN n > 1 AND (qt - st * st / n) / (n - 1.0) > 0
+                     THEN (3.0 / 2.0)
+                          * (1.0 - ((q1 - s1 * s1 / n) / (n - 1.0)
+                                    + (q2 - s2 * s2 / n) / (n - 1.0)
+                                    + (q3 - s3 * s3 / n) / (n - 1.0))
+                                   / ((qt - st * st / n) / (n - 1.0))) END,
+                     6) + 0.0 AS alpha
         FROM f
     """
 

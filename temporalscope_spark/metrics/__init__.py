@@ -3,6 +3,8 @@ from temporalscope_spark.metrics.classification import (
     auc_roc,
     calibration_report,
     cohen_kappa,
+    cronbach_alpha,
+    fleiss_kappa,
     mcnemar_test,
     calibrate_scores,
     fit_isotonic_bins,
@@ -21,5 +23,5 @@ __all__ = [
     "auc_roc", "auc_by_group", "reliability_curve", "lift_table",
     "fit_isotonic_bins", "calibrate_scores", "pr_curve", "regression_metrics",
     "ranking_eval", "rrf_fuse", "forecast_eval", "conformal_interval",
-    "cohen_kappa", "mcnemar_test", "calibration_report",
+    "cohen_kappa", "mcnemar_test", "calibration_report", "fleiss_kappa", "cronbach_alpha",
 ]

@@ -816,3 +816,140 @@ def calibration_report(
         F.round(F.col("_ece_num") / na, 6).alias("ece"),
         F.round(F.col("_mce"), 6).alias("mce"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Fleiss' κ (1971) — chance-corrected agreement for ANY number of
+    raters per item (the multi-annotator generalization of
+    :func:`cohen_kappa`; raters need not be the same people across
+    items — the crowdsourcing/LLM-ensemble setting). From per-item
+    category counts n_ic with r_i = Σ_c n_ic raters on item i:
+
+        P_i  = Σ_c n_ic(n_ic − 1) / (r_i (r_i − 1))
+        P̄    = mean_i P_i,     P̄_e = Σ_c p_c²  (global label shares)
+        κ    = (P̄ − P̄_e) / (1 − P̄_e)
+
+    Items with fewer than 2 ratings carry no agreement information and
+    are EXCLUDED (counted in the output). Output: one row ``(n_items,
+    n_ratings, n_categories, n_items_skipped, p_bar, p_e, kappa)``
+    rounded 6 (κ NULL when P̄_e = 1). This is the equal-raters formula
+    applied per-item (Fleiss' original assumes constant r; the per-item
+    form is the standard generalization).
+
+    Plan shape: ONE groupBy(item, label) count → per-item fold
+    (groupBy(item)) → 1-row fold; label shares one aggregation of the
+    first table. Nothing after the first aggregation is corpus-sized.
+    """
+    for c in (item_col, label_col):
+        if c not in df.columns:
+            raise DataFrameValidationError(f"fleiss_kappa: missing column {c!r}")
+    item = F.col(item_col)
+    lab = F.col(label_col).cast("string")
+    counts = (
+        df.filter(item.isNotNull() & lab.isNotNull())
+        .groupBy(item.alias("_i"), lab.alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_item = counts.groupBy("_i").agg(
+        F.sum("_n").alias("_r"),
+        F.sum(F.col("_n").cast("double") * (F.col("_n") - 1)).alias("_agree"),
+    )
+    usable = per_item.filter(F.col("_r") >= 2)
+    skipped = per_item.filter(F.col("_r") < 2).count()
+    top = usable.agg(
+        F.count(F.lit(1)).alias("_ni"),
+        F.sum("_r").alias("_nr"),
+        F.avg(
+            F.col("_agree") / (F.col("_r").cast("double") * (F.col("_r") - 1))
+        ).alias("_pbar"),
+    ).first()
+    n_items = int(top["_ni"] or 0)
+    if n_items == 0:
+        raise DataFrameValidationError(
+            "fleiss_kappa: no items with >= 2 ratings"
+        )
+    # label shares over the USABLE items' ratings
+    shares = (
+        counts.join(usable.select("_i"), "_i", "left_semi")
+        .groupBy("_c")
+        .agg(F.sum("_n").alias("_nc"))
+    )
+    pe_row = shares.agg(
+        F.sum(
+            F.col("_nc").cast("double") * F.col("_nc")
+        ).alias("_num"),
+        F.count(F.lit(1)).alias("_k"),
+    ).first()
+    nr = float(top["_nr"])
+    p_e = float(pe_row["_num"]) / (nr * nr)
+    p_bar = float(top["_pbar"])
+    kappa = (p_bar - p_e) / (1.0 - p_e) if p_e < 1.0 else None
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            n_items, int(nr), int(pe_row["_k"]), int(skipped),
+            round(p_bar, 6), round(p_e, 6),
+            round(kappa, 6) if kappa is not None else None,
+        )],
+        "n_items long, n_ratings long, n_categories long, "
+        "n_items_skipped long, p_bar double, p_e double, kappa double",
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols,
+) -> DataFrame:
+    """Cronbach's α (1951) — internal consistency of k parallel
+    measurements (survey batteries, repeated quality probes, ensemble
+    scores meant to measure the same construct):
+
+        α = k/(k−1) · (1 − Σ_i var_i / var_total)
+
+    with var_total the variance of the row sum. α > 0.7 is the
+    conventional "acceptable" bar; α near 0 means the columns don't
+    co-measure anything. Output: one row ``(n, k, sum_item_var,
+    total_var, alpha)`` rounded 6 (NULL α when the total variance is
+    0). Rows with ANY NULL item are excluded (listwise deletion, the
+    psychometrics convention). ONE moment aggregation computes every
+    variance (sample, ddof=1).
+    """
+    cols = list(item_cols)
+    if len(cols) < 2:
+        raise DataFrameValidationError("cronbach_alpha: need >= 2 item columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise DataFrameValidationError(f"cronbach_alpha: missing columns {missing}")
+    xs = [F.col(c).cast("double") for c in cols]
+    cond = xs[0].isNotNull()
+    for x in xs[1:]:
+        cond = cond & x.isNotNull()
+    total = xs[0]
+    for x in xs[1:]:
+        total = total + x
+    aggs = [F.count(F.lit(1)).alias("_n"),
+            F.sum(total).alias("_st"), F.sum(total * total).alias("_qt")]
+    for i, x in enumerate(xs):
+        aggs += [F.sum(x).alias(f"_s{i}"), F.sum(x * x).alias(f"_q{i}")]
+    one = df.filter(cond).agg(*aggs)
+    n = F.col("_n").cast("double")
+    var = lambda s, q: (F.col(q) - F.col(s) * F.col(s) / n) / (n - 1.0)  # noqa: E731
+    item_var = var("_s0", "_q0")
+    for i in range(1, len(cols)):
+        item_var = item_var + var(f"_s{i}", f"_q{i}")
+    tot_var = var("_st", "_qt")
+    k = float(len(cols))
+    alpha = (k / (k - 1.0)) * (1.0 - item_var / tot_var)
+    return one.select(
+        F.col("_n").cast("long").alias("n"),
+        F.lit(int(k)).cast("long").alias("k"),
+        F.round(item_var, 6).alias("sum_item_var"),
+        F.round(tot_var, 6).alias("total_var"),
+        F.round(F.when((F.col("_n") > 1) & (tot_var > 0), alpha), 6).alias(
+            "alpha"
+        ),
+    )

@@ -637,3 +637,94 @@ class TestCalibrationReport:
         df = spark.createDataFrame([(0.5, 1.0)], "p double, y double")
         with pytest.raises(DataFrameValidationError):
             calibration_report(df, "p", "y", n_bins=1)
+
+
+class TestFleissKappa:
+    def test_parity(self, spark):
+        import numpy as np
+        from collections import Counter
+
+        from temporalscope_spark.metrics.classification import fleiss_kappa
+
+        rng = np.random.RandomState(1)
+        rows = []
+        for i in range(400):
+            true = rng.randint(0, 3)
+            for _ in range(4):
+                lab = true if rng.rand() < 0.75 else rng.randint(0, 3)
+                rows.append((i, f"c{lab}"))
+        df = spark.createDataFrame(rows, "item long, label string")
+        got = fleiss_kappa(df, "item", "label").collect()[0]
+        items: dict = {}
+        for i, l in rows:
+            items.setdefault(i, []).append(l)
+        P, allc = [], Counter()
+        for ls in items.values():
+            c = Counter(ls)
+            r = len(ls)
+            P.append(sum(v * (v - 1) for v in c.values()) / (r * (r - 1)))
+            allc.update(c)
+        nr = sum(allc.values())
+        pe = sum((v / nr) ** 2 for v in allc.values())
+        pbar = float(np.mean(P))
+        assert got["kappa"] == pytest.approx((pbar - pe) / (1 - pe), abs=1e-6)
+        assert got["n_items"] == 400 and got["n_ratings"] == 1600
+
+    def test_single_rating_items_skipped(self, spark):
+        from temporalscope_spark.metrics.classification import fleiss_kappa
+
+        rows = [(1, "a"), (1, "a"), (2, "b")]  # item 2 has one rating
+        df = spark.createDataFrame(rows, "item long, label string")
+        got = fleiss_kappa(df, "item", "label").collect()[0]
+        assert got["n_items_skipped"] == 1 and got["n_items"] == 1
+
+    def test_perfect_agreement(self, spark):
+        from temporalscope_spark.metrics.classification import fleiss_kappa
+
+        rows = [(i, "x" if i % 2 else "y") for i in range(50) for _ in range(3)]
+        df = spark.createDataFrame(rows, "item long, label string")
+        got = fleiss_kappa(df, "item", "label").collect()[0]
+        assert got["kappa"] == pytest.approx(1.0)
+
+
+class TestCronbachAlpha:
+    def test_parity_and_consistency(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.metrics.classification import cronbach_alpha
+
+        rng = np.random.RandomState(1)
+        lat = rng.randn(600)
+        X = np.column_stack([lat + rng.randn(600) * 0.5 for _ in range(4)])
+        df = spark.createDataFrame(
+            [tuple(float(v) for v in X[i]) for i in range(600)],
+            "a double, b double, c double, d double",
+        )
+        got = cronbach_alpha(df, ["a", "b", "c", "d"]).collect()[0]
+        iv = X.var(axis=0, ddof=1).sum()
+        tv = X.sum(axis=1).var(ddof=1)
+        assert got["alpha"] == pytest.approx(4 / 3 * (1 - iv / tv), abs=1e-6)
+        assert got["alpha"] > 0.85   # shared latent factor
+
+    def test_independent_columns_low_alpha(self, spark):
+        import numpy as np
+
+        from temporalscope_spark.metrics.classification import cronbach_alpha
+
+        rng = np.random.RandomState(2)
+        X = rng.randn(600, 3)
+        df = spark.createDataFrame(
+            [tuple(float(v) for v in X[i]) for i in range(600)],
+            "a double, b double, c double",
+        )
+        got = cronbach_alpha(df, ["a", "b", "c"]).collect()[0]
+        assert abs(got["alpha"]) < 0.25
+
+    def test_bad_args(self, spark):
+        from temporalscope_spark.metrics.classification import cronbach_alpha
+
+        df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+        with pytest.raises(DataFrameValidationError):
+            cronbach_alpha(df, ["a"])
+        with pytest.raises(DataFrameValidationError):
+            cronbach_alpha(df, ["a", "nope"])
