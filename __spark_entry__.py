@@ -4278,7 +4278,7 @@ def q_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("candidate"),
         ref.alias("reference"),
     )
-    return bleu_corpus(pairs, "candidate", "reference", max_n=4)
+    return bleu_corpus(pairs, "candidate", "reference", max_n=4, engine="arrow")
 
 
 def q_chrf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4298,7 +4298,7 @@ def q_chrf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(norm, 1, 200).alias("candidate"),
         F.substring(ref, 1, 200).alias("reference"),
     )
-    return chrf_corpus(pairs, "candidate", "reference", max_n=6, beta=2.0)
+    return chrf_corpus(pairs, "candidate", "reference", max_n=6, beta=2.0, engine="arrow")
 
 
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4354,7 +4354,7 @@ def q_rouge_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = docs.select(
         F.col("text").alias("candidate"), ref.alias("reference")
     )
-    return rouge_n_corpus(pairs, "candidate", "reference", ns=(1, 2))
+    return rouge_n_corpus(pairs, "candidate", "reference", ns=(1, 2), engine="arrow")
 
 
 def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4382,7 +4382,7 @@ def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("candidate"),
         F.array_join(swapped, " ").alias("reference"),
     )
-    return rouge_l_pairs(pairs, "candidate", "reference", id_cols=("pair_id",))
+    return rouge_l_pairs(pairs, "candidate", "reference", id_cols=("pair_id",), engine="arrow")
 
 
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
