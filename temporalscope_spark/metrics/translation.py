@@ -32,15 +32,10 @@ def _check_engine(engine: str) -> None:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin the rows across the session's task slots before a
-    compute-bound per-row stage. These metrics cost far more CPU per
-    byte than one exchange of the (small) text payload costs to move,
-    at any scale — and a single-file input otherwise pins the whole
-    stage to one task. No-op when the input is already parallel enough.
-    """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
-        return df
-    return df.repartition(par)
+    compute-bound per-row stage (see :mod:`temporalscope_spark.core.spread`)."""
+    from temporalscope_spark.core.spread import spread
+
+    return spread(df)
 
 
 def _clip_counts(cg: list, rg: list) -> int:

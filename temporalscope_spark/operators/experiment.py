@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from temporalscope_spark.core.spread import spread
 from temporalscope_spark.exceptions import DataFrameValidationError
 
 
@@ -453,7 +454,10 @@ def poisson_bootstrap(
         F.col(id_col).cast("string").alias("_id"), y.alias("_y")
     ).filter(F.col("_y").isNotNull())
 
-    rep = base.select(
+    # the B-way explode + per-(row, replicate) md5 draw is the CPU wall;
+    # floor its parallelism before the fan-out (core/spread.py) — the
+    # replicate means round to 6 dp before the CI, so merge order is moot
+    rep = spread(base).select(
         "_id", "_y", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_b")
     )
     u = (
@@ -665,7 +669,9 @@ def permutation_test(
     d_obs = round(sa / na - sb / nb, 6)
     p_a = na / (na + nb)
 
-    rep = base.select(
+    # same parallelism floor as poisson_bootstrap: the per-(row,
+    # replicate) md5 fan-out dominates, diffs round to 6 dp
+    rep = spread(base).select(
         "_id", "_y", F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("_b")
     )
     u = (
