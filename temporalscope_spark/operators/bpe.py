@@ -9,12 +9,13 @@ the shuffle-native form is a weighted pair count + total-order argmax +
 a windowed merge rewrite).
 
 Greedy left-to-right pair merging is the only sequential-looking step,
-and it has a closed form: matches of the winning pair (a, b) can only
-overlap when ``a == b``, and within each maximal run of consecutive
-match positions exactly the 1st, 3rd, 5th… merge. So ``merged(i)`` =
-match(i) AND (i − run_start) is even — islands + parity, pure window
-functions, identical in Spark and DuckDB. No fold, no UDF, no driver
-loop over words.
+and it is ROW-LOCAL: each word's symbol array folds left-to-right,
+merging (a, b) wherever the pair stands on original symbols (within a
+run of consecutive matches exactly the 1st, 3rd, 5th… merge — the
+islands+parity invariant, now carried by a "last element was just
+merged" flag in the fold accumulator instead of window functions, so a
+merge round is one narrow projection with ZERO exchanges). No UDF, no
+driver loop over words.
 
 Determinism contract: everything is integer counts and string
 comparisons — pair frequencies are exact sums, the per-round winner is
@@ -30,6 +31,9 @@ from pyspark.sql import functions as F
 from temporalscope_spark.exceptions import DataFrameValidationError
 from temporalscope_spark.operators.corpus_stats import _norm_words
 from temporalscope_spark.operators.dedup import _parallelize_before_explode
+
+# re-checkpoint cadence for stacked merge-fold projections (plan-depth cap)
+_CHECKPOINT_EVERY = 16
 
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -70,53 +74,48 @@ def _apply_merge(
     vocab: DataFrame, a: str, b: str, strip_prefix: str | None = None
 ) -> DataFrame:
     """Rewrite every word's symbol array with (a, b) -> ab merged, greedy
-    left-to-right, via the islands+parity closed form.
+    left-to-right, as ONE row-local fold over ``syms`` — zero exchanges.
+
+    (The original implementation was an islands+parity rewrite via
+    posexplode + three windows + a collect_list regroup: four exchanges
+    of the vocab table PER ROUND. The fold carries (output array, "last
+    element was just merged") and reproduces the same greedy semantics:
+    a merged token never serves as the left side of another merge in the
+    same round, even when it is textually equal to ``a``.)
 
     ``strip_prefix`` (a regex anchored by the caller, e.g. ``'^##'``)
     is removed from the RIGHT symbol before concatenation — the
     WordPiece continuation-marker rule; BPE passes None."""
-    sym = vocab.select(
-        "word", "wc", F.posexplode("syms").alias("_i0", "_s")
-    ).withColumn("_i", F.col("_i0") + 1)
-    w = Window.partitionBy("word").orderBy("_i")
-    sym = sym.withColumn(
-        "_m",
-        (F.col("_s") == a) & (F.lead("_s", 1).over(w) == b),
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("arr"),
+        F.lit(False).alias("lm"),
     )
-    # islands of consecutive match positions: grp = i - rank-among-matches;
-    # within an island the 1st, 3rd, … merge (parity of i - run_start)
-    wm = Window.partitionBy("word", "_m").orderBy("_i")
-    sym = sym.withColumn(
-        "_grp", F.when(F.col("_m"), F.col("_i") - F.row_number().over(wm))
-    )
-    wg = Window.partitionBy("word", "_grp")
-    sym = sym.withColumn(
-        "_merged",
-        F.col("_m")
-        & (((F.col("_i") - F.min("_i").over(wg)) % 2) == 0),
-    )
-    sym = sym.withColumn("_drop", F.coalesce(F.lag("_merged", 1).over(w), F.lit(False)))
-    # the merged token must concat the TRUE next symbol — computed before
-    # the _drop filter, or the lead() window skips the dropped row
-    nxt = F.lead("_s", 1).over(w)
-    if strip_prefix is not None:
-        nxt = F.regexp_replace(nxt, strip_prefix, "")
-    sym = sym.withColumn(
-        "_ns",
-        F.when(F.col("_merged"), F.concat("_s", nxt)).otherwise(F.col("_s")),
-    )
-    rebuilt = (
-        sym.filter(~F.col("_drop"))
-        .select("word", "wc", "_i", "_ns")
-        .groupBy("word", "wc")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_i", "_ns"))),
-                lambda s: s["_ns"],
-            ).alias("syms")
+
+    def step(acc, s):
+        mergeable = (
+            ~acc["lm"]
+            & (F.size(acc["arr"]) > 0)
+            & (F.element_at(acc["arr"], -1) == F.lit(a))
+            & (s == F.lit(b))
         )
-    )
-    return rebuilt
+        rhs = (
+            F.regexp_replace(s, strip_prefix, "")
+            if strip_prefix is not None
+            else s
+        )
+        merged_arr = F.concat(
+            F.slice(acc["arr"], 1, F.size(acc["arr"]) - 1),
+            F.array(F.concat(F.element_at(acc["arr"], -1), rhs)),
+        )
+        return F.struct(
+            F.when(mergeable, merged_arr)
+            .otherwise(F.concat(acc["arr"], F.array(s)))
+            .alias("arr"),
+            mergeable.alias("lm"),
+        )
+
+    new_syms = F.aggregate(F.col("syms"), acc0, step, lambda acc: acc["arr"])
+    return vocab.select("word", "wc", new_syms.alias("syms"))
 
 
 def _learn_rounds(
@@ -125,11 +124,16 @@ def _learn_rounds(
     """The shared merge-round driver loop (the IRLS precedent: a handful
     of aggregation rounds, each a full distributed job): weighted pair
     count → 1-row argmax collect (total order: freq DESC, lhs, rhs) →
-    merge rewrite → localCheckpoint (bounded vocab table; truncating
-    lineage each round keeps round R's plan O(1), not O(R)). Stops early
-    when no pair remains. Returns (merge list, final rewritten vocab) —
-    train, apply-to-vocab, and measure all come out of ONE pass."""
+    merge rewrite (a row-local fold — lazy, no job of its own). The
+    caller passes a checkpointed base vocab; rounds stack narrow fold
+    projections on top of it, re-checkpointing every
+    ``_CHECKPOINT_EVERY`` rounds so a production-size merge count never
+    grows an unbounded plan while an 8-merge run pays ZERO per-round
+    materializations. Stops early when no pair remains. Returns (merge
+    list, final rewritten vocab) — train, apply-to-vocab, and measure
+    all come out of ONE pass."""
     merges: list[tuple[int, str, str, int]] = []
+    handles: list[DataFrame] = []
     for r in range(num_merges):
         best = (
             _pair_counts(vocab)
@@ -141,7 +145,15 @@ def _learn_rounds(
             break
         a, b, freq = best[0]["lhs"], best[0]["rhs"], int(best[0]["freq"])
         merges.append((r + 1, a, b, freq))
-        vocab = _apply_merge(vocab, a, b).localCheckpoint()
+        # lazy persist: the NEXT round's argmax materializes this round's
+        # fold from the previous round's cached blocks — one fold per
+        # round, no checkpoint job, no stacked-fold recompute
+        vocab = _apply_merge(vocab, a, b).persist()
+        handles.append(vocab)
+    for h in handles:
+        h.unpersist()
+    # a caller's later action on the returned vocab recomputes the fold
+    # stack ONCE from the checkpointed base — narrow, bounded, leak-free
     return merges, vocab
 
 
@@ -201,8 +213,10 @@ def bpe_compression_stats(
     """
     vocab = word_vocab(df, text_col).localCheckpoint()
     if merges is not None:
-        for a, b in _ordered_merges(merges):
-            vocab = _apply_merge(vocab, a, b).localCheckpoint()
+        for i, (a, b) in enumerate(_ordered_merges(merges)):
+            vocab = _apply_merge(vocab, a, b)
+            if (i + 1) % _CHECKPOINT_EVERY == 0:
+                vocab = vocab.localCheckpoint()
     else:
         if num_merges <= 0:
             raise DataFrameValidationError("num_merges must be > 0")
@@ -251,8 +265,10 @@ def apply_bpe(
     mlist = _ordered_merges(merges)
     # word -> token-sequence mapping: merge rounds over distinct words only
     vocab = word_vocab(df, text_col).localCheckpoint()
-    for a, b in mlist:
-        vocab = _apply_merge(vocab, a, b).localCheckpoint()
+    for i, (a, b) in enumerate(mlist):
+        vocab = _apply_merge(vocab, a, b)
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint()
     mapping = vocab.select("word", "syms")
 
     pos = (

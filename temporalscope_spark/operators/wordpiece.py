@@ -108,6 +108,7 @@ def _learn_wp_rounds(
     DESC, lhs, rhs) → islands+parity merge rewrite with the ``##``
     strip rule → localCheckpoint. Stops early on exhaustion."""
     merges: list[tuple[int, str, str, int, float]] = []
+    handles = []
     for r in range(num_merges):
         best = (
             _pair_scores(vocab)
@@ -119,7 +120,12 @@ def _learn_wp_rounds(
             break
         a, b = best[0]["lhs"], best[0]["rhs"]
         merges.append((r + 1, a, b, int(best[0]["freq"]), float(best[0]["score"])))
-        vocab = _apply_merge(vocab, a, b, strip_prefix="^" + _CONT).localCheckpoint()
+        # lazy persist per round (see bpe._learn_rounds): one fold per
+        # round, no checkpoint job; all handles released on exit
+        vocab = _apply_merge(vocab, a, b, strip_prefix="^" + _CONT).persist()
+        handles.append(vocab)
+    for h in handles:
+        h.unpersist()
     return merges, vocab
 
 
