@@ -17,6 +17,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _sp(df: DataFrame) -> DataFrame:
+    """Parallelism floor before a compute-bound per-row stage
+    (core/spread.py): no-op at scale, unlocks the idle cores when the
+    input is a single small file."""
+    from temporalscope_spark.core.spread import spread
+
+    return spread(df)
+
+
 # --------------------------------------------------------------------------
 # flagship: sliding-window partition + target-shift feature pass (W3 + W1)
 # --------------------------------------------------------------------------
@@ -695,7 +704,7 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals) — one fused projection + filter, no shuffle."""
     from temporalscope_spark.operators.text import quality_filter
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _sp(_t(spark, sf_dir, "documents"))
     out = quality_filter(
         docs, "text", min_quality=0.6, max_dup_word_ratio=0.5,
         max_trigram_dup_ratio=0.9,
@@ -719,7 +728,7 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the already-proven per-stage oracles, spliced)."""
     from temporalscope_spark.pipelines.curation import curate_corpus
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _sp(_t(spark, sf_dir, "documents"))
     ev = docs.filter(F.col("doc_id") % 13 == 0)
     train = docs.filter(F.col("doc_id") % 13 != 0)
     return curate_corpus(train, ev, decontam_n=4)
@@ -748,7 +757,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (int/int ratios, exact)."""
     from temporalscope_spark.operators.text import with_repetition_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _sp(_t(spark, sf_dir, "documents"))
     out = with_repetition_features(docs, "text")
     return out.select(
         "doc_id",
@@ -769,7 +778,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     DESC."""
     from temporalscope_spark.operators.gopher import gopher_quality_flags
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _sp(_t(spark, sf_dir, "documents"))
     out = gopher_quality_flags(docs, "text")
     sel = [
         F.col("doc_id"),
@@ -1481,7 +1490,7 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-position segment/offset arithmetic."""
     from temporalscope_spark.operators.corruption import span_corruption
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _sp(_t(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id",
         F.split(

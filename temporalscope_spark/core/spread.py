@@ -22,8 +22,11 @@ from pyspark.sql import DataFrame
 
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin ``df`` across the session's task slots when (and only
-    when) it has fewer partitions than ``defaultParallelism``."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
-        return df
-    return df.repartition(par)
+    when) it has fewer partitions than ``defaultParallelism``.
+
+    Delegates to the dedup module's anti-straggler helper so the
+    partition-count probe stays memoized per analyzed plan (one RDD
+    conversion per distinct input, not one per operator call)."""
+    from temporalscope_spark.operators.dedup import _parallelize_before_explode
+
+    return _parallelize_before_explode(df)
