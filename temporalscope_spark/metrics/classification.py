@@ -633,23 +633,31 @@ def cohen_kappa(
             raise DataFrameValidationError(f"cohen_kappa: missing column {c!r}")
     a = F.col(rater_a_col).cast("string")
     b = F.col(rater_b_col).cast("string")
+    # persist the bounded |A|×|B| contingency: the driver actions below
+    # read it instead of re-running the corpus groupBy (ADVICE r5 #3)
     cont = (
         df.filter(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("_a"), b.alias("_b"))
         .agg(F.count(F.lit(1)).alias("_o"))
+        .persist()
     )
     ma = cont.groupBy("_a").agg(F.sum("_o").alias("_na"))
     mb = cont.groupBy("_b").agg(F.sum("_o").alias("_nb"))
-    tot = cont.agg(F.sum("_o").alias("_nt")).first()
+    # one fused fold for total and observed agreement
+    tot = cont.agg(
+        F.sum("_o").alias("_nt"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_o"))).alias("_agree"),
+    ).first()
     n = float(tot["_nt"] or 0)
     if n == 0:
+        cont.unpersist()
         raise DataFrameValidationError("cohen_kappa: no labeled rows")
-    po = cont.filter(F.col("_a") == F.col("_b")).agg(
-        F.sum("_o").alias("_agree")
-    ).first()
-    p_o = float(po["_agree"] or 0) / n
+    p_o = float(tot["_agree"] or 0) / n
+    # full-outer marginal join: matched rows carry the p_e numerator
+    # (null products skip the sum, exactly the inner-join sum), every row
+    # counts one distinct category across either side
     pe_row = (
-        ma.join(mb, ma["_a"] == mb["_b"])
+        ma.join(mb, ma["_a"] == mb["_b"], "full_outer")
         .agg(
             F.sum(
                 F.col("_na").cast("double") * F.col("_nb").cast("double")
@@ -658,10 +666,9 @@ def cohen_kappa(
         )
         .first()
     )
+    cont.unpersist()
     p_e = float(pe_row["_pe_num"] or 0.0) / (n * n)
-    k_cats = cont.select("_a").union(
-        cont.select("_b")
-    ).distinct().count()
+    k_cats = int(pe_row["_k"])
     kappa = (p_o - p_e) / (1.0 - p_e) if p_e < 1.0 else None
     spark = df.sparkSession
     return spark.createDataFrame(
@@ -849,26 +856,38 @@ def fleiss_kappa(
             raise DataFrameValidationError(f"fleiss_kappa: missing column {c!r}")
     item = F.col(item_col)
     lab = F.col(label_col).cast("string")
+    # persist the bounded contingency: every driver action below reads it
+    # instead of re-running the corpus-sized groupBy (ADVICE r5 #3)
     counts = (
         df.filter(item.isNotNull() & lab.isNotNull())
         .groupBy(item.alias("_i"), lab.alias("_c"))
         .agg(F.count(F.lit(1)).alias("_n"))
+        .persist()
     )
     per_item = counts.groupBy("_i").agg(
         F.sum("_n").alias("_r"),
         F.sum(F.col("_n").cast("double") * (F.col("_n") - 1)).alias("_agree"),
     )
     usable = per_item.filter(F.col("_r") >= 2)
-    skipped = per_item.filter(F.col("_r") < 2).count()
-    top = usable.agg(
-        F.count(F.lit(1)).alias("_ni"),
-        F.sum("_r").alias("_nr"),
+    # one fused fold: usable-item stats AND the skipped count (null-
+    # skipping aggregates see exactly the same rows the two filtered
+    # aggregations did)
+    top = per_item.agg(
+        F.count(F.when(F.col("_r") >= 2, F.lit(1))).alias("_ni"),
+        F.sum(F.when(F.col("_r") >= 2, F.col("_r"))).alias("_nr"),
         F.avg(
-            F.col("_agree") / (F.col("_r").cast("double") * (F.col("_r") - 1))
+            F.when(
+                F.col("_r") >= 2,
+                F.col("_agree")
+                / (F.col("_r").cast("double") * (F.col("_r") - 1)),
+            )
         ).alias("_pbar"),
+        F.count(F.when(F.col("_r") < 2, F.lit(1))).alias("_skipped"),
     ).first()
+    skipped = int(top["_skipped"])
     n_items = int(top["_ni"] or 0)
     if n_items == 0:
+        counts.unpersist()
         raise DataFrameValidationError(
             "fleiss_kappa: no items with >= 2 ratings"
         )
@@ -884,6 +903,7 @@ def fleiss_kappa(
         ).alias("_num"),
         F.count(F.lit(1)).alias("_k"),
     ).first()
+    counts.unpersist()
     nr = float(top["_nr"])
     p_e = float(pe_row["_num"]) / (nr * nr)
     p_bar = float(top["_pbar"])
