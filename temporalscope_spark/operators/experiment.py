@@ -826,8 +826,9 @@ def srm_check(
 
     Plan shape: ONE groupBy(variant) count to the bounded C-row table,
     full-outer join against the broadcast k-row design table, one fold.
-    NULL variants count toward n but raise unless ``expected`` contains
-    the empty-string share for them — i.e. assignment must be total.
+    NULL variants are bucketed under the ``'__null__'`` key: they count
+    toward n but raise unless ``expected`` contains a ``'__null__'``
+    share for them — i.e. assignment must be total.
     """
     if variant_col not in df.columns:
         raise DataFrameValidationError(f"srm_check: missing column {variant_col!r}")
@@ -954,7 +955,10 @@ def ipw_estimate(
     )
     tr = F.coalesce(badt, tr)
     base = df.filter(y.isNotNull() & p.isNotNull() & F.col(treat_col).isNotNull())
-    kept = (p >= F.lit(float(trim))) & (p <= F.lit(1.0 - trim))
+    # boundary propensities (exactly 0 or 1) always trim: with trim = 0
+    # they would otherwise divide the weights/AIPW influence term by
+    # zero (ANSI raise / inf) instead of being dropped-and-counted
+    kept = (p >= F.lit(float(trim))) & (p <= F.lit(1.0 - trim)) & (p > 0) & (p < 1)
     wt = tr / p
     wc = (1.0 - tr) / (1.0 - p)
     aggs = [

@@ -1052,3 +1052,18 @@ class TestRatioMetricTest:
         df = spark.createDataFrame([("t", 1.0, 2.0)], "variant string, x double, y double")
         with pytest.raises(Exception, match="not present"):
             ratio_metric_test(df, "x", "y", "variant", "c").collect()
+
+
+def test_ipw_trim_zero_boundary_propensities_dropped(spark):
+    """trim=0.0 must drop (and count) propensities of exactly 0 or 1
+    instead of dividing the weights by zero (ADVICE r6 guard)."""
+    from temporalscope_spark.operators.experiment import ipw_estimate
+
+    rows = [
+        (1.0, 1, 0.5), (0.0, 0, 0.5), (2.0, 1, 0.25), (1.0, 0, 0.75),
+        (9.0, 1, 1.0), (9.0, 0, 0.0),  # boundary rows: must be trimmed
+    ]
+    df = spark.createDataFrame(rows, "y double, t int, p double")
+    out = ipw_estimate(df, "y", "t", "p", trim=0.0).collect()[0]
+    assert out["n_trimmed"] == 2
+    assert math.isfinite(out["ate"])
