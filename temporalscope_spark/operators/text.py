@@ -259,10 +259,19 @@ def quality_filter(
     """C4/Gopher-style corpus gate: compose the quality score, repetition
     signals, and (optionally) language ID into one keep/drop filter.
 
-    One narrow map over the corpus — all component expressions fuse into a
-    single whole-stage-codegen projection + filter, no shuffle, no second
-    scan. Returns the surviving rows with the signal columns attached (so
-    downstream audits can see WHY a row survived)."""
+    One narrow map over the corpus — no shuffle, no second scan. Returns
+    the surviving rows with the signal columns attached (so downstream
+    audits can see WHY a row survived).
+
+    PUSHDOWN BARRIER: filtering directly on the signal columns lets
+    Catalyst push the predicate below the signal projection WITH ALIAS
+    SUBSTITUTION — the full quality+repetition expression tree (HOF
+    folds included, which knock the Filter out of codegen) evaluates
+    TWICE per row, once interpreted (measured 2x on the plan, ~2s of
+    the 2.6s quality_gate pass). The predicate therefore also references
+    a nondeterministic column (``monotonically_increasing_id() >= 0``,
+    vacuously true by its non-negativity contract), which pins it above
+    the projection: signals evaluate exactly once, rows are unchanged."""
     out = with_quality_score(df, text_col)
     out = with_repetition_features(out, text_col)
     cond = (
@@ -273,7 +282,12 @@ def quality_filter(
     if langs is not None:
         out = with_lang_id(out, text_col)
         cond = cond & F.col("lang_pred").isin(list(langs))
-    return out.filter(cond)
+    if out.isStreaming:
+        # monotonically_increasing_id is illegal in streaming plans; the
+        # micro-batch volume makes the duplicate evaluation tolerable
+        return out.filter(cond)
+    out = out.withColumn("_q_barrier", F.monotonically_increasing_id())
+    return out.filter(cond & (F.col("_q_barrier") >= 0)).drop("_q_barrier")
 
 
 
