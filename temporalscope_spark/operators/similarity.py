@@ -542,10 +542,26 @@ def semdedup(
         ),
         vec_col,
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    left = a.select(F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("_va"))
-    right = a.select(F.col(id_col).alias("id_b"), "cell", F.col(vec_col).alias("_vb"))
+    # within-cell pair search, hot-key-split (guide §2.5 salting): a join
+    # keyed on `cell` alone caps parallelism at num_centroids tasks and
+    # concentrates each cell's quadratic pair work (per-pair cosine folds)
+    # on one task. Split every cell K ways on a deterministic hash of the
+    # RIGHT id (replicating the left side K ways — cells are the hot keys
+    # by construction), so the same pair set spreads over K x cells
+    # tasks; per-pair arithmetic is untouched.
+    _K = 8
+    rblk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_K)).cast("int")
+    left = a.select(
+        F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("_va")
+    ).withColumn("_blk", F.explode(F.sequence(F.lit(0), F.lit(_K - 1))))
+    right = a.select(
+        F.col(id_col).alias("id_b"),
+        "cell",
+        F.col(vec_col).alias("_vb"),
+        rblk.alias("_blk"),
+    )
     pairs = (
-        left.join(right, "cell")
+        left.join(right, ["cell", "_blk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= F.lit(float(threshold)))
         .select("id_a", "id_b")
