@@ -1831,11 +1831,16 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     one mapping join + one ordered reassembly. Token arrays are
     serialized with a space join for the value hash (the
     multi_lead_tokens convention)."""
-    from temporalscope_spark.operators.bpe import apply_bpe, learn_bpe_merges
+    from temporalscope_spark.operators.bpe import (
+        apply_bpe,
+        learn_bpe_merges,
+        word_vocab,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(docs, "text", num_merges=8)
-    out = apply_bpe(docs, merges, "text", "doc_id")
+    vocab = word_vocab(docs, "text").localCheckpoint()
+    merges = learn_bpe_merges(docs, "text", num_merges=8, vocab=vocab)
+    out = apply_bpe(docs, merges, "text", "doc_id", vocab=vocab)
     return out.select(
         "doc_id", F.array_join("tokens", " ").alias("tokens_str"), "n_tok"
     )
@@ -1917,11 +1922,13 @@ def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_wordpiece,
         learn_wordpiece,
         wordpiece_pieces,
+        wp_word_vocab,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    merges = learn_wordpiece(docs, "text", num_merges=8)
-    pieces = wordpiece_pieces(docs, "text", merges=merges)
+    vocab = wp_word_vocab(docs, "text").localCheckpoint()
+    merges = learn_wordpiece(docs, "text", num_merges=8, vocab=vocab)
+    pieces = wordpiece_pieces(docs, "text", merges=merges, vocab=vocab)
     out = apply_wordpiece(docs, pieces, "text", "doc_id", max_chars=12)
     return out.select(
         "doc_id", F.array_join("tokens", " ").alias("tokens_str"), "n_tok"

@@ -173,6 +173,7 @@ def learn_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 8,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Learn the first ``num_merges`` BPE merges from the corpus
     (driver loop shared with :func:`bpe_compression_stats` and
@@ -185,7 +186,9 @@ def learn_bpe_merges(
     if num_merges <= 0:
         raise DataFrameValidationError("num_merges must be > 0")
     spark = df.sparkSession
-    merges, _ = _learn_rounds(word_vocab(df, text_col).localCheckpoint(), num_merges)
+    if vocab is None:
+        vocab = word_vocab(df, text_col).localCheckpoint()
+    merges, _ = _learn_rounds(vocab, num_merges)
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, freq long"
     )
@@ -238,6 +241,7 @@ def apply_bpe(
     merges: DataFrame | list,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize DOCUMENTS with a learned merge table — the apply side of
     the BPE loop, closing the circle to the engine's canonical
@@ -264,7 +268,10 @@ def apply_bpe(
     """
     mlist = _ordered_merges(merges)
     # word -> token-sequence mapping: merge rounds over distinct words only
-    vocab = word_vocab(df, text_col).localCheckpoint()
+    # (``vocab``: share one checkpointed word_vocab across a train+apply
+    # pipeline instead of re-exploding the corpus per stage)
+    if vocab is None:
+        vocab = word_vocab(df, text_col).localCheckpoint()
     for i, (a, b) in enumerate(mlist):
         vocab = _apply_merge(vocab, a, b)
         if (i + 1) % _CHECKPOINT_EVERY == 0:

@@ -130,7 +130,10 @@ def _learn_wp_rounds(
 
 
 def learn_wordpiece(
-    df: DataFrame, text_col: str = "text", num_merges: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Learn the first ``num_merges`` WordPiece merges from the corpus.
 
@@ -141,9 +144,9 @@ def learn_wordpiece(
     if num_merges <= 0:
         raise DataFrameValidationError("num_merges must be > 0")
     spark = df.sparkSession
-    merges, _ = _learn_wp_rounds(
-        wp_word_vocab(df, text_col).localCheckpoint(), num_merges
-    )
+    if vocab is None:
+        vocab = wp_word_vocab(df, text_col).localCheckpoint()
+    merges, _ = _learn_wp_rounds(vocab, num_merges)
     return spark.createDataFrame(
         [(r, a, b, f, round(s, 6)) for r, a, b, f, s in merges],
         "rank int, lhs string, rhs string, freq long, score double",
@@ -155,6 +158,7 @@ def wordpiece_pieces(
     text_col: str = "text",
     num_merges: int = 8,
     merges: DataFrame | list | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """The final WordPiece vocabulary: the initial symbol alphabet of
     the corpus plus one piece per learned merge (``lhs`` with the
@@ -165,8 +169,11 @@ def wordpiece_pieces(
     rounds — a train+tokenize pipeline runs them ONCE (the
     ``bpe_compression_stats`` round-sharing contract).
 
-    Output: (piece) — bounded (alphabet + num_merges rows)."""
-    vocab = wp_word_vocab(df, text_col).localCheckpoint()
+    Output: (piece) — bounded (alphabet + num_merges rows). ``vocab``:
+    share one checkpointed wp_word_vocab across a train+tokenize
+    pipeline instead of re-exploding the corpus per stage."""
+    if vocab is None:
+        vocab = wp_word_vocab(df, text_col).localCheckpoint()
     if merges is None:
         learned, _ = _learn_wp_rounds(vocab, num_merges)
         pairs = [(a, b) for _, a, b, _, _ in learned]
