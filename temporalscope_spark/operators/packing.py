@@ -13,10 +13,9 @@ for (BASELINE.json input_hint):
   * ``pack_greedy`` — whole-sequence packing: fill each bin with consecutive
     sequences while the total stays ≤ ``bin_tokens`` (sequences never split;
     over-long sequences get their own bin). The capacity-reset recurrence is
-    not expressible as a prefix sum, so this is the legitimate
-    ``applyInPandas`` case (SURVEY.md custom-operator ladder (b)) — one
-    Arrow-batched kernel per entity, numpy inside, no per-row Python at the
-    JVM boundary.
+    not expressible as a prefix sum, but it is a row-local fold over the
+    entity's sequence list, so it runs as one grouped ``collect_list`` +
+    ``aggregate`` — all JVM expressions, no Python boundary.
 
 Scale notes: concat-chunk explodes to one row per TOKEN between the cumsum
 and the re-group — exact but heavy (64x row inflation at n_tok=64); at
@@ -29,7 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from temporalscope_spark.exceptions import DataFrameValidationError
@@ -109,49 +107,71 @@ def pack_greedy(
     longer than ``bin_tokens`` occupies a bin alone). Output one row per bin:
     (id, bin_id, tokens concatenated, n_seqs, n_tok).
 
-    Implemented with ``applyInPandas`` — the capacity-reset recurrence is not
-    a prefix sum, so no pure-expression form exists; the kernel is a numpy
-    loop over SEQUENCES (not tokens) per entity.
+    The capacity-reset recurrence is not a prefix sum, but it IS a
+    row-local fold over the entity's (bounded, in-row) sequence list: one
+    grouped ``collect_list`` + one ``aggregate`` building the bin array
+    directly + one ``posexplode`` — the token payload never crosses the
+    JVM↔Python boundary (the previous implementation was an
+    ``applyInPandas`` kernel that shipped every token array through Arrow
+    both ways; the fold keeps the same per-entity memory profile and
+    drops the Python workers from the plan entirely).
     """
     if bin_tokens <= 0:
         raise DataFrameValidationError("bin_tokens must be > 0")
 
-    out_schema = T.StructType(
-        [
-            next(f for f in df.schema.fields if f.name == id_col),
-            T.StructField("bin_id", T.LongType()),
-            T.StructField("tokens", T.ArrayType(T.IntegerType())),
-            T.StructField("n_seqs", T.IntegerType()),
-            T.StructField("n_tok", T.IntegerType()),
-        ]
+    empty_toks = F.array().cast("array<int>")
+    bin_t = "struct<toks:array<int>,n_seqs:int,n_tok:int>"
+    acc0 = F.array().cast(f"array<{bin_t}>")
+
+    def step(acc, s):
+        # NULL token arrays — treat as empty (mirrors pack_concat_chunks,
+        # where posexplode silently skips NULL arrays)
+        toks = F.coalesce(s["t"].cast("array<int>"), empty_toks)
+        ln = F.size(toks)
+        last = F.element_at(acc, -1)
+        fresh = (F.size(acc) == 0) | (
+            (last["n_tok"] > 0) & (last["n_tok"] + ln > bin_tokens)
+        )
+        opened = F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    toks.alias("toks"),
+                    F.lit(1).alias("n_seqs"),
+                    ln.alias("n_tok"),
+                )
+            ),
+        )
+        grown = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(
+                F.struct(
+                    F.concat(last["toks"], toks).alias("toks"),
+                    (last["n_seqs"] + 1).alias("n_seqs"),
+                    (last["n_tok"] + ln).alias("n_tok"),
+                )
+            ),
+        )
+        return F.when(fresh, opened).otherwise(grown)
+
+    bins = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                             F.col(tokens_col).alias("t")))),
+        acc0,
+        step,
     )
-
-    def kernel(pdf):
-        import numpy as np
-        import pandas as pd
-
-        pdf = pdf.sort_values(order_col)
-        # NULL token arrays arrive as None — treat as empty (mirrors
-        # pack_concat_chunks, where posexplode silently skips NULL arrays)
-        pdf = pdf.assign(**{tokens_col: pdf[tokens_col].map(lambda a: [] if a is None else a)})
-        lens = pdf[tokens_col].map(len).to_numpy()
-        bins = np.empty(len(lens), dtype="int64")
-        b, fill = 0, 0
-        for i, ln in enumerate(lens):
-            if fill > 0 and fill + ln > bin_tokens:
-                b, fill = b + 1, 0
-            bins[i] = b
-            fill += ln
-        pdf = pdf.assign(_bin=bins)
-        rows = []
-        ident = pdf[id_col].iloc[0]
-        for bin_id, grp in pdf.groupby("_bin", sort=True):
-            toks = [int(t) for arr in grp[tokens_col] for t in arr]
-            rows.append((ident, int(bin_id), toks, len(grp), len(toks)))
-        return pd.DataFrame(rows, columns=[id_col, "bin_id", "tokens", "n_seqs", "n_tok"])
-
-    return df.select(id_col, order_col, tokens_col).groupBy(id_col).applyInPandas(
-        kernel, out_schema
+    return (
+        df.select(id_col, order_col, tokens_col)
+        .groupBy(id_col)
+        .agg(bins.alias("_bins"))
+        .select(F.col(id_col), F.posexplode("_bins").alias("_p", "_b"))
+        .select(
+            id_col,
+            F.col("_p").cast("long").alias("bin_id"),
+            F.col("_b.toks").alias("tokens"),
+            F.col("_b.n_seqs").alias("n_seqs"),
+            F.col("_b.n_tok").alias("n_tok"),
+        )
     )
 
 

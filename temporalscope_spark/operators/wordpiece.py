@@ -238,58 +238,56 @@ def apply_wordpiece(
         .filter(F.col("word") != "")
         .distinct()
     )
-    state = words.crossJoin(F.broadcast(inv)).select(
-        "word",
-        "_starts",
-        "_conts",
+    # the greedy cursor advances ≥1 char per step, so ``max_chars`` steps
+    # always finish a ≤max_chars word — run them as ONE row-local fold
+    # (accumulator: toks/pos/done). The step expression appears once in
+    # the plan and executes iteratively, replacing the previous
+    # max_chars sequential localCheckpoint rounds (max_chars jobs, each
+    # re-materializing the word table) with one narrow projection.
+    acc0 = F.struct(
         F.when(F.length("word") > max_chars, F.array(F.lit(UNK)))
         .otherwise(F.array().cast("array<string>"))
         .alias("toks"),
         F.lit(1).alias("pos"),
         (F.length("word") > max_chars).alias("done"),
     )
-    for _ in range(max_chars):
+
+    def _step(acc, _):
         cand = F.filter(
-            F.when(F.col("pos") == 1, F.col("_starts")).otherwise(F.col("_conts")),
-            lambda p: F.col("word").substr(F.col("pos"), F.length(p)) == p,
+            F.when(acc["pos"] == 1, F.col("_starts")).otherwise(F.col("_conts")),
+            lambda p: F.col("word").substr(acc["pos"], F.length(p)) == p,
         )
-        state = state.withColumn("_cand", cand).withColumn(
-            "_bl", F.array_max(F.transform("_cand", lambda p: F.length(p)))
-        )
-        bp = F.element_at(
-            F.filter("_cand", lambda p: F.length(p) == F.col("_bl")), 1
-        )
-        state = (
-            state.select(
-                "word",
-                "_starts",
-                "_conts",
-                F.when(F.col("done"), F.col("toks"))
-                .when(F.col("_bl").isNull(), F.array(F.lit(UNK)))
-                .otherwise(
-                    F.concat(
-                        "toks",
-                        F.array(
-                            F.when(F.col("pos") == 1, bp).otherwise(
-                                F.concat(F.lit(_CONT), bp)
-                            )
-                        ),
-                    )
+        bl = F.array_max(F.transform(cand, lambda p: F.length(p)))
+        bp = F.element_at(F.filter(cand, lambda p: F.length(p) == bl), 1)
+        return F.struct(
+            F.when(acc["done"], acc["toks"])
+            .when(bl.isNull(), F.array(F.lit(UNK)))
+            .otherwise(
+                F.concat(
+                    acc["toks"],
+                    F.array(
+                        F.when(acc["pos"] == 1, bp).otherwise(
+                            F.concat(F.lit(_CONT), bp)
+                        )
+                    ),
                 )
-                .alias("toks"),
-                F.when(
-                    F.col("done") | F.col("_bl").isNull(), F.col("pos")
-                )
-                .otherwise(F.col("pos") + F.col("_bl"))
-                .alias("pos"),
-                F.when(F.col("done"), F.col("done"))
-                .when(F.col("_bl").isNull(), F.lit(True))
-                .otherwise(F.col("pos") + F.col("_bl") > F.length("word"))
-                .alias("done"),
             )
-            .localCheckpoint()
+            .alias("toks"),
+            F.when(acc["done"] | bl.isNull(), acc["pos"])
+            .otherwise(acc["pos"] + bl)
+            .alias("pos"),
+            F.when(acc["done"], acc["done"])
+            .when(bl.isNull(), F.lit(True))
+            .otherwise(acc["pos"] + bl > F.length("word"))
+            .alias("done"),
         )
-    mapping = state.select("word", F.col("toks").alias("syms"))
+
+    match_fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_chars)), acc0, _step, lambda acc: acc["toks"]
+    )
+    mapping = words.crossJoin(F.broadcast(inv)).select(
+        "word", match_fold.alias("syms")
+    )
 
     pos = (
         _parallelize_before_explode(
