@@ -23,22 +23,25 @@ Shape per doubling round (``log2(cap / w0)`` rounds total):
      previous rank, one tiny per-bucket ``countDistinct`` aggregate for
      the offset prefix-sum, then ``dense_rank() + offset`` per bucket —
      parallel across buckets, no global window, no distinct + join-back;
-  3. ``localCheckpoint`` on the pair table truncates the growing lineage
-     (the BPE-round idiom); the offsets collect forces a round-trip
-     anyway, so the materialization is shared, not extra;
+  3. lineage truncation per round (the BPE-round idiom): when the round
+     tables themselves are materialized (the LCP-descent lane) the pair
+     table stays lazy — one materialization per round, not two;
+     otherwise the pair table is the per-round ``localCheckpoint``;
   4. EARLY EXIT: if the distinct-rank count did not grow, no rank class
      split — and a class that survives one doubling unsplit can never
      split again (its members agree pairwise on both halves of every
      wider prefix, inductively). The remaining rounds are skipped and the
      final table already carries the cap-width ranks.
 
-:func:`suffix_ranks` additionally starts at ``w0 = min(8, cap)`` — the
-initial rank keys on the first ``w0`` CHARACTERS directly (string order
-equals the sentinel-pair order: a proper prefix compares before its
-extensions), replacing the first ``log2(w0)`` doubling rounds with one
-bucketed rank over short strings. :func:`repeated_substrings` keeps
-``w0 = 1``: its LCP descent needs rank tables at every power-of-two
-width for exact binary decomposition of the LCP.
+Both entry points start at ``w0 = min(8, cap)`` — the initial rank keys
+on the first ``w0`` CHARACTERS directly (string order equals the
+sentinel-pair order: a proper prefix compares before its extensions),
+replacing the first ``log2(w0)`` doubling rounds with one bucketed rank
+over short strings. :func:`repeated_substrings`' LCP descent decomposes
+over the stored widths ≥ ``w0`` and finishes the remaining < ``w0``
+characters with one in-row comparison of the normalized text (rank
+equality at width w IS string equality of the clamped w-char cuts, so
+the direct comparison matches the table semantics exactly).
 
 A suffix ending before ``pos + w`` takes sentinel rank 0 (< every real
 rank), giving the standard "a proper prefix sorts before its extensions"
@@ -105,6 +108,11 @@ def _char_positions(
     remainder — string comparison already sorts a proper prefix before
     every extension, matching the sentinel-rank order of the doubling
     rounds."""
+    from temporalscope_spark.operators.dedup import _parallelize_before_explode
+
+    # the explode inflates one doc row into len(doc) char rows and its
+    # output partitioning mirrors the input's — spread a coarse (single-
+    # file) scan across the task slots BEFORE the fan-out (no-op at scale)
     base = df.select(
         F.col(id_col).alias("_doc"), _norm_text(text_col).alias("_txt")
     ).filter(F.length("_txt") >= 1)
@@ -214,7 +222,13 @@ def _rank_rounds(
     doc_w = Window.partitionBy("_doc").orderBy("_pos")
     while width < cap:
         # positions are dense 1..len(doc): the rank at pos+width is
-        # lead(width) rows ahead — sentinel 0 past the end
+        # lead(width) rows ahead — sentinel 0 past the end. With
+        # materialize=True the round table itself is checkpointed just
+        # below, so the pair table stays lazy (the lead window is
+        # recomputed once by the countDistinct collect and once by the
+        # checkpoint job — one fewer materialization per round); without
+        # round materialization the pair checkpoint is what truncates
+        # the growing lineage.
         pairs = cur.select(
             "_doc",
             "_pos",
@@ -222,7 +236,9 @@ def _rank_rounds(
             F.coalesce(F.lead("_r", width).over(doc_w), F.lit(0)).alias(
                 "_r2"
             ),
-        ).localCheckpoint()
+        )
+        if not materialize:
+            pairs = pairs.localCheckpoint()
         prev_m = m
         bexpr = F.floor(F.col("_r") * b / F.lit(m + 1))
         ranked, m = _bucketed_dense_rank(pairs, ["_r", "_r2"], bexpr, "_nr")
@@ -290,10 +306,13 @@ def repeated_substrings(
         raise DataFrameValidationError("min_len must be in [1, cap]")
     if top_k < 1:
         raise DataFrameValidationError("top_k must be >= 1")
-    # w0=1: the descent's binary LCP decomposition needs every
-    # power-of-two width
+    # start at an 8-char key like suffix_ranks (3 fewer doubling rounds);
+    # the descent decomposes each LCP over the stored widths ≥ w0 and
+    # finishes the final < w0 characters with ONE in-row comparison —
+    # same exact LCP, half the sequential round jobs
+    w0 = min(8, cap)
     rounds = _rank_rounds(
-        df, text_col, id_col, cap, w0=1, materialize=True
+        df, text_col, id_col, cap, w0=w0, materialize=True
     )
     final = rounds[-1][1]
 
@@ -353,13 +372,51 @@ def repeated_substrings(
             .localCheckpoint()
         )
 
-    witnesses = capped.unionByName(
-        live.select("_da", "_pa", "_lcp")
-    ).filter(F.col("_lcp") >= min_len)
-
     texts = df.select(
         F.col(id_col).alias("_da"), _norm_text(text_col).alias("_txt")
     )
+    rem = w0 - 1
+    if rem > 0:
+        # finish the LCP below the narrowest table width with one in-row
+        # character comparison: agreement through every stored width
+        # leaves a remainder < w0, and only pairs that can still reach
+        # ``min_len`` need it — the rest are sub-threshold whatever their
+        # exact LCP, so they drop here instead of at the filter below.
+        # (Rank equality at width w IS string equality of the clamped
+        # w-char cuts, so comparing the normalized text directly matches
+        # the table semantics; a live pair can never exhaust both
+        # suffixes equal — that pair would tie on the final rank.)
+        live = live.filter(F.col("_lcp") >= min_len - rem)
+        ta = texts.select("_da", F.col("_txt").alias("_xa"))
+        tb = texts.select(
+            F.col("_da").alias("_db"), F.col("_txt").alias("_xb")
+        )
+
+        def _cmp_step(acc, i):
+            ca = F.col("_xa").substr(
+                F.col("_pa") + F.col("_lcp") + i - 1, F.lit(1)
+            )
+            cb = F.col("_xb").substr(
+                F.col("_pb") + F.col("_lcp") + i - 1, F.lit(1)
+            )
+            return F.when(
+                (acc == i - 1) & (ca == cb) & (ca != F.lit("")),
+                acc + F.lit(1),
+            ).otherwise(acc)
+
+        fin = F.aggregate(
+            F.sequence(F.lit(1), F.lit(rem)), F.lit(0), _cmp_step
+        )
+        live = (
+            live.join(ta, "_da")
+            .join(tb, "_db")
+            .withColumn("_lcp", F.col("_lcp") + fin)
+            .drop("_xa", "_xb")
+        )
+
+    witnesses = capped.unionByName(
+        live.select("_da", "_pa", "_lcp")
+    ).filter(F.col("_lcp") >= min_len)
     cands = (
         witnesses.join(texts, "_da")
         .select(
