@@ -551,19 +551,34 @@ def semdedup(
     # tasks; per-pair arithmetic is untouched.
     _K = 8
     rblk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_K)).cast("int")
+    # hoist each vector's norm out of the pair filter: the per-pair
+    # cosine is then ONE interpreted dot fold instead of three
+    # (dot + both norms), with bit-identical arithmetic — the norms are
+    # the same sqrt expressions, just evaluated once per VECTOR and
+    # multiplied in the same order as before
     left = a.select(
-        F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("_va")
+        F.col(id_col).alias("id_a"),
+        "cell",
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_nna"),
     ).withColumn("_blk", F.explode(F.sequence(F.lit(0), F.lit(_K - 1))))
     right = a.select(
         F.col(id_col).alias("id_b"),
         "cell",
         F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nnb"),
         rblk.alias("_blk"),
     )
     pairs = (
         left.join(right, ["cell", "_blk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= F.lit(float(threshold)))
+        .filter(
+            F.try_divide(
+                _dot(F.col("_va"), F.col("_vb")),
+                F.col("_nna") * F.col("_nnb"),
+            )
+            >= F.lit(float(threshold))
+        )
         .select("id_a", "id_b")
     )
     comp = connected_components(pairs)
