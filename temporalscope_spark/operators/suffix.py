@@ -5,12 +5,28 @@ Training Data Makes Language Models Better") find repeated spans with a
 suffix array; the engine's :mod:`dedup` module ships the positional-n-gram
 approximation (fixed span length), this module ships the real thing —
 every maximal repeat up to a cap, at character granularity, with no length
-grid. Construction is prefix doubling (Manber & Myers 1990), the standard
-DISTRIBUTED suffix-array recipe (Flick & Aluru 2015, "Parallel distributed
-memory construction of suffix and LCP arrays" — their algorithm is exactly
-a sequence of rank/shift rounds, which in Spark become bucketed dense
-ranks and per-document ``lead`` windows; no Python in the hot path, no
-single-partition window anywhere).
+grid.
+
+TWO construction lanes, split on the cap (``_DIRECT_CAP``):
+
+- **Direct lane (cap ≤ 128, the default queries).** The suffix order of
+  cap-truncated suffixes IS the string order of the literal cap-char
+  cuts, so the rank (and rank adjacency) is computed in ONE pass: bucket
+  every ``(doc, pos, substr(text, pos, cap))`` row by the cut's 2-char
+  prefix (a monotone coarsening of the order), then a per-bucket
+  ``dense_rank`` / ``lead`` window. One shuffle of ~cap-byte keys and at
+  most one bounded driver collect replace ``log2(cap/8)`` sequential
+  doubling rounds that each shuffle the same row count — strictly fewer
+  bytes AND fewer barriers at every corpus size while the key stays
+  cache-line sized.
+- **Doubling lane (cap > 128).** Prefix doubling (Manber & Myers 1990),
+  the standard DISTRIBUTED suffix-array recipe (Flick & Aluru 2015,
+  "Parallel distributed memory construction of suffix and LCP arrays" —
+  their algorithm is exactly a sequence of rank/shift rounds, which in
+  Spark become bucketed dense ranks and per-document ``lead`` windows;
+  no Python in the hot path, no single-partition window anywhere). Wide
+  caps make the direct key itself the payload; the doubling rounds keep
+  every shuffle at ~16 bytes/row.
 
 Shape per doubling round (``log2(cap / w0)`` rounds total):
 
@@ -113,9 +129,11 @@ def _char_positions(
     # the explode inflates one doc row into len(doc) char rows and its
     # output partitioning mirrors the input's — spread a coarse (single-
     # file) scan across the task slots BEFORE the fan-out (no-op at scale)
-    base = df.select(
-        F.col(id_col).alias("_doc"), _norm_text(text_col).alias("_txt")
-    ).filter(F.length("_txt") >= 1)
+    base = _parallelize_before_explode(
+        df.select(
+            F.col(id_col).alias("_doc"), _norm_text(text_col).alias("_txt")
+        ).filter(F.length("_txt") >= 1)
+    )
     return base.select(
         "_doc",
         F.explode(F.sequence(F.lit(1), F.length("_txt"))).alias("_pos"),
@@ -170,6 +188,56 @@ def _bucketed_dense_rank(
         out, (F.dense_rank().over(w) + off).cast("long")
     ).drop("_bk")
     return ranked, acc
+
+
+# Below this cap the suffix order is computed DIRECTLY: one bucketed
+# dense rank / per-bucket adjacency window over the literal cap-char
+# suffix cuts. One shuffle of ~cap-byte keys strictly beats the doubling
+# lane's log2(cap/8) sequential rounds (each a ~16-byte/row lead-window
+# shuffle PLUS a rank shuffle plus a driver collect) — at every corpus
+# size, since both move O(n_chars) rows and direct does it once. Above
+# the cap the per-row key width dominates the row and prefix doubling's
+# narrow ranks win; 128 keeps the direct key within a cache line or two.
+_DIRECT_CAP = 128
+
+
+def _prefix_bucket_dense_rank(
+    df: DataFrame, key_col: str, out: str, bucket_chars: int = 2
+) -> DataFrame:
+    """Exact global DENSE rank of the string ``key_col`` computed in
+    place. The bucket is the key's first ``bucket_chars`` characters —
+    prefix truncation is a monotone coarsening of the string order and
+    equal keys share a bucket, so the :func:`_bucketed_dense_rank`
+    offset argument holds verbatim: one bounded per-bucket
+    ``countDistinct`` collect (≤ alphabet^bucket_chars rows), then
+    ``dense_rank() + offset`` per bucket in parallel. Spark compares
+    strings by UTF-8 bytes, which preserves codepoint order, so the
+    Python ``sorted()`` over the collected bucket prefixes agrees with
+    the executor-side ordering."""
+    bucketed = df.withColumn(
+        "_bk", F.substring(F.col(key_col), 1, bucket_chars)
+    )
+    counts = {
+        r["_bk"]: r["_n"]
+        for r in bucketed.groupBy("_bk")
+        .agg(F.countDistinct(key_col).alias("_n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    if offsets:
+        omap = F.create_map(
+            *[x for k, v in offsets.items() for x in (F.lit(k), F.lit(v))]
+        )
+        off = F.coalesce(F.element_at(omap, F.col("_bk")), F.lit(0))
+    else:  # empty input
+        off = F.lit(0)
+    w = Window.partitionBy("_bk").orderBy(key_col)
+    return bucketed.withColumn(
+        out, (F.dense_rank().over(w) + off).cast("long")
+    ).drop("_bk")
 
 
 def _rank_rounds(
@@ -269,11 +337,17 @@ def suffix_ranks(
     """
     if cap < 2 or (cap & (cap - 1)) != 0:
         raise DataFrameValidationError("cap must be a power of two >= 2")
-    # only the final table is consumed: start at an 8-char key (3 fewer
-    # rounds) and skip per-round materialization of intermediate tables
-    final = _rank_rounds(
-        df, text_col, id_col, cap, w0=min(8, cap), materialize=False
-    )[-1][1]
+    if cap <= _DIRECT_CAP:
+        # direct lane: the final rank IS the dense rank of the literal
+        # cap-char cut — one bucketed rank, zero doubling rounds
+        pos = _char_positions(df, text_col, id_col, cap)
+        final = _prefix_bucket_dense_rank(pos, "_key", "_r")
+    else:
+        # only the final table is consumed: start at an 8-char key and
+        # skip per-round materialization of intermediate tables
+        final = _rank_rounds(
+            df, text_col, id_col, cap, w0=min(8, cap), materialize=False
+        )[-1][1]
     return final.select(
         F.col("_doc").alias(id_col),
         F.col("_pos").alias("pos"),
@@ -306,6 +380,140 @@ def repeated_substrings(
         raise DataFrameValidationError("min_len must be in [1, cap]")
     if top_k < 1:
         raise DataFrameValidationError("top_k must be >= 1")
+    texts = df.select(
+        F.col(id_col).alias("_da"), _norm_text(text_col).alias("_txt")
+    )
+    if cap <= _DIRECT_CAP:
+        subs = _direct_repeat_candidates(df, text_col, id_col, min_len, cap)
+    else:
+        subs = _descent_repeat_candidates(
+            df, text_col, id_col, min_len, cap, texts
+        )
+    cands = (
+        subs
+        # a cap-rank tie between two IDENTICAL short suffixes claims
+        # lcp=cap; the cut clamps at the suffix end, so the honest length
+        # is the cut's length (equal strings have equal lengths — the pair
+        # agrees)
+        .select("substring", F.length("substring").alias("length"))
+        .filter(F.col("length") >= min_len)  # clamping can shrink below it
+        .distinct()
+        .orderBy(F.col("length").desc(), "substring")
+        .limit(top_k)
+    )
+    cand_rows = cands.collect()  # <= top_k rows
+    if not cand_rows:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "substring string, length int, n_occurrences long"
+        )
+    lens = sorted({r["length"] for r in cand_rows})
+    spark = df.sparkSession
+    cand_df = spark.createDataFrame(
+        [(r["substring"], r["length"]) for r in cand_rows],
+        "substring string, length int",
+    )
+    # occurrence counting: one narrow probe per DISTINCT winning length
+    # (<= top_k literals), equi-joined against the candidate table; probes
+    # regenerate (pos, cut) straight from the text column — no join, and
+    # the full document string never survives past the fused projection
+    probe_s = (
+        texts.select(
+            "_txt",
+            F.explode(F.sequence(F.lit(1), F.length("_txt"))).alias("_pos"),
+        )
+        .select(
+            "_txt",
+            F.col("_pos").cast("int").alias("_pos"),
+            F.explode(F.array(*[F.lit(int(x)) for x in lens])).alias("length"),
+        )
+        .select(
+            F.substring(F.col("_txt"), F.col("_pos"), F.col("length")).alias(
+                "substring"
+            ),
+            "length",
+        )
+    )
+    return (
+        probe_s.join(F.broadcast(cand_df), ["substring", "length"])
+        .groupBy("substring", "length")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def _direct_repeat_candidates(
+    df: DataFrame, text_col: str, id_col: str, min_len: int, cap: int
+) -> DataFrame:
+    """Repeat-substring candidates (one ``substring`` column, one row per
+    witnessing rank-adjacent suffix pair) computed DIRECTLY on the
+    cap-char suffix cuts — no doubling rounds, no global row number, no
+    driver collect.
+
+    Adjacency: rows sharing a repeat of length ≥ ``min_len`` share their
+    first ``min(2, min_len)`` characters, so they sit in one bucket of
+    the prefix coarsening and a per-bucket ``lead`` window over
+    ``(_key, _doc, _pos)`` yields every witnessing pair; a cross-bucket
+    adjacent pair disagrees inside the bucket prefix, so its LCP is
+    < ``min_len`` and it can never contribute a candidate. LCP is the
+    key pair's common prefix: ``cap`` when the cuts tie (same convention
+    as equal final ranks), else a single in-row comparison fold seeded
+    at ``min_len`` after an equality prefilter on the first ``min_len``
+    characters."""
+    bw = min(2, min_len)
+    pos = _char_positions(df, text_col, id_col, cap)
+    w = Window.partitionBy("_bk").orderBy("_key", "_doc", "_pos")
+    paired = (
+        pos.withColumn("_bk", F.substring("_key", 1, bw))
+        .select(
+            F.col("_key").alias("_ka"),
+            F.lead("_key").over(w).alias("_kb"),
+        )
+        .filter(F.col("_kb").isNotNull())
+    )
+    capped_c = paired.filter(F.col("_ka") == F.col("_kb")).select(
+        F.col("_ka").alias("substring")
+    )
+    live = paired.filter(
+        (F.col("_ka") != F.col("_kb"))
+        & (
+            F.substring("_ka", 1, min_len)
+            == F.substring("_kb", 1, min_len)
+        )
+    )
+
+    def _ext_step(acc, i):
+        ca = F.col("_ka").substr(i, F.lit(1))
+        cb = F.col("_kb").substr(i, F.lit(1))
+        return F.when(
+            (acc == i - 1) & (ca == cb) & (ca != F.lit("")), acc + F.lit(1)
+        ).otherwise(acc)
+
+    lcp = (
+        F.aggregate(
+            F.sequence(F.lit(min_len + 1), F.lit(cap)),
+            F.lit(min_len),
+            _ext_step,
+        )
+        if min_len < cap
+        else F.lit(min_len)
+    )
+    live_c = live.select(
+        F.col("_ka").substr(F.lit(1), lcp).alias("substring")
+    )
+    return capped_c.unionByName(live_c)
+
+
+def _descent_repeat_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int,
+    cap: int,
+    texts: DataFrame,
+) -> DataFrame:
+    """Doubling-lane candidates for ``cap > _DIRECT_CAP``: prefix-doubled
+    rank tables, global rank adjacency, Farach descent over the stored
+    widths, final < w0 characters by one in-row comparison."""
     # start at an 8-char key like suffix_ranks (3 fewer doubling rounds);
     # the descent decomposes each LCP over the stored widths ≥ w0 and
     # finishes the final < w0 characters with ONE in-row comparison —
@@ -372,9 +580,6 @@ def repeated_substrings(
             .localCheckpoint()
         )
 
-    texts = df.select(
-        F.col(id_col).alias("_da"), _norm_text(text_col).alias("_txt")
-    )
     rem = w0 - 1
     if rem > 0:
         # finish the LCP below the narrowest table width with one in-row
@@ -417,58 +622,8 @@ def repeated_substrings(
     witnesses = capped.unionByName(
         live.select("_da", "_pa", "_lcp")
     ).filter(F.col("_lcp") >= min_len)
-    cands = (
-        witnesses.join(texts, "_da")
-        .select(
-            F.substring(F.col("_txt"), F.col("_pa"), F.col("_lcp")).alias(
-                "substring"
-            )
+    return witnesses.join(texts, "_da").select(
+        F.substring(F.col("_txt"), F.col("_pa"), F.col("_lcp")).alias(
+            "substring"
         )
-        # a cap-rank tie between two IDENTICAL short suffixes claims
-        # lcp=cap; the cut clamps at the suffix end, so the honest length
-        # is the cut's length (equal strings have equal lengths — the pair
-        # agrees)
-        .select("substring", F.length("substring").alias("length"))
-        .filter(F.col("length") >= min_len)  # clamping can shrink below it
-        .distinct()
-        .orderBy(F.col("length").desc(), "substring")
-        .limit(top_k)
-    )
-    cand_rows = cands.collect()  # <= top_k rows
-    if not cand_rows:
-        spark = df.sparkSession
-        return spark.createDataFrame(
-            [], "substring string, length int, n_occurrences long"
-        )
-    lens = sorted({r["length"] for r in cand_rows})
-    spark = df.sparkSession
-    cand_df = spark.createDataFrame(
-        [(r["substring"], r["length"]) for r in cand_rows],
-        "substring string, length int",
-    )
-    # occurrence counting: one narrow probe per DISTINCT winning length
-    # (<= top_k literals), equi-joined against the candidate table; probes
-    # regenerate (pos, cut) straight from the text column — no join, and
-    # the full document string never survives past the fused projection
-    probe_s = (
-        texts.select(
-            "_txt",
-            F.explode(F.sequence(F.lit(1), F.length("_txt"))).alias("_pos"),
-        )
-        .select(
-            "_txt",
-            F.col("_pos").cast("int").alias("_pos"),
-            F.explode(F.array(*[F.lit(int(x)) for x in lens])).alias("length"),
-        )
-        .select(
-            F.substring(F.col("_txt"), F.col("_pos"), F.col("length")).alias(
-                "substring"
-            ),
-            "length",
-        )
-    )
-    return (
-        probe_s.join(F.broadcast(cand_df), ["substring", "length"])
-        .groupBy("substring", "length")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )

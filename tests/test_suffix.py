@@ -175,3 +175,45 @@ class TestRepeatedSubstrings:
             repeated_substrings(rand_df, min_len=100, cap=64)
         with pytest.raises(DataFrameValidationError):
             repeated_substrings(rand_df, top_k=0)
+
+    def test_min_len_one_uses_single_char_bucket(self, rand_df, rand_docs):
+        # min_len=1 narrows the adjacency bucket to one character so no
+        # witnessing pair can straddle buckets; compare to brute force
+        cap, k = 8, 5
+        wit = {(s, l) for s, l in _py_witnesses(rand_docs, cap) if l >= 1}
+        want = set(sorted(wit, key=lambda x: (-x[1], x[0]))[:k])
+        got = {
+            (r["substring"], r["length"])
+            for r in repeated_substrings(
+                rand_df, min_len=1, top_k=k, cap=cap
+            ).collect()
+        }
+        assert got == want
+
+
+class TestLaneEquivalence:
+    """The direct (cap <= _DIRECT_CAP) and prefix-doubling lanes must
+    compute identical ranks and identical repeat tables."""
+
+    def test_both_lanes_agree(self, rand_df, monkeypatch):
+        import temporalscope_spark.operators.suffix as sx
+
+        direct_ranks = sorted(
+            tuple(r) for r in suffix_ranks(rand_df, cap=16).collect()
+        )
+        direct_rep = sorted(
+            tuple(r)
+            for r in repeated_substrings(
+                rand_df, min_len=4, top_k=10, cap=16
+            ).collect()
+        )
+        monkeypatch.setattr(sx, "_DIRECT_CAP", 1)  # force doubling lane
+        assert direct_ranks == sorted(
+            tuple(r) for r in suffix_ranks(rand_df, cap=16).collect()
+        )
+        assert direct_rep == sorted(
+            tuple(r)
+            for r in repeated_substrings(
+                rand_df, min_len=4, top_k=10, cap=16
+            ).collect()
+        )
