@@ -72,7 +72,7 @@ def auc_roc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             F.when((F.col("_y") != 0.0) & (F.col("_y") != 1.0), 1).otherwise(0)
         ).alias("_bad"),
     )
-    cum = with_global_cumsum(vals, ["_v"], ["_c"])
+    cum = with_global_cumsum(vals, ["_v"], ["_c"], materialize_input=True)
     avg_rank = F.col("_c_cum") - F.col("_c") + (F.col("_c") + 1) / 2.0
     row = cum.agg(
         F.sum("_p").alias("_np"),

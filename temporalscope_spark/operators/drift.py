@@ -673,12 +673,16 @@ def wasserstein_1d(
 
     from temporalscope_spark.plans.rownum import with_global_row_number
 
-    ranked = with_global_cumsum(counts, ["_y"], ["_na", "_nb"])
+    ranked = with_global_cumsum(
+        counts, ["_y"], ["_na", "_nb"], materialize_input=True
+    )
     # Δx to the NEXT distinct value via the two-phase global row number
     # + successor EQUI-join (the suffix.py rank-adjacent pattern) — no
     # partition-free lead window, so the distinct-value grid never
     # funnels through one task even when values are continuous.
-    numbered = with_global_row_number(ranked, ["_y"], "_rn")
+    numbered = with_global_row_number(
+        ranked, ["_y"], "_rn", materialize_input=True
+    )
     tot = numbered.agg(
         F.max("_na_cum").alias("_nat"), F.max("_nb_cum").alias("_nbt")
     ).first()

@@ -250,6 +250,9 @@ def dsir_select(
         margin *= 4.0
     if cand is None:
         cand = pos
+    # no materialize_input: ``cand`` filters the already-persisted scored
+    # table, so the three passes re-read cache — a checkpoint only adds
+    # a copy job (measured +0.4s at sf0.1)
     ranked = with_global_row_number(
         cand.withColumn("_negl", -F.col("logratio")),
         ["_negl", id_col],

@@ -563,7 +563,7 @@ def mann_whitney_u(
 
     from temporalscope_spark.plans.rownum import with_global_cumsum
 
-    ranked = with_global_cumsum(counts, ["_y"], ["_n"])
+    ranked = with_global_cumsum(counts, ["_y"], ["_n"], materialize_input=True)
     # average rank of every row tied at this value: ranks occupied are
     # (cum−n+1 .. cum) → midpoint (cum−n) + (n+1)/2
     avg_rank = (
@@ -1200,7 +1200,7 @@ def kruskal_wallis(
 
     from temporalscope_spark.plans.rownum import with_global_cumsum
 
-    ranked = with_global_cumsum(counts, ["_y"], ["_n"])
+    ranked = with_global_cumsum(counts, ["_y"], ["_n"], materialize_input=True)
     avg_rank = (
         (F.col("_n_cum") - F.col("_n")).cast("double")
         + (F.col("_n").cast("double") + 1.0) / 2.0

@@ -264,7 +264,9 @@ def length_bucket_batches(
             raise DataFrameValidationError(
                 f"length_bucket_batches: missing column {c!r}"
             )
-    ranked = with_global_row_number(df, [length_col, id_col], rn_col="_rn")
+    ranked = with_global_row_number(
+        df, [length_col, id_col], rn_col="_rn", materialize_input=True
+    )
     return ranked.withColumn(
         batch_col, ((F.col("_rn") - 1) / F.lit(int(batch_size))).cast("long")
     ).drop("_rn")

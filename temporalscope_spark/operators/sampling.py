@@ -335,6 +335,7 @@ def negative_samples(
             items.select(item_col).distinct().withColumn("_ord", ordk),
             ["_ord", item_col],
             rn_col="_ni",
+            materialize_input=True,
         )
         .select((F.col("_ni") - 1).alias("_slot_ix"), F.col(item_col).alias("_neg"))
     )

@@ -271,7 +271,7 @@ def ecdf_feature(df: DataFrame, col: str) -> DataFrame:
     vals = df.filter(x.isNotNull()).groupBy(x.alias("_v")).agg(
         F.count(F.lit(1)).alias("_c")
     )
-    cum = with_global_cumsum(vals, ["_v"], ["_c"])
+    cum = with_global_cumsum(vals, ["_v"], ["_c"], materialize_input=True)
     n = df.filter(x.isNotNull()).count()
     if n == 0:
         raise DataFrameValidationError(
@@ -415,6 +415,7 @@ def quantile_normalize(
         vals.withColumn("_gord", F.element_at(idx_map, F.col("_g"))),
         ["_gord", "_v"],
         ["_c"],
+        materialize_input=True,
     )
     avg_rank = (
         F.col("_c_cum").cast("double")

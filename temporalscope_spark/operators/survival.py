@@ -407,7 +407,7 @@ def cox_step(
         f"_swxx{i}_{j}" for i in range(p) for j in range(i, p)
     ]
     grid = grid.withColumn("_negt", -F.col("_t"))
-    cum = with_global_cumsum(grid, ["_negt"], cum_cols)
+    cum = with_global_cumsum(grid, ["_negt"], cum_cols, materialize_input=True)
     s0 = F.col("_sw_cum")
     s1 = [F.col(f"_swx{i}_cum") for i in range(p)]
     s2 = {(i, j): F.col(f"_swxx{i}_{j}_cum") for i in range(p) for j in range(i, p)}

@@ -44,15 +44,25 @@ def with_global_row_number(
     order_cols: list[str],
     rn_col: str = "_rn",
     num_buckets: int | None = None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Add a 1-based exact global row number ordered by ``order_cols``.
 
     The primary order column must be numeric/timestamp (bucket boundaries
     come from quantiles). Ties across ALL ``order_cols`` break arbitrarily
     but within one bucket; pass a unique key suffix for full determinism.
+
+    ``materialize_input`` localCheckpoints ``df`` so the three passes
+    (quantile probe, bucket counts, final window) read one materialized
+    copy instead of re-evaluating the input plan per action. Opt in when
+    the input is a DERIVED table (an aggregation, a narrow projection of
+    an expensive pipeline); leave off when the input is a raw scan, where
+    re-reading beats writing a copy.
     """
     if num_buckets is None:
         num_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if materialize_input:
+        df = df.localCheckpoint()
     primary = order_cols[0]
     tnum = _numeric_order_expr(df, primary)
     probed = df.withColumn("_rn_t", tnum)
@@ -101,6 +111,7 @@ def with_global_cumsum(
     order_cols: list[str],
     sum_cols: list[str],
     num_buckets: int | None = None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Add exact global running sums ``{c}_cum`` ordered by ``order_cols``.
 
@@ -113,9 +124,15 @@ def with_global_cumsum(
     within a bucket, so the running sum at each ROW depends on the full
     ``order_cols`` ordering — pass a unique key suffix for determinism when
     the leading columns tie.
+
+    ``materialize_input``: same contract as
+    :func:`with_global_row_number` — one localCheckpoint feeding the
+    quantile probe, the per-bucket partial sums, and the final window.
     """
     if num_buckets is None:
         num_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if materialize_input:
+        df = df.localCheckpoint()
     primary = order_cols[0]
     tnum = _numeric_order_expr(df, primary)
     probed = df.withColumn("_cs_t", tnum)
@@ -175,9 +192,16 @@ def order_statistics(
     """Exact values of ``order_cols`` at the given 1-based global positions.
 
     Collects only ``len(positions)`` rows to the driver — the scalable
-    replacement for materializing a whole sorted column.
+    replacement for materializing a whole sorted column. Only
+    ``order_cols`` matter, so the input is projected to them and
+    materialized once: the quantile probe, the bucket counts, and the
+    final collect read one narrow checkpointed copy instead of
+    re-evaluating the full input plan three times.
     """
     wanted = sorted(set(positions))
-    numbered = with_global_row_number(df, order_cols, "_rn", num_buckets)
+    numbered = with_global_row_number(
+        df.select(*order_cols), order_cols, "_rn", num_buckets,
+        materialize_input=True,
+    )
     rows = numbered.filter(F.col("_rn").isin(wanted)).select("_rn", *order_cols).collect()
     return {r["_rn"]: tuple(r[c] for c in order_cols) for r in rows}
