@@ -535,8 +535,16 @@ def connected_components(
             if not pairs.is_cached:
                 pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
                 pairs_persisted = True
-            head = pairs.select(id_a, id_b).limit(driver_threshold + 1).toPandas()
-            if len(head) <= driver_threshold:
+            # count first, collect from cache second: a limit().toPandas()
+            # probe would run Spark's ESCALATING collect-limit (jobs over
+            # 1, 4, 16, ... partitions, each re-analyzing the deep pair-
+            # pipeline plan) — one count materializes the persisted pairs
+            # in a single pass and the under-threshold collect then reads
+            # pure cache; the over-threshold case loses nothing because
+            # the distributed path consumes every cached partition anyway
+            n_edges = pairs.count()
+            if n_edges <= driver_threshold:
+                head = pairs.select(id_a, id_b).toPandas()
                 schema = pairs.select(
                     F.col(id_a).alias("node"), F.col(id_a).alias("component")
                 ).schema
