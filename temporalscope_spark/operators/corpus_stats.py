@@ -514,7 +514,8 @@ def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).select(F.explode("_w").alias("word")).filter(F.col("word") != "")
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     ranked = with_global_row_number(
-        vocab.withColumn("_negf", -F.col("n")), ["_negf", "word"], rn_col="_rank"
+        vocab.withColumn("_negf", -F.col("n")), ["_negf", "word"],
+        rn_col="_rank", materialize_input=True,
     )
     pts = ranked.select(
         F.log(F.col("_rank").cast("double")).alias("x"),
@@ -858,7 +859,9 @@ def gini_concentration(
         # instead of an empty-partition window
         from temporalscope_spark.plans.rownum import with_global_cumsum
 
-        ranked = with_global_cumsum(counts, ["_v"], ["_c"]).select(
+        ranked = with_global_cumsum(
+            counts, ["_v"], ["_c"], materialize_input=True
+        ).select(
             "_v", "_c", (F.col("_c_cum") - F.col("_c")).alias("_rprev")
         )
     c = F.col("_c").cast("double")

@@ -278,7 +278,7 @@ def spearman_matrix(
             .groupBy(x.alias("_v"))
             .agg(F.count(F.lit(1)).cast("double").alias("_c"))
         )
-        cum = with_global_cumsum(vals, ["_v"], ["_c"])
+        cum = with_global_cumsum(vals, ["_v"], ["_c"], materialize_input=True)
         key, rc = f"_sv_{i}", f"_sr_{i}"
         lut = cum.select(
             F.col("_v").alias(key),
