@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--plans", default="none", choices=["before", "after", "none"])
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--json", default=None, help="also write results to this path")
+    ap.add_argument(
+        "--compare",
+        default=None,
+        help="print a >1.5x regression table vs this committed bench JSON "
+        "(e.g. BENCH_FULL_latest.json)",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -81,6 +87,31 @@ def main() -> None:
         with open(args.json, "w") as fh:
             fh.write(line + "\n")
     print(line)
+    if args.compare:
+        _print_regressions(times, args.compare)
+
+
+def _print_regressions(times: dict, baseline_path: str) -> None:
+    """Per-query regression table against a committed bench artifact
+    (VERDICT r5 #4, hosted here because bench.py is frozen): queries
+    >1.5x their baseline are flagged with the box load so a noisy sample
+    is distinguishable from a real regression."""
+    with open(baseline_path) as fh:
+        base = json.load(fh)
+    base_q = base.get("queries") or (base.get("parsed") or {}).get("queries") or {}
+    load1, load5, _ = os.getloadavg()
+    rows = []
+    for name, sec in times.items():
+        b = base_q.get(name)
+        if b and b > 0 and sec / b > 1.5:
+            rows.append((sec / b, name, sec, b))
+    print(
+        f"# regression check vs {baseline_path} "
+        f"(load {load1:.2f}/{load5:.2f}): {len(rows)} over 1.5x",
+        file=sys.stderr,
+    )
+    for r, name, sec, b in sorted(rows, reverse=True):
+        print(f"#   {name}: {sec:.2f}s vs {b:.2f}s ({r:.2f}x)", file=sys.stderr)
 
 
 if __name__ == "__main__":
